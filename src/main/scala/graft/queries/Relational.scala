@@ -1,0 +1,500 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** The relational operator surface the reference delegates to its embedded
+  * DataFusion engine (SURVEY.md §2.B; exposed via `ctx.sql`,
+  * reference examples/simple_query.rs:77). Re-expressed Spark-first:
+  * DataFrame/Dataset API, Catalyst does pushdown/pruning/join-planning.
+  * Each entry carries a DuckDB oracle for the driver's correctness gate.
+  */
+object Relational {
+
+  /** Exact money arithmetic: doubles carry 2-decimal money values, so a
+    * DECIMAL(18,4) cast is lossless and makes SUM order-insensitive and
+    * bit-identical across engines (vs. fp-association drift of double sums).
+    */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- aggregation: partial+final hash agg, multiple agg functions ----
+    QueryDef(
+      "q01_agg_groupby",
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 4)).as("sum_base"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
+            .cast(DecimalType(38, 8)).as("revenue"),
+          (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).cast(DoubleType).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- projection + filter: pushed to the parquet scan by Catalyst ----
+    QueryDef(
+      "q02_project_filter",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+        |  AND l_discount >= 0.05 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01 00:00:00").cast(TimestampType),
+          lit("1996-12-31 00:00:00").cast(TimestampType))
+          && col("l_discount") >= 0.05 && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- equi-join + agg + deterministic top-k (TPC-H Q3 shape) ----
+    QueryDef(
+      "q03_join_topk",
+      """SELECT o.o_orderkey, CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey, o_year
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val l = T(s, dir, "lineitem"); val o = T(s, dir, "orders"); val c = T(s, dir, "customer")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .filter(c("c_mktsegment") === "BUILDING")
+        .groupBy(o("o_orderkey"), year(o("o_orderdate")).as("o_year"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
+          .cast(DecimalType(38, 8)).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ---- left-semi join (EXISTS) ----
+    QueryDef(
+      "q04_semi_join",
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- 5-way star join through nation/region; dims broadcast ----
+    QueryDef(
+      "q05_multi_join",
+      """SELECT r.r_name, n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY r.r_name, n.n_name""".stripMargin) { (s, dir) =>
+      val l = T(s, dir, "lineitem"); val o = T(s, dir, "orders"); val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name"), n("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
+            .cast(DecimalType(38, 8)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // ---- left-anti join (NOT EXISTS) ----
+    QueryDef(
+      "q06_anti_join",
+      """SELECT c_mktsegment, COUNT(*) AS n_custs
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND EXTRACT(year FROM o.o_orderdate) = 1996)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders").filter(year(col("o_orderdate")) === 1996)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- broadcast hash join against a filtered small dim ----
+    QueryDef(
+      "q07_broadcast_join",
+      """SELECT p.p_brand, SUM(l.l_quantity) AS sum_qty, COUNT(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size <= 10
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin) { (s, dir) =>
+      val l = T(s, dir, "lineitem")
+      val p = T(s, dir, "part").filter(col("p_size") <= 10)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    },
+
+    // ---- window: row_number/rank, top-3 per group ----
+    QueryDef(
+      "q08_window_rank",
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn,
+        |    RANK() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+        |  FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      T(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy(col("l_suppkey"), col("rn"))
+    },
+
+    // ---- window: running sum (ROWS frame) + lag/lead over a pinned order.
+    // DECIMAL running sum: DuckDB evaluates window aggs with a segment tree,
+    // so double association drifts — decimal is exact on both engines.
+    QueryDef(
+      "q09_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_spend,
+        |  LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DecimalType(38, 4)).as("running_spend"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- global top-k: Spark plans TakeOrderedAndProject ----
+    QueryDef(
+      "q10_sort_limit",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+
+    // ---- set ops: INTERSECT / EXCEPT / UNION ALL (distinct semantics) ----
+    QueryDef(
+      "q11_set_ops",
+      """SELECT 'both' AS bucket, c AS o_custkey FROM (
+        |  SELECT o_custkey AS c FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997) t1
+        |UNION ALL
+        |SELECT 'only96' AS bucket, c AS o_custkey FROM (
+        |  SELECT o_custkey AS c FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997) t2
+        |ORDER BY bucket, o_custkey""".stripMargin) { (s, dir) =>
+      val o = T(s, dir, "orders")
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      val y97 = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+      y96.intersect(y97).select(lit("both").as("bucket"), col("o_custkey"))
+        .unionAll(y96.except(y97).select(lit("only96").as("bucket"), col("o_custkey")))
+        .orderBy(col("bucket"), col("o_custkey"))
+    },
+
+    // ---- distinct ----
+    QueryDef(
+      "q12_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      T(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- ROLLUP (NULLS FIRST pinned: Spark default vs DuckDB NULLS LAST) ----
+    QueryDef(
+      "q13_rollup",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // ---- CUBE ----
+    QueryDef(
+      "q14_cube",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    },
+
+    // ---- GROUPING SETS (SQL surface over registered views) ----
+    QueryDef(
+      "q15_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
+    // ---- scalar string functions ----
+    QueryDef(
+      "q16_string_funcs",
+      """SELECT upper(p_brand) AS brand_u, substring(p_type, 1, 5) AS type5,
+        |  COUNT(*) AS cnt, CAST(MIN(length(p_name)) AS INT) AS min_name_len,
+        |  MAX(concat(p_brand, '|', p_type)) AS max_cat
+        |FROM part
+        |WHERE p_name LIKE '%a%'
+        |GROUP BY brand_u, type5
+        |ORDER BY brand_u, type5""".stripMargin) { (s, dir) =>
+      T(s, dir, "part")
+        .filter(col("p_name").like("%a%"))
+        .groupBy(
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_type"), 1, 5).as("type5"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          min(length(col("p_name"))).cast(IntegerType).as("min_name_len"),
+          max(concat(col("p_brand"), lit("|"), col("p_type"))).as("max_cat"))
+        .orderBy(col("brand_u"), col("type5"))
+    },
+
+    // ---- scalar date/time functions ----
+    QueryDef(
+      "q17_datetime_funcs",
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+        |FROM orders
+        |GROUP BY o_year, o_month, month_start
+        |ORDER BY o_year, o_month""".stripMargin) { (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"),
+          date_trunc("month", col("o_orderdate")).as("month_start"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast(DecimalType(38, 4)).as("total"))
+        .orderBy(col("o_year"), col("o_month"))
+    },
+
+    // ---- scalar math functions (IEEE-deterministic subset: no libm logs) ----
+    QueryDef(
+      "q18_math_funcs",
+      """SELECT CAST(l_quantity AS INT) % 7 AS qty_mod,
+        |  CAST(SUM(CAST(abs(l_extendedprice) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_abs,
+        |  CAST(MAX(ceil(l_extendedprice)) AS BIGINT) AS max_ceil,
+        |  CAST(MIN(floor(l_extendedprice)) AS BIGINT) AS min_floor,
+        |  MAX(sqrt(l_quantity)) AS max_sqrt
+        |FROM lineitem
+        |GROUP BY qty_mod
+        |ORDER BY qty_mod""".stripMargin) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy((col("l_quantity").cast(IntegerType) % 7).as("qty_mod"))
+        .agg(
+          sum(dec(abs(col("l_extendedprice")))).cast(DecimalType(38, 4)).as("sum_abs"),
+          max(ceil(col("l_extendedprice"))).cast(LongType).as("max_ceil"),
+          min(floor(col("l_extendedprice"))).cast(LongType).as("min_floor"),
+          max(sqrt(col("l_quantity"))).as("max_sqrt"))
+        .orderBy(col("qty_mod"))
+    },
+
+    // ---- regex: rlike filter + capture-group extraction ----
+    QueryDef(
+      "q19_regex_funcs",
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_mod,
+        |  COUNT(*) AS cnt
+        |FROM events
+        |WHERE regexp_matches(event_type, '^(click|view)$')
+        |GROUP BY k_mod
+        |ORDER BY k_mod""".stripMargin) { (s, dir) =>
+      T(s, dir, "events")
+        .filter(col("event_type").rlike("^(click|view)$"))
+        .groupBy((regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(IntegerType) % 10).as("k_mod"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("k_mod"))
+    },
+
+    // ---- CASE WHEN / IN / BETWEEN predicates ----
+    QueryDef(
+      "q20_case_in_between",
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity BETWEEN 10 AND 35 THEN 'mid' ELSE 'high' END AS qty_bucket,
+        |  COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'N')
+        |GROUP BY qty_bucket
+        |ORDER BY qty_bucket""".stripMargin) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "N"))
+        .groupBy(
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity").between(10, 35), "mid")
+            .otherwise("high").as("qty_bucket"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("qty_bucket"))
+    },
+
+    // ---- scalar subquery (uncorrelated); avg on integral doubles is exact ----
+    QueryDef(
+      "q21_scalar_subquery",
+      """SELECT l_returnflag, COUNT(*) AS n_above
+        |FROM lineitem
+        |WHERE l_quantity > (SELECT CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) FROM lineitem)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, COUNT(*) AS n_above
+          |FROM lineitem
+          |WHERE l_quantity > (SELECT CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) FROM lineitem)
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // ---- IN subquery ----
+    QueryDef(
+      "q22_in_subquery",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n_orders
+          |FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+          |GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // ---- correlated EXISTS (decorrelated by Catalyst) ----
+    QueryDef(
+      "q23_exists_correlated",
+      """SELECT c.c_mktsegment, COUNT(*) AS n_custs
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c.c_mktsegment, COUNT(*) AS n_custs
+          |FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+          |GROUP BY c.c_mktsegment
+          |ORDER BY c.c_mktsegment""".stripMargin)
+    },
+
+    // ---- exact percentile/median (integral doubles → interpolation exact) ----
+    QueryDef(
+      "q24_percentile",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- first/last_value + ntile over frames ----
+    QueryDef(
+      "q25_first_last_ntile",
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+        |  LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+        |  NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(wf).as("first_price"),
+          last(col("o_totalprice")).over(wf).as("last_price"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- approximate aggregates: sketch algorithms differ across engines,
+    // so no byte-exact oracle; the driver records a rows-only check and
+    // RelationalSpec asserts the ≤5% relative-error contract vs exact.
+    QueryDef.noOracle("q26_approx_agg") { (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_median_price"),
+          count_distinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    }
+  )
+}
