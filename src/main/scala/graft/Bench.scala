@@ -1,6 +1,25 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** Driver-run benchmark: times every benchable SparkEntry query on
+  * `SPARK_GRAFT_SF_DIR` and emits ONE JSON line.
+  *
+  * Measurement design (round-1 post-mortem):
+  *   - materialize through the built-in `noop` sink, not `.count()` —
+  *     counting lets Catalyst prune projections/sort payloads/window
+  *     columns, understating real work;
+  *   - deterministic (sorted) query order, one warm-up pass (JVM,
+  *     codegen caches, parquet footers), then median of 3 timed runs;
+  *   - JSON is printed AND written to `$BENCH_OUT` (if set) because
+  *     sbt's default logger prefixes stdout lines with `[info] `,
+  *     which made round 1's output unparseable (`run/outputStrategy`
+  *     in build.sbt also forces clean stdout).
+  */
 object Bench {
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,15 +31,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val defs = graft.queries.Registry.all.filter(_.bench)
+    val names = defs.map(_.name).sorted
+    val build = defs.map(d => d.name -> d.build).toMap
+
+    def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try materialize(build(name)(spark, sfDir))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    names.foreach(timeOne) // warm-up pass, discarded
+    val runs = Seq.fill(3)(names.map(n => n -> timeOne(n)).toMap)
+    val med = names.map { n => n -> runs.map(_(n)).sorted.apply(1) }
+
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = med.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    sys.env.get("BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json))
     spark.stop()
   }
 }

@@ -26,11 +26,15 @@ object Tables {
     else df
   }
 
-  /** Register every fixture table as a temp view so `spark.sql` queries
+  /** Register fixture tables as temp views so `spark.sql` queries
     * (grouping sets, correlated subqueries, …) resolve by name — the
     * Spark analog of the reference's `ctx.register_table`
-    * (examples/simple_query.rs:72).
+    * (examples/simple_query.rs:72). Query builders register only the
+    * views they read (no whole-catalog side effects per invocation).
     */
+  def register(spark: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir, names: _*)
 }

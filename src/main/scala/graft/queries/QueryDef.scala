@@ -18,7 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     oracle: Option[String],
-    build: (SparkSession, String) => DataFrame)
+    build: (SparkSession, String) => DataFrame,
+    bench: Boolean = true)
 
 object QueryDef {
   def apply(name: String, oracle: String)(
@@ -28,4 +29,10 @@ object QueryDef {
   def noOracle(name: String)(
       build: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, None, build)
+
+  /** Correctness-only entry: excluded from Bench timing (e.g. streaming
+    * E2E demos whose latency is publisher-paced, not engine-paced). */
+  def noBench(name: String, oracle: String)(
+      build: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, Some(oracle), build, bench = false)
 }

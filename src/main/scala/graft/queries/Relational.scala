@@ -18,6 +18,13 @@ object Relational {
   /** Exact money arithmetic: doubles carry 2-decimal money values, so a
     * DECIMAL(18,4) cast is lossless and makes SUM order-insensitive and
     * bit-identical across engines (vs. fp-association drift of double sums).
+    *
+    * Output convention: accumulate in DECIMAL (exact), but cast every FINAL
+    * output decimal column to DOUBLE on both the Spark and the oracle side —
+    * one well-defined rounding, identical in both engines. The driver's hash
+    * gate canonicalizes decimal scale/trailing zeros differently than the
+    * engines do, so emitting raw DECIMAL output fails the hash even when
+    * values match (round-1 q01/q03/q05/q09/q17/q18 post-mortem).
     */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
@@ -31,8 +38,8 @@ object Relational {
       "q01_agg_groupby",
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
         |  COUNT(*) AS cnt
         |FROM lineitem
@@ -44,9 +51,9 @@ object Relational {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 4)).as("sum_base"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base"),
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
-            .cast(DecimalType(38, 8)).as("revenue"),
+            .cast(DoubleType).as("revenue"),
           (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).cast(DoubleType).as("avg_qty"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -73,7 +80,7 @@ object Relational {
     QueryDef(
       "q03_join_topk",
       """SELECT o.o_orderkey, CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_mktsegment = 'BUILDING'
@@ -86,7 +93,7 @@ object Relational {
         .filter(c("c_mktsegment") === "BUILDING")
         .groupBy(o("o_orderkey"), year(o("o_orderdate")).as("o_year"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
-          .cast(DecimalType(38, 8)).as("revenue"))
+          .cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
@@ -111,7 +118,7 @@ object Relational {
     QueryDef(
       "q05_multi_join",
       """SELECT r.r_name, n.n_name,
-        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -129,7 +136,7 @@ object Relational {
         .groupBy(r("r_name"), n("n_name"))
         .agg(
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
-            .cast(DecimalType(38, 8)).as("revenue"),
+            .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     },
@@ -192,7 +199,7 @@ object Relational {
     QueryDef(
       "q09_window_running",
       """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_spend,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
         |  LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
         |  LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
         |FROM orders
@@ -202,7 +209,7 @@ object Relational {
         .select(
           col("o_custkey"), col("o_orderkey"),
           sum(dec(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast(DecimalType(38, 4)).as("running_spend"),
+            .cast(DoubleType).as("running_spend"),
           lag(col("o_totalprice"), 1).over(w).as("prev_price"),
           lead(col("o_totalprice"), 1).over(w).as("next_price"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
@@ -285,7 +292,7 @@ object Relational {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
-      Tables.registerAll(s, dir)
+      Tables.register(s, dir, "lineitem")
       s.sql(
         """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
           |FROM lineitem
@@ -322,7 +329,7 @@ object Relational {
         |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
         |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY o_year, o_month, month_start
         |ORDER BY o_year, o_month""".stripMargin) { (s, dir) =>
@@ -333,7 +340,7 @@ object Relational {
           date_trunc("month", col("o_orderdate")).as("month_start"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).cast(DecimalType(38, 4)).as("total"))
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
         .orderBy(col("o_year"), col("o_month"))
     },
 
@@ -341,7 +348,7 @@ object Relational {
     QueryDef(
       "q18_math_funcs",
       """SELECT CAST(l_quantity AS INT) % 7 AS qty_mod,
-        |  CAST(SUM(CAST(abs(l_extendedprice) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_abs,
+        |  CAST(SUM(CAST(abs(l_extendedprice) AS DECIMAL(18,4))) AS DOUBLE) AS sum_abs,
         |  CAST(MAX(ceil(l_extendedprice)) AS BIGINT) AS max_ceil,
         |  CAST(MIN(floor(l_extendedprice)) AS BIGINT) AS min_floor,
         |  MAX(sqrt(l_quantity)) AS max_sqrt
@@ -351,7 +358,7 @@ object Relational {
       T(s, dir, "lineitem")
         .groupBy((col("l_quantity").cast(IntegerType) % 7).as("qty_mod"))
         .agg(
-          sum(dec(abs(col("l_extendedprice")))).cast(DecimalType(38, 4)).as("sum_abs"),
+          sum(dec(abs(col("l_extendedprice")))).cast(DoubleType).as("sum_abs"),
           max(ceil(col("l_extendedprice"))).cast(LongType).as("max_ceil"),
           min(floor(col("l_extendedprice"))).cast(LongType).as("min_floor"),
           max(sqrt(col("l_quantity"))).as("max_sqrt"))
@@ -361,15 +368,19 @@ object Relational {
     // ---- regex: rlike filter + capture-group extraction ----
     QueryDef(
       "q19_regex_funcs",
-      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_mod,
+      """SELECT TRY_CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INT) % 10 AS k_mod,
         |  COUNT(*) AS cnt
         |FROM events
         |WHERE regexp_matches(event_type, '^(click|view)$')
         |GROUP BY k_mod
         |ORDER BY k_mod""".stripMargin) { (s, dir) =>
+      // Guarded cast on both sides: a non-matching props row yields a NULL
+      // group instead of a cast error (Spark ANSI / DuckDB CAST('') both
+      // throw on the unguarded form if fixtures ever change).
+      val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
       T(s, dir, "events")
         .filter(col("event_type").rlike("^(click|view)$"))
-        .groupBy((regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(IntegerType) % 10).as("k_mod"))
+        .groupBy((when(length(k) > 0, k.cast(IntegerType)) % 10).as("k_mod"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("k_mod"))
     },
@@ -401,7 +412,7 @@ object Relational {
         |WHERE l_quantity > (SELECT CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) FROM lineitem)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      Tables.registerAll(s, dir)
+      Tables.register(s, dir, "lineitem")
       s.sql(
         """SELECT l_returnflag, COUNT(*) AS n_above
           |FROM lineitem
@@ -418,7 +429,7 @@ object Relational {
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
-      Tables.registerAll(s, dir)
+      Tables.register(s, dir, "orders", "customer")
       s.sql(
         """SELECT o_orderstatus, COUNT(*) AS n_orders
           |FROM orders
@@ -435,7 +446,7 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
         |GROUP BY c.c_mktsegment
         |ORDER BY c.c_mktsegment""".stripMargin) { (s, dir) =>
-      Tables.registerAll(s, dir)
+      Tables.register(s, dir, "customer", "orders")
       s.sql(
         """SELECT c.c_mktsegment, COUNT(*) AS n_custs
           |FROM customer c
