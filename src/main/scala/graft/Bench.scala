@@ -51,9 +51,14 @@ object Bench {
     val runs = Seq.fill(3)(names.map(n => n -> timeOne(n)).toMap)
     val med = names.map { n => n -> runs.map(_(n)).sorted.apply(1) }
 
+    // A crashing query reports -1.0; keep it out of the total (it would
+    // LOWER the sum, masquerading as a speedup) and surface it explicitly
+    // so the driver can tell fast from broken (ADVICE r2).
+    val failed = med.collect { case (n, v) if v < 0 => n }
     val qs = med.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = med.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = med.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     sys.env.get("BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json))
     spark.stop()

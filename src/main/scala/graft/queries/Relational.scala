@@ -373,7 +373,7 @@ object Relational {
         |FROM events
         |WHERE regexp_matches(event_type, '^(click|view)$')
         |GROUP BY k_mod
-        |ORDER BY k_mod""".stripMargin) { (s, dir) =>
+        |ORDER BY k_mod NULLS FIRST""".stripMargin) { (s, dir) =>
       // Guarded cast on both sides: a non-matching props row yields a NULL
       // group instead of a cast error (Spark ANSI / DuckDB CAST('') both
       // throw on the unguarded form if fixtures ever change).
@@ -506,6 +506,81 @@ object Relational {
           expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_median_price"),
           count_distinct(col("l_partkey")).as("exact_parts"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ---- outer joins: LEFT and RIGHT code paths (identical semantics,
+    // mirrored inputs) — unmatched customers keep NULL order columns ----
+    QueryDef(
+      "q27_outer_join",
+      """SELECT 'left' AS jt, c.c_mktsegment, COUNT(*) AS n_rows,
+        |  COUNT(o.o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM customer c LEFT JOIN orders o
+        |  ON c.c_custkey = o.o_custkey AND EXTRACT(year FROM o.o_orderdate) = 1996
+        |GROUP BY c.c_mktsegment
+        |UNION ALL
+        |SELECT 'right' AS jt, c.c_mktsegment, COUNT(*) AS n_rows,
+        |  COUNT(o.o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders o RIGHT JOIN customer c
+        |  ON c.c_custkey = o.o_custkey AND EXTRACT(year FROM o.o_orderdate) = 1996
+        |GROUP BY c.c_mktsegment
+        |ORDER BY jt, c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders").filter(year(col("o_orderdate")) === 1996)
+      def aggSide(joined: DataFrame, jt: String): DataFrame =
+        joined.groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("o_orderkey")).as("n_orders"),
+            sum(dec(coalesce(col("o_totalprice"), lit(0)))).cast(DoubleType).as("total"))
+          .select(lit(jt).as("jt"), col("c_mktsegment"), col("n_rows"), col("n_orders"), col("total"))
+      aggSide(c.join(o, c("c_custkey") === o("o_custkey"), "left"), "left")
+        .unionAll(aggSide(o.join(c, c("c_custkey") === o("o_custkey"), "right"), "right"))
+        .orderBy(col("jt"), col("c_mktsegment"))
+    },
+
+    // ---- full outer join: per-nation aggregates with deliberately sparse
+    // sides so both unmatched directions appear in the output ----
+    QueryDef(
+      "q28_full_outer_join",
+      """WITH cn AS (
+        |  SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer
+        |  WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+        |sn AS (
+        |  SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier
+        |  WHERE s_acctbal < 0 GROUP BY s_nationkey)
+        |SELECT COALESCE(cn.nk, sn.nk) AS nationkey, cn.n_cust, sn.n_supp
+        |FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val cn = T(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("c_nk")).agg(count(lit(1)).as("n_cust"))
+      val sn = T(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .groupBy(col("s_nationkey").as("s_nk")).agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, cn("c_nk") === sn("s_nk"), "full_outer")
+        .select(coalesce(col("c_nk"), col("s_nk")).as("nationkey"), col("n_cust"), col("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+
+    // ---- multiset set ops: INTERSECT ALL / EXCEPT ALL keep duplicates ----
+    QueryDef(
+      "q29_intersect_except_all",
+      """SELECT 'both' AS bucket, ck AS o_custkey FROM (
+        |  SELECT o_custkey AS ck FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997) t1
+        |UNION ALL
+        |SELECT 'extra96' AS bucket, ck AS o_custkey FROM (
+        |  SELECT o_custkey AS ck FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997) t2
+        |ORDER BY bucket, o_custkey""".stripMargin) { (s, dir) =>
+      val o = T(s, dir, "orders")
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      val y97 = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+      y96.intersectAll(y97).select(lit("both").as("bucket"), col("o_custkey"))
+        .unionAll(y96.exceptAll(y97).select(lit("extra96").as("bucket"), col("o_custkey")))
+        .orderBy(col("bucket"), col("o_custkey"))
     }
   )
 }
