@@ -1,0 +1,413 @@
+package graft.nats
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Options for `format("nats")`, defaults mirroring the reference's
+  * BatchBufferConfig (reference src/batch_buffer.rs:22-28).
+  */
+final case class NatsOptions(
+    url: String,
+    subject: String,
+    batchSize: Int,
+    flushTimeoutMs: Long,
+    maxBufferSize: Int,
+    stopAtRows: Option[Long],
+    collectTimeoutMs: Long,
+    numPartitions: Int) extends Serializable
+
+object NatsOptions {
+  def from(options: CaseInsensitiveStringMap): NatsOptions = {
+    def req(k: String): String = {
+      val v = options.get(k)
+      if (v == null || v.isEmpty)
+        throw new IllegalArgumentException(s"format(\"nats\") requires option '$k'")
+      v
+    }
+    NatsOptions(
+      url = req("url"),
+      subject = req("subject"),
+      batchSize = options.getInt("batchSize", 1000),
+      flushTimeoutMs = options.getLong("flushTimeoutMs", 1000L),
+      maxBufferSize = options.getInt("maxBufferSize", 10000),
+      stopAtRows = Option(options.get("stopAtRows")).map(_.toLong),
+      collectTimeoutMs = options.getLong("collectTimeoutMs", 5000L),
+      numPartitions = options.getInt("numPartitions", 1))
+  }
+}
+
+/** Skip-malformed-keep-streaming counters (reference error policy,
+  * src/executor.rs:140-144: a bad row is reported and consumption
+  * continues). Keyed by "url/subject"; readable from tests and ops code.
+  * In local mode (one JVM) counts are global-exact; on a cluster each
+  * executor counts its own share — aggregate via logs/metrics there.
+  */
+object NatsMetrics {
+  private val malformed = new ConcurrentHashMap[String, LongAdder]()
+  def malformedCounter(url: String, subject: String): LongAdder =
+    malformed.computeIfAbsent(s"$url/$subject", _ => new LongAdder)
+  def malformedCount(url: String, subject: String): Long =
+    malformedCounter(url, subject).sum()
+}
+
+/** DataSource V2 provider: `spark.read[Stream].format("nats")` — the Spark
+  * analog of the reference's `NatsDataSource` TableProvider
+  * (reference src/data_source.rs:35-71). The schema is always user-declared,
+  * never inferred (the reference requires an explicit schema too;
+  * README.md:17 admits inference is an unimplemented TODO).
+  */
+class NatsSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "nats"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "format(\"nats\") requires an explicit .schema(...): payload schemas are user-declared, never inferred")
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    // Validates the 6-type whitelist / name rules at registration time,
+    // like the reference's codec-construction check (src/codec/csv.rs:48-91).
+    CsvCodec.strict(schema)
+    new NatsTable(schema, NatsOptions.from(new CaseInsensitiveStringMap(properties)))
+  }
+}
+
+/** One NATS subject as a table (reference src/data_source.rs:19-32). */
+final class NatsTable(schema: StructType, opts: NatsOptions)
+    extends Table with SupportsRead {
+  override def name(): String = s"nats:${opts.subject}"
+  override def schema(): StructType = schema0
+  private def schema0 = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NatsScanBuilder(schema, opts)
+}
+
+/** Scan builder with working pushdowns — the part the reference stubs and
+  * never wires (dead `RawFilter`, src/raw_filter.rs:7-50; ignored
+  * projection, src/data_source.rs:51; SURVEY §2.A7-A8 say do it right):
+  *
+  *   - filters: the source evaluates every filter it understands *before*
+  *     rows cross the scan boundary; all filters are still returned as
+  *     residual so Spark re-applies them above (same correctness model as
+  *     the parquet source re-checking pushed predicates);
+  *   - columns: rows are decoded in full (strict codec validates every
+  *     field — error semantics must not depend on projection) but only
+  *     required columns are emitted;
+  *   - limit: a pushed LIMIT terminates the subscription early — the
+  *     reference's A7 intent (src/executor.rs:132-138) made exact.
+  */
+final class NatsScanBuilder(fullSchema: StructType, opts: NatsOptions)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(RowFilter.supports(fullSchema, _))
+    filters // all residual: Spark re-applies, source-side eval is row reduction
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true // GlobalLimit stays above for exactness
+
+  override def build(): Scan = new NatsScan(fullSchema, required, pushed, limit, opts)
+}
+
+final class NatsScan(
+    fullSchema: StructType,
+    required: StructType,
+    filters: Array[Filter],
+    limit: Option[Int],
+    opts: NatsOptions) extends Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String = {
+    val f = if (filters.isEmpty) "" else s", PushedFilters: [${filters.mkString(", ")}]"
+    val l = limit.map(n => s", PushedLimit: $n").getOrElse("")
+    s"NatsScan(subject=${opts.subject}$f$l)"
+  }
+
+  override def toBatch: Batch = new NatsBatch(fullSchema, required, filters, limit, opts)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new NatsMicroBatchStream(fullSchema, required, filters, opts)
+}
+
+/** Source-side predicate evaluation over decoded catalyst values — the
+  * working version of the reference's dead RawFilter (which ignored the
+  * comparison operator entirely, src/raw_filter.rs:32-45).
+  */
+object RowFilter {
+  import org.apache.spark.sql.types._
+
+  def supports(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, v)            => comparable(schema, a, v)
+    case GreaterThan(a, v)        => comparable(schema, a, v)
+    case GreaterThanOrEqual(a, v) => comparable(schema, a, v)
+    case LessThan(a, v)           => comparable(schema, a, v)
+    case LessThanOrEqual(a, v)    => comparable(schema, a, v)
+    case In(a, vs)                => vs.forall(comparable(schema, a, _))
+    case IsNotNull(a)             => schema.fieldNames.contains(a)
+    case IsNull(a)                => schema.fieldNames.contains(a)
+    case And(l, r)                => supports(schema, l) && supports(schema, r)
+    case Or(l, r)                 => supports(schema, l) && supports(schema, r)
+    case Not(c)                   => supports(schema, c)
+    case _                        => false
+  }
+
+  private def fieldIndex(schema: StructType, attr: String): Option[Int] = {
+    val i = schema.fieldNames.indexOf(attr)
+    if (i < 0) None else Some(i)
+  }
+
+  private def comparable(schema: StructType, attr: String, v: Any): Boolean =
+    fieldIndex(schema, attr).exists { i =>
+      (schema.fields(i).dataType, v) match {
+        case (IntegerType, _: java.lang.Integer)  => true
+        case (DoubleType, _: java.lang.Double)    => true
+        case (BooleanType, _: java.lang.Boolean)  => true
+        case (StringType, _: String)              => true
+        case _                                    => false
+      }
+    }
+
+  /** Evaluate a pushed filter against a full decoded row. */
+  def eval(schema: StructType, row: Array[Any], f: Filter): Boolean = f match {
+    case EqualTo(a, v)            => cmp(schema, row, a, v).contains(0)
+    case GreaterThan(a, v)        => cmp(schema, row, a, v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(schema, row, a, v).exists(_ >= 0)
+    case LessThan(a, v)           => cmp(schema, row, a, v).exists(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(schema, row, a, v).exists(_ <= 0)
+    case In(a, vs)                => vs.exists(v => cmp(schema, row, a, v).contains(0))
+    case IsNotNull(_)             => true  // strict codec: no nulls ever (SURVEY §1.2)
+    case IsNull(_)                => false
+    case And(l, r)                => eval(schema, row, l) && eval(schema, row, r)
+    case Or(l, r)                 => eval(schema, row, l) || eval(schema, row, r)
+    case Not(c)                   => !eval(schema, row, c)
+    case _                        => true // unknown: pass through, Spark re-filters above
+  }
+
+  private def cmp(schema: StructType, row: Array[Any], attr: String, lit: Any): Option[Int] =
+    fieldIndex(schema, attr).flatMap { i =>
+      (row(i), lit) match {
+        case (a: java.lang.Integer, b: java.lang.Integer) => Some(a.compareTo(b))
+        case (a: java.lang.Double, b: java.lang.Double)   => Some(a.compareTo(b))
+        case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
+        case (a: UTF8String, b: String)                   => Some(a.toString.compareTo(b))
+        case _                                            => None
+      }
+    }
+}
+
+/** Shared row-decode + project + filter pipeline for both read paths. */
+private[nats] final class RowPipeline(
+    fullSchema: StructType,
+    required: StructType,
+    filters: Array[Filter],
+    opts: NatsOptions) extends Serializable {
+
+  @transient private lazy val codec = CsvCodec.strict(fullSchema)
+  @transient private lazy val outIdx =
+    required.fieldNames.map(fullSchema.fieldIndex)
+
+  /** None = malformed (counted) or filtered out. */
+  def decode(payload: String): Option[InternalRow] =
+    codec.parse(payload) match {
+      case Left(_) =>
+        NatsMetrics.malformedCounter(opts.url, opts.subject).increment()
+        None
+      case Right(values) =>
+        if (filters.forall(RowFilter.eval(fullSchema, values, _)))
+          Some(new GenericInternalRow(outIdx.map(values(_)).asInstanceOf[Array[Any]]))
+        else None
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Batch path: the reference's one-shot `SELECT ... FROM nats_table LIMIT n`
+// UX (tests/integration_test.rs:53). The reader subscribes at task start and
+// collects until the row bound is reached or collectTimeoutMs of silence-
+// bounded wall time elapses. Executors connect to the transport directly —
+// no driver bottleneck on the data path.
+// ---------------------------------------------------------------------------
+
+private final case class NatsBatchPartition(
+    fullSchema: StructType,
+    required: StructType,
+    filters: Array[Filter],
+    rowBound: Long,
+    opts: NatsOptions) extends InputPartition
+
+final class NatsBatch(
+    fullSchema: StructType,
+    required: StructType,
+    filters: Array[Filter],
+    limit: Option[Int],
+    opts: NatsOptions) extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // One partition: a one-shot subscription is inherently a single
+    // consumer (parallel scale-out is the streaming path's numPartitions /
+    // NATS queue groups, not the one-shot demo path).
+    val bound = (limit.map(_.toLong).toSeq ++ opts.stopAtRows.toSeq)
+      .reduceOption(_ min _).getOrElse(Long.MaxValue)
+    Array(NatsBatchPartition(fullSchema, required, filters, bound, opts))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[NatsBatchPartition]
+      new NatsBatchReader(p)
+    }
+  }
+}
+
+/** Collects from a live subscription; early-terminates at the pushed
+  * limit / stopAtRows (reference src/executor.rs:132-138, done exactly). */
+final class NatsBatchReader(p: NatsBatchPartition) extends PartitionReader[InternalRow] {
+  private val pipeline = new RowPipeline(p.fullSchema, p.required, p.filters, p.opts)
+  private val queue = new java.util.concurrent.LinkedBlockingQueue[InternalRow]()
+  private val accepted = new java.util.concurrent.atomic.AtomicLong(0)
+  private val conn = NatsTransport.connect(p.opts.url)
+  private val sub = conn.subscribe(p.opts.subject) { payload =>
+    // Count rows AFTER filtering, so a pushed filter + limit means
+    // "first n matching rows" — the semantics DataFusion's limit gives
+    // the reference.
+    if (accepted.get() < p.rowBound) {
+      pipeline.decode(new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+        .foreach { row =>
+          if (accepted.incrementAndGet() <= p.rowBound) queue.put(row)
+        }
+    }
+  }
+  private val deadline = System.nanoTime() + p.opts.collectTimeoutMs * 1000000L
+  private var current: InternalRow = _
+  private var emitted = 0L
+
+  override def next(): Boolean = {
+    if (emitted >= p.rowBound) return false
+    while (System.nanoTime() < deadline) {
+      val row = queue.poll(20, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (row != null) { current = row; emitted += 1; return true }
+      if (emitted >= p.rowBound) return false
+    }
+    false // timeout: emit what we have (an unbounded subject never "ends")
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = { sub.close(); conn.close() }
+}
+
+// ---------------------------------------------------------------------------
+// Micro-batch streaming path (reference src/executor.rs:44-174 re-shaped
+// onto Spark's socket-source pattern): a driver-side subscription feeds the
+// MessageLedger; latestOffset applies the flush policy; planned batches ship
+// their raw payloads to executors inside InputPartitions where they are
+// decoded in parallel.
+// ---------------------------------------------------------------------------
+
+final case class NatsOffset(count: Long) extends Offset {
+  override def json(): String = count.toString
+}
+
+private final case class NatsStreamPartition(
+    payloads: Array[String],
+    fullSchema: StructType,
+    required: StructType,
+    filters: Array[Filter],
+    opts: NatsOptions) extends InputPartition
+
+final class NatsMicroBatchStream(
+    fullSchema: StructType,
+    required: StructType,
+    filters: Array[Filter],
+    opts: NatsOptions) extends MicroBatchStream {
+
+  private val ledger = new MessageLedger(
+    LedgerConfig(opts.batchSize, opts.flushTimeoutMs, opts.maxBufferSize))
+  private val conn = NatsTransport.connect(opts.url)
+  private val sub = conn.subscribe(opts.subject) { payload =>
+    ledger.append(new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+  private var admitted = 0L
+
+  /** Rows the transport delivered but the enforced buffer cap rejected. */
+  def droppedRows: Long = ledger.droppedRows
+
+  override def initialOffset(): Offset = NatsOffset(0)
+
+  override def latestOffset(): Offset = synchronized {
+    var end = ledger.admit(admitted, System.currentTimeMillis())
+    // stopAtRows reproduces the reference's LIMIT-terminated demo semantics
+    // for streams (SURVEY §7.4.5): the offset simply stops advancing.
+    opts.stopAtRows.foreach(cap => end = math.min(end, cap))
+    admitted = math.max(admitted, end)
+    NatsOffset(admitted)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[NatsOffset].count
+    val e = end.asInstanceOf[NatsOffset].count
+    val payloads = ledger.rowsBetween(s, e)
+    if (payloads.isEmpty) Array.empty
+    else {
+      // Parity default is the reference's single partition
+      // (src/data_source.rs:59); numPartitions > 1 slices the batch for
+      // parallel decode on executors — the scale path.
+      val n = math.max(1, math.min(opts.numPartitions, payloads.length))
+      payloads.grouped(math.ceil(payloads.length.toDouble / n).toInt)
+        .map(chunk => NatsStreamPartition(chunk, fullSchema, required, filters, opts))
+        .toArray[InputPartition]
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[NatsStreamPartition]
+      val pipeline = new RowPipeline(p.fullSchema, p.required, p.filters, p.opts)
+      new PartitionReader[InternalRow] {
+        private val it = p.payloads.iterator.flatMap(pipeline.decode)
+        private var current: InternalRow = _
+        override def next(): Boolean = it.hasNext && { current = it.next(); true }
+        override def get(): InternalRow = current
+        override def close(): Unit = ()
+      }
+    }
+  }
+
+  override def commit(end: Offset): Unit =
+    ledger.trim(end.asInstanceOf[NatsOffset].count)
+
+  override def deserializeOffset(json: String): Offset = NatsOffset(json.toLong)
+
+  override def stop(): Unit = { sub.close(); conn.close() }
+}

@@ -1,0 +1,184 @@
+package graft.nats
+
+import java.util.UUID
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E2E tests for the NATS DSv2 source — the ScalaTest port of the
+  * reference's only executable test (tests/integration_test.rs:14-73:
+  * publish `1,apple / 2,banana / 3,orange`, `SELECT id, name FROM
+  * nats_table limit 3`, assert exact rows) plus the pushdown and
+  * error-policy behavior the reference stubbed (SURVEY §2.A7-A10).
+  */
+class NatsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("nats-source-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false)))
+
+  private def freshBus(): String = "memory://spec-" + UUID.randomUUID()
+
+  private def awaitSubscriber(url: String, subject: String): Unit =
+    NatsDemo.awaitSubscriber(url, subject)
+
+  // ---- canonical workload (integration_test.rs parity) ----
+
+  test("streaming E2E: 3 published rows arrive exactly once via micro-batch") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val df = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "events")
+      .option("batchSize", "3") // full-batch admission: deterministic, no timer
+      .load()
+    val q = df.writeStream.format("memory").queryName("nats_e2e_3rows").start()
+    try {
+      awaitSubscriber(url, "events")
+      Seq("1,apple", "2,banana", "3,orange")
+        .foreach(m => conn.publish("events", m.getBytes))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, name FROM nats_e2e_3rows ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows === Seq((1, "apple"), (2, "banana"), (3, "orange")))
+    } finally { q.stop(); conn.close() }
+  }
+
+  test("flush policy across triggers: backlog drains batchSize at a time, remainder by timeout") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val df = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "ev")
+      .option("batchSize", "2").option("flushTimeoutMs", "50")
+      .load()
+    val q = df.writeStream.format("memory").queryName("nats_flush").start()
+    try {
+      awaitSubscriber(url, "ev")
+      (1 to 5).foreach(i => conn.publish("ev", s"$i,row$i".getBytes))
+      val deadline = System.currentTimeMillis() + 15000
+      var n = 0L
+      while (n < 5 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = spark.sql("SELECT * FROM nats_flush").count()
+        if (n < 5) Thread.sleep(60) // let the flush timer mature the remainder
+      }
+      assert(n === 5)
+      // batchSize=2 over 5 rows: the plan must have taken >= 3 micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    } finally { q.stop(); conn.close() }
+  }
+
+  test("error policy: malformed rows are skipped and counted, stream continues (ref executor.rs:140-144)") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val df = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "mixed")
+      .option("batchSize", "5")
+      .load()
+    val q = df.writeStream.format("memory").queryName("nats_malformed").start()
+    try {
+      awaitSubscriber(url, "mixed")
+      Seq("1,apple", "not,even,close", "x,banana", "2,cherry", "3,")
+        .foreach(m => conn.publish("mixed", m.getBytes))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, name FROM nats_malformed ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows === Seq((1, "apple"), (2, "cherry")))
+      assert(NatsMetrics.malformedCount(url, "mixed") === 3)
+    } finally { q.stop(); conn.close() }
+  }
+
+  // ---- one-shot batch path: the reference's `SELECT ... LIMIT n` UX ----
+
+  private def cyclicPublisher(url: String, subject: String, msgs: Seq[String]): AtomicBoolean =
+    NatsDemo.cyclicPublisher(url, subject, msgs)
+
+  test("batch read + pushed LIMIT: first 3 rows, early termination before timeout") {
+    val url = freshBus()
+    val stop = cyclicPublisher(url, "oneShot", Seq("1,apple", "2,banana", "3,orange"))
+    try {
+      val df = spark.read.format("nats").schema(schema)
+        .option("url", url).option("subject", "oneShot")
+        .option("collectTimeoutMs", "20000")
+        .load().limit(3)
+      val t0 = System.nanoTime()
+      val rows = df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(rows === Seq((1, "apple"), (2, "banana"), (3, "orange")))
+      // Early stop proves the pushed limit terminated the subscription
+      // (3 messages x 5ms pacing << 20s collect timeout).
+      assert(elapsedMs < 15000, s"no early termination: ${elapsedMs}ms")
+      val scan = df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.scan
+      }.getOrElse(fail("no DSv2 scan in plan"))
+      assert(scan.description().contains("PushedLimit: 3"), scan.description())
+    } finally stop.set(true)
+  }
+
+  test("batch read + pushed filter: source-side predicate eval reaches the scan") {
+    val url = freshBus()
+    val msgs = (1 to 8).map(i => s"$i,name$i")
+    val stop = cyclicPublisher(url, "filtered", msgs)
+    try {
+      val df = spark.read.format("nats").schema(schema)
+        .option("url", url).option("subject", "filtered")
+        .option("collectTimeoutMs", "20000")
+        .load().filter(col("id") >= 7).limit(2)
+      val rows = df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+      assert(rows === Seq((7, "name7"), (8, "name8")))
+      val scan = df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.scan
+      }.getOrElse(fail("no DSv2 scan in plan"))
+      assert(scan.description().contains("PushedFilters"), scan.description())
+      assert(scan.description().contains("GreaterThanOrEqual(id,7)"), scan.description())
+    } finally stop.set(true)
+  }
+
+  test("projection pruning: only required columns cross the scan boundary") {
+    val url = freshBus()
+    val stop = cyclicPublisher(url, "pruned", Seq("1,apple", "2,banana"))
+    try {
+      val df = spark.read.format("nats").schema(schema)
+        .option("url", url).option("subject", "pruned")
+        .option("collectTimeoutMs", "20000")
+        .load().select("name").limit(2)
+      val names = df.collect().map(_.getString(0)).toSeq.sorted
+      assert(names === Seq("apple", "banana"))
+      val scan = df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.scan
+      }.getOrElse(fail("no DSv2 scan in plan"))
+      assert(scan.readSchema().fieldNames.toSeq === Seq("name"))
+    } finally stop.set(true)
+  }
+
+  // ---- registration-time validation (ref codec-construction checks) ----
+
+  test("schema is required and validated at load time") {
+    intercept[Exception] {
+      spark.read.format("nats")
+        .option("url", "memory://x").option("subject", "s").load()
+    }
+    intercept[Exception] { // LongType not in the 6-type whitelist
+      spark.read.format("nats")
+        .schema(StructType(Seq(StructField("x", LongType))))
+        .option("url", "memory://x").option("subject", "s").load().collect()
+    }
+    intercept[Exception] { // missing subject
+      spark.read.format("nats").schema(schema)
+        .option("url", "memory://x").load().collect()
+    }
+  }
+}
