@@ -497,7 +497,8 @@ object Relational {
 
     // ---- approximate aggregates: sketch algorithms differ across engines,
     // so no byte-exact oracle; the driver records a rows-only check and
-    // RelationalSpec asserts the ≤5% relative-error contract vs exact.
+    // graft.RelationalSpec asserts the accuracy contract (approx_parts
+    // within 5% of exact_parts; percentile_approx within 1% of percentile).
     QueryDef.noOracle("q26_approx_agg") { (s, dir) =>
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
