@@ -37,6 +37,30 @@ object Pipeline {
   private val hashB: Array[Long] = Array.tabulate(K)(i => 5L * i + 1)
   private val bands: Seq[(Int, Int)] = (0 until K / 2).map(j => (2 * j, 2 * j + 1))
 
+  // ---- q46 constants: shared between the Spark grid and the oracle.
+  // (Declared BEFORE `defs`: the oracle strings interpolate them at object
+  // init, and a later declaration would read as 0 — Scala val-init order.)
+  //
+  // Tuning: 8 tables x 6 sign bits -> candidate fraction ~ 8/2^6 = 1/8 of
+  // the corpus, with ~91% recall for true near-neighbors (cos >= 0.8:
+  // per-bit collision p = 1 - angle/pi ~ 0.8, table hit p^6 ~ 0.26,
+  // 1-(1-0.26)^8 ~ 0.91). NOTE the fixture embeddings are random (max
+  // pairwise cosine ~0.40 measured at sf0.01), so on THIS data the
+  // candidate set is necessarily near-random — sign-LSH separates real
+  // near-dup structure, which random vectors do not have; the oracle
+  // checks engine agreement, not retrieval quality.
+  private val TABLES = 8
+  private val PLANES = 6
+  private val DIM = 64
+
+  // ---- q44 constants: 32-bit simhash, 4 chunks of 8 bits (pigeonhole:
+  // hamming<=3 pairs share a chunk). 16 bits is too coarse for this
+  // corpus — 28k candidate pairs at sf0.01 vs 1.3k at 32 bits.
+  private val SIMBITS = 32
+  private val SIMCHUNKS = 4
+  private val CHUNKBITS = SIMBITS / SIMCHUNKS
+  private val HAMMING_MAX = 3
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: the scalable keep-first idiom (one shuffle, no
@@ -159,8 +183,299 @@ object Pipeline {
           (sum(col("n_stop")).cast(DoubleType) / sum(col("n_tok"))).as("stop_ratio"),
           (sum(col("n_chars")).cast(DoubleType) / sum(col("n_tok"))).as("chars_per_tok"))
         .orderBy(col("lang"), col("lang_pred"))
+    },
+
+    // ---- SimHash near-dup: 32-bit signatures from weighted token-hash
+    // bits; candidates via the pigeonhole trick (4 chunks of 8 bits —
+    // hamming<=3 pairs must share a chunk), then exact hamming filter.
+    // Equi-join on chunk buckets, never all-pairs. ----
+    QueryDef("q44_simhash", simhashOracle) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val tokens = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType)).as("hb"))
+      val bitSums = tokens.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          (0 until SIMBITS).map(i =>
+            sum(expr(s"shiftright(hb, $i) % 2")).as(s"bs$i")): _*)
+      val sim = bitSums.select(col("doc_id"),
+        (0 until SIMBITS).map(i => when(col(s"bs$i") * 2 > col("n"), 1L << i).otherwise(0L))
+          .reduce(_ + _).as("sh"))
+      val chunks = sim.select(col("doc_id"), col("sh"),
+        expr((0 until SIMCHUNKS).map(j =>
+          s"$j, shiftright(sh, ${CHUNKBITS * j}) % ${1 << CHUNKBITS}")
+          .mkString(s"stack($SIMCHUNKS, ", ", ", ") as (ck, cv)")))
+      val a = chunks.as("a"); val b = chunks.as("b")
+      a.join(b, col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.sh ^ b.sh)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= HAMMING_MAX)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- n-gram Jaccard: exact similarity over rare shingles (document
+    // frequency <= 4 — stop-shingle removal bounds the inverted-index
+    // join to sum_s C(df_s,2), 5.4k pairs at sf0.1 vs 1.27M unfiltered). ----
+    QueryDef("q45_ngram_jaccard", jaccardOracle) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val words = docs
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+      val sh = words
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("ws")) - 2)).as("i"), col("ws"))
+        .select(col("doc_id"), concat_ws(" ",
+          element_at(col("ws"), col("i")),
+          element_at(col("ws"), col("i") + 1),
+          element_at(col("ws"), col("i") + 2)).as("s"))
+        .distinct()
+      val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 4).select(col("s"))
+      val rareSh = sh.join(rare, "s")
+      val sizes = rareSh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val a = rareSh.as("a"); val b = rareSh.as("b")
+      val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter") >= 3)
+      inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("sa.nsh").as("na"), col("sb.nsh").as("nb"),
+          round(col("inter").cast(DoubleType) /
+            (col("sa.nsh") + col("sb.nsh") - col("inter")), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- ANN via random-hyperplane LSH: 4 tables x 8 sign-bit planes
+    // (md5-derived +-1 hyperplanes over integer-quantized components —
+    // all-integer bucket keys, so both engines agree bit-for-bit), then
+    // exact cosine top-10 among same-bucket candidates only. The scale
+    // path for q42's brute-force baseline: candidates ~ N/2^8 per table. ----
+    QueryDef("q46_ann_lsh", annLshOracle) { (s, dir) =>
+      val emb = T(s, dir, "embeddings")
+      // integer-quantized components, 1-based dim to match the oracle
+      val xi = emb.select(col("vec_id"),
+          explode(sequence(lit(1), lit(DIM))).as("d"), col("embedding"))
+        .select(col("vec_id"), col("d"),
+          floor(element_at(col("embedding"), col("d")).cast(DoubleType) * 32768)
+            .cast(LongType).as("xi"))
+      val spark = s
+      import spark.implicits._
+      val grid = (for {
+        t <- 0 until TABLES; p <- 0 until PLANES; d <- 1 to DIM
+      } yield (t, p, d, planeSign(t, p, d))).toDF("t", "p", "d", "sg")
+      val proj = xi.join(broadcast(grid), "d")
+        .groupBy(col("vec_id"), col("t"), col("p"))
+        .agg(sum(col("xi") * col("sg")).as("pr"))
+      val buckets = proj.groupBy(col("vec_id"), col("t"))
+        .agg(sum(expr("CASE WHEN pr > 0 THEN shiftleft(1L, int(p)) ELSE 0L END")).as("bk"))
+      val qb = buckets.filter(col("vec_id") === 0)
+        .select(col("t").as("qt"), col("bk").as("qbk"))
+      val cand = buckets.filter(col("vec_id") =!= 0)
+        .join(broadcast(qb), col("t") === col("qt") && col("bk") === col("qbk"))
+        .select(col("vec_id")).distinct()
+      // exact cosine among candidates only (same formula as q42)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val dbl = (c: Column) => transform(c, x => x.cast(DoubleType))
+      val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+      emb.join(cand, "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          dbl(col("embedding")).as("ed"), dbl(col("qe")).as("qd"))
+        .select(col("vec_id"), col("label"),
+          fold(zip_with(col("ed"), col("qd"), (x, y) => x * y)).as("dot"),
+          fold(zip_with(col("ed"), col("ed"), (x, y) => x * y)).as("na"),
+          fold(zip_with(col("qd"), col("qd"), (x, y) => x * y)).as("nb"))
+        .select(col("vec_id"), col("label"),
+          round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // ---- document fingerprinting: min char-8-gram hash over the
+    // normalized head (first 64 chars) — a rolling-hash-style content
+    // fingerprint whose collisions surface near-dup heads; grouped into
+    // collision clusters. ----
+    QueryDef(
+      "q48_fingerprint",
+      s"""WITH n AS (
+         |  SELECT doc_id, substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 64) AS nt
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, substr(nt, i, 8) AS gram
+         |  FROM n, unnest(generate_series(1, len(nt) - 7)) AS u(i)
+         |  WHERE len(nt) >= 8),
+         |fp AS (
+         |  SELECT doc_id, min(('0x' || substr(md5(gram), 1, 15))::BIGINT) AS fp
+         |  FROM g GROUP BY doc_id)
+         |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM fp GROUP BY fp HAVING COUNT(*) > 1
+         |ORDER BY fp""".stripMargin) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val norm = docs.select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "\\s+", " "), 1, 64).as("nt"))
+        .filter(length(col("nt")) >= 8)
+      val grams = norm
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("nt")) - 7)).as("i"), col("nt"))
+        .select(col("doc_id"), expr("substring(nt, i, 8)").as("gram"))
+      val fp = grams.groupBy(col("doc_id"))
+        .agg(min(conv(substring(md5(col("gram")), 1, 15), 16, 10).cast(LongType)).as("fp"))
+      fp.groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("fp"))
+    },
+
+    // ---- multimodal columns: opaque binary payloads + metadata, decoded
+    // by the batch mapPartitions stub (graft.pipeline.Multimodal) — the
+    // real executor-side plumbing with a deterministic fake decoder whose
+    // arithmetic the oracle replays in SQL. ----
+    QueryDef(
+      "q49_multimodal",
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |         WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |         ELSE 'wav' END AS format
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, format, octet_length(encode(text)) AS byte_len,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h1
+        |  FROM m),
+        |g AS (
+        |  SELECT doc_id, format, byte_len,
+        |    64 + h1 % 193 AS width, 64 + (h1 // 193) % 193 AS height,
+        |    1 + h1 % 7 AS n_frames
+        |  FROM f)
+        |SELECT format, COUNT(*) AS n_media,
+        |  CAST(SUM(byte_len) AS BIGINT) AS sum_bytes,
+        |  CAST(SUM(width) AS DOUBLE) / COUNT(*) AS avg_w,
+        |  CAST(SUM(height) AS DOUBLE) / COUNT(*) AS avg_h,
+        |  CAST(SUM(n_frames) AS BIGINT) AS total_frames
+        |FROM g GROUP BY format
+        |ORDER BY format""".stripMargin) { (s, dir) =>
+      val media = T(s, dir, "documents")
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          when(col("doc_id") % 3 === 0, "png")
+            .when(col("doc_id") % 3 === 1, "jpeg")
+            .otherwise("wav").as("format"))
+      val feats = graft.pipeline.Multimodal.extractFeaturesDf(media)
+      feats.groupBy(col("format"))
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(col("byte_len")).as("sum_bytes"),
+          (sum(col("width")).cast(DoubleType) / count(lit(1))).as("avg_w"),
+          (sum(col("height")).cast(DoubleType) / count(lit(1))).as("avg_h"),
+          sum(col("n_frames")).as("total_frames"))
+        .orderBy(col("format"))
     }
   )
+
+  /** Deterministic ±1 hyperplane component from md5 — same formula the
+    * oracle writes in SQL. */
+  private def planeSign(t: Int, p: Int, d: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${t}_${p}_${d}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    1L - 2L * (java.lang.Long.parseLong(hex, 16) % 2)
+  }
+
+  /** DuckDB mirror of q44, generated from the same bit/chunk layout. */
+  private def simhashOracle: String = {
+    val bitSums = (0 until SIMBITS).map(i => s"sum((hb >> $i) & 1) AS bs$i").mkString(",\n        ")
+    val simBits = (0 until SIMBITS).map(i =>
+      s"(CASE WHEN bs$i * 2 > n THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val chunkSelects = (0 until SIMCHUNKS).map(j =>
+      s"SELECT doc_id, sh, $j AS ck, (sh >> ${CHUNKBITS * j}) & ${(1 << CHUNKBITS) - 1} AS cv FROM sim")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hb
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)),
+       |bits AS (
+       |  SELECT doc_id, count(*) AS n,
+       |        $bitSums
+       |  FROM toks GROUP BY doc_id),
+       |sim AS (
+       |  SELECT doc_id, $simBits AS sh FROM bits),
+       |chunks AS (
+       |  $chunkSelects)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.sh, b.sh)) AS hamming
+       |FROM chunks a JOIN chunks b
+       |  ON a.ck = b.ck AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $HAMMING_MAX
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB mirror of q45 (rare-shingle exact Jaccard). */
+  private def jaccardOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
+      |  WHERE len(ws) >= 3),
+      |rare AS (
+      |  SELECT s FROM sh GROUP BY s HAVING count(*) <= 4),
+      |rsh AS (
+      |  SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+      |sizes AS (
+      |  SELECT doc_id, count(*) AS nsh FROM rsh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+      |  CAST(sa.nsh AS BIGINT) AS na, CAST(sb.nsh AS BIGINT) AS nb,
+      |  round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DuckDB mirror of q46, generated from the same (tables, planes, dim)
+    * grid and md5 sign formula. */
+  private def annLshOracle: String =
+    s"""WITH xi AS (
+       |  SELECT vec_id, d, CAST(floor(embedding[d]::DOUBLE * 32768) AS BIGINT) AS xi
+       |  FROM embeddings, unnest(generate_series(1, $DIM)) AS u(d)),
+       |grid AS (
+       |  SELECT t, p, d,
+       |    1 - 2 * (('0x' || substr(md5(t || '_' || p || '_' || d), 1, 15))::BIGINT % 2) AS sg
+       |  FROM unnest(generate_series(0, ${TABLES - 1})) AS a(t),
+       |       unnest(generate_series(0, ${PLANES - 1})) AS b(p),
+       |       unnest(generate_series(1, $DIM)) AS c(d)),
+       |proj AS (
+       |  SELECT vec_id, t, p, sum(xi * sg) AS pr
+       |  FROM xi JOIN grid USING (d) GROUP BY vec_id, t, p),
+       |bucket AS (
+       |  SELECT vec_id, t, sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS bk
+       |  FROM proj GROUP BY vec_id, t),
+       |qb AS (SELECT t, bk FROM bucket WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id FROM bucket b
+       |  JOIN qb ON b.t = qb.t AND b.bk = qb.bk
+       |  WHERE b.vec_id <> 0),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |p2 AS (
+       |  SELECT e.vec_id, e.label,
+       |    unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+       |  FROM embeddings e JOIN cand USING (vec_id), q),
+       |s2 AS (
+       |  SELECT vec_id, label, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+       |  FROM p2 GROUP BY vec_id, label)
+       |SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r
+       |FROM s2
+       |ORDER BY cos_r DESC, vec_id
+       |LIMIT 10""".stripMargin
 
   /** DuckDB mirror of q41, generated from the same hash-family constants
     * so both engines are in lockstep by construction. */
