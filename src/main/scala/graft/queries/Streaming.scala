@@ -4,9 +4,11 @@ import java.util.UUID
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.nats.{NatsDemo, NatsTransport}
+import graft.Tables
 
 /** The reference's namesake surface: SQL over a live NATS subject
   * (SURVEY §2.A), exercised end-to-end through both DSv2 read paths.
@@ -65,6 +67,30 @@ object Streaming {
         conn.close()
       }
       s.sql(s"SELECT id, name FROM $sink ORDER BY id")
+    },
+
+    // Event-time tumbling window aggregation — the same window() operator
+    // Structured Streaming uses for watermarked streams (exercised in
+    // streaming mode by NatsSourceSpec's watermark test), verified here in
+    // batch mode against DuckDB's time_bucket. Output pins epoch seconds:
+    // raw timestamps would hash-differ on ns-vs-us precision.
+    QueryDef(
+      "q50_tumbling_window",
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS hour_start,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+        |ORDER BY hour_start, event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+        .select(
+          unix_timestamp(col("w.start")).as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
     }
   )
 }

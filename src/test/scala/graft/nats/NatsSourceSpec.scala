@@ -101,6 +101,38 @@ class NatsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); conn.close() }
   }
 
+  test("streaming semantics: watermarked event-time tumbling window over the source") {
+    import org.apache.spark.sql.functions.{col, count, window}
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val tsSchema = StructType(Seq(
+      StructField("ts", TimestampType, nullable = false),
+      StructField("v", IntegerType, nullable = false)))
+    val df = spark.readStream.format("nats").schema(tsSchema)
+      .option("url", url).option("subject", "timed")
+      .option("batchSize", "6")
+      .load()
+    val agg = df
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute").as("w"))
+      .agg(count(col("v")).as("n"))
+      .select(col("w.start").cast("long").as("start"), col("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("nats_windowed").start()
+    try {
+      awaitSubscriber(url, "timed")
+      // two 1-minute windows: 4 events in :00, 2 in :01
+      Seq("2024-01-01 10:00:05,1", "2024-01-01 10:00:20,2", "2024-01-01 10:00:40,3",
+        "2024-01-01 10:00:59,4", "2024-01-01 10:01:10,5", "2024-01-01 10:01:30,6")
+        .foreach(m => conn.publish("timed", m.getBytes))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT start, n FROM nats_windowed ORDER BY start")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val base = 1704103200L // 2024-01-01 10:00:00 UTC
+      assert(rows === Seq((base, 4L), (base + 60, 2L)))
+    } finally { q.stop(); conn.close() }
+  }
+
   // ---- one-shot batch path: the reference's `SELECT ... LIMIT n` UX ----
 
   private def cyclicPublisher(url: String, subject: String, msgs: Seq[String]): AtomicBoolean =
