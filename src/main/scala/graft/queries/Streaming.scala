@@ -91,6 +91,77 @@ object Streaming {
           unix_timestamp(col("w.start")).as("hour_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("hour_start"), col("event_type"))
+    },
+
+    // Session windows (dynamic-gap event-time sessions): Spark's
+    // session_window operator, oracled by the classic gaps-and-islands
+    // rewrite (lag + running sum) in DuckDB. end = last event + gap, per
+    // Spark's session semantics. floor(epoch(...)) everywhere: these
+    // timestamps carry fractional seconds and Spark's unix_timestamp
+    // floors while DuckDB's CAST rounds.
+    QueryDef(
+      "q51_session_window",
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM o)
+        |SELECT user_id,
+        |  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start,
+        |  CAST(floor(epoch(MAX(ts))) AS BIGINT) + 1800 AS sess_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("sess_start"),
+          unix_timestamp(col("w.end")).as("sess_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))
+    },
+
+    // As-of join (latest order at-or-before each event), composed from
+    // existing operators per the preference order — union the tagged
+    // streams, one shuffle on the key, running last_value(ignoreNulls):
+    // no per-key fan-out join, which is what makes it hold at 100 TB.
+    // Oracle: DuckDB's native ASOF LEFT JOIN.
+    QueryDef(
+      "q52_asof_join",
+      """SELECT e.event_type, COUNT(*) AS n_events,
+        |  COUNT(o.o_orderdate) AS n_matched,
+        |  CAST(CAST(SUM(floor(epoch(e.ts)) - floor(epoch(o.o_orderdate))) AS DOUBLE)
+        |       / COUNT(o.o_orderdate) AS DOUBLE) AS avg_gap_sec
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+          lit(0).as("tag"), lit(null).cast(StringType).as("event_type"))
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_type"))
+      // at equal ts the order sorts first (tag 0 < 1) => inclusive "<="
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.unionByName(e)
+        .withColumn("asof_ts",
+          last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(col("asof_ts")).as("n_matched"),
+          (sum(unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts"))).cast(DoubleType)
+            / count(col("asof_ts"))).cast(DoubleType).as("avg_gap_sec"))
+        .orderBy(col("event_type"))
     }
   )
 }
