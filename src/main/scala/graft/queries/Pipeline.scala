@@ -53,6 +53,21 @@ object Pipeline {
   private val PLANES = 6
   private val DIM = 64
 
+  // ---- q42/q53 shared oracle: the native Expression (q53) pins the same
+  // IEEE operation sequence as the fold form (q42), so one oracle covers
+  // both — and any divergence between them fails the gate.
+  private val cosineTopkOracle =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |p AS (SELECT e.vec_id, e.label,
+      |        unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+      |      FROM embeddings e, q),
+      |s AS (SELECT vec_id, label, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+      |      FROM p GROUP BY vec_id, label)
+      |SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r
+      |FROM s WHERE vec_id <> 0
+      |ORDER BY cos_r DESC, vec_id
+      |LIMIT 20""".stripMargin
+
   // ---- q44 constants: 32-bit simhash, 4 chunks of 8 bits (pigeonhole:
   // hamming<=3 pairs share a chunk). 16 bits is too coarse for this
   // corpus — 28k candidate pairs at sf0.01 vs 1.3k at 32 bits.
@@ -123,18 +138,7 @@ object Pipeline {
     // scale pre-filter). Single scan, per-row fold, one TakeOrdered; the
     // plan's BroadcastNestedLoopJoin has a 1-ROW build side (the query
     // vector) — this is an N x 1 broadcast, not an all-pairs join. ----
-    QueryDef(
-      "q42_topk_cosine",
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |p AS (SELECT e.vec_id, e.label,
-        |        unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
-        |      FROM embeddings e, q),
-        |s AS (SELECT vec_id, label, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
-        |      FROM p GROUP BY vec_id, label)
-        |SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r
-        |FROM s WHERE vec_id <> 0
-        |ORDER BY cos_r DESC, vec_id
-        |LIMIT 20""".stripMargin) { (s, dir) =>
+    QueryDef("q42_topk_cosine", cosineTopkOracle) { (s, dir) =>
       val e = T(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       val dbl = (c: Column) => transform(c, x => x.cast(DoubleType))
@@ -376,6 +380,22 @@ object Pipeline {
           (sum(col("height")).cast(DoubleType) / count(lit(1))).as("avg_h"),
           sum(col("n_frames")).as("total_frames"))
         .orderBy(col("format"))
+    },
+
+    // ---- q42 via the native Catalyst cosine_similarity Expression
+    // (graft.functions.CosineSimilarity, whole-stage-codegen'd): same
+    // oracle as q42 — the two implementations must agree bit-for-bit.
+    // The bench delta between q42 and q53 measures what the fused
+    // expression saves over the higher-order-function fold. ----
+    QueryDef("q53_topk_cosine_native", cosineTopkOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(expr("cosine_similarity(embedding, qe)"), 6).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+        .limit(20)
     }
   )
 
