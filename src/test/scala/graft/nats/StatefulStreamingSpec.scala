@@ -1,0 +1,94 @@
+package graft.nats
+
+import java.util.UUID
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stateful Structured Streaming over the NATS source: the streaming
+  * semantics Spark adds beyond the reference's unbounded-scan-only model
+  * (SURVEY §2.B streaming row — watermarked dedup and arbitrary keyed
+  * state), exercised end-to-end through format("nats").
+  */
+class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("stateful-streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshBus(): String = "memory://stateful-" + UUID.randomUUID()
+
+  test("dropDuplicatesWithinWatermark over the source: replayed ids emitted once") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType, nullable = false),
+      StructField("id", IntegerType, nullable = false)))
+    val df = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "dups")
+      .option("batchSize", "6")
+      .load()
+    val q = df
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName("nats_dedup_stream").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "dups")
+      // id 1 published three times, id 2 twice, id 3 once — all within
+      // the watermark window, so each id must survive exactly once
+      Seq("2024-01-01 10:00:00,1", "2024-01-01 10:00:01,1", "2024-01-01 10:00:02,2",
+        "2024-01-01 10:00:03,1", "2024-01-01 10:00:04,2", "2024-01-01 10:00:05,3")
+        .foreach(m => conn.publish("dups", m.getBytes))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM nats_dedup_stream ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq
+      assert(ids === Seq(1, 2, 3))
+    } finally { q.stop(); conn.close() }
+  }
+
+  test("mapGroupsWithState: running count per key survives across micro-batches") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = false)))
+    val df = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "keyed")
+      .option("batchSize", "3")
+      .load()
+    import spark.implicits._
+    val counts = df.as[(Int, String)]
+      .groupByKey(_._2)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(Int, String)], state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (key, total)
+      }
+      .toDF("name", "n")
+    val q = counts.writeStream.outputMode("update")
+      .format("memory").queryName("nats_keyed_state").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "keyed")
+      // batch 1: a,a,b
+      Seq("1,a", "2,a", "3,b").foreach(m => conn.publish("keyed", m.getBytes))
+      q.processAllAvailable()
+      // batch 2: a,b,b — state must carry the batch-1 counts forward
+      Seq("4,a", "5,b", "6,b").foreach(m => conn.publish("keyed", m.getBytes))
+      q.processAllAvailable()
+      val finalCounts = spark.sql(
+        "SELECT name, MAX(n) AS n FROM nats_keyed_state GROUP BY name ORDER BY name")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(finalCounts === Seq(("a", 3L), ("b", 3L)))
+    } finally { q.stop(); conn.close() }
+  }
+}
