@@ -53,6 +53,11 @@ object Pipeline {
   private val PLANES = 6
   private val DIM = 64
 
+  // q54 threshold: this corpus' max pairwise cosine is ~0.40 (random
+  // vectors), so 0.3 surfaces the most-similar tail without emptying the
+  // result; real near-dup corpora would use ~0.9.
+  private val NEARDUP_COS = 0.3
+
   // ---- q42/q53 shared oracle: the native Expression (q53) pins the same
   // IEEE operation sequence as the fold form (q42), so one oracle covers
   // both — and any divergence between them fails the gate.
@@ -382,6 +387,44 @@ object Pipeline {
         .orderBy(col("format"))
     },
 
+    // ---- embedding-cosine near-dup: PAIRWISE near-duplicate detection
+    // over vectors — candidates restricted to pairs sharing an LSH bucket
+    // in any table (the q46 grid), then exact cosine >= threshold via the
+    // native expression. The pairwise complement of q46's single-query
+    // search; bucket equi-join keeps candidates ~ N^2/2^bits per table,
+    // never all-pairs. ----
+    QueryDef("q54_embedding_near_dup", embeddingNearDupOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = T(s, dir, "embeddings")
+      val xi = emb.select(col("vec_id"),
+          explode(sequence(lit(1), lit(DIM))).as("d"), col("embedding"))
+        .select(col("vec_id"), col("d"),
+          floor(element_at(col("embedding"), col("d")).cast(DoubleType) * 32768)
+            .cast(LongType).as("xi"))
+      val spark = s
+      import spark.implicits._
+      val grid = (for {
+        t <- 0 until TABLES; p <- 0 until PLANES; d <- 1 to DIM
+      } yield (t, p, d, planeSign(t, p, d))).toDF("t", "p", "d", "sg")
+      val buckets = xi.join(broadcast(grid), "d")
+        .groupBy(col("vec_id"), col("t"), col("p"))
+        .agg(sum(col("xi") * col("sg")).as("pr"))
+        .groupBy(col("vec_id"), col("t"))
+        .agg(sum(expr("CASE WHEN pr > 0 THEN shiftleft(1L, int(p)) ELSE 0L END")).as("bk"))
+      val a = buckets.as("a"); val b = buckets.as("b")
+      val cand = a.join(b, col("a.t") === col("b.t") && col("a.bk") === col("b.bk")
+          && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .distinct()
+      val ea = emb.select(col("vec_id").as("va"), col("embedding").as("emb_a"))
+      val eb = emb.select(col("vec_id").as("vb"), col("embedding").as("emb_b"))
+      cand.join(ea, "va").join(eb, "vb")
+        .select(col("va"), col("vb"),
+          round(expr("cosine_similarity(emb_a, emb_b)"), 6).as("cos_r"))
+        .filter(col("cos_r") >= NEARDUP_COS)
+        .orderBy(col("va"), col("vb"))
+    },
+
     // ---- q42 via the native Catalyst cosine_similarity Expression
     // (graft.functions.CosineSimilarity, whole-stage-codegen'd): same
     // oracle as q42 — the two implementations must agree bit-for-bit.
@@ -496,6 +539,42 @@ object Pipeline {
        |FROM s2
        |ORDER BY cos_r DESC, vec_id
        |LIMIT 10""".stripMargin
+
+  /** DuckDB mirror of q54: same LSH grid as q46, pairwise bucket join,
+    * exact cosine with the q42/q53 fold sequence, same threshold. */
+  private def embeddingNearDupOracle: String =
+    s"""WITH xi AS (
+       |  SELECT vec_id, d, CAST(floor(embedding[d]::DOUBLE * 32768) AS BIGINT) AS xi
+       |  FROM embeddings, unnest(generate_series(1, $DIM)) AS u(d)),
+       |grid AS (
+       |  SELECT t, p, d,
+       |    1 - 2 * (('0x' || substr(md5(t || '_' || p || '_' || d), 1, 15))::BIGINT % 2) AS sg
+       |  FROM unnest(generate_series(0, ${TABLES - 1})) AS a(t),
+       |       unnest(generate_series(0, ${PLANES - 1})) AS b(p),
+       |       unnest(generate_series(1, $DIM)) AS c(d)),
+       |proj AS (
+       |  SELECT vec_id, t, p, sum(xi * sg) AS pr
+       |  FROM xi JOIN grid USING (d) GROUP BY vec_id, t, p),
+       |bucket AS (
+       |  SELECT vec_id, t, sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS bk
+       |  FROM proj GROUP BY vec_id, t),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM bucket a JOIN bucket b
+       |    ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id),
+       |p2 AS (
+       |  SELECT c.va, c.vb,
+       |    unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+       |  FROM cand c
+       |  JOIN embeddings ea ON c.va = ea.vec_id
+       |  JOIN embeddings eb ON c.vb = eb.vec_id),
+       |s2 AS (
+       |  SELECT va, vb, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+       |  FROM p2 GROUP BY va, vb)
+       |SELECT va, vb, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r
+       |FROM s2
+       |WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= $NEARDUP_COS
+       |ORDER BY va, vb""".stripMargin
 
   /** DuckDB mirror of q41, generated from the same hash-family constants
     * so both engines are in lockstep by construction. */
