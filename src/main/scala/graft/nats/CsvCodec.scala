@@ -75,6 +75,37 @@ final class CsvCodec private (val schema: StructType) extends Serializable {
     Right(out)
   }
 
+  /** Inverse of [[parse]]: one row of Catalyst-internal values → a payload
+    * the codec round-trips (encode then parse = identity). Used by the
+    * NATS sink; a value containing ',' would break framing and is
+    * rejected (the strict codec cannot represent it either).
+    */
+  def encode(values: Array[Any]): Either[CodecError, String] = {
+    require(values.length == fields.length,
+      s"row has ${values.length} values but schema expects ${fields.length}")
+    val parts = new Array[String](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      val s = fields(i).dataType match {
+        case IntegerType | DoubleType | BooleanType => values(i).toString
+        case StringType => values(i).toString
+        case TimestampType =>
+          java.time.LocalDateTime
+            .ofEpochSecond(values(i).asInstanceOf[Long] / 1000000L, 0, ZoneOffset.UTC)
+            .format(CsvCodec.tsFormat)
+        case DateType =>
+          LocalDate.ofEpochDay(values(i).asInstanceOf[Int].toLong)
+            .format(CsvCodec.dateFormat)
+        case other => return Left(TypeError(s"Unsupported data type: $other"))
+      }
+      if (s.isEmpty || s.contains(','))
+        return Left(InvalidValue(fields(i).name, s))
+      parts(i) = s
+      i += 1
+    }
+    Right(parts.mkString(","))
+  }
+
   private def parseValue(value: String, field: StructField): Either[CodecError, Any] =
     field.dataType match {
       case IntegerType =>

