@@ -306,6 +306,61 @@ object Pipeline {
         .limit(10)
     },
 
+    // ---- quality filtering: C4-style per-document heuristics (length,
+    // token shape, stopword presence, vocabulary diversity), reported as
+    // independent drop counts + survivors per language. Every rule is
+    // scan-local (no shuffle before the final small aggregate). ----
+    QueryDef(
+      "q47_quality_filter",
+      """WITH d AS (
+        |  SELECT lang, n_chars, string_split(lower(text), ' ') AS ws FROM documents),
+        |m AS (
+        |  SELECT lang,
+        |    len(ws) AS n_tok,
+        |    CAST(n_chars - (len(ws) - 1) AS DOUBLE) / len(ws) AS mean_tok_len,
+        |    len(list_filter(ws, x -> x = 'the' OR x = 'a' OR x = 'of')) AS n_stop,
+        |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio
+        |  FROM d),
+        |r AS (
+        |  SELECT lang,
+        |    CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 0 ELSE 1 END AS d1,
+        |    CASE WHEN mean_tok_len >= 2 AND mean_tok_len <= 12 THEN 0 ELSE 1 END AS d2,
+        |    CASE WHEN n_stop >= 1 THEN 0 ELSE 1 END AS d3,
+        |    CASE WHEN distinct_ratio >= 0.3 THEN 0 ELSE 1 END AS d4
+        |  FROM m)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN d1 + d2 + d3 + d4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(SUM(d1) AS BIGINT) AS drop_len,
+        |  CAST(SUM(d2) AS BIGINT) AS drop_tok_shape,
+        |  CAST(SUM(d3) AS BIGINT) AS drop_no_stopwords,
+        |  CAST(SUM(d4) AS BIGINT) AS drop_low_diversity
+        |FROM r GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = T(s, dir, "documents")
+        .withColumn("ws", split(lower(col("text")), " "))
+        .withColumn("n_tok", size(col("ws")))
+        .withColumn("mean_tok_len",
+          (col("n_chars") - (col("n_tok") - 1)).cast(DoubleType) / col("n_tok"))
+        .withColumn("n_stop",
+          size(filter(col("ws"), w => w === "the" || w === "a" || w === "of")))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("ws"))).cast(DoubleType) / col("n_tok"))
+      d.select(col("lang"),
+          when(col("n_tok").between(10, 1000), 0).otherwise(1).as("d1"),
+          when(col("mean_tok_len") >= 2 && col("mean_tok_len") <= 12, 0).otherwise(1).as("d2"),
+          when(col("n_stop") >= 1, 0).otherwise(1).as("d3"),
+          when(col("distinct_ratio") >= 0.3, 0).otherwise(1).as("d4"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("d1") + col("d2") + col("d3") + col("d4") === 0, 1).otherwise(0)).as("kept"),
+          sum(col("d1")).as("drop_len"),
+          sum(col("d2")).as("drop_tok_shape"),
+          sum(col("d3")).as("drop_no_stopwords"),
+          sum(col("d4")).as("drop_low_diversity"))
+        .orderBy(col("lang"))
+    },
+
     // ---- document fingerprinting: min char-8-gram hash over the
     // normalized head (first 64 chars) — a rolling-hash-style content
     // fingerprint whose collisions surface near-dup heads; grouped into
