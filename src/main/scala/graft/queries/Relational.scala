@@ -582,6 +582,33 @@ object Relational {
       y96.intersectAll(y97).select(lit("both").as("bucket"), col("o_custkey"))
         .unionAll(y96.exceptAll(y97).select(lit("extra96").as("bucket"), col("o_custkey")))
         .orderBy(col("bucket"), col("o_custkey"))
+    },
+
+    // ---- skew-resistant aggregation: two-phase salted agg. event_type
+    // has 5 values — at 100 TB a single-phase groupBy sends each hot key
+    // to ONE reducer; salting fans the partial aggregation over 16
+    // sub-keys first, then combines. Same result as the plain group-by
+    // (the oracle), different shuffle profile. (Spark's partial+final
+    // hash agg already mitigates this for algebraic aggs; the salt
+    // pattern is the general tool and is demonstrated exactly.) ----
+    QueryDef(
+      "q33_skew_salted_agg",
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(
+          count(lit(1)).as("pc"),
+          sum(col("value").cast(DecimalType(18, 4))).as("ps"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("pc")).as("cnt"),
+          sum(col("ps")).cast(DoubleType).as("sum_value"))
+        .orderBy(col("event_type"))
     }
   )
 }
