@@ -306,6 +306,65 @@ object Pipeline {
         .limit(10)
     },
 
+    // ---- dataset splitting: deterministic hash-bucket train/val/test
+    // assignment (md5 of the stable id -> bucket 0..99 -> 80/10/10).
+    // Hash-based splits survive re-runs, joins, and incremental appends —
+    // the property row_number-based splits lose at scale. ----
+    QueryDef(
+      "q34_hash_split",
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY lang, split
+        |ORDER BY lang, split""".stripMargin) { (s, dir) =>
+      val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType) % 100
+      T(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("split"))
+    },
+
+    // ---- sequence packing: assign documents to fixed-token-budget
+    // chunks via a running token count per source shard (PARTITION BY
+    // source keeps the window parallel — a single global running sum
+    // would serialize at 100 TB). chunk = floor(start_offset / budget). ----
+    QueryDef(
+      "q36_sequence_pack",
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(lower(text), ' ')) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+        |  FROM t)
+        |SELECT source, CAST(start_off // 2048 AS BIGINT) AS chunk,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY source, CAST(start_off // 2048 AS BIGINT)
+        |ORDER BY source, chunk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(lower(col("text")), " ")).as("n_tok"))
+        .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("chunk", floor(col("start_off") / 2048))
+        .groupBy(col("source"), col("chunk"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("source"), col("chunk"))
+    },
+
     // ---- quality filtering: C4-style per-document heuristics (length,
     // token shape, stopword presence, vocabulary diversity), reported as
     // independent drop counts + survivors per language. Every rule is
