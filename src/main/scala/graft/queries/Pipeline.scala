@@ -335,6 +335,69 @@ object Pipeline {
         .orderBy(col("lang"), col("split"))
     },
 
+    // ---- data mixing: per-language weighted downsampling via hash
+    // thresholds (en 50%, others 100%). Hash sampling is deterministic,
+    // join-stable, and needs no global count — the reservoir/random()
+    // alternatives are neither. ----
+    QueryDef(
+      "q35_weighted_sample",
+      """WITH h AS (
+        |  SELECT lang,
+        |    ('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |k AS (
+        |  SELECT lang, CASE WHEN lang = 'en' THEN bucket < 50 ELSE true END AS keep
+        |  FROM h)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM k GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      // salt "mix_" decorrelates this hash from q34's split buckets —
+      // sampling decisions must be independent across uses
+      val bucket = conv(substring(md5(concat(lit("mix_"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+        .cast(LongType) % 100
+      T(s, dir, "documents")
+        .withColumn("keep", when(col("lang") === "en", bucket < 50).otherwise(lit(true)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1).otherwise(0)).as("n_kept"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- n-gram statistics: top-3 word bigrams per language (explode,
+    // count, windowed top-k — corpus-level LM diagnostics). ----
+    QueryDef(
+      "q37_ngram_stats",
+      """WITH words AS (
+        |  SELECT lang, string_split(lower(text), ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT lang, ws[i] || ' ' || ws[i+1] AS bigram
+        |  FROM words, unnest(generate_series(1, len(ws)-1)) AS u(i)
+        |  WHERE len(ws) >= 2),
+        |c AS (
+        |  SELECT lang, bigram, COUNT(*) AS cnt FROM bg GROUP BY lang, bigram),
+        |r AS (
+        |  SELECT lang, bigram, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rk
+        |  FROM c)
+        |SELECT lang, rk, bigram, cnt FROM r WHERE rk <= 3
+        |ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val words = T(s, dir, "documents")
+        .select(col("lang"), split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val bigrams = words
+        .select(col("lang"), explode(sequence(lit(1), size(col("ws")) - 1)).as("i"), col("ws"))
+        .select(col("lang"), concat_ws(" ",
+          element_at(col("ws"), col("i")), element_at(col("ws"), col("i") + 1)).as("bigram"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram"))
+      bigrams.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("rk"), col("bigram"), col("cnt"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
     // ---- sequence packing: assign documents to fixed-token-budget
     // chunks via a running token count per source shard (PARTITION BY
     // source keeps the window parallel — a single global running sum
