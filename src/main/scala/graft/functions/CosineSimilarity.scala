@@ -43,6 +43,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_similarity"
 
+  private def elementsNullable(dt: DataType): Boolean = dt match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  // A null *element* yields a null result (see nullSafeEval), so the
+  // expression is nullable whenever the element type admits nulls — not
+  // only when a whole input can be null.
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      elementsNullable(left.dataType) || elementsNullable(right.dataType)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -52,6 +64,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        // Null elements null-propagate, matching the fold form
+        // (zip_with product of a null is null; the aggregate sum of a
+        // null is null) — NOT silently read as 0.0.
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xv = x.getFloat(i).toDouble
         val yv = y.getFloat(i).toDouble
         dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -70,6 +86,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      // ev.isNull is a compile-time "false" literal when nullable=false, in
+      // which case no null-element branch is emitted (nor needed).
+      val nullElementCheck =
+        if (nullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements() || $n == 0) {
@@ -77,11 +99,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElementCheck
          |    double $xv = (double) $a.getFloat($i);
          |    double $yv = (double) $b.getFloat($i);
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  ${ev.value} = ${if (nullable) s"${ev.isNull} ? -1.0 : " else ""}$dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
        """.stripMargin
     })

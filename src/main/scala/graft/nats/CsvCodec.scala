@@ -90,8 +90,14 @@ final class CsvCodec private (val schema: StructType) extends Serializable {
         case IntegerType | DoubleType | BooleanType => values(i).toString
         case StringType => values(i).toString
         case TimestampType =>
+          // The wire format has 1 s granularity; truncating sub-second
+          // values would silently break the encode-then-parse identity
+          // (and shift pre-1970 values forward) — error, never silent.
+          val micros = values(i).asInstanceOf[Long]
+          if (micros % 1000000L != 0L)
+            return Left(InvalidValue(fields(i).name, s"sub-second timestamp ($micros µs)"))
           java.time.LocalDateTime
-            .ofEpochSecond(values(i).asInstanceOf[Long] / 1000000L, 0, ZoneOffset.UTC)
+            .ofEpochSecond(Math.floorDiv(micros, 1000000L), 0, ZoneOffset.UTC)
             .format(CsvCodec.tsFormat)
         case DateType =>
           LocalDate.ofEpochDay(values(i).asInstanceOf[Int].toLong)

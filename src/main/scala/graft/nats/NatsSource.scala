@@ -292,7 +292,10 @@ object RowFilter {
         case (a: java.lang.Integer, b: java.lang.Integer) => Some(a.compareTo(b))
         case (a: java.lang.Double, b: java.lang.Double)   => Some(a.compareTo(b))
         case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
-        case (a: UTF8String, b: String)                   => Some(a.toString.compareTo(b))
+        // Binary (code-point) order via UTF8String — Java String.compareTo
+        // is UTF-16 code-unit order, which disagrees above the BMP; a pushed
+        // range filter must not over-drop rows Spark's own ordering keeps.
+        case (a: UTF8String, b: String)                   => Some(a.compareTo(UTF8String.fromString(b)))
         case _                                            => None
       }
     }
@@ -430,13 +433,29 @@ final class NatsMicroBatchStream(
     ()
   }
   private var admitted = 0L
+  // Highest offset ever handed back by deserializeOffset — on a restart
+  // from an existing checkpoint this arrives before the fresh ledger has
+  // seen any rows, and is the signal the checkpoint is not resumable.
+  @volatile private var restoredOffset = 0L
 
   /** Rows the transport delivered but the enforced buffer cap rejected. */
   def droppedRows: Long = ledger.droppedRows
 
+  private def failIfNotResumable(checkpointed: Long): Unit =
+    if (checkpointed > ledger.endOffset)
+      throw new IllegalStateException(
+        s"Checkpointed offset $checkpointed is ahead of this source's ledger " +
+          s"(end ${ledger.endOffset}): the NATS source is fire-and-forget and a " +
+          "restarted query cannot re-read past messages (SURVEY §7.4.1), so " +
+          "restart from an existing checkpoint would silently misalign offsets. " +
+          "Start the query with a fresh checkpointLocation.")
+
   override def initialOffset(): Offset = NatsOffset(0)
 
   override def latestOffset(): Offset = synchronized {
+    // Fail fast rather than return an offset below a checkpointed commit —
+    // Spark would otherwise plan empty/regressed batches forever.
+    failIfNotResumable(restoredOffset)
     var end = ledger.admit(admitted, System.currentTimeMillis())
     // stopAtRows reproduces the reference's LIMIT-terminated demo semantics
     // for streams (SURVEY §7.4.5): the offset simply stops advancing.
@@ -448,6 +467,7 @@ final class NatsMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[NatsOffset].count
     val e = end.asInstanceOf[NatsOffset].count
+    failIfNotResumable(s)
     val payloads = ledger.rowsBetween(s, e)
     if (payloads.isEmpty) Array.empty
     else {
@@ -478,7 +498,11 @@ final class NatsMicroBatchStream(
   override def commit(end: Offset): Unit =
     ledger.trim(end.asInstanceOf[NatsOffset].count)
 
-  override def deserializeOffset(json: String): Offset = NatsOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val count = json.toLong
+    if (count > restoredOffset) restoredOffset = count
+    NatsOffset(count)
+  }
 
   override def stop(): Unit = { sub.close(); conn.close() }
 }

@@ -123,16 +123,18 @@ object Streaming {
 
     // Session windows (dynamic-gap event-time sessions): Spark's
     // session_window operator, oracled by the classic gaps-and-islands
-    // rewrite (lag + running sum) in DuckDB. end = last event + gap, per
-    // Spark's session semantics. floor(epoch(...)) everywhere: these
-    // timestamps carry fractional seconds and Spark's unix_timestamp
-    // floors while DuckDB's CAST rounds.
+    // rewrite (lag + running sum) in DuckDB. Sessions are half-open
+    // [start, last + gap): an event exactly `gap` after the previous one
+    // starts a NEW session, hence `>=` in the oracle's gap predicate.
+    // end = last event + gap, per Spark's session semantics.
+    // floor(epoch(...)) everywhere: these timestamps carry fractional
+    // seconds and Spark's unix_timestamp floors while DuckDB's CAST rounds.
     QueryDef(
       "q51_session_window",
       """WITH o AS (
         |  SELECT user_id, ts,
         |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+        |         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events),
         |s AS (

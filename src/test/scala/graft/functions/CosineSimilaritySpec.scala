@@ -68,6 +68,38 @@ class CosineSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(_.isNaN))
   }
 
+  test("null elements null-propagate exactly like the zip_with/aggregate fold form") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // array<float> with containsNull=true: one clean row, one with a null element
+    val df = Seq(
+      (Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](Some(3f), Some(4f))),
+      (Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(3f), Some(4f))))
+      .toDF("a", "b")
+    val dbl = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast(DoubleType))
+    val fold = (c: org.apache.spark.sql.Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+    val got = df.select(
+      expr("cosine_similarity(a, b)").as("native"),
+      (fold(zip_with(dbl(col("a")), dbl(col("b")), (x, y) => x * y)) /
+        (sqrt(fold(zip_with(dbl(col("a")), dbl(col("a")), (x, y) => x * y))) *
+          sqrt(fold(zip_with(dbl(col("b")), dbl(col("b")), (x, y) => x * y))))).as("folded"))
+      .collect()
+    assert(!got(0).isNullAt(0) && !got(0).isNullAt(1))
+    assert(got(0).getDouble(0) === got(0).getDouble(1))
+    // a null element makes BOTH forms null — not a silent 0.0 contribution
+    assert(got(1).isNullAt(0), "native must be null on a null element")
+    assert(got(1).isNullAt(1), "fold form must be null on a null element")
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val withNull = Literal.create(
+      new GenericArrayData(Array[Any](1.0f, null)), ArrayType(FloatType, containsNull = true))
+    val clean = Literal.create(
+      new GenericArrayData(Array[Any](3.0f, 4.0f)), ArrayType(FloatType, containsNull = true))
+    assert(CosineSimilarity(withNull, clean).eval(null) === null)
+  }
+
   test("identical vectors give cosine 1.0") {
     GraftFunctions.register(spark)
     val v = Seq(0.3f, -0.7f, 0.2f, 0.9f)

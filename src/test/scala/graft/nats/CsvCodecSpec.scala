@@ -144,4 +144,21 @@ class CsvCodecSpec extends AnyFunSuite {
     for (bad <- Seq("abc", " 1.5", "1.5 ", "1.5f", "1.5d"))
       assert(codec(s).parse(bad).isLeft, s"'$bad' must be rejected")
   }
+
+  // ---- encode: the parse inverse used by the sink ----
+
+  test("encode rejects sub-second timestamps instead of silently truncating") {
+    val s = StructType(Seq(StructField("ts", TimestampType, nullable = false)))
+    val c = codec(s)
+    // whole seconds round-trip: encode . parse = identity
+    for (micros <- Seq(0L, 60000000L, 1705314600000000L, -86400000000L)) {
+      val enc = c.encode(Array[Any](micros))
+      assert(enc.isRight, s"$micros µs must encode")
+      assert(enc.flatMap(c.parse).map(_.toSeq) === Right(Seq[Any](micros)))
+    }
+    // fractional seconds are an error, never silent truncation — including
+    // pre-1970 values where truncation-toward-zero would shift forward 1 s
+    for (micros <- Seq(500000L, 1705314600123456L, -500000L, -86400000000L + 1L))
+      assert(c.encode(Array[Any](micros)).isLeft, s"$micros µs must be rejected")
+  }
 }

@@ -196,6 +196,40 @@ class NatsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally stop.set(true)
   }
 
+  test("restart from a foreign checkpoint fails fast instead of silently regressing offsets") {
+    // A fresh stream whose ledger has seen nothing, handed a checkpointed
+    // offset from a previous run: latestOffset must throw, not return an
+    // offset below the committed one (this source is fire-and-forget —
+    // SURVEY §7.4.1 — so the checkpoint is not resumable by design).
+    val url = freshBus()
+    val stream = new NatsMicroBatchStream(schema, schema, Array.empty,
+      NatsOptions(url, "ckpt", 10, 1000L, 10000, None, 5000L, 1))
+    try {
+      stream.deserializeOffset("7") // what MicroBatchExecution restores on restart
+      val e = intercept[IllegalStateException](stream.latestOffset())
+      assert(e.getMessage.contains("checkpointLocation"))
+      val e2 = intercept[IllegalStateException](
+        stream.planInputPartitions(NatsOffset(7), NatsOffset(9)))
+      assert(e2.getMessage.contains("fire-and-forget"))
+    } finally stream.stop()
+  }
+
+  test("pushed string range filters compare in UTF8 binary order, not UTF-16 code-unit order") {
+    // U+1F600 (emoji, surrogate pair D83D DE00) vs U+FFFF: UTF-16 code-unit
+    // order says emoji < U+FFFF, code-point (UTF8String) order says emoji >
+    // U+FFFF. Spark orders strings by UTF8String; source-side eval must
+    // agree or a pushed GreaterThan over-drops rows the engine would keep
+    // (and the residual re-check above cannot resurrect them).
+    import org.apache.spark.unsafe.types.UTF8String
+    val row: Array[Any] = Array(1, UTF8String.fromString("😀"))
+    val gt = org.apache.spark.sql.sources.GreaterThan("name", "\uFFFF")
+    assert(RowFilter.eval(schema, row, gt), "emoji must sort above U+FFFF (code-point order)")
+    val lt = org.apache.spark.sql.sources.LessThan("name", "\uFFFF")
+    assert(!RowFilter.eval(schema, row, lt))
+    // sanity: agreement with Spark's own ordering
+    assert(UTF8String.fromString("😀").compareTo(UTF8String.fromString("\uFFFF")) > 0)
+  }
+
   // ---- registration-time validation (ref codec-construction checks) ----
 
   test("schema is required and validated at load time") {
