@@ -128,9 +128,28 @@ object GraftFunctions {
       s"cosine_similarity expects 2 arguments, got ${other.size}")
   }
 
-  def register(spark: SparkSession): Unit =
+  private def unary(name: String, make: Expression => Expression)
+    : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[Sketches.type].getName, null, name),
+      { case Seq(c) => make(c)
+        case other => throw new IllegalArgumentException(
+          s"$name expects 1 argument, got ${other.size}") })
+
+  private val sketchFns = Seq(
+    unary("graft_simhash32", SimHash32),
+    unary("graft_minhash_sig", MinHashSignature),
+    unary("graft_shingle_hashes", ShingleHashes),
+    unary("graft_lsh_buckets", LshBuckets),
+    unary("graft_text_counts", TextCounts))
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder)
+    sketchFns.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` wiring. */

@@ -1,0 +1,230 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass, scan-local sketch kernels backing the native expressions in
+  * [[SketchExpressions]]. Each is the hot inner loop of a Pipeline operator
+  * (SimHash q44, MinHash-LSH q41, sign-LSH buckets q46/q54, n-gram Jaccard
+  * q45, text stats q43) — computed per ROW in one pass, with no explode, no
+  * per-token expression trees, and no shuffle. At 100 TB this is the
+  * difference between a map-only stage and shuffling every token of the
+  * corpus; the downstream candidate joins stay on compact sketch keys.
+  *
+  * Every kernel is bit-compatible with the SQL formulation it replaced
+  * (asserted by SketchParitySpec):
+  *   - tokenization is Spark's own `split(lower(text), ' ')`
+  *     (UTF8String.toLowerCase + regex split, trailing empties kept);
+  *   - hashing is the cross-engine 60-bit md5 prefix idiom
+  *     `conv(substr(md5(x),1,15),16,10)::BIGINT` — here computed directly
+  *     from the first 8 digest bytes (big-endian >>> 4), no hex round-trip;
+  *   - LSH planes replay the md5 sign grid the DuckDB oracles generate.
+  */
+object Sketches {
+
+  // ---- shared constants (referenced by Pipeline's oracle generators so
+  // Spark and DuckDB stay in lockstep by construction) ----
+  val P: Long = 2147483647L // Mersenne prime 2^31-1
+  val K: Int = 12           // minhash permutations; 6 bands x 2 rows
+  val hashA: Array[Long] = Array.tabulate(K)(i => 2L * i + 3)
+  val hashB: Array[Long] = Array.tabulate(K)(i => 5L * i + 1)
+
+  val SIMBITS: Int = 32
+
+  val TABLES: Int = 8 // sign-LSH hash tables
+  val PLANES: Int = 6 // sign bits per table
+  val DIM: Int = 64   // embedding dimensionality
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  private val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** `conv(substr(md5(x), 1, 15), 16, 10)::BIGINT` without the hex string:
+    * the first 15 hex chars are the first 60 bits of the digest.
+    */
+  def md5Prefix60(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
+
+  private def tokens(text: UTF8String): Array[UTF8String] =
+    text.toLowerCase.split(SPACE, -1)
+
+  /** 32-bit SimHash of whitespace tokens (every occurrence votes, empty
+    * tokens included — same population as explode(split(...))), majority
+    * rule `2 * ones > n` per bit. One pass, no shuffle (was: explode +
+    * 33-aggregate groupBy).
+    */
+  def simhash32(text: UTF8String): Long = {
+    val ws = tokens(text)
+    val n = ws.length
+    val bs = new Array[Int](SIMBITS)
+    var j = 0
+    while (j < n) {
+      val h = md5Prefix60(ws(j).getBytes)
+      var i = 0
+      while (i < SIMBITS) {
+        bs(i) += ((h >>> i) & 1L).toInt
+        i += 1
+      }
+      j += 1
+    }
+    var sh = 0L
+    var i = 0
+    while (i < SIMBITS) {
+      if (2 * bs(i) > n) sh |= 1L << i
+      i += 1
+    }
+    sh
+  }
+
+  /** 60-bit hash of the word-3-gram starting at token i (bytes of
+    * `concat_ws(" ", w(i), w(i+1), w(i+2))`). */
+  private def shingleHash(ws: Array[UTF8String], i: Int): Long = {
+    val a = ws(i).getBytes; val b = ws(i + 1).getBytes; val c = ws(i + 2).getBytes
+    val out = new Array[Byte](a.length + b.length + c.length + 2)
+    System.arraycopy(a, 0, out, 0, a.length)
+    out(a.length) = ' '
+    System.arraycopy(b, 0, out, a.length + 1, b.length)
+    out(a.length + b.length + 1) = ' '
+    System.arraycopy(c, 0, out, a.length + b.length + 2, c.length)
+    md5Prefix60(out)
+  }
+
+  /** MinHash signature (K permutations over word-3-gram hashes mod P), or
+    * null when the document has fewer than 3 tokens — the same rows the
+    * old `filter(size(ws) >= 3)` dropped before shingling. */
+  def minhashSig(text: UTF8String): ArrayData = {
+    val ws = tokens(text)
+    if (ws.length < 3) return null
+    val mins = Array.fill(K)(Long.MaxValue)
+    var i = 0
+    while (i <= ws.length - 3) {
+      val hp = shingleHash(ws, i) % P
+      var k = 0
+      while (k < K) {
+        val v = (hp * hashA(k) + hashB(k)) % P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** All word-3-gram 60-bit hashes of a document (with duplicates — the
+    * caller dedups after explode, on longs instead of strings), or null
+    * when fewer than 3 tokens. */
+  def shingleHashes(text: UTF8String): ArrayData = {
+    val ws = tokens(text)
+    if (ws.length < 3) return null
+    val out = new Array[Long](ws.length - 2)
+    var i = 0
+    while (i <= ws.length - 3) {
+      out(i) = shingleHash(ws, i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Deterministic ±1 hyperplane component from md5 — identical to the
+    * formula the DuckDB oracle writes in SQL (and to Pipeline.planeSign). */
+  def planeSign(t: Int, p: Int, d: Int): Long =
+    1L - 2L * (md5Prefix60(s"${t}_${p}_${d}".getBytes("UTF-8")) % 2L)
+
+  // Flattened [t][p][d] sign grid, built once per JVM (3072 md5 calls).
+  private lazy val signGrid: Array[Long] = {
+    val g = new Array[Long](TABLES * PLANES * DIM)
+    var t = 0
+    while (t < TABLES) {
+      var p = 0
+      while (p < PLANES) {
+        var d = 1
+        while (d <= DIM) {
+          g((t * PLANES + p) * DIM + d - 1) = planeSign(t, p, d)
+          d += 1
+        }
+        p += 1
+      }
+      t += 1
+    }
+    g
+  }
+
+  /** Sign-LSH bucket keys, one per hash table: bit p of table t is set when
+    * the dot product of the integer-quantized vector with plane (t, p) is
+    * positive. Replaces a 64-way explode + 3072-row grid join + two
+    * shuffled aggregations with one scan-local pass. */
+  def lshBuckets(emb: ArrayData): ArrayData = {
+    val n = math.min(emb.numElements(), DIM)
+    val xi = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      xi(d) = math.floor(emb.getFloat(d).toDouble * 32768.0).toLong
+      d += 1
+    }
+    val out = new Array[Long](TABLES)
+    var t = 0
+    while (t < TABLES) {
+      var bk = 0L
+      var p = 0
+      while (p < PLANES) {
+        val base = (t * PLANES + p) * DIM
+        var pr = 0L
+        d = 0
+        while (d < n) {
+          pr += xi(d) * signGrid(base + d)
+          d += 1
+        }
+        if (pr > 0) bk |= 1L << p
+        p += 1
+      }
+      out(t) = bk
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val MARKERS: Array[UTF8String] =
+    Array("the", "der", "el", "le", "的").map(UTF8String.fromString)
+
+  /** One-pass text statistics: [n_tok, n_rgx, c_en, c_de, c_es, c_fr, c_zh]
+    * where n_rgx counts maximal `[a-z0-9]+` runs (what
+    * `regexp_extract_all(lower(text), '[a-z0-9]+')` extracts — the class is
+    * ASCII-only, so a byte scan is exact even in multi-byte text) and c_*
+    * are exact-match stopword-marker token counts. */
+  def textCounts(text: UTF8String): ArrayData = {
+    val lt = text.toLowerCase
+    val ws = lt.split(SPACE, -1)
+    val counts = new Array[Long](7)
+    counts(0) = ws.length
+    val bytes = lt.getBytes
+    var prev = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val cur = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      if (cur && !prev) counts(1) += 1
+      prev = cur
+      i += 1
+    }
+    var j = 0
+    while (j < ws.length) {
+      var m = 0
+      while (m < MARKERS.length) {
+        if (ws(j).equals(MARKERS(m))) counts(2 + m) += 1
+        m += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(counts)
+  }
+}

@@ -31,10 +31,14 @@ object Pipeline {
   // ---- shared MinHash family: k=12 permutations over a 60-bit md5 base
   // hash reduced mod the Mersenne prime 2^31-1; 6 bands x 2 rows.
   // (a_i * h + b_i) stays < 2^46 — no int64 overflow in either engine.
-  private val P = 2147483647L
-  private val K = 12
-  private val hashA: Array[Long] = Array.tabulate(K)(i => 2L * i + 3)
-  private val hashB: Array[Long] = Array.tabulate(K)(i => 5L * i + 1)
+  // Constants live in graft.functions.Sketches (the native kernels) and
+  // are referenced here by the oracle generators, so the Spark side and
+  // the DuckDB side cannot drift. (Declared BEFORE `defs` — val-init
+  // order: a later declaration would interpolate as 0 into the oracles.)
+  private val P = graft.functions.Sketches.P
+  private val K = graft.functions.Sketches.K
+  private val hashA: Array[Long] = graft.functions.Sketches.hashA
+  private val hashB: Array[Long] = graft.functions.Sketches.hashB
   private val bands: Seq[(Int, Int)] = (0 until K / 2).map(j => (2 * j, 2 * j + 1))
 
   // ---- q46 constants: shared between the Spark grid and the oracle.
@@ -49,9 +53,9 @@ object Pipeline {
   // candidate set is necessarily near-random — sign-LSH separates real
   // near-dup structure, which random vectors do not have; the oracle
   // checks engine agreement, not retrieval quality.
-  private val TABLES = 8
-  private val PLANES = 6
-  private val DIM = 64
+  private val TABLES = graft.functions.Sketches.TABLES
+  private val PLANES = graft.functions.Sketches.PLANES
+  private val DIM = graft.functions.Sketches.DIM
 
   // q54 threshold: this corpus' max pairwise cosine is ~0.40 (random
   // vectors), so 0.3 surfaces the most-similar tail without emptying the
@@ -76,7 +80,7 @@ object Pipeline {
   // ---- q44 constants: 32-bit simhash, 4 chunks of 8 bits (pigeonhole:
   // hamming<=3 pairs share a chunk). 16 bits is too coarse for this
   // corpus — 28k candidate pairs at sf0.01 vs 1.3k at 32 bits.
-  private val SIMBITS = 32
+  private val SIMBITS = graft.functions.Sketches.SIMBITS
   private val SIMCHUNKS = 4
   private val CHUNKBITS = SIMBITS / SIMCHUNKS
   private val HAMMING_MAX = 3
@@ -104,31 +108,19 @@ object Pipeline {
         .orderBy(col("event_id"))
     },
 
-    // ---- near-dup candidates via MinHash-LSH: shingle -> minhash
-    // signature -> band buckets -> bucket join. The only joins are on
-    // band keys; candidate count is output, never all-pairs. ----
+    // ---- near-dup candidates via MinHash-LSH: scan-local signature
+    // (graft_minhash_sig, one pass per document — no token explode, no
+    // shuffle before the band join) -> band buckets -> bucket join. The
+    // only joins are on band keys; candidate count is output, never
+    // all-pairs. ----
     QueryDef("q41_near_dup", minhashOracle) { (s, dir) =>
-      val docs = T(s, dir, "documents")
-      val words = docs
-        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-      val shingles = words
-        .select(col("doc_id"),
-          explode(sequence(lit(1), size(col("ws")) - 2)).as("i"), col("ws"))
-        .select(col("doc_id"), concat_ws(" ",
-          element_at(col("ws"), col("i")),
-          element_at(col("ws"), col("i") + 1),
-          element_at(col("ws"), col("i") + 2)).as("s"))
-      val hp = shingles.select(col("doc_id"),
-        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType) % P).as("hp"))
-      val sig = hp.groupBy(col("doc_id"))
-        .agg(
-          min((col("hp") * hashA(0) + hashB(0)) % P).as("m0"),
-          (1 until K).map(i =>
-            min((col("hp") * hashA(i) + hashB(i)) % P).as(s"m$i")): _*)
+      graft.functions.GraftFunctions.register(s)
+      val sig = T(s, dir, "documents")
+        .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
+        .filter(col("sig").isNotNull) // null = fewer than 3 tokens
       val bandRows = sig.select(col("doc_id"),
         expr(bands.zipWithIndex.map { case ((x, y), j) =>
-          s"$j, concat(m$x, '_', m$y)"
+          s"$j, concat(sig[$x], '_', sig[$y])"
         }.mkString(s"stack(${bands.size}, ", ", ", ") as (band, key)")))
       val a = bandRows.as("a"); val b = bandRows.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -164,24 +156,25 @@ object Pipeline {
 
     // ---- text analysis: language-ID heuristic (stopword markers),
     // quality ratios, and a BPE-ish regex token count, aggregated per
-    // (labelled lang, predicted lang). All per-doc work is scan-local. ----
+    // (labelled lang, predicted lang). All per-doc work is ONE scan-local
+    // pass (graft_text_counts) — the split/filter×5/regexp expression
+    // forest this replaces walked the text seven times per row. ----
     QueryDef("q43_text_stats", textStatsOracle) { (s, dir) =>
-      val markers = Seq("en" -> "the", "de" -> "der", "es" -> "el", "fr" -> "le", "zh" -> "的")
-      val docs = T(s, dir, "documents")
-        .withColumn("ws", split(lower(col("text")), " "))
-        .withColumn("n_tok", size(col("ws")))
-      val withCounts = markers.foldLeft(docs) { case (df, (code, word)) =>
-        df.withColumn(s"c_$code", size(filter(col("ws"), w => w === word)))
-      }
+      graft.functions.GraftFunctions.register(s)
+      val counts = T(s, dir, "documents")
+        .select(col("lang"), col("n_chars"), expr("graft_text_counts(text)").as("tc"))
+        .select(col("lang"), col("n_chars"),
+          col("tc")(0).as("n_tok"), col("tc")(1).as("n_rgx"),
+          col("tc")(2).as("c_en"), col("tc")(3).as("c_de"),
+          col("tc")(4).as("c_es"), col("tc")(5).as("c_fr"), col("tc")(6).as("c_zh"))
       val pred = when(col("c_en") >= greatest(col("c_de"), col("c_es"), col("c_fr"), col("c_zh")) && col("c_en") > 0, "en")
         .when(col("c_de") >= greatest(col("c_es"), col("c_fr"), col("c_zh")) && col("c_de") > 0, "de")
         .when(col("c_es") >= greatest(col("c_fr"), col("c_zh")) && col("c_es") > 0, "es")
         .when(col("c_fr") >= col("c_zh") && col("c_fr") > 0, "fr")
         .when(col("c_zh") > 0, "zh")
         .otherwise("und")
-      withCounts
+      counts
         .withColumn("lang_pred", pred)
-        .withColumn("n_rgx", size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
         .withColumn("n_stop", col("c_en") + col("c_de") + col("c_es") + col("c_fr") + col("c_zh"))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(
@@ -194,23 +187,15 @@ object Pipeline {
         .orderBy(col("lang"), col("lang_pred"))
     },
 
-    // ---- SimHash near-dup: 32-bit signatures from weighted token-hash
-    // bits; candidates via the pigeonhole trick (4 chunks of 8 bits —
+    // ---- SimHash near-dup: 32-bit signatures computed scan-local in one
+    // pass (graft_simhash32 — replaces explode + a 33-aggregate shuffled
+    // groupBy); candidates via the pigeonhole trick (4 chunks of 8 bits —
     // hamming<=3 pairs must share a chunk), then exact hamming filter.
     // Equi-join on chunk buckets, never all-pairs. ----
     QueryDef("q44_simhash", simhashOracle) { (s, dir) =>
-      val docs = T(s, dir, "documents")
-      val tokens = docs
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-        .select(col("doc_id"),
-          (conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType)).as("hb"))
-      val bitSums = tokens.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n"),
-          (0 until SIMBITS).map(i =>
-            sum(expr(s"shiftright(hb, $i) % 2")).as(s"bs$i")): _*)
-      val sim = bitSums.select(col("doc_id"),
-        (0 until SIMBITS).map(i => when(col(s"bs$i") * 2 > col("n"), 1L << i).otherwise(0L))
-          .reduce(_ + _).as("sh"))
+      graft.functions.GraftFunctions.register(s)
+      val sim = T(s, dir, "documents")
+        .select(col("doc_id"), expr("graft_simhash32(text)").as("sh"))
       val chunks = sim.select(col("doc_id"), col("sh"),
         expr((0 until SIMCHUNKS).map(j =>
           s"$j, shiftright(sh, ${CHUNKBITS * j}) % ${1 << CHUNKBITS}")
@@ -227,19 +212,15 @@ object Pipeline {
 
     // ---- n-gram Jaccard: exact similarity over rare shingles (document
     // frequency <= 4 — stop-shingle removal bounds the inverted-index
-    // join to sum_s C(df_s,2), 5.4k pairs at sf0.1 vs 1.27M unfiltered). ----
+    // join to sum_s C(df_s,2), 5.4k pairs at sf0.1 vs 1.27M unfiltered).
+    // Shingles are 60-bit hashes from the scan-local kernel — the
+    // inverted index shuffles and joins 8-byte longs, not ~30-char
+    // strings; both engines hash identically so Jaccard counts agree
+    // (collision odds at 60 bits: ~N²/2^61, negligible). ----
     QueryDef("q45_ngram_jaccard", jaccardOracle) { (s, dir) =>
-      val docs = T(s, dir, "documents")
-      val words = docs
-        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-      val sh = words
-        .select(col("doc_id"),
-          explode(sequence(lit(1), size(col("ws")) - 2)).as("i"), col("ws"))
-        .select(col("doc_id"), concat_ws(" ",
-          element_at(col("ws"), col("i")),
-          element_at(col("ws"), col("i") + 1),
-          element_at(col("ws"), col("i") + 2)).as("s"))
+      graft.functions.GraftFunctions.register(s)
+      val sh = T(s, dir, "documents")
+        .select(col("doc_id"), explode(expr("graft_shingle_hashes(text)")).as("s"))
         .distinct()
       val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 4).select(col("s"))
@@ -266,23 +247,13 @@ object Pipeline {
     // exact cosine top-10 among same-bucket candidates only. The scale
     // path for q42's brute-force baseline: candidates ~ N/2^8 per table. ----
     QueryDef("q46_ann_lsh", annLshOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val emb = T(s, dir, "embeddings")
-      // integer-quantized components, 1-based dim to match the oracle
-      val xi = emb.select(col("vec_id"),
-          explode(sequence(lit(1), lit(DIM))).as("d"), col("embedding"))
-        .select(col("vec_id"), col("d"),
-          floor(element_at(col("embedding"), col("d")).cast(DoubleType) * 32768)
-            .cast(LongType).as("xi"))
-      val spark = s
-      import spark.implicits._
-      val grid = (for {
-        t <- 0 until TABLES; p <- 0 until PLANES; d <- 1 to DIM
-      } yield (t, p, d, planeSign(t, p, d))).toDF("t", "p", "d", "sg")
-      val proj = xi.join(broadcast(grid), "d")
-        .groupBy(col("vec_id"), col("t"), col("p"))
-        .agg(sum(col("xi") * col("sg")).as("pr"))
-      val buckets = proj.groupBy(col("vec_id"), col("t"))
-        .agg(sum(expr("CASE WHEN pr > 0 THEN shiftleft(1L, int(p)) ELSE 0L END")).as("bk"))
+      // Scan-local bucket keys (graft_lsh_buckets): one pass per vector —
+      // replaces a 64-way dim explode joined to a 3072-row sign grid and
+      // two shuffled re-aggregations. posexplode's position IS the table id.
+      val buckets = emb.select(col("vec_id"),
+        posexplode(expr("graft_lsh_buckets(embedding)")).as(Seq("t", "bk")))
       val qb = buckets.filter(col("vec_id") === 0)
         .select(col("t").as("qt"), col("bk").as("qbk"))
       val cand = buckets.filter(col("vec_id") =!= 0)
@@ -573,21 +544,9 @@ object Pipeline {
     QueryDef("q54_embedding_near_dup", embeddingNearDupOracle) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       val emb = T(s, dir, "embeddings")
-      val xi = emb.select(col("vec_id"),
-          explode(sequence(lit(1), lit(DIM))).as("d"), col("embedding"))
-        .select(col("vec_id"), col("d"),
-          floor(element_at(col("embedding"), col("d")).cast(DoubleType) * 32768)
-            .cast(LongType).as("xi"))
-      val spark = s
-      import spark.implicits._
-      val grid = (for {
-        t <- 0 until TABLES; p <- 0 until PLANES; d <- 1 to DIM
-      } yield (t, p, d, planeSign(t, p, d))).toDF("t", "p", "d", "sg")
-      val buckets = xi.join(broadcast(grid), "d")
-        .groupBy(col("vec_id"), col("t"), col("p"))
-        .agg(sum(col("xi") * col("sg")).as("pr"))
-        .groupBy(col("vec_id"), col("t"))
-        .agg(sum(expr("CASE WHEN pr > 0 THEN shiftleft(1L, int(p)) ELSE 0L END")).as("bk"))
+      // Same scan-local bucket kernel as q46 (see comment there).
+      val buckets = emb.select(col("vec_id"),
+        posexplode(expr("graft_lsh_buckets(embedding)")).as(Seq("t", "bk")))
       val a = buckets.as("a"); val b = buckets.as("b")
       val cand = a.join(b, col("a.t") === col("b.t") && col("a.bk") === col("b.bk")
           && col("a.vec_id") < col("b.vec_id"))
@@ -619,15 +578,6 @@ object Pipeline {
     }
   )
 
-  /** Deterministic ±1 hyperplane component from md5 — same formula the
-    * oracle writes in SQL. */
-  private def planeSign(t: Int, p: Int, d: Int): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${t}_${p}_${d}".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.substring(0, 15)
-    1L - 2L * (java.lang.Long.parseLong(hex, 16) % 2)
-  }
-
   /** DuckDB mirror of q44, generated from the same bit/chunk layout. */
   private def simhashOracle: String = {
     val bitSums = (0 until SIMBITS).map(i => s"sum((hb >> $i) & 1) AS bs$i").mkString(",\n        ")
@@ -655,12 +605,16 @@ object Pipeline {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** DuckDB mirror of q45 (rare-shingle exact Jaccard). */
+  /** DuckDB mirror of q45 (rare-shingle exact Jaccard). Shingles are the
+    * same 60-bit md5 hashes the Spark side computes in
+    * Sketches.shingleHashes — both engines build the inverted index over
+    * identical longs. */
   private def jaccardOracle: String =
     """WITH words AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
       |sh AS (
-      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS s
       |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
       |  WHERE len(ws) >= 3),
       |rare AS (

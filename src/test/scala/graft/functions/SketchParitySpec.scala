@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity gate for the native sketch kernels: each must match, per
+  * document/vector on real fixture data, the SQL expression forest it
+  * replaced in the Pipeline queries (the formulation the DuckDB oracles
+  * mirror). A drift in tokenization, hashing, or plane signs fails here,
+  * not in a later oracle mismatch.
+  */
+class SketchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("sketch-parity")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    GraftFunctions.register(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs: DataFrame = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def emb: DataFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private val P = Sketches.P
+  private val K = Sketches.K
+
+  test("md5Prefix60 equals conv(substr(md5(x),1,15),16,10)") {
+    val viaSql = docs.select(col("doc_id"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaKernel = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        Sketches.md5Prefix60(r.getString(1).getBytes("UTF-8"))).toMap
+    assert(viaKernel === viaSql)
+  }
+
+  test("graft_simhash32 equals the explode + 33-aggregate SQL formulation") {
+    val tokens = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType).as("hb"))
+    val bitSums = tokens.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        (0 until Sketches.SIMBITS).map(i =>
+          sum(expr(s"shiftright(hb, $i) % 2")).as(s"bs$i")): _*)
+    val oldWay = bitSums.select(col("doc_id"),
+        (0 until Sketches.SIMBITS)
+          .map(i => when(col(s"bs$i") * 2 > col("n"), 1L << i).otherwise(0L))
+          .reduce(_ + _).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val newWay = docs.select(col("doc_id"), expr("graft_simhash32(text)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(newWay === oldWay)
+  }
+
+  test("graft_minhash_sig equals the shingle-explode + 12-min SQL formulation") {
+    val words = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val shingles = words
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ws")) - 2)).as("i"), col("ws"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("ws"), col("i")),
+        element_at(col("ws"), col("i") + 1),
+        element_at(col("ws"), col("i") + 2)).as("s"))
+    val hp = shingles.select(col("doc_id"),
+      (conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType) % P).as("hp"))
+    val oldWay = hp.groupBy(col("doc_id"))
+      .agg(min((col("hp") * Sketches.hashA(0) + Sketches.hashB(0)) % P).as("m0"),
+        (1 until K).map(i =>
+          min((col("hp") * Sketches.hashA(i) + Sketches.hashB(i)) % P).as(s"m$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to K).map(r.getLong).toSeq).toMap
+    val newWay = docs
+      .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(newWay === oldWay)
+    // documents with < 3 tokens (and only those) are null-signatured
+    val nullIds = docs.select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
+      .filter(col("sig").isNull).count()
+    assert(nullIds === docs.count() - oldWay.size)
+  }
+
+  test("graft_shingle_hashes explode+distinct equals hashed string-shingle distinct") {
+    val words = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val oldWay = words
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ws")) - 2)).as("i"), col("ws"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("ws"), col("i")),
+        element_at(col("ws"), col("i") + 1),
+        element_at(col("ws"), col("i") + 2)).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType).as("h"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newWay = docs
+      .select(col("doc_id"), explode(expr("graft_shingle_hashes(text)")).as("h"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(newWay === oldWay)
+  }
+
+  test("graft_lsh_buckets equals the dim-explode + sign-grid-join SQL formulation") {
+    val xi = emb.select(col("vec_id"),
+        explode(sequence(lit(1), lit(Sketches.DIM))).as("d"), col("embedding"))
+      .select(col("vec_id"), col("d"),
+        floor(element_at(col("embedding"), col("d")).cast(DoubleType) * 32768)
+          .cast(LongType).as("xi"))
+    import spark.implicits._
+    val grid = (for {
+      t <- 0 until Sketches.TABLES; p <- 0 until Sketches.PLANES; d <- 1 to Sketches.DIM
+    } yield (t, p, d, Sketches.planeSign(t, p, d))).toDF("t", "p", "d", "sg")
+    val oldWay = xi.join(broadcast(grid), "d")
+      .groupBy(col("vec_id"), col("t"), col("p"))
+      .agg(sum(col("xi") * col("sg")).as("pr"))
+      .groupBy(col("vec_id"), col("t"))
+      .agg(sum(expr("CASE WHEN pr > 0 THEN shiftleft(1L, int(p)) ELSE 0L END")).as("bk"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val newWay = emb.select(col("vec_id"),
+        posexplode(expr("graft_lsh_buckets(embedding)")).as(Seq("t", "bk")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(newWay === oldWay)
+  }
+
+  test("graft_text_counts equals split/filter/regexp_extract_all formulation") {
+    val markers = Seq("en" -> "the", "de" -> "der", "es" -> "el", "fr" -> "le", "zh" -> "的")
+    val base = docs
+      .withColumn("ws", split(lower(col("text")), " "))
+      .withColumn("n_tok", size(col("ws")))
+      .withColumn("n_rgx",
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+    val oldWay = markers.foldLeft(base) { case (df, (code, word)) =>
+        df.withColumn(s"c_$code", size(filter(col("ws"), w => w === word)))
+      }
+      .select(col("doc_id"), col("n_tok"), col("n_rgx"),
+        col("c_en"), col("c_de"), col("c_es"), col("c_fr"), col("c_zh"))
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 7).map(i => r.getInt(i).toLong).toSeq).toMap
+    val newWay = docs.select(col("doc_id"), expr("graft_text_counts(text)").as("tc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(newWay === oldWay)
+  }
+}
