@@ -62,6 +62,12 @@ object Pipeline {
   // result; real near-dup corpora would use ~0.9.
   private val NEARDUP_COS = 0.3
 
+  // q55 IVF parameters: 16 coarse cells (centroids = vectors 1..16 — a
+  // deterministic seed choice both engines share; a production build
+  // would k-means these), probe the 4 cells nearest the query.
+  private val NCELLS = 16
+  private val NPROBE = 4
+
   // ---- q42/q53 shared oracle: the native Expression (q53) pins the same
   // IEEE operation sequence as the fold form (q42), so one oracle covers
   // both — and any divergence between them fails the gate.
@@ -561,6 +567,67 @@ object Pipeline {
         .orderBy(col("va"), col("vb"))
     },
 
+    // ---- IVF-style ANN: the coarse-quantization scale path next to
+    // q46's LSH tables. Assignment: every vector joins the 16 BROADCAST
+    // centroids (N x 16, map-side — the one deliberate small
+    // nested-loop in this query) and takes the argmax-cosine cell; the
+    // query probes its NPROBE nearest cells; exact cosine runs over
+    // candidates only. At 100 TB the assignment is a map-only pass and
+    // the search touches ~NPROBE/NCELLS of the corpus. Determinism:
+    // argmax ranks on round(cos, 6) with centroid id as tie-break, and
+    // the native cosine is bit-identical to the oracle's fold. ----
+    QueryDef("q55_ivf_ann", ivfAnnOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = T(s, dir, "embeddings")
+      val cent = emb.filter(col("vec_id").between(1, NCELLS))
+        .select(col("vec_id").as("c"), col("embedding").as("ce"))
+      val wArg = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c"))
+      val cells = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("c"),
+          round(expr("cosine_similarity(embedding, ce)"), 6).as("cos_c"))
+        .withColumn("rk", row_number().over(wArg))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("c").as("cell"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val probe = cent.crossJoin(broadcast(q))
+        .select(col("c"), round(expr("cosine_similarity(ce, qe)"), 6).as("cos_q"))
+        .orderBy(col("cos_q").desc, col("c"))
+        .limit(NPROBE)
+        .select(col("c"))
+      val cand = cells.join(broadcast(probe), cells("cell") === probe("c"))
+        .select(col("vec_id"))
+      emb.join(cand, "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(expr("cosine_similarity(embedding, qe)"), 6).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // ---- tf-idf: the classic corpus-weighted term scoring — tf per
+    // (doc, term), df per term, idf = ln(N/df), top-3 terms per doc.
+    // Two shuffles (both key-partitioned aggregations) plus one window;
+    // the corpus size N is a 1-row broadcast. ----
+    QueryDef("q56_tfidf", tfidfOracle) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = docs.select(count(lit(1)).as("n_docs"))
+      val wTop = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("w"))
+      tf.join(df, "w")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w").as("term"),
+          col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
     // ---- q42 via the native Catalyst cosine_similarity Expression
     // (graft.functions.CosineSimilarity, whole-stage-codegen'd): same
     // oracle as q42 — the two implementations must agree bit-for-bit.
@@ -706,6 +773,70 @@ object Pipeline {
        |FROM s2
        |WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= $NEARDUP_COS
        |ORDER BY va, vb""".stripMargin
+
+  /** DuckDB mirror of q55: same centroid seeds, same round-then-rank
+    * argmax, same fold cosine as q42/q53 (bit-identical to the native
+    * expression). */
+  private def ivfAnnOracle: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS c, embedding AS ce FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND $NCELLS),
+       |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+       |pc AS (
+       |  SELECT v.vec_id, cent.c,
+       |    unnest(v.embedding)::DOUBLE AS x, unnest(cent.ce)::DOUBLE AS y
+       |  FROM v, cent),
+       |sc AS (
+       |  SELECT vec_id, c, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+       |  FROM pc GROUP BY vec_id, c),
+       |rc AS (
+       |  SELECT vec_id, c, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id
+       |    ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, c) AS rk
+       |  FROM sc),
+       |cells AS (SELECT vec_id, c AS cell FROM rc WHERE rk = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qp AS (
+       |  SELECT cent.c, unnest(cent.ce)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+       |  FROM cent, q),
+       |sq AS (
+       |  SELECT c, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+       |  FROM qp GROUP BY c),
+       |probe AS (
+       |  SELECT c FROM sq
+       |  ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, c LIMIT $NPROBE),
+       |cand AS (SELECT vec_id FROM cells JOIN probe ON cells.cell = probe.c),
+       |p2 AS (
+       |  SELECT e.vec_id, e.label,
+       |    unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+       |  FROM embeddings e JOIN cand USING (vec_id), q),
+       |s2 AS (
+       |  SELECT vec_id, label, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+       |  FROM p2 GROUP BY vec_id, label)
+       |SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r
+       |FROM s2
+       |ORDER BY cos_r DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  /** DuckDB mirror of q56 (tf-idf top-3 terms per document). */
+  private def tfidfOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+      |    round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+      |  FROM tf JOIN df USING (w), n),
+      |r AS (
+      |  SELECT doc_id, w, tf, df, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rk
+      |  FROM scored)
+      |SELECT doc_id, rk, w AS term, CAST(tf AS BIGINT) AS tf,
+      |  CAST(df AS BIGINT) AS df, tfidf
+      |FROM r WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
 
   /** DuckDB mirror of q41, generated from the same hash-family constants
     * so both engines are in lockstep by construction. */

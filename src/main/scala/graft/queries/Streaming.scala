@@ -121,6 +121,31 @@ object Streaming {
         .orderBy(col("hour_start"), col("event_type"))
     },
 
+    // Sliding (hopping) event-time windows: duration 1 h, slide 30 min —
+    // every event lands in exactly two windows. Oracle: each event is
+    // duplicated into its two 30-min-aligned window starts via unnest,
+    // mirroring Spark's epoch-aligned half-open [start, start+1h) windows.
+    QueryDef(
+      "q38_sliding_window",
+      """WITH e2 AS (
+        |  SELECT event_type, value,
+        |    time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' AS ws
+        |  FROM events, unnest([0, 1]) AS u(o))
+        |SELECT CAST(epoch(ws) AS BIGINT) AS win_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM e2 GROUP BY ws, event_type
+        |ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+        .select(
+          unix_timestamp(col("w.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+
     // Session windows (dynamic-gap event-time sessions): Spark's
     // session_window operator, oracled by the classic gaps-and-islands
     // rewrite (lag + running sum) in DuckDB. Sessions are half-open

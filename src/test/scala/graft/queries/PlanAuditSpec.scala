@@ -24,8 +24,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   // q42/q53/q46 broadcast ONE query-vector row (N x 1, documented);
-  // everything else must be hash/merge-joinable.
-  private val bnljAllowed = Set("q42_topk_cosine", "q53_topk_cosine_native", "q46_ann_lsh")
+  // q55 additionally broadcasts the 16 IVF centroids (N x 16 assignment
+  // pass); q56 broadcasts the 1-row corpus count. Everything else must
+  // be hash/merge-joinable.
+  private val bnljAllowed = Set(
+    "q42_topk_cosine", "q53_topk_cosine_native", "q46_ann_lsh",
+    "q55_ivf_ann", "q56_tfidf")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
