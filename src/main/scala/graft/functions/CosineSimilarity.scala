@@ -150,13 +150,21 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
   }
+
+  /** The sketch functions in SparkSessionExtensions.injectFunction form. */
+  private[functions] def injectables
+    : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    sketchFns
 }
 
-/** `spark.sql.extensions=graft.functions.GraftExtensions` wiring. */
+/** `spark.sql.extensions=graft.functions.GraftExtensions` wiring — the
+  * same function set GraftFunctions.register installs imperatively. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("cosine_similarity"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_similarity"),
         { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) }))
+    GraftFunctions.injectables.foreach(ext.injectFunction)
+  }
 }

@@ -26,14 +26,23 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   test("q26: approx_count_distinct within 5% relative error of exact, per group") {
-    val rows = SparkEntry.queries("q26_approx_agg")(spark, sfDir).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q26_approx_agg")(spark, sfDir)
+      .select(col("l_returnflag"), col("approx_parts"))
+    // exact companion computed HERE, not in the benched query — q26 itself
+    // is the approx-only workload (the sketch exists to avoid the exact
+    // distinct's shuffle; benching both would hide that saving)
+    val exact = Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey")).as("exact_parts"))
+    val joined = approx.join(exact, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
       val flag = r.getString(r.fieldIndex("l_returnflag"))
-      val approx = r.getLong(r.fieldIndex("approx_parts")).toDouble
-      val exact = r.getLong(r.fieldIndex("exact_parts")).toDouble
-      val relErr = math.abs(approx - exact) / exact
-      assert(relErr <= 0.05, s"group $flag: approx=$approx exact=$exact relErr=$relErr > 5%")
+      val a = r.getLong(r.fieldIndex("approx_parts")).toDouble
+      val e = r.getLong(r.fieldIndex("exact_parts")).toDouble
+      val relErr = math.abs(a - e) / e
+      assert(relErr <= 0.05, s"group $flag: approx=$a exact=$e relErr=$relErr > 5%")
     }
   }
 
