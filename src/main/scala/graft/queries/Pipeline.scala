@@ -628,6 +628,55 @@ object Pipeline {
         .orderBy(col("doc_id"), col("rk"))
     },
 
+    // ---- benchmark decontamination: flag training documents sharing any
+    // word-3-gram with a held-out "benchmark" set (here: doc_id % 50 = 0,
+    // a stand-in for an eval suite). Shingles are the scan-local 60-bit
+    // hashes; the membership test is a LEFT SEMI join on longs. At 100 TB
+    // the benchmark hash set is small and broadcasts — contamination
+    // checking is a map-side filter over the corpus. ----
+    QueryDef("q57_decontaminate", decontaminateOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val sh = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(expr("graft_shingle_hashes(text)")).as("h"))
+      val benchHashes = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("h")).distinct()
+      val train = sh.filter(col("doc_id") % 50 =!= 0)
+      val contaminated = train
+        .join(broadcast(benchHashes), Seq("h"), "left_semi")
+        .select(col("doc_id"), col("lang")).distinct()
+      val trainDocs = T(s, dir, "documents")
+        .filter(col("doc_id") % 50 =!= 0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_train"))
+      val contamCounts = contaminated
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_contaminated"))
+      trainDocs.join(contamCounts, Seq("lang"), "left")
+        .select(col("lang"), col("n_train"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- within-document repetition: duplicate word-3-gram ratio per
+    // document (1 - distinct/total), a standard boilerplate/spam signal.
+    // Entirely scan-local — two array functions over the shingle-hash
+    // kernel, then one small aggregate. ----
+    QueryDef("q58_repetition", repetitionOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      T(s, dir, "documents")
+        .select(col("lang"), expr("graft_shingle_hashes(text)").as("hs"))
+        .filter(col("hs").isNotNull)
+        .select(col("lang"), size(col("hs")).as("total"),
+          size(array_distinct(col("hs"))).as("uniq"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("total")).as("sum_shingles"),
+          sum(col("total") - col("uniq")).as("sum_dups"),
+          round(avg(lit(1.0) - col("uniq").cast(DoubleType) / col("total")), 6)
+            .as("avg_dup_ratio"))
+        .orderBy(col("lang"))
+    },
+
     // ---- q42 via the native Catalyst cosine_similarity Expression
     // (graft.functions.CosineSimilarity, whole-stage-codegen'd): same
     // oracle as q42 — the two implementations must agree bit-for-bit.
@@ -837,6 +886,48 @@ object Pipeline {
       |  CAST(df AS BIGINT) AS df, tfidf
       |FROM r WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
+
+  /** DuckDB mirror of q57: same hashed shingles (Sketches.shingleHashes),
+    * same benchmark split, membership via IN instead of the semi join. */
+  private def decontaminateOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS h
+      |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
+      |  WHERE len(ws) >= 3),
+      |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+      |contam AS (
+      |  SELECT DISTINCT doc_id, lang FROM sh
+      |  WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM bench)),
+      |train AS (
+      |  SELECT lang, COUNT(*) AS n_train FROM documents
+      |  WHERE doc_id % 50 <> 0 GROUP BY lang),
+      |cc AS (SELECT lang, COUNT(*) AS n_contaminated FROM contam GROUP BY lang)
+      |SELECT train.lang, train.n_train,
+      |  COALESCE(cc.n_contaminated, 0) AS n_contaminated
+      |FROM train LEFT JOIN cc USING (lang)
+      |ORDER BY lang""".stripMargin
+
+  /** DuckDB mirror of q58 (per-document duplicate-shingle ratio). */
+  private def repetitionOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS h
+      |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
+      |  WHERE len(ws) >= 3),
+      |per AS (
+      |  SELECT doc_id, lang, COUNT(*) AS total, COUNT(DISTINCT h) AS uniq
+      |  FROM sh GROUP BY doc_id, lang)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(total) AS BIGINT) AS sum_shingles,
+      |  CAST(SUM(total - uniq) AS BIGINT) AS sum_dups,
+      |  round(AVG(1.0 - uniq::DOUBLE / total), 6) AS avg_dup_ratio
+      |FROM per GROUP BY lang
+      |ORDER BY lang""".stripMargin
 
   /** DuckDB mirror of q41, generated from the same hash-family constants
     * so both engines are in lockstep by construction. */
