@@ -121,6 +121,41 @@ object Streaming {
         .orderBy(col("hour_start"), col("event_type"))
     },
 
+    // Watermarked streaming dedup (dropDuplicatesWithinWatermark) over the
+    // NATS source: replayed ids across the stream are emitted exactly once.
+    // The at-least-once answer to the bus's fire-and-forget delivery — the
+    // pattern a real pipeline pairs with the (beyond-parity) NATS sink.
+    QueryDef.noBench("q39_stream_dedup", canonicalOracle) { (s, _) =>
+      val url = s"memory://q39-${UUID.randomUUID()}"
+      val sink = s"nats_dedup_sink_${sinkId.incrementAndGet()}"
+      val conn = NatsTransport.connect(url)
+      val dupSchema = StructType(Seq(
+        StructField("ts", TimestampType, nullable = false),
+        StructField("id", IntegerType, nullable = false),
+        StructField("name", StringType, nullable = false)))
+      val q = s.readStream.format("nats").schema(dupSchema)
+        .option("url", url).option("subject", "dup_subject")
+        .option("batchSize", "7") // full-batch admission: deterministic
+        .load()
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("id")
+        .select(col("id"), col("name"))
+        .writeStream.format("memory").queryName(sink).start()
+      try {
+        NatsDemo.awaitSubscriber(url, "dup_subject")
+        Seq("2024-01-01 10:00:00,1,apple", "2024-01-01 10:00:01,1,apple",
+          "2024-01-01 10:00:02,2,banana", "2024-01-01 10:00:03,1,apple",
+          "2024-01-01 10:00:04,2,banana", "2024-01-01 10:00:05,3,orange",
+          "2024-01-01 10:00:06,3,orange")
+          .foreach(m => conn.publish("dup_subject", m.getBytes))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        conn.close()
+      }
+      s.sql(s"SELECT id, name FROM $sink ORDER BY id")
+    },
+
     // Sliding (hopping) event-time windows: duration 1 h, slide 30 min —
     // every event lands in exactly two windows. Oracle: each event is
     // duplicated into its two 30-min-aligned window starts via unnest,

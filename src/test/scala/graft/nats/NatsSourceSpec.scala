@@ -196,6 +196,45 @@ class NatsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally stop.set(true)
   }
 
+  test("numPartitions > 1: a planned batch splits for parallel executor-side decode") {
+    val url = freshBus()
+    val stream = new NatsMicroBatchStream(schema, schema, Array.empty,
+      NatsOptions(url, "chunks", batchSize = 8, flushTimeoutMs = 1000L,
+        maxBufferSize = 10000, stopAtRows = None, collectTimeoutMs = 5000L,
+        numPartitions = 4))
+    val conn = NatsTransport.connect(url)
+    try {
+      (1 to 8).foreach(i => conn.publish("chunks", s"$i,r$i".getBytes))
+      val deadline = System.currentTimeMillis() + 5000
+      var end = stream.latestOffset().asInstanceOf[NatsOffset]
+      while (end.count < 8 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(20)
+        end = stream.latestOffset().asInstanceOf[NatsOffset]
+      }
+      assert(end.count === 8, "ledger did not absorb all 8 messages")
+      val parts = stream.planInputPartitions(NatsOffset(0), end)
+      assert(parts.length === 4, s"expected 4 slices, got ${parts.length}")
+    } finally { stream.stop(); conn.close() }
+  }
+
+  test("numPartitions > 1 E2E: parallel decode delivers every row exactly once") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val df = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "par")
+      .option("batchSize", "8").option("numPartitions", "4")
+      .load()
+    val q = df.writeStream.format("memory").queryName("nats_par").start()
+    try {
+      awaitSubscriber(url, "par")
+      (1 to 8).foreach(i => conn.publish("par", s"$i,row$i".getBytes))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id FROM nats_par ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq
+      assert(rows === (1 to 8))
+    } finally { q.stop(); conn.close() }
+  }
+
   test("restart from a foreign checkpoint fails fast instead of silently regressing offsets") {
     // A fresh stream whose ledger has seen nothing, handed a checkpointed
     // offset from a previous run: latestOffset must throw, not return an
