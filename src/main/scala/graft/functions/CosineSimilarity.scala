@@ -141,7 +141,8 @@ object GraftFunctions {
     unary("graft_minhash_sig", MinHashSignature),
     unary("graft_shingle_hashes", ShingleHashes),
     unary("graft_lsh_buckets", LshBuckets),
-    unary("graft_text_counts", TextCounts))
+    unary("graft_text_counts", TextCounts),
+    unary("graft_minhash_agg", (c: Expression) => MinHashAgg(c)))
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(

@@ -677,6 +677,34 @@ object Pipeline {
         .orderBy(col("lang"))
     },
 
+    // ---- behavioral similarity via GROUP-level MinHash: each user's
+    // event set (event_type + floored value buckets) is aggregated into a
+    // K-permutation signature by the custom TypedImperativeAggregate
+    // graft_minhash_agg — ONE long[K] buffer per group with map-side
+    // partial aggregation, so the shuffle carries one signature per
+    // (partition, user), never the items. Band join then surfaces
+    // users with similar behavior; never all-pairs. ----
+    QueryDef("q59_user_minhash", userMinhashOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val items = T(s, dir, "events")
+        .select(col("user_id"),
+          (conv(substring(md5(concat(col("event_type"), lit("_"),
+            floor(col("value")).cast(LongType))), 1, 15), 16, 10)
+            .cast(LongType) % P).as("hp"))
+      val sig = items.groupBy(col("user_id"))
+        .agg(expr("graft_minhash_agg(hp)").as("sig"))
+      val bandRows = sig.select(col("user_id"),
+        expr(bands.zipWithIndex.map { case ((x, y), j) =>
+          s"$j, concat(sig[$x], '_', sig[$y])"
+        }.mkString(s"stack(${bands.size}, ", ", ", ") as (band, key)")))
+      val a = bandRows.as("a"); val b = bandRows.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+        .distinct()
+        .orderBy(col("user_a"), col("user_b"))
+    },
+
     // ---- q42 via the native Catalyst cosine_similarity Expression
     // (graft.functions.CosineSimilarity, whole-stage-codegen'd): same
     // oracle as q42 — the two implementations must agree bit-for-bit.
@@ -928,6 +956,31 @@ object Pipeline {
       |  round(AVG(1.0 - uniq::DOUBLE / total), 6) AS avg_dup_ratio
       |FROM per GROUP BY lang
       |ORDER BY lang""".stripMargin
+
+  /** DuckDB mirror of q59: the aggregate's semantics ARE K separate
+    * min((hp*a_k+b_k)%P) columns, which is exactly what the oracle
+    * computes — bit-identical by construction. */
+  private def userMinhashOracle: String = {
+    val minCols = (0 until K).map(i =>
+      s"min((hp * ${hashA(i)} + ${hashB(i)}) % $P) AS m$i").mkString(",\n        ")
+    val bandSelects = bands.zipWithIndex.map { case ((x, y), j) =>
+      s"SELECT user_id, $j AS band, m$x || '_' || m$y AS key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH items AS (
+       |  SELECT user_id,
+       |    ('0x' || substr(md5(event_type || '_' || CAST(floor(value) AS BIGINT)), 1, 15))::BIGINT % $P AS hp
+       |  FROM events),
+       |mh AS (
+       |  SELECT user_id,
+       |        $minCols
+       |  FROM items GROUP BY user_id),
+       |bands AS (
+       |  $bandSelects)
+       |SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.user_id < b.user_id
+       |ORDER BY user_a, user_b""".stripMargin
+  }
 
   /** DuckDB mirror of q41, generated from the same hash-family constants
     * so both engines are in lockstep by construction. */

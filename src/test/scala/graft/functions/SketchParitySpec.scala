@@ -136,6 +136,25 @@ class SketchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(newWay === oldWay)
   }
 
+  test("graft_minhash_agg equals K separate min() aggregates (incl. the merge path)") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      // 8 input partitions force partial buffers + merge() before final eval
+      .repartition(8)
+      .select(col("user_id"),
+        (conv(substring(md5(concat(col("event_type"), lit("_"),
+          floor(col("value")).cast(LongType))), 1, 15), 16, 10)
+          .cast(LongType) % P).as("hp"))
+    val viaMins = events.groupBy(col("user_id"))
+      .agg(min((col("hp") * Sketches.hashA(0) + Sketches.hashB(0)) % P).as("m0"),
+        (1 until K).map(i =>
+          min((col("hp") * Sketches.hashA(i) + Sketches.hashB(i)) % P).as(s"m$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to K).map(r.getLong).toSeq).toMap
+    val viaAgg = events.groupBy(col("user_id"))
+      .agg(expr("graft_minhash_agg(hp)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg === viaMins)
+  }
+
   test("graft_text_counts equals split/filter/regexp_extract_all formulation") {
     val markers = Seq("en" -> "the", "de" -> "der", "es" -> "el", "fr" -> "le", "zh" -> "的")
     val base = docs
