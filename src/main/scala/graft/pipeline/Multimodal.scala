@@ -61,4 +61,50 @@ object Multimodal {
     import media.sparkSession.implicits._
     extractFeatures(media.as[Media]).toDF()
   }
+
+  /** One sampled frame after decode → resize → frame-sample. */
+  final case class Frame(
+      doc_id: Long, format: String, frame_idx: Int,
+      scaled_w: Int, scaled_h: Int, frame_hash: Long)
+
+  /** Aspect-preserving resize to a max dimension of `target` (no-op when
+    * already within bounds). Pure integer/double arithmetic kept
+    * SQL-expressible for the oracle. */
+  def resizeStub(w: Int, h: Int, target: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    if (m <= target) (w, h)
+    else (math.floor(w * target.toDouble / m).toInt,
+      math.floor(h * target.toDouble / m).toInt)
+  }
+
+  /** STUB frame content hash: 60-bit md5 prefix of "md5hex(payload)_idx" —
+    * what a real pipeline would compute over decoded frame bytes. */
+  def frameHash(payload: Array[Byte], frameIdx: Int): Long =
+    graft.functions.Sketches.md5Prefix60(
+      s"${md5Hex(payload)}_$frameIdx".getBytes("UTF-8"))
+
+  /** decode → resize → sample every `everyNth` frame, as a row-EXPANDING
+    * iterator-to-iterator pass (flatMap): one media row yields
+    * ceil(n_frames / everyNth) frame rows without materializing a
+    * partition — the batch shape real video frame extraction needs.
+    * Frame indices are 1-based; sampling keeps 1, 1+everyNth, ...
+    */
+  def sampleFrames(media: Dataset[Media], target: Int, everyNth: Int): Dataset[Frame] = {
+    require(target > 0 && everyNth > 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val (w, h, f) = decodeStub(m.payload)
+        val (sw, sh) = resizeStub(w, h, target)
+        (1 to f).iterator
+          .filter(i => (i - 1) % everyNth == 0)
+          .map(i => Frame(m.doc_id, m.format, i, sw, sh, frameHash(m.payload, i)))
+      }
+    }
+  }
+
+  def sampleFramesDf(media: DataFrame, target: Int, everyNth: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    sampleFrames(media.as[Media], target, everyNth).toDF()
+  }
 }

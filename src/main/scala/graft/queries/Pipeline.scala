@@ -705,6 +705,29 @@ object Pipeline {
         .orderBy(col("user_a"), col("user_b"))
     },
 
+    // ---- multimodal stage 2: decode -> aspect-preserving resize (max dim
+    // 224) -> every-2nd-frame sampling, as a row-EXPANDING mapPartitions
+    // pass (one media row -> ceil(n_frames/2) frame rows, streamed
+    // iterator-to-iterator). The oracle replays the stub arithmetic and
+    // checksums sampled frame hashes with bit_xor (order-independent). ----
+    QueryDef("q60_multimodal_frames", framesOracle) { (s, dir) =>
+      val media = T(s, dir, "documents")
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          when(col("doc_id") % 3 === 0, "png")
+            .when(col("doc_id") % 3 === 1, "jpeg")
+            .otherwise("wav").as("format"))
+      val frames = graft.pipeline.Multimodal.sampleFramesDf(media, 224, 2)
+      frames.groupBy(col("format"))
+        .agg(
+          count(lit(1)).as("n_frames_sampled"),
+          count_distinct(col("doc_id")).as("n_media"),
+          (sum(col("scaled_w")).cast(DoubleType) / count(lit(1))).as("avg_w"),
+          (sum(col("scaled_h")).cast(DoubleType) / count(lit(1))).as("avg_h"),
+          expr("bit_xor(frame_hash)").as("frames_checksum"))
+        .orderBy(col("format"))
+    },
+
     // ---- q42 via the native Catalyst cosine_similarity Expression
     // (graft.functions.CosineSimilarity, whole-stage-codegen'd): same
     // oracle as q42 — the two implementations must agree bit-for-bit.
@@ -981,6 +1004,44 @@ object Pipeline {
        |  ON a.band = b.band AND a.key = b.key AND a.user_id < b.user_id
        |ORDER BY user_a, user_b""".stripMargin
   }
+
+  /** DuckDB mirror of q60: replays the decode/resize/sample stub
+    * arithmetic (Multimodal.decodeStub / resizeStub / frameHash) in SQL. */
+  private def framesOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |         WHEN doc_id % 3 = 1 THEN 'jpeg'
+      |         ELSE 'wav' END AS format
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, text, format,
+      |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h1
+      |  FROM m),
+      |g AS (
+      |  SELECT doc_id, text, format,
+      |    64 + h1 % 193 AS w, 64 + (h1 // 193) % 193 AS h,
+      |    1 + h1 % 7 AS n_frames
+      |  FROM f),
+      |r AS (
+      |  SELECT doc_id, text, format, n_frames,
+      |    CASE WHEN greatest(w, h) <= 224 THEN w
+      |         ELSE CAST(floor(w * 224.0 / greatest(w, h)) AS BIGINT) END AS scaled_w,
+      |    CASE WHEN greatest(w, h) <= 224 THEN h
+      |         ELSE CAST(floor(h * 224.0 / greatest(w, h)) AS BIGINT) END AS scaled_h
+      |  FROM g),
+      |fr AS (
+      |  SELECT doc_id, format, scaled_w, scaled_h,
+      |    ('0x' || substr(md5(md5(text) || '_' || i), 1, 15))::BIGINT AS frame_hash
+      |  FROM r, unnest(generate_series(1, n_frames)) AS u(i)
+      |  WHERE (i - 1) % 2 = 0)
+      |SELECT format, COUNT(*) AS n_frames_sampled,
+      |  COUNT(DISTINCT doc_id) AS n_media,
+      |  CAST(SUM(scaled_w) AS DOUBLE) / COUNT(*) AS avg_w,
+      |  CAST(SUM(scaled_h) AS DOUBLE) / COUNT(*) AS avg_h,
+      |  bit_xor(frame_hash) AS frames_checksum
+      |FROM fr GROUP BY format
+      |ORDER BY format""".stripMargin
 
   /** DuckDB mirror of q41, generated from the same hash-family constants
     * so both engines are in lockstep by construction. */

@@ -32,6 +32,40 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w1 >= 64 && w1 < 257 && h1 >= 64 && h1 < 257 && f1 >= 1 && f1 <= 7)
   }
 
+  test("resizeStub preserves aspect within bounds and never exceeds the target") {
+    // no-op inside bounds
+    assert(Multimodal.resizeStub(100, 224, 224) === ((100, 224)))
+    // downscale pins the max dimension to the target, floors the other
+    assert(Multimodal.resizeStub(256, 128, 224) === ((224, 112)))
+    val (w, h) = Multimodal.resizeStub(251, 173, 224)
+    assert(w === 224 && h === math.floor(173 * 224.0 / 251).toInt)
+    // exhaustive over the decoder's [64, 256] envelope: never exceeds 224
+    for (a <- 64 to 256; b <- Seq(64, 131, 224, 256)) {
+      val (x, y) = Multimodal.resizeStub(a, b, 224)
+      assert(x <= 224 && y <= 224, s"($a,$b) -> ($x,$y)")
+    }
+  }
+
+  test("sampleFrames expands rows iterator-to-iterator: ceil(n_frames/2) frames per media") {
+    import spark.implicits._
+    val media = (0L until 60L)
+      .map(i => Multimodal.Media(i, s"vid-$i".getBytes("UTF-8"), "wav"))
+      .toDS()
+      .repartition(5)
+    val frames = Multimodal.sampleFrames(media, 224, 2)
+    assert(frames.rdd.getNumPartitions === 5) // narrow: no shuffle
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    assert(byDoc.keySet === (0L until 60L).toSet)
+    byDoc.foreach { case (id, fs) =>
+      val (_, _, n) = Multimodal.decodeStub(s"vid-$id".getBytes("UTF-8"))
+      assert(fs.length === (n + 1) / 2, s"doc $id: n_frames=$n")
+      // sampled indices are 1, 3, 5, ... and hashes are deterministic
+      assert(fs.map(_.frame_idx).sorted.toSeq === (1 to n by 2).toSeq)
+      fs.foreach(f => assert(f.frame_hash ===
+        Multimodal.frameHash(s"vid-$id".getBytes("UTF-8"), f.frame_idx)))
+    }
+  }
+
   test("extractFeatures is partition-preserving and row-complete") {
     import spark.implicits._
     val media = (0L until 100L)
