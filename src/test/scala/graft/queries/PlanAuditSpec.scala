@@ -60,4 +60,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "nation/region should broadcast")
   }
+
+  test("co-located join: inputs pre-partitioned on the join key add no join-time shuffle") {
+    import org.apache.spark.sql.functions.col
+    // The pre-partitioning/bucketing pattern for repeated fact joins at
+    // scale: when both sides already share the join key's partitioning,
+    // the join must reuse it — a third exchange would mean Spark
+    // re-shuffles what we co-located deliberately.
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .repartition(8, col("o_custkey"))
+    // merge hint: at this fixture scale Spark would broadcast and hide
+    // the property under test (partitioning REUSE by a shuffle join)
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      .repartition(8, col("c_custkey"))
+      .hint("merge")
+    val plan = o.join(c, o("o_custkey") === c("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 2, s"expected only the 2 repartition exchanges:\n$plan")
+  }
 }
