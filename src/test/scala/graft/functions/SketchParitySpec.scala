@@ -155,6 +155,76 @@ class SketchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaAgg === viaMins)
   }
 
+  test("kernels match SQL formulations on adversarial strings (empty tokens, unicode, case)") {
+    import spark.implicits._
+    // Edge cases fixture text never exercises: leading/trailing/repeated
+    // spaces (empty tokens), uppercase (Unicode lowercasing), multi-byte
+    // and supplementary characters, single-token and empty-ish strings.
+    val edge = Seq(
+      "", " ", "  ", "a", "a b", "a  b", " a b ", "A B C", "ÄÖÜ ss ß",
+      "的 的 的 x", "😀 😀 a b", "the the the der el", "1 2 3 4 5",
+      "a\tb c d", "MiXeD CaSe MiXeD CaSe Mi")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // simhash
+    val tokens = edge
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType).as("hb"))
+    val bitSums = tokens.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        (0 until Sketches.SIMBITS).map(i =>
+          sum(expr(s"shiftright(hb, $i) % 2")).as(s"bs$i")): _*)
+    val simOld = bitSums.select(col("doc_id"),
+        (0 until Sketches.SIMBITS)
+          .map(i => when(col(s"bs$i") * 2 > col("n"), 1L << i).otherwise(0L))
+          .reduce(_ + _).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val simNew = edge.select(col("doc_id"), expr("graft_simhash32(text)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(simNew === simOld)
+    // minhash signature (incl. null for < 3 tokens)
+    val words = edge
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val mhOld = words
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ws")) - 2)).as("i"), col("ws"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("ws"), col("i")),
+        element_at(col("ws"), col("i") + 1),
+        element_at(col("ws"), col("i") + 2)).as("s"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast(LongType) % P).as("hp"))
+      .groupBy(col("doc_id"))
+      .agg(min((col("hp") * Sketches.hashA(0) + Sketches.hashB(0)) % P).as("m0"),
+        (1 until K).map(i =>
+          min((col("hp") * Sketches.hashA(i) + Sketches.hashB(i)) % P).as(s"m$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to K).map(r.getLong).toSeq).toMap
+    val mhNew = edge
+      .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(mhNew === mhOld)
+    // text counts
+    val markers = Seq("en" -> "the", "de" -> "der", "es" -> "el", "fr" -> "le", "zh" -> "的")
+    val base = edge
+      .withColumn("ws", split(lower(col("text")), " "))
+      .withColumn("n_tok", size(col("ws")))
+      .withColumn("n_rgx",
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+    val tcOld = markers.foldLeft(base) { case (df, (code, word)) =>
+        df.withColumn(s"c_$code", size(filter(col("ws"), w => w === word)))
+      }
+      .select(col("doc_id"), col("n_tok"), col("n_rgx"),
+        col("c_en"), col("c_de"), col("c_es"), col("c_fr"), col("c_zh"))
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 7).map(i => r.getInt(i).toLong).toSeq).toMap
+    val tcNew = edge.select(col("doc_id"), expr("graft_text_counts(text)").as("tc"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(tcNew === tcOld)
+  }
+
   test("graft_text_counts equals split/filter/regexp_extract_all formulation") {
     val markers = Seq("en" -> "the", "de" -> "der", "es" -> "el", "fr" -> "le", "zh" -> "的")
     val base = docs

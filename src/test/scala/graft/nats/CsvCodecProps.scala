@@ -78,4 +78,10 @@ object CsvCodecProps extends Properties("CsvCodec") {
     Prop.forAll(Gen.alphaNumStr) { s =>
       strC.encode(Array[Any](UTF8String.fromString(s + "," + s))).isLeft
     }
+
+  property("sub-second timestamps are never encodable (error-not-silent)") =
+    Prop.forAll(Gen.choose(-2000000000L, 2000000000L), Gen.choose(1L, 999999L)) {
+      (epochSec, subMicros) =>
+        tsC.encode(Array[Any](epochSec * 1000000L + subMicros)).isLeft
+    }
 }
