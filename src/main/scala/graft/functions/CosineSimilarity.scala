@@ -122,7 +122,7 @@ object GraftFunctions {
     classOf[CosineSimilarity].getName, null, "cosine_similarity",
     "_FUNC_(a, b) - cosine similarity of two float vectors", "")
 
-  private val cosineBuilder: Seq[Expression] => Expression = {
+  private[functions] val cosineBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => CosineSimilarity(a, b)
     case other => throw new IllegalArgumentException(
       s"cosine_similarity expects 2 arguments, got ${other.size}")
@@ -165,7 +165,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (FunctionIdentifier("cosine_similarity"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_similarity"),
-        { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) }))
+        GraftFunctions.cosineBuilder)) // arity-checked, same as register()
     GraftFunctions.injectables.foreach(ext.injectFunction)
   }
 }

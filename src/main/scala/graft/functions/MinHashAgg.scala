@@ -27,6 +27,10 @@ import org.apache.spark.sql.types._
   * — the formulation the DuckDB oracle uses — so results are bit-identical
   * by construction. Duplicate items are harmless (min over a multiset
   * equals min over its set), which is what makes signatures mergeable.
+  * Null inputs are skipped like SQL `min`; the one divergence is a group
+  * whose inputs are ALL null, which yields a Long.MaxValue-filled
+  * signature where SQL's min would be NULL — feed non-null hashes (our
+  * callers hash non-null columns, so the case cannot arise there).
   */
 case class MinHashAgg(
     child: Expression,
