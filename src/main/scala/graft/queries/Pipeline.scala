@@ -230,20 +230,24 @@ object Pipeline {
         .distinct()
       val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 4).select(col("s"))
-      val rareSh = sh.join(rare, "s")
-      val sizes = rareSh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val a = rareSh.as("a"); val b = rareSh.as("b")
-      val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // Per-doc rare-shingle count rides along as a window column, and the
+      // pair aggregation groups by it (nsh is functionally dependent on
+      // doc_id) — no separate `sizes` frame, so the inverted index is not
+      // recomputed for two extra join sides. Recompute is now bounded to
+      // the self-join's two sides, like every other sketch self-join here
+      // (at real scale you'd persist `rs` — it is the small derived index,
+      // not the corpus).
+      val wN = Window.partitionBy(col("doc_id"))
+      val rs = sh.join(rare, "s").withColumn("nsh", count(lit(1)).over(wN))
+      val a = rs.as("a"); val b = rs.as("b")
+      a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.nsh").as("na"), col("b.nsh").as("nb"))
         .agg(count(lit(1)).as("inter"))
         .filter(col("inter") >= 3)
-      inter
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"), col("inter"),
-          col("sa.nsh").as("na"), col("sb.nsh").as("nb"),
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
           round(col("inter").cast(DoubleType) /
-            (col("sa.nsh") + col("sb.nsh") - col("inter")), 6).as("jaccard"))
+            (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
