@@ -156,6 +156,54 @@ object Streaming {
       s.sql(s"SELECT id, name FROM $sink ORDER BY id")
     },
 
+    // Stream-stream inner join: two live NATS subjects joined on key
+    // within an event-time band (watermarks on both sides bound the join
+    // state — unbounded state is the classic stream-join failure mode at
+    // scale). Spark buffers both sides and emits as matches arrive.
+    QueryDef.noBench(
+      "q61_stream_stream_join",
+      """SELECT * FROM (VALUES (1, 'apple', 10), (2, 'banana', 20), (3, 'orange', 30))
+        |  AS t(id, name, amount)
+        |ORDER BY id""".stripMargin) { (s, _) =>
+      val url = s"memory://q61-${UUID.randomUUID()}"
+      val sink = s"nats_ssj_sink_${sinkId.incrementAndGet()}"
+      val conn = NatsTransport.connect(url)
+      val viewSchema = StructType(Seq(
+        StructField("vts", TimestampType, nullable = false),
+        StructField("id", IntegerType, nullable = false),
+        StructField("name", StringType, nullable = false)))
+      val clickSchema = StructType(Seq(
+        StructField("cts", TimestampType, nullable = false),
+        StructField("cid", IntegerType, nullable = false),
+        StructField("amount", IntegerType, nullable = false)))
+      def src(subject: String, schema: StructType) =
+        s.readStream.format("nats").schema(schema)
+          .option("url", url).option("subject", subject)
+          .option("batchSize", "3").load()
+      val views = src("views", viewSchema).withWatermark("vts", "10 minutes")
+      val clicks = src("clicks", clickSchema).withWatermark("cts", "10 minutes")
+      val q = views.join(clicks,
+          col("id") === col("cid") &&
+            col("cts") >= col("vts") && col("cts") <= col("vts") + expr("interval 1 hour"))
+        .select(col("id"), col("name"), col("amount"))
+        .writeStream.format("memory").queryName(sink).start()
+      try {
+        NatsDemo.awaitSubscriber(url, "views")
+        NatsDemo.awaitSubscriber(url, "clicks")
+        Seq("2024-01-01 10:00:00,1,apple", "2024-01-01 10:00:01,2,banana",
+          "2024-01-01 10:00:02,3,orange")
+          .foreach(m => conn.publish("views", m.getBytes))
+        Seq("2024-01-01 10:05:00,1,10", "2024-01-01 10:05:01,2,20",
+          "2024-01-01 10:05:02,3,30")
+          .foreach(m => conn.publish("clicks", m.getBytes))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        conn.close()
+      }
+      s.sql(s"SELECT id, name, amount FROM $sink ORDER BY id")
+    },
+
     // Sliding (hopping) event-time windows: duration 1 h, slide 30 min —
     // every event lands in exactly two windows. Oracle: each event is
     // duplicated into its two 30-min-aligned window starts via unnest,

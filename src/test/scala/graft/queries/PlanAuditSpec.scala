@@ -34,7 +34,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
   private val skip = Set(
-    "q30_nats_e2e", "q31_nats_stream", "q32_nats_sink_roundtrip", "q39_stream_dedup")
+    "q30_nats_e2e", "q31_nats_stream", "q32_nats_sink_roundtrip",
+    "q39_stream_dedup", "q61_stream_stream_join")
 
   test("no registered query plans a cartesian product or stray nested-loop join") {
     val offenders = Registry.all
