@@ -612,6 +612,52 @@ object Relational {
           sum(col("pc")).as("cnt"),
           sum(col("ps")).cast(DoubleType).as("sum_value"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- LATERAL correlated subquery: top-2 customers per nation —
+    // Catalyst decorrelates the per-row LATERAL LIMIT into a windowed
+    // rank under the hood (DecorrelateInnerQuery), so the plan is one
+    // shuffle, not a per-nation loop. ----
+    QueryDef(
+      "q62_lateral_join",
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin) { (s, dir) =>
+      Tables.register(s, dir, "nation", "customer")
+      s.sql(
+        """SELECT n.n_name, c.c_name, c.c_acctbal
+          |FROM nation n, LATERAL (
+          |  SELECT c_name, c_acctbal FROM customer
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+          |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin)
+    },
+
+    // ---- PIVOT: long-to-wide per-cohort event counts. Spark's
+    // relational pivot with an explicit value list (never inferred —
+    // value inference is a full extra pass at scale); the oracle is the
+    // equivalent portable CASE aggregation. ----
+    QueryDef(
+      "q63_pivot",
+      """SELECT user_id % 10 AS cohort,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events
+        |GROUP BY user_id % 10
+        |ORDER BY cohort""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("cohort", col("user_id") % 10)
+        .groupBy(col("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("cohort"))
     }
   )
 }
