@@ -37,6 +37,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q30_nats_e2e", "q31_nats_stream", "q32_nats_sink_roundtrip",
     "q39_stream_dedup", "q61_stream_stream_join")
 
+  test("registry names are unique and well-formed (duplicates would silently shadow in SparkEntry.queries)") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size === names.size,
+      s"duplicate names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    assert(names.forall(_.matches("q\\d+_[a-z0-9_]+")), names.filterNot(_.matches("q\\d+_[a-z0-9_]+")))
+  }
+
   test("no registered query plans a cartesian product or stray nested-loop join") {
     val offenders = Registry.all
       .filterNot(d => skip(d.name))
