@@ -658,6 +658,34 @@ object Relational {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy(col("cohort"))
+    },
+
+    // ---- UNPIVOT (melt): the wide-to-long inverse of q63 — pivot the
+    // cohort counts wide, then unpivot back to (cohort, event_type, cnt).
+    // Round-tripping through both relational reshapes pins that they are
+    // inverses; the oracle is the plain long-form GROUP BY. ----
+    QueryDef(
+      "q64_unpivot",
+      """SELECT user_id % 10 AS cohort, event_type, COUNT(*) AS cnt
+        |FROM events
+        |GROUP BY user_id % 10, event_type
+        |ORDER BY cohort, event_type""".stripMargin) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.load(s, dir, "events")
+        .withColumn("cohort", col("user_id") % 10)
+        .groupBy(col("cohort"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(
+          ids = Array(col("cohort")),
+          values = types.map(col).toArray,
+          variableColumnName = "event_type",
+          valueColumnName = "cnt")
+        // the fixture has every (cohort, type) populated; a 0 would mean a
+        // combination absent from the long form — drop to match GROUP BY
+        .filter(col("cnt") > 0)
+        .orderBy(col("cohort"), col("event_type"))
     }
   )
 }
