@@ -27,10 +27,12 @@ import org.apache.spark.sql.types._
   * — the formulation the DuckDB oracle uses — so results are bit-identical
   * by construction. Duplicate items are harmless (min over a multiset
   * equals min over its set), which is what makes signatures mergeable.
-  * Null inputs are skipped like SQL `min`; the one divergence is a group
-  * whose inputs are ALL null, which yields a Long.MaxValue-filled
-  * signature where SQL's min would be NULL — feed non-null hashes (our
-  * callers hash non-null columns, so the case cannot arise there).
+  * Null inputs are skipped exactly like SQL `min`, including the all-null
+  * group: a buffer no update ever touched evals to NULL, matching
+  * `array(min(h1), …)` over an all-null group. The sentinel is
+  * unambiguous because every real hash is `x % P` with P = 2^31-1, so
+  * |x| < P << Long.MaxValue — a slot can hold Long.MaxValue only if no
+  * input row was non-null.
   */
 case class MinHashAgg(
     child: Expression,
@@ -47,7 +49,7 @@ case class MinHashAgg(
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true // all-null group evals to NULL, like SQL min
   override def prettyName: String = "graft_minhash_agg"
 
   override def createAggregationBuffer(): Array[Long] = Array.fill(K)(Long.MaxValue)
@@ -75,7 +77,13 @@ case class MinHashAgg(
     buffer
   }
 
-  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer.clone())
+  override def eval(buffer: Array[Long]): Any = {
+    // Untouched sentinel: update() lowers every slot below P on the first
+    // non-null input, so slot 0 at Long.MaxValue means the group saw no
+    // non-null rows — return NULL, matching SQL min over an all-null group.
+    if (buffer(0) == Long.MaxValue) null
+    else new GenericArrayData(buffer.clone())
+  }
 
   override def serialize(buffer: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 * K)

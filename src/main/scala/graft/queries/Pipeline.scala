@@ -232,13 +232,15 @@ object Pipeline {
         .filter(col("df") <= 4).select(col("s"))
       // Per-doc rare-shingle count rides along as a window column, and the
       // pair aggregation groups by it (nsh is functionally dependent on
-      // doc_id) — no separate `sizes` frame, so the inverted index is not
-      // recomputed for two extra join sides. Recompute is now bounded to
-      // the self-join's two sides, like every other sketch self-join here
-      // (at real scale you'd persist `rs` — it is the small derived index,
-      // not the corpus).
+      // doc_id) — no separate `sizes` frame. The inverted index is
+      // persisted: it is the small derived structure (rare shingles only,
+      // 8-byte keys), and without the cache Spark recomputes the full
+      // corpus scan + shingle explode on BOTH sides of the self-join
+      // (alias ids differ, so no exchange reuse). PlanAuditSpec pins this:
+      // both join sides must be InMemoryTableScans.
       val wN = Window.partitionBy(col("doc_id"))
       val rs = sh.join(rare, "s").withColumn("nsh", count(lit(1)).over(wN))
+        .persist()
       val a = rs.as("a"); val b = rs.as("b")
       a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -155,6 +155,27 @@ class SketchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaAgg === viaMins)
   }
 
+  test("graft_minhash_agg over an all-null group is NULL, like SQL min") {
+    import spark.implicits._
+    val rows = Seq[(Long, Option[Long])](
+      (1L, None), (1L, None),              // all-null group
+      (2L, Some(7L)), (2L, None),          // mixed group: nulls skipped
+      (3L, Some(11L)), (3L, Some(13L)))    // no-null group
+      .toDF("g", "hp")
+      .repartition(4) // force partial buffers + merge() of untouched sentinels
+    val out = rows.groupBy(col("g"))
+      .agg(expr("graft_minhash_agg(hp)").as("sig"), min(col("hp")).as("m"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    // sig nullability tracks min() nullability exactly
+    assert(out === Map(1L -> (true, true), 2L -> (false, false), 3L -> (false, false)))
+    val sig2 = rows.filter(col("g") === 2L).groupBy(col("g"))
+      .agg(expr("graft_minhash_agg(hp)").as("sig"))
+      .collect().head.getSeq[Long](1)
+    val expected2 = (0 until Sketches.K)
+      .map(k => (7L * Sketches.hashA(k) + Sketches.hashB(k)) % Sketches.P)
+    assert(sig2 === expected2) // null rows contributed nothing
+  }
+
   test("kernels match SQL formulations on adversarial strings (empty tokens, unicode, case)") {
     import spark.implicits._
     // Edge cases fixture text never exercises: leading/trailing/repeated

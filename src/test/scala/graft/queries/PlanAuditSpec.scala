@@ -69,6 +69,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), "nation/region should broadcast")
   }
 
+  test("q45's inverted index is built once: both self-join sides scan the cache") {
+    // Without .persist() the rare-shingle index (corpus scan + shingle
+    // explode + df filter + window) is recomputed on each side of the
+    // self-join — alias ids differ, so AQE's exchange reuse never fires.
+    val plan = Registry.byName("q45_ngram_jaccard").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val imts = plan.split("\n").count(_.contains("InMemoryTableScan"))
+    assert(imts >= 2, s"expected both join sides to read the cached index:\n$plan")
+  }
+
   test("co-located join: inputs pre-partitioned on the join key add no join-time shuffle") {
     import org.apache.spark.sql.functions.col
     // The pre-partitioning/bucketing pattern for repeated fact joins at
