@@ -30,7 +30,9 @@ final case class NatsOptions(
     maxBufferSize: Int,
     stopAtRows: Option[Long],
     collectTimeoutMs: Long,
-    numPartitions: Int) extends Serializable
+    numPartitions: Int,
+    queueGroup: Option[String] = None,
+    queueSubscribers: Int = 2) extends Serializable
 
 object NatsOptions {
   def from(options: CaseInsensitiveStringMap): NatsOptions = {
@@ -48,7 +50,9 @@ object NatsOptions {
       maxBufferSize = options.getInt("maxBufferSize", 10000),
       stopAtRows = Option(options.get("stopAtRows")).map(_.toLong),
       collectTimeoutMs = options.getLong("collectTimeoutMs", 5000L),
-      numPartitions = options.getInt("numPartitions", 1))
+      numPartitions = options.getInt("numPartitions", 1),
+      queueGroup = Option(options.get("queueGroup")).filter(_.nonEmpty),
+      queueSubscribers = options.getInt("queueSubscribers", 2))
   }
 }
 
@@ -428,9 +432,23 @@ final class NatsMicroBatchStream(
   private val ledger = new MessageLedger(
     LedgerConfig(opts.batchSize, opts.flushTimeoutMs, opts.maxBufferSize))
   private val conn = NatsTransport.connect(opts.url)
-  private val sub = conn.subscribe(opts.subject) { payload =>
+  // Ledger appends are synchronized, so N concurrent queue members admit
+  // each message exactly once (each message reaches exactly one member).
+  private val onPayload: Array[Byte] => Unit = { payload =>
     ledger.append(new String(payload, java.nio.charset.StandardCharsets.UTF_8))
     ()
+  }
+  // Ingest scale-out (ADVICE r4 "What's missing" #2): with queueGroup set,
+  // N queue-group members split the subject instead of one subscription
+  // serializing it — core-NATS queue semantics, so the same option works
+  // against a real broker where members spread across consumer processes.
+  // (Replayable offsets would be JetStream durable consumers — out of
+  // scope for core-NATS parity; the fire-and-forget contract is unchanged.)
+  private val subs: Seq[NatsSubscription] = opts.queueGroup match {
+    case Some(g) =>
+      (1 to math.max(1, opts.queueSubscribers))
+        .map(_ => conn.subscribeQueue(opts.subject, g)(onPayload))
+    case None => Seq(conn.subscribe(opts.subject)(onPayload))
   }
   private var admitted = 0L
   // Highest offset ever handed back by deserializeOffset — on a restart
@@ -504,5 +522,5 @@ final class NatsMicroBatchStream(
     NatsOffset(count)
   }
 
-  override def stop(): Unit = { sub.close(); conn.close() }
+  override def stop(): Unit = { subs.foreach(_.close()); conn.close() }
 }

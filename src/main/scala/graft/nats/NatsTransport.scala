@@ -2,6 +2,7 @@ package graft.nats
 
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.CopyOnWriteArrayList
+import java.util.concurrent.atomic.AtomicLong
 
 /** Minimal NATS client surface the engine needs — the shape of the
   * reference's connection helpers (reference src/nats_connection.rs:4-12:
@@ -16,23 +17,103 @@ import java.util.concurrent.CopyOnWriteArrayList
 trait NatsConnection extends AutoCloseable {
   def publish(subject: String, payload: Array[Byte]): Unit
   def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription
+
+  /** Queue-group subscription (core NATS "queue subscribe"): members of
+    * the same group on a subject split its messages — each message is
+    * delivered to exactly one member. This is NATS' native scale-out for
+    * consumers, and the engine's path past a single-subscription ingest
+    * bottleneck (SURVEY §2.A1 note; ADVICE r4 "What's missing" #2).
+    */
+  def subscribeQueue(subject: String, group: String)(
+      handler: Array[Byte] => Unit): NatsSubscription
 }
 
 trait NatsSubscription extends AutoCloseable
 
 /** URL-scheme router. `memory://<busId>` connects to the in-process bus
-  * below; `nats://host:port` is reserved for a real jnats-backed
-  * connection (the client jar is not bundled in this offline build — the
-  * DSv2 machinery above this interface is transport-agnostic, which is
-  * the point of the seam).
+  * below; `nats://host:port` connects through the reflection-loaded jnats
+  * adapter when the client jar is on the classpath (it is not bundled in
+  * this offline build) — the DSv2 machinery above this interface is
+  * transport-agnostic, which is the point of the seam.
   */
 object NatsTransport {
   def connect(url: String): NatsConnection =
     if (url.startsWith("memory://")) InMemoryBus.connect(url.stripPrefix("memory://"))
-    else if (url.startsWith("nats://")) throw new UnsupportedOperationException(
-      s"jnats transport not bundled in this environment: $url " +
-        "(use memory://<busId>; the source machinery is identical)")
+    else if (url.startsWith("nats://")) {
+      if (JnatsTransport.isAvailable) JnatsTransport.connect(url)
+      else throw new UnsupportedOperationException(
+        s"jnats client jar not on the classpath: $url — add io.nats:jnats " +
+          "to the classpath for live-broker connections, or use " +
+          "memory://<busId> (the source machinery is identical)")
+    }
     else throw new IllegalArgumentException(s"Unsupported NATS url: $url")
+}
+
+/** Reflection adapter over the official NATS Java client (jnats). The jar
+  * is not available in this offline build, so the adapter binds the public
+  * jnats API (`io.nats.client.Nats.connect`, `Connection.createDispatcher`,
+  * `Dispatcher.subscribe(subject[, queueGroup])`, `Message.getData`) purely
+  * reflectively: it activates when a jnats jar is present and compiles /
+  * no-ops cleanly when it is not. Mirrors the reference's live-broker
+  * connection path (src/nats_connection.rs:4-12 via async-nats;
+  * exercised by tests/integration_test.rs:14).
+  *
+  * Each engine-level subscription gets its own jnats Dispatcher — jnats
+  * dispatchers deliver messages on their own thread, and per-subscription
+  * dispatchers keep `close()` scoped to one subscription, matching the
+  * in-memory bus' semantics.
+  */
+object JnatsTransport {
+  def isAvailable: Boolean =
+    try { Class.forName("io.nats.client.Nats"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  def connect(url: String): NatsConnection = new NatsConnection {
+    private val natsCls = Class.forName("io.nats.client.Nats")
+    private val connCls = Class.forName("io.nats.client.Connection")
+    private val dispatcherCls = Class.forName("io.nats.client.Dispatcher")
+    private val handlerCls = Class.forName("io.nats.client.MessageHandler")
+    private val msgGetData = Class.forName("io.nats.client.Message").getMethod("getData")
+    private val conn = natsCls.getMethod("connect", classOf[String]).invoke(null, url)
+    private val publishM = connCls.getMethod("publish", classOf[String], classOf[Array[Byte]])
+    private val createDispatcherM = connCls.getMethod("createDispatcher", handlerCls)
+    private val closeDispatcherM = connCls.getMethod("closeDispatcher", dispatcherCls)
+    private val subscribeM = dispatcherCls.getMethod("subscribe", classOf[String])
+    private val subscribeQueueM =
+      dispatcherCls.getMethod("subscribe", classOf[String], classOf[String])
+
+    private def handlerProxy(handler: Array[Byte] => Unit): AnyRef =
+      java.lang.reflect.Proxy.newProxyInstance(
+        handlerCls.getClassLoader,
+        Array(handlerCls),
+        (proxy, method, args) => method.getName match {
+          case "onMessage" =>
+            handler(msgGetData.invoke(args(0)).asInstanceOf[Array[Byte]]); null
+          case "hashCode" => Integer.valueOf(System.identityHashCode(proxy))
+          case "equals"   => java.lang.Boolean.valueOf(proxy eq args(0))
+          case "toString" => "graft.nats.JnatsTransport.MessageHandler"
+          case _          => null
+        })
+
+    private def dispatcherSub(subscribe: AnyRef => Unit)(
+        handler: Array[Byte] => Unit): NatsSubscription = {
+      val dispatcher = createDispatcherM.invoke(conn, handlerProxy(handler))
+      subscribe(dispatcher)
+      () => { closeDispatcherM.invoke(conn, dispatcher); () }
+    }
+
+    def publish(subject: String, payload: Array[Byte]): Unit =
+      publishM.invoke(conn, subject, payload)
+
+    def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription =
+      dispatcherSub(d => subscribeM.invoke(d, subject))(handler)
+
+    def subscribeQueue(subject: String, group: String)(
+        handler: Array[Byte] => Unit): NatsSubscription =
+      dispatcherSub(d => subscribeQueueM.invoke(d, subject, group))(handler)
+
+    def close(): Unit = connCls.getMethod("close").invoke(conn)
+  }
 }
 
 /** In-process fire-and-forget pub/sub broker, keyed by bus id so
@@ -43,12 +124,22 @@ object NatsTransport {
   * Delivery is synchronous on the publisher thread — the Spark-side
   * subscriber handler (MessageLedger.append) is O(1) and non-blocking,
   * matching NATS' requirement that callbacks not stall the client.
+  *
+  * Queue groups follow core-NATS semantics: plain subscribers each see
+  * every message; members of the same (subject, group) split messages so
+  * each message reaches exactly one member. NATS servers pick members
+  * pseudo-randomly; the bus round-robins — same exactly-one guarantee,
+  * deterministic for tests.
   */
 object InMemoryBus {
-  private final class Sub(val subject: String, val handler: Array[Byte] => Unit)
+  private final class Sub(
+      val subject: String,
+      val group: String, // null = plain (non-queue) subscription
+      val handler: Array[Byte] => Unit)
 
   private final class Bus {
     val subs = new CopyOnWriteArrayList[Sub]()
+    val rr = new ConcurrentHashMap[(String, String), AtomicLong]()
   }
 
   private val buses = new ConcurrentHashMap[String, Bus]()
@@ -68,13 +159,38 @@ object InMemoryBus {
   def connect(busId: String): NatsConnection = new NatsConnection {
     private val bus = buses.computeIfAbsent(busId, _ => new Bus)
 
-    def publish(subject: String, payload: Array[Byte]): Unit =
-      bus.subs.forEach(s => if (s.subject == subject) s.handler(payload))
+    def publish(subject: String, payload: Array[Byte]): Unit = {
+      var groups = Set.empty[String]
+      bus.subs.forEach { s =>
+        if (s.subject == subject) {
+          if (s.group == null) s.handler(payload)
+          else groups += s.group
+        }
+      }
+      // One delivery per queue group: round-robin over its members.
+      groups.foreach { g =>
+        val members = new java.util.ArrayList[Sub]()
+        bus.subs.forEach(s => if (s.subject == subject && s.group == g) members.add(s))
+        if (!members.isEmpty) {
+          val counter = bus.rr.computeIfAbsent((subject, g), _ => new AtomicLong)
+          val pick = (counter.getAndIncrement() % members.size()).toInt
+          members.get(pick).handler(payload)
+        }
+      }
+    }
 
-    def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription = {
-      val sub = new Sub(subject, handler)
+    private def add(sub: Sub): NatsSubscription = {
       bus.subs.add(sub)
       () => { bus.subs.remove(sub); () }
+    }
+
+    def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription =
+      add(new Sub(subject, null, handler))
+
+    def subscribeQueue(subject: String, group: String)(
+        handler: Array[Byte] => Unit): NatsSubscription = {
+      require(group != null && group.nonEmpty, "queue group must be non-empty")
+      add(new Sub(subject, group, handler))
     }
 
     def close(): Unit = () // bus outlives connections, like a broker

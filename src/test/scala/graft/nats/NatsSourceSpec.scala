@@ -235,6 +235,33 @@ class NatsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); conn.close() }
   }
 
+  test("queueGroup ingest: N group members split the subject, ledger admits each row exactly once") {
+    // Ingest scale-out (SURVEY §2.A1 note): with queueGroup set, the stream
+    // opens N queue-group subscriptions instead of one — on a real broker
+    // these spread load across consumers; semantics (exactly-once per
+    // message into the ledger) must be identical to the single-sub path.
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val df = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "qg")
+      .option("batchSize", "9")
+      .option("queueGroup", "ingest").option("queueSubscribers", "3")
+      .load()
+    val q = df.writeStream.format("memory").queryName("nats_qg").start()
+    try {
+      awaitSubscriber(url, "qg")
+      // all 3 members must be live before publishing (fire-and-forget bus)
+      val deadline = System.currentTimeMillis() + 10000
+      while (InMemoryBus.subscriberCount(url.stripPrefix("memory://"), "qg") < 3 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(10)
+      (1 to 9).foreach(i => conn.publish("qg", s"$i,row$i".getBytes))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id FROM nats_qg ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq
+      assert(rows === (1 to 9), "each message must be admitted exactly once across members")
+    } finally { q.stop(); conn.close() }
+  }
+
   test("restart from a foreign checkpoint fails fast instead of silently regressing offsets") {
     // A fresh stream whose ledger has seen nothing, handed a checkpointed
     // offset from a previous run: latestOffset must throw, not return an

@@ -1,0 +1,103 @@
+package graft.nats
+
+import java.util.UUID
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Transport-layer semantics: core-NATS queue groups on the in-process bus
+  * (each message reaches exactly one member per group; plain subscribers
+  * still see everything) and the jnats reflection adapter's availability
+  * gate. The live-broker test mirrors the reference's own integration test
+  * (tests/integration_test.rs:14-76) and is skipped cleanly when the jnats
+  * jar / a broker is absent — which is the case in this offline build.
+  */
+class NatsTransportSpec extends AnyFunSuite {
+
+  private def freshBus(): String = "memory://transport-" + UUID.randomUUID()
+
+  test("queue group: members split a subject, each message delivered to exactly one member") {
+    val conn = NatsTransport.connect(freshBus())
+    try {
+      val a = new AtomicInteger(); val b = new AtomicInteger()
+      val all = new AtomicInteger()
+      val subA = conn.subscribeQueue("work", "g1")(_ => a.incrementAndGet())
+      val subB = conn.subscribeQueue("work", "g1")(_ => b.incrementAndGet())
+      val plain = conn.subscribe("work")(_ => all.incrementAndGet())
+      (1 to 10).foreach(i => conn.publish("work", s"m$i".getBytes))
+      // exactly-one per group: the two members partition the 10 messages
+      assert(a.get + b.get === 10)
+      // bus round-robins deterministically -> an even split
+      assert(a.get === 5 && b.get === 5)
+      // plain (non-queue) subscription is unaffected: sees every message
+      assert(all.get === 10)
+      subA.close(); subB.close(); plain.close()
+    } finally conn.close()
+  }
+
+  test("queue group: independent groups each receive the full stream once") {
+    val conn = NatsTransport.connect(freshBus())
+    try {
+      val g1 = new AtomicInteger(); val g2 = new AtomicInteger()
+      val s1 = conn.subscribeQueue("fanout", "g1")(_ => g1.incrementAndGet())
+      val s2 = conn.subscribeQueue("fanout", "g1")(_ => g1.incrementAndGet())
+      val s3 = conn.subscribeQueue("fanout", "g2")(_ => g2.incrementAndGet())
+      (1 to 6).foreach(i => conn.publish("fanout", s"m$i".getBytes))
+      assert(g1.get === 6, "group g1 (2 members) must receive each message exactly once")
+      assert(g2.get === 6, "group g2 (1 member) must receive each message exactly once")
+      Seq(s1, s2, s3).foreach(_.close())
+    } finally conn.close()
+  }
+
+  test("queue group: a closed member stops receiving; survivors absorb the full stream") {
+    val conn = NatsTransport.connect(freshBus())
+    try {
+      val a = new AtomicInteger(); val b = new AtomicInteger()
+      val subA = conn.subscribeQueue("drain", "g")(_ => a.incrementAndGet())
+      val subB = conn.subscribeQueue("drain", "g")(_ => b.incrementAndGet())
+      (1 to 4).foreach(i => conn.publish("drain", s"m$i".getBytes))
+      subA.close()
+      val aAtClose = a.get
+      (5 to 8).foreach(i => conn.publish("drain", s"m$i".getBytes))
+      assert(a.get === aAtClose, "closed member must not receive further messages")
+      assert(a.get + b.get === 8, "survivor must absorb the remainder exactly once")
+      subB.close()
+    } finally conn.close()
+  }
+
+  test("queue group requires a non-empty group name") {
+    val conn = NatsTransport.connect(freshBus())
+    try intercept[IllegalArgumentException](conn.subscribeQueue("s", "")(_ => ()))
+    finally conn.close()
+  }
+
+  test("nats:// without the jnats jar fails with an actionable classpath message") {
+    assume(!JnatsTransport.isAvailable, "jnats jar present — gated live test covers this path")
+    val e = intercept[UnsupportedOperationException](
+      NatsTransport.connect("nats://localhost:4222"))
+    assert(e.getMessage.contains("io.nats:jnats"))
+    assert(e.getMessage.contains("memory://"))
+  }
+
+  test("unknown scheme is rejected") {
+    intercept[IllegalArgumentException](NatsTransport.connect("kafka://x"))
+  }
+
+  // ---- live-broker E2E (reference tests/integration_test.rs:14-76) ----
+  // Activates only when a jnats jar is on the classpath AND a broker
+  // answers on localhost:4222; cancels (reported as a skip) otherwise.
+  test("jnats live round-trip: publish/subscribe through a real broker") {
+    assume(JnatsTransport.isAvailable, "jnats client jar not on the classpath")
+    val conn =
+      try NatsTransport.connect("nats://localhost:4222")
+      catch { case e: Exception => cancel(s"no live NATS broker on localhost:4222: $e") }
+    try {
+      val seen = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val sub = conn.subscribe("graft.it")(p => seen.put(new String(p, "UTF-8")))
+      Seq("1,apple", "2,banana", "3,orange").foreach(m => conn.publish("graft.it", m.getBytes))
+      val got = (1 to 3).map(_ => seen.poll(5, java.util.concurrent.TimeUnit.SECONDS))
+      assert(got.toSet === Set("1,apple", "2,banana", "3,orange"))
+      sub.close()
+    } finally conn.close()
+  }
+}
