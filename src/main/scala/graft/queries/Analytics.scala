@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Round-5 batch-analytics and data-governance extensions.
+  *
+  * Two themes, both 100 TB-shaped:
+  *
+  *  1. *Storage-layout-aware execution* — the levers a real cluster pulls
+  *     to kill shuffles before they happen: bucketed co-located joins
+  *     (q65) and contiguous global-ID assignment without a single global
+  *     window (q73). On a 1000-executor cluster these are the difference
+  *     between a map-side merge and re-shuffling the fact table on every
+  *     query.
+  *
+  *  2. *Training-data governance* — PII redaction (q66), stratified
+  *     sampling (q67), semi-structured JSON extraction (q68), batch
+  *     sessionization (q69), histogramming (q70), z-score anomaly
+  *     flagging (q71), per-class embedding centroids (q72). All
+  *     scan-local or single-keyed-shuffle plans.
+  *
+  * Cross-engine determinism follows the repo contract (QueryDef scaladoc):
+  * every column aliased, total ORDER BY, integer arithmetic or
+  * round(x, 4..6) on anything that crossed a float aggregation.
+  */
+object Analytics {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  // PII patterns shared by the Spark plan and the DuckDB oracle (both are
+  // RE2-compatible: no backrefs, no lookaround — Java regex and RE2 agree
+  // on every string for this subset, and `\d` is ASCII-only in both).
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?\\d[\\d-]{7,}\\d"
+
+  // Session gap for q69 (seconds). Computed on floor-to-second epochs so
+  // both engines see identical integer gaps.
+  private val SessionGapSec = 3600L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q65: bucketed co-located join --------------------------------
+    // THE canonical 100 TB join fix: pre-bucket both sides on the join
+    // key (same bucket count) so every subsequent join is a map-side
+    // sort-merge with ZERO Exchange on either input — at cluster scale
+    // this turns an every-query 100 TB fact-table shuffle into a
+    // write-once layout decision. StorageLayoutSpec asserts the plan has
+    // no exchange under the join. The `merge` hint pins SMJ so the
+    // bucketed layout (not a small-table broadcast) is what's exercised.
+    QueryDef(
+      "q65_bucketed_join",
+      """SELECT c.c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val root = graft.BuildPaths.scratch("bucketed")
+      // Write-once layout step (idempotent overwrite; external path so the
+      // plan is cwd-independent). 8 buckets here; a cluster would use
+      // hundreds sized to executor count.
+      T(s, dir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$root/graft_bkt_customer")
+        .format("parquet").saveAsTable("graft_bkt_customer")
+      T(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$root/graft_bkt_orders")
+        .format("parquet").saveAsTable("graft_bkt_orders")
+      val c = s.table("graft_bkt_customer")
+      val o = s.table("graft_bkt_orders")
+      o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("total_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- q66: PII redaction -------------------------------------------
+    // Scan-local regexp rewrite (codegen'd RegExpReplace, no UDF). The
+    // fixture text carries no PII, so both engines append a deterministic
+    // synthetic contact line first — the redaction path is then exercised
+    // on every row and the counts prove each pattern fired.
+    QueryDef(
+      "q66_pii_redact",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || doc_id || '@example.com or +1-555-' || doc_id || '-0199.' AS txt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(txt, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(txt, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(txt, '$PhoneRe')) AS BIGINT) AS n_phones
+         |FROM t
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val txt = concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1-555-"), col("doc_id"), lit("-0199."))
+      T(s, dir, "documents")
+        .withColumn("txt", txt)
+        .select(
+          col("doc_id"),
+          regexp_replace(regexp_replace(col("txt"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+            .as("redacted"),
+          size(regexp_extract_all(col("txt"), lit(EmailRe), lit(0))).cast(LongType).as("n_emails"),
+          size(regexp_extract_all(col("txt"), lit(PhoneRe), lit(0))).cast(LongType).as("n_phones"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q67: stratified sampling -------------------------------------
+    // Exact per-stratum quota (20 docs per language), deterministic and
+    // append-stable: rank within stratum by a salted md5 of the key, so
+    // re-runs and late-arriving partitions keep the same picks. One
+    // keyed shuffle (partitionBy lang); no sampling-by-fraction
+    // nondeterminism.
+    QueryDef(
+      "q67_stratified_sample",
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id || '|strat'), doc_id) AS BIGINT) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20
+        |ORDER BY lang, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(col("doc_id"), lit("|strat"))), col("doc_id"))
+      T(s, dir, "documents")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    },
+
+    // ---- q68: semi-structured JSON extraction -------------------------
+    // events.props is a JSON string column; extraction is scan-local
+    // (codegen'd GetJsonObject) feeding a 5-group aggregate. At 100 TB
+    // the JSON parse dominates — it stays in the map phase; only
+    // (event_type, partial agg) rows shuffle.
+    QueryDef(
+      "q68_json_extract",
+      """WITH e AS (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  round(AVG(k), 6) AS avg_k
+        |FROM e GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      T(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(col("k") > 50, 1)).as("n_high"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- q69: batch sessionization -------------------------------------
+    // Gap-based session assignment: lag + conditional flag + running sum,
+    // all inside ONE keyed window (partitionBy user_id) — a single
+    // shuffle keyed by user, then a same-key aggregate that AQE keeps
+    // co-partitioned. Gaps are computed on floor-to-second epochs so the
+    // integer arithmetic is engine-identical.
+    QueryDef(
+      "q69_sessionize",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+         |g AS (
+         |  SELECT user_id, event_id, tsec,
+         |         CASE WHEN lag(tsec) OVER w IS NULL
+         |                OR tsec - lag(tsec) OVER w > $SessionGapSec
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+         |s AS (
+         |  SELECT user_id, tsec,
+         |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM g)
+         |SELECT user_id, session_id,
+         |  COUNT(*) AS n_events,
+         |  MIN(tsec) AS start_s,
+         |  MAX(tsec) - MIN(tsec) AS dur_s
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("tsec", unix_timestamp(col("ts")))
+        .withColumn("prev", lag(col("tsec"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("tsec") - col("prev") > SessionGapSec, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(LongType))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("tsec")).as("start_s"),
+          (max(col("tsec")) - min(col("tsec"))).as("dur_s"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // ---- q70: fixed-width histogram ------------------------------------
+    // floor(value / width) bucketing — the same IEEE double division on
+    // both engines, so bucket membership is bit-identical. One keyed
+    // aggregate; map-side partials carry (bucket, count, sum).
+    QueryDef(
+      "q70_histogram",
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  round(AVG(value), 6) AS avg_v
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(floor(col("value") / 50.0).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_v"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- q71: z-score anomaly flagging ---------------------------------
+    // Per-type mean/stddev is a 5-row aggregate broadcast back onto the
+    // stream — an N x 5 broadcast hash join, never a shuffle of the fact
+    // side. round(z, 4) absorbs the ~1e-13 cross-engine aggregation
+    // association drift (threshold membership at |z| = 2.5 exactly is
+    // measure-zero on continuous data).
+    QueryDef(
+      "q71_zscore_anomaly",
+      """WITH st AS (
+        |  SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sigma
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, round((e.value - st.mu) / st.sigma, 4) AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE abs((e.value - st.mu) / st.sigma) > 2.5
+        |ORDER BY e.event_type, e.event_id""".stripMargin) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val st = ev.groupBy(col("event_type").as("st_type"))
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+      val z = (col("value") - col("mu")) / col("sigma")
+      ev.join(broadcast(st), col("event_type") === col("st_type"))
+        .filter(abs(z) > 2.5)
+        .select(col("event_id"), col("event_type"), round(z, 4).as("z"))
+        .orderBy(col("event_type"), col("event_id"))
+    },
+
+    // ---- q72: per-class embedding centroid ------------------------------
+    // posexplode -> (label, dim) partial-agg'd mean -> per-label norm.
+    // The x64 row expansion never leaves the map side intact: partial
+    // aggregation reduces each (label, dim) to one running (sum, count)
+    // per task before the shuffle, so shuffle volume is
+    // O(labels x dims x tasks), independent of corpus size.
+    QueryDef(
+      "q72_label_centroid",
+      """WITH ex AS (
+        |  SELECT label,
+        |         generate_subscripts(embedding, 1) AS pos,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |c AS (SELECT label, pos, AVG(x) AS c FROM ex GROUP BY label, pos)
+        |SELECT label, round(sqrt(SUM(c * c)), 6) AS centroid_norm
+        |FROM c GROUP BY label
+        |ORDER BY label""".stripMargin) { (s, dir) =>
+      T(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("x").cast(DoubleType)).as("c"))
+        .groupBy(col("label"))
+        .agg(round(sqrt(sum(col("c") * col("c"))), 6).as("centroid_norm"))
+        .orderBy(col("label"))
+    },
+
+    // ---- q73: contiguous global-ID assignment ---------------------------
+    // The scalable answer to "number every row 0..N-1": a global
+    // row_number() window is a single-partition sort (driver-killer at
+    // 100 TB); monotonically_increasing_id() is non-contiguous. Instead:
+    // range-partition by key, index each partition locally
+    // (iterator-only mapPartitions), prefix-sum the 16 partition counts
+    // (a 16-row window — trivially small by construction), broadcast the
+    // offsets back. Total cost: one range shuffle + one map pass.
+    QueryDef(
+      "q73_global_ids",
+      """SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS gid
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ids = T(s, dir, "documents").select(col("doc_id")).as[Long]
+        .repartitionByRange(16, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+      val local = ids.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.zipWithIndex.map { case (id, i) => (pid, i.toLong, id) }
+      }.toDF("pid", "pos", "doc_id")
+      val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(
+          sum(col("cnt")).over(
+            Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("pid").as("opid"), col("offset"))
+      local.join(broadcast(offsets), col("pid") === col("opid"))
+        .select(col("doc_id"), (col("offset") + col("pos")).as("gid"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
