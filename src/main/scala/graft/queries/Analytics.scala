@@ -45,6 +45,54 @@ object Analytics {
   // both engines see identical integer gaps.
   private val SessionGapSec = 3600L
 
+  // q75 chunking geometry: 64-token windows, stride 48 (16-token overlap)
+  // — the standard pretraining-chunk shape, scaled to the fixture docs.
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  // q76: MinHash-LSH constants shared with q41 (and with its oracle) via
+  // graft.functions.Sketches — the edge set of the duplicate graph IS
+  // q41's candidate-pair output, so the two queries cannot drift.
+  private val P = graft.functions.Sketches.P
+  private val K = graft.functions.Sketches.K
+  private val hashA = graft.functions.Sketches.hashA
+  private val hashB = graft.functions.Sketches.hashB
+  private val bandPairs: Seq[(Int, Int)] = (0 until K / 2).map(j => (2 * j, 2 * j + 1))
+
+  // q76 propagation rounds: min-label propagation reaches fixpoint in
+  // `diameter(component)` rounds. Near-dup clusters are prefix-sharing
+  // groups (FIXTURES: pairs/triples, diameter <= 3); 8 rounds is a 2x+
+  // safety margin, and AnalyticsSpec asserts a 9th round changes nothing.
+  private val CCRounds = 8
+
+  /** DuckDB mirror of q41's candidate pairs (same hash family), reused as
+    * the recursive-CTE edge set for q76. */
+  private def minhashPairsCte: String = {
+    val minCols = (0 until K).map(i =>
+      s"min((hp * ${hashA(i)} + ${hashB(i)}) % $P) AS m$i").mkString(",\n        ")
+    val bandSelects = bandPairs.zipWithIndex.map { case ((x, y), j) =>
+      s"SELECT doc_id, $j AS band, m$x || '_' || m$y AS key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""words AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
+       |  WHERE len(ws) >= 3),
+       |h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS hp FROM sh),
+       |mh AS (
+       |  SELECT doc_id,
+       |        $minCols
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q65: bucketed co-located join --------------------------------
@@ -306,6 +354,161 @@ object Analytics {
         .select(col("pid").as("opid"), col("offset"))
       local.join(broadcast(offsets), col("pid") === col("opid"))
         .select(col("doc_id"), (col("offset") + col("pos")).as("gid"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q74: int8-quantized cosine similarity --------------------------
+    // The 100 TB ANN memory lever: per-vector symmetric int8 quantization
+    // (scale = max|x| / 127) cuts the candidate-scan working set 4x vs
+    // float32. Scales cancel in the cosine, so the quantized score is a
+    // pure INTEGER dot product — bit-identical across engines with no fp
+    // aggregation order to worry about. Plan shape is q42's: scan-local
+    // quantize, 1-row query broadcast, TakeOrdered.
+    QueryDef(
+      "q74_quant_cosine",
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id, e.label,
+        |         list_max(list_transform(e.embedding, x -> abs(x::DOUBLE))) / 127.0 AS se,
+        |         list_max(list_transform(q.qe, x -> abs(x::DOUBLE))) / 127.0 AS sq,
+        |         e.embedding, q.qe
+        |  FROM embeddings e, q WHERE e.vec_id <> 0),
+        |qt AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(round(x::DOUBLE / se) AS BIGINT)) AS ea,
+        |         list_transform(qe, x -> CAST(round(x::DOUBLE / sq) AS BIGINT)) AS qa
+        |  FROM s),
+        |u AS (SELECT vec_id, label, unnest(ea) AS xa, unnest(qa) AS xb FROM qt),
+        |d AS (
+        |  SELECT vec_id, label,
+        |         CAST(SUM(xa * xb) AS BIGINT) AS dot,
+        |         CAST(SUM(xa * xa) AS BIGINT) AS na,
+        |         CAST(SUM(xb * xb) AS BIGINT) AS nb
+        |  FROM u GROUP BY vec_id, label)
+        |SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_q
+        |FROM d
+        |ORDER BY cos_q DESC, vec_id
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val dbl = (c: Column) => transform(c, x => x.cast(DoubleType))
+      val scaleOf = (c: Column) =>
+        aggregate(c, lit(0.0), (a, x) => greatest(a, abs(x.cast(DoubleType)))) / 127.0
+      val quant = (c: Column, sc: Column) =>
+        transform(c, x => round(x.cast(DoubleType) / sc).cast(LongType))
+      val fold = (c: Column) => aggregate(c, lit(0L), (acc, x) => acc + x)
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          quant(col("embedding"), scaleOf(col("embedding"))).as("ea"),
+          quant(col("qe"), scaleOf(col("qe"))).as("qa"))
+        .select(col("vec_id"), col("label"),
+          fold(zip_with(col("ea"), col("qa"), (x, y) => x * y)).as("dot"),
+          fold(zip_with(col("ea"), col("ea"), (x, y) => x * y)).as("na"),
+          fold(zip_with(col("qa"), col("qa"), (x, y) => x * y)).as("nb"))
+        .select(col("vec_id"), col("label"),
+          round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cos_q"))
+        .orderBy(col("cos_q").desc, col("vec_id"))
+        .limit(20)
+    },
+
+    // ---- q75: document chunking for training ---------------------------
+    // Overlapping fixed-token windows (64/stride 48) — the pretraining /
+    // RAG chunker. Row-expanding but fully scan-local (explode of a
+    // per-row sequence; no shuffle until the final ORDER BY, which a real
+    // pipeline would not do — it would write chunks straight out).
+    // Chunk count and membership are integer arithmetic; the chunk hash
+    // is the repo's 60-bit md5 idiom.
+    QueryDef(
+      "q75_doc_chunks",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |n AS (
+         |  SELECT doc_id, ws, len(ws) AS n,
+         |         CASE WHEN len(ws) <= $ChunkTokens THEN 1
+         |              ELSE CAST(1 + floor((len(ws) - $ChunkTokens + $ChunkStride - 1) / $ChunkStride) AS BIGINT)
+         |         END AS n_chunks
+         |  FROM w),
+         |c AS (
+         |  SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+         |         ws[ci * $ChunkStride + 1 : ci * $ChunkStride + $ChunkTokens] AS toks
+         |  FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(ci))
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tok,
+         |  ('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15))::BIGINT AS chunk_hash
+         |FROM c
+         |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      val ws = split(lower(col("text")), " ")
+      T(s, dir, "documents")
+        .select(col("doc_id"), ws.as("ws"))
+        .withColumn("n", size(col("ws")))
+        .withColumn("n_chunks",
+          when(col("n") <= ChunkTokens, lit(1L))
+            .otherwise((lit(1) + floor((col("n") - ChunkTokens + ChunkStride - 1) / lit(ChunkStride))).cast(LongType)))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("ws"), (col("chunk_id") * ChunkStride + 1).cast(IntegerType), lit(ChunkTokens)).as("toks"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("toks")).cast(LongType).as("n_tok"),
+          conv(substring(md5(array_join(col("toks"), " ")), 1, 15), 16, 10).cast(LongType).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // ---- q76: duplicate-cluster resolution (connected components) ------
+    // Near-dup PAIRS (q41) are not enough for dedup at scale: keep-one
+    // needs the transitive closure (a~b, b~c => one canonical of {a,b,c}).
+    // Distributed min-label propagation: each round every node takes the
+    // min component id among itself and its neighbors — a keyed
+    // join + keyed min-agg per round, converging in diameter(component)
+    // rounds (bounded, tiny shuffles: only near-dup nodes participate).
+    // A global union-find on the driver would serialize 100 TB of pairs;
+    // this stays distributed end-to-end. The oracle walks the same edges
+    // with a recursive CTE.
+    QueryDef(
+      "q76_dup_clusters",
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id
+         |FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val sig = T(s, dir, "documents")
+        .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
+        .filter(col("sig").isNotNull)
+      val bandRows = sig.select(col("doc_id"),
+        expr(bandPairs.zipWithIndex.map { case ((x, y), j) =>
+          s"$j, concat(sig[$x], '_', sig[$y])"
+        }.mkString(s"stack(${bandPairs.size}, ", ", ", ") as (band, key)")))
+      val a = bandRows.as("a"); val b = bandRows.as("b")
+      val pairs = a.join(b,
+          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst").persist()
+      var comp = edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id"))
+      for (_ <- 1 to CCRounds) {
+        val nbrMin = edges.join(comp, edges("dst") === comp("id"))
+          .groupBy(col("src").as("nid")).agg(min(col("comp")).as("nbr_min"))
+        comp = comp.join(nbrMin, col("id") === col("nid"), "left")
+          .select(col("id"), least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+          // localCheckpoint (not persist): each round's plan embeds the
+          // previous round's, so without truncation the logical plan
+          // doubles per round — 2^8 nodes by round 8 blew the optimizer's
+          // heap. Checkpointing pins the (tiny: near-dup nodes only)
+          // frame and restarts the plan from a leaf.
+          .localCheckpoint()
+      }
+      comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
         .orderBy(col("doc_id"))
     }
   )

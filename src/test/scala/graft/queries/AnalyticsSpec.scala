@@ -69,6 +69,68 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "gids not contiguous ascending when sorted by doc_id")
   }
 
+  test("q74: int8-quantized cosine stays within quantization error of the exact fp cosine") {
+    val quant = run("q74_quant_cosine").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_q")).toMap
+    val exact = run("q42_topk_cosine").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_r")).toMap
+    // Symmetric int8 over 64 dims: per-element error <= s/2 with s = max|x|/127;
+    // the cosine error stays well under 0.05 in practice. Compare on ids
+    // both top-20 lists share (both rank by near-identical scores).
+    val shared = quant.keySet intersect exact.keySet
+    assert(shared.nonEmpty, "top-20 lists fully disjoint — quantization broken")
+    shared.foreach { id =>
+      assert(math.abs(quant(id) - exact(id)) < 0.05,
+        s"vec $id: quantized ${quant(id)} vs exact ${exact(id)}")
+    }
+  }
+
+  test("q75: chunks tile each document — full chunks of 64, stride 48, last chunk covers the tail") {
+    val chunks = run("q75_doc_chunks").collect()
+      .groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.sortBy(_.getAs[Long]("chunk_id"))).toMap
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, n) =>
+      val cs = chunks(id)
+      cs.init.foreach(c => assert(c.getAs[Long]("n_tok") === 64L, s"doc $id: non-final chunk short"))
+      val lastStart = (cs.length - 1).toLong * 48
+      val lastTok = cs.last.getAs[Long]("n_tok")
+      assert(lastStart + lastTok >= n, s"doc $id: tail tokens uncovered")
+      assert(lastTok >= 1, s"doc $id: empty trailing chunk")
+      if (cs.length > 1)
+        assert(lastStart < n, s"doc $id: chunk starts past end (over-chunked)")
+    }
+  }
+
+  test("q76: min-label propagation reached fixpoint and clusters are closed over near-dup pairs") {
+    val comp = run("q76_dup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // Cluster id is the min member, and every member maps to it.
+    comp.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid, s"cluster $cid: id is not the min member")
+    }
+    // Closure over the edge set: both endpoints of every candidate pair
+    // landed in the same cluster (this is exactly what one more
+    // propagation round would otherwise change — fixpoint check).
+    graft.functions.GraftFunctions.register(spark)
+    val sig = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
+      .filter(col("sig").isNotNull)
+    val bandRows = sig.select(col("doc_id"),
+      expr((0 until 6).map(j => s"$j, concat(sig[${2 * j}], '_', sig[${2 * j + 1}])")
+        .mkString("stack(6, ", ", ", ") as (band, key)")))
+    val a = bandRows.as("a"); val b = bandRows.as("b")
+    val pairs = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y")).distinct().collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      assert(comp(x) === comp(y), s"pair ($x,$y) split across clusters ${comp(x)}/${comp(y)} — not converged")
+    }
+  }
+
   test("q65: bucketed-join result matches the plain (non-bucketed) join bit-for-bit") {
     val bucketed = run("q65_bucketed_join").collect().map(_.toString).toSeq
     val c = graft.Tables.load(spark, sfDir, "customer")

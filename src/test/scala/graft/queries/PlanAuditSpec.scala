@@ -29,7 +29,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   // be hash/merge-joinable.
   private val bnljAllowed = Set(
     "q42_topk_cosine", "q53_topk_cosine_native", "q46_ann_lsh",
-    "q55_ivf_ann", "q56_tfidf")
+    "q55_ivf_ann", "q56_tfidf", "q74_quant_cosine")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
