@@ -499,10 +499,12 @@ object Analytics {
       val sig = T(s, dir, "documents")
         .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
         .filter(col("sig").isNotNull)
+      // Persisted: feeds both self-join sides (see q41/q45 note).
       val bandRows = sig.select(col("doc_id"),
         expr(bandPairs.zipWithIndex.map { case ((x, y), j) =>
           s"$j, concat(sig[$x], '_', sig[$y])"
         }.mkString(s"stack(${bandPairs.size}, ", ", ", ") as (band, key)")))
+        .persist()
       val a = bandRows.as("a"); val b = bandRows.as("b")
       val pairs = a.join(b,
           col("a.band") === col("b.band") && col("a.key") === col("b.key")

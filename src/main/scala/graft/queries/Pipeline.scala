@@ -124,10 +124,16 @@ object Pipeline {
       val sig = T(s, dir, "documents")
         .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
         .filter(col("sig").isNotNull) // null = fewer than 3 tokens
+      // Persisted for the same reason as q45's inverted index: the band
+      // frame feeds BOTH sides of the self-join (alias ids differ, so no
+      // exchange reuse) — without the cache the corpus scan + minhash
+      // kernel runs twice. The cached frame is the small derived one
+      // (doc_id + band key), not the text.
       val bandRows = sig.select(col("doc_id"),
         expr(bands.zipWithIndex.map { case ((x, y), j) =>
           s"$j, concat(sig[$x], '_', sig[$y])"
         }.mkString(s"stack(${bands.size}, ", ", ", ") as (band, key)")))
+        .persist()
       val a = bandRows.as("a"); val b = bandRows.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
@@ -202,10 +208,12 @@ object Pipeline {
       graft.functions.GraftFunctions.register(s)
       val sim = T(s, dir, "documents")
         .select(col("doc_id"), expr("graft_simhash32(text)").as("sh"))
+      // Persisted: feeds both self-join sides (see q41/q45 note).
       val chunks = sim.select(col("doc_id"), col("sh"),
         expr((0 until SIMCHUNKS).map(j =>
           s"$j, shiftright(sh, ${CHUNKBITS * j}) % ${1 << CHUNKBITS}")
           .mkString(s"stack($SIMCHUNKS, ", ", ", ") as (ck, cv)")))
+        .persist()
       val a = chunks.as("a"); val b = chunks.as("b")
       a.join(b, col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv")
           && col("a.doc_id") < col("b.doc_id"))
@@ -557,8 +565,10 @@ object Pipeline {
       graft.functions.GraftFunctions.register(s)
       val emb = T(s, dir, "embeddings")
       // Same scan-local bucket kernel as q46 (see comment there).
+      // Persisted: feeds both self-join sides (see q41/q45 note).
       val buckets = emb.select(col("vec_id"),
         posexplode(expr("graft_lsh_buckets(embedding)")).as(Seq("t", "bk")))
+        .persist()
       val a = buckets.as("a"); val b = buckets.as("b")
       val cand = a.join(b, col("a.t") === col("b.t") && col("a.bk") === col("b.bk")
           && col("a.vec_id") < col("b.vec_id"))

@@ -79,6 +79,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(imts >= 2, s"expected both join sides to read the cached index:\n$plan")
   }
 
+  test("sketch self-joins (q41/q44/q54) build their signature frame once") {
+    // Same property as q45: the scan-local sketch (minhash bands, simhash
+    // chunks, LSH buckets) feeds BOTH sides of a self-join; each must read
+    // the cached derived frame, not recompute the corpus scan + kernel.
+    // (q76 shares the pattern but its returned plan is a checkpointed
+    // leaf — the loop runs at build time — so it can't be asserted here.)
+    for (q <- Seq("q41_near_dup", "q44_simhash", "q54_embedding_near_dup")) {
+      val plan = Registry.byName(q).build(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val imts = plan.split("\n").count(_.contains("InMemoryTableScan"))
+      assert(imts >= 2, s"$q: expected both join sides to read the cached sketch frame:\n$plan")
+    }
+  }
+
   test("co-located join: inputs pre-partitioned on the join key add no join-time shuffle") {
     import org.apache.spark.sql.functions.col
     // The pre-partitioning/bucketing pattern for repeated fact joins at
