@@ -63,6 +63,29 @@ object Analytics {
     }
   }
 
+  // q77's layout step is write-once per (JVM, source dir), like q65's
+  // bucketed tables: partition-by-day is a one-time storage decision that
+  // every later day-ranged query exploits via partition pruning.
+  private val partitionedEvents = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensurePartitionedEvents(s: SparkSession, dir: String): String = synchronized {
+    val cached = partitionedEvents.get(dir)
+    if (cached != null) cached
+    else {
+      val path = graft.BuildPaths.scratch(s"events_by_day/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      T(s, dir, "events")
+        .withColumn("d", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("d").parquet(path)
+      partitionedEvents.put(dir, path)
+      path
+    }
+  }
+
+  // q79 Bloom geometry: 2^16 bits (1024 longs — an 8 KB broadcast no
+  // matter how large the benchmark set grows) probed twice per shingle.
+  private val BloomBits = 1 << 16
+  private val BloomProbes = 2
+
   // PII patterns shared by the Spark plan and the DuckDB oracle (both are
   // RE2-compatible: no backrefs, no lookaround — Java regex and RE2 agree
   // on every string for this subset, and `\d` is ASCII-only in both).
@@ -93,9 +116,10 @@ object Analytics {
   // safety margin, and AnalyticsSpec asserts a 9th round changes nothing.
   private val CCRounds = 8
 
-  /** DuckDB mirror of q41's candidate pairs (same hash family), reused as
-    * the recursive-CTE edge set for q76. */
-  private def minhashPairsCte: String = {
+  /** DuckDB mirror of q41's LSH band keys (same hash family): CTE chain
+    * `words → sh → h → mh → bands`. Shared by q76 (candidate pairs) and
+    * q78 (batch-vs-corpus band anti-join). */
+  private def minhashBandsCte: String = {
     val minCols = (0 until K).map(i =>
       s"min((hp * ${hashA(i)} + ${hashB(i)}) % $P) AS m$i").mkString(",\n        ")
     val bandSelects = bandPairs.zipWithIndex.map { case ((x, y), j) =>
@@ -114,12 +138,17 @@ object Analytics {
        |        $minCols
        |  FROM h GROUP BY doc_id),
        |bands AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** DuckDB mirror of q41's candidate pairs (bands CTE + the self-join),
+    * reused as the recursive-CTE edge set for q76. */
+  private def minhashPairsCte: String =
+    s"""$minhashBandsCte,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -541,6 +570,158 @@ object Analytics {
         comp = next.drop("changed")
       }
       comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q77: partition-pruned scan ------------------------------------
+    // The scan-reduction counterpart to q65's bucketing: lay events out
+    // partitioned by day ONCE (write-once, like the bucketed tables),
+    // then every day-ranged query lists only the matching directories —
+    // at 100 TB a 7-day query over a 3-year table reads 0.6% of the
+    // files instead of filtering 100%. StorageLayoutSpec asserts the
+    // scan's PartitionFilters carry the range and no data filter
+    // re-checks it.
+    QueryDef(
+      "q77_partition_pruned",
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val path = ensurePartitionedEvents(s, dir)
+      s.read.parquet(path) // partition column `d` inferred as DATE
+        .filter(col("d").between(lit("2024-01-08"), lit("2024-01-14")))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("d")).as("n_days"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- q78: incremental (append-mode) dedup --------------------------
+    // The production dedup shape: a NEW shard (here sources src0/src1)
+    // arrives and must be deduped against the existing corpus WITHOUT
+    // re-clustering the corpus — drop batch docs that are exact dups
+    // (60-bit text hash) or near-dups (share any MinHash LSH band) of a
+    // corpus doc. Both checks are anti-joins keyed on derived hashes:
+    // the corpus side shuffles 8-byte keys once, the batch (small) side
+    // rides along — never all-pairs, and corpus-vs-corpus pairs are
+    // never generated at all.
+    QueryDef(
+      "q78_incremental_dedup",
+      s"""WITH $minhashBandsCte,
+         |th AS (
+         |  SELECT doc_id, source, n_chars,
+         |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS th
+         |  FROM documents),
+         |batch AS (SELECT * FROM th WHERE source IN ('src0', 'src1')),
+         |corpus AS (SELECT * FROM th WHERE source NOT IN ('src0', 'src1')),
+         |band_matched AS (
+         |  SELECT DISTINCT ba.doc_id
+         |  FROM bands ba
+         |  JOIN batch t ON t.doc_id = ba.doc_id
+         |  JOIN bands bc ON ba.band = bc.band AND ba.key = bc.key
+         |  JOIN corpus c2 ON c2.doc_id = bc.doc_id)
+         |SELECT b.doc_id, b.source, b.n_chars
+         |FROM batch b
+         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.th = b.th)
+         |  AND NOT EXISTS (SELECT 1 FROM band_matched m WHERE m.doc_id = b.doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val isNew = col("source").isin("src0", "src1")
+      // One pass computes both dedup keys; persisted because batch and
+      // corpus splits each feed two joins (see q41/q45 note).
+      val hashed = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast(LongType).as("th"),
+          expr("graft_minhash_sig(text)").as("sig"),
+          isNew.as("is_new"))
+        .persist()
+      val batch = hashed.filter(col("is_new"))
+      val corpus = hashed.filter(!col("is_new"))
+      def bandRows(df: DataFrame): DataFrame =
+        df.filter(col("sig").isNotNull).select(col("doc_id"),
+          expr(bandPairs.zipWithIndex.map { case ((x, y), j) =>
+            s"$j, concat(sig[$x], '_', sig[$y])"
+          }.mkString(s"stack(${bandPairs.size}, ", ", ", ") as (band, key)")))
+      val nearMatched = bandRows(batch).as("a")
+        .join(bandRows(corpus).as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key"),
+          "left_semi")
+        .select(col("doc_id")).distinct()
+      batch
+        .join(corpus.select(col("th")), Seq("th"), "left_anti")
+        .join(nearMatched, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q79: Bloom-pruned decontamination -----------------------------
+    // q57's scale path for when the benchmark shingle SET is too big to
+    // broadcast as a hash relation: fold it into a fixed-size Bloom
+    // bitmap (2^16 bits = 8 KB here, constant no matter how many
+    // shingles) built with builtin aggregates (bit_or over per-probe
+    // masks), broadcast THAT, and test membership map-side with pure
+    // codegen arithmetic (xxhash64 + element_at — no UDF, no join per
+    // probe). False positives are then killed by an exact semi-join
+    // that only the tiny candidate set has to pay for — so the result
+    // is hash-identical to the exact oracle while the corpus-side
+    // shuffle shrinks by ~the contamination rate. Same trick as
+    // Spark's own runtime bloom-filter join, applied as an explicit
+    // operator.
+    QueryDef(
+      "q79_bloom_decontaminate",
+      """WITH words AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS h
+        |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
+        |  WHERE len(ws) >= 3),
+        |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0)
+        |SELECT doc_id, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_hits
+        |FROM sh
+        |WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM bench)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val sh = T(s, dir, "documents")
+        .select(col("doc_id"), explode(expr("graft_shingle_hashes(text)")).as("h"))
+      val benchH = sh.filter(col("doc_id") % 50 === 0).select(col("h")).distinct()
+      def probe(i: Int): Column =
+        pmod(xxhash64(lit(i), col("h")), lit(BloomBits.toLong))
+      // Build: k bit positions per benchmark shingle -> (word, mask) ->
+      // bit_or per 64-bit word -> ONE row holding the sparse bitmap.
+      val bloomMap = benchH
+        .select(explode(array((0 until BloomProbes).map(probe): _*)).as("pos"))
+        .select(shiftrightunsigned(col("pos"), 6).as("w"),
+          call_function("shiftleft", lit(1L),
+            col("pos").bitwiseAND(63L).cast(IntegerType)).as("m"))
+        .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+        .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("bmap"))
+      // Probe: all k membership tests inline per row (1-row broadcast of
+      // the bitmap; whitelisted in PlanAuditSpec like q56's corpus count).
+      val mightContain = (0 until BloomProbes).map { i =>
+        val pos = probe(i)
+        val m = call_function("shiftleft", lit(1L),
+          pos.bitwiseAND(63L).cast(IntegerType))
+        coalesce(element_at(col("bmap"), shiftrightunsigned(pos, 6)), lit(0L))
+          .bitwiseAND(m) =!= lit(0L)
+      }.reduce(_ && _)
+      val candidates = sh.filter(col("doc_id") % 50 =!= 0)
+        .crossJoin(broadcast(bloomMap))
+        .filter(mightContain)
+        .select(col("doc_id"), col("h")).distinct()
+      // Exact confirm — deliberately a SHUFFLE semi-join (the scenario
+      // being modeled is a bench set too large to broadcast); only the
+      // bloom-surviving candidates pay it.
+      candidates
+        .join(benchH.hint("shuffle_hash"), Seq("h"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
         .orderBy(col("doc_id"))
     }
   )

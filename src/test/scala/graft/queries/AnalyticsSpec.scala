@@ -143,4 +143,50 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy(col("c_mktsegment")).collect().map(_.toString).toSeq
     assert(bucketed === plain)
   }
+
+  test("q78: dropped batch docs are exactly those with an exact-hash or q41-band link into the corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val isNew = col("source").isin("src0", "src1")
+    val batchIds = docs.filter(isNew).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val survivors = run("q78_incremental_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // Independent recomputation of "linked to corpus": q41's band-sharing
+    // pairs restricted to batch-corpus edges, plus exact text matches.
+    val pairs = run("q41_near_dup").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val batchSet = batchIds
+    val nearLinked = pairs.flatMap { case (a, b) =>
+      (batchSet(a), batchSet(b)) match {
+        case (true, false) => Some(a)
+        case (false, true) => Some(b)
+        case _ => None
+      }
+    }.toSet
+    val byText = docs.groupBy(col("text"))
+      .agg(collect_list(struct(col("doc_id"), isNew.as("n"))).as("ds"))
+      .collect().flatMap { r =>
+        val ds = r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getBoolean(1)))
+        if (ds.exists(!_._2)) ds.filter(_._2).map(_._1) else Nil
+      }.toSet
+    val expectedDropped = nearLinked ++ byText
+    assert(survivors === (batchIds -- expectedDropped),
+      s"mismatch: unexpected=${(batchIds -- expectedDropped) -- survivors} extra=${survivors -- (batchIds -- expectedDropped)}")
+    assert(expectedDropped.nonEmpty, "fixture has no cross-boundary duplicates — test is vacuous")
+  }
+
+  test("q79: bloom pre-filter is lossless — output equals the exact (no-bloom) contamination counts") {
+    graft.functions.GraftFunctions.register(spark)
+    val bloom = run("q79_bloom_decontaminate").collect().map(_.toString).toSeq
+    val sh = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(expr("graft_shingle_hashes(text)")).as("h"))
+    val benchH = sh.filter(col("doc_id") % 50 === 0).select(col("h")).distinct()
+    val exact = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("h")).distinct()
+      .join(benchH, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    assert(bloom === exact)
+  }
 }

@@ -68,4 +68,19 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(org.apache.spark.sql.functions.col("event_type") === "click").count()
     assert(clicks.count() === expected)
   }
+
+  test("q77: the day-range predicate prunes partitions at listing time — no data-filter re-check") {
+    val plan = Registry.byName("q77_partition_pruned").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n").find(_.contains("PartitionFilters:"))
+    assert(scanLine.isDefined, s"no partitioned scan in plan:\n$plan")
+    assert(scanLine.get.matches(".*PartitionFilters: \\[[^\\]]*\\(d#\\d+ >= .*"),
+      s"day range not in PartitionFilters:\n${scanLine.get}")
+    // The data/pushed filters must be EMPTY — pruning happened at
+    // directory listing, not per-row (the only predicate is on `d`).
+    assert(scanLine.get.contains("DataFilters: []"),
+      s"partition predicate re-checked per-row:\n${scanLine.get}")
+    assert(scanLine.get.contains("PushedFilters: []"),
+      s"partition predicate pushed as a data filter:\n${scanLine.get}")
+  }
 }
