@@ -300,6 +300,69 @@ object Streaming {
           (sum(unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts"))).cast(DoubleType)
             / count(col("asof_ts"))).cast(DoubleType).as("avg_gap_sec"))
         .orderBy(col("event_type"))
+    },
+
+    // Custom streaming state (mapGroupsWithState) over the live NATS
+    // source: per-user running event count AND max inter-event gap —
+    // the gap needs the previous event's timestamp remembered across
+    // micro-batches, which no built-in streaming aggregate expresses.
+    // Two publish rounds force two micro-batches (batchSize=3 full-batch
+    // admission), so the state genuinely survives a batch boundary.
+    // State is O(1) per user (three longs) — the shape that holds at
+    // 100 TB streaming volume; update-mode emissions are monotone in
+    // both outputs, so the sink's MAX per key is the final state.
+    QueryDef.noBench(
+      "q80_stream_stateful",
+      """SELECT uid, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(max_gap_s AS BIGINT) AS max_gap_s
+        |FROM (VALUES (1, 3, 30), (2, 3, 60)) AS t(uid, n_events, max_gap_s)
+        |ORDER BY uid""".stripMargin) { (s, _) =>
+      val url = s"memory://q80-${UUID.randomUUID()}"
+      val sink = s"nats_state_sink_${sinkId.incrementAndGet()}"
+      val conn = NatsTransport.connect(url)
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType, nullable = false),
+        StructField("uid", IntegerType, nullable = false)))
+      import s.implicits._
+      val updates = s.readStream.format("nats").schema(schema)
+        .option("url", url).option("subject", "user_events")
+        .option("batchSize", "3").load()
+        .select(col("uid"), unix_timestamp(col("ts")).as("sec"))
+        .as[(Int, Long)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (uid: Int, rows: Iterator[(Int, Long)],
+           st: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long)]) =>
+            var (c, last, gap) = st.getOption.getOrElse((0L, Long.MinValue, 0L))
+            // sort within the batch: admission order is deterministic but
+            // group iterators are not required to preserve it
+            rows.map(_._2).toSeq.sorted.foreach { sec =>
+              if (last != Long.MinValue) gap = math.max(gap, sec - last)
+              last = sec; c += 1
+            }
+            st.update((c, last, gap))
+            (uid, c, gap)
+        }
+        .toDF("uid", "n_events", "max_gap_s")
+      val q = updates.writeStream.outputMode("update")
+        .format("memory").queryName(sink).start()
+      try {
+        NatsDemo.awaitSubscriber(url, "user_events")
+        // batch 1 — u1: 10:00:00, 10:00:10; u2: 10:00:00
+        Seq("2024-01-01 10:00:00,1", "2024-01-01 10:00:10,1", "2024-01-01 10:00:00,2")
+          .foreach(m => conn.publish("user_events", m.getBytes))
+        q.processAllAvailable()
+        // batch 2 — u1: +30 s gap; u2: +60 s then +5 s gaps
+        Seq("2024-01-01 10:00:40,1", "2024-01-01 10:01:00,2", "2024-01-01 10:01:05,2")
+          .foreach(m => conn.publish("user_events", m.getBytes))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        conn.close()
+      }
+      s.sql(s"""SELECT uid, MAX(n_events) AS n_events, MAX(max_gap_s) AS max_gap_s
+               |FROM $sink GROUP BY uid ORDER BY uid""".stripMargin)
     }
   )
 }
