@@ -86,6 +86,30 @@ object Analytics {
   private val BloomBits = 1 << 16
   private val BloomProbes = 2
 
+  // q82's two-generation layout, write-once like q77/q65: shard v1 was
+  // written before the pipeline added `quality`; shard v2 carries it.
+  private val evolvedShards = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureEvolvedShards(s: SparkSession, dir: String): String = synchronized {
+    val cached = evolvedShards.get(dir)
+    if (cached != null) cached
+    else {
+      val root = graft.BuildPaths.scratch(
+        s"evolved_docs/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      val docs = T(s, dir, "documents")
+      // src0..src9 predate the quality column; src10..src19 have it.
+      val isV2 = length(col("source")) === 5
+      docs.filter(!isV2).select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$root/v1")
+      docs.filter(isV2)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          pmod(col("n_chars"), lit(100L)).as("quality"))
+        .write.mode("overwrite").parquet(s"$root/v2")
+      evolvedShards.put(dir, root)
+      root
+    }
+  }
+
   // PII patterns shared by the Spark plan and the DuckDB oracle (both are
   // RE2-compatible: no backrefs, no lookaround — Java regex and RE2 agree
   // on every string for this subset, and `\d` is ASCII-only in both).
@@ -723,6 +747,66 @@ object Analytics {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hits"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q81: salt-replicated skew join ---------------------------------
+    // q33's pattern extended from aggregation to JOIN — the fix when the
+    // FACT side's join key is skewed and the dim side is mid-sized: too
+    // big to broadcast, small enough to replicate SALT_N times. Fact rows
+    // spread over (key, salt); every dim row is cloned once per salt; the
+    // join keys on (key, salt) so each former hot partition splits into
+    // SALT_N even ones. Same rows as the plain join (the oracle), a
+    // shuffle profile with no stragglers. (AQE's skewedJoin does this
+    // adaptively for sort-merge joins; the explicit salt is the general,
+    // planner-independent tool — e.g. for deterministic co-partitioning
+    // with a later stage.)
+    QueryDef(
+      "q81_skew_salted_join",
+      """SELECT c.c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val saltN = 16
+      val fact = T(s, dir, "events")
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(saltN)).cast(IntegerType))
+      val dim = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("salt", explode(array((0 until saltN).map(lit): _*)))
+        // pin the shuffle join: at fixture scale Spark would broadcast the
+        // replicated dim and hide the salted-exchange profile under test
+        .hint("shuffle_hash")
+      fact.join(dim,
+          fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- q82: schema-evolution read ------------------------------------
+    // Long-lived corpora are written by MANY pipeline versions; columns
+    // appear over time. mergeSchema unions the per-file footers at scan
+    // time — old shards surface the new column as NULL, no rewrite of
+    // petabytes of v1 files. The aggregate distinguishes "absent" from
+    // "zero", which is exactly what the evolution must preserve.
+    QueryDef(
+      "q82_schema_evolution",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN len(source) = 5 THEN 1 END) AS n_with_quality,
+        |  CAST(SUM(CASE WHEN len(source) = 5 THEN n_chars % 100 END) AS BIGINT) AS sum_quality
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val root = ensureEvolvedShards(s, dir)
+      s.read.option("mergeSchema", "true").parquet(s"$root/v1", s"$root/v2")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_with_quality"),
+          sum(col("quality")).as("sum_quality"))
+        .orderBy(col("lang"))
     }
   )
 }

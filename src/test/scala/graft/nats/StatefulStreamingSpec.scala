@@ -91,4 +91,54 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(finalCounts === Seq(("a", 3L), ("b", 3L)))
     } finally { q.stop(); conn.close() }
   }
+
+  test("flatMapGroupsWithState: zero-or-many emission — a key emits only on every 3rd event") {
+    // The flat variant's contract (an Iterator, not exactly-one row) is
+    // what threshold alerts / session-close emission are built on: most
+    // batches emit NOTHING for a key, state still advances.
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = false)))
+    val df = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "alerts")
+      .option("batchSize", "4")
+      .load()
+    import spark.implicits._
+    val alerts = df.as[(Int, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(Int, String)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[(String, Long)]
+          rows.foreach { _ =>
+            n += 1
+            if (n % 3 == 0) out += ((key, n))
+          }
+          state.update(n)
+          out.result().iterator
+      }
+      .toDF("name", "n")
+    val q = alerts.writeStream.outputMode("update")
+      .format("memory").queryName("nats_flat_state").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "alerts")
+      // batch 1: a,a,b,b -> no emission (no key reaches 3)
+      Seq("1,a", "2,a", "3,b", "4,b").foreach(m => conn.publish("alerts", m.getBytes))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT COUNT(*) FROM nats_flat_state").first().getLong(0) === 0L,
+        "emitted before any key reached the threshold")
+      // batch 2: a,b,a,a -> a reaches 3 (emit), then 4, 5; b reaches 3 (emit)
+      Seq("5,a", "6,b", "7,a", "8,a").foreach(m => conn.publish("alerts", m.getBytes))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT name, n FROM nats_flat_state ORDER BY name, n")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got === Seq(("a", 3L), ("b", 3L)),
+        s"expected exactly the threshold crossings, got $got")
+    } finally { q.stop(); conn.close() }
+  }
 }

@@ -94,6 +94,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q81: both join inputs shuffle on (key, salt) — the hot key is split across salt partitions") {
+    val plan = Registry.byName("q81_skew_salted_join").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.exists(l => l.contains("user_id") && l.contains("salt")),
+      s"fact side not salted:\n$plan")
+    assert(exchanges.exists(l => l.contains("c_custkey") && l.contains("salt")),
+      s"dim side not salted:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"dim was broadcast — salted shuffle profile not exercised:\n$plan")
+  }
+
   test("co-located join: inputs pre-partitioned on the join key add no join-time shuffle") {
     import org.apache.spark.sql.functions.col
     // The pre-partitioning/bucketing pattern for repeated fact joins at
