@@ -38,9 +38,9 @@ object Relational {
       "q01_agg_groupby",
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
-        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
         |  COUNT(*) AS cnt
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -80,7 +80,7 @@ object Relational {
     QueryDef(
       "q03_join_topk",
       """SELECT o.o_orderkey, CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE c.c_mktsegment = 'BUILDING'
@@ -118,7 +118,7 @@ object Relational {
     QueryDef(
       "q05_multi_join",
       """SELECT r.r_name, n.n_name,
-        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -329,7 +329,7 @@ object Relational {
         |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
         |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY o_year, o_month, month_start
         |ORDER BY o_year, o_month""".stripMargin) { (s, dir) =>
@@ -348,7 +348,7 @@ object Relational {
     QueryDef(
       "q18_math_funcs",
       """SELECT CAST(l_quantity AS INT) % 7 AS qty_mod,
-        |  CAST(SUM(CAST(abs(l_extendedprice) AS DECIMAL(18,4))) AS DOUBLE) AS sum_abs,
+        |  CAST(CAST(SUM(CAST(abs(l_extendedprice) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_abs,
         |  CAST(MAX(ceil(l_extendedprice)) AS BIGINT) AS max_ceil,
         |  CAST(MIN(floor(l_extendedprice)) AS BIGINT) AS min_floor,
         |  MAX(sqrt(l_quantity)) AS max_sqrt
@@ -409,10 +409,13 @@ object Relational {
       "q21_scalar_subquery",
       """SELECT l_returnflag, COUNT(*) AS n_above
         |FROM lineitem
-        |WHERE l_quantity > (SELECT CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) FROM lineitem)
+        |WHERE l_quantity > (SELECT CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS DOUBLE) FROM lineitem)
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       Tables.register(s, dir, "lineitem")
+      // Spark side keeps the direct decimal->double cast (correctly
+      // rounded in Spark); only the DuckDB oracle routes through VARCHAR
+      // (DuckDB's int128->double conversion can be 1 ulp off).
       s.sql(
         """SELECT l_returnflag, COUNT(*) AS n_above
           |FROM lineitem
@@ -518,14 +521,14 @@ object Relational {
       "q27_outer_join",
       """SELECT 'left' AS jt, c.c_mktsegment, COUNT(*) AS n_rows,
         |  COUNT(o.o_orderkey) AS n_orders,
-        |  CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  CAST(CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
         |FROM customer c LEFT JOIN orders o
         |  ON c.c_custkey = o.o_custkey AND EXTRACT(year FROM o.o_orderdate) = 1996
         |GROUP BY c.c_mktsegment
         |UNION ALL
         |SELECT 'right' AS jt, c.c_mktsegment, COUNT(*) AS n_rows,
         |  COUNT(o.o_orderkey) AS n_orders,
-        |  CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  CAST(CAST(SUM(CAST(COALESCE(o.o_totalprice, 0) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
         |FROM orders o RIGHT JOIN customer c
         |  ON c.c_custkey = o.o_custkey AND EXTRACT(year FROM o.o_orderdate) = 1996
         |GROUP BY c.c_mktsegment
@@ -597,7 +600,7 @@ object Relational {
     QueryDef(
       "q33_skew_salted_agg",
       """SELECT event_type, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin) { (s, dir) =>

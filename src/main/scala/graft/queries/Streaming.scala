@@ -106,7 +106,7 @@ object Streaming {
       "q50_tumbling_window",
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS hour_start,
         |       event_type, COUNT(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
         |ORDER BY hour_start, event_type""".stripMargin) { (s, dir) =>
@@ -215,7 +215,7 @@ object Streaming {
         |    time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' AS ws
         |  FROM events, unnest([0, 1]) AS u(o))
         |SELECT CAST(epoch(ws) AS BIGINT) AS win_start, event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM e2 GROUP BY ws, event_type
         |ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "events")
