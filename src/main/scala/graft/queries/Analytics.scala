@@ -788,6 +788,29 @@ object Analytics {
         .orderBy(col("c_mktsegment"))
     },
 
+    // ---- q83: mergeable HLL distinct-count sketches ---------------------
+    // The incremental-analytics pattern exact COUNT(DISTINCT) can't do:
+    // build a fixed-size HLL sketch per group (datasketches via Spark's
+    // hll_sketch_agg), then UNION the sketches — the corpus-wide
+    // distinct estimate comes from merging kilobyte sketches, never
+    // re-scanning raw rows. At 100 TB: per-partition/per-day sketches
+    // persist with the data; every rollup is a map-side merge. No DuckDB
+    // oracle (estimates are datasketches-specific): driver records the
+    // rows-only check; AnalyticsSpec pins a <=5% error bound against the
+    // exact count AND that the merged estimate equals the sketch built
+    // over the raw rows directly (lossless union at equal lgK).
+    QueryDef.noOracle("q83_hll_mergeable") { (s, dir) =>
+      val perType = T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val per = perType.select(col("event_type"),
+        expr("hll_sketch_estimate(sk)").as("est_users"))
+      val all = perType
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_users"))
+        .select(lit("ALL").as("event_type"), col("est_users"))
+      per.unionByName(all).orderBy(col("event_type"))
+    },
+
     // ---- q82: schema-evolution read ------------------------------------
     // Long-lived corpora are written by MANY pipeline versions; columns
     // appear over time. mergeSchema unions the per-file footers at scan

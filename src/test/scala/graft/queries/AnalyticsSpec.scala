@@ -176,6 +176,27 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expectedDropped.nonEmpty, "fixture has no cross-boundary duplicates — test is vacuous")
   }
 
+  test("q83: HLL estimates within 5% of exact; union of per-group sketches is lossless") {
+    val est = run("q83_hll_mergeable").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val events = graft.Tables.load(spark, sfDir, "events")
+    val exactPerType = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = events.select(countDistinct(col("user_id"))).first().getLong(0)
+    (exactPerType + ("ALL" -> exactAll)).foreach { case (k, exact) =>
+      val e = est(k)
+      assert(math.abs(e - exact).toDouble / exact <= 0.05,
+        s"$k: estimate $e vs exact $exact exceeds 5%")
+    }
+    // Mergeability is lossless at equal lgK: union of the per-type
+    // sketches estimates identically to a sketch over the raw rows.
+    val direct = events
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")).first().getLong(0)
+    assert(est("ALL") === direct,
+      s"merged estimate ${est("ALL")} != direct-sketch estimate $direct")
+  }
+
   test("q79: bloom pre-filter is lossless — output equals the exact (no-bloom) contamination counts") {
     graft.functions.GraftFunctions.register(spark)
     val bloom = run("q79_bloom_decontaminate").collect().map(_.toString).toSeq
