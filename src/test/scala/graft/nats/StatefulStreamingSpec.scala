@@ -14,6 +14,30 @@ import org.scalatest.funsuite.AnyFunSuite
   * (SURVEY §2.B streaming row — watermarked dedup and arbitrary keyed
   * state), exercised end-to-end through format("nats").
   */
+/** Standalone (no `$outer`) processor for the transformWithState test:
+  * running MAX of id per key, kept in a typed ValueState. */
+class RunningMaxProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, (Int, String), (String, Long)] {
+  @transient private var maxSeen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    maxSeen = getHandle.getValueState[Long]("maxSeen",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[(Int, String)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, Long)] = {
+    val prev = if (maxSeen.exists()) maxSeen.get() else Long.MinValue
+    val mx = (Iterator.single(prev) ++ rows.map(_._1.toLong)).max
+    maxSeen.update(mx)
+    Iterator.single((key, mx))
+  }
+}
+
 class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
@@ -140,5 +164,50 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got === Seq(("a", 3L), ("b", 3L)),
         s"expected exactly the threshold crossings, got $got")
     } finally { q.stop(); conn.close() }
+  }
+
+  test("transformWithState (Spark 4 state API): typed ValueState survives batches on RocksDB") {
+    // The modern replacement for mapGroupsWithState: typed state handles
+    // (ValueState/ListState/MapState), timers, and TTL — requires the
+    // RocksDB state store provider, which is also the provider a real
+    // cluster runs (HDFS-backed in-memory maps don't scale state).
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = false)))
+    import spark.implicits._
+    val updates = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "tws")
+      .option("batchSize", "3")
+      .load()
+      .as[(Int, String)]
+      .groupByKey(_._2)
+      .transformWithState(new RunningMaxProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("name", "mx")
+    val q = updates.writeStream.outputMode("update")
+      .format("memory").queryName("nats_tws").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "tws")
+      Seq("5,a", "3,a", "7,b").foreach(m => conn.publish("tws", m.getBytes))
+      q.processAllAvailable()
+      // batch 2: a sees only 4 — the running max must stay 5 (state carry)
+      Seq("4,a", "9,b", "1,b").foreach(m => conn.publish("tws", m.getBytes))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT name, MAX(mx) AS mx FROM nats_tws GROUP BY name ORDER BY name")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got === Seq(("a", 5L), ("b", 9L)), s"state did not carry: $got")
+    } finally {
+      q.stop(); conn.close()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 }
