@@ -574,6 +574,10 @@ object Analytics {
       // driver). CCRounds is the safety bound, not the expected count:
       // min-label propagation converges in diameter(component) rounds
       // (2-3 on prefix-sharing near-dup clusters).
+      // One min-over-neighbors propagation step per materialized round.
+      // (A two-hop-per-round variant was measured and did NOT win: the
+      // deeper pre-checkpoint plan costs more than the saved round on
+      // these tiny frames.)
       var converged = false
       var round = 0
       while (!converged && round < CCRounds) {
