@@ -792,6 +792,45 @@ object Analytics {
         .orderBy(col("c_mktsegment"))
     },
 
+    // ---- q84: range (interval) join -------------------------------------
+    // Events joined into 1-hour "incident" windows opened by same-user
+    // error events. A naive inequality join is a BroadcastNestedLoopJoin
+    // — the classic range-join scale killer. The 100 TB shape: bucket
+    // both sides by hour (a 1-h window covers <= 2 hour buckets, so the
+    // build side at most doubles), EQUI-join on (user, bucket), then
+    // apply the exact range predicate. Every downstream engine trick
+    // (hash join, AQE, codegen) applies because the join is an equi-join;
+    // the out-of-bucket false candidates die in the residual filter.
+    QueryDef(
+      "q84_range_join",
+      """SELECT e.event_type, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT e.event_id) AS n_events
+        |FROM events e JOIN events i
+        |  ON i.event_type = 'error' AND e.user_id = i.user_id
+        |  AND e.ts >= i.ts AND e.ts < i.ts + INTERVAL 1 HOUR
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin) { (s, dir) =>
+      val ev = T(s, dir, "events")
+      val hourOf = (c: Column) => floor(unix_timestamp(c) / 3600)
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("iu"), col("ts").as("istart"),
+          (col("ts") + expr("interval 1 hour")).as("iend"))
+      // An [istart, istart+1h) window touches hour buckets h and h+1;
+      // when istart is exactly on the hour the h+1 clone matches nothing
+      // (its events have ts >= iend) and the residual filter removes it.
+      val ibk = incidents.withColumn("ibk",
+        explode(array(hourOf(col("istart")), hourOf(col("istart")) + 1)))
+      val ebk = ev.withColumn("ebk", hourOf(col("ts")))
+      ebk.join(ibk,
+          ebk("user_id") === ibk("iu") && ebk("ebk") === ibk("ibk")
+            && col("ts") >= col("istart") && col("ts") < col("iend"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("event_id")).as("n_events"))
+        .orderBy(col("event_type"))
+    },
+
     // ---- q83: mergeable HLL distinct-count sketches ---------------------
     // The incremental-analytics pattern exact COUNT(DISTINCT) can't do:
     // build a fixed-size HLL sketch per group (datasketches via Spark's
