@@ -831,6 +831,62 @@ object Analytics {
         .orderBy(col("event_type"))
     },
 
+    // ---- q85: count-min-sketch heavy hitters ----------------------------
+    // Frequency member of the sketch trio (q79 bloom = membership,
+    // q83 HLL = cardinality): find words above 0.5% of all tokens
+    // WITHOUT shuffling the full vocabulary. Pass 1 aggregates d x w
+    // bounded CMS cells (3 x 4096 keys — fixed, vocabulary-independent)
+    // and broadcasts them as one nested map; pass 2 estimates per
+    // occurrence map-side (CMS only OVERestimates, so candidates are a
+    // guaranteed superset of the true heavy hitters) and only candidate
+    // occurrences reach the exact groupBy — at 100 TB the shuffle
+    // carries the few hot words, not the long-tail vocabulary. The
+    // exact confirm makes the output hash-identical to the plain
+    // frequency oracle.
+    QueryDef(
+      "q85_cms_heavy_hitters",
+      """WITH w AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |ww AS (SELECT w FROM w WHERE w <> ''),
+        |tot AS (SELECT COUNT(*) AS n FROM ww)
+        |SELECT w AS word, COUNT(*) AS cnt
+        |FROM ww GROUP BY w
+        |HAVING COUNT(*) * 200 >= (SELECT n FROM tot)
+        |ORDER BY word""".stripMargin) { (s, dir) =>
+      val cmsD = 3
+      val cmsW = 4096L
+      val toks = T(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val total = toks.agg(count(lit(1)).as("n"))
+      def cell(j: Int): Column = pmod(xxhash64(lit(j), col("w")), lit(cmsW))
+      val cms = toks
+        .select(explode(array((0 until cmsD).map(j =>
+          struct(lit(j).as("r"), cell(j).as("c"))): _*)).as("p"))
+        .groupBy(col("p.r").as("r"), col("p.c").as("c"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("r"))
+        .agg(map_from_entries(collect_list(struct(col("c"), col("cnt")))).as("m"))
+        .agg(map_from_entries(collect_list(struct(col("r"), col("m")))).as("cms"))
+      val est = (0 until cmsD)
+        .map(j => coalesce(
+          element_at(element_at(col("cms"), lit(j)), cell(j)), lit(0L)))
+        .reduce(least(_, _))
+      // All occurrences of a word share its estimate, so the candidate
+      // set is exactly "every occurrence of every candidate word" — the
+      // exact counts below are therefore true counts, and the final
+      // threshold re-check removes CMS false positives.
+      val cand = toks
+        .crossJoin(broadcast(cms)).crossJoin(broadcast(total))
+        .filter(est * 200 >= col("n"))
+        .select(col("w"))
+      cand.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * 200 >= col("n"))
+        .select(col("w").as("word"), col("cnt"))
+        .orderBy(col("word"))
+    },
+
     // ---- q83: mergeable HLL distinct-count sketches ---------------------
     // The incremental-analytics pattern exact COUNT(DISTINCT) can't do:
     // build a fixed-size HLL sketch per group (datasketches via Spark's

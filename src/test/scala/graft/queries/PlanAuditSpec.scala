@@ -27,10 +27,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   // q55 additionally broadcasts the 16 IVF centroids (N x 16 assignment
   // pass); q56 broadcasts the 1-row corpus count. Everything else must
   // be hash/merge-joinable.
-  // ... and q79 broadcasts its ONE-row 8 KB bloom bitmap.
+  // ... q79 broadcasts its ONE-row 8 KB bloom bitmap; q85 its ONE-row
+  // CMS map and 1-row token total.
   private val bnljAllowed = Set(
     "q42_topk_cosine", "q53_topk_cosine_native", "q46_ann_lsh",
-    "q55_ivf_ann", "q56_tfidf", "q74_quant_cosine", "q79_bloom_decontaminate")
+    "q55_ivf_ann", "q56_tfidf", "q74_quant_cosine", "q79_bloom_decontaminate",
+    "q85_cms_heavy_hitters")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
