@@ -792,6 +792,59 @@ object Analytics {
         .orderBy(col("c_mktsegment"))
     },
 
+    // ---- q86: funnel analysis -------------------------------------------
+    // Ordered-sequence conversion (view -> click after it -> purchase
+    // after that) per user-day. Spark side does it in ONE keyed shuffle:
+    // collect the (tsec, type) pairs per group and walk the funnel with
+    // array higher-order functions (filter/transform/array_min are
+    // codegen'd; each stage's lambda references the previous stage's
+    // timestamp, and a missing stage nulls the cascade). The oracle
+    // takes the engine-appropriate 3-level aggregate-join form — same
+    // semantics, hash-identical output; all arithmetic is integer
+    // seconds.
+    QueryDef(
+      "q86_funnel",
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_type
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, d, MIN(CASE WHEN event_type = 'view' THEN tsec END) AS t1
+        |  FROM e GROUP BY user_id, d),
+        |s2 AS (
+        |  SELECT e.user_id, e.d, MAX(s1.t1) AS t1,
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.tsec > s1.t1 THEN e.tsec END) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id AND e.d = s1.d
+        |  GROUP BY e.user_id, e.d),
+        |s3 AS (
+        |  SELECT e.user_id, e.d,
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.tsec > s2.t2 THEN e.tsec END) AS t3,
+        |    MAX(s2.t1) AS t1, MAX(s2.t2) AS t2
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id AND e.d = s2.d
+        |  GROUP BY e.user_id, e.d)
+        |SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |  COUNT(*) AS n_user_days
+        |FROM s3 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      T(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          unix_timestamp(col("ts")).as("tsec"), col("event_type"))
+        .groupBy(col("user_id"), col("d"))
+        .agg(collect_list(struct(col("tsec"), col("event_type"))).as("evs"))
+        .withColumn("t1", expr(
+          "array_min(transform(filter(evs, x -> x.event_type = 'view'), x -> x.tsec))"))
+        .withColumn("t2", expr(
+          "array_min(transform(filter(evs, x -> x.event_type = 'click' AND x.tsec > t1), x -> x.tsec))"))
+        .withColumn("t3", expr(
+          "array_min(transform(filter(evs, x -> x.event_type = 'purchase' AND x.tsec > t2), x -> x.tsec))"))
+        .select(
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0).as("stage"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_user_days"))
+        .orderBy(col("stage"))
+    },
+
     // ---- q84: range (interval) join -------------------------------------
     // Events joined into 1-hour "incident" windows opened by same-user
     // error events. A naive inequality join is a BroadcastNestedLoopJoin
