@@ -83,4 +83,24 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scanLine.get.contains("PushedFilters: []"),
       s"partition predicate pushed as a data filter:\n${scanLine.get}")
   }
+
+  test("partition + data predicates split correctly: day range prunes directories, row predicate pushes to parquet") {
+    import org.apache.spark.sql.functions.col
+    // Mixed-filter query over q77's layout: the day range must land in
+    // PartitionFilters (directory listing) while the event_type equality
+    // lands in PushedFilters (parquet row groups) — each pruning level
+    // doing its own job, neither leaking into the other.
+    Registry.byName("q77_partition_pruned").build(spark, sfDir) // ensures layout
+    val root = graft.BuildPaths.scratch(
+      s"events_by_day/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val plan = spark.read.parquet(root)
+      .filter(col("d").between("2024-01-08", "2024-01-14") && col("event_type") === "click")
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n").find(_.contains("PartitionFilters:"))
+    assert(scanLine.isDefined, s"no partitioned scan:\n$plan")
+    assert(scanLine.get.matches(".*PartitionFilters: \\[[^\\]]*\\(d#\\d+ >= .*"),
+      s"day range not pruning directories:\n${scanLine.get}")
+    assert(scanLine.get.matches(".*PushedFilters: \\[[^\\]]*EqualTo\\(event_type,click\\).*"),
+      s"row predicate not pushed to parquet:\n${scanLine.get}")
+  }
 }
