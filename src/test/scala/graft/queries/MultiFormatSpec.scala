@@ -44,6 +44,22 @@ class MultiFormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(viaJson) === canon(nation))
   }
 
+  test("orc round-trips the nation relation bit-for-bit (beyond the SURVEY row: spark-orc is bundled)") {
+    // SURVEY §2.B row 1 names CSV/Parquet/JSON/Avro/memory; spark-avro is
+    // absent from /opt/spark/jars (documented gap) but ORC is built in —
+    // pin it so the multi-format claim is as wide as the environment allows.
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val tmp = Files.createTempDirectory("graft-formats-orc").toString
+    nation.write.orc(s"$tmp/nation_orc")
+    val viaOrc = spark.read.orc(s"$tmp/nation_orc")
+    assert(canon(viaOrc) === canon(nation))
+    // ORC predicate pushdown works like parquet's: the filter reaches the scan.
+    val plan = viaOrc.filter(col("n_regionkey") === 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("n_regionkey"),
+      s"filter not pushed to ORC scan:\n$plan")
+  }
+
   test("csv, json, parquet, and memory tables join in one session") {
     val nation = spark.read.parquet(s"$sfDir/nation.parquet")
     val tmp = Files.createTempDirectory("graft-formats2").toString
