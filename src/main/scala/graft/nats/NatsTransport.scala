@@ -117,9 +117,13 @@ object JnatsTransport {
 }
 
 /** In-process fire-and-forget pub/sub broker, keyed by bus id so
-  * independent tests/queries don't cross-talk. Exact-subject matching
-  * (the reference subscribes to one literal subject,
-  * src/executor.rs:94 — no wildcard support needed for parity).
+  * independent tests/queries don't cross-talk. Subject matching follows
+  * core NATS: literal tokens dot-separated, `*` matches exactly one
+  * token, `>` (terminal only) matches one-or-more remaining tokens.
+  * (The reference subscribes to one literal subject, src/executor.rs:94,
+  * so exact matching would suffice for parity — wildcards are what any
+  * real NATS user expects of the transport, and the server grants them
+  * to the jnats path for free.)
   *
   * Delivery is synchronous on the publisher thread — the Spark-side
   * subscriber handler (MessageLedger.append) is O(1) and non-blocking,
@@ -132,6 +136,25 @@ object JnatsTransport {
   * deterministic for tests.
   */
 object InMemoryBus {
+
+  /** Core-NATS subject matching: `pattern` may contain `*` (exactly one
+    * token) and a terminal `>` (one or more remaining tokens); published
+    * subjects are always literal. */
+  private[nats] def subjectMatches(pattern: String, subject: String): Boolean = {
+    val p = pattern.split("\\.", -1)
+    val s = subject.split("\\.", -1)
+    var i = 0
+    while (i < p.length) {
+      p(i) match {
+        case ">" => return i == p.length - 1 && s.length > i // >=1 remaining tokens
+        case "*" => if (i >= s.length) return false
+        case tok => if (i >= s.length || s(i) != tok) return false
+      }
+      i += 1
+    }
+    s.length == p.length
+  }
+
   private final class Sub(
       val subject: String,
       val group: String, // null = plain (non-queue) subscription
@@ -151,7 +174,7 @@ object InMemoryBus {
     if (bus == null) 0
     else {
       var n = 0
-      bus.subs.forEach(s => if (s.subject == subject) n += 1)
+      bus.subs.forEach(s => if (subjectMatches(s.subject, subject)) n += 1)
       n
     }
   }
@@ -160,19 +183,22 @@ object InMemoryBus {
     private val bus = buses.computeIfAbsent(busId, _ => new Bus)
 
     def publish(subject: String, payload: Array[Byte]): Unit = {
-      var groups = Set.empty[String]
+      // Queue groups are keyed by (subscription pattern, group) per NATS
+      // semantics: the same group name on two different patterns forms
+      // two groups, each getting its own delivery.
+      var groups = Set.empty[(String, String)]
       bus.subs.forEach { s =>
-        if (s.subject == subject) {
+        if (subjectMatches(s.subject, subject)) {
           if (s.group == null) s.handler(payload)
-          else groups += s.group
+          else groups += ((s.subject, s.group))
         }
       }
       // One delivery per queue group: round-robin over its members.
-      groups.foreach { g =>
+      groups.foreach { case (pat, g) =>
         val members = new java.util.ArrayList[Sub]()
-        bus.subs.forEach(s => if (s.subject == subject && s.group == g) members.add(s))
+        bus.subs.forEach(s => if (s.subject == pat && s.group == g) members.add(s))
         if (!members.isEmpty) {
-          val counter = bus.rr.computeIfAbsent((subject, g), _ => new AtomicLong)
+          val counter = bus.rr.computeIfAbsent((pat, g), _ => new AtomicLong)
           val pick = (counter.getAndIncrement() % members.size()).toInt
           members.get(pick).handler(payload)
         }

@@ -57,6 +57,31 @@ class NatsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); conn.close() }
   }
 
+  test("wildcard subject: one source subscription aggregates all matching concrete subjects") {
+    // format("nats").option("subject", "sensors.*") — the transport's
+    // core-NATS wildcard matching surfaces directly as engine capability:
+    // one streaming table over a subject family.
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val df = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "sensors.*")
+      .option("batchSize", "3")
+      .load()
+    val q = df.writeStream.format("memory").queryName("nats_wild").start()
+    try {
+      awaitSubscriber(url, "sensors.temp") // wildcard sub matches the probe
+      conn.publish("sensors.temp", "1,t1".getBytes)
+      conn.publish("sensors.hum", "2,h1".getBytes)
+      conn.publish("sensors.temp.raw", "3,deep".getBytes) // NOT matched by *
+      conn.publish("sensors.co2", "4,c1".getBytes)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, name FROM nats_wild ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows === Seq((1, "t1"), (2, "h1"), (4, "c1")),
+        s"wildcard delivery wrong: $rows")
+    } finally { q.stop(); conn.close() }
+  }
+
   test("flush policy across triggers: backlog drains batchSize at a time, remainder by timeout") {
     val url = freshBus()
     val conn = NatsTransport.connect(url)

@@ -65,6 +65,57 @@ class NatsTransportSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("subject wildcards: * matches exactly one token, > matches the remaining tail") {
+    // Core-NATS matching rules (NATS docs "Subject-Based Messaging"):
+    // tokens are dot-separated; `*` spans one token; terminal `>` spans
+    // one or more. Published subjects are always literal.
+    import InMemoryBus.subjectMatches
+    assert(subjectMatches("orders.*", "orders.us"))
+    assert(subjectMatches("orders.*", "orders.eu"))
+    assert(!subjectMatches("orders.*", "orders"))        // * needs a token
+    assert(!subjectMatches("orders.*", "orders.us.west")) // * spans ONE token
+    assert(subjectMatches("orders.>", "orders.us.west"))
+    assert(subjectMatches("orders.>", "orders.us"))
+    assert(!subjectMatches("orders.>", "orders"))        // > needs >=1 token
+    assert(subjectMatches(">", "anything.at.all"))
+    assert(subjectMatches("*.us", "orders.us"))
+    assert(!subjectMatches("*.us", "orders.eu"))
+    assert(!subjectMatches("orders.us", "orders.us.west")) // literal is exact
+  }
+
+  test("wildcard subscription receives from all matching concrete subjects") {
+    val conn = NatsTransport.connect(freshBus())
+    try {
+      val star = new AtomicInteger(); val tail = new AtomicInteger()
+      val lit = new AtomicInteger()
+      val s1 = conn.subscribe("orders.*")(_ => star.incrementAndGet())
+      val s2 = conn.subscribe("orders.>")(_ => tail.incrementAndGet())
+      val s3 = conn.subscribe("orders.us")(_ => lit.incrementAndGet())
+      conn.publish("orders.us", "a".getBytes)
+      conn.publish("orders.eu", "b".getBytes)
+      conn.publish("orders.us.west", "c".getBytes)
+      conn.publish("shipments.us", "d".getBytes)
+      assert(star.get === 2, "orders.* sees orders.us + orders.eu only")
+      assert(tail.get === 3, "orders.> sees all three orders.# subjects")
+      assert(lit.get === 1, "literal sees exactly its subject")
+      Seq(s1, s2, s3).foreach(_.close())
+    } finally conn.close()
+  }
+
+  test("same group name on different patterns forms distinct queue groups (NATS semantics)") {
+    val conn = NatsTransport.connect(freshBus())
+    try {
+      val viaStar = new AtomicInteger(); val viaLit = new AtomicInteger()
+      val s1 = conn.subscribeQueue("logs.*", "g")(_ => viaStar.incrementAndGet())
+      val s2 = conn.subscribeQueue("logs.app", "g")(_ => viaLit.incrementAndGet())
+      (1 to 4).foreach(i => conn.publish("logs.app", s"m$i".getBytes))
+      // Both groups match, so BOTH deliver once per message — the group
+      // key is (pattern, group), not the group name alone.
+      assert(viaStar.get === 4 && viaLit.get === 4)
+      Seq(s1, s2).foreach(_.close())
+    } finally conn.close()
+  }
+
   test("queue group requires a non-empty group name") {
     val conn = NatsTransport.connect(freshBus())
     try intercept[IllegalArgumentException](conn.subscribeQueue("s", "")(_ => ()))
