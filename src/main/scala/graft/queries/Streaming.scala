@@ -363,6 +363,36 @@ object Streaming {
       }
       s.sql(s"""SELECT uid, MAX(n_events) AS n_events, MAX(max_gap_s) AS max_gap_s
                |FROM $sink GROUP BY uid ORDER BY uid""".stripMargin)
+    },
+
+    // One streaming table over a subject FAMILY: core-NATS wildcard
+    // subscription (`regions.*` — `*` spans exactly one dot-token) at
+    // the source-option level. Three concrete subjects feed one scan;
+    // the deep subject proves `*` does not over-match.
+    QueryDef.noBench(
+      "q87_wildcard_stream",
+      """SELECT * FROM (VALUES (1, 'us'), (2, 'eu'), (3, 'apac')) AS t(id, name)
+        |ORDER BY id""".stripMargin) { (s, _) =>
+      val url = s"memory://q87-${UUID.randomUUID()}"
+      val sink = s"nats_wild_sink_${sinkId.incrementAndGet()}"
+      val conn = NatsTransport.connect(url)
+      val q = s.readStream.format("nats").schema(rowSchema)
+        .option("url", url).option("subject", "regions.*")
+        .option("batchSize", "3")
+        .load()
+        .writeStream.format("memory").queryName(sink).start()
+      try {
+        NatsDemo.awaitSubscriber(url, "regions.us")
+        conn.publish("regions.us", "1,us".getBytes)
+        conn.publish("regions.eu", "2,eu".getBytes)
+        conn.publish("regions.us.west", "9,deep".getBytes) // not matched by *
+        conn.publish("regions.apac", "3,apac".getBytes)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        conn.close()
+      }
+      s.sql(s"SELECT id, name FROM $sink ORDER BY id")
     }
   )
 }

@@ -38,7 +38,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   // their own specs, not plannable as cold batch plans here.
   private val skip = Set(
     "q30_nats_e2e", "q31_nats_stream", "q32_nats_sink_roundtrip",
-    "q39_stream_dedup", "q61_stream_stream_join", "q80_stream_stateful")
+    "q39_stream_dedup", "q61_stream_stream_join", "q80_stream_stateful",
+    "q87_wildcard_stream")
 
   test("registry names are unique and well-formed (duplicates would silently shadow in SparkEntry.queries)") {
     val names = Registry.all.map(_.name)
