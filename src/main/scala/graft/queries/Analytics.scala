@@ -792,6 +792,39 @@ object Analytics {
         .orderBy(col("c_mktsegment"))
     },
 
+    // ---- q88: cohort retention ------------------------------------------
+    // The standard retention matrix: users grouped by first-activity day
+    // (cohort), counted on each later active day. Two keyed aggregates
+    // (first-day per user; distinct user-days) and one equi-join on
+    // user_id — every shuffle is keyed by user, no window, no all-pairs.
+    // Cohort emitted as its ISO string so the hash compare never touches
+    // engine-specific DATE encodings; the offset is integer days.
+    QueryDef(
+      "q88_cohort_retention",
+      """WITH f AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT CAST(f.cohort AS VARCHAR) AS cohort,
+        |  CAST(a.d - f.cohort AS BIGINT) AS day_offset,
+        |  COUNT(*) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |WHERE a.d - f.cohort <= 7
+        |GROUP BY f.cohort, day_offset
+        |ORDER BY cohort, day_offset""".stripMargin) { (s, dir) =>
+      val ev = T(s, dir, "events").select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+      val active = ev.distinct()
+      active.join(first, "user_id")
+        .withColumn("day_offset", datediff(col("d"), col("cohort")).cast(LongType))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort"), col("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset"), col("n_active"))
+        .orderBy(col("cohort"), col("day_offset"))
+    },
+
     // ---- q86: funnel analysis -------------------------------------------
     // Ordered-sequence conversion (view -> click after it -> purchase
     // after that) per user-day. Spark side does it in ONE keyed shuffle:
