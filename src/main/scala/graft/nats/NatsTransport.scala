@@ -135,6 +135,32 @@ object JnatsTransport {
   * pseudo-randomly; the bus round-robins — same exactly-one guarantee,
   * deterministic for tests.
   */
+/** Subject / pattern validation, shared by every transport. Real NATS
+  * servers reject invalid subjects at publish/subscribe time (-ERR
+  * 'Invalid Subject'); silently-never-matching would turn a typo'd
+  * subscription into a consumer that receives nothing (ADVICE r5).
+  */
+object NatsSubjects {
+  private def tokens(s: String): Array[String] = s.split("\\.", -1)
+
+  /** Published subjects: non-empty literal tokens only (no wildcards). */
+  def validateSubject(subject: String): Unit = {
+    val t = tokens(subject)
+    require(subject.nonEmpty && t.forall(tok => tok.nonEmpty && tok != "*" && tok != ">"),
+      s"invalid NATS subject '$subject': tokens must be non-empty literals")
+  }
+
+  /** Subscription patterns: non-empty tokens; `*` anywhere; `>` only as
+    * the final token. */
+  def validatePattern(pattern: String): Unit = {
+    val t = tokens(pattern)
+    require(pattern.nonEmpty && t.forall(_.nonEmpty),
+      s"invalid NATS pattern '$pattern': empty token")
+    require(!t.init.contains(">"),
+      s"invalid NATS pattern '$pattern': '>' is only valid as the final token")
+  }
+}
+
 object InMemoryBus {
 
   /** Core-NATS subject matching: `pattern` may contain `*` (exactly one
@@ -183,39 +209,57 @@ object InMemoryBus {
     private val bus = buses.computeIfAbsent(busId, _ => new Bus)
 
     def publish(subject: String, payload: Array[Byte]): Unit = {
+      NatsSubjects.validateSubject(subject)
       // Queue groups are keyed by (subscription pattern, group) per NATS
       // semantics: the same group name on two different patterns forms
-      // two groups, each getting its own delivery.
-      var groups = Set.empty[(String, String)]
+      // two groups, each getting its own delivery. Members are collected
+      // in the SAME matching pass as plain delivery (ADVICE r5): a member
+      // that unsubscribes between match and delivery can no longer
+      // receive, and a group seen in the pass always delivers to one of
+      // the members seen in that pass.
+      var groups = Map.empty[(String, String), List[Sub]]
       bus.subs.forEach { s =>
         if (subjectMatches(s.subject, subject)) {
           if (s.group == null) s.handler(payload)
-          else groups += ((s.subject, s.group))
+          else {
+            val k = (s.subject, s.group)
+            groups = groups.updated(k, s :: groups.getOrElse(k, Nil))
+          }
         }
       }
       // One delivery per queue group: round-robin over its members.
-      groups.foreach { case (pat, g) =>
-        val members = new java.util.ArrayList[Sub]()
-        bus.subs.forEach(s => if (s.subject == pat && s.group == g) members.add(s))
-        if (!members.isEmpty) {
-          val counter = bus.rr.computeIfAbsent((pat, g), _ => new AtomicLong)
-          val pick = (counter.getAndIncrement() % members.size()).toInt
-          members.get(pick).handler(payload)
-        }
+      groups.foreach { case (k, members) =>
+        val counter = bus.rr.computeIfAbsent(k, _ => new AtomicLong)
+        val pick = (counter.getAndIncrement() % members.size).toInt
+        members(pick).handler(payload)
       }
     }
 
     private def add(sub: Sub): NatsSubscription = {
       bus.subs.add(sub)
-      () => { bus.subs.remove(sub); () }
+      () => {
+        bus.subs.remove(sub)
+        // Prune the round-robin counter when a queue group's last member
+        // leaves, so the rr map doesn't grow unboundedly (ADVICE r5).
+        if (sub.group != null) {
+          var live = false
+          bus.subs.forEach(s =>
+            if (s.subject == sub.subject && s.group == sub.group) live = true)
+          if (!live) bus.rr.remove((sub.subject, sub.group))
+        }
+        ()
+      }
     }
 
-    def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription =
+    def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription = {
+      NatsSubjects.validatePattern(subject)
       add(new Sub(subject, null, handler))
+    }
 
     def subscribeQueue(subject: String, group: String)(
         handler: Array[Byte] => Unit): NatsSubscription = {
       require(group != null && group.nonEmpty, "queue group must be non-empty")
+      NatsSubjects.validatePattern(subject)
       add(new Sub(subject, group, handler))
     }
 

@@ -35,32 +35,40 @@ object Analytics {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
-  // q65's layout step is write-ONCE per (session, source dir) — that is
-  // the production semantics being modeled (bucket the fact table once,
+  // q65's layout step is write-ONCE per source dir — that is the
+  // production semantics being modeled (bucket the fact table once,
   // join shuffle-free forever after), and it keeps repeated builds
   // (bench warm-up + 3 timed runs, spec re-runs) from re-paying the
-  // write. Keyed by session identity: temp catalogs are session-scoped.
-  private val bucketedSource = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  // write. Path AND table names are qualified by the sanitized source
+  // dir (like ensurePartitionedEvents), so two sessions in one JVM
+  // reading different dirs get disjoint files and registrations instead
+  // of overwriting each other (ADVICE r5). Written-paths are tracked per
+  // dir; registration is re-checked per session (catalogs are
+  // session-scoped, files are JVM-global).
+  private val bucketedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def ensureBucketedTables(s: SparkSession, dir: String): Unit = synchronized {
-    val key = System.identityHashCode(s)
-    val fresh = bucketedSource.get(key) == dir &&
-      s.catalog.tableExists("graft_bkt_customer") &&
-      s.catalog.tableExists("graft_bkt_orders")
-    if (!fresh) {
-      val root = graft.BuildPaths.scratch("bucketed")
+  /** Returns the dir-qualified (customerTable, ordersTable) names. */
+  private def ensureBucketedTables(s: SparkSession, dir: String): (String, String) = synchronized {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val cTbl = s"graft_bkt_customer_$dirKey"
+    val oTbl = s"graft_bkt_orders_$dirKey"
+    val written = bucketedDirs.contains(dir)
+    if (!(written && s.catalog.tableExists(cTbl) && s.catalog.tableExists(oTbl))) {
+      val root = graft.BuildPaths.scratch(s"bucketed/$dirKey")
       // External path so the layout is cwd-independent. 8 buckets here; a
       // cluster would use hundreds sized to executor count.
       T(s, dir, "customer").write.mode("overwrite")
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$root/graft_bkt_customer")
-        .format("parquet").saveAsTable("graft_bkt_customer")
+        .option("path", s"$root/$cTbl")
+        .format("parquet").saveAsTable(cTbl)
       T(s, dir, "orders").write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$root/graft_bkt_orders")
-        .format("parquet").saveAsTable("graft_bkt_orders")
-      bucketedSource.put(key, dir)
+        .option("path", s"$root/$oTbl")
+        .format("parquet").saveAsTable(oTbl)
+      bucketedDirs.add(dir)
     }
+    (cTbl, oTbl)
   }
 
   // q77's layout step is write-once per (JVM, source dir), like q65's
@@ -192,9 +200,9 @@ object Analytics {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
-      ensureBucketedTables(s, dir)
-      val c = s.table("graft_bkt_customer")
-      val o = s.table("graft_bkt_orders")
+      val (cTbl, oTbl) = ensureBucketedTables(s, dir)
+      val c = s.table(cTbl)
+      val o = s.table(oTbl)
       o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
@@ -597,6 +605,13 @@ object Analytics {
         converged = next.filter(col("changed")).isEmpty
         comp = next.drop("changed")
       }
+      // Non-convergence must be LOUD (ADVICE r5): exhausting the safety
+      // bound with labels still moving means some component has diameter
+      // > CCRounds and the ids below would be silently wrong. Raise the
+      // bound for such data rather than returning a partial fixpoint.
+      if (!converged) throw new IllegalStateException(
+        s"q76 min-label propagation did not converge within $CCRounds rounds: " +
+          "a duplicate cluster has diameter > the safety bound; raise CCRounds")
       comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
         .orderBy(col("doc_id"))
     },
@@ -812,7 +827,12 @@ object Analytics {
         |WHERE a.d - f.cohort <= 7
         |GROUP BY f.cohort, day_offset
         |ORDER BY cohort, day_offset""".stripMargin) { (s, dir) =>
+      // Persisted: the (user_id, day) projection feeds BOTH aggregates
+      // (first-day per user and distinct user-days) — without the cache
+      // the events corpus is scanned twice, a full extra pass at 100 TB.
+      // Cache-lifetime policy: see q41 in Pipeline.scala.
       val ev = T(s, dir, "events").select(col("user_id"), to_date(col("ts")).as("d"))
+        .persist()
       val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
       val active = ev.distinct()
       active.join(first, "user_id")
@@ -941,9 +961,15 @@ object Analytics {
         |ORDER BY word""".stripMargin) { (s, dir) =>
       val cmsD = 3
       val cmsW = 4096L
+      // Persisted: the exploded token frame feeds THREE consumers (the
+      // total count, the CMS build, and the candidate filter) — without
+      // the cache each is a separate pass over the documents corpus, so
+      // at 100 TB the query pays 3 full scans + 3 tokenize kernels.
+      // Cache-lifetime policy: see q41 in Pipeline.scala.
       val toks = T(s, dir, "documents")
         .select(explode(split(lower(col("text")), " ")).as("w"))
         .filter(col("w") =!= "")
+        .persist()
       val total = toks.agg(count(lit(1)).as("n"))
       def cell(j: Int): Column = pmod(xxhash64(lit(j), col("w")), lit(cmsW))
       val cms = toks

@@ -116,6 +116,49 @@ class NatsTransportSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("invalid subjects and patterns are rejected at the call site, not silently never-matched") {
+    // Real NATS answers -ERR 'Invalid Subject' at subscribe/publish time;
+    // a typo'd subscription must not become a consumer that receives
+    // nothing (ADVICE r5).
+    val conn = NatsTransport.connect(freshBus())
+    try {
+      intercept[IllegalArgumentException](conn.subscribe("a.>.b")(_ => ()))   // non-terminal >
+      intercept[IllegalArgumentException](conn.subscribe("a..b")(_ => ()))    // empty token
+      intercept[IllegalArgumentException](conn.subscribe("")(_ => ()))        // empty pattern
+      intercept[IllegalArgumentException](conn.subscribe(".a")(_ => ()))      // leading dot
+      intercept[IllegalArgumentException](conn.subscribeQueue("x.>.y", "g")(_ => ()))
+      intercept[IllegalArgumentException](conn.publish("orders.*", "x".getBytes)) // wildcard publish
+      intercept[IllegalArgumentException](conn.publish("orders.>", "x".getBytes))
+      intercept[IllegalArgumentException](conn.publish("", "x".getBytes))
+      intercept[IllegalArgumentException](conn.publish("a..b", "x".getBytes))
+      // valid forms still work
+      val n = new AtomicInteger()
+      val s1 = conn.subscribe("a.*.c")(_ => n.incrementAndGet())
+      conn.publish("a.b.c", "ok".getBytes)
+      assert(n.get === 1)
+      s1.close()
+    } finally conn.close()
+  }
+
+  test("round-robin state is pruned when a queue group's last member unsubscribes") {
+    val conn = NatsTransport.connect(freshBus())
+    try {
+      val n = new AtomicInteger()
+      val sub = conn.subscribeQueue("prune.me", "g")(_ => n.incrementAndGet())
+      conn.publish("prune.me", "m".getBytes)
+      assert(n.get === 1)
+      sub.close()
+      // Re-subscribing after full drain starts a fresh group; delivery
+      // still works and the old counter entry is gone (no unbounded rr
+      // map growth across subscribe/unsubscribe churn — ADVICE r5).
+      val again = new AtomicInteger()
+      val sub2 = conn.subscribeQueue("prune.me", "g")(_ => again.incrementAndGet())
+      conn.publish("prune.me", "m2".getBytes)
+      assert(again.get === 1)
+      sub2.close()
+    } finally conn.close()
+  }
+
   test("queue group requires a non-empty group name") {
     val conn = NatsTransport.connect(freshBus())
     try intercept[IllegalArgumentException](conn.subscribeQueue("s", "")(_ => ()))
