@@ -30,21 +30,37 @@ trait NatsConnection extends AutoCloseable {
 
 trait NatsSubscription extends AutoCloseable
 
-/** URL-scheme router. `memory://<busId>` connects to the in-process bus
-  * below; `nats://host:port` connects through the reflection-loaded jnats
-  * adapter when the client jar is on the classpath (it is not bundled in
-  * this offline build) — the DSv2 machinery above this interface is
-  * transport-agnostic, which is the point of the seam.
+/** URL-scheme router — the DSv2 machinery above this interface is
+  * transport-agnostic, which is the point of the seam:
+  *
+  *   - `memory://<busId>`: the in-process bus below (tests, demos);
+  *   - `nats://host:port`: [[TcpNatsClient]], a self-contained
+  *     implementation of the public NATS wire protocol over TCP — no
+  *     client jar needed, exercised end-to-end against a real socket by
+  *     NatsWireSpec ([[MiniNatsServer]]);
+  *   - `jnats://host:port`: the official NATS Java client via the
+  *     reflection adapter, for deployments that prefer it (requires
+  *     io.nats:jnats on the classpath; connects as `nats://`).
   */
 object NatsTransport {
   def connect(url: String): NatsConnection =
     if (url.startsWith("memory://")) InMemoryBus.connect(url.stripPrefix("memory://"))
     else if (url.startsWith("nats://")) {
-      if (JnatsTransport.isAvailable) JnatsTransport.connect(url)
+      val hostPort = url.stripPrefix("nats://")
+      val (host, port) = hostPort.split(":", 2) match {
+        case Array(h, p) if p.nonEmpty && p.forall(_.isDigit) => (h, p.toInt)
+        case Array(h) => (h, 4222) // NATS default port
+        case _ => throw new IllegalArgumentException(s"Malformed NATS url: $url")
+      }
+      new TcpNatsClient(host, port)
+    }
+    else if (url.startsWith("jnats://")) {
+      if (JnatsTransport.isAvailable)
+        JnatsTransport.connect("nats://" + url.stripPrefix("jnats://"))
       else throw new UnsupportedOperationException(
         s"jnats client jar not on the classpath: $url — add io.nats:jnats " +
-          "to the classpath for live-broker connections, or use " +
-          "memory://<busId> (the source machinery is identical)")
+          "to the classpath, or use nats://host:port (the built-in wire-" +
+          "protocol client, no jar needed)")
     }
     else throw new IllegalArgumentException(s"Unsupported NATS url: $url")
 }

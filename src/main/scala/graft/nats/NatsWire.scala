@@ -1,0 +1,353 @@
+package graft.nats
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, IOException, InputStream}
+import java.net.{InetAddress, InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.util.concurrent.{ConcurrentHashMap, CopyOnWriteArrayList, CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+/** Native implementation of the public NATS client wire protocol
+  * (docs.nats.io, "NATS protocol": INFO / CONNECT / PING / PONG / PUB /
+  * SUB / UNSUB / MSG / +OK / -ERR) over a plain TCP socket.
+  *
+  * This is the transport the `nats://` scheme routes to: unlike the
+  * reflection-loaded jnats adapter (which needs the official client jar
+  * on the classpath), this client is self-contained, and — paired with
+  * [[MiniNatsServer]] — every line of it is exercised against a real
+  * socket in `NatsWireSpec`, including the full DSv2 read/write path.
+  * The reference reaches its broker through async-nats
+  * (src/nats_connection.rs:4-12, exercised by tests/integration_test.rs:14-76);
+  * this speaks the same wire protocol directly.
+  *
+  * Protocol framing notes (all from the public protocol docs):
+  *   - control lines are ASCII, terminated `\r\n`;
+  *   - `PUB <subject> [reply-to] <#bytes>\r\n<payload>\r\n` — the payload
+  *     is length-prefixed raw bytes, so `\r\n` INSIDE a payload is data,
+  *     not a terminator (binary-safe);
+  *   - `MSG <subject> <sid> [reply-to] <#bytes>\r\n<payload>\r\n`;
+  *   - either side may `PING`; the peer answers `PONG`.
+  */
+private[nats] object NatsWire {
+  val MaxPayload: Int = 1 << 20 // 1 MiB, advertised in INFO
+
+  /** Read one `\r\n`-terminated control line; null on orderly EOF before
+    * any byte. Control lines are ASCII by protocol. */
+  def readLine(in: InputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream(64)
+    var prev = -1
+    while (true) {
+      val b = in.read()
+      if (b < 0) {
+        if (buf.size == 0 && prev == -1) return null
+        throw new EOFException("connection closed mid-line")
+      }
+      if (prev == '\r' && b == '\n') {
+        val bytes = buf.toByteArray
+        return new String(bytes, 0, bytes.length - 1, US_ASCII)
+      }
+      buf.write(b)
+      prev = b
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Read exactly `n` payload bytes plus the trailing `\r\n`. */
+  def readPayload(in: InputStream, n: Int): Array[Byte] = {
+    val payload = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(payload, off, n - off)
+      if (r < 0) throw new EOFException("connection closed mid-payload")
+      off += r
+    }
+    if (in.read() != '\r' || in.read() != '\n')
+      throw new IOException("payload not terminated by CRLF")
+    payload
+  }
+}
+
+/** NATS client over TCP. Thread-safe: publishes may come from any task
+  * thread (writes serialize on `writeLock`); inbound MSGs dispatch on a
+  * single reader thread, matching the delivery model of both the
+  * in-memory bus (publisher thread) and jnats (dispatcher thread) —
+  * handlers must be quick and non-blocking (MessageLedger.append is).
+  */
+final class TcpNatsClient(host: String, port: Int) extends NatsConnection {
+  private val socket = new Socket()
+  socket.connect(new InetSocketAddress(host, port), 5000)
+  socket.setTcpNoDelay(true)
+
+  private val in = new BufferedInputStream(socket.getInputStream, 64 * 1024)
+  private val out = new BufferedOutputStream(socket.getOutputStream, 64 * 1024)
+  private val writeLock = new Object
+  private val nextSid = new AtomicLong(1)
+  private val handlers = new ConcurrentHashMap[String, Array[Byte] => Unit]()
+  private val closed = new AtomicBoolean(false)
+  @volatile private var serverError: String = null
+
+  // ---- handshake (before the reader thread exists, so reads are inline):
+  // server speaks first with INFO; we CONNECT (verbose off — +OK chatter
+  // adds a round-trip per op) and PING; its PONG confirms the server
+  // processed everything up to and including our CONNECT.
+  socket.setSoTimeout(5000)
+  private val info = NatsWire.readLine(in)
+  if (info == null || !info.startsWith("INFO "))
+    throw new IOException(s"not a NATS server: expected INFO, got '$info'")
+  writeLock.synchronized {
+    write("CONNECT {\"verbose\":false,\"pedantic\":false,\"tls_required\":false," +
+      "\"name\":\"graft\",\"lang\":\"scala\",\"version\":\"0.1.0\",\"protocol\":0}\r\n")
+    write("PING\r\n")
+    out.flush()
+  }
+  private var handshook = false
+  while (!handshook) {
+    NatsWire.readLine(in) match {
+      case null          => throw new EOFException("server closed during handshake")
+      case "PONG"        => handshook = true
+      case "PING"        => writeLock.synchronized { write("PONG\r\n"); out.flush() }
+      case l if l.startsWith("-ERR") => throw new IOException(s"server rejected connect: $l")
+      case _             => () // INFO updates, +OK — ignore
+    }
+  }
+  socket.setSoTimeout(0)
+
+  private def write(s: String): Unit = out.write(s.getBytes(US_ASCII))
+
+  private val reader = new Thread(() => {
+    try {
+      var line = NatsWire.readLine(in)
+      while (line != null) {
+        if (line.startsWith("MSG ")) {
+          // MSG <subject> <sid> [reply-to] <#bytes>
+          val t = line.split(" ")
+          val sid = t(2)
+          val n = t(t.length - 1).toInt
+          val payload = NatsWire.readPayload(in, n)
+          val h = handlers.get(sid)
+          if (h != null) h(payload)
+        } else if (line == "PING") {
+          writeLock.synchronized { write("PONG\r\n"); out.flush() }
+        } else if (line.startsWith("-ERR")) {
+          serverError = line // surfaced on the next client operation
+        } // PONG / INFO / +OK: no-ops outside the handshake
+        line = NatsWire.readLine(in)
+      }
+    } catch {
+      case _: IOException if closed.get => () // orderly close
+      case e: IOException => serverError = s"-ERR 'connection lost: ${e.getMessage}'"
+    }
+  }, s"graft-nats-client-$host:$port")
+  reader.setDaemon(true)
+  reader.start()
+
+  private def checkHealthy(): Unit = {
+    if (closed.get) throw new IllegalStateException("connection closed")
+    val e = serverError
+    if (e != null) throw new IOException(s"NATS server error: $e")
+  }
+
+  def publish(subject: String, payload: Array[Byte]): Unit = {
+    NatsSubjects.validateSubject(subject)
+    checkHealthy()
+    require(payload.length <= NatsWire.MaxPayload,
+      s"payload ${payload.length} exceeds max ${NatsWire.MaxPayload}")
+    writeLock.synchronized {
+      write(s"PUB $subject ${payload.length}\r\n")
+      out.write(payload)
+      write("\r\n")
+      out.flush()
+    }
+  }
+
+  private def sub(subject: String, group: Option[String])(
+      handler: Array[Byte] => Unit): NatsSubscription = {
+    NatsSubjects.validatePattern(subject)
+    group.foreach(g => require(g.nonEmpty, "queue group must be non-empty"))
+    checkHealthy()
+    val sid = nextSid.getAndIncrement().toString
+    handlers.put(sid, handler)
+    writeLock.synchronized {
+      write(s"SUB $subject ${group.map(_ + " ").getOrElse("")}$sid\r\n")
+      out.flush()
+    }
+    () => {
+      handlers.remove(sid)
+      if (!closed.get) writeLock.synchronized {
+        write(s"UNSUB $sid\r\n")
+        out.flush()
+      }
+    }
+  }
+
+  def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription =
+    sub(subject, None)(handler)
+
+  def subscribeQueue(subject: String, group: String)(
+      handler: Array[Byte] => Unit): NatsSubscription =
+    sub(subject, Some(group))(handler)
+
+  def close(): Unit = if (closed.compareAndSet(false, true)) {
+    try socket.close() catch { case _: IOException => () }
+    reader.join(2000)
+  }
+}
+
+/** A minimal in-repo NATS server speaking the same public wire protocol
+  * over a real `ServerSocket` — the offline stand-in for `nats-server`
+  * that lets the TCP transport (and through it the whole DSv2 path) be
+  * exercised end-to-end over actual sockets, the way the reference's
+  * integration test uses a live broker (tests/integration_test.rs:14-76).
+  *
+  * Semantics match core NATS and the in-memory bus: fire-and-forget, no
+  * replay; `*`/terminal-`>` wildcards (same matcher as the bus); queue
+  * groups keyed `(pattern, group)` with one delivery per group per
+  * message, round-robin across ALL connections' members. Invalid
+  * subjects answer `-ERR 'Invalid Subject'` like a real server.
+  */
+final class MiniNatsServer {
+  import NatsWire._
+
+  private val server = new ServerSocket(0, 50, InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+  def url: String = s"nats://127.0.0.1:$port"
+
+  private val stopped = new AtomicBoolean(false)
+  private val clients = new CopyOnWriteArrayList[ClientConn]()
+  private val rr = new ConcurrentHashMap[(String, String), AtomicLong]()
+  private val pongsSeen = new AtomicLong(0)
+
+  /** PONGs received from clients (each connection is PINGed once after
+    * CONNECT — lets tests assert client keepalive handling). */
+  def clientPongs: Long = pongsSeen.get
+
+  private final class ClientConn(sock: Socket) {
+    sock.setTcpNoDelay(true)
+    def disconnect(): Unit = try sock.close() catch { case _: IOException => () }
+    private val in = new BufferedInputStream(sock.getInputStream, 64 * 1024)
+    private val out = new BufferedOutputStream(sock.getOutputStream, 64 * 1024)
+    private val writeLock = new Object
+    // sid -> (pattern, group-or-null); registration order is delivery order
+    val subs = new ConcurrentHashMap[String, (String, String)]()
+
+    def send(s: String): Unit = writeLock.synchronized {
+      out.write(s.getBytes(US_ASCII)); out.flush()
+    }
+
+    def sendMsg(subject: String, sid: String, payload: Array[Byte]): Unit =
+      writeLock.synchronized {
+        out.write(s"MSG $subject $sid ${payload.length}\r\n".getBytes(US_ASCII))
+        out.write(payload)
+        out.write('\r'); out.write('\n')
+        out.flush()
+      }
+
+    def run(): Unit = {
+      try {
+        send("INFO {\"server_id\":\"graft-mini\",\"version\":\"0.1.0\"," +
+          s"""\"proto\":0,\"host\":\"127.0.0.1\",\"port\":$port,""" +
+          s"""\"max_payload\":$MaxPayload}\r\n""")
+        var line = readLine(in)
+        while (line != null && !stopped.get) {
+          val sp = line.indexOf(' ')
+          val verb = if (sp < 0) line else line.substring(0, sp)
+          verb match {
+            case "CONNECT" =>
+              // Liveness check straight after CONNECT: a protocol-correct
+              // client answers PONG (asserted in NatsWireSpec).
+              send("PING\r\n")
+            case "PING" => send("PONG\r\n")
+            case "PONG" => pongsSeen.incrementAndGet(); ()
+            case "PUB" =>
+              // PUB <subject> [reply-to] <#bytes>
+              val t = line.split(" ")
+              val subject = t(1)
+              val n = t(t.length - 1).toInt
+              if (n > MaxPayload) { send("-ERR 'Maximum Payload Violation'\r\n"); throw new EOFException }
+              val payload = readPayload(in, n)
+              if (valid(() => NatsSubjects.validateSubject(subject)))
+                route(subject, payload)
+              else send("-ERR 'Invalid Subject'\r\n")
+            case "SUB" =>
+              // SUB <subject> [queue-group] <sid>
+              val t = line.split(" ")
+              val subject = t(1)
+              val (group, sid) = if (t.length >= 4) (t(2), t(3)) else (null, t(2))
+              if (valid(() => NatsSubjects.validatePattern(subject)))
+                subs.put(sid, (subject, group))
+              else send("-ERR 'Invalid Subject'\r\n")
+            case "UNSUB" =>
+              val t = line.split(" ")
+              val removed = subs.remove(t(1))
+              if (removed != null && removed._2 != null) pruneRr(removed._1, removed._2)
+            case _ => () // unknown verbs ignored (forward compatibility)
+          }
+          line = readLine(in)
+        }
+      } catch {
+        case _: IOException => () // disconnect
+      } finally {
+        clients.remove(this)
+        subs.forEach((_, pg) => if (pg._2 != null) pruneRr(pg._1, pg._2))
+        try sock.close() catch { case _: IOException => () }
+      }
+    }
+
+    private def valid(check: () => Unit): Boolean =
+      try { check(); true } catch { case _: IllegalArgumentException => false }
+  }
+
+  private def pruneRr(pattern: String, group: String): Unit = {
+    var live = false
+    clients.forEach(c => c.subs.forEach((_, pg) =>
+      if (pg._1 == pattern && pg._2 == group) live = true))
+    if (!live) rr.remove((pattern, group))
+  }
+
+  /** Same single-pass match-and-deliver as InMemoryBus.publish, across
+    * every connection: plain subs get the message directly; queue-group
+    * members are collected per (pattern, group) and one member per group
+    * is picked round-robin. */
+  private def route(subject: String, payload: Array[Byte]): Unit = {
+    var groups = Map.empty[(String, String), List[(ClientConn, String)]]
+    clients.forEach { c =>
+      c.subs.forEach { (sid, pg) =>
+        val (pattern, group) = pg
+        if (InMemoryBus.subjectMatches(pattern, subject)) {
+          if (group == null) c.sendMsg(subject, sid, payload)
+          else {
+            val k = (pattern, group)
+            groups = groups.updated(k, (c, sid) :: groups.getOrElse(k, Nil))
+          }
+        }
+      }
+    }
+    groups.foreach { case (k, members) =>
+      val counter = rr.computeIfAbsent(k, _ => new AtomicLong)
+      val (c, sid) = members((counter.getAndIncrement() % members.size).toInt)
+      c.sendMsg(subject, sid, payload)
+    }
+  }
+
+  private val acceptor = new Thread(() => {
+    try {
+      while (!stopped.get) {
+        val sock = server.accept()
+        val conn = new ClientConn(sock)
+        clients.add(conn)
+        val t = new Thread(() => conn.run(), s"graft-mini-nats-conn-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      }
+    } catch {
+      case _: IOException => () // server socket closed
+    }
+  }, s"graft-mini-nats-$port")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def stop(): Unit = if (stopped.compareAndSet(false, true)) {
+    try server.close() catch { case _: IOException => () }
+    clients.forEach(_.disconnect()) // reader threads exit on socket close
+    acceptor.join(2000)
+  }
+}

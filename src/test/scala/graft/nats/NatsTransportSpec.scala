@@ -165,12 +165,19 @@ class NatsTransportSpec extends AnyFunSuite {
     finally conn.close()
   }
 
-  test("nats:// without the jnats jar fails with an actionable classpath message") {
+  test("jnats:// without the jnats jar fails with an actionable classpath message") {
     assume(!JnatsTransport.isAvailable, "jnats jar present — gated live test covers this path")
     val e = intercept[UnsupportedOperationException](
-      NatsTransport.connect("nats://localhost:4222"))
+      NatsTransport.connect("jnats://localhost:4222"))
     assert(e.getMessage.contains("io.nats:jnats"))
-    assert(e.getMessage.contains("memory://"))
+    assert(e.getMessage.contains("nats://"))
+  }
+
+  test("nats:// routes to the built-in wire client: a dead port fails with a connection error, not a classpath error") {
+    // Port 1 on loopback: nothing listens there. The failure mode proves
+    // the wire client actually dialed a socket (NatsWireSpec covers the
+    // live path against MiniNatsServer).
+    intercept[java.io.IOException](NatsTransport.connect("nats://127.0.0.1:1"))
   }
 
   test("unknown scheme is rejected") {
@@ -183,7 +190,7 @@ class NatsTransportSpec extends AnyFunSuite {
   test("jnats live round-trip: publish/subscribe through a real broker") {
     assume(JnatsTransport.isAvailable, "jnats client jar not on the classpath")
     val conn =
-      try NatsTransport.connect("nats://localhost:4222")
+      try NatsTransport.connect("jnats://localhost:4222")
       catch { case e: Exception => cancel(s"no live NATS broker on localhost:4222: $e") }
     try {
       val seen = new java.util.concurrent.LinkedBlockingQueue[String]()
