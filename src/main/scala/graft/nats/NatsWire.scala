@@ -220,6 +220,18 @@ final class MiniNatsServer {
     * CONNECT — lets tests assert client keepalive handling). */
   def clientPongs: Long = pongsSeen.get
 
+  /** Live subscriptions (across all connections) whose pattern matches
+    * `subject` — the fire-and-forget synchronization point: a test must
+    * not publish until the consumer's SUB has reached the server, exactly
+    * like the reference example's subscriber warm-up sleep
+    * (examples/simple_query.rs:39), but deterministic. */
+  def subscriptionCount(subject: String): Int = {
+    var n = 0
+    clients.forEach(c => c.subs.forEach((_, pg) =>
+      if (InMemoryBus.subjectMatches(pg._1, subject)) n += 1))
+    n
+  }
+
   private final class ClientConn(sock: Socket) {
     sock.setTcpNoDelay(true)
     def disconnect(): Unit = try sock.close() catch { case _: IOException => () }
