@@ -76,6 +76,17 @@ object Bench {
       }.min
     }
 
+    // Streaming ingest vs BASELINE.md's derived targets (1,000 rows/batch,
+    // <= 1 s flush), on both the in-process bus and the TCP wire client.
+    // A failure must not sink the batch numbers: report it inline instead.
+    val streaming =
+      try StreamBench.section(spark)
+      catch {
+        case e: Throwable =>
+          val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\r\n]", " ")
+          s""""streaming":{"error":"$msg"}"""
+      }
+
     // A crashing query reports -1.0; keep it out of the total (it would
     // LOWER the sum, masquerading as a speedup) and surface it explicitly
     // so the driver can tell fast from broken (ADVICE r2).
@@ -83,9 +94,14 @@ object Bench {
     val qs = med.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = med.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"floor_sec":$floor,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"floor_sec":$floor,$streaming,"sf":"$sfDir"}"""
     println(json)
     sys.env.get("BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json))
+    // Always persist the full JSON next to the build: the driver keeps only
+    // the last 2,000 chars of stdout, which truncated away q01-q21 and the
+    // total in round 5 (VERDICT r5 "what's wrong" #2). A committed file
+    // survives regardless of how stdout is captured.
+    Files.writeString(Paths.get("BENCH_FULL.json"), json + "\n")
     spark.stop()
   }
 }

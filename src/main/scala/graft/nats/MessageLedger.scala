@@ -66,12 +66,21 @@ final class MessageLedger(config: LedgerConfig) {
     * end. A full batch is admitted as soon as batchSize rows are available;
     * a partial batch only after flushTimeoutMs of admission silence; else
     * the offset does not advance (no empty batches).
+    *
+    * `maxBatches` lifts the per-trigger admission from one batch (the
+    * parity default — one RecordBatch per poll) to up to that many FULL
+    * batches. batchSize stays the batch granularity (the reference's
+    * batch_size is RecordBatch size, and its executor consumes every
+    * batch its channel holds, src/executor.rs:74-130) while a deep
+    * backlog drains at transport speed instead of one batch per trigger
+    * interval — the same backlog knob as Kafka's maxOffsetsPerTrigger.
     */
-  def admit(fromOffset: Long, nowMs: Long): Long = synchronized {
+  def admit(fromOffset: Long, nowMs: Long, maxBatches: Int = 1): Long = synchronized {
     val available = base + rows.size - fromOffset
     if (lastAdmitMs == Long.MinValue) lastAdmitMs = nowMs // policy clock starts at first poll
+    val fullBatches = math.min(available / config.batchSize, math.max(1, maxBatches).toLong)
     val admitted =
-      if (available >= config.batchSize) config.batchSize.toLong
+      if (fullBatches > 0) fullBatches * config.batchSize
       else if (available > 0 && nowMs - lastAdmitMs >= config.flushTimeoutMs) available
       else 0L
     if (admitted > 0) lastAdmitMs = nowMs

@@ -32,7 +32,8 @@ final case class NatsOptions(
     collectTimeoutMs: Long,
     numPartitions: Int,
     queueGroup: Option[String] = None,
-    queueSubscribers: Int = 2) extends Serializable
+    queueSubscribers: Int = 2,
+    maxBatchesPerTrigger: Int = 1) extends Serializable
 
 object NatsOptions {
   def from(options: CaseInsensitiveStringMap): NatsOptions = {
@@ -52,7 +53,11 @@ object NatsOptions {
       collectTimeoutMs = options.getLong("collectTimeoutMs", 5000L),
       numPartitions = options.getInt("numPartitions", 1),
       queueGroup = Option(options.get("queueGroup")).filter(_.nonEmpty),
-      queueSubscribers = options.getInt("queueSubscribers", 2))
+      queueSubscribers = options.getInt("queueSubscribers", 2),
+      // 1 = reference parity (one RecordBatch per poll); raise to drain a
+      // deep backlog at transport speed (Kafka's maxOffsetsPerTrigger
+      // analog) — batchSize stays the decode/batch granularity.
+      maxBatchesPerTrigger = options.getInt("maxBatchesPerTrigger", 1))
   }
 }
 
@@ -474,7 +479,7 @@ final class NatsMicroBatchStream(
     // Fail fast rather than return an offset below a checkpointed commit —
     // Spark would otherwise plan empty/regressed batches forever.
     failIfNotResumable(restoredOffset)
-    var end = ledger.admit(admitted, System.currentTimeMillis())
+    var end = ledger.admit(admitted, System.currentTimeMillis(), opts.maxBatchesPerTrigger)
     // stopAtRows reproduces the reference's LIMIT-terminated demo semantics
     // for streams (SURVEY §7.4.5): the offset simply stops advancing.
     opts.stopAtRows.foreach(cap => end = math.min(end, cap))

@@ -287,6 +287,30 @@ class NatsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); conn.close() }
   }
 
+  test("maxBatchesPerTrigger: a deep backlog drains multiple full batches per trigger, partial still by timeout") {
+    // batchSize stays the batch granularity (reference RecordBatch size);
+    // maxBatchesPerTrigger lifts the one-batch-per-poll parity default so
+    // a backlog drains at transport speed (Kafka maxOffsetsPerTrigger
+    // analog). 9 rows, batchSize=2, maxBatches=3: first admission takes
+    // 3 full batches (6 rows), second the remaining full batch (2), and
+    // the odd row only after flush-timeout silence.
+    val url = freshBus()
+    val stream = new NatsMicroBatchStream(schema, schema, Array.empty,
+      NatsOptions(url, "deep", batchSize = 2, flushTimeoutMs = 60000L,
+        maxBufferSize = 10000, stopAtRows = None, collectTimeoutMs = 5000L,
+        numPartitions = 1, maxBatchesPerTrigger = 3))
+    val conn = NatsTransport.connect(url)
+    try {
+      (1 to 9).foreach(i => conn.publish("deep", s"$i,r$i".getBytes))
+      val o1 = stream.latestOffset().asInstanceOf[NatsOffset]
+      assert(o1.count === 6, "3 full batches of 2 must admit together")
+      val o2 = stream.latestOffset().asInstanceOf[NatsOffset]
+      assert(o2.count === 8, "remaining full batch admits next")
+      val o3 = stream.latestOffset().asInstanceOf[NatsOffset]
+      assert(o3.count === 8, "partial row must wait for flush-timeout silence")
+    } finally { stream.stop(); conn.close() }
+  }
+
   test("restart from a foreign checkpoint fails fast instead of silently regressing offsets") {
     // A fresh stream whose ledger has seen nothing, handed a checkpointed
     // offset from a previous run: latestOffset must throw, not return an
