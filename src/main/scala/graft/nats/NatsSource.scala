@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
@@ -33,7 +33,9 @@ final case class NatsOptions(
     numPartitions: Int,
     queueGroup: Option[String] = None,
     queueSubscribers: Int = 2,
-    maxBatchesPerTrigger: Int = 1) extends Serializable
+    maxBatchesPerTrigger: Int = 1,
+    replay: Boolean = false,
+    startSequence: Long = -1L) extends Serializable
 
 object NatsOptions {
   def from(options: CaseInsensitiveStringMap): NatsOptions = {
@@ -57,7 +59,14 @@ object NatsOptions {
       // 1 = reference parity (one RecordBatch per poll); raise to drain a
       // deep backlog at transport speed (Kafka's maxOffsetsPerTrigger
       // analog) — batchSize stays the decode/batch granularity.
-      maxBatchesPerTrigger = options.getInt("maxBatchesPerTrigger", 1))
+      maxBatchesPerTrigger = options.getInt("maxBatchesPerTrigger", 1),
+      // replay=true switches the stream from fire-and-forget push to a
+      // PULL consumer over the transport's retention window (JetStream
+      // analog): offsets become broker sequences and checkpoint restart
+      // is supported. startSequence: -1 = latest-at-start (default),
+      // 0 = everything still retained, N = resume after sequence N.
+      replay = options.getBoolean("replay", false),
+      startSequence = options.getLong("startSequence", -1L))
   }
 }
 
@@ -432,11 +441,33 @@ final class NatsMicroBatchStream(
     fullSchema: StructType,
     required: StructType,
     filters: Array[Filter],
-    opts: NatsOptions) extends MicroBatchStream {
+    opts: NatsOptions) extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val conn = NatsTransport.connect(opts.url)
+
+  // replay=true: PULL consumer over the transport's retention window
+  // (JetStream analog) — offsets are broker sequences, no push
+  // subscription, checkpoint restart supported. Requires a retention-
+  // capable transport and a literal subject (a wildcard family has no
+  // total sequence order to replay).
+  private val replayConn: Option[ReplayableNatsConnection] =
+    if (!opts.replay) None
+    else conn match {
+      case r: ReplayableNatsConnection =>
+        require(!opts.subject.exists(c => c == '*' || c == '>'),
+          s"replay requires a literal subject, got '${opts.subject}': a wildcard " +
+            "family has no single sequence order to resume from")
+        Some(r)
+      case _ =>
+        conn.close()
+        throw new UnsupportedOperationException(
+          s"replay=true needs a retention-capable transport; ${opts.url} is " +
+            "fire-and-forget core NATS. Use the memory:// bus here, or NATS " +
+            "JetStream (stream + durable consumer) on a real deployment.")
+    }
 
   private val ledger = new MessageLedger(
     LedgerConfig(opts.batchSize, opts.flushTimeoutMs, opts.maxBufferSize))
-  private val conn = NatsTransport.connect(opts.url)
   // Ledger appends are synchronized, so N concurrent queue members admit
   // each message exactly once (each message reaches exactly one member).
   private val onPayload: Array[Byte] => Unit = { payload =>
@@ -447,15 +478,20 @@ final class NatsMicroBatchStream(
   // N queue-group members split the subject instead of one subscription
   // serializing it — core-NATS queue semantics, so the same option works
   // against a real broker where members spread across consumer processes.
-  // (Replayable offsets would be JetStream durable consumers — out of
-  // scope for core-NATS parity; the fire-and-forget contract is unchanged.)
-  private val subs: Seq[NatsSubscription] = opts.queueGroup match {
-    case Some(g) =>
-      (1 to math.max(1, opts.queueSubscribers))
-        .map(_ => conn.subscribeQueue(opts.subject, g)(onPayload))
-    case None => Seq(conn.subscribe(opts.subject)(onPayload))
-  }
+  // (Replay mode pulls from retention instead: no subscription at all.)
+  private val subs: Seq[NatsSubscription] =
+    if (opts.replay) Seq.empty
+    else opts.queueGroup match {
+      case Some(g) =>
+        (1 to math.max(1, opts.queueSubscribers))
+          .map(_ => conn.subscribeQueue(opts.subject, g)(onPayload))
+      case None => Seq(conn.subscribe(opts.subject)(onPayload))
+    }
   private var admitted = 0L
+  // Replay bookkeeping: the resolved start sequence (-1 until the first
+  // poll) and the flush-policy clock for partial-batch admission.
+  private var replayStart = -1L
+  private var replayLastAdmitMs = Long.MinValue
   // Highest offset ever handed back by deserializeOffset — on a restart
   // from an existing checkpoint this arrives before the fresh ledger has
   // seen any rows, and is the signal the checkpoint is not resumable.
@@ -473,25 +509,114 @@ final class NatsMicroBatchStream(
           "restart from an existing checkpoint would silently misalign offsets. " +
           "Start the query with a fresh checkpointLocation.")
 
-  override def initialOffset(): Offset = NatsOffset(0)
+  /** Resolve where a replay consumer begins: a checkpointed offset wins
+    * (restart), else the user's startSequence, else latest-at-start.
+    * Fail fast when that position was already evicted — silent loss is
+    * exactly what replay mode exists to prevent. */
+  private def resolveReplayStart(r: ReplayableNatsConnection): Long = {
+    if (replayStart < 0) {
+      replayStart =
+        if (restoredOffset > 0) restoredOffset // checkpoint resume
+        else if (opts.startSequence >= 0) opts.startSequence
+        else r.currentSeq(opts.subject) // default: latest-at-start
+    }
+    // Spark calls initialOffset on restart too — BEFORE the offset log is
+    // replayed through deserializeOffset — so a checkpoint restored after
+    // first resolution must override it, or `admitted` regresses below
+    // the committed position and committed rows get re-fetched.
+    if (restoredOffset > replayStart) replayStart = restoredOffset
+    admitted = math.max(admitted, replayStart)
+    // The NEXT row to fetch (not the historical start: that falls out of
+    // the ring on any long-running query) must still be retained.
+    val earliest = r.earliestRetained(opts.subject)
+    if (admitted + 1 < earliest)
+      throw new IllegalStateException(
+        s"start sequence ${admitted + 1} on '${opts.subject}' is beyond the " +
+          s"retention window (earliest retained: $earliest): the messages " +
+          "between checkpoint and retention were evicted; restart with a " +
+          "fresh checkpointLocation (accepting the gap) or raise retention")
+    replayStart
+  }
 
-  override def latestOffset(): Offset = synchronized {
-    // Fail fast rather than return an offset below a checkpointed commit —
-    // Spark would otherwise plan empty/regressed batches forever.
-    failIfNotResumable(restoredOffset)
-    var end = ledger.admit(admitted, System.currentTimeMillis(), opts.maxBatchesPerTrigger)
-    // stopAtRows reproduces the reference's LIMIT-terminated demo semantics
-    // for streams (SURVEY §7.4.5): the offset simply stops advancing.
-    opts.stopAtRows.foreach(cap => end = math.min(end, cap))
-    admitted = math.max(admitted, end)
+  // In replay mode the FIRST batch must begin at the resolved start
+  // sequence, not 0 — otherwise Spark's first plan spans [0, start] and
+  // replays history a latest-at-start consumer asked to skip.
+  override def initialOffset(): Offset = synchronized {
+    replayConn match {
+      case Some(r) => NatsOffset(resolveReplayStart(r))
+      case None    => NatsOffset(0)
+    }
+  }
+
+  /** Replay-mode admission: same size-or-timeout flush policy as the
+    * ledger, but over broker sequences pulled from retention, advancing
+    * from the start offset SPARK hands us (authoritative). */
+  private def replayLatestOffset(r: ReplayableNatsConnection, from: Long): NatsOffset = {
+    if (replayStart < 0) replayStart = from // restart path: never saw initialOffset
+    admitted = math.max(admitted, from)
+    val now = System.currentTimeMillis()
+    if (replayLastAdmitMs == Long.MinValue) replayLastAdmitMs = now
+    val available = r.currentSeq(opts.subject) - admitted
+    val fullBatches =
+      math.min(available / opts.batchSize, math.max(1, opts.maxBatchesPerTrigger).toLong)
+    var adm =
+      if (fullBatches > 0) fullBatches * opts.batchSize
+      else if (available > 0 && now - replayLastAdmitMs >= opts.flushTimeoutMs) available
+      else 0L
+    // stopAtRows counts rows THIS query consumed, so the cap is relative
+    // to where the replay started.
+    opts.stopAtRows.foreach(cap => adm = math.min(adm, replayStart + cap - admitted))
+    if (adm > 0) replayLastAdmitMs = now
+    admitted += math.max(0L, adm)
     NatsOffset(admitted)
   }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** The admission-control variant (SupportsAdmissionControl) — Spark
+    * passes the start offset it will actually plan the next batch from,
+    * checkpoint-restored included. Deriving the end from THAT (instead of
+    * an internal counter) is what makes restart safe: a first poll that
+    * raced ahead of checkpoint restoration once produced an end BELOW the
+    * committed position, which Spark then chained into an overlapping
+    * batch — a duplicated row (caught by NatsReplaySpec's restart test).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+    val from = start.asInstanceOf[NatsOffset].count
+    replayConn match {
+      case Some(r) => replayLatestOffset(r, from)
+      case None =>
+        // Fail fast rather than return an offset below a checkpointed commit —
+        // Spark would otherwise plan empty/regressed batches forever.
+        failIfNotResumable(math.max(from, restoredOffset))
+        admitted = math.max(admitted, from)
+        var end = ledger.admit(admitted, System.currentTimeMillis(), opts.maxBatchesPerTrigger)
+        // stopAtRows reproduces the reference's LIMIT-terminated demo semantics
+        // for streams (SURVEY §7.4.5): the offset simply stops advancing.
+        opts.stopAtRows.foreach(cap => end = math.min(end, cap))
+        admitted = math.max(admitted, end)
+        NatsOffset(admitted)
+    }
+  }
+
+  // Legacy no-arg variant: Spark routes through the admission-control
+  // overload above; direct (test) callers advance from internal state.
+  override def latestOffset(): Offset =
+    latestOffset(NatsOffset(synchronized(admitted)), ReadLimit.allAvailable())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[NatsOffset].count
     val e = end.asInstanceOf[NatsOffset].count
-    failIfNotResumable(s)
-    val payloads = ledger.rowsBetween(s, e)
+    val payloads = replayConn match {
+      case Some(r) =>
+        // Pull the committed range from retention; throws (fail-fast) if
+        // any of it was evicted between planning and (re)execution.
+        r.fetchRetained(opts.subject, s, (e - s).toInt)
+          .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+      case None =>
+        failIfNotResumable(s)
+        ledger.rowsBetween(s, e)
+    }
     if (payloads.isEmpty) Array.empty
     else {
       // Parity default is the reference's single partition
@@ -519,7 +644,9 @@ final class NatsMicroBatchStream(
   }
 
   override def commit(end: Offset): Unit =
-    ledger.trim(end.asInstanceOf[NatsOffset].count)
+    // Replay mode holds no ledger rows — eviction is the ring's capacity
+    // policy, exactly like a JetStream limits-based stream.
+    if (replayConn.isEmpty) ledger.trim(end.asInstanceOf[NatsOffset].count)
 
   override def deserializeOffset(json: String): Offset = {
     val count = json.toLong

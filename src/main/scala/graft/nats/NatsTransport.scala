@@ -30,6 +30,33 @@ trait NatsConnection extends AutoCloseable {
 
 trait NatsSubscription extends AutoCloseable
 
+/** Retention capability (the JetStream analog): the transport keeps a
+  * bounded, sequence-numbered window of recent messages per literal
+  * subject, and consumers PULL ranges by sequence instead of racing a
+  * fire-and-forget push. This is what makes a streaming checkpoint
+  * resumable: offsets are broker sequences, so a restarted query re-reads
+  * exactly the rows it missed — as long as the retained window still
+  * covers them (fail-fast beyond it, never silent loss).
+  *
+  * Core NATS has no retention (the reference's transport is fire-and-
+  * forget, src/nats_connection.rs); real deployments get this from NATS
+  * JetStream stream + pull consumer. The in-memory bus implements it for
+  * tests/demos; `nats://` (core protocol) deliberately does not.
+  */
+trait ReplayableNatsConnection extends NatsConnection {
+  /** Highest sequence ever published on the literal subject; 0 if none. */
+  def currentSeq(subject: String): Long
+
+  /** Oldest sequence still retained on the subject (1 if nothing evicted;
+    * currentSeq+1 once everything aged out). */
+  def earliestRetained(subject: String): Long
+
+  /** Payloads with sequence in (afterSeq, afterSeq+max], in order.
+    * @throws IllegalStateException if part of that range was evicted —
+    *         the caller's checkpoint is beyond the retention window. */
+  def fetchRetained(subject: String, afterSeq: Long, max: Int): Array[Array[Byte]]
+}
+
 /** URL-scheme router — the DSv2 machinery above this interface is
   * transport-agnostic, which is the point of the seam:
   *
@@ -202,17 +229,36 @@ object InMemoryBus {
       val group: String, // null = plain (non-queue) subscription
       val handler: Array[Byte] => Unit)
 
-  private final class Bus {
+  /** Bounded per-subject retention (the bus' JetStream-stream analog):
+    * sequences start at 1 and never reset; the ring holds the newest
+    * `capacity` messages. All access synchronized on the instance. */
+  private final class Retained(val capacity: Int) {
+    var nextSeq = 1L
+    val ring = scala.collection.mutable.ArrayDeque.empty[Array[Byte]]
+    def earliest: Long = nextSeq - ring.size // oldest retained seq
+    def append(payload: Array[Byte]): Unit = {
+      ring.append(payload)
+      nextSeq += 1
+      if (ring.size > capacity) ring.removeHead()
+    }
+  }
+
+  private final class Bus(val retainCapacity: Int) {
     val subs = new CopyOnWriteArrayList[Sub]()
     val rr = new ConcurrentHashMap[(String, String), AtomicLong]()
+    val retained = new ConcurrentHashMap[String, Retained]()
+    def retainedFor(subject: String): Retained =
+      retained.computeIfAbsent(subject, _ => new Retained(retainCapacity))
   }
 
   private val buses = new ConcurrentHashMap[String, Bus]()
 
+  val DefaultRetain = 4096
+
   /** Number of live subscriptions on a subject (lets demo publishers
     * stop once their consumer is gone). */
   def subscriberCount(busId: String, subject: String): Int = {
-    val bus = buses.get(busId)
+    val bus = buses.get(busId.split("\\?retain=", 2)(0))
     if (bus == null) 0
     else {
       var n = 0
@@ -221,11 +267,51 @@ object InMemoryBus {
     }
   }
 
-  def connect(busId: String): NatsConnection = new NatsConnection {
-    private val bus = buses.computeIfAbsent(busId, _ => new Bus)
+  /** `busId` may carry a `?retain=N` suffix setting the per-subject
+    * retention window for the bus (first connect wins; default 4096). */
+  def connect(busId: String): ReplayableNatsConnection = new ReplayableNatsConnection {
+    private val (id, retain) = busId.split("\\?retain=", 2) match {
+      case Array(i, n) => (i, n.toInt)
+      case _           => (busId, DefaultRetain)
+    }
+    private val bus = buses.computeIfAbsent(id, _ => new Bus(retain))
+
+    def currentSeq(subject: String): Long = {
+      NatsSubjects.validateSubject(subject)
+      val r = bus.retainedFor(subject)
+      r.synchronized { r.nextSeq - 1 }
+    }
+
+    def earliestRetained(subject: String): Long = {
+      NatsSubjects.validateSubject(subject)
+      val r = bus.retainedFor(subject)
+      r.synchronized { r.earliest }
+    }
+
+    def fetchRetained(subject: String, afterSeq: Long, max: Int): Array[Array[Byte]] = {
+      NatsSubjects.validateSubject(subject)
+      val r = bus.retainedFor(subject)
+      r.synchronized {
+        val from = afterSeq + 1
+        if (from >= r.nextSeq) Array.empty
+        else {
+          if (from < r.earliest) throw new IllegalStateException(
+            s"sequence $from on '$subject' is beyond the retention window " +
+              s"(earliest retained: ${r.earliest}, capacity ${r.capacity}): " +
+              "the checkpointed position was evicted")
+          val upTo = math.min(afterSeq + math.max(0, max), r.nextSeq - 1)
+          r.ring.slice((from - r.earliest).toInt, (upTo - r.earliest + 1).toInt).toArray
+        }
+      }
+    }
 
     def publish(subject: String, payload: Array[Byte]): Unit = {
       NatsSubjects.validateSubject(subject)
+      // Retention first: a message is sequenced and retained whether or
+      // not anyone is subscribed (that is the point of replay), then
+      // push-delivered to live fire-and-forget subscribers as before.
+      val r = bus.retainedFor(subject)
+      r.synchronized { r.append(payload) }
       // Queue groups are keyed by (subscription pattern, group) per NATS
       // semantics: the same group name on two different patterns forms
       // two groups, each getting its own delivery. Members are collected

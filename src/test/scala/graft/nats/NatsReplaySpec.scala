@@ -1,0 +1,200 @@
+package graft.nats
+
+import java.nio.file.Files
+import java.util.UUID
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Replayable offsets (VERDICT r5 item 3 — the JetStream analog): the bus
+  * retains a bounded sequence-numbered window per literal subject, and
+  * `replay=true` turns the source into a PULL consumer over it — offsets
+  * are broker sequences, so a restart from checkpoint re-reads exactly
+  * the rows published while the query was down, with fail-fast (never
+  * silent loss) once the retention window has passed.
+  */
+class NatsReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("nats-replay-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false)))
+
+  // ---- transport-level retention semantics ----
+
+  test("retention ring: publish is sequenced and retained with no subscriber; fetch ranges replay in order") {
+    val conn = InMemoryBus.connect("replay-" + UUID.randomUUID())
+    try {
+      assert(conn.currentSeq("s") === 0)
+      (1 to 5).foreach(i => conn.publish("s", s"m$i".getBytes))
+      assert(conn.currentSeq("s") === 5)
+      assert(conn.earliestRetained("s") === 1)
+      assert(conn.fetchRetained("s", 0, 10).map(new String(_)).toSeq
+        === Seq("m1", "m2", "m3", "m4", "m5"))
+      assert(conn.fetchRetained("s", 3, 10).map(new String(_)).toSeq === Seq("m4", "m5"))
+      assert(conn.fetchRetained("s", 3, 1).map(new String(_)).toSeq === Seq("m4"))
+      assert(conn.fetchRetained("s", 5, 10).isEmpty)
+    } finally conn.close()
+  }
+
+  test("retention ring: bounded capacity evicts oldest; fetching an evicted range fails fast") {
+    val conn = InMemoryBus.connect("replay-" + UUID.randomUUID() + "?retain=4")
+    try {
+      (1 to 10).foreach(i => conn.publish("s", s"m$i".getBytes))
+      assert(conn.earliestRetained("s") === 7) // 7,8,9,10 retained
+      assert(conn.fetchRetained("s", 6, 10).map(new String(_)).toSeq
+        === Seq("m7", "m8", "m9", "m10"))
+      val e = intercept[IllegalStateException](conn.fetchRetained("s", 3, 10))
+      assert(e.getMessage.contains("retention window"))
+    } finally conn.close()
+  }
+
+  // ---- engine-level replay: checkpoint restart with zero loss ----
+
+  test("checkpoint restart: rows published while the query was DOWN are replayed exactly once") {
+    val url = "memory://replay-" + UUID.randomUUID()
+    val conn = NatsTransport.connect(url)
+    val ckpt = Files.createTempDirectory("nats-replay-ckpt").toString
+    try {
+      // messages exist BEFORE any consumer — replay makes them readable
+      (1 to 3).foreach(i => conn.publish("ev", s"$i,row$i".getBytes))
+
+      // a file sink: checkpoint-recoverable (the memory sink is not), and
+      // ONE sink accumulating across both runs makes exactly-once visible
+      val out = Files.createTempDirectory("nats-replay-out").toString
+      def startQuery() =
+        spark.readStream.format("nats").schema(schema)
+          .option("url", url).option("subject", "ev")
+          .option("batchSize", "2").option("flushTimeoutMs", "50")
+          .option("replay", "true").option("startSequence", "0")
+          .load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).start()
+
+      def sunkIds(): Seq[Int] =
+        spark.read.schema(schema).parquet(out)
+          .collect().map(_.getInt(0)).toSeq.sorted
+
+      val q1 = startQuery()
+      val deadline = System.currentTimeMillis() + 15000
+      while (sunkIds().size < 3 && System.currentTimeMillis() < deadline) {
+        q1.processAllAvailable()
+        Thread.sleep(50)
+      }
+      assert(sunkIds() === Seq(1, 2, 3), "pre-subscription rows replayed from retention")
+      q1.stop()
+
+      // the query is down; the world keeps publishing
+      (4 to 7).foreach(i => conn.publish("ev", s"$i,row$i".getBytes))
+
+      // restart from the SAME checkpoint: the 4 missed rows arrive in the
+      // same sink — total 7 distinct, zero lost, zero duplicated
+      val q2 = startQuery()
+      val deadline2 = System.currentTimeMillis() + 15000
+      while (sunkIds().size < 7 && System.currentTimeMillis() < deadline2) {
+        q2.processAllAvailable()
+        Thread.sleep(50)
+      }
+      assert(sunkIds() === (1 to 7),
+        "exactly the rows published during downtime appended, no loss, no dupes")
+      q2.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    } finally {
+      conn.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
+  test("default startSequence is latest-at-start: pre-existing rows are not replayed") {
+    val url = "memory://replay-" + UUID.randomUUID()
+    val conn = NatsTransport.connect(url)
+    try {
+      (1 to 3).foreach(i => conn.publish("ev", s"$i,old$i".getBytes))
+      val q = spark.readStream.format("nats").schema(schema)
+        .option("url", url).option("subject", "ev")
+        .option("batchSize", "2").option("flushTimeoutMs", "50")
+        .option("replay", "true")
+        .load()
+        .writeStream.format("memory").queryName("replay_latest").start()
+      try {
+        q.processAllAvailable() // first poll resolves "latest" = seq 3
+        (4 to 5).foreach(i => conn.publish("ev", s"$i,new$i".getBytes))
+        val deadline = System.currentTimeMillis() + 15000
+        var n = 0L
+        while (n < 2 && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable()
+          n = spark.table("replay_latest").count()
+          if (n < 2) Thread.sleep(50)
+        }
+        assert(spark.sql("SELECT id FROM replay_latest ORDER BY id")
+          .collect().map(_.getInt(0)).toSeq === Seq(4, 5))
+      } finally q.stop()
+    } finally conn.close()
+  }
+
+  test("restart beyond the retention window fails fast instead of silently skipping rows") {
+    val url = "memory://replay-" + UUID.randomUUID() + "?retain=4"
+    val conn = NatsTransport.connect(url)
+    try {
+      (1 to 10).foreach(i => conn.publish("ev", s"$i,row$i".getBytes)) // 1-6 evicted
+      val q = spark.readStream.format("nats").schema(schema)
+        .option("url", url).option("subject", "ev")
+        .option("batchSize", "2")
+        .option("replay", "true").option("startSequence", "0")
+        .load()
+        .writeStream.format("memory").queryName("replay_evicted").start()
+      val e = intercept[StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      assert(e.getCause.getMessage.contains("retention window"), e.getCause.getMessage)
+      q.stop()
+    } finally conn.close()
+  }
+
+  test("replay=true on a fire-and-forget transport is rejected with guidance") {
+    val server = new MiniNatsServer
+    try {
+      val e = intercept[Exception] {
+        spark.readStream.format("nats").schema(schema)
+          .option("url", server.url).option("subject", "ev")
+          .option("replay", "true")
+          .load()
+          .writeStream.format("memory").queryName("replay_tcp").start()
+          .processAllAvailable()
+      }
+      // the failure surfaces through the stream thread; the actionable
+      // message must survive the wrapping
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else String.valueOf(t.getMessage) +: messages(t.getCause)
+      assert(messages(e).exists(m => m.contains("JetStream")),
+        s"expected transport guidance, got: ${messages(e)}")
+    } finally server.stop()
+  }
+
+  test("replay requires a literal subject (wildcard families have no sequence order)") {
+    val url = "memory://replay-" + UUID.randomUUID()
+    val e = intercept[Exception] {
+      spark.readStream.format("nats").schema(schema)
+        .option("url", url).option("subject", "ev.*")
+        .option("replay", "true")
+        .load()
+        .writeStream.format("memory").queryName("replay_wild").start()
+        .processAllAvailable()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("literal subject")), s"got: ${messages(e)}")
+  }
+}
