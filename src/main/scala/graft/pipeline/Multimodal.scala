@@ -7,11 +7,14 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *
   * The Spark-side plumbing is real — schema, encoders, iterator-to-
   * iterator mapPartitions (the Scala analog of a mapInPandas batch UDF),
-  * partition-preserving execution. The byte-level DECODE step is a
-  * clearly-marked STUB: image/audio codecs are not available in this
-  * container, so [[decodeStub]] derives deterministic fake dimensions
-  * from the payload's md5. Swapping in a real decoder changes only that
-  * one function; everything around it (and its tests) stays.
+  * partition-preserving execution. IMAGE decode is real too:
+  * [[decodeImage]] parses actual PNG/JPEG/GIF/BMP bytes with the JDK's
+  * built-in ImageIO readers. The remaining environment seam is
+  * audio/video (no codecs ship with the JDK): [[decodeStub]] derives
+  * deterministic fake dimensions from the payload's md5, and also serves
+  * as the documented fallback for image-labeled payloads that are not
+  * decodable images. Swapping in an av codec changes only that one
+  * function; everything around it (and its tests) stays.
   */
 object Multimodal {
 
@@ -29,9 +32,10 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake (width, height, n_frames) from the
-    * first 8 md5 hex chars. A real implementation would parse the codec
-    * headers here; the arithmetic is kept SQL-expressible so the whole
-    * pipeline stays oracle-checkable.
+    * first 8 md5 hex chars. Used for audio/video (no codecs ship with the
+    * JDK) and as the documented fallback for image payloads that fail to
+    * parse; the arithmetic is kept SQL-expressible so the whole pipeline
+    * stays oracle-checkable.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
     val h1 = java.lang.Long.parseLong(md5Hex(payload).substring(0, 8), 16)
@@ -41,6 +45,33 @@ object Multimodal {
     (width, height, nFrames)
   }
 
+  /** REAL image decode via the JDK's ImageIO — PNG/JPEG/GIF/BMP readers
+    * ship with every JRE, no external codec needed. None when the payload
+    * is not a decodable image. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int)] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      .map(img => (img.getWidth, img.getHeight))
+    catch { case _: java.io.IOException => None }
+
+  /** Formats the JDK can genuinely decode. */
+  val ImageFormats: Set[String] = Set("png", "jpeg", "jpg", "gif", "bmp")
+
+  /** Format-aware decode: REAL header parse for image formats (a decoded
+    * still image is one frame); the deterministic stub for audio/video
+    * (the remaining environment seam) and for image-labeled payloads that
+    * are not actually decodable — media keeps flowing with derived
+    * metadata instead of killing the batch, the same keep-streaming
+    * philosophy as the codec's skip-malformed policy (and what keeps the
+    * synthetic text-payload fixtures oracle-checkable).
+    */
+  def decode(payload: Array[Byte], format: String): (Int, Int, Int) =
+    if (ImageFormats(format.toLowerCase(java.util.Locale.ROOT)))
+      decodeImage(payload) match {
+        case Some((w, h)) => (w, h, 1)
+        case None         => decodeStub(payload)
+      }
+    else decodeStub(payload)
+
   /** Batch feature extraction: iterator-to-iterator per partition, so
     * executors stream batches without materializing a partition in memory
     * — the shape a heavyweight decoder needs (model/codec handles are
@@ -49,9 +80,9 @@ object Multimodal {
   def extractFeatures(media: Dataset[Media]): Dataset[Features] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition init of the (stub) decoder would go here
+      // per-partition init of a heavyweight decoder would go here
       it.map { m =>
-        val (w, h, f) = decodeStub(m.payload)
+        val (w, h, f) = decode(m.payload, m.format)
         Features(m.doc_id, m.format, m.payload.length, w, h, f)
       }
     }
@@ -94,7 +125,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
-        val (w, h, f) = decodeStub(m.payload)
+        val (w, h, f) = decode(m.payload, m.format)
         val (sw, sh) = resizeStub(w, h, target)
         (1 to f).iterator
           .filter(i => (i - 1) % everyNth == 0)

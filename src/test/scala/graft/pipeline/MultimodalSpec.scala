@@ -32,6 +32,54 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w1 >= 64 && w1 < 257 && h1 >= 64 && h1 < 257 && f1 >= 1 && f1 <= 7)
   }
 
+  /** A REAL image of the given size, encoded with the JDK's own writer. */
+  private def realImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"JDK has no $format writer")
+    out.toByteArray
+  }
+
+  test("decodeImage parses REAL PNG and JPEG bytes to their true dimensions") {
+    assert(Multimodal.decodeImage(realImage(123, 77, "png")) === Some((123, 77)))
+    assert(Multimodal.decodeImage(realImage(64, 256, "jpg")) === Some((64, 256)))
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")) === None)
+  }
+
+  test("format-aware decode: real dims for real images, stub for audio and undecodable payloads") {
+    val png = realImage(200, 150, "png")
+    assert(Multimodal.decode(png, "png") === ((200, 150, 1)))
+    assert(Multimodal.decode(png, "PNG") === ((200, 150, 1))) // case-insensitive
+    // audio: no JDK codec — deterministic stub
+    val wav = "fake audio bytes".getBytes("UTF-8")
+    assert(Multimodal.decode(wav, "wav") === Multimodal.decodeStub(wav))
+    // image-labeled but not decodable: documented fallback keeps flowing
+    assert(Multimodal.decode(wav, "png") === Multimodal.decodeStub(wav))
+  }
+
+  test("extractFeatures reports REAL decoded dimensions for real image payloads end-to-end") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.Media(1L, realImage(320, 240, "png"), "png"),
+      Multimodal.Media(2L, realImage(90, 45, "jpg"), "jpeg"),
+      Multimodal.Media(3L, "audio payload".getBytes("UTF-8"), "wav")).toDS()
+    val rows = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert((rows(0).width, rows(0).height, rows(0).n_frames) === ((320, 240, 1)))
+    assert((rows(1).width, rows(1).height, rows(1).n_frames) === ((90, 45, 1)))
+    val (sw, sh, sf) = Multimodal.decodeStub("audio payload".getBytes("UTF-8"))
+    assert((rows(2).width, rows(2).height, rows(2).n_frames) === ((sw, sh, sf)))
+  }
+
+  test("sampleFrames on a real image: one frame, aspect-preserving resize of true dims") {
+    import spark.implicits._
+    val media = Seq(Multimodal.Media(7L, realImage(448, 224, "png"), "png")).toDS()
+    val frames = Multimodal.sampleFrames(media, 224, 2).collect()
+    assert(frames.length === 1)
+    assert((frames(0).scaled_w, frames(0).scaled_h) === ((224, 112)))
+    assert(frames(0).frame_idx === 1)
+  }
+
   test("resizeStub preserves aspect within bounds and never exceeds the target") {
     // no-op inside bounds
     assert(Multimodal.resizeStub(100, 224, 224) === ((100, 224)))
