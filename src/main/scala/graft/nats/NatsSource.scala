@@ -35,7 +35,8 @@ final case class NatsOptions(
     queueSubscribers: Int = 2,
     maxBatchesPerTrigger: Int = 1,
     replay: Boolean = false,
-    startSequence: Long = -1L) extends Serializable
+    startSequence: Long = -1L,
+    partitionBySubject: Boolean = false) extends Serializable
 
 object NatsOptions {
   def from(options: CaseInsensitiveStringMap): NatsOptions = {
@@ -66,7 +67,12 @@ object NatsOptions {
       // is supported. startSequence: -1 = latest-at-start (default),
       // 0 = everything still retained, N = resume after sequence N.
       replay = options.getBoolean("replay", false),
-      startSequence = options.getLong("startSequence", -1L))
+      startSequence = options.getLong("startSequence", -1L),
+      // With a wildcard subject family, keep each concrete subject's rows
+      // together and fan decode out one-subject-per-partition (up to
+      // numPartitions) — parallelism follows subject cardinality while
+      // per-subject ordering survives.
+      partitionBySubject = options.getBoolean("partitionBySubject", false))
   }
 }
 
@@ -430,6 +436,12 @@ final case class NatsOffset(count: Long) extends Offset {
   override def json(): String = count.toString
 }
 
+object NatsMicroBatchStream {
+  /** Separator between subject and payload in partitionBySubject ledger
+    * entries; NUL never occurs in subjects or CSV payload text. */
+  val SubjectSep: Char = '\u0000'
+}
+
 private final case class NatsStreamPartition(
     payloads: Array[String],
     fullSchema: StructType,
@@ -474,13 +486,29 @@ final class NatsMicroBatchStream(
     ledger.append(new String(payload, java.nio.charset.StandardCharsets.UTF_8))
     ()
   }
+  // partitionBySubject entries carry their concrete subject so planning
+  // can group a batch subject-wise. NUL as separator: subjects are
+  // ASCII-ish tokens and codec payloads are CSV text — neither contains
+  // a NUL byte.
+  private val onSubjectPayload: (String, Array[Byte]) => Unit = { (subj, payload) =>
+    ledger.append(
+      subj + NatsMicroBatchStream.SubjectSep +
+        new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
   // Ingest scale-out (ADVICE r4 "What's missing" #2): with queueGroup set,
   // N queue-group members split the subject instead of one subscription
   // serializing it — core-NATS queue semantics, so the same option works
   // against a real broker where members spread across consumer processes.
   // (Replay mode pulls from retention instead: no subscription at all.)
+  if (opts.partitionBySubject)
+    require(!opts.replay && opts.queueGroup.isEmpty,
+      "partitionBySubject is the wildcard-family fan-out: it applies to a " +
+        "plain push subscription (not replay, which requires a literal " +
+        "subject, and not queueGroup, which already shards upstream)")
   private val subs: Seq[NatsSubscription] =
     if (opts.replay) Seq.empty
+    else if (opts.partitionBySubject) Seq(conn.subscribeEach(opts.subject)(onSubjectPayload))
     else opts.queueGroup match {
       case Some(g) =>
         (1 to math.max(1, opts.queueSubscribers))
@@ -618,7 +646,27 @@ final class NatsMicroBatchStream(
         ledger.rowsBetween(s, e)
     }
     if (payloads.isEmpty) Array.empty
-    else {
+    else if (opts.partitionBySubject) {
+      // Wildcard-family fan-out: group the batch's rows by the concrete
+      // subject each arrived on (entries are "<subject>NUL<payload>"),
+      // then hand WHOLE subjects to partitions — decode parallelism
+      // follows subject cardinality (up to numPartitions) and per-subject
+      // arrival order survives, the property count-sliced chunks can't
+      // give an interleaved family.
+      val bySubject = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+      payloads.foreach { entry =>
+        val i = entry.indexOf(NatsMicroBatchStream.SubjectSep)
+        bySubject.getOrElseUpdate(entry.substring(0, i),
+          scala.collection.mutable.ArrayBuffer.empty[String])
+          .append(entry.substring(i + 1))
+      }
+      val n = math.max(1, math.min(opts.numPartitions, bySubject.size))
+      bySubject.values.grouped(math.ceil(bySubject.size.toDouble / n).toInt)
+        .map(groups => NatsStreamPartition(
+          groups.flatten.toArray, fullSchema, required, filters, opts))
+        .toArray[InputPartition]
+    } else {
       // Parity default is the reference's single partition
       // (src/data_source.rs:59); numPartitions > 1 slices the batch for
       // parallel decode on executors — the scale path.

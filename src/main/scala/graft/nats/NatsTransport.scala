@@ -18,6 +18,14 @@ trait NatsConnection extends AutoCloseable {
   def publish(subject: String, payload: Array[Byte]): Unit
   def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription
 
+  /** Like [[subscribe]], but the handler also receives the CONCRETE
+    * subject each message was published on — meaningful under a wildcard
+    * pattern, where one subscription spans a subject family. Every NATS
+    * delivery carries the subject (the MSG frame's first token; jnats
+    * `Message.getSubject`), so all transports provide it. */
+  def subscribeEach(subject: String)(
+      handler: (String, Array[Byte]) => Unit): NatsSubscription
+
   /** Queue-group subscription (core NATS "queue subscribe"): members of
     * the same group on a subject split its messages — each message is
     * delivered to exactly one member. This is NATS' native scale-out for
@@ -116,7 +124,9 @@ object JnatsTransport {
     private val connCls = Class.forName("io.nats.client.Connection")
     private val dispatcherCls = Class.forName("io.nats.client.Dispatcher")
     private val handlerCls = Class.forName("io.nats.client.MessageHandler")
-    private val msgGetData = Class.forName("io.nats.client.Message").getMethod("getData")
+    private val msgCls = Class.forName("io.nats.client.Message")
+    private val msgGetData = msgCls.getMethod("getData")
+    private val msgGetSubject = msgCls.getMethod("getSubject")
     private val conn = natsCls.getMethod("connect", classOf[String]).invoke(null, url)
     private val publishM = connCls.getMethod("publish", classOf[String], classOf[Array[Byte]])
     private val createDispatcherM = connCls.getMethod("createDispatcher", handlerCls)
@@ -125,13 +135,14 @@ object JnatsTransport {
     private val subscribeQueueM =
       dispatcherCls.getMethod("subscribe", classOf[String], classOf[String])
 
-    private def handlerProxy(handler: Array[Byte] => Unit): AnyRef =
+    private def handlerProxy(handler: (String, Array[Byte]) => Unit): AnyRef =
       java.lang.reflect.Proxy.newProxyInstance(
         handlerCls.getClassLoader,
         Array(handlerCls),
         (proxy, method, args) => method.getName match {
           case "onMessage" =>
-            handler(msgGetData.invoke(args(0)).asInstanceOf[Array[Byte]]); null
+            handler(msgGetSubject.invoke(args(0)).asInstanceOf[String],
+              msgGetData.invoke(args(0)).asInstanceOf[Array[Byte]]); null
           case "hashCode" => Integer.valueOf(System.identityHashCode(proxy))
           case "equals"   => java.lang.Boolean.valueOf(proxy eq args(0))
           case "toString" => "graft.nats.JnatsTransport.MessageHandler"
@@ -139,7 +150,7 @@ object JnatsTransport {
         })
 
     private def dispatcherSub(subscribe: AnyRef => Unit)(
-        handler: Array[Byte] => Unit): NatsSubscription = {
+        handler: (String, Array[Byte]) => Unit): NatsSubscription = {
       val dispatcher = createDispatcherM.invoke(conn, handlerProxy(handler))
       subscribe(dispatcher)
       () => { closeDispatcherM.invoke(conn, dispatcher); () }
@@ -149,11 +160,15 @@ object JnatsTransport {
       publishM.invoke(conn, subject, payload)
 
     def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription =
+      dispatcherSub(d => subscribeM.invoke(d, subject))((_, p) => handler(p))
+
+    def subscribeEach(subject: String)(
+        handler: (String, Array[Byte]) => Unit): NatsSubscription =
       dispatcherSub(d => subscribeM.invoke(d, subject))(handler)
 
     def subscribeQueue(subject: String, group: String)(
         handler: Array[Byte] => Unit): NatsSubscription =
-      dispatcherSub(d => subscribeQueueM.invoke(d, subject, group))(handler)
+      dispatcherSub(d => subscribeQueueM.invoke(d, subject, group))((_, p) => handler(p))
 
     def close(): Unit = connCls.getMethod("close").invoke(conn)
   }
@@ -227,7 +242,7 @@ object InMemoryBus {
   private final class Sub(
       val subject: String,
       val group: String, // null = plain (non-queue) subscription
-      val handler: Array[Byte] => Unit)
+      val handler: (String, Array[Byte]) => Unit) // (concrete subject, payload)
 
   /** Bounded per-subject retention (the bus' JetStream-stream analog):
     * sequences start at 1 and never reset; the ring holds the newest
@@ -322,7 +337,7 @@ object InMemoryBus {
       var groups = Map.empty[(String, String), List[Sub]]
       bus.subs.forEach { s =>
         if (subjectMatches(s.subject, subject)) {
-          if (s.group == null) s.handler(payload)
+          if (s.group == null) s.handler(subject, payload)
           else {
             val k = (s.subject, s.group)
             groups = groups.updated(k, s :: groups.getOrElse(k, Nil))
@@ -333,7 +348,7 @@ object InMemoryBus {
       groups.foreach { case (k, members) =>
         val counter = bus.rr.computeIfAbsent(k, _ => new AtomicLong)
         val pick = (counter.getAndIncrement() % members.size).toInt
-        members(pick).handler(payload)
+        members(pick).handler(subject, payload)
       }
     }
 
@@ -353,7 +368,11 @@ object InMemoryBus {
       }
     }
 
-    def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription = {
+    def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription =
+      subscribeEach(subject)((_, p) => handler(p))
+
+    def subscribeEach(subject: String)(
+        handler: (String, Array[Byte]) => Unit): NatsSubscription = {
       NatsSubjects.validatePattern(subject)
       add(new Sub(subject, null, handler))
     }
@@ -362,7 +381,7 @@ object InMemoryBus {
         handler: Array[Byte] => Unit): NatsSubscription = {
       require(group != null && group.nonEmpty, "queue group must be non-empty")
       NatsSubjects.validatePattern(subject)
-      add(new Sub(subject, group, handler))
+      add(new Sub(subject, group, (_, p) => handler(p)))
     }
 
     def close(): Unit = () // bus outlives connections, like a broker

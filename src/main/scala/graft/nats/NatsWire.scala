@@ -81,7 +81,7 @@ final class TcpNatsClient(host: String, port: Int) extends NatsConnection {
   private val out = new BufferedOutputStream(socket.getOutputStream, 64 * 1024)
   private val writeLock = new Object
   private val nextSid = new AtomicLong(1)
-  private val handlers = new ConcurrentHashMap[String, Array[Byte] => Unit]()
+  private val handlers = new ConcurrentHashMap[String, (String, Array[Byte]) => Unit]()
   private val closed = new AtomicBoolean(false)
   @volatile private var serverError: String = null
 
@@ -124,7 +124,7 @@ final class TcpNatsClient(host: String, port: Int) extends NatsConnection {
           val n = t(t.length - 1).toInt
           val payload = NatsWire.readPayload(in, n)
           val h = handlers.get(sid)
-          if (h != null) h(payload)
+          if (h != null) h(t(1), payload) // t(1) = concrete subject
         } else if (line == "PING") {
           writeLock.synchronized { write("PONG\r\n"); out.flush() }
         } else if (line.startsWith("-ERR")) {
@@ -160,7 +160,7 @@ final class TcpNatsClient(host: String, port: Int) extends NatsConnection {
   }
 
   private def sub(subject: String, group: Option[String])(
-      handler: Array[Byte] => Unit): NatsSubscription = {
+      handler: (String, Array[Byte]) => Unit): NatsSubscription = {
     NatsSubjects.validatePattern(subject)
     group.foreach(g => require(g.nonEmpty, "queue group must be non-empty"))
     checkHealthy()
@@ -180,11 +180,15 @@ final class TcpNatsClient(host: String, port: Int) extends NatsConnection {
   }
 
   def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription =
+    sub(subject, None)((_, p) => handler(p))
+
+  def subscribeEach(subject: String)(
+      handler: (String, Array[Byte]) => Unit): NatsSubscription =
     sub(subject, None)(handler)
 
   def subscribeQueue(subject: String, group: String)(
       handler: Array[Byte] => Unit): NatsSubscription =
-    sub(subject, Some(group))(handler)
+    sub(subject, Some(group))((_, p) => handler(p))
 
   def close(): Unit = if (closed.compareAndSet(false, true)) {
     try socket.close() catch { case _: IOException => () }

@@ -311,6 +311,62 @@ class NatsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { stream.stop(); conn.close() }
   }
 
+  test("partitionBySubject: N concrete subjects under a wildcard -> N input partitions, per-subject order kept") {
+    val url = freshBus()
+    val stream = new NatsMicroBatchStream(schema, schema, Array.empty,
+      NatsOptions(url, "sensors.*", batchSize = 12, flushTimeoutMs = 1000L,
+        maxBufferSize = 10000, stopAtRows = None, collectTimeoutMs = 5000L,
+        numPartitions = 4, partitionBySubject = true))
+    val conn = NatsTransport.connect(url)
+    try {
+      // 4 concrete subjects, 3 rows each, interleaved publish order
+      val subjects = Seq("sensors.a", "sensors.b", "sensors.c", "sensors.d")
+      for (i <- 1 to 3; (subj, j) <- subjects.zipWithIndex)
+        conn.publish(subj, s"${i * 10 + j},${subj.stripPrefix("sensors.")}$i".getBytes)
+      val deadline = System.currentTimeMillis() + 5000
+      var end = stream.latestOffset().asInstanceOf[NatsOffset]
+      while (end.count < 12 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(20)
+        end = stream.latestOffset().asInstanceOf[NatsOffset]
+      }
+      assert(end.count === 12, "ledger did not absorb all 12 messages")
+      val parts = stream.planInputPartitions(NatsOffset(0), end)
+        .map(_.asInstanceOf[NatsStreamPartition])
+      assert(parts.length === 4, s"4 subjects with numPartitions=4 must fan out 4-wide")
+      // each partition holds exactly one subject's rows, in arrival order
+      val byName = parts.map { p =>
+        val names = p.payloads.map(_.split(",")(1))
+        val families = names.map(_.dropRight(1)).distinct
+        assert(families.length === 1, s"partition mixes subjects: ${names.toSeq}")
+        assert(names.map(_.last).toSeq === Seq('1', '2', '3'),
+          s"per-subject arrival order lost: ${names.toSeq}")
+        families.head
+      }
+      assert(byName.sorted.toSeq === Seq("a", "b", "c", "d"))
+    } finally { stream.stop(); conn.close() }
+  }
+
+  test("partitionBySubject E2E: a wildcard family decodes in parallel with every row delivered once") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val df = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "fleet.*")
+      .option("batchSize", "9")
+      .option("numPartitions", "3").option("partitionBySubject", "true")
+      .load()
+    val q = df.writeStream.format("memory").queryName("nats_subj_fan").start()
+    try {
+      awaitSubscriber(url, "fleet.x")
+      for (i <- 1 to 3; s <- Seq("x", "y", "z"))
+        conn.publish(s"fleet.$s", s"${i * 3 + "xyz".indexOf(s)},$s$i".getBytes)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, name FROM nats_subj_fan ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows.length === 9)
+      assert(rows.map(_._2).sorted === Seq("x1", "x2", "x3", "y1", "y2", "y3", "z1", "z2", "z3").sorted)
+    } finally { q.stop(); conn.close() }
+  }
+
   test("restart from a foreign checkpoint fails fast instead of silently regressing offsets") {
     // A fresh stream whose ledger has seen nothing, handed a checkpointed
     // offset from a previous run: latestOffset must throw, not return an
