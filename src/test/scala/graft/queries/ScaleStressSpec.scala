@@ -1,0 +1,112 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-stress regression for the dedup/sketch family (VERDICT r5 item
+  * 7): run each operator on the sf0.01 fixtures AND on a synthesized 10x
+  * corpus, assert the physical plan SHAPE is unchanged (no operator
+  * flips into a cartesian/broadcast-explosion at scale) and that runtime
+  * grows roughly linearly — the closest in-sandbox proxy for the
+  * 100 TB claim, where a quadratic candidate generator would be fatal.
+  *
+  * Corpus design: 10 copies of `documents` with offset doc_ids. Copy 0
+  * is verbatim; copies 1-9 apply a copy-specific BIJECTIVE token rename
+  * (every token gets a copy suffix). A bijection on the token alphabet
+  * maps the word-3-gram shingle sets and token populations bijectively
+  * too, so WITHIN a copy every pairwise similarity (MinHash/Jaccard/
+  * SimHash) is structurally preserved, while ACROSS copies the token
+  * sets are disjoint and similarity dies. (Two rejected alternatives:
+  * verbatim copies make each doc pair with its 9 clones — the true
+  * output grows quadratically in the duplication factor and any correct
+  * algorithm is forced superlinear; an INTERLEAVED shared salt token is
+  * worse — every doc pair in a copy suddenly shares the (salt, w, salt)
+  * shingle for any common word w, and the salt dominates token-majority
+  * SimHash, exploding within-copy similarity ~100x.) `events` (q40's
+  * input) duplicates verbatim: exact-dedup output is one row per
+  * distinct key, linear by construction.
+  */
+class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .appName("scale-stress-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val base = "/root/testdata/sf0.01"
+  private val Copies = 10
+
+  private lazy val scaledDir: String = {
+    val dir = Files.createTempDirectory("graft-scale10x").toString
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until Copies).map { i =>
+      val d = docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+      if (i == 0) d
+      else d.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", "$1" + s"zq$i"))
+    }.reduce(_ unionByName _)
+      .coalesce(4).write.parquet(s"$dir/documents.parquet")
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    (0 until Copies).map(i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .coalesce(4).write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val family = Seq(
+    "q40_dedup_exact", "q41_near_dup", "q44_simhash",
+    "q45_ngram_jaccard", "q76_dup_clusters", "q78_incremental_dedup")
+
+  /** Build + materialize, cold (cache cleared): wall seconds, plan-node
+    * multiset, result rows. Build time is included on purpose — q76 runs
+    * its propagation loop at build. */
+  private def run(name: String, dir: String): (Double, Seq[String], Long) = {
+    spark.sqlContext.clearCache()
+    val qd = Registry.all.find(_.name == name)
+      .getOrElse(fail(s"$name not in Registry"))
+    val t0 = System.nanoTime()
+    val df: DataFrame = qd.build(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nodes = df.queryExecution.sparkPlan
+      .collect { case p => p.getClass.getSimpleName }.sorted
+    (sec, nodes, df.count())
+  }
+
+  family.foreach { name =>
+    test(s"$name: 10x corpus keeps the plan shape and scales ~linearly") {
+      val warm = run(name, base) // JVM/codegen warm-up, discarded
+      assert(warm._3 >= 0)
+      val (t1, plan1, rows1) = run(name, base)
+      val (t10, plan10, rows10) = run(name, scaledDir)
+      // identical operator multiset: the planner must not switch
+      // strategies (e.g. into a cartesian or a nested-loop) at 10x
+      assert(plan10 === plan1,
+        s"plan shape changed at 10x:\n 1x: $plan1\n10x: $plan10")
+      // non-degenerate on both corpora, and output scales ~linearly too:
+      // an explosion here means similarity leaked across copies (the
+      // corpus-design failure mode documented above), which would turn
+      // the runtime ratio into a measurement of the wrong thing
+      assert(rows1 > 0 && rows10 >= rows1, s"rows: 1x=$rows1 10x=$rows10")
+      assert(rows10 <= 15L * rows1,
+        s"output explosion at 10x (rows $rows1 -> $rows10): cross-copy similarity leak")
+      // ~linear runtime: generous noise margin (host load swings wall
+      // clock; see memory/SURVEY) — a quadratic candidate generator on a
+      // 10x corpus lands at ~100x and fails this by an order of magnitude
+      val ratio = t10 / t1
+      info(f"$name: 1x ${t1}%.2fs -> 10x ${t10}%.2fs (ratio ${ratio}%.1fx, rows $rows1 -> $rows10)")
+      assert(ratio < 30.0, f"superlinear blow-up: ${ratio}%.1fx for 10x data")
+    }
+  }
+}
