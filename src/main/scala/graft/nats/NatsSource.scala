@@ -371,20 +371,60 @@ final class NatsBatch(
     limit: Option[Int],
     opts: NatsOptions) extends Batch {
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // One partition: a one-shot subscription is inherently a single
-    // consumer (parallel scale-out is the streaming path's numPartitions /
-    // NATS queue groups, not the one-shot demo path).
-    val bound = (limit.map(_.toLong).toSeq ++ opts.stopAtRows.toSeq)
-      .reduceOption(_ min _).getOrElse(Long.MaxValue)
-    Array(NatsBatchPartition(fullSchema, required, filters, bound, opts))
+  override def planInputPartitions(): Array[InputPartition] =
+    if (opts.replay) replayPartitions()
+    else {
+      // One partition: a one-shot subscription is inherently a single
+      // consumer (parallel scale-out is the streaming path's numPartitions /
+      // NATS queue groups, not the one-shot demo path).
+      val bound = (limit.map(_.toLong).toSeq ++ opts.stopAtRows.toSeq)
+        .reduceOption(_ min _).getOrElse(Long.MaxValue)
+      Array(NatsBatchPartition(fullSchema, required, filters, bound, opts))
+    }
+
+  /** replay=true batch read: the retained window AS A TABLE — the Kafka
+    * batch-read analog (`spark.read.format("kafka")` with offsets), and
+    * what "query a JetStream stream" looks like as a DataFrame. Bounded
+    * by what retention holds at planning time: no live publisher, no
+    * collect timeout, deterministic. startSequence picks the resume
+    * point (default: everything still retained). Payloads ship sliced
+    * numPartitions-wide for executor-side parallel decode; a pushed
+    * LIMIT stays exact via Spark's GlobalLimit above the scan (payloads
+    * are pre-filter, so the source never truncates below the bound).
+    */
+  private def replayPartitions(): Array[InputPartition] = {
+    val conn = NatsTransport.connect(opts.url)
+    try conn match {
+      case r: ReplayableNatsConnection =>
+        require(!opts.subject.exists(c => c == '*' || c == '>'),
+          s"replay requires a literal subject, got '${opts.subject}'")
+        val after =
+          if (opts.startSequence >= 0) opts.startSequence
+          else r.earliestRetained(opts.subject) - 1
+        val current = r.currentSeq(opts.subject)
+        val payloads = r.fetchRetained(opts.subject, after, (current - after).toInt)
+          .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+        if (payloads.isEmpty) Array.empty
+        else {
+          val n = math.max(1, math.min(opts.numPartitions, payloads.length))
+          payloads.grouped(math.ceil(payloads.length.toDouble / n).toInt)
+            .map(chunk => NatsStreamPartition(chunk, fullSchema, required, filters, opts))
+            .toArray[InputPartition]
+        }
+      case _ =>
+        throw new UnsupportedOperationException(
+          s"replay=true needs a retention-capable transport; ${opts.url} is " +
+            "fire-and-forget core NATS. Use the memory:// bus here, or NATS " +
+            "JetStream (stream + durable consumer) on a real deployment.")
+    } finally conn.close()
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
-    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-      val p = partition.asInstanceOf[NatsBatchPartition]
-      new NatsBatchReader(p)
-    }
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+      partition match {
+        case p: NatsStreamPartition => new PayloadPartitionReader(p)
+        case p: NatsBatchPartition  => new NatsBatchReader(p)
+      }
   }
 }
 
@@ -448,6 +488,18 @@ private final case class NatsStreamPartition(
     required: StructType,
     filters: Array[Filter],
     opts: NatsOptions) extends InputPartition
+
+/** Decodes a shipped payload slice on the executor — shared by planned
+  * micro-batches and replay-mode batch reads. */
+private final class PayloadPartitionReader(p: NatsStreamPartition)
+    extends PartitionReader[InternalRow] {
+  private val pipeline = new RowPipeline(p.fullSchema, p.required, p.filters, p.opts)
+  private val it = p.payloads.iterator.flatMap(pipeline.decode)
+  private var current: InternalRow = _
+  override def next(): Boolean = it.hasNext && { current = it.next(); true }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
 
 final class NatsMicroBatchStream(
     fullSchema: StructType,
@@ -678,17 +730,8 @@ final class NatsMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
-    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-      val p = partition.asInstanceOf[NatsStreamPartition]
-      val pipeline = new RowPipeline(p.fullSchema, p.required, p.filters, p.opts)
-      new PartitionReader[InternalRow] {
-        private val it = p.payloads.iterator.flatMap(pipeline.decode)
-        private var current: InternalRow = _
-        override def next(): Boolean = it.hasNext && { current = it.next(); true }
-        override def get(): InternalRow = current
-        override def close(): Unit = ()
-      }
-    }
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+      new PayloadPartitionReader(partition.asInstanceOf[NatsStreamPartition])
   }
 
   override def commit(end: Offset): Unit =

@@ -163,6 +163,48 @@ class NatsReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  // ---- batch reads over the retention window (Kafka batch-read analog) ----
+
+  test("batch read with replay=true: the retained window is a bounded table — no live publisher, no timeout") {
+    val url = "memory://replay-" + UUID.randomUUID()
+    val conn = NatsTransport.connect(url)
+    try {
+      (1 to 5).foreach(i => conn.publish("hist", s"$i,row$i".getBytes))
+      val t0 = System.nanoTime()
+      val df = spark.read.format("nats").schema(schema)
+        .option("url", url).option("subject", "hist")
+        .option("replay", "true").option("startSequence", "0")
+        .option("numPartitions", "2")
+        .load()
+      val rows = df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(rows === (1 to 5).map(i => (i, s"row$i")))
+      assert(df.rdd.getNumPartitions === 2, "retained payloads slice for parallel decode")
+      // deterministic and immediate: no collectTimeoutMs wait (default 5 s)
+      assert(elapsedMs < 4000, s"replay batch read should not block on a timeout: ${elapsedMs}ms")
+    } finally conn.close()
+  }
+
+  test("batch replay honors startSequence and pushed filter + limit stay exact") {
+    import org.apache.spark.sql.functions.col
+    val url = "memory://replay-" + UUID.randomUUID()
+    val conn = NatsTransport.connect(url)
+    try {
+      (1 to 8).foreach(i => conn.publish("hist", s"$i,row$i".getBytes))
+      val after3 = spark.read.format("nats").schema(schema)
+        .option("url", url).option("subject", "hist")
+        .option("replay", "true").option("startSequence", "3")
+        .load()
+      assert(after3.collect().map(_.getInt(0)).sorted.toSeq === Seq(4, 5, 6, 7, 8))
+
+      val filtered = spark.read.format("nats").schema(schema)
+        .option("url", url).option("subject", "hist")
+        .option("replay", "true").option("startSequence", "0")
+        .load().filter(col("id") >= 6).limit(2)
+      assert(filtered.collect().map(_.getInt(0)).sorted.toSeq === Seq(6, 7))
+    } finally conn.close()
+  }
+
   test("replay=true on a fire-and-forget transport is rejected with guidance") {
     val server = new MiniNatsServer
     try {
