@@ -93,6 +93,13 @@ final class TcpNatsClient(host: String, port: Int) extends NatsConnection {
   private val info = NatsWire.readLine(in)
   if (info == null || !info.startsWith("INFO "))
     throw new IOException(s"not a NATS server: expected INFO, got '$info'")
+  // Honor the server's advertised payload ceiling (INFO max_payload):
+  // a PUB above it draws -ERR 'Maximum Payload Violation' and real
+  // servers close the connection — reject locally instead.
+  private val serverMaxPayload: Int =
+    "\"max_payload\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(info)
+      .map(_.group(1).toLong min NatsWire.MaxPayload.toLong)
+      .getOrElse(NatsWire.MaxPayload.toLong).toInt
   writeLock.synchronized {
     write("CONNECT {\"verbose\":false,\"pedantic\":false,\"tls_required\":false," +
       "\"name\":\"graft\",\"lang\":\"scala\",\"version\":\"0.1.0\",\"protocol\":0}\r\n")
@@ -149,8 +156,8 @@ final class TcpNatsClient(host: String, port: Int) extends NatsConnection {
   def publish(subject: String, payload: Array[Byte]): Unit = {
     NatsSubjects.validateSubject(subject)
     checkHealthy()
-    require(payload.length <= NatsWire.MaxPayload,
-      s"payload ${payload.length} exceeds max ${NatsWire.MaxPayload}")
+    require(payload.length <= serverMaxPayload,
+      s"payload ${payload.length} exceeds server max_payload $serverMaxPayload")
     writeLock.synchronized {
       write(s"PUB $subject ${payload.length}\r\n")
       out.write(payload)

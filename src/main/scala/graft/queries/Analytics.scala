@@ -35,6 +35,23 @@ object Analytics {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** q90's fixed-size mergeable histogram: per (lang, bucket) exact
+    * counts, bucket = 16*e + sub with e = length(bin(x)) (= floor(log2 x)
+    * + 1, integer-exact — no float log) and sub the 16-way linear split
+    * of [2^(e-1), 2^e). Exposed so AnalyticsSpec can pin the merge law
+    * (sketch(A ∪ B) = sketch(A) + sketch(B)) and the value-error bound.
+    */
+  private[queries] def quantileSketch(docs: DataFrame): DataFrame =
+    docs.filter(col("n_chars") >= 1)
+      .withColumn("e", length(expr("bin(n_chars)")).cast(IntegerType))
+      // per-row shift amount -> call_function (functions.shiftleft only
+      // takes a literal amount)
+      .withColumn("p", call_function("shiftleft", lit(1L), col("e") - 1))
+      .withColumn("bucket",
+        col("e").cast(LongType) * 16 + expr("((n_chars - p) * 16) div p"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   // q65's layout step is write-ONCE per source dir — that is the
   // production semantics being modeled (bucket the fact table once,
   // join shuffle-free forever after), and it keeps repeated builds
@@ -1020,6 +1037,86 @@ object Analytics {
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_users"))
         .select(lit("ALL").as("event_type"), col("est_users"))
       per.unionByName(all).orderBy(col("event_type"))
+    },
+
+    // ---- q89: deterministic k-per-group sample ---------------------------
+    // The "balanced training mix" primitive: exactly k documents per
+    // class, selected uniformly-at-"random" but reproducibly — rank by a
+    // cross-engine-stable 60-bit md5 of the doc id inside each group.
+    // Spark 4's InferWindowGroupLimit turns the rank<=k filter into a
+    // WindowGroupLimit below the exchange: each map task keeps a k-row
+    // heap per group, so the shuffle carries O(k * groups) rows, not the
+    // corpus — the difference between sampling 100 TB and sorting it
+    // (plan pinned in PlanAuditSpec).
+    QueryDef(
+      "q89_group_sample",
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |  FROM h)
+        |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      val k = 5
+      val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+            .cast(LongType).as("hk"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
+    // ---- q90: mergeable quantile sketch ----------------------------------
+    // Completes the sketch trio's missing member (q79 bloom = membership,
+    // q83 HLL = cardinality, q85 CMS = frequency): QUANTILES from a
+    // fixed-size mergeable histogram. Buckets are log2-ranged with 16
+    // linear sub-buckets — computed entirely in INTEGER arithmetic
+    // (length(bin(x)) is floor(log2 x)+1 exactly; no float log whose
+    // last-ulp could flip a boundary bucket between engines), so unlike
+    // q26/q83 this sketch is fully oracle-paired: counts are exact and
+    // hash-identical, and the p50/p90/p99 bucket picks use the integer
+    // cross-multiplied form (2*cum >= n), never a float threshold.
+    // Merge = count addition (shard-split pin in AnalyticsSpec); relative
+    // bucket width 1/16 bounds the value error at ~6.25%.
+    QueryDef(
+      "q90_quantile_sketch",
+      """WITH b AS (
+        |  SELECT lang,
+        |    16 * length(bin(n_chars)) + ((n_chars - (1::BIGINT << (length(bin(n_chars)) - 1))) * 16)
+        |      // (1::BIGINT << (length(bin(n_chars)) - 1)) AS bucket
+        |  FROM documents WHERE n_chars >= 1),
+        |c AS (SELECT lang, bucket, COUNT(*) AS cnt FROM b GROUP BY lang, bucket),
+        |cum AS (
+        |  SELECT lang, bucket, cnt,
+        |    SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM c)
+        |SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN 2 * cum >= n THEN bucket END) AS BIGINT) AS b50,
+        |  CAST(MIN(CASE WHEN 10 * cum >= 9 * n THEN bucket END) AS BIGINT) AS b90,
+        |  CAST(MIN(CASE WHEN 100 * cum >= 99 * n THEN bucket END) AS BIGINT) AS b99
+        |FROM cum GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val sketch = quantileSketch(T(s, dir, "documents"))
+      val wc = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("lang"))
+      sketch
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(wn))
+        .groupBy(col("lang"))
+        .agg(
+          max(col("n")).as("n"),
+          min(when(col("cum") * 2 >= col("n"), col("bucket"))).as("b50"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("bucket"))).as("b90"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("bucket"))).as("b99"))
+        .orderBy(col("lang"))
     },
 
     // ---- q82: schema-evolution read ------------------------------------

@@ -271,6 +271,50 @@ class NatsWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("client honors the server-advertised max_payload from INFO") {
+    withServer { server =>
+      val conn = NatsTransport.connect(server.url)
+      try {
+        // MiniNatsServer advertises 1 MiB; the graft client must reject
+        // locally instead of drawing -ERR + disconnect from the server
+        intercept[IllegalArgumentException](
+          conn.publish("big", new Array[Byte](NatsWire.MaxPayload + 1)))
+        // a payload AT the ceiling still round-trips
+        val seen = new LinkedBlockingQueue[Array[Byte]]()
+        val sub = conn.subscribe("big")(seen.put)
+        eventually()(server.subscriptionCount("big") == 1)
+        conn.publish("big", new Array[Byte](NatsWire.MaxPayload))
+        val got = seen.poll(10, TimeUnit.SECONDS)
+        assert(got != null && got.length === NatsWire.MaxPayload)
+        sub.close()
+      } finally conn.close()
+    }
+  }
+
+  test("partitionBySubject over TCP: the MSG frame's subject token drives the fan-out") {
+    withServer { server =>
+      val pub = NatsTransport.connect(server.url)
+      val df = spark.readStream.format("nats").schema(schema)
+        .option("url", server.url).option("subject", "mach.*")
+        .option("batchSize", "6")
+        .option("numPartitions", "3").option("partitionBySubject", "true")
+        .load()
+      val q = df.writeStream.format("memory").queryName("wire_subj_fan").start()
+      try {
+        eventually()(server.subscriptionCount("mach.a") >= 1)
+        for (i <- 1 to 2; s <- Seq("a", "b", "c"))
+          pub.publish(s"mach.$s", s"${i * 3 + "abc".indexOf(s)},$s$i".getBytes)
+        eventually() {
+          q.processAllAvailable()
+          spark.sql("SELECT * FROM wire_subj_fan").count() == 6
+        }
+        val names = spark.sql("SELECT name FROM wire_subj_fan")
+          .collect().map(_.getString(0)).sorted.toSeq
+        assert(names === Seq("a1", "a2", "b1", "b2", "c1", "c2"))
+      } finally { q.stop(); pub.close() }
+    }
+  }
+
   test("wildcard DSv2 source over TCP aggregates a subject family") {
     withServer { server =>
       val pub = NatsTransport.connect(server.url)

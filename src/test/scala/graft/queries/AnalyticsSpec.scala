@@ -210,4 +210,42 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy(col("doc_id")).collect().map(_.toString).toSeq
     assert(bloom === exact)
   }
+
+  test("q90: quantile sketch is mergeable (shard sketches add up) and value error is within a bucket width") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    // merge law: sketch(A) + sketch(B) == sketch(A union B), exactly
+    val whole = Analytics.quantileSketch(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val shardA = Analytics.quantileSketch(docs.filter(col("doc_id") % 2 === 0))
+    val shardB = Analytics.quantileSketch(docs.filter(col("doc_id") % 2 =!= 0))
+    val merged = shardA.unionByName(shardB)
+      .groupBy(col("lang"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === whole, "merged shard sketches must equal the whole-corpus sketch exactly")
+
+    // value error: invert each picked bucket to its range midpoint and
+    // compare against the exact percentile — bounded by the 1/16-relative
+    // bucket width (plus the discrete quantile step on small groups)
+    val picks = run("q90_quantile_sketch").collect()
+    val exact = docs.filter(col("n_chars") >= 1)
+      .groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        expr("percentile(n_chars, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    picks.foreach { r =>
+      val lang = r.getString(0)
+      def mid(bucket: Long): Double = {
+        val e = (bucket / 16).toInt; val sub = bucket % 16
+        val p = 1L << (e - 1)
+        p + (sub + 0.5) * p / 16.0
+      }
+      val (e50, e90, e99) = exact(lang)
+      for ((b, ex, q) <- Seq((r.getLong(2), e50, "p50"), (r.getLong(3), e90, "p90"), (r.getLong(4), e99, "p99"))) {
+        val est = mid(b)
+        assert(math.abs(est - ex) / ex <= 0.10,
+          f"$lang $q: sketch estimate $est%.1f vs exact $ex%.1f exceeds 10%%")
+      }
+    }
+  }
 }

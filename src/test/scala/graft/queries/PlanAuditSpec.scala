@@ -115,6 +115,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q89: rank<=k filter becomes a WindowGroupLimit below the exchange (map-side k-row heaps)") {
+    // The difference between SAMPLING 100 TB and SORTING it: Spark 4's
+    // InferWindowGroupLimit must turn q89's row_number<=k into a partial
+    // WindowGroupLimit before the shuffle, so each map task ships only
+    // its k best rows per group instead of the whole corpus.
+    val plan = Registry.byName("q89_group_sample").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val wgl = plan.split("\n").filter(_.contains("WindowGroupLimit"))
+    assert(wgl.length >= 2, // partial (map-side) + final (post-shuffle)
+      s"q89: expected partial+final WindowGroupLimit, saw ${wgl.length}:\n$plan")
+    assert(wgl.exists(_.contains("Partial")),
+      s"q89: no map-side (Partial) WindowGroupLimit — the corpus ships to the shuffle:\n$plan")
+  }
+
   test("q81: both join inputs shuffle on (key, salt) — the hot key is split across salt partitions") {
     val plan = Registry.byName("q81_skew_salted_join").build(spark, sfDir)
       .queryExecution.executedPlan.toString
