@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
@@ -505,7 +505,8 @@ final class NatsMicroBatchStream(
     fullSchema: StructType,
     required: StructType,
     filters: Array[Filter],
-    opts: NatsOptions) extends MicroBatchStream with SupportsAdmissionControl {
+    opts: NatsOptions) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val conn = NatsTransport.connect(opts.url)
 
@@ -572,6 +573,18 @@ final class NatsMicroBatchStream(
   // poll) and the flush-policy clock for partial-batch admission.
   private var replayStart = -1L
   private var replayLastAdmitMs = Long.MinValue
+  // Trigger.AvailableNow: the backlog bound snapshotted at prepare time
+  // (-1 = continuous mode). Batches keep draining toward it batch-by-
+  // batch; when admitted reaches it, latestOffset stops advancing and
+  // the query self-terminates — "process everything available, stop",
+  // the run-it-hourly production pattern.
+  @volatile private var availableNowCap = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = replayConn match {
+      case Some(r) => r.currentSeq(opts.subject)
+      case None    => ledger.endOffset
+    }
   // Highest offset ever handed back by deserializeOffset — on a restart
   // from an existing checkpoint this arrives before the fresh ledger has
   // seen any rows, and is the signal the checkpoint is not resumable.
@@ -636,12 +649,18 @@ final class NatsMicroBatchStream(
     admitted = math.max(admitted, from)
     val now = System.currentTimeMillis()
     if (replayLastAdmitMs == Long.MinValue) replayLastAdmitMs = now
-    val available = r.currentSeq(opts.subject) - admitted
+    val target =
+      if (availableNowCap >= 0) math.min(r.currentSeq(opts.subject), availableNowCap)
+      else r.currentSeq(opts.subject)
+    val available = target - admitted
     val fullBatches =
       math.min(available / opts.batchSize, math.max(1, opts.maxBatchesPerTrigger).toLong)
     var adm =
       if (fullBatches > 0) fullBatches * opts.batchSize
-      else if (available > 0 && now - replayLastAdmitMs >= opts.flushTimeoutMs) available
+      // bounded (AvailableNow) runs flush the final partial immediately —
+      // waiting out the timeout would only delay termination
+      else if (available > 0 &&
+        (availableNowCap >= 0 || now - replayLastAdmitMs >= opts.flushTimeoutMs)) available
       else 0L
     // stopAtRows counts rows THIS query consumed, so the cap is relative
     // to where the replay started.
@@ -670,7 +689,13 @@ final class NatsMicroBatchStream(
         // Spark would otherwise plan empty/regressed batches forever.
         failIfNotResumable(math.max(from, restoredOffset))
         admitted = math.max(admitted, from)
-        var end = ledger.admit(admitted, System.currentTimeMillis(), opts.maxBatchesPerTrigger)
+        var end =
+          if (availableNowCap >= 0)
+            // bounded run: drain toward the prepared snapshot one batch
+            // granule at a time, final partial included, no flush wait
+            math.min(admitted + opts.batchSize.toLong *
+              math.max(1, opts.maxBatchesPerTrigger), availableNowCap)
+          else ledger.admit(admitted, System.currentTimeMillis(), opts.maxBatchesPerTrigger)
         // stopAtRows reproduces the reference's LIMIT-terminated demo semantics
         // for streams (SURVEY §7.4.5): the offset simply stops advancing.
         opts.stopAtRows.foreach(cap => end = math.min(end, cap))

@@ -163,6 +163,48 @@ class NatsReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  test("Trigger.AvailableNow over replay: drains the whole retained backlog batch-by-batch, then self-terminates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val url = "memory://replay-" + UUID.randomUUID()
+    val conn = NatsTransport.connect(url)
+    try {
+      (1 to 7).foreach(i => conn.publish("ev", s"$i,row$i".getBytes))
+      val q = spark.readStream.format("nats").schema(schema)
+        .option("url", url).option("subject", "ev")
+        // flush timeout deliberately huge: a bounded run must flush the
+        // final partial batch immediately, not wait out the timer
+        .option("batchSize", "3").option("flushTimeoutMs", "60000")
+        .option("replay", "true").option("startSequence", "0")
+        .load()
+        .writeStream.format("memory").queryName("replay_avail_now")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(30000), "AvailableNow query must self-terminate")
+      assert(spark.sql("SELECT id FROM replay_avail_now ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq === (1 to 7))
+      // the backlog drained at batch granularity: 3 + 3 + 1
+      assert(q.recentProgress.count(_.numInputRows > 0) === 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally conn.close()
+  }
+
+  test("Trigger.AvailableNow on the push source: the prepare-time snapshot bounds the run (unit)") {
+    val url = "memory://replay-" + UUID.randomUUID()
+    val stream = new NatsMicroBatchStream(schema, schema, Array.empty,
+      NatsOptions(url, "ev", batchSize = 2, flushTimeoutMs = 60000L,
+        maxBufferSize = 10000, stopAtRows = None, collectTimeoutMs = 5000L,
+        numPartitions = 1))
+    val conn = NatsTransport.connect(url)
+    try {
+      (1 to 5).foreach(i => conn.publish("ev", s"$i,row$i".getBytes))
+      stream.prepareForTriggerAvailableNow() // snapshot: 5 rows
+      conn.publish("ev", "6,late".getBytes)  // after the snapshot: excluded
+      val ends = (1 to 4).map(_ => stream.latestOffset().asInstanceOf[NatsOffset].count)
+      // 2, 4, then the final partial immediately (no 60 s flush wait),
+      // then no further advance — the termination signal
+      assert(ends === Seq(2L, 4L, 5L, 5L), ends.toString)
+    } finally { stream.stop(); conn.close() }
+  }
+
   // ---- batch reads over the retention window (Kafka batch-read analog) ----
 
   test("batch read with replay=true: the retained window is a bounded table — no live publisher, no timeout") {
