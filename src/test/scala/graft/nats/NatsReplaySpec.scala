@@ -163,6 +163,74 @@ class NatsReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  test("stateful window spanning a restart: replayed rows and restored state combine exactly once") {
+    import org.apache.spark.sql.functions.{col, count, window}
+    val url = "memory://replay-" + UUID.randomUUID()
+    val conn = NatsTransport.connect(url)
+    val ckpt = Files.createTempDirectory("nats-replay-state-ckpt").toString
+    val out = Files.createTempDirectory("nats-replay-state-out").toString
+    val tsSchema = StructType(Seq(
+      StructField("ts", TimestampType, nullable = false),
+      StructField("v", IntegerType, nullable = false)))
+    try {
+      // batchSize=1: every row is its own micro-batch, so the watermark
+      // advances deterministically one event at a time
+      def startQuery() =
+        spark.readStream.format("nats").schema(tsSchema)
+          .option("url", url).option("subject", "timed")
+          .option("batchSize", "1").option("flushTimeoutMs", "50")
+          .option("replay", "true").option("startSequence", "0")
+          .load()
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "1 minute").as("w"))
+          .agg(count(col("v")).as("n"))
+          .select(col("w.start").cast("long").as("start"), col("n"))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).start()
+
+      def closedWindows(): Map[Long, Long] =
+        spark.read.schema(StructType(Seq(
+            StructField("start", LongType), StructField("n", LongType))))
+          .parquet(out).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      def pub(ts: String, v: Int): Unit =
+        conn.publish("timed", s"2024-01-01 $ts,$v".getBytes)
+
+      val base = 1704103200L // 2024-01-01 10:00:00 UTC
+
+      // run 1: two rows in window [10:00, 10:01), one in [10:01, 10:02);
+      // the extra 10:01:20 row pushes the watermark past 10:01 so the
+      // first window CLOSES and is committed before the shutdown
+      pub("10:00:10", 1); pub("10:00:30", 2); pub("10:01:10", 3); pub("10:01:20", 4)
+      val q1 = startQuery()
+      val dl1 = System.currentTimeMillis() + 20000
+      while (!closedWindows().contains(base) && System.currentTimeMillis() < dl1) {
+        q1.processAllAvailable(); Thread.sleep(50)
+      }
+      q1.stop()
+      assert(closedWindows() === Map(base -> 2L), "first window closed before shutdown")
+
+      // DOWNTIME: another row lands in the still-open [10:01, 10:02)
+      // window, plus rows that will close it after restart
+      pub("10:01:40", 5); pub("10:02:15", 6); pub("10:02:30", 7)
+
+      // restart: restored state (2 rows) + replayed downtime row must
+      // combine to n=3 for [10:01, 10:02) — no loss, no double count
+      val q2 = startQuery()
+      val dl2 = System.currentTimeMillis() + 20000
+      while (!closedWindows().contains(base + 60) && System.currentTimeMillis() < dl2) {
+        q2.processAllAvailable(); Thread.sleep(50)
+      }
+      q2.stop()
+      assert(closedWindows() === Map(base -> 2L, (base + 60) -> 3L),
+        s"window spanning the restart must count its pre- AND post-restart rows exactly once: ${closedWindows()}")
+    } finally {
+      conn.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
+
   test("Trigger.AvailableNow over replay: drains the whole retained backlog batch-by-batch, then self-terminates") {
     import org.apache.spark.sql.streaming.Trigger
     val url = "memory://replay-" + UUID.randomUUID()
