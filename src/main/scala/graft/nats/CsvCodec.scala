@@ -46,7 +46,7 @@ object CodecError {
   * Int epoch-days) so a DSv2 PartitionReader can wrap them in an
   * InternalRow without further conversion.
   */
-final class CsvCodec private (val schema: StructType) extends Serializable {
+final class CsvCodec private (val schema: StructType) extends PayloadCodec {
   import CodecError._
 
   private val fields = schema.fields
@@ -161,31 +161,15 @@ final class CsvCodec private (val schema: StructType) extends Serializable {
 }
 
 object CsvCodec {
-  import CodecError._
-
-  private val supported: Set[DataType] =
-    Set(IntegerType, DoubleType, BooleanType, StringType, TimestampType, DateType)
-
   private[nats] val tsFormat =
     DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss").withResolverStyle(ResolverStyle.STRICT)
   private[nats] val dateFormat =
     DateTimeFormatter.ofPattern("uuuu-MM-dd").withResolverStyle(ResolverStyle.STRICT)
 
-  /** Validate the schema and build a codec (reference src/codec/csv.rs:48-91). */
-  def apply(schema: StructType): Either[CodecError, CsvCodec] = {
-    if (schema.fields.isEmpty)
-      return Left(SchemaMismatch("Schema must have at least one field"))
-    val seen = scala.collection.mutable.HashSet.empty[String]
-    for (f <- schema.fields) {
-      if (f.name.isEmpty)
-        return Left(SchemaMismatch("Field name cannot be empty"))
-      if (!seen.add(f.name))
-        return Left(DuplicateField(f.name))
-      if (!supported.contains(f.dataType))
-        return Left(TypeError(s"Unsupported data type: ${f.dataType.sql} in field ${f.name}"))
-    }
-    Right(new CsvCodec(schema))
-  }
+  /** Validate the schema and build a codec (reference src/codec/csv.rs:48-91);
+    * the rules are shared across codecs in [[PayloadCodec.validateSchema]]. */
+  def apply(schema: StructType): Either[CodecError, CsvCodec] =
+    PayloadCodec.validateSchema(schema).toLeft(new CsvCodec(schema))
 
   /** Throwing variant for call sites that can only signal AnalysisException-
     * style failures (DSv2 getTable). */

@@ -36,7 +36,8 @@ final case class NatsOptions(
     maxBatchesPerTrigger: Int = 1,
     replay: Boolean = false,
     startSequence: Long = -1L,
-    partitionBySubject: Boolean = false) extends Serializable
+    partitionBySubject: Boolean = false,
+    codec: String = "csv") extends Serializable
 
 object NatsOptions {
   def from(options: CaseInsensitiveStringMap): NatsOptions = {
@@ -72,7 +73,12 @@ object NatsOptions {
       // together and fan decode out one-subject-per-partition (up to
       // numPartitions) — parallelism follows subject cardinality while
       // per-subject ordering survives.
-      partitionBySubject = options.getBoolean("partitionBySubject", false))
+      partitionBySubject = options.getBoolean("partitionBySubject", false),
+      // Wire format of each message payload: "csv" (reference parity,
+      // src/codec/csv.rs) or "json" (one flat object per message — the
+      // other format NATS tooling emits by default). Same strictness
+      // either way; see PayloadCodec.
+      codec = Option(options.get("codec")).getOrElse("csv"))
   }
 }
 
@@ -108,10 +114,11 @@ class NatsSourceProvider extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    val opts = NatsOptions.from(new CaseInsensitiveStringMap(properties))
     // Validates the 6-type whitelist / name rules at registration time,
     // like the reference's codec-construction check (src/codec/csv.rs:48-91).
-    CsvCodec.strict(schema)
-    new NatsTable(schema, NatsOptions.from(new CaseInsensitiveStringMap(properties)))
+    PayloadCodec.strict(opts.codec, schema)
+    new NatsTable(schema, opts)
   }
 }
 
@@ -132,7 +139,7 @@ final class NatsTable(schema: StructType, opts: NatsOptions)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NatsScanBuilder(schema, opts)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    CsvCodec.strict(info.schema()) // same registration-time validation as reads
+    PayloadCodec.strict(opts.codec, info.schema()) // same registration-time validation as reads
     new WriteBuilder {
       override def build(): Write = new NatsWrite(info.schema(), opts)
     }
@@ -173,7 +180,7 @@ private object NatsWriteCommit extends WriterCommitMessage
 
 final class NatsRowWriter(schema: StructType, opts: NatsOptions)
     extends DataWriter[InternalRow] {
-  private val codec = CsvCodec.strict(schema)
+  private val codec = PayloadCodec.strict(opts.codec, schema)
   private val conn = NatsTransport.connect(opts.url)
 
   override def write(row: InternalRow): Unit = {
@@ -187,7 +194,8 @@ final class NatsRowWriter(schema: StructType, opts: NatsOptions)
       case Right(payload) =>
         conn.publish(opts.subject, payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case Left(e) =>
-        throw new IllegalArgumentException(s"row not encodable as NATS CSV: ${e.message}")
+        throw new IllegalArgumentException(
+          s"row not encodable as NATS ${opts.codec}: ${e.message}")
     }
   }
 
@@ -332,7 +340,7 @@ private[nats] final class RowPipeline(
     filters: Array[Filter],
     opts: NatsOptions) extends Serializable {
 
-  @transient private lazy val codec = CsvCodec.strict(fullSchema)
+  @transient private lazy val codec = PayloadCodec.strict(opts.codec, fullSchema)
   @transient private lazy val outIdx =
     required.fieldNames.map(fullSchema.fieldIndex)
 

@@ -393,6 +393,34 @@ object Streaming {
         conn.close()
       }
       s.sql(s"SELECT id, name FROM $sink ORDER BY id")
+    },
+
+    // JSON payload codec (codec=json), full loop over the bus: the NATS
+    // sink encodes rows as one flat JSON object per message, the streaming
+    // source decodes them back with the same strict codec — proving
+    // sink-encode → transport → source-parse is the identity on a second
+    // wire format (PayloadCodec seam; the reference hard-wires CSV at
+    // src/data_source.rs:24).
+    QueryDef.noBench("q91_nats_json", canonicalOracle) { (s, _) =>
+      val url = s"memory://q91-${UUID.randomUUID()}"
+      val sink = s"nats_json_sink_${sinkId.incrementAndGet()}"
+      val q = s.readStream.format("nats").schema(rowSchema)
+        .option("url", url).option("subject", "json_table")
+        .option("codec", "json")
+        .option("batchSize", canonicalRows.size.toString)
+        .load()
+        .writeStream.format("memory").queryName(sink).start()
+      try {
+        NatsDemo.awaitSubscriber(url, "json_table")
+        import s.implicits._
+        Seq((1, "apple"), (2, "banana"), (3, "orange")).toDF("id", "name")
+          .write.format("nats")
+          .option("url", url).option("subject", "json_table")
+          .option("codec", "json")
+          .mode("append").save()
+        q.processAllAvailable()
+      } finally q.stop()
+      s.sql(s"SELECT id, name FROM $sink ORDER BY id")
     }
   )
 }

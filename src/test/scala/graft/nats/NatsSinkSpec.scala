@@ -97,6 +97,60 @@ class NatsSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); sub.close(); connIn.close() }
   }
 
+  test("codec=json: sink emits flat JSON objects and the source decodes them back (full loop)") {
+    import spark.implicits._
+    val url = freshBus()
+    val (got, sub) = collectSubject(url, "json_out")
+    try {
+      // write side: one flat JSON object per row, schema field order
+      Seq((1, "a,b\"c"), (2, "plain")).toDF("id", "name")
+        .write.format("nats")
+        .option("url", url).option("subject", "json_out").option("codec", "json")
+        .mode("append").save()
+      val payloads = got.toArray.map(_.toString).sorted
+      assert(payloads.toSeq === Seq("""{"id":1,"name":"a,b\"c"}""", """{"id":2,"name":"plain"}"""))
+
+      // read side: a streaming query with codec=json parses them back —
+      // including the comma-and-quote string CSV framing cannot carry
+      val q = spark.readStream.format("nats").schema(schema)
+        .option("url", url).option("subject", "json_in").option("codec", "json")
+        .option("batchSize", "2")
+        .load()
+        .writeStream.format("memory").queryName("nats_json_loop").start()
+      val conn = NatsTransport.connect(url)
+      try {
+        NatsDemo.awaitSubscriber(url, "json_in")
+        payloads.foreach(p => conn.publish("json_in", p.getBytes("UTF-8")))
+        q.processAllAvailable()
+        val rows = spark.sql("SELECT id, name FROM nats_json_loop ORDER BY id")
+          .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+        assert(rows === Seq((1, "a,b\"c"), (2, "plain")))
+      } finally { q.stop(); conn.close() }
+    } finally sub.close()
+  }
+
+  test("codec=json: malformed and CSV-shaped payloads are skipped and counted, stream continues") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val q = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "json_bad").option("codec", "json")
+      .option("batchSize", "4")
+      .load()
+      .writeStream.format("memory").queryName("nats_json_bad").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "json_bad")
+      val before = NatsMetrics.malformedCount(url, "json_bad")
+      Seq("""{"id":1,"name":"ok"}""", "2,csv-not-json",
+        """{"id":"3","name":"typed-wrong"}""", """{"id":4,"name":"ok2"}""")
+        .foreach(m => conn.publish("json_bad", m.getBytes("UTF-8")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id FROM nats_json_bad ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq
+      assert(rows === Seq(1, 4))
+      assert(NatsMetrics.malformedCount(url, "json_bad") - before === 2)
+    } finally { q.stop(); conn.close() }
+  }
+
   test("rows the codec cannot represent fail loudly, not silently") {
     import spark.implicits._
     val url = freshBus()
