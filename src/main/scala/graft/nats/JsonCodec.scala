@@ -3,7 +3,8 @@ package graft.nats
 import java.io.StringWriter
 import java.time.{LocalDate, LocalDateTime, ZoneOffset}
 
-import com.fasterxml.jackson.core.{JsonFactory, JsonParseException, JsonToken}
+import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+import com.fasterxml.jackson.core.exc.StreamReadException
 
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -75,7 +76,13 @@ final class JsonCodec private (val schema: StructType) extends PayloadCodec {
       }
       Right(out)
     } catch {
-      case e: JsonParseException =>
+      // StreamReadException covers the whole family of per-payload read
+      // defects, not just syntax errors: JsonParseException AND
+      // InputCoercionException (e.g. a JSON integer beyond Long range hit
+      // by getLongValue). Anything narrower would let one crafted message
+      // escape as a task failure and kill the stream, breaking the
+      // skip-malformed-keep-streaming policy (A10).
+      case e: StreamReadException =>
         Left(SchemaMismatch(s"Malformed JSON payload: ${e.getOriginalMessage}"))
     } finally parser.close()
   }

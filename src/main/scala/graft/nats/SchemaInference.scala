@@ -3,7 +3,8 @@ package graft.nats
 import java.nio.charset.StandardCharsets.UTF_8
 import java.time.{LocalDate, LocalDateTime}
 
-import com.fasterxml.jackson.core.{JsonFactory, JsonParseException, JsonToken}
+import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+import com.fasterxml.jackson.core.exc.StreamReadException
 
 import org.apache.spark.sql.types._
 
@@ -182,7 +183,11 @@ object SchemaInference {
       if (tok != JsonToken.END_OBJECT || parser.nextToken() != null) return None
       Some(out.toSeq)
     } catch {
-      case _: JsonParseException => None
+      // Same breadth as JsonCodec.parse: InputCoercionException (a JSON
+      // integer beyond Long range) is a StreamReadException sibling of
+      // JsonParseException — a sampled payload malformed in THAT way is
+      // skipped like any other, never an inference crash.
+      case _: StreamReadException => None
     } finally parser.close()
   }
 
