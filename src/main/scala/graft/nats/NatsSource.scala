@@ -37,7 +37,9 @@ final case class NatsOptions(
     replay: Boolean = false,
     startSequence: Long = -1L,
     partitionBySubject: Boolean = false,
-    codec: String = "csv") extends Serializable
+    codec: String = "csv",
+    inferSamples: Int = 16,
+    inferTimeoutMs: Long = 2000L) extends Serializable
 
 object NatsOptions {
   def from(options: CaseInsensitiveStringMap): NatsOptions = {
@@ -78,7 +80,13 @@ object NatsOptions {
       // src/codec/csv.rs) or "json" (one flat object per message — the
       // other format NATS tooling emits by default). Same strictness
       // either way; see PayloadCodec.
-      codec = Option(options.get("codec")).getOrElse("csv"))
+      codec = Option(options.get("codec")).getOrElse("csv"),
+      // inferSchema=true sampling knobs (SchemaInference): how many
+      // payloads to sample, and how long a LIVE sampling subscription may
+      // wait for them (retention-capable transports sample retained
+      // payloads instead and never wait).
+      inferSamples = options.getInt("inferSamples", 16),
+      inferTimeoutMs = options.getLong("inferTimeoutMs", 2000L))
   }
 }
 
@@ -98,17 +106,26 @@ object NatsMetrics {
 
 /** DataSource V2 provider: `spark.read[Stream].format("nats")` — the Spark
   * analog of the reference's `NatsDataSource` TableProvider
-  * (reference src/data_source.rs:35-71). The schema is always user-declared,
-  * never inferred (the reference requires an explicit schema too;
-  * README.md:17 admits inference is an unimplemented TODO).
+  * (reference src/data_source.rs:35-71). The schema is user-declared by
+  * default; `option("inferSchema", "true")` turns on payload-driven
+  * inference (SchemaInference) — the feature the reference ADVERTISES
+  * (README.md:9) but left as a TODO (README.md:17).
   */
 class NatsSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "nats"
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    throw new IllegalArgumentException(
-      "format(\"nats\") requires an explicit .schema(...): payload schemas are user-declared, never inferred")
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    if (!options.getBoolean("inferSchema", false))
+      throw new IllegalArgumentException(
+        "format(\"nats\") requires an explicit .schema(...) — or set " +
+          ".option(\"inferSchema\", \"true\") to infer one from a bounded " +
+          "sample of payloads (see also inferSamples / inferTimeoutMs)")
+    val opts = NatsOptions.from(options)
+    val payloads =
+      SchemaInference.sample(opts.url, opts.subject, opts.inferSamples, opts.inferTimeoutMs)
+    SchemaInference.infer(opts.codec, payloads)
+  }
 
   override def getTable(
       schema: StructType,

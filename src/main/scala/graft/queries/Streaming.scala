@@ -421,6 +421,29 @@ object Streaming {
         q.processAllAvailable()
       } finally q.stop()
       s.sql(s"SELECT id, name FROM $sink ORDER BY id")
+    },
+
+    // Schema inference E2E (option("inferSchema", "true") — the feature
+    // the reference ADVERTISES, README.md:9, but left TODO, README.md:17):
+    // no .schema(...) call at all. Field names AND types come from a
+    // bounded sample of retained payloads (SchemaInference), then the
+    // same replay read returns the rows — an inferred schema parses the
+    // very payloads it was inferred from, deterministically (retention
+    // sampling, no live-subscription timing).
+    QueryDef.noBench("q92_infer_schema", canonicalOracle) { (s, _) =>
+      val url = s"memory://q92-${UUID.randomUUID()}"
+      val conn = NatsTransport.connect(url)
+      try Seq("""{"id":1,"name":"apple"}""", """{"id":2,"name":"banana"}""",
+        """{"id":3,"name":"orange"}""")
+        .foreach(m => conn.publish("infer_table", m.getBytes))
+      finally conn.close()
+      s.read.format("nats")
+        .option("url", url).option("subject", "infer_table")
+        .option("codec", "json")
+        .option("inferSchema", "true")
+        .option("replay", "true").option("startSequence", "0")
+        .load()
+        .orderBy("id")
     }
   )
 }
