@@ -162,6 +162,28 @@ class NatsSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.toString.contains("nats") || ex.getMessage != null)
   }
 
+  test("sink rejects sub-second timestamps instead of truncating, both codecs") {
+    import spark.implicits._
+    // 1 s wire granularity (CsvCodec/JsonCodec encode): a 10:30:00.500
+    // value would not survive encode-then-parse — the write must FAIL,
+    // never silently truncate.
+    val subSec = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-15 10:30:00").getTime + 500L)
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    for (codec <- Seq("csv", "json")) {
+      val url = freshBus()
+      val ex = intercept[Exception] {
+        Seq(Tuple1(subSec)).toDF("t")
+          .write.format("nats").option("url", url).option("subject", "subsec")
+          .option("codec", codec).mode("append").save()
+      }
+      assert(chain(ex).exists(_.contains("sub-second")),
+        s"codec=$codec: expected a sub-second rejection, got $ex")
+    }
+  }
+
   test("parallel decode: numPartitions > 1 splits a streaming batch across tasks") {
     val url = freshBus()
     val conn = NatsTransport.connect(url)

@@ -339,4 +339,51 @@ class NatsWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       } finally { q.stop(); pub.close() }
     }
   }
+
+  test("full-type JSON over TCP: sink encode -> wire -> source parse for all six codec types") {
+    withServer { server =>
+      val full = StructType(Seq(
+        StructField("i", IntegerType, nullable = false),
+        StructField("f", DoubleType, nullable = false),
+        StructField("b", BooleanType, nullable = false),
+        StructField("s", StringType, nullable = false),
+        StructField("t", TimestampType, nullable = false),
+        StructField("d", DateType, nullable = false)))
+      val q = spark.readStream.format("nats").schema(full)
+        .option("url", server.url).option("subject", "typed_json")
+        .option("codec", "json")
+        .option("batchSize", "2")
+        .load()
+        .writeStream.format("memory").queryName("wire_json_types").start()
+      try {
+        eventually()(server.subscriptionCount("typed_json") >= 1)
+        import spark.implicits._
+        // Row 2 stresses what CSV cannot carry (comma + empty string are
+        // legal JSON strings) plus non-ASCII through the binary-safe
+        // framing, and a pre-1970 timestamp/date (negative epoch).
+        val in = Seq(
+          (1, 1.5, true, "hello",
+            java.sql.Timestamp.valueOf("2024-01-15 10:30:00"),
+            java.sql.Date.valueOf("2024-01-15")),
+          (2, -0.25, false, "héllo, wörld — ",
+            java.sql.Timestamp.valueOf("1969-12-31 23:59:59"),
+            java.sql.Date.valueOf("1969-07-20")))
+        in.toDF("i", "f", "b", "s", "t", "d")
+          .write.format("nats").mode("append")
+          .option("url", server.url).option("subject", "typed_json")
+          .option("codec", "json")
+          .save()
+        eventually() {
+          q.processAllAvailable()
+          spark.sql("SELECT * FROM wire_json_types").count() == 2
+        }
+        val rows = spark.sql("SELECT i, f, b, s, t, d FROM wire_json_types ORDER BY i")
+          .collect()
+          .map(r => (r.getInt(0), r.getDouble(1), r.getBoolean(2), r.getString(3),
+            r.getTimestamp(4), r.getDate(5)))
+          .toSeq
+        assert(rows === in)
+      } finally q.stop()
+    }
+  }
 }
