@@ -49,7 +49,10 @@ trait NatsSubscription extends AutoCloseable
   * Core NATS has no retention (the reference's transport is fire-and-
   * forget, src/nats_connection.rs); real deployments get this from NATS
   * JetStream stream + pull consumer. The in-memory bus implements it for
-  * tests/demos; `nats://` (core protocol) deliberately does not.
+  * tests/demos; `nats://` gains it when the server advertises the
+  * JetStream-style retention extension ([[GraftStreamTcpConnection]];
+  * INFO `graft_stream`) and deliberately stays fire-and-forget against a
+  * vanilla core-NATS broker.
   */
 trait ReplayableNatsConnection extends NatsConnection {
   /** Highest sequence ever published on the literal subject; 0 if none. */
@@ -101,7 +104,13 @@ object NatsTransport {
         case Array(h) => (h, 4222) // NATS default port
         case _ => throw new IllegalArgumentException(s"Malformed NATS url: $url")
       }
-      new TcpNatsClient(host, port, auth)
+      val client = new TcpNatsClient(host, port, auth)
+      // A server advertising the retention extension (INFO graft_stream —
+      // MiniNatsServer with retainCapacity > 0) upgrades the connection
+      // to replayable: replay=true then works over the wire exactly as on
+      // the memory bus. A vanilla broker stays fire-and-forget and
+      // replay=true keeps failing fast, as core NATS semantics demand.
+      if (client.supportsRetention) new GraftStreamTcpConnection(client) else client
     }
     else if (url.startsWith("jnats://")) {
       if (JnatsTransport.isAvailable)

@@ -138,7 +138,7 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
   // authorization check, so a bad credential fails HERE, not on first use.
   // A handshake failure must close the socket: the constructor throws, so
   // no caller ever gets a close() to call.
-  private val serverMaxPayload: Int =
+  private val (serverMaxPayload: Int, graftStream: Boolean) =
     try {
       socket.setSoTimeout(5000)
       val info = NatsWire.readLine(in)
@@ -179,15 +179,24 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
       socket.setSoTimeout(0)
       // Honor the server's advertised payload ceiling (INFO max_payload):
       // a PUB above it draws -ERR 'Maximum Payload Violation' and real
-      // servers close the connection — reject locally instead.
-      "\"max_payload\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(info)
+      // servers close the connection — reject locally instead. Also note
+      // whether the server advertises the graft retention extension
+      // (INFO graft_stream — NatsTransport wraps the connection as
+      // replayable when it does).
+      ("\"max_payload\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(info)
         .map(_.group(1).toLong min NatsWire.MaxPayload.toLong)
-        .getOrElse(NatsWire.MaxPayload.toLong).toInt
+        .getOrElse(NatsWire.MaxPayload.toLong).toInt,
+        "\"graft_stream\"\\s*:\\s*true".r.findFirstIn(info).isDefined)
     } catch {
       case e: Throwable =>
         try socket.close() catch { case _: IOException => () }
         throw e
     }
+
+  /** Did INFO advertise the JetStream-style retention API
+    * ([[MiniNatsServer]] with `retainCapacity > 0`)? Decides whether
+    * [[NatsTransport.connect]] wraps this client as replayable. */
+  private[nats] def supportsRetention: Boolean = graftStream
 
   private def write(s: String): Unit = out.write(s.getBytes(US_ASCII))
 
@@ -268,9 +277,114 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
       handler: Array[Byte] => Unit): NatsSubscription =
     sub(subject, Some(group))((_, p) => handler(p))
 
+  /** Synchronous request-reply over core NATS primitives (the pattern
+    * real clients implement the same way: PUB with a unique `_INBOX.*`
+    * reply-to + a subscription on it). Collects reply payloads until
+    * `done` returns true for one; throws on timeout. Multi-reply is what
+    * the JetStream-style FETCH needs — each retained message arrives as
+    * its own MSG frame, binary-safe for free.
+    */
+  private[nats] def request(
+      subject: String,
+      payload: Array[Byte],
+      timeoutMs: Long = 10000)(done: Array[Byte] => Boolean): Seq[Array[Byte]] = {
+    checkHealthy()
+    val inbox = "_INBOX." + java.util.UUID.randomUUID().toString.replace("-", "")
+    val replies = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]]()
+    val s = subscribe(inbox)(p => { replies.put(p); () })
+    try {
+      writeLock.synchronized {
+        write(s"PUB $subject $inbox ${payload.length}\r\n")
+        out.write(payload)
+        write("\r\n")
+        out.flush()
+      }
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      var finished = false
+      while (!finished) {
+        val waitMs = (deadline - System.nanoTime()) / 1000000L
+        val m = if (waitMs > 0) replies.poll(waitMs, TimeUnit.MILLISECONDS) else null
+        if (m == null) {
+          checkHealthy() // a -ERR explains the silence better than "timeout"
+          throw new IOException(
+            s"request to $subject timed out after ${timeoutMs}ms " +
+              s"(${buf.size} partial replies)")
+        }
+        buf += m
+        finished = done(m)
+      }
+      buf.toSeq
+    } finally s.close()
+  }
+
   def close(): Unit = if (closed.compareAndSet(false, true)) {
     try socket.close() catch { case _: IOException => () }
     reader.join(2000)
+  }
+}
+
+/** Replay over the wire: the retention capability
+  * ([[ReplayableNatsConnection]]) spoken as a minimal JetStream-STYLE
+  * protocol on top of core request-reply — the client publishes to
+  * `$GRAFT.STREAM.INFO.<subject>` / `$GRAFT.STREAM.FETCH.<subject>` with
+  * an `_INBOX.*` reply-to, and the server answers on the inbox: INFO with
+  * one `"<earliest> <current>"` line; FETCH with one `+<seq> <payload>`
+  * MSG per retained message and a terminal `#END` (or `#ERR <earliest>`
+  * when the range fell out of retention — the fail-fast the checkpoint
+  * contract requires). The shape mirrors a real JetStream pull consumer
+  * (fetch request → per-message MSG frames to the reply inbox); the API
+  * subjects are graft-specific, which is why the server must advertise
+  * `graft_stream` in INFO before [[NatsTransport]] selects this wrapper —
+  * a vanilla core-NATS broker stays fire-and-forget and `replay=true`
+  * keeps failing fast against it.
+  */
+private[nats] final class GraftStreamTcpConnection(c: TcpNatsClient)
+    extends ReplayableNatsConnection {
+
+  def publish(subject: String, payload: Array[Byte]): Unit = c.publish(subject, payload)
+  def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription =
+    c.subscribe(subject)(handler)
+  def subscribeEach(subject: String)(
+      handler: (String, Array[Byte]) => Unit): NatsSubscription =
+    c.subscribeEach(subject)(handler)
+  def subscribeQueue(subject: String, group: String)(
+      handler: Array[Byte] => Unit): NatsSubscription =
+    c.subscribeQueue(subject, group)(handler)
+  def close(): Unit = c.close()
+
+  private def streamInfo(subject: String): (Long, Long) = {
+    NatsSubjects.validateSubject(subject)
+    val reply = c.request(s"$$GRAFT.STREAM.INFO.$subject", Array.emptyByteArray)(_ => true).head
+    val line = new String(reply, US_ASCII)
+    if (line.startsWith("#ERR"))
+      throw new IllegalStateException(s"stream info on '$subject' failed: $line")
+    val parts = line.split(" ")
+    (parts(0).toLong, parts(1).toLong)
+  }
+
+  def currentSeq(subject: String): Long = streamInfo(subject)._2
+  def earliestRetained(subject: String): Long = streamInfo(subject)._1
+
+  def fetchRetained(subject: String, afterSeq: Long, max: Int): Array[Array[Byte]] = {
+    NatsSubjects.validateSubject(subject)
+    if (max <= 0) return Array.empty
+    val replies = c.request(
+      s"$$GRAFT.STREAM.FETCH.$subject",
+      s"$afterSeq $max".getBytes(US_ASCII))(m => m.nonEmpty && m(0) == '#')
+    val terminal = new String(replies.last, US_ASCII)
+    if (terminal.startsWith("#ERR")) {
+      val earliest = terminal.split(" ").lift(1).getOrElse("?")
+      throw new IllegalStateException(
+        s"sequence ${afterSeq + 1} on '$subject' is beyond the retention " +
+          s"window (earliest retained: $earliest): the checkpointed position " +
+          "was evicted")
+    }
+    replies.init.map { m =>
+      // "+<seq> <payload bytes>": our framing ends at the first space
+      val sp = m.indexOf(' '.toByte)
+      java.util.Arrays.copyOfRange(m, sp + 1, m.length)
+    }.toArray
   }
 }
 
@@ -291,13 +405,71 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
   * `user`/`pass`. Either failing — or any operation before a successful
   * authorized CONNECT — answers `-ERR 'Authorization Violation'` and
   * closes the connection, the documented server behavior.
+  *
+  * `retainCapacity > 0` turns on the JetStream-style retention extension
+  * (see [[GraftStreamTcpConnection]]): every published message is also
+  * sequenced into a bounded per-subject ring, `graft_stream` is
+  * advertised in INFO, and `$GRAFT.STREAM.INFO/FETCH` requests are
+  * answered — what a real deployment gets from a JetStream-enabled
+  * broker. The default (0) stays pure core NATS: fire-and-forget,
+  * nothing retained, `replay=true` correctly rejected.
   */
 final class MiniNatsServer(
     authToken: Option[String] = None,
-    authUserPass: Option[(String, String)] = None) {
+    authUserPass: Option[(String, String)] = None,
+    retainCapacity: Int = 0) {
   import NatsWire._
 
   private val authRequired = authToken.isDefined || authUserPass.isDefined
+
+  // Per-subject bounded retention ring (sequences start at 1, never
+  // reset; newest `retainCapacity` kept) — same semantics as the memory
+  // bus' ring and, at deployment scale, a JetStream limits-based stream.
+  private final class Ring {
+    var nextSeq = 1L
+    val buf = scala.collection.mutable.ArrayDeque.empty[Array[Byte]]
+    def earliest: Long = nextSeq - buf.size
+    def append(p: Array[Byte]): Unit = {
+      buf.append(p)
+      nextSeq += 1
+      if (buf.size > retainCapacity) buf.removeHead()
+    }
+  }
+  private val rings = new ConcurrentHashMap[String, Ring]()
+  private def ringFor(subject: String): Ring =
+    rings.computeIfAbsent(subject, _ => new Ring)
+
+  /** Answer a `$GRAFT.STREAM.*` request on its reply inbox. Runs on the
+    * requesting connection's thread; replies route like any publish, so
+    * they reach whichever connection holds the inbox subscription. */
+  private def streamApi(subject: String, reply: String, payload: Array[Byte]): Unit = {
+    if (reply == null) return // request-reply only: no inbox, no answer
+    def respond(s: String): Unit = route(reply, s.getBytes(US_ASCII))
+    if (retainCapacity <= 0) { respond("#ERR retention not enabled"); return }
+    if (subject.startsWith("$GRAFT.STREAM.INFO.")) {
+      val r = ringFor(subject.stripPrefix("$GRAFT.STREAM.INFO."))
+      r.synchronized { respond(s"${r.earliest} ${r.nextSeq - 1}") }
+    } else if (subject.startsWith("$GRAFT.STREAM.FETCH.")) {
+      val args = new String(payload, US_ASCII).split(" ")
+      val after = args(0).toLong
+      val max = args(1).toLong
+      val r = ringFor(subject.stripPrefix("$GRAFT.STREAM.FETCH."))
+      r.synchronized {
+        val from = after + 1
+        if (from < r.earliest && from < r.nextSeq) respond(s"#ERR ${r.earliest}")
+        else {
+          val upTo = math.min(after + math.max(0L, max), r.nextSeq - 1)
+          var seq = from
+          while (seq <= upTo) {
+            val prefix = s"+$seq ".getBytes(US_ASCII)
+            route(reply, prefix ++ r.buf((seq - r.earliest).toInt))
+            seq += 1
+          }
+          respond("#END")
+        }
+      }
+    } else respond("#ERR unknown stream api")
+  }
 
   private val server = new ServerSocket(0, 50, InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
@@ -361,6 +533,7 @@ final class MiniNatsServer(
         send("INFO {\"server_id\":\"graft-mini\",\"version\":\"0.1.0\"," +
           s"""\"proto\":0,\"host\":\"127.0.0.1\",\"port\":$port,""" +
           s"""\"auth_required\":$authRequired,""" +
+          s"""\"graft_stream\":${retainCapacity > 0},""" +
           s"""\"max_payload\":$MaxPayload}\r\n""")
         var line = readLine(in)
         while (line != null && !stopped.get) {
@@ -388,11 +561,22 @@ final class MiniNatsServer(
               // PUB <subject> [reply-to] <#bytes>
               val t = line.split(" ")
               val subject = t(1)
+              val reply = if (t.length >= 4) t(2) else null
               val n = t(t.length - 1).toInt
               if (n > MaxPayload) { send("-ERR 'Maximum Payload Violation'\r\n"); throw new EOFException }
               val payload = readPayload(in, n)
-              if (valid(() => NatsSubjects.validateSubject(subject)))
+              if (subject.startsWith("$GRAFT.STREAM."))
+                streamApi(subject, reply, payload)
+              else if (valid(() => NatsSubjects.validateSubject(subject))) {
+                // Retention first (when enabled), like the memory bus: a
+                // message is sequenced whether or not anyone subscribes —
+                // that is the point of replay — then push-delivered.
+                if (retainCapacity > 0) {
+                  val r = ringFor(subject)
+                  r.synchronized { r.append(payload) }
+                }
                 route(subject, payload)
+              }
               else send("-ERR 'Invalid Subject'\r\n")
             case "SUB" =>
               // SUB <subject> [queue-group] <sid>
