@@ -226,6 +226,76 @@ class SchemaInferenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(NatsMetrics.malformedCount(url, "infer_self") === 0)
   }
 
+  test("retention sampling survives eviction: only the still-retained window is read") {
+    val url = freshBus() + "?retain=4"
+    publish(url, "evicted", (1 to 10).map(i => s"$i,row$i")) // 1-6 evicted
+    val sampled = SchemaInference.sample(url, "evicted", 10, timeoutMs = 1)
+    assert(sampled === Seq("7,row7", "8,row8", "9,row9", "10,row10"))
+  }
+
+  test("inferSamples bounds the sample size through the DSv2 option") {
+    val url = freshBus()
+    // newest-2 window: both rows are pure digits -> Int; a larger sample
+    // would see the "x" row and infer String instead.
+    publish(url, "bounded", Seq("x", "1", "2"))
+    val df = spark.read.format("nats")
+      .option("url", url).option("subject", "bounded")
+      .option("inferSchema", "true").option("inferSamples", "2")
+      .option("replay", "true").option("startSequence", "0")
+      .load()
+    assert(fields(df.schema) === Seq("_c0" -> IntegerType))
+  }
+
+  test("streaming read with inferSchema: the inferred table streams like a declared one") {
+    val url = freshBus()
+    publish(url, "infer_stream", Seq("1,apple", "2,banana")) // inference sample
+    val df = spark.readStream.format("nats")
+      .option("url", url).option("subject", "infer_stream")
+      .option("inferSchema", "true")
+      .option("batchSize", "3")
+      .load()
+    assert(fields(df.schema) === Seq("_c0" -> IntegerType, "_c1" -> StringType))
+    val q = df.writeStream.format("memory").queryName("infer_stream_sink").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "infer_stream")
+      publish(url, "infer_stream", Seq("3,orange", "4,kiwi", "5,mango"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT _c0 FROM infer_stream_sink ORDER BY _c0")
+        .collect().map(_.getInt(0)).toSeq === Seq(3, 4, 5))
+    } finally q.stop()
+  }
+
+  test("schema-free wildcard family: live sampling + partitionBySubject stream E2E") {
+    val url = freshBus()
+    // The family sampler subscribes live; a paced publisher covers both
+    // the sampling window and the stream that follows.
+    val stops = Seq(
+      NatsDemo.cyclicPublisher(url, "fleet.a", Seq("1,7.5")),
+      NatsDemo.cyclicPublisher(url, "fleet.b", Seq("2,9.25")))
+    try {
+      val df = spark.readStream.format("nats")
+        .option("url", url).option("subject", "fleet.*")
+        .option("inferSchema", "true").option("inferTimeoutMs", "10000")
+        .option("batchSize", "50").option("flushTimeoutMs", "100")
+        .option("partitionBySubject", "true").option("numPartitions", "2")
+        .load()
+      assert(fields(df.schema) === Seq("_c0" -> IntegerType, "_c1" -> DoubleType))
+      val q = df.writeStream.format("memory").queryName("infer_family_sink").start()
+      try {
+        val deadline = System.currentTimeMillis() + 15000
+        var distinct = 0L
+        while (distinct < 2 && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable()
+          distinct = spark.sql("SELECT DISTINCT _c0 FROM infer_family_sink").count()
+          if (distinct < 2) Thread.sleep(50)
+        }
+        assert(spark.sql("SELECT DISTINCT _c0, _c1 FROM infer_family_sink ORDER BY _c0")
+          .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+          === Seq((1, 7.5), (2, 9.25)))
+      } finally q.stop()
+    } finally stops.foreach(_.set(true))
+  }
+
   test("without inferSchema, a schema-less read still fails with actionable guidance") {
     val url = freshBus()
     val e = intercept[IllegalArgumentException] {
