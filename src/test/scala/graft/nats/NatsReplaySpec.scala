@@ -415,6 +415,22 @@ class NatsReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  test("replay over an AUTHORIZED wire connection: retention and token auth compose") {
+    val server = new MiniNatsServer(authToken = Some("tok"), retainCapacity = 64)
+    try {
+      val url = s"nats://tok@127.0.0.1:${server.port}"
+      val conn = NatsTransport.connect(url)
+      try {
+        (1 to 4).foreach(i => conn.publish("sec", s"$i,row$i".getBytes))
+        val df = spark.read.format("nats").schema(schema)
+          .option("url", url).option("subject", "sec")
+          .option("replay", "true").option("startSequence", "0")
+          .load()
+        assert(df.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 3, 4))
+      } finally conn.close()
+    } finally server.stop()
+  }
+
   test("replay=true on a fire-and-forget transport is rejected with guidance") {
     val server = new MiniNatsServer
     try {

@@ -296,6 +296,24 @@ class SchemaInferenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally stops.foreach(_.set(true))
   }
 
+  test("capstone over nats://: auth + wire retention + inference + replay read compose") {
+    val server = new MiniNatsServer(authToken = Some("tok"), retainCapacity = 64)
+    try {
+      val url = s"nats://tok@127.0.0.1:${server.port}"
+      publish(url, "secure_events",
+        Seq("""{"id":1,"name":"apple"}""", """{"id":2,"name":"banana"}"""))
+      val df = spark.read.format("nats")
+        .option("url", url).option("subject", "secure_events")
+        .option("codec", "json")
+        .option("inferSchema", "true")
+        .option("replay", "true").option("startSequence", "0")
+        .load()
+      assert(fields(df.schema) === Seq("id" -> IntegerType, "name" -> StringType))
+      assert(df.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+        === Seq((1, "apple"), (2, "banana")))
+    } finally server.stop()
+  }
+
   test("without inferSchema, a schema-less read still fails with actionable guidance") {
     val url = freshBus()
     val e = intercept[IllegalArgumentException] {
