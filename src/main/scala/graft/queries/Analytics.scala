@@ -1141,6 +1141,173 @@ object Analytics {
           count(col("quality")).as("n_with_quality"),
           sum(col("quality")).as("sum_quality"))
         .orderBy(col("lang"))
+    },
+
+    // ---- q93: distributed k-means over embeddings (2 Lloyd rounds) -------
+    // The embedding-clustering primitive behind semantic dedup / corpus
+    // curation. The 100 TB shape is MLlib's, expressed declaratively:
+    //   - assignment is SCAN-LOCAL — all K centroids ride to every row in
+    //     one broadcast row (K×64 doubles, kilobytes at any corpus size)
+    //     and the argmin is a fold over that array; no shuffle, no N×K
+    //     exploded join;
+    //   - the mean update is the ONLY shuffle per round, and partial
+    //     aggregation collapses it to K×64 (sum,count) cells per map task
+    //     regardless of corpus size (posexplode is scan-local, the
+    //     exchange carries cells, not vectors).
+    // Cross-engine determinism: round-1 centroids are exact float→double
+    // casts; updated centroids are round(avg,6) so round 2 assigns from
+    // bit-identical inputs in both engines; ties break to the lowest
+    // centroid id (strict < in the fold ≡ ROW_NUMBER ORDER BY d, cid);
+    // the output is integer-only (cluster sizes per label).
+    QueryDef(
+      "q93_kmeans_assign",
+      """WITH c0 AS (
+        |  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+        |  FROM embeddings WHERE vec_id < 8),
+        |p1 AS (
+        |  SELECT e.vec_id, c.cid,
+        |         unnest(e.embedding)::DOUBLE AS x, unnest(c.ce) AS y
+        |  FROM embeddings e, c0 c),
+        |d1 AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM p1 GROUP BY 1, 2),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |dims AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |m1 AS (
+        |  SELECT a1.cid, dims.pos, round(AVG(dims.x), 6) AS y
+        |  FROM a1 JOIN dims ON a1.vec_id = dims.vec_id
+        |  GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT dims.vec_id, m1.cid, SUM((dims.x - m1.y) * (dims.x - m1.y)) AS d
+        |  FROM dims JOIN m1 ON dims.pos = m1.pos
+        |  GROUP BY 1, 2),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM d2) WHERE rn = 1)
+        |SELECT a2.cid AS cluster_id, e.label, COUNT(*) AS n
+        |FROM a2 JOIN embeddings e USING (vec_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = T(s, dir, "embeddings").select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+
+      // Squared L2 between a row vector and one centroid: one sequential
+      // left-to-right fold per pair — the identical IEEE operation order
+      // in both engines (QueryDef determinism contract).
+      def dist2(v: Column, c: Column): Column =
+        aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t)
+      // Argmin over the broadcast centroid array; strict < keeps the
+      // lowest cid on exact ties (cents is sorted by cid).
+      def assign(v: Column, cents: Column): Column =
+        aggregate(cents,
+          struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
+          (acc, c) => {
+            val d = dist2(v, c.getField("ce"))
+            when(d < acc.getField("d"),
+              struct(d.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
+          }).getField("cid")
+      // All K centroids as ONE broadcastable row of (cid, vector) structs.
+      def centroidRow(df: DataFrame): DataFrame =
+        df.agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+
+      val c0 = centroidRow(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("ce")))
+      val a1 = e.crossJoin(broadcast(c0))
+        .select(col("vec_id"), col("label"), col("v"),
+          assign(col("v"), col("cents")).as("cid"))
+      // Mean update: posexplode is scan-local; the exchange carries only
+      // K×dims (sum,count) partials per map task. round(avg,6) pins the
+      // round-2 inputs bit-identically across engines.
+      val m1 = centroidRow(
+        a1.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(round(avg(col("x")), 6).as("y"))
+          .groupBy(col("cid"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("y")))),
+            p => p.getField("y")).as("ce")))
+      e.crossJoin(broadcast(m1))
+        .select(col("vec_id"), col("label"),
+          assign(col("v"), col("cents")).as("cluster_id"))
+        .groupBy(col("cluster_id"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("cluster_id"), col("label"))
+    },
+
+    // ---- q94: z-order (Morton) layout key -------------------------------
+    // Multi-dimensional data layout: interleave the bits of two 16-bit
+    // dimensions so that sorting by ONE key co-locates rows that are close
+    // in BOTH — the clustering trick behind Delta/Iceberg OPTIMIZE ZORDER.
+    // Written z-sorted, parquet row-group min/max stats then prune range
+    // predicates on either dimension (a plain sort prunes only its leading
+    // column). Everything is integer bit arithmetic (the classic
+    // spread-with-masks construction), so the bucket profile below —
+    // per-bucket count and the (x, y) tile it covers — is hash-exact
+    // across engines, and the tight min/max spans ARE the locality proof.
+    QueryDef(
+      "q94_zorder_layout",
+      """WITH d AS (
+        |  SELECT n_chars AS x, doc_id % 65536 AS y FROM documents),
+        |s1 AS (
+        |  SELECT x, y,
+        |    ((x | (x << 8)) & 16711935) AS a,
+        |    ((y | (y << 8)) & 16711935) AS b
+        |  FROM d),
+        |s2 AS (
+        |  SELECT x, y,
+        |    ((a | (a << 4)) & 252645135) AS a,
+        |    ((b | (b << 4)) & 252645135) AS b
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT x, y,
+        |    ((a | (a << 2)) & 858993459) AS a,
+        |    ((b | (b << 2)) & 858993459) AS b
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT x, y,
+        |    ((a | (a << 1)) & 1431655765) AS a,
+        |    ((b | (b << 1)) & 1431655765) AS b
+        |  FROM s3),
+        |z AS (SELECT x, y, (a | (b << 1)) AS zv FROM s4)
+        |SELECT (zv >> 16) AS z_bucket, COUNT(*) AS n,
+        |  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+        |FROM z
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val d = T(s, dir, "documents").select(
+        col("n_chars").as("x"), (col("doc_id") % 65536).as("y"))
+      d.select(col("x"), col("y"), zValue(col("x"), col("y")).as("zv"))
+        .groupBy(shiftright(col("zv"), 16).as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("z_bucket"))
     }
   )
+
+  /** Spread a 16-bit value's bits to the even positions of a 32-bit word
+    * (the classic mask-shift construction); building block of [[zValue]].
+    */
+  private def spread16(c: Column): Column = {
+    val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(16711935L)) //   0x00FF00FF
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(252645135L)) //  0x0F0F0F0F
+    val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(858993459L)) //  0x33333333
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(1431655765L)) //        0x55555555
+  }
+
+  /** Morton z-value of two 16-bit dimensions: x on even bits, y on odd.
+    * Pure integer expressions — stays inside whole-stage codegen. Exposed
+    * to AnalyticsSpec's bijectivity property test.
+    */
+  private[queries] def zValue(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 }

@@ -248,4 +248,38 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("q93: k-means assigns every vector exactly once to a seeded cluster, deterministically") {
+    val rows = run("q93_kmeans_assign").collect()
+    // partition law: cluster sizes sum to the corpus size (each vector
+    // assigned to exactly one cluster, none dropped or double-counted)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val corpus = graft.Tables.load(spark, sfDir, "embeddings").count()
+    assert(total === corpus, s"assignment is not a partition: $total != $corpus")
+    // every cluster id is one of the K=8 seeds
+    val cids = rows.map(_.getAs[Long]("cluster_id")).toSet
+    assert(cids.subsetOf((0L until 8L).toSet), s"non-seed cluster ids: $cids")
+    val again = run("q93_kmeans_assign").collect().map(_.toString).toSeq
+    assert(again === rows.map(_.toString).toSeq, "assignment changed between identical runs")
+  }
+
+  test("q94: zValue is a bijection on 16-bit pairs (z-sorted layout loses no row identity)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val pairs = Seq.tabulate(512)(_ => (rng.nextInt(65536).toLong, rng.nextInt(65536).toLong)) ++
+      Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L))
+    // reference interleave: bit i of x -> bit 2i, bit i of y -> bit 2i+1
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L)((z, i) =>
+        z | ((x >> i & 1L) << (2 * i)) | ((y >> i & 1L) << (2 * i + 1)))
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), Analytics.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) === ref(x, y), s"zValue($x, $y) != reference interleave")
+    }
+    // distinct pairs -> distinct z (injectivity; surjectivity follows from
+    // the 32-bit range being exactly covered by 16+16 interleaved bits)
+    assert(got.values.toSeq.distinct.size === got.size)
+  }
 }
