@@ -8,14 +8,14 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -39,7 +39,8 @@ final case class NatsOptions(
     partitionBySubject: Boolean = false,
     codec: String = "csv",
     inferSamples: Int = 16,
-    inferTimeoutMs: Long = 2000L) extends Serializable
+    inferTimeoutMs: Long = 2000L,
+    includeMetadata: Boolean = false) extends Serializable
 
 object NatsOptions {
   def from(options: CaseInsensitiveStringMap): NatsOptions = {
@@ -86,7 +87,14 @@ object NatsOptions {
       // wait for them (retention-capable transports sample retained
       // payloads instead and never wait).
       inferSamples = options.getInt("inferSamples", 16),
-      inferTimeoutMs = options.getLong("inferTimeoutMs", 2000L))
+      inferTimeoutMs = options.getLong("inferTimeoutMs", 2000L),
+      // includeMetadata=true appends the envelope columns (_subject,
+      // _seq) to the table's reported schema as ordinary columns — the
+      // path STREAMING reads must use (Spark's micro-batch engine builds
+      // the scan without the column-pruning negotiation that the hidden
+      // SupportsMetadataColumns variant rides on; batch reads get the
+      // hidden columns for free either way).
+      includeMetadata = options.getBoolean("includeMetadata", false))
   }
 }
 
@@ -139,22 +147,65 @@ class NatsSourceProvider extends TableProvider with DataSourceRegister {
   }
 }
 
+/** The source's hidden metadata columns (DSv2 `SupportsMetadataColumns`,
+  * the Kafka-source analog of topic/partition/offset). Not part of the
+  * user-declared data schema — they resolve by name in a projection
+  * (`df.select($"id", $"_subject")`) and are dropped automatically by
+  * Spark when a data column shadows the name.
+  *
+  *   - `_subject`: the CONCRETE subject each row's message was published
+  *     on — the only way to tell family members apart under a wildcard
+  *     subscription (`regions.*`);
+  *   - `_seq`: the row's source sequence — the broker sequence in replay
+  *     mode (stable across restarts), the ledger offset on a live stream,
+  *     arrival order (1-based) on a live one-shot batch read.
+  */
+object NatsMetadata {
+  val SubjectCol = "_subject"
+  val SeqCol = "_seq"
+  val names: Set[String] = Set(SubjectCol, SeqCol)
+
+  private def column(colName: String, colType: DataType, doc: String): MetadataColumn =
+    new MetadataColumn {
+      override def name: String = colName
+      override def dataType: DataType = colType
+      override def isNullable: Boolean = false
+      override def comment: String = doc
+    }
+
+  val columns: Array[MetadataColumn] = Array(
+    column(SubjectCol, StringType,
+      "concrete NATS subject the message was published on"),
+    column(SeqCol, LongType,
+      "source sequence: broker sequence (replay), ledger offset (stream), arrival order (one-shot batch)"))
+}
+
 /** One NATS subject as a table (reference src/data_source.rs:19-32).
   * Readable (reference parity) AND writable (beyond parity — the
   * reference has no write path at all, SURVEY §2.B sinks row; a real
   * pipeline needs the symmetric publish side).
   */
 final class NatsTable(schema: StructType, opts: NatsOptions)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+  override def metadataColumns(): Array[MetadataColumn] = NatsMetadata.columns
   override def name(): String = s"nats:${opts.subject}"
-  override def schema(): StructType = schema0
+  // includeMetadata=true surfaces the envelope as ordinary reported
+  // columns (appended after the data schema; a user data column that
+  // already claims the name wins). The hidden SupportsMetadataColumns
+  // variant above co-exists — on a name conflict Spark drops the hidden
+  // one automatically.
+  override def schema(): StructType =
+    if (!opts.includeMetadata) schema0
+    else StructType(schema0.fields ++
+      NatsMetadata.columns.filterNot(m => schema0.fieldNames.contains(m.name))
+        .map(m => org.apache.spark.sql.types.StructField(m.name, m.dataType, nullable = false)))
   private def schema0 = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NatsScanBuilder(schema, opts)
+    new NatsScanBuilder(schema0, schema(), opts)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     PayloadCodec.strict(opts.codec, info.schema()) // same registration-time validation as reads
     new WriteBuilder {
@@ -235,13 +286,20 @@ final class NatsRowWriter(schema: StructType, opts: NatsOptions)
   *   - limit: a pushed LIMIT terminates the subscription early — the
   *     reference's A7 intent (src/executor.rs:132-138) made exact.
   */
-final class NatsScanBuilder(fullSchema: StructType, opts: NatsOptions)
+final class NatsScanBuilder(
+    fullSchema: StructType, // the DATA schema (codec fields only)
+    reported: StructType, // what the table reports (+ envelope columns when includeMetadata)
+    opts: NatsOptions)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
-  private var required: StructType = fullSchema
+  // Default to the REPORTED schema: the streaming path builds the scan
+  // without calling pruneColumns (no pushdown negotiation in Spark's
+  // micro-batch engine), so the un-pruned read must line up with the
+  // relation's analyzed output. Batch reads prune below.
+  private var required: StructType = reported
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
 
@@ -350,27 +408,47 @@ object RowFilter {
     }
 }
 
-/** Shared row-decode + project + filter pipeline for both read paths. */
+/** Shared row-decode + project + filter pipeline for both read paths.
+  * `required` may include the [[NatsMetadata]] columns — they are filled
+  * from the message envelope (subject, sequence), not the payload.
+  */
 private[nats] final class RowPipeline(
     fullSchema: StructType,
     required: StructType,
     filters: Array[Filter],
     opts: NatsOptions) extends Serializable {
 
+  private val SubjectIdx = -1
+  private val SeqIdx = -2
+
   @transient private lazy val codec = PayloadCodec.strict(opts.codec, fullSchema)
-  @transient private lazy val outIdx =
-    required.fieldNames.map(fullSchema.fieldIndex)
+  @transient private lazy val outIdx: Array[Int] =
+    required.fieldNames.map {
+      case NatsMetadata.SubjectCol if !fullSchema.fieldNames.contains(NatsMetadata.SubjectCol) => SubjectIdx
+      case NatsMetadata.SeqCol if !fullSchema.fieldNames.contains(NatsMetadata.SeqCol) => SeqIdx
+      case n => fullSchema.fieldIndex(n)
+    }
 
   /** None = malformed (counted) or filtered out. */
-  def decode(payload: String): Option[InternalRow] =
+  def decode(subject: String, seq: Long, payload: String): Option[InternalRow] =
     codec.parse(payload) match {
       case Left(_) =>
         NatsMetrics.malformedCounter(opts.url, opts.subject).increment()
         None
       case Right(values) =>
-        if (filters.forall(RowFilter.eval(fullSchema, values, _)))
-          Some(new GenericInternalRow(outIdx.map(values(_)).asInstanceOf[Array[Any]]))
-        else None
+        if (filters.forall(RowFilter.eval(fullSchema, values, _))) {
+          val out = new Array[Any](outIdx.length)
+          var i = 0
+          while (i < outIdx.length) {
+            out(i) = outIdx(i) match {
+              case SubjectIdx => UTF8String.fromString(subject)
+              case SeqIdx     => java.lang.Long.valueOf(seq)
+              case j          => values(j)
+            }
+            i += 1
+          }
+          Some(new GenericInternalRow(out))
+        } else None
     }
 }
 
@@ -432,8 +510,17 @@ final class NatsBatch(
         if (payloads.isEmpty) Array.empty
         else {
           val n = math.max(1, math.min(opts.numPartitions, payloads.length))
-          payloads.grouped(math.ceil(payloads.length.toDouble / n).toInt)
-            .map(chunk => NatsStreamPartition(chunk, fullSchema, required, filters, opts))
+          // fetchRetained returns (after, after+len] in order: seq is
+          // positional, and the literal subject is shared by reference.
+          payloads.zipWithIndex
+            .grouped(math.ceil(payloads.length.toDouble / n).toInt)
+            .map { chunk =>
+              NatsStreamPartition(
+                chunk.map(_._1),
+                Array.fill(chunk.length)(opts.subject),
+                chunk.map(after + 1 + _._2.toLong),
+                fullSchema, required, filters, opts)
+            }
             .toArray[InputPartition]
         }
       case _ =>
@@ -460,12 +547,18 @@ final class NatsBatchReader(p: NatsBatchPartition) extends PartitionReader[Inter
   private val queue = new java.util.concurrent.LinkedBlockingQueue[InternalRow]()
   private val accepted = new java.util.concurrent.atomic.AtomicLong(0)
   private val conn = NatsTransport.connect(p.opts.url)
-  private val sub = conn.subscribe(p.opts.subject) { payload =>
+  // A live one-shot read has no broker sequence: _seq is the 1-based
+  // arrival index of the message on this subscription (malformed or
+  // filtered messages still consume an index — it names the message,
+  // not the surviving row).
+  private val arrivals = new java.util.concurrent.atomic.AtomicLong(0)
+  private val sub = conn.subscribeEach(p.opts.subject) { (subject, payload) =>
     // Count rows AFTER filtering, so a pushed filter + limit means
     // "first n matching rows" — the semantics DataFusion's limit gives
     // the reference.
     if (accepted.get() < p.rowBound) {
-      pipeline.decode(new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+      pipeline.decode(subject, arrivals.incrementAndGet(),
+        new String(payload, java.nio.charset.StandardCharsets.UTF_8))
         .foreach { row =>
           if (accepted.incrementAndGet() <= p.rowBound) queue.put(row)
         }
@@ -502,13 +595,22 @@ final case class NatsOffset(count: Long) extends Offset {
 }
 
 object NatsMicroBatchStream {
-  /** Separator between subject and payload in partitionBySubject ledger
-    * entries; NUL never occurs in subjects or CSV payload text. */
+  /** Separator between subject and payload in ledger entries (every
+    * entry carries its concrete subject — the _subject metadata column
+    * and the partitionBySubject grouping both need it); NUL never occurs
+    * in subjects or valid CSV/JSON payload text. */
   val SubjectSep: Char = '\u0000'
 }
 
+/** A shipped slice of messages: payloads plus their envelope (concrete
+  * subject, source sequence) in parallel arrays — the envelope feeds the
+  * [[NatsMetadata]] columns. Subject entries for a literal subject are
+  * the SAME string reference, which Java serialization writes once.
+  */
 private final case class NatsStreamPartition(
     payloads: Array[String],
+    subjects: Array[String],
+    seqs: Array[Long],
     fullSchema: StructType,
     required: StructType,
     filters: Array[Filter],
@@ -519,7 +621,8 @@ private final case class NatsStreamPartition(
 private final class PayloadPartitionReader(p: NatsStreamPartition)
     extends PartitionReader[InternalRow] {
   private val pipeline = new RowPipeline(p.fullSchema, p.required, p.filters, p.opts)
-  private val it = p.payloads.iterator.flatMap(pipeline.decode)
+  private val it = p.payloads.indices.iterator
+    .flatMap(i => pipeline.decode(p.subjects(i), p.seqs(i), p.payloads(i)))
   private var current: InternalRow = _
   override def next(): Boolean = it.hasNext && { current = it.next(); true }
   override def get(): InternalRow = current
@@ -560,14 +663,12 @@ final class NatsMicroBatchStream(
     LedgerConfig(opts.batchSize, opts.flushTimeoutMs, opts.maxBufferSize))
   // Ledger appends are synchronized, so N concurrent queue members admit
   // each message exactly once (each message reaches exactly one member).
-  private val onPayload: Array[Byte] => Unit = { payload =>
-    ledger.append(new String(payload, java.nio.charset.StandardCharsets.UTF_8))
-    ()
-  }
-  // partitionBySubject entries carry their concrete subject so planning
-  // can group a batch subject-wise. NUL as separator: subjects are
-  // ASCII-ish tokens and codec payloads are CSV text — neither contains
-  // a NUL byte.
+  // Every entry carries its concrete subject ("<subject>NUL<payload>") —
+  // planning splits it back out to feed the _subject metadata column and
+  // the partitionBySubject grouping. NUL as separator: subjects are
+  // ASCII-ish tokens and codec payloads are CSV/JSON text — a raw NUL in
+  // either is already invalid, and the FIRST NUL always belongs to the
+  // envelope.
   private val onSubjectPayload: (String, Array[Byte]) => Unit = { (subj, payload) =>
     ledger.append(
       subj + NatsMicroBatchStream.SubjectSep +
@@ -586,12 +687,11 @@ final class NatsMicroBatchStream(
         "subject, and not queueGroup, which already shards upstream)")
   private val subs: Seq[NatsSubscription] =
     if (opts.replay) Seq.empty
-    else if (opts.partitionBySubject) Seq(conn.subscribeEach(opts.subject)(onSubjectPayload))
     else opts.queueGroup match {
       case Some(g) =>
         (1 to math.max(1, opts.queueSubscribers))
-          .map(_ => conn.subscribeQueue(opts.subject, g)(onPayload))
-      case None => Seq(conn.subscribe(opts.subject)(onPayload))
+          .map(_ => conn.subscribeQueueEach(opts.subject, g)(onSubjectPayload))
+      case None => Seq(conn.subscribeEach(opts.subject)(onSubjectPayload))
     }
   private var admitted = 0L
   // Replay bookkeeping: the resolved start sequence (-1 until the first
@@ -737,44 +837,59 @@ final class NatsMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[NatsOffset].count
     val e = end.asInstanceOf[NatsOffset].count
-    val payloads = replayConn match {
+    // One message = (concrete subject, source sequence, payload text).
+    // Replay pulls from retention (seq = broker sequence, subject is the
+    // required-literal subject shared by reference); live reads split the
+    // ledger's "<subject>NUL<payload>" entries (seq = ledger offset),
+    // reusing one string instance per run of equal subjects.
+    val msgs: Array[(String, Long, String)] = replayConn match {
       case Some(r) =>
         // Pull the committed range from retention; throws (fail-fast) if
         // any of it was evicted between planning and (re)execution.
         r.fetchRetained(opts.subject, s, (e - s).toInt)
-          .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+          .zipWithIndex.map { case (p, i) =>
+            (opts.subject, s + 1 + i,
+              new String(p, java.nio.charset.StandardCharsets.UTF_8))
+          }
       case None =>
         failIfNotResumable(s)
-        ledger.rowsBetween(s, e)
+        var lastSubject: String = null
+        ledger.rowsBetween(s, e).zipWithIndex.map { case (entry, i) =>
+          val sep = entry.indexOf(NatsMicroBatchStream.SubjectSep)
+          val subj = entry.substring(0, sep)
+          if (lastSubject == null || subj != lastSubject) lastSubject = subj
+          (lastSubject, s + 1 + i, entry.substring(sep + 1))
+        }
     }
-    if (payloads.isEmpty) Array.empty
+    def partition(slice: Array[(String, Long, String)]): NatsStreamPartition =
+      NatsStreamPartition(
+        slice.map(_._3), slice.map(_._1), slice.map(_._2),
+        fullSchema, required, filters, opts)
+    if (msgs.isEmpty) Array.empty
     else if (opts.partitionBySubject) {
       // Wildcard-family fan-out: group the batch's rows by the concrete
-      // subject each arrived on (entries are "<subject>NUL<payload>"),
-      // then hand WHOLE subjects to partitions — decode parallelism
-      // follows subject cardinality (up to numPartitions) and per-subject
-      // arrival order survives, the property count-sliced chunks can't
-      // give an interleaved family.
+      // subject each arrived on, then hand WHOLE subjects to partitions —
+      // decode parallelism follows subject cardinality (up to
+      // numPartitions) and per-subject arrival order survives, the
+      // property count-sliced chunks can't give an interleaved family.
       val bySubject = scala.collection.mutable.LinkedHashMap
-        .empty[String, scala.collection.mutable.ArrayBuffer[String]]
-      payloads.foreach { entry =>
-        val i = entry.indexOf(NatsMicroBatchStream.SubjectSep)
-        bySubject.getOrElseUpdate(entry.substring(0, i),
-          scala.collection.mutable.ArrayBuffer.empty[String])
-          .append(entry.substring(i + 1))
+        .empty[String, scala.collection.mutable.ArrayBuffer[(String, Long, String)]]
+      msgs.foreach { m =>
+        bySubject.getOrElseUpdate(m._1,
+          scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)])
+          .append(m)
       }
       val n = math.max(1, math.min(opts.numPartitions, bySubject.size))
       bySubject.values.grouped(math.ceil(bySubject.size.toDouble / n).toInt)
-        .map(groups => NatsStreamPartition(
-          groups.flatten.toArray, fullSchema, required, filters, opts))
+        .map(groups => partition(groups.flatten.toArray))
         .toArray[InputPartition]
     } else {
       // Parity default is the reference's single partition
       // (src/data_source.rs:59); numPartitions > 1 slices the batch for
       // parallel decode on executors — the scale path.
-      val n = math.max(1, math.min(opts.numPartitions, payloads.length))
-      payloads.grouped(math.ceil(payloads.length.toDouble / n).toInt)
-        .map(chunk => NatsStreamPartition(chunk, fullSchema, required, filters, opts))
+      val n = math.max(1, math.min(opts.numPartitions, msgs.length))
+      msgs.grouped(math.ceil(msgs.length.toDouble / n).toInt)
+        .map(partition)
         .toArray[InputPartition]
     }
   }

@@ -34,6 +34,12 @@ trait NatsConnection extends AutoCloseable {
     */
   def subscribeQueue(subject: String, group: String)(
       handler: Array[Byte] => Unit): NatsSubscription
+
+  /** [[subscribeQueue]] with the concrete delivery subject, as
+    * [[subscribeEach]] is to [[subscribe]] — every NATS delivery carries
+    * it in the MSG frame, so all transports provide it. */
+  def subscribeQueueEach(subject: String, group: String)(
+      handler: (String, Array[Byte]) => Unit): NatsSubscription
 }
 
 trait NatsSubscription extends AutoCloseable
@@ -192,6 +198,10 @@ object JnatsTransport {
     def subscribeQueue(subject: String, group: String)(
         handler: Array[Byte] => Unit): NatsSubscription =
       dispatcherSub(d => subscribeQueueM.invoke(d, subject, group))((_, p) => handler(p))
+
+    def subscribeQueueEach(subject: String, group: String)(
+        handler: (String, Array[Byte]) => Unit): NatsSubscription =
+      dispatcherSub(d => subscribeQueueM.invoke(d, subject, group))(handler)
 
     def close(): Unit = connCls.getMethod("close").invoke(conn)
   }
@@ -401,10 +411,14 @@ object InMemoryBus {
     }
 
     def subscribeQueue(subject: String, group: String)(
-        handler: Array[Byte] => Unit): NatsSubscription = {
+        handler: Array[Byte] => Unit): NatsSubscription =
+      subscribeQueueEach(subject, group)((_, p) => handler(p))
+
+    def subscribeQueueEach(subject: String, group: String)(
+        handler: (String, Array[Byte]) => Unit): NatsSubscription = {
       require(group != null && group.nonEmpty, "queue group must be non-empty")
       NatsSubjects.validatePattern(subject)
-      add(new Sub(subject, group, (_, p) => handler(p)))
+      add(new Sub(subject, group, handler))
     }
 
     def close(): Unit = () // bus outlives connections, like a broker

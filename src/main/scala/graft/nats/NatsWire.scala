@@ -277,6 +277,10 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
       handler: Array[Byte] => Unit): NatsSubscription =
     sub(subject, Some(group))((_, p) => handler(p))
 
+  def subscribeQueueEach(subject: String, group: String)(
+      handler: (String, Array[Byte]) => Unit): NatsSubscription =
+    sub(subject, Some(group))(handler)
+
   /** Synchronous request-reply over core NATS primitives (the pattern
     * real clients implement the same way: PUB with a unique `_INBOX.*`
     * reply-to + a subscription on it). Collects reply payloads until
@@ -351,6 +355,9 @@ private[nats] final class GraftStreamTcpConnection(c: TcpNatsClient)
   def subscribeQueue(subject: String, group: String)(
       handler: Array[Byte] => Unit): NatsSubscription =
     c.subscribeQueue(subject, group)(handler)
+  def subscribeQueueEach(subject: String, group: String)(
+      handler: (String, Array[Byte]) => Unit): NatsSubscription =
+    c.subscribeQueueEach(subject, group)(handler)
   def close(): Unit = c.close()
 
   private def streamInfo(subject: String): (Long, Long) = {

@@ -444,6 +444,43 @@ object Streaming {
         .option("replay", "true").option("startSequence", "0")
         .load()
         .orderBy("id")
+    },
+
+    // Message-envelope metadata columns (includeMetadata=true — the
+    // Kafka topic/partition/offset analog): one streaming table over a
+    // wildcard family where each row carries the CONCRETE subject it was
+    // published on (_subject, the only way to tell family members apart)
+    // and its source sequence (_seq). Batch reads get the same columns
+    // as hidden DSv2 metadata columns (SupportsMetadataColumns), pruned
+    // in by name — NatsMetadataSpec covers that surface.
+    QueryDef.noBench(
+      "q95_subject_metadata",
+      """SELECT * FROM (VALUES
+        |  (1, 'us',   'regions.us',   CAST(1 AS BIGINT)),
+        |  (2, 'eu',   'regions.eu',   CAST(2 AS BIGINT)),
+        |  (3, 'apac', 'regions.apac', CAST(3 AS BIGINT)))
+        |  AS t(id, name, _subject, _seq)
+        |ORDER BY id""".stripMargin) { (s, _) =>
+      val url = s"memory://q95-${UUID.randomUUID()}"
+      val sink = s"nats_meta_sink_${sinkId.incrementAndGet()}"
+      val conn = NatsTransport.connect(url)
+      val q = s.readStream.format("nats").schema(rowSchema)
+        .option("url", url).option("subject", "regions.*")
+        .option("batchSize", "3")
+        .option("includeMetadata", "true")
+        .load()
+        .writeStream.format("memory").queryName(sink).start()
+      try {
+        NatsDemo.awaitSubscriber(url, "regions.us")
+        conn.publish("regions.us", "1,us".getBytes)
+        conn.publish("regions.eu", "2,eu".getBytes)
+        conn.publish("regions.apac", "3,apac".getBytes)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        conn.close()
+      }
+      s.sql(s"SELECT id, name, _subject, _seq FROM $sink ORDER BY id")
     }
   )
 }

@@ -1,0 +1,182 @@
+package graft.nats
+
+import java.util.UUID
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The source's message-envelope columns (`_subject`, `_seq` — the Kafka
+  * topic/partition/offset analog; [[NatsMetadata]]). Two surfaces:
+  * hidden DSv2 metadata columns on BATCH reads (resolved by name, absent
+  * from the data schema, pruned in), and `includeMetadata=true` appending
+  * them to the reported schema — the surface STREAMING reads use, since
+  * Spark's micro-batch engine builds scans without the column-pruning
+  * negotiation the hidden variant needs.
+  */
+class NatsMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("nats-metadata-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = false)))
+
+  private def freshBus(): String = "memory://meta-" + UUID.randomUUID()
+
+  test("metadata columns are hidden from the data schema but resolve by name") {
+    val url = freshBus()
+    val df = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "t").load()
+    assert(df.schema.fieldNames.toSeq === Seq("id", "name"),
+      "_subject/_seq must not leak into the data schema")
+    // resolves in a projection without error
+    df.select(col("id"), col("_subject"), col("_seq"))
+  }
+
+  test("includeMetadata=true appends the envelope to the reported schema") {
+    val url = freshBus()
+    val df = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "t")
+      .option("includeMetadata", "true").load()
+    assert(df.schema.fieldNames.toSeq === Seq("id", "name", "_subject", "_seq"))
+    assert(df.schema("_seq").dataType === LongType)
+  }
+
+  test("wildcard stream: _subject is the concrete family member, _seq the arrival offset") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val q = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "regions.*")
+      .option("batchSize", "3").option("includeMetadata", "true")
+      .load()
+      .select(col("id"), col("name"), col("_subject"), col("_seq"))
+      .writeStream.format("memory").queryName("meta_wild").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "regions.us")
+      conn.publish("regions.us", "1,us".getBytes)
+      conn.publish("regions.eu", "2,eu".getBytes)
+      conn.publish("regions.apac", "3,apac".getBytes)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, _subject, _seq FROM meta_wild ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(rows === Seq(
+        (1, "regions.us", 1L), (2, "regions.eu", 2L), (3, "regions.apac", 3L)))
+    } finally { q.stop(); conn.close() }
+  }
+
+  test("partitionBySubject fan-out preserves the envelope through subject grouping") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val q = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "fam.*")
+      .option("batchSize", "4").option("partitionBySubject", "true")
+      .option("includeMetadata", "true")
+      .option("numPartitions", "2")
+      .load()
+      .select(col("id"), col("_subject"), col("_seq"))
+      .writeStream.format("memory").queryName("meta_fanout").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "fam.a")
+      conn.publish("fam.a", "1,x".getBytes)
+      conn.publish("fam.b", "2,y".getBytes)
+      conn.publish("fam.a", "3,z".getBytes)
+      conn.publish("fam.b", "4,w".getBytes)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, _subject, _seq FROM meta_fanout ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(rows === Seq(
+        (1, "fam.a", 1L), (2, "fam.b", 2L), (3, "fam.a", 3L), (4, "fam.b", 4L)))
+    } finally { q.stop(); conn.close() }
+  }
+
+  test("queue-group ingest still sees the concrete subject") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val q = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "jobs.*")
+      .option("batchSize", "2").option("includeMetadata", "true")
+      .option("queueGroup", "workers").option("queueSubscribers", "2")
+      .load()
+      .select(col("id"), col("_subject"))
+      .writeStream.format("memory").queryName("meta_queue").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "jobs.a")
+      conn.publish("jobs.a", "1,x".getBytes)
+      conn.publish("jobs.b", "2,y".getBytes)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, _subject FROM meta_queue ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows === Seq((1, "jobs.a"), (2, "jobs.b")))
+    } finally { q.stop(); conn.close() }
+  }
+
+  test("replay batch read: _seq is the broker sequence, stable across startSequence") {
+    val url = freshBus() + "?retain=100"
+    val conn = NatsTransport.connect(url)
+    try {
+      (1 to 5).foreach(i => conn.publish("audit", s"$i,row$i".getBytes))
+      val all = spark.read.format("nats").schema(schema)
+        .option("url", url).option("subject", "audit").option("replay", "true")
+        .option("startSequence", "0")
+        .load()
+        .select(col("id"), col("_subject"), col("_seq"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(all === (1 to 5).map(i => (i, "audit", i.toLong)))
+      // resuming after sequence 2 re-reads 3..5 with the SAME sequences
+      val tail = spark.read.format("nats").schema(schema)
+        .option("url", url).option("subject", "audit").option("replay", "true")
+        .option("startSequence", "2")
+        .load()
+        .select(col("id"), col("_seq"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(tail === (3 to 5).map(i => (i, i.toLong)))
+    } finally conn.close()
+  }
+
+  test("a data column named _subject shadows the metadata column (Spark drops the conflict)") {
+    val url = freshBus() + "?retain=10"
+    val conn = NatsTransport.connect(url)
+    try {
+      val shadowed = StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("_subject", StringType, nullable = false)))
+      conn.publish("shadow", "1,payload-value".getBytes)
+      val rows = spark.read.format("nats").schema(shadowed)
+        .option("url", url).option("subject", "shadow").option("replay", "true")
+        .option("startSequence", "0")
+        .load()
+        .select(col("id"), col("_subject"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows === Seq((1, "payload-value")),
+        "_subject must resolve to the DATA column when the user schema declares one")
+    } finally conn.close()
+  }
+
+  test("projecting ONLY metadata still decodes strictly (malformed rows stay excluded)") {
+    val url = freshBus() + "?retain=10"
+    val conn = NatsTransport.connect(url)
+    try {
+      conn.publish("strict", "1,ok".getBytes)
+      conn.publish("strict", "not-a-row".getBytes) // malformed: wrong arity
+      conn.publish("strict", "2,ok".getBytes)
+      val seqs = spark.read.format("nats").schema(schema)
+        .option("url", url).option("subject", "strict").option("replay", "true")
+        .option("startSequence", "0")
+        .load()
+        .select(col("_seq"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // seq 2 was malformed: skipped-and-counted, its sequence not re-used
+      assert(seqs === Seq(1L, 3L))
+    } finally conn.close()
+  }
+}
