@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
@@ -634,7 +634,8 @@ final class NatsMicroBatchStream(
     required: StructType,
     filters: Array[Filter],
     opts: NatsOptions) extends MicroBatchStream
-    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow
+    with ReportsSourceMetrics {
 
   private val conn = NatsTransport.connect(opts.url)
 
@@ -908,6 +909,28 @@ final class NatsMicroBatchStream(
     val count = json.toLong
     if (count > restoredOffset) restoredOffset = count
     NatsOffset(count)
+  }
+
+  /** Per-trigger source metrics, surfaced in StreamingQueryProgress
+    * (`progress.sources[i].metrics`) — what an operator actually watches
+    * on a long-running ingest: the skip-and-count error policy's tally,
+    * rows the enforced buffer cap rejected, and how far the consumer is
+    * behind what the transport has (backlog = un-admitted rows in the
+    * ledger, or retained-but-unfetched sequences under replay).
+    */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset]): util.Map[String, String] = {
+    val consumed = if (latestConsumedOffset.isPresent)
+      latestConsumedOffset.get.asInstanceOf[NatsOffset].count
+    else 0L
+    val backlog = replayConn match {
+      case Some(r) => math.max(0L, r.currentSeq(opts.subject) - math.max(consumed, admitted))
+      case None    => math.max(0L, ledger.endOffset - math.max(consumed, admitted))
+    }
+    val m = new util.HashMap[String, String]()
+    m.put("malformedRows", NatsMetrics.malformedCount(opts.url, opts.subject).toString)
+    m.put("droppedRows", ledger.droppedRows.toString)
+    m.put("backlogRows", backlog.toString)
+    m
   }
 
   override def stop(): Unit = { subs.foreach(_.close()); conn.close() }

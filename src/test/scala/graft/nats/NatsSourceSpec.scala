@@ -401,6 +401,34 @@ class NatsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(UTF8String.fromString("😀").compareTo(UTF8String.fromString("\uFFFF")) > 0)
   }
 
+  test("streaming progress surfaces source metrics (malformed / dropped / backlog)") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val q = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "metrics")
+      .option("batchSize", "2")
+      .load()
+      .writeStream.format("memory").queryName("nats_metrics").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "metrics")
+      // 4 messages = two FULL batches at batchSize=2: everything admits
+      // on size alone, so after processAllAvailable the backlog is
+      // deterministically zero (a trailing partial would sit un-admitted
+      // until the flush timeout and race the assertion).
+      conn.publish("metrics", "1,ok".getBytes)
+      conn.publish("metrics", "definitely,not,a,row".getBytes) // malformed
+      conn.publish("metrics", "2,ok".getBytes)
+      conn.publish("metrics", "3,ok".getBytes)
+      q.processAllAvailable()
+      val m = q.lastProgress.sources.head.metrics
+      assert(m.get("malformedRows").toLong >= 1,
+        s"skip-and-count tally missing from progress: $m")
+      assert(m.get("droppedRows").toLong === 0)
+      assert(m.get("backlogRows").toLong === 0, // fully drained
+        s"drained stream must report no backlog: $m")
+    } finally { q.stop(); conn.close() }
+  }
+
   // ---- registration-time validation (ref codec-construction checks) ----
 
   test("schema is required and validated at load time") {
