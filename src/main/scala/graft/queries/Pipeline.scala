@@ -91,6 +91,15 @@ object Pipeline {
   private val CHUNKBITS = SIMBITS / SIMCHUNKS
   private val HAMMING_MAX = 3
 
+  // ---- q96 BM25 constants (standard Robertson parameters). K1P1 is a
+  // literal, NOT computed as K1+1.0: 1.2+1.0 lands exactly between two
+  // doubles, so the computed sum and the parsed literal "2.2" the oracle
+  // would see could differ by one ulp. Both engines parse the same string.
+  private val BM25_K1 = 1.2
+  private val BM25_B = 0.75
+  private val BM25_K1P1 = 2.2
+  private val BM25_TERMS = Seq("hash", "join", "stream")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: the scalable keep-first idiom (one shuffle, no
@@ -769,6 +778,44 @@ object Pipeline {
           round(expr("cosine_similarity(embedding, qe)"), 6).as("cos_r"))
         .orderBy(col("cos_r").desc, col("vec_id"))
         .limit(20)
+    },
+
+    // ---- BM25 top-k retrieval (the Lucene/Robertson scoring function):
+    // the data-curation retrieval workhorse behind benchmark
+    // decontamination and quality-based selection. idf =
+    // ln(1 + (N - df + 0.5)/(df + 0.5)), k1=1.2, b=0.75. 100 TB shape:
+    // document length rides the same scan as the tokens (no dl self-join),
+    // the ONLY keyed shuffle carries query-term postings (the isin filter
+    // prunes the exploded stream scan-side, so the corpus' non-matching
+    // tokens never leave the map task), per-term df and corpus stats are
+    // 1-row broadcasts, and the top-k is a TakeOrderedAndProject.
+    // Determinism: each per-(doc,term) contribution is rounded to integer
+    // micro-units and the per-doc sum is integer addition (order-free),
+    // so the cross-engine hash is exact despite ln(). ----
+    QueryDef("q96_bm25", bm25Oracle) { (s, dir) =>
+      val toks = T(s, dir, "documents")
+        .filter(col("text").isNotNull) // N = docs with text (size(null) is -1 in Spark, NULL-skipped in AVG elsewhere)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      val words = toks
+        .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("w"))
+        .filter(col("w").isin(BM25_TERMS: _*))
+      val tf = words.groupBy(col("doc_id"), col("dl"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val stats = toks.agg(count(lit(1)).as("n_docs"), avg(size(col("ws"))).as("avgdl"))
+      val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+      val norm = col("tf") +
+        lit(BM25_K1) * (lit(1.0) - lit(BM25_B) + lit(BM25_B) * col("dl") / col("avgdl"))
+      val contrib = idf * (col("tf") * lit(BM25_K1P1)) / norm
+      tf.join(broadcast(df), "w")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(contrib * lit(1e6), 0).cast(LongType).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("bm25_micro"))
+        .select(col("doc_id"), col("n_terms"), col("bm25_micro"),
+          round(col("bm25_micro") / lit(1e6), 6).as("bm25"))
+        .orderBy(col("bm25_micro").desc, col("doc_id"))
+        .limit(20)
     }
   )
 
@@ -964,6 +1011,37 @@ object Pipeline {
       |  CAST(df AS BIGINT) AS df, tfidf
       |FROM r WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
+
+  /** DuckDB mirror of q96 (BM25 top-20). The scoring expression is written
+    * with the same parenthesization as the Spark side so both engines run
+    * the identical IEEE operation tree; constants interpolate from the
+    * same vals. `CAST(SUM(c) AS BIGINT)`: DuckDB sums BIGINT into HUGEINT.
+    */
+  private def bm25Oracle: String = {
+    val inList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |w AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM t),
+       |qt AS (SELECT doc_id, dl, w FROM w WHERE w IN ($inList)),
+       |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM qt GROUP BY doc_id, dl, w),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(ws)) AS avgdl FROM t),
+       |contrib AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |      * (tf.tf * $BM25_K1P1)
+       |      / (tf.tf + $BM25_K1 * (1.0 - $BM25_B + $BM25_B * tf.dl / stats.avgdl))
+       |      * 1000000.0, 0) AS BIGINT) AS c
+       |  FROM tf JOIN df USING (w), stats),
+       |s AS (
+       |  SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS BIGINT) AS bm25_micro
+       |  FROM contrib GROUP BY doc_id)
+       |SELECT doc_id, n_terms, bm25_micro, round(bm25_micro / 1000000.0, 6) AS bm25
+       |FROM s
+       |ORDER BY bm25_micro DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
 
   /** DuckDB mirror of q57: same hashed shingles (Sketches.shingleHashes),
     * same benchmark split, membership via IN instead of the semi join. */

@@ -29,11 +29,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   // be hash/merge-joinable.
   // ... q79 broadcasts its ONE-row 8 KB bloom bitmap; q85 its ONE-row
   // CMS map and 1-row token total; q93 its ONE-row centroid array
-  // (K×dims doubles, kilobytes at any corpus size) per Lloyd round.
+  // (K×dims doubles, kilobytes at any corpus size) per Lloyd round;
+  // q96 its ONE-row (n_docs, avgdl) corpus stats.
   private val bnljAllowed = Set(
     "q42_topk_cosine", "q53_topk_cosine_native", "q46_ann_lsh",
     "q55_ivf_ann", "q56_tfidf", "q74_quant_cosine", "q79_bloom_decontaminate",
-    "q85_cms_heavy_hitters", "q93_kmeans_assign")
+    "q85_cms_heavy_hitters", "q93_kmeans_assign", "q96_bm25")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
