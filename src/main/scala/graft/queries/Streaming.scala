@@ -395,6 +395,47 @@ object Streaming {
       s.sql(s"SELECT id, name FROM $sink ORDER BY id")
     },
 
+    // Stream–static enrichment: the canonical streaming join at scale — a
+    // live NATS stream joined per micro-batch against a static dimension
+    // table (nation parquet). The static side re-plans as a broadcast in
+    // every micro-batch (kilobytes shipped once per trigger), so the
+    // stream side never shuffles: the 1000-executor shape for enriching
+    // an unbounded feed with reference data. The oracle joins the same
+    // published keys against the same parquet, so the lookup itself is
+    // hash-checked, not just the transport.
+    QueryDef.noBench(
+      "q97_stream_static_join",
+      """SELECT t.id, n.n_name
+        |FROM (VALUES (1, 0), (2, 5), (3, 24)) AS t(id, nk)
+        |JOIN nation n ON t.nk = n.n_nationkey
+        |ORDER BY t.id""".stripMargin) { (s, dir) =>
+      val url = s"memory://q97-${UUID.randomUUID()}"
+      val sink = s"nats_enrich_sink_${sinkId.incrementAndGet()}"
+      val conn = NatsTransport.connect(url)
+      val feedSchema = StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("nk", IntegerType, nullable = false)))
+      val nation = Tables.load(s, dir, "nation")
+      val q = s.readStream.format("nats").schema(feedSchema)
+        .option("url", url).option("subject", "feed")
+        .option("batchSize", "3")
+        .load()
+        .join(broadcast(nation), col("nk") === col("n_nationkey"))
+        .select(col("id"), col("n_name"))
+        .writeStream.format("memory").queryName(sink).start()
+      try {
+        NatsDemo.awaitSubscriber(url, "feed")
+        conn.publish("feed", "1,0".getBytes)
+        conn.publish("feed", "2,5".getBytes)
+        conn.publish("feed", "3,24".getBytes)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        conn.close()
+      }
+      s.sql(s"SELECT id, n_name FROM $sink ORDER BY id")
+    },
+
     // JSON payload codec (codec=json), full loop over the bus: the NATS
     // sink encodes rows as one flat JSON object per message, the streaming
     // source decodes them back with the same strict codec — proving

@@ -41,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val skip = Set(
     "q30_nats_e2e", "q31_nats_stream", "q32_nats_sink_roundtrip",
     "q39_stream_dedup", "q61_stream_stream_join", "q80_stream_stateful",
-    "q87_wildcard_stream", "q91_nats_json", "q95_subject_metadata")
+    "q87_wildcard_stream", "q91_nats_json", "q95_subject_metadata",
+    "q97_stream_static_join")
 
   test("registry names are unique and well-formed (duplicates would silently shadow in SparkEntry.queries)") {
     val names = Registry.all.map(_.name)
