@@ -100,6 +100,11 @@ object Pipeline {
   private val BM25_K1P1 = 2.2
   private val BM25_TERMS = Seq("hash", "join", "stream")
 
+  // q98 "line" width in words. 5 on the word-soup fixture yields real
+  // cross-document duplicates (320 of 5,638 segments at sf0.01); real
+  // corpora would segment on newlines instead.
+  private val LineWords = 5
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: the scalable keep-first idiom (one shuffle, no
@@ -816,6 +821,50 @@ object Pipeline {
           round(col("bm25_micro") / lit(1e6), 6).as("bm25"))
         .orderBy(col("bm25_micro").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // ---- line-level exact dedup with document reconstruction (the
+    // C4/RefinedWeb line-dedup op — doc-level q40 keeps or drops whole
+    // documents; this deduplicates WITHIN them): segment each document
+    // into fixed 5-word "lines" (the boundary rule is a parameter — real
+    // corpora split on newlines), keep each line's corpus-wide FIRST
+    // occurrence (ordered by doc_id, seg_idx: deterministic, not
+    // dropDuplicates), and rebuild every document from its surviving
+    // lines in order. 100 TB shape: two keyed shuffles over segment
+    // data — the 60-bit segment hash (the dedup) and doc_id (the
+    // reassembly) — plus a slim (doc_id, n_segs) join that re-attaches
+    // fully-duplicate documents (they survive with n_kept=0, md5('')).
+    // The rebuilt text is proven, not assumed: its md5 is part of the
+    // hash-checked output. ----
+    QueryDef("q98_line_dedup", lineDedupOracle) { (s, dir) =>
+      val ws = split(lower(col("text")), " ")
+      val base = T(s, dir, "documents")
+        .select(col("doc_id"), ws.as("ws"))
+        .withColumn("n_segs", ceil(size(col("ws")) / lit(LineWords.toDouble)).cast(LongType))
+      val segs = base
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0L), col("n_segs") - 1)).as("seg_idx"))
+        .select(col("doc_id"), col("seg_idx"),
+          array_join(
+            slice(col("ws"), (col("seg_idx") * LineWords + 1).cast(IntegerType), lit(LineWords)),
+            " ").as("seg"))
+        .withColumn("h", conv(substring(md5(col("seg")), 1, 15), 16, 10).cast(LongType))
+      val wFirst = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("seg_idx"))
+      val kept = segs.withColumn("rn", row_number().over(wFirst)).filter(col("rn") === 1)
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+              x => x.getField("seg")),
+            " ")).as("rebuilt_md5"))
+      base.select(col("doc_id"), col("n_segs"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("rebuilt_md5"), md5(lit(""))).as("rebuilt_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1042,6 +1091,36 @@ object Pipeline {
        |ORDER BY bm25_micro DESC, doc_id
        |LIMIT 20""".stripMargin
   }
+
+  /** DuckDB mirror of q98 (line-level dedup + reconstruction): same 5-word
+    * segmentation, same 60-bit md5 keep-first rule, rebuilt text via
+    * ORDER BY string_agg (Spark side: array_sort over (seg_idx, seg)).
+    */
+  private def lineDedupOracle: String =
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |n AS (
+       |  SELECT doc_id, ws, CAST(ceil(len(ws) / $LineWords.0) AS BIGINT) AS n_segs FROM w),
+       |segs AS (
+       |  SELECT doc_id, CAST(si AS BIGINT) AS seg_idx,
+       |    array_to_string(ws[si * $LineWords + 1 : si * $LineWords + $LineWords], ' ') AS seg
+       |  FROM n, unnest(generate_series(0, n_segs - 1)) AS u(si)),
+       |hashed AS (
+       |  SELECT doc_id, seg_idx, seg,
+       |    ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h
+       |  FROM segs),
+       |r AS (
+       |  SELECT doc_id, seg_idx, seg,
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
+       |  FROM hashed),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS rebuilt_md5
+       |  FROM r WHERE rn = 1 GROUP BY doc_id)
+       |SELECT n.doc_id, n.n_segs,
+       |  COALESCE(agg.n_kept, 0) AS n_kept,
+       |  COALESCE(agg.rebuilt_md5, md5('')) AS rebuilt_md5
+       |FROM n LEFT JOIN agg USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
 
   /** DuckDB mirror of q57: same hashed shingles (Sketches.shingleHashes),
     * same benchmark split, membership via IN instead of the semi join. */
