@@ -105,6 +105,9 @@ object Pipeline {
   // corpora would segment on newlines instead.
   private val LineWords = 5
 
+  // q99 posting-list cap (top-K documents by tf retained per term).
+  private val POSTK = 3
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: the scalable keep-first idiom (one shuffle, no
@@ -865,6 +868,32 @@ object Pipeline {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("rebuilt_md5"), md5(lit(""))).as("rebuilt_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- capped inverted-index build (the index half of retrieval —
+    // q96 SCORES with corpus stats, this BUILDS the posting lists):
+    // per-term postings capped at the top-POSTK documents by tf, the
+    // q89 WindowGroupLimit trick applied to index construction — each
+    // map task ships only its POSTK best postings per term, so a
+    // stopword's posting list costs O(POSTK·tasks), never O(corpus).
+    // Per-term stats (df, total_tf) aggregate the UNCAPPED tf frame,
+    // which is persisted (two consumers — one corpus scan, not two);
+    // stats and postings are both keyed on the term, so the final join
+    // reuses the shared hashpartitioning(w): no third exchange. ----
+    QueryDef("q99_inverted_index", invertedIndexOracle) { (s, dir) =>
+      val tf = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .persist()
+      val stats = tf.groupBy(col("w"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      val wTop = Window.partitionBy(col("w")).orderBy(col("tf").desc, col("doc_id"))
+      val postings = tf.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= POSTK)
+      postings.join(stats, "w")
+        .select(col("w").as("term"), col("df"), col("total_tf"),
+          col("rk"), col("doc_id"), col("tf"))
+        .orderBy(col("term"), col("rk"))
     }
   )
 
@@ -1121,6 +1150,26 @@ object Pipeline {
        |  COALESCE(agg.rebuilt_md5, md5('')) AS rebuilt_md5
        |FROM n LEFT JOIN agg USING (doc_id)
        |ORDER BY n.doc_id""".stripMargin
+
+  /** DuckDB mirror of q99 (capped inverted index): same tokenization,
+    * same top-POSTK-by-(tf DESC, doc_id) posting cap, uncapped df/total_tf.
+    */
+  private def invertedIndexOracle: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT w, doc_id, COUNT(*) AS tf FROM words GROUP BY w, doc_id),
+       |stats AS (
+       |  SELECT w, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+       |  FROM tf GROUP BY w),
+       |p AS (
+       |  SELECT w, doc_id, tf,
+       |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY tf DESC, doc_id) AS rk
+       |  FROM tf)
+       |SELECT p.w AS term, stats.df, stats.total_tf, p.rk, p.doc_id, p.tf
+       |FROM p JOIN stats USING (w)
+       |WHERE p.rk <= $POSTK
+       |ORDER BY term, rk""".stripMargin
 
   /** DuckDB mirror of q57: same hashed shingles (Sketches.shingleHashes),
     * same benchmark split, membership via IN instead of the semi join. */

@@ -132,6 +132,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q89: no map-side (Partial) WindowGroupLimit — the corpus ships to the shuffle:\n$plan")
   }
 
+  test("q99: posting cap is a map-side WindowGroupLimit; stats/postings join reuses the term partitioning") {
+    // Index build at 100 TB: the top-K posting cap must become a partial
+    // WindowGroupLimit (each map task ships K postings per term, never a
+    // stopword's full list), the two-consumer tf frame must be read from
+    // cache, and the stats<->postings join — both sides already keyed on
+    // the term — must not add a third exchange.
+    val plan = Registry.byName("q99_inverted_index").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val wgl = plan.split("\n").filter(_.contains("WindowGroupLimit"))
+    assert(wgl.length >= 2 && wgl.exists(_.contains("Partial")),
+      s"q99: expected partial+final WindowGroupLimit:\n$plan")
+    assert(plan.split("\n").count(_.contains("InMemoryTableScan")) >= 2,
+      s"q99: both consumers must read the cached tf frame:\n$plan")
+    // Unique exchanges (the cache-fill one prints once per cache READ):
+    // tf fill on (w, doc_id) + window's w + stats' w = 3. The join itself
+    // must add none — here stats broadcasts; at scale both sides already
+    // share hashpartitioning(w).
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+      .flatMap("plan_id=(\\d+)".r.findFirstMatchIn(_)).map(_.group(1)).distinct
+    assert(exchanges.length <= 3,
+      s"q99: expected <=3 unique keyed exchanges (tf fill, window w, stats w), saw ${exchanges.length}:\n$plan")
+  }
+
   test("q81: both join inputs shuffle on (key, salt) — the hot key is split across salt partitions") {
     val plan = Registry.byName("q81_skew_salted_join").build(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -66,7 +66,8 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val family = Seq(
     "q40_dedup_exact", "q41_near_dup", "q44_simhash",
-    "q45_ngram_jaccard", "q76_dup_clusters", "q78_incremental_dedup")
+    "q45_ngram_jaccard", "q76_dup_clusters", "q78_incremental_dedup",
+    "q98_line_dedup")
 
   /** Build + materialize, cold (cache cleared): wall seconds, plan-node
     * multiset, result rows. Build time is included on purpose — q76 runs
