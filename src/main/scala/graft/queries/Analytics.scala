@@ -199,6 +199,109 @@ object Analytics {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
+  // q100 within-cell near-dup threshold. Fixture embeddings are random
+  // (max pairwise cosine ~0.51), so 0.3 surfaces the most-similar tail —
+  // ~300 of ~15k within-cell pairs at sf0.01; a real corpus would use ~0.9.
+  private val SEMDEDUP_COS = 0.3
+
+  /** Shared two-round Lloyd kernel (q93 cluster profile, q100 semantic
+    * dedup — one definition so the two queries cannot drift):
+    *   - assignment is SCAN-LOCAL — all K centroids ride to every row in
+    *     one broadcast row (K×dims doubles, kilobytes at any corpus size)
+    *     and the argmin is a fold over that array; no shuffle, no N×K
+    *     exploded join;
+    *   - the mean update is the ONLY shuffle per round, and partial
+    *     aggregation collapses it to K×dims (sum,count) cells per map
+    *     task regardless of corpus size.
+    * Cross-engine determinism: round-1 centroids are exact float→double
+    * casts; updated centroids are round(avg,6) so round 2 assigns from
+    * bit-identical inputs in both engines; ties break to the lowest
+    * centroid id (strict < in the fold ≡ ROW_NUMBER ORDER BY d, cid).
+    */
+  private object Kmeans {
+    // Squared L2 between a row vector and one centroid: one sequential
+    // left-to-right fold per pair — the identical IEEE operation order
+    // in both engines (QueryDef determinism contract).
+    def dist2(v: Column, c: Column): Column =
+      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t)
+
+    // Argmin over the broadcast centroid array; strict < keeps the
+    // lowest cid on exact ties (cents is sorted by cid).
+    def assign(v: Column, cents: Column): Column =
+      aggregate(cents,
+        struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val d = dist2(v, c.getField("ce"))
+          when(d < acc.getField("d"),
+            struct(d.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
+        }).getField("cid")
+
+    // All K centroids as ONE broadcastable row of (cid, vector) structs.
+    def centroidRow(df: DataFrame): DataFrame =
+      df.agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents"))
+
+    /** Input columns preserved, plus `cluster_id` from two deterministic
+      * Lloyd rounds seeded by vec_id < 8. Expects a DOUBLE vector column
+      * `v` and a `vec_id` column.
+      */
+    def twoRoundAssign(e: DataFrame): DataFrame = {
+      val c0 = centroidRow(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("ce")))
+      val a1 = e.crossJoin(broadcast(c0))
+        .select(col("v"), assign(col("v"), col("cents")).as("cid"))
+      // Mean update: posexplode is scan-local; the exchange carries only
+      // K×dims (sum,count) partials per map task. round(avg,6) pins the
+      // round-2 inputs bit-identically across engines.
+      val m1 = centroidRow(
+        a1.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(round(avg(col("x")), 6).as("y"))
+          .groupBy(col("cid"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("y")))),
+            p => p.getField("y")).as("ce")))
+      e.crossJoin(broadcast(m1))
+        .withColumn("cluster_id", assign(col("v"), col("cents")))
+        .drop("cents")
+    }
+  }
+
+  /** DuckDB mirror of the two-round Lloyd kernel: CTE chain `c0 … a2`,
+    * a2 = (vec_id, cid). Shared by q93 and q100 (same no-drift rule as
+    * [[minhashBandsCte]]). */
+  private val kmeansAssignCte: String =
+    """c0 AS (
+      |  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+      |  FROM embeddings WHERE vec_id < 8),
+      |p1 AS (
+      |  SELECT e.vec_id, c.cid,
+      |         unnest(e.embedding)::DOUBLE AS x, unnest(c.ce) AS y
+      |  FROM embeddings e, c0 c),
+      |d1 AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM p1 GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |dims AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |         unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings),
+      |m1 AS (
+      |  SELECT a1.cid, dims.pos, round(AVG(dims.x), 6) AS y
+      |  FROM a1 JOIN dims ON a1.vec_id = dims.vec_id
+      |  GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT dims.vec_id, m1.cid, SUM((dims.x - m1.y) * (dims.x - m1.y)) AS d
+      |  FROM dims JOIN m1 ON dims.pos = m1.pos
+      |  GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM d2) WHERE rn = 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q65: bucketed co-located join --------------------------------
@@ -1161,83 +1264,15 @@ object Analytics {
     // the output is integer-only (cluster sizes per label).
     QueryDef(
       "q93_kmeans_assign",
-      """WITH c0 AS (
-        |  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
-        |  FROM embeddings WHERE vec_id < 8),
-        |p1 AS (
-        |  SELECT e.vec_id, c.cid,
-        |         unnest(e.embedding)::DOUBLE AS x, unnest(c.ce) AS y
-        |  FROM embeddings e, c0 c),
-        |d1 AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM p1 GROUP BY 1, 2),
-        |a1 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |    FROM d1) WHERE rn = 1),
-        |dims AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-        |         unnest(embedding)::DOUBLE AS x
-        |  FROM embeddings),
-        |m1 AS (
-        |  SELECT a1.cid, dims.pos, round(AVG(dims.x), 6) AS y
-        |  FROM a1 JOIN dims ON a1.vec_id = dims.vec_id
-        |  GROUP BY 1, 2),
-        |d2 AS (
-        |  SELECT dims.vec_id, m1.cid, SUM((dims.x - m1.y) * (dims.x - m1.y)) AS d
-        |  FROM dims JOIN m1 ON dims.pos = m1.pos
-        |  GROUP BY 1, 2),
-        |a2 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |    FROM d2) WHERE rn = 1)
-        |SELECT a2.cid AS cluster_id, e.label, COUNT(*) AS n
-        |FROM a2 JOIN embeddings e USING (vec_id)
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      s"""WITH $kmeansAssignCte
+         |SELECT a2.cid AS cluster_id, e.label, COUNT(*) AS n
+         |FROM a2 JOIN embeddings e USING (vec_id)
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
       val e = T(s, dir, "embeddings").select(
         col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-
-      // Squared L2 between a row vector and one centroid: one sequential
-      // left-to-right fold per pair — the identical IEEE operation order
-      // in both engines (QueryDef determinism contract).
-      def dist2(v: Column, c: Column): Column =
-        aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, t) => acc + t)
-      // Argmin over the broadcast centroid array; strict < keeps the
-      // lowest cid on exact ties (cents is sorted by cid).
-      def assign(v: Column, cents: Column): Column =
-        aggregate(cents,
-          struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
-          (acc, c) => {
-            val d = dist2(v, c.getField("ce"))
-            when(d < acc.getField("d"),
-              struct(d.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
-          }).getField("cid")
-      // All K centroids as ONE broadcastable row of (cid, vector) structs.
-      def centroidRow(df: DataFrame): DataFrame =
-        df.agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents"))
-
-      val c0 = centroidRow(e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("v").as("ce")))
-      val a1 = e.crossJoin(broadcast(c0))
-        .select(col("vec_id"), col("label"), col("v"),
-          assign(col("v"), col("cents")).as("cid"))
-      // Mean update: posexplode is scan-local; the exchange carries only
-      // K×dims (sum,count) partials per map task. round(avg,6) pins the
-      // round-2 inputs bit-identically across engines.
-      val m1 = centroidRow(
-        a1.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(round(avg(col("x")), 6).as("y"))
-          .groupBy(col("cid"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("y")))),
-            p => p.getField("y")).as("ce")))
-      e.crossJoin(broadcast(m1))
-        .select(col("vec_id"), col("label"),
-          assign(col("v"), col("cents")).as("cluster_id"))
+      Kmeans.twoRoundAssign(e)
         .groupBy(col("cluster_id"), col("label"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("cluster_id"), col("label"))
@@ -1291,8 +1326,68 @@ object Analytics {
           min(col("x")).as("min_x"), max(col("x")).as("max_x"),
           min(col("y")).as("min_y"), max(col("y")).as("max_y"))
         .orderBy(col("z_bucket"))
+    },
+
+    // ---- q100: semantic dedup (the SemDeDup shape: cluster, then dedup
+    // WITHIN clusters). Embedding near-dups are found by k-means-cell
+    // bucketing — exact cosine runs only among members of the same cell,
+    // never across the corpus. At 100 TB: assignment is the scan-local
+    // Kmeans fold (one broadcast centroid row), the pair join is keyed on
+    // cluster_id (cell sizes bound the quadratic term — production would
+    // raise K so cells stay O(10^3-10^4)), and the kept-rule is
+    // deterministic: a vector is dropped iff a LOWER-vec_id cell-mate is
+    // within the cosine threshold. Output: per-cell keep/drop profile. ----
+    QueryDef("q100_semantic_dedup", semanticDedupOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = T(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val members = Kmeans.twoRoundAssign(e)
+        .select(col("cluster_id"), col("vec_id"), col("embedding"))
+        .persist()
+      val a = members.select(
+        col("cluster_id"), col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = members.select(
+        col("cluster_id"), col("vec_id").as("vb"), col("embedding").as("eb"))
+      val dropped = a.join(b, Seq("cluster_id"))
+        .filter(col("va") < col("vb"))
+        .filter(round(expr("cosine_similarity(ea, eb)"), 6) >= SEMDEDUP_COS)
+        .select(col("cluster_id"), col("vb")).distinct()
+      members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+        .join(
+          dropped.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_dropped")),
+          Seq("cluster_id"), "left")
+        .select(col("cluster_id"), col("n_members"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        .orderBy(col("cluster_id"))
     }
   )
+
+  /** DuckDB mirror of q100: the shared [[kmeansAssignCte]] assignment,
+    * then within-cell pairwise cosine (same positional-unnest pattern as
+    * the q42/q53 oracle) and the same keep-lowest-vec_id drop rule. */
+  private def semanticDedupOracle: String =
+    s"""WITH $kmeansAssignCte,
+       |pr AS (
+       |  SELECT aa.cid, a.vec_id AS va, b.vec_id AS vb,
+       |    unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+       |  FROM embeddings a JOIN a2 aa ON a.vec_id = aa.vec_id
+       |  JOIN a2 ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
+       |  JOIN embeddings b ON b.vec_id = ab.vec_id),
+       |cs AS (
+       |  SELECT cid, va, vb, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+       |  FROM pr GROUP BY 1, 2, 3),
+       |dr AS (
+       |  SELECT DISTINCT cid, vb FROM cs
+       |  WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= $SEMDEDUP_COS),
+       |mem AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid),
+       |dc AS (SELECT cid, COUNT(*) AS n_dropped FROM dr GROUP BY cid)
+       |SELECT mem.cid AS cluster_id, mem.n_members,
+       |  COALESCE(dc.n_dropped, 0) AS n_dropped,
+       |  mem.n_members - COALESCE(dc.n_dropped, 0) AS n_kept
+       |FROM mem LEFT JOIN dc USING (cid)
+       |ORDER BY cluster_id""".stripMargin
 
   /** Spread a 16-bit value's bits to the even positions of a 32-bit word
     * (the classic mask-shift construction); building block of [[zValue]].
