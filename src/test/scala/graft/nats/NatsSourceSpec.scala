@@ -429,6 +429,39 @@ class NatsSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { q.stop(); conn.close() }
   }
 
+  test("stream-static join broadcasts the dimension per micro-batch; the stream side never shuffles") {
+    // The q97 scale claim, plan-asserted: enriching an unbounded feed
+    // with reference data must ship the (kilobyte) static side to the
+    // stream, not exchange the stream onto the join key.
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val feedSchema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("nk", IntegerType, nullable = false)))
+    val dim = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val q = spark.readStream.format("nats").schema(feedSchema)
+      .option("url", url).option("subject", "enrich")
+      .option("batchSize", "2")
+      .load()
+      .join(broadcast(dim), col("nk") === col("n_nationkey"))
+      .select(col("id"), col("n_name"))
+      .writeStream.format("memory").queryName("nats_enrich_plan").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "enrich")
+      conn.publish("enrich", "1,0".getBytes)
+      conn.publish("enrich", "2,5".getBytes)
+      q.processAllAvailable()
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"static dimension must broadcast:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"the unbounded side must not shuffle onto the join key:\n$plan")
+      assert(spark.sql("SELECT id, n_name FROM nats_enrich_plan").count() === 2)
+    } finally { q.stop(); conn.close() }
+  }
+
   // ---- registration-time validation (ref codec-construction checks) ----
 
   test("schema is required and validated at load time") {
