@@ -802,7 +802,7 @@ object Pipeline {
     // so the cross-engine hash is exact despite ln(). ----
     QueryDef("q96_bm25", bm25Oracle) { (s, dir) =>
       val toks = T(s, dir, "documents")
-        .filter(col("text").isNotNull) // N = docs with text (size(null) is -1 in Spark, NULL-skipped in AVG elsewhere)
+        .filter(col("text").isNotNull) // pin N = docs WITH text on both engines
         .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       val words = toks
         .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("w"))
@@ -841,9 +841,12 @@ object Pipeline {
     // hash-checked output. ----
     QueryDef("q98_line_dedup", lineDedupOracle) { (s, dir) =>
       val ws = split(lower(col("text")), " ")
+      // Two consumers (segment explode + the n_segs re-attach join):
+      // persist, one corpus scan + tokenize — not two (q85/q88/q99 rule).
       val base = T(s, dir, "documents")
         .select(col("doc_id"), ws.as("ws"))
         .withColumn("n_segs", ceil(size(col("ws")) / lit(LineWords.toDouble)).cast(LongType))
+        .persist()
       val segs = base
         .select(col("doc_id"), col("ws"),
           explode(sequence(lit(0L), col("n_segs") - 1)).as("seg_idx"))
