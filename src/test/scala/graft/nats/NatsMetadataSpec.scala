@@ -143,6 +143,33 @@ class NatsMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  test("wire transport: envelope survives replay over real TCP sockets with broker sequences") {
+    // Same contract as the memory-bus replay test above, spoken over the
+    // JetStream-style retention protocol against MiniNatsServer: _seq must
+    // be the server-side sequence, stable across startSequence re-reads.
+    val server = new MiniNatsServer(retainCapacity = 100)
+    try {
+      val conn = NatsTransport.connect(server.url)
+      try {
+        (1 to 4).foreach(i => conn.publish("wire.audit", s"$i,row$i".getBytes))
+        val all = spark.read.format("nats").schema(schema)
+          .option("url", server.url).option("subject", "wire.audit")
+          .option("replay", "true").option("startSequence", "0")
+          .load()
+          .select(col("id"), col("_subject"), col("_seq"))
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+        assert(all === (1 to 4).map(i => (i, "wire.audit", i.toLong)))
+        val tail = spark.read.format("nats").schema(schema)
+          .option("url", server.url).option("subject", "wire.audit")
+          .option("replay", "true").option("startSequence", "2")
+          .load()
+          .select(col("id"), col("_seq"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+        assert(tail === (3 to 4).map(i => (i, i.toLong)))
+      } finally conn.close()
+    } finally server.stop()
+  }
+
   test("a data column named _subject shadows the metadata column (Spark drops the conflict)") {
     val url = freshBus() + "?retain=10"
     val conn = NatsTransport.connect(url)
