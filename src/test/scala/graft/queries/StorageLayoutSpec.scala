@@ -103,4 +103,46 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scanLine.get.matches(".*PushedFilters: \\[[^\\]]*EqualTo\\(event_type,click\\).*"),
       s"row predicate not pushed to parquet:\n${scanLine.get}")
   }
+
+  test("q94's payoff: z-ordered files bound BOTH dimensions, so a y-band predicate can skip most files") {
+    import org.apache.spark.sql.functions._
+    // The mechanism behind OPTIMIZE ZORDER, asserted on REAL file stats:
+    // write the same 128x128 grid twice — range-partitioned by x (a
+    // linear sort) and by the Morton key — and measure each file's
+    // y-extent. Linear-by-x files each span the FULL y range (a y-band
+    // predicate prunes nothing); z-ordered files cover bounded tiles, so
+    // the same band intersects only a fraction. Parquet min/max row-group
+    // stats do the skipping in production; per-file min/max is the same
+    // statistic one level up, observable without reader internals.
+    val n = 128 * 128
+    val grid = spark.range(n).select(
+      (col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+    val byX = graft.BuildPaths.scratch("layout-by-x")
+    val byZ = graft.BuildPaths.scratch("layout-by-z")
+    grid.repartitionByRange(16, col("x"))
+      .write.mode("overwrite").parquet(byX)
+    grid.select(col("x"), col("y"), Analytics.zValue(col("x"), col("y")).as("zv"))
+      .repartitionByRange(16, col("zv"))
+      .write.mode("overwrite").parquet(byZ)
+
+    def filesIntersectingYBand(root: String, lo: Long, hi: Long): (Int, Int) = {
+      val files = new java.io.File(root).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+      val hit = files.count { f =>
+        val r = spark.read.parquet(f).agg(min("y"), max("y")).head()
+        r.getLong(0) <= hi && r.getLong(1) >= lo
+      }
+      (hit, files.length)
+    }
+    val (xHit, xAll) = filesIntersectingYBand(byX, 0, 15)
+    val (zHit, zAll) = filesIntersectingYBand(byZ, 0, 15)
+    assert(xAll >= 8 && zAll >= 8, s"expected multi-file layouts: $xAll / $zAll")
+    assert(xHit === xAll,
+      s"x-sorted layout should NOT bound y (every file spans the band): $xHit of $xAll")
+    // 16 contiguous z-ranges over a 128x128 grid ≈ 32x32 tiles: a 16-row
+    // band intersects ~1/4 of them. Allow slack for repartitionByRange's
+    // sampled boundaries — the claim is "most files skipped", not a tiling.
+    assert(zHit <= zAll / 2,
+      s"z-ordered layout should skip most files for a y-band: $zHit of $zAll hit")
+  }
 }
