@@ -120,7 +120,8 @@ object GraftFunctions {
 
   private val cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, null, "cosine_similarity",
-    "_FUNC_(a, b) - cosine similarity of two float vectors", "")
+    "_FUNC_(a, b) - cosine similarity of two float vectors",
+    "", "", "", "", "", "", "built-in")
 
   private[functions] val cosineBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => CosineSimilarity(a, b)
