@@ -63,4 +63,26 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // queries use rather than full TPC-H's 16.
     assert(n === 11, s"lineitem fixture exposes 11 columns, got $n")
   }
+
+  test("CREATE TABLE ... USING nats: the reference's register-then-SQL pattern, pure SQL end-to-end") {
+    // The reference's canonical UX is ctx.register_table + `SELECT id,
+    // name FROM nats_table LIMIT 3` (examples/simple_query.rs:53-63) —
+    // no DataFrame API anywhere. Spark's equivalent is SQL DDL against
+    // the v2 TableProvider: the declared schema is external metadata,
+    // OPTIONS carry the connection, and the pushed LIMIT still
+    // terminates the subscription.
+    val url = "memory://catalog-" + java.util.UUID.randomUUID()
+    graft.nats.NatsDemo.cyclicPublisher(url, "nats_table",
+      Seq("1,apple", "2,banana", "3,orange"))
+    spark.sql(
+      s"""CREATE TABLE nats_sql_table (id INT, name STRING) USING nats
+         |OPTIONS (url '$url', subject 'nats_table')""".stripMargin)
+    try {
+      val rows = spark.sql("SELECT id, name FROM nats_sql_table LIMIT 3")
+        .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(rows === Seq((1, "apple"), (2, "banana"), (3, "orange")))
+      // and the catalog surface sees it like any other table
+      assert(spark.sql("DESCRIBE nats_sql_table").count() >= 2)
+    } finally spark.sql("DROP TABLE nats_sql_table")
+  }
 }
