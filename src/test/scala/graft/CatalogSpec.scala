@@ -85,4 +85,44 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.sql("DESCRIBE nats_sql_table").count() >= 2)
     } finally spark.sql("DROP TABLE nats_sql_table")
   }
+
+  test("INSERT INTO a nats catalog table publishes codec-encoded rows (SQL-only write path)") {
+    val url = "memory://catalog-ins-" + java.util.UUID.randomUUID()
+    spark.sql(
+      s"""CREATE TABLE nats_sql_sink (id INT, name STRING) USING nats
+         |OPTIONS (url '$url', subject 'ins')""".stripMargin)
+    try {
+      val conn = graft.nats.NatsTransport.connect(url)
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val sub = conn.subscribe("ins")(m => seen.add(new String(m)))
+      try {
+        spark.sql("INSERT INTO nats_sql_sink VALUES (1, 'apple'), (2, 'banana')")
+        val deadline = System.nanoTime() + 5000000000L
+        while (seen.size < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+        assert(seen.toArray.map(_.toString).sorted.toSeq === Seq("1,apple", "2,banana"))
+      } finally { sub.close(); conn.close() }
+    } finally spark.sql("DROP TABLE nats_sql_sink")
+  }
+
+  test("readStream.table() streams from a nats catalog table (no format() anywhere)") {
+    val url = "memory://catalog-rs-" + java.util.UUID.randomUUID()
+    spark.sql(
+      s"""CREATE TABLE nats_sql_stream (id INT, name STRING) USING nats
+         |OPTIONS (url '$url', subject 'live', batchSize '3')""".stripMargin)
+    try {
+      val conn = graft.nats.NatsTransport.connect(url)
+      val q = spark.readStream.table("nats_sql_stream")
+        .writeStream.format("memory").queryName("catalog_stream").start()
+      try {
+        graft.nats.NatsDemo.awaitSubscriber(url, "live")
+        conn.publish("live", "1,apple".getBytes)
+        conn.publish("live", "2,banana".getBytes)
+        conn.publish("live", "3,orange".getBytes)
+        q.processAllAvailable()
+        val rows = spark.sql("SELECT id, name FROM catalog_stream ORDER BY id")
+          .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+        assert(rows === Seq((1, "apple"), (2, "banana"), (3, "orange")))
+      } finally { q.stop(); conn.close() }
+    } finally spark.sql("DROP TABLE nats_sql_stream")
+  }
 }
