@@ -129,4 +129,36 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.columns.toSeq ===
       Seq("doc_id", "format", "byte_len", "width", "height", "n_frames"))
   }
+
+  test("binaryFile ingestion: real image files on disk -> binary scan -> REAL decoded dimensions") {
+    // How a 100 TB multimodal corpus actually lands: raw files in object
+    // storage, read with Spark's binaryFile source (path + content + length,
+    // no decode on the scan), format derived from the extension, features
+    // extracted executor-side. Pins the disk->DataFrame->decode seam that
+    // q49/q60 exercise from parquet-borne payloads.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toFile
+    try {
+      val dims = Seq(("a.png", 123, 77, "png"), ("b.jpg", 64, 99, "jpg"), ("c.png", 200, 150, "png"))
+      dims.foreach { case (name, w, h, fmt) =>
+        val writeFmt = if (fmt == "jpg") "jpg" else "png"
+        java.nio.file.Files.write(
+          new java.io.File(dir, name).toPath, realImage(w, h, writeFmt))
+      }
+      val media = spark.read.format("binaryFile").load(dir.getAbsolutePath)
+        .select(
+          abs(xxhash64(col("path"))).as("doc_id"),
+          element_at(split(col("path"), "\\."), -1).as("format"),
+          col("content").as("payload"),
+          element_at(split(col("path"), "/"), -1).as("file"))
+      val feats = Multimodal.extractFeaturesDf(media.select(col("doc_id"), col("payload"), col("format")))
+        .join(media.select(col("doc_id"), col("file")), "doc_id")
+        .select(col("file"), col("width"), col("height"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+      assert(feats === Seq(("a.png", 123, 77), ("b.jpg", 64, 99), ("c.png", 200, 150)),
+        s"real dimensions must survive the binaryFile path: $feats")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }
