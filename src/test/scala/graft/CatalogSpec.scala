@@ -104,6 +104,34 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE nats_sql_sink")
   }
 
+  test("CREATE TABLE USING nats without a column list surfaces the schema-or-infer guidance") {
+    // A SQL-only user's first mistake: no column list, no inferSchema.
+    // The DDL must fail with the SAME guided message the DataFrame path
+    // gives, not a generic provider error — and CREATE with
+    // inferSchema=true against retained payloads must succeed schema-free.
+    val url = "memory://catalog-noschema-" + java.util.UUID.randomUUID() + "?retain=10"
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE nats_noschema USING nats OPTIONS (url '$url', subject 's')")
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("schema") && msg.contains("inferSchema"),
+      s"error must guide to .schema(...) or inferSchema: $msg")
+    // the fix the message names, applied in DDL form:
+    val conn = graft.nats.NatsTransport.connect(url)
+    try {
+      conn.publish("s", "7,grape".getBytes)
+      spark.sql(
+        s"""CREATE TABLE nats_inferred USING nats
+           |OPTIONS (url '$url', subject 's', inferSchema 'true', replay 'true')""".stripMargin)
+      try {
+        val rows = spark.sql("SELECT * FROM nats_inferred LIMIT 1")
+          .collect().map(_.toSeq).toSeq
+        assert(rows === Seq(Seq(7, "grape")), s"inferred read mismatch: $rows")
+      } finally spark.sql("DROP TABLE nats_inferred")
+    } finally conn.close()
+  }
+
   test("readStream.table() streams from a nats catalog table (no format() anywhere)") {
     val url = "memory://catalog-rs-" + java.util.UUID.randomUUID()
     spark.sql(
