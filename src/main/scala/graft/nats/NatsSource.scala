@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
@@ -102,7 +103,11 @@ object NatsOptions {
   * src/executor.rs:140-144: a bad row is reported and consumption
   * continues). Keyed by "url/subject"; readable from tests and ops code.
   * In local mode (one JVM) counts are global-exact; on a cluster each
-  * executor counts its own share — aggregate via logs/metrics there.
+  * executor counts its own share and the counter is cumulative across
+  * queries sharing (url, subject) — the AUTHORITATIVE per-query count is
+  * the scan's DSv2 custom metric ([[MalformedRowsMetric]]), which Spark
+  * sums from executor task metrics through the accumulator machinery and
+  * surfaces per scan in the SQL UI / `SparkPlan.metrics`.
   */
 object NatsMetrics {
   private val malformed = new ConcurrentHashMap[String, LongAdder]()
@@ -110,6 +115,28 @@ object NatsMetrics {
     malformed.computeIfAbsent(s"$url/$subject", _ => new LongAdder)
   def malformedCount(url: String, subject: String): Long =
     malformedCounter(url, subject).sum()
+
+  /** Replay reader connections opened (one per InputPartition on the
+    * executor side — test/ops instrumentation for the offsets-only
+    * ingest contract: payload bytes never route through the driver). */
+  private[nats] val replayReaderConnections = new LongAdder
+}
+
+/** DSv2 custom metric: per-task malformed-payload counts, summed on the
+  * driver by Spark's metric framework — correct on a real multi-executor
+  * cluster and scoped to one query, unlike the JVM-static convenience
+  * counter above (ADVICE r10 #2). */
+final class MalformedRowsMetric extends CustomSumMetric {
+  override def name(): String = MalformedRowsMetric.Name
+  override def description(): String =
+    "payloads rejected by the strict codec (skip-and-count error policy)"
+}
+object MalformedRowsMetric {
+  val Name = "malformedRows"
+  def taskMetric(value0: => Long): CustomTaskMetric = new CustomTaskMetric {
+    override def name(): String = MalformedRowsMetric.Name
+    override def value(): Long = value0
+  }
 }
 
 /** DataSource V2 provider: `spark.read[Stream].format("nats")` — the Spark
@@ -337,6 +364,13 @@ final class NatsScan(
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new NatsMicroBatchStream(fullSchema, required, filters, opts)
+
+  // Executor task counts propagate through Spark's accumulator machinery
+  // and sum per scan — the cluster-correct home for the skip-and-count
+  // error policy's tally (the ReportsSourceMetrics map is driver-side and
+  // only exact in local mode; see NatsMetrics).
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new MalformedRowsMetric)
 }
 
 /** Source-side predicate evaluation over decoded catalyst values — the
@@ -421,6 +455,12 @@ private[nats] final class RowPipeline(
   private val SubjectIdx = -1
   private val SeqIdx = -2
 
+  // Task-local malformed count feeding the scan's DSv2 custom metric
+  // (per-query, executor→driver via task metrics); the static NatsMetrics
+  // counter is kept as the local-mode/ops convenience surface.
+  @transient private var malformedLocal = 0L
+  def malformedCount: Long = malformedLocal
+
   @transient private lazy val codec = PayloadCodec.strict(opts.codec, fullSchema)
   @transient private lazy val outIdx: Array[Int] =
     required.fieldNames.map {
@@ -433,6 +473,7 @@ private[nats] final class RowPipeline(
   def decode(subject: String, seq: Long, payload: String): Option[InternalRow] =
     codec.parse(payload) match {
       case Left(_) =>
+        malformedLocal += 1
         NatsMetrics.malformedCounter(opts.url, opts.subject).increment()
         None
       case Right(values) =>
@@ -490,10 +531,18 @@ final class NatsBatch(
     * what "query a JetStream stream" looks like as a DataFrame. Bounded
     * by what retention holds at planning time: no live publisher, no
     * collect timeout, deterministic. startSequence picks the resume
-    * point (default: everything still retained). Payloads ship sliced
-    * numPartitions-wide for executor-side parallel decode; a pushed
-    * LIMIT stays exact via Spark's GlobalLimit above the scan (payloads
-    * are pre-filter, so the source never truncates below the bound).
+    * point (default: everything still retained).
+    *
+    * The Kafka-source shape, exactly: planning talks to the transport for
+    * METADATA ONLY (earliest/current sequence — two numbers) and emits
+    * offsets-only [[NatsReplayPartition]]s; each executor-side reader
+    * opens its own transport connection and pulls its range through the
+    * retention FETCH protocol. Payload bytes never route through the
+    * driver — the 100 TB ingest contract (ADVICE r10 #1, replacing the
+    * driver pre-fetch that previously serialized every payload into the
+    * partitions). A pushed LIMIT stays exact via Spark's GlobalLimit
+    * above the scan (ranges are pre-filter, so the source never
+    * truncates below the bound).
     */
   private def replayPartitions(): Array[InputPartition] = {
     val conn = NatsTransport.connect(opts.url)
@@ -505,24 +554,7 @@ final class NatsBatch(
           if (opts.startSequence >= 0) opts.startSequence
           else r.earliestRetained(opts.subject) - 1
         val current = r.currentSeq(opts.subject)
-        val payloads = r.fetchRetained(opts.subject, after, (current - after).toInt)
-          .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
-        if (payloads.isEmpty) Array.empty
-        else {
-          val n = math.max(1, math.min(opts.numPartitions, payloads.length))
-          // fetchRetained returns (after, after+len] in order: seq is
-          // positional, and the literal subject is shared by reference.
-          payloads.zipWithIndex
-            .grouped(math.ceil(payloads.length.toDouble / n).toInt)
-            .map { chunk =>
-              NatsStreamPartition(
-                chunk.map(_._1),
-                Array.fill(chunk.length)(opts.subject),
-                chunk.map(after + 1 + _._2.toLong),
-                fullSchema, required, filters, opts)
-            }
-            .toArray[InputPartition]
-        }
+        NatsReplayPartition.slice(after, current - after, fullSchema, required, filters, opts)
       case _ =>
         throw new UnsupportedOperationException(
           s"replay=true needs a retention-capable transport; ${opts.url} is " +
@@ -535,6 +567,7 @@ final class NatsBatch(
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       partition match {
         case p: NatsStreamPartition => new PayloadPartitionReader(p)
+        case p: NatsReplayPartition => new NatsReplayReader(p)
         case p: NatsBatchPartition  => new NatsBatchReader(p)
       }
   }
@@ -580,6 +613,8 @@ final class NatsBatchReader(p: NatsBatchPartition) extends PartitionReader[Inter
 
   override def get(): InternalRow = current
   override def close(): Unit = { sub.close(); conn.close() }
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(MalformedRowsMetric.taskMetric(pipeline.malformedCount))
 }
 
 // ---------------------------------------------------------------------------
@@ -616,8 +651,9 @@ private final case class NatsStreamPartition(
     filters: Array[Filter],
     opts: NatsOptions) extends InputPartition
 
-/** Decodes a shipped payload slice on the executor — shared by planned
-  * micro-batches and replay-mode batch reads. */
+/** Decodes a shipped payload slice on the executor — the LIVE-stream
+  * path, where the driver-side subscription is the only place the bytes
+  * exist (fire-and-forget push; there is nothing to re-fetch from). */
 private final class PayloadPartitionReader(p: NatsStreamPartition)
     extends PartitionReader[InternalRow] {
   private val pipeline = new RowPipeline(p.fullSchema, p.required, p.filters, p.opts)
@@ -627,6 +663,107 @@ private final class PayloadPartitionReader(p: NatsStreamPartition)
   override def next(): Boolean = it.hasNext && { current = it.next(); true }
   override def get(): InternalRow = current
   override def close(): Unit = ()
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(MalformedRowsMetric.taskMetric(pipeline.malformedCount))
+}
+
+/** Offsets-only replay work unit: `(afterSeq, afterSeq + count]` on the
+  * options' literal subject. Carries NO payload bytes — serialized size
+  * is O(schema), independent of how many messages the range spans; the
+  * reader pulls the bytes itself ([[NatsReplayReader]]). This is the
+  * Kafka `KafkaBatchInputPartition` shape (topic-partition + offset
+  * range, broker fetch on the executor) applied to the retention
+  * protocol. */
+private[nats] final case class NatsReplayPartition(
+    afterSeq: Long,
+    count: Long,
+    fullSchema: StructType,
+    required: StructType,
+    filters: Array[Filter],
+    opts: NatsOptions) extends InputPartition
+
+private[nats] object NatsReplayPartition {
+  /** Split `(after, after + total]` into up to numPartitions contiguous
+    * ranges (empty input → no partitions). Contiguity keeps per-range
+    * fetches sequential on the broker — the access pattern retention
+    * rings and JetStream streams serve fastest. */
+  def slice(
+      after: Long,
+      total: Long,
+      fullSchema: StructType,
+      required: StructType,
+      filters: Array[Filter],
+      opts: NatsOptions): Array[InputPartition] =
+    if (total <= 0) Array.empty
+    else {
+      val n = math.max(1, math.min(opts.numPartitions.toLong, total)).toInt
+      val base = total / n
+      val extra = total % n // first `extra` ranges take one more
+      val out = new Array[InputPartition](n)
+      var start = after
+      var i = 0
+      while (i < n) {
+        val len = base + (if (i < extra) 1 else 0)
+        out(i) = NatsReplayPartition(start, len, fullSchema, required, filters, opts)
+        start += len
+        i += 1
+      }
+      out
+    }
+}
+
+/** Executor-side replay reader: opens its OWN transport connection and
+  * pulls the partition's sequence range in batchSize-bounded chunks —
+  * memory stays O(chunk), not O(range), and the driver never touches the
+  * bytes. Eviction between planning and execution still fails fast
+  * (fetchRetained throws), now as a task failure carrying the same
+  * guidance. */
+private[nats] final class NatsReplayReader(p: NatsReplayPartition)
+    extends PartitionReader[InternalRow] {
+  private val pipeline = new RowPipeline(p.fullSchema, p.required, p.filters, p.opts)
+  private val conn: ReplayableNatsConnection = NatsTransport.connect(p.opts.url) match {
+    case r: ReplayableNatsConnection =>
+      NatsMetrics.replayReaderConnections.increment()
+      r
+    case c =>
+      c.close()
+      throw new IllegalStateException(
+        s"replay partition on ${p.opts.url} but the transport lost its " +
+          "retention capability between planning and execution")
+  }
+  private val endSeq = p.afterSeq + p.count
+  private val chunk = math.max(1, p.opts.batchSize)
+  private var cursor = p.afterSeq // last sequence already handed to decode
+  private var it: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+
+  @annotation.tailrec
+  override final def next(): Boolean =
+    if (it.hasNext) { current = it.next(); true }
+    else if (cursor >= endSeq) false
+    else {
+      val want = math.min(chunk.toLong, endSeq - cursor).toInt
+      val payloads = conn.fetchRetained(p.opts.subject, cursor, want)
+      // The planned range is committed work: retention must still cover
+      // it in full, or the fail-fast contract (never silent loss) fires.
+      if (payloads.length < want)
+        throw new IllegalStateException(
+          s"retention on '${p.opts.subject}' ended at sequence " +
+            s"${cursor + payloads.length} but this partition was planned " +
+            s"through $endSeq: messages were evicted or the broker lost them")
+      val from = cursor
+      cursor += want
+      it = payloads.iterator.zipWithIndex.flatMap { case (bytes, i) =>
+        pipeline.decode(p.opts.subject, from + 1 + i,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      }
+      next()
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = conn.close()
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(MalformedRowsMetric.taskMetric(pipeline.malformedCount))
 }
 
 final class NatsMicroBatchStream(
@@ -838,29 +975,25 @@ final class NatsMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[NatsOffset].count
     val e = end.asInstanceOf[NatsOffset].count
-    // One message = (concrete subject, source sequence, payload text).
-    // Replay pulls from retention (seq = broker sequence, subject is the
-    // required-literal subject shared by reference); live reads split the
-    // ledger's "<subject>NUL<payload>" entries (seq = ledger offset),
-    // reusing one string instance per run of equal subjects.
-    val msgs: Array[(String, Long, String)] = replayConn match {
-      case Some(r) =>
-        // Pull the committed range from retention; throws (fail-fast) if
-        // any of it was evicted between planning and (re)execution.
-        r.fetchRetained(opts.subject, s, (e - s).toInt)
-          .zipWithIndex.map { case (p, i) =>
-            (opts.subject, s + 1 + i,
-              new String(p, java.nio.charset.StandardCharsets.UTF_8))
-          }
-      case None =>
-        failIfNotResumable(s)
-        var lastSubject: String = null
-        ledger.rowsBetween(s, e).zipWithIndex.map { case (entry, i) =>
-          val sep = entry.indexOf(NatsMicroBatchStream.SubjectSep)
-          val subj = entry.substring(0, sep)
-          if (lastSubject == null || subj != lastSubject) lastSubject = subj
-          (lastSubject, s + 1 + i, entry.substring(sep + 1))
-        }
+    // Replay mode ships offsets only: the committed range becomes
+    // numPartitions-sliced NatsReplayPartitions and each executor reader
+    // pulls its own slice from retention (seq = broker sequence) — no
+    // payload bytes on the driver, and eviction between planning and
+    // execution still fails fast, now executor-side. Live reads have no
+    // re-fetchable store, so they ship the ledger's buffered
+    // "<subject>NUL<payload>" entries (seq = ledger offset), reusing one
+    // string instance per run of equal subjects.
+    if (replayConn.isDefined)
+      return NatsReplayPartition.slice(s, e - s, fullSchema, required, filters, opts)
+    val msgs: Array[(String, Long, String)] = {
+      failIfNotResumable(s)
+      var lastSubject: String = null
+      ledger.rowsBetween(s, e).zipWithIndex.map { case (entry, i) =>
+        val sep = entry.indexOf(NatsMicroBatchStream.SubjectSep)
+        val subj = entry.substring(0, sep)
+        if (lastSubject == null || subj != lastSubject) lastSubject = subj
+        (lastSubject, s + 1 + i, entry.substring(sep + 1))
+      }
     }
     def partition(slice: Array[(String, Long, String)]): NatsStreamPartition =
       NatsStreamPartition(
@@ -897,7 +1030,10 @@ final class NatsMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-      new PayloadPartitionReader(partition.asInstanceOf[NatsStreamPartition])
+      partition match {
+        case p: NatsStreamPartition => new PayloadPartitionReader(p)
+        case p: NatsReplayPartition => new NatsReplayReader(p)
+      }
   }
 
   override def commit(end: Offset): Unit =

@@ -657,7 +657,9 @@ object Pipeline {
       val docs = T(s, dir, "documents")
       val words = docs.select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("w"))
-      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      // Two consumers (the df roll-up + the scoring join): persist, so the
+      // tokenize+explode+groupBy chain runs once (q85/q88/q99 rule).
+      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")).persist()
       val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val n = docs.select(count(lit(1)).as("n_docs"))
       val wTop = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("w"))
@@ -801,9 +803,12 @@ object Pipeline {
     // micro-units and the per-doc sum is integer addition (order-free),
     // so the cross-engine hash is exact despite ln(). ----
     QueryDef("q96_bm25", bm25Oracle) { (s, dir) =>
+      // Two consumers (the postings explode + the corpus-stats agg):
+      // persist, one corpus scan + tokenize — not two (q85/q88/q99 rule).
       val toks = T(s, dir, "documents")
         .filter(col("text").isNotNull) // pin N = docs WITH text on both engines
         .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .persist()
       val words = toks
         .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("w"))
         .filter(col("w").isin(BM25_TERMS: _*))
@@ -843,7 +848,10 @@ object Pipeline {
       val ws = split(lower(col("text")), " ")
       // Two consumers (segment explode + the n_segs re-attach join):
       // persist, one corpus scan + tokenize — not two (q85/q88/q99 rule).
+      // Null-text guard matches q96/q99 (and the oracle): without it,
+      // size(NULL ws) diverges from DuckDB's zero-segment expansion.
       val base = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), ws.as("ws"))
         .withColumn("n_segs", ceil(size(col("ws")) / lit(LineWords.toDouble)).cast(LongType))
         .persist()
@@ -1129,7 +1137,9 @@ object Pipeline {
     * ORDER BY string_agg (Spark side: array_sort over (seg_idx, seg)).
     */
   private def lineDedupOracle: String =
-    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |  FROM documents WHERE text IS NOT NULL),
        |n AS (
        |  SELECT doc_id, ws, CAST(ceil(len(ws) / $LineWords.0) AS BIGINT) AS n_segs FROM w),
        |segs AS (
