@@ -90,11 +90,11 @@ object NatsOptions {
       inferSamples = options.getInt("inferSamples", 16),
       inferTimeoutMs = options.getLong("inferTimeoutMs", 2000L),
       // includeMetadata=true appends the envelope columns (_subject,
-      // _seq) to the table's reported schema as ordinary columns — the
-      // path STREAMING reads must use (Spark's micro-batch engine builds
-      // the scan without the column-pruning negotiation that the hidden
-      // SupportsMetadataColumns variant rides on; batch reads get the
-      // hidden columns for free either way).
+      // _seq) to the table's reported schema as ordinary columns — for
+      // schema-explicit pipelines (SELECT *, DDL paths). The hidden
+      // SupportsMetadataColumns surface works on BOTH batch and
+      // streaming reads without it (streaming scans always carry the
+      // envelope at trailing ordinals; see NatsScanBuilder).
       includeMetadata = options.getBoolean("includeMetadata", false))
   }
 }
@@ -322,11 +322,20 @@ final class NatsScanBuilder(
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
-  // Default to the REPORTED schema: the streaming path builds the scan
+  // Default to the REPORTED schema plus any hidden metadata columns,
+  // appended in declared order: the streaming path builds the scan
   // without calling pruneColumns (no pushdown negotiation in Spark's
-  // micro-batch engine), so the un-pruned read must line up with the
-  // relation's analyzed output. Batch reads prune below.
-  private var required: StructType = reported
+  // micro-batch engine), so the un-pruned read must serve the WIDEST
+  // output analysis can bind. When a streaming projection references
+  // `_subject`/`_seq`, AddMetadataColumns appends the hidden columns
+  // after the data schema — exactly the trailing ordinals these rows
+  // carry; a plan that never referenced them never reads past the data
+  // fields (every operator above the scan re-projects by ordinal).
+  // Batch reads negotiate the exact column set via pruneColumns below.
+  private var required: StructType = StructType(
+    reported.fields ++
+      NatsMetadata.columns.filterNot(m => reported.fieldNames.contains(m.name))
+        .map(m => org.apache.spark.sql.types.StructField(m.name, m.dataType, nullable = false)))
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
 

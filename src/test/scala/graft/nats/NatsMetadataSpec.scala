@@ -10,11 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The source's message-envelope columns (`_subject`, `_seq` — the Kafka
   * topic/partition/offset analog; [[NatsMetadata]]). Two surfaces:
-  * hidden DSv2 metadata columns on BATCH reads (resolved by name, absent
-  * from the data schema, pruned in), and `includeMetadata=true` appending
-  * them to the reported schema — the surface STREAMING reads use, since
-  * Spark's micro-batch engine builds scans without the column-pruning
-  * negotiation the hidden variant needs.
+  * hidden DSv2 metadata columns (resolved by name, absent from the data
+  * schema — pruned in on batch reads, served at fixed trailing ordinals
+  * on streaming reads), and `includeMetadata=true` appending them to the
+  * reported schema as ordinary columns for SELECT-star / DDL pipelines.
   */
 class NatsMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -41,6 +40,44 @@ class NatsMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
       "_subject/_seq must not leak into the data schema")
     // resolves in a projection without error
     df.select(col("id"), col("_subject"), col("_seq"))
+  }
+
+  test("hidden metadata columns EXECUTE on a streaming read (not just resolve)") {
+    // The micro-batch engine builds scans without pruneColumns, so the
+    // stream always serves data + hidden envelope fields at trailing
+    // ordinals — where AddMetadataColumns binds them when a projection
+    // references the hidden surface (no includeMetadata needed).
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val q = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "t").option("batchSize", "2").load()
+      .select(col("id"), col("_subject"), col("_seq"))
+      .writeStream.format("memory").queryName("meta_hidden_exec").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "t")
+      conn.publish("t", "1,a".getBytes)
+      conn.publish("t", "2,b".getBytes)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, _subject, _seq FROM meta_hidden_exec ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(rows === Seq((1, "t", 1L), (2, "t", 2L)))
+    } finally { q.stop(); conn.close() }
+  }
+
+  test("a streaming read that never references metadata is unaffected by the widened scan") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val q = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "t").option("batchSize", "1").load()
+      .writeStream.format("memory").queryName("meta_plain_exec").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "t")
+      conn.publish("t", "1,a".getBytes)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM meta_plain_exec").collect()
+      assert(rows.map(_.length).toSeq === Seq(2), "no envelope fields may leak into SELECT *")
+      assert(rows.head.getInt(0) === 1 && rows.head.getString(1) === "a")
+    } finally { q.stop(); conn.close() }
   }
 
   test("includeMetadata=true appends the envelope to the reported schema") {
