@@ -242,11 +242,14 @@ object Analytics {
       df.agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents"))
 
     /** Input columns preserved, plus `cluster_id` from two deterministic
-      * Lloyd rounds seeded by vec_id < 8. Expects a DOUBLE vector column
-      * `v` and a `vec_id` column.
+      * Lloyd rounds seeded by vec_id < k (default 8 — what the q93/q100
+      * oracles pin). Expects a DOUBLE vector column `v` and a `vec_id`
+      * column. K is the scale knob: cells bound the quadratic
+      * within-cell work downstream, so production raises K with the
+      * corpus (ScaleStressSpec pins this as a tested fact).
       */
-    def twoRoundAssign(e: DataFrame): DataFrame = {
-      val c0 = centroidRow(e.filter(col("vec_id") < 8)
+    def twoRoundAssign(e: DataFrame, k: Int = 8): DataFrame = {
+      val c0 = centroidRow(e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("v").as("ce")))
       val a1 = e.crossJoin(broadcast(c0))
         .select(col("v"), assign(col("v"), col("cents")).as("cid"))
@@ -1338,31 +1341,40 @@ object Analytics {
     // deterministic: a vector is dropped iff a LOWER-vec_id cell-mate is
     // within the cosine threshold. Output: per-cell keep/drop profile. ----
     QueryDef("q100_semantic_dedup", semanticDedupOracle) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val e = T(s, dir, "embeddings").select(
-        col("vec_id"), col("embedding"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      val members = Kmeans.twoRoundAssign(e)
-        .select(col("cluster_id"), col("vec_id"), col("embedding"))
-        .persist()
-      val a = members.select(
-        col("cluster_id"), col("vec_id").as("va"), col("embedding").as("ea"))
-      val b = members.select(
-        col("cluster_id"), col("vec_id").as("vb"), col("embedding").as("eb"))
-      val dropped = a.join(b, Seq("cluster_id"))
-        .filter(col("va") < col("vb"))
-        .filter(round(expr("cosine_similarity(ea, eb)"), 6) >= SEMDEDUP_COS)
-        .select(col("cluster_id"), col("vb")).distinct()
-      members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
-        .join(
-          dropped.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_dropped")),
-          Seq("cluster_id"), "left")
-        .select(col("cluster_id"), col("n_members"),
-          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-          (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
-        .orderBy(col("cluster_id"))
+      semanticDedupAt(s, dir, 8) // K=8 is what the oracle CTE pins
     }
   )
+
+  /** The q100 pipeline with K as the scale knob — cells bound the
+    * quadratic within-cell cosine work, so a C×-bigger corpus runs with
+    * C×-more cells to keep each cell O(1) (the production rule the q100
+    * design comment states; ScaleStressSpec runs it at 10×/K=80 and
+    * asserts the plan shape survives and runtime stays ~linear). */
+  private[graft] def semanticDedupAt(s: SparkSession, dir: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = T(s, dir, "embeddings").select(
+      col("vec_id"), col("embedding"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val members = Kmeans.twoRoundAssign(e, k)
+      .select(col("cluster_id"), col("vec_id"), col("embedding"))
+      .persist()
+    val a = members.select(
+      col("cluster_id"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = members.select(
+      col("cluster_id"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("va") < col("vb"))
+      .filter(round(expr("cosine_similarity(ea, eb)"), 6) >= SEMDEDUP_COS)
+      .select(col("cluster_id"), col("vb")).distinct()
+    members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      .join(
+        dropped.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_dropped")),
+        Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy(col("cluster_id"))
+  }
 
   /** DuckDB mirror of q100: the shared [[kmeansAssignCte]] assignment,
     * then within-cell pairwise cosine (same positional-unnest pattern as

@@ -61,28 +61,57 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         ev.withColumn("event_id", col("event_id") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .coalesce(4).write.parquet(s"$dir/events.parquet")
+    // Embeddings: vec_ids INTERLEAVE (orig*Copies + i) so the k-means
+    // seed rule `vec_id < K` at K = 8*Copies picks the same 8 seed
+    // vectors from EVERY copy — each copy gets its own 8 cells, the 1x
+    // structure replicated. Copy 0 is verbatim; copy i > 0 boosts one
+    // copy-specific dimension by +50 (vector components are ~N(0,1), so
+    // cross-copy squared distance is dominated by the 2*50^2 boost gap
+    // while within-copy geometry keeps its original scale): k-means
+    // separates copies cleanly, and cells stay 1x-sized when K scales
+    // with the corpus — the boundedness the q100 test pins.
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until Copies).map { i =>
+      val d = emb.withColumn("vec_id", col("vec_id") * Copies + lit(i.toLong))
+      if (i == 0) d
+      else d.withColumn("embedding",
+        transform(col("embedding"), (x, j) =>
+          when(j === lit(i * 6), x + lit(50.0f)).otherwise(x)))
+    }.reduce(_ unionByName _)
+      .coalesce(4).write.parquet(s"$dir/embeddings.parquet")
     dir
   }
 
   private val family = Seq(
     "q40_dedup_exact", "q41_near_dup", "q44_simhash",
     "q45_ngram_jaccard", "q76_dup_clusters", "q78_incremental_dedup",
-    "q98_line_dedup")
+    "q98_line_dedup",
+    // round-10 family (VERDICT r11 item 5): k-means assignment is
+    // scan-local fold work (K fixed — cells may grow, assignment cost
+    // can't); BM25's isin prune keeps non-query tokens map-side (the
+    // renamed copies contribute ZERO postings — only corpus stats grow);
+    // the inverted index caps postings per term at POSTK while the term
+    // universe grows ~10x
+    "q93_kmeans_assign", "q96_bm25", "q99_inverted_index")
 
   /** Build + materialize, cold (cache cleared): wall seconds, plan-node
     * multiset, result rows. Build time is included on purpose — q76 runs
     * its propagation loop at build. */
-  private def run(name: String, dir: String): (Double, Seq[String], Long) = {
+  private def runBuilt(build: => DataFrame): (Double, Seq[String], Long) = {
     spark.sqlContext.clearCache()
-    val qd = Registry.all.find(_.name == name)
-      .getOrElse(fail(s"$name not in Registry"))
     val t0 = System.nanoTime()
-    val df: DataFrame = qd.build(spark, dir)
+    val df: DataFrame = build
     df.write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
     val nodes = df.queryExecution.sparkPlan
       .collect { case p => p.getClass.getSimpleName }.sorted
     (sec, nodes, df.count())
+  }
+
+  private def run(name: String, dir: String): (Double, Seq[String], Long) = {
+    val qd = Registry.all.find(_.name == name)
+      .getOrElse(fail(s"$name not in Registry"))
+    runBuilt(qd.build(spark, dir))
   }
 
   family.foreach { name =>
@@ -109,5 +138,27 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       info(f"$name: 1x ${t1}%.2fs -> 10x ${t10}%.2fs (ratio ${ratio}%.1fx, rows $rows1 -> $rows10)")
       assert(ratio < 30.0, f"superlinear blow-up: ${ratio}%.1fx for 10x data")
     }
+  }
+
+  test("q100_semantic_dedup: 10x corpus with K raised 10x keeps cells bounded, ~linear") {
+    // The production rule from the q100 design comment, made a tested
+    // fact: the within-cell pair join is quadratic IN THE CELL, so a 10x
+    // corpus runs with 10x cells (K 8 -> 80). The interleaved-seed corpus
+    // gives every copy its own 8 cells; cell sizes — and with them the
+    // pair-join input — stay at 1x scale, so runtime tracks the corpus,
+    // not its square. Plan shape must survive the K change (K only
+    // widens the broadcast centroid row).
+    val warm = runBuilt(Analytics.semanticDedupAt(spark, base, 8))
+    assert(warm._3 > 0)
+    val (t1, plan1, rows1) = runBuilt(Analytics.semanticDedupAt(spark, base, 8))
+    val (t10, plan10, rows10) = runBuilt(Analytics.semanticDedupAt(spark, scaledDir, 8 * Copies))
+    assert(plan10 === plan1,
+      s"plan shape changed at 10x/K=80:\n 1x: $plan1\n10x: $plan10")
+    // one profile row per non-empty cell: 8 cells at 1x, ~80 at 10x
+    assert(rows1 > 0 && rows10 >= rows1 && rows10 <= 15L * rows1,
+      s"cell-profile rows: 1x=$rows1 10x=$rows10")
+    val ratio = t10 / t1
+    info(f"q100_semantic_dedup: 1x/K8 ${t1}%.2fs -> 10x/K80 ${t10}%.2fs (ratio ${ratio}%.1fx, rows $rows1 -> $rows10)")
+    assert(ratio < 30.0, f"superlinear blow-up: ${ratio}%.1fx for 10x data at 10x K")
   }
 }
