@@ -111,12 +111,16 @@ object NatsTransport {
         case _ => throw new IllegalArgumentException(s"Malformed NATS url: $url")
       }
       val client = new TcpNatsClient(host, port, auth)
-      // A server advertising the retention extension (INFO graft_stream —
-      // MiniNatsServer with retainCapacity > 0) upgrades the connection
-      // to replayable: replay=true then works over the wire exactly as on
-      // the memory bus. A vanilla broker stays fire-and-forget and
+      // A server advertising a retention surface upgrades the connection
+      // to replayable: the graft extension (INFO graft_stream —
+      // MiniNatsServer with retainCapacity > 0) or REAL JetStream (INFO
+      // jetstream — `nats-server -js`, spoken via the public $JS.API
+      // subset). replay=true then works over the wire exactly as on the
+      // memory bus. A vanilla broker stays fire-and-forget and
       // replay=true keeps failing fast, as core NATS semantics demand.
-      if (client.supportsRetention) new GraftStreamTcpConnection(client) else client
+      if (client.supportsRetention) new GraftStreamTcpConnection(client)
+      else if (client.supportsJetStream) new JetStreamTcpConnection(client)
+      else client
     }
     else if (url.startsWith("jnats://")) {
       if (JnatsTransport.isAvailable)

@@ -6,6 +6,8 @@ import java.nio.charset.StandardCharsets.US_ASCII
 import java.util.concurrent.{ConcurrentHashMap, CopyOnWriteArrayList, CountDownLatch, TimeUnit}
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
+import scala.jdk.CollectionConverters._
+
 /** Native implementation of the public NATS client wire protocol
   * (docs.nats.io, "NATS protocol": INFO / CONNECT / PING / PONG / PUB /
   * SUB / UNSUB / MSG / +OK / -ERR) over a plain TCP socket.
@@ -50,6 +52,12 @@ private[nats] object NatsWire {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
+
+  /** Extract a numeric field from a one-line JSON object (JetStream API
+    * bodies: sequences, batch sizes, error codes). */
+  def jsonLongField(body: String, key: String): Option[Long] =
+    ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*(-?\\d+)").r
+      .findFirstMatchIn(body).map(_.group(1).toLong)
 
   /** Extract a string field from a one-line JSON object (CONNECT/INFO
     * bodies are single-line by protocol); unescapes \" \\ \uXXXX. */
@@ -127,7 +135,10 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
   private val out = new BufferedOutputStream(socket.getOutputStream, 64 * 1024)
   private val writeLock = new Object
   private val nextSid = new AtomicLong(1)
-  private val handlers = new ConcurrentHashMap[String, (String, Array[Byte]) => Unit]()
+  // (concrete subject, reply-to or null, payload): the reply-to carries
+  // JetStream's per-message metadata ($JS.ACK.<stream>.<consumer>.…) on
+  // push deliveries, so the raw internal surface keeps it.
+  private val handlers = new ConcurrentHashMap[String, (String, String, Array[Byte]) => Unit]()
   private val closed = new AtomicBoolean(false)
   @volatile private var serverError: String = null
 
@@ -138,7 +149,7 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
   // authorization check, so a bad credential fails HERE, not on first use.
   // A handshake failure must close the socket: the constructor throws, so
   // no caller ever gets a close() to call.
-  private val (serverMaxPayload: Int, graftStream: Boolean) =
+  private val (serverMaxPayload: Int, graftStream: Boolean, jetStream: Boolean) =
     try {
       socket.setSoTimeout(5000)
       val info = NatsWire.readLine(in)
@@ -180,23 +191,30 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
       // Honor the server's advertised payload ceiling (INFO max_payload):
       // a PUB above it draws -ERR 'Maximum Payload Violation' and real
       // servers close the connection — reject locally instead. Also note
-      // whether the server advertises the graft retention extension
-      // (INFO graft_stream — NatsTransport wraps the connection as
-      // replayable when it does).
+      // which retention surfaces the server advertises: the graft
+      // extension (INFO graft_stream) or real JetStream (INFO jetstream,
+      // what `nats-server -js` sends) — NatsTransport wraps the
+      // connection as replayable for either.
       ("\"max_payload\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(info)
         .map(_.group(1).toLong min NatsWire.MaxPayload.toLong)
         .getOrElse(NatsWire.MaxPayload.toLong).toInt,
-        "\"graft_stream\"\\s*:\\s*true".r.findFirstIn(info).isDefined)
+        "\"graft_stream\"\\s*:\\s*true".r.findFirstIn(info).isDefined,
+        "\"jetstream\"\\s*:\\s*true".r.findFirstIn(info).isDefined)
     } catch {
       case e: Throwable =>
         try socket.close() catch { case _: IOException => () }
         throw e
     }
 
-  /** Did INFO advertise the JetStream-style retention API
-    * ([[MiniNatsServer]] with `retainCapacity > 0`)? Decides whether
-    * [[NatsTransport.connect]] wraps this client as replayable. */
+  /** Did INFO advertise the graft retention API ([[MiniNatsServer]] with
+    * `retainCapacity > 0`)? Decides whether [[NatsTransport.connect]]
+    * wraps this client as replayable via [[GraftStreamTcpConnection]]. */
   private[nats] def supportsRetention: Boolean = graftStream
+
+  /** Did INFO advertise JetStream (`"jetstream":true`, what a real
+    * `nats-server -js` sends)? [[NatsTransport.connect]] then wraps this
+    * client as replayable via [[JetStreamTcpConnection]]. */
+  private[nats] def supportsJetStream: Boolean = jetStream
 
   private def write(s: String): Unit = out.write(s.getBytes(US_ASCII))
 
@@ -208,10 +226,11 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
           // MSG <subject> <sid> [reply-to] <#bytes>
           val t = line.split(" ")
           val sid = t(2)
+          val reply = if (t.length >= 5) t(3) else null
           val n = t(t.length - 1).toInt
           val payload = NatsWire.readPayload(in, n)
           val h = handlers.get(sid)
-          if (h != null) h(t(1), payload) // t(1) = concrete subject
+          if (h != null) h(t(1), reply, payload) // t(1) = concrete subject
         } else if (line == "PING") {
           writeLock.synchronized { write("PONG\r\n"); out.flush() }
         } else if (line.startsWith("-ERR")) {
@@ -247,7 +266,13 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
   }
 
   private def sub(subject: String, group: Option[String])(
-      handler: (String, Array[Byte]) => Unit): NatsSubscription = {
+      handler: (String, Array[Byte]) => Unit): NatsSubscription =
+    subRaw(subject, group)((subj, _, p) => handler(subj, p))
+
+  /** [[sub]] with the delivery's reply-to surfaced (null when absent) —
+    * JetStream pull deliveries carry their metadata there. */
+  private def subRaw(subject: String, group: Option[String])(
+      handler: (String, String, Array[Byte]) => Unit): NatsSubscription = {
     NatsSubjects.validatePattern(subject)
     group.foreach(g => require(g.nonEmpty, "queue group must be non-empty"))
     checkHealthy()
@@ -291,11 +316,22 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
   private[nats] def request(
       subject: String,
       payload: Array[Byte],
-      timeoutMs: Long = 10000)(done: Array[Byte] => Boolean): Seq[Array[Byte]] = {
+      timeoutMs: Long = 10000)(done: Array[Byte] => Boolean): Seq[Array[Byte]] =
+    requestRaw(subject, payload, timeoutMs)((_, m) => done(m)).map(_._2)
+
+  /** [[request]] with each reply's OWN reply-to surfaced (null when the
+    * reply carries none) — JetStream pull fetches deliver one MSG per
+    * stream message to the inbox, with the `$JS.ACK.…` metadata subject
+    * in the reply-to slot. */
+  private[nats] def requestRaw(
+      subject: String,
+      payload: Array[Byte],
+      timeoutMs: Long = 10000)(
+      done: (String, Array[Byte]) => Boolean): Seq[(String, Array[Byte])] = {
     checkHealthy()
     val inbox = "_INBOX." + java.util.UUID.randomUUID().toString.replace("-", "")
-    val replies = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]]()
-    val s = subscribe(inbox)(p => { replies.put(p); () })
+    val replies = new java.util.concurrent.LinkedBlockingQueue[(String, Array[Byte])]()
+    val s = subRaw(inbox, None)((_, reply, p) => { replies.put((reply, p)); () })
     try {
       writeLock.synchronized {
         write(s"PUB $subject $inbox ${payload.length}\r\n")
@@ -303,7 +339,7 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
         write("\r\n")
         out.flush()
       }
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       var finished = false
       while (!finished) {
@@ -316,7 +352,7 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
               s"(${buf.size} partial replies)")
         }
         buf += m
-        finished = done(m)
+        finished = done(m._1, m._2)
       }
       buf.toSeq
     } finally s.close()
@@ -395,6 +431,138 @@ private[nats] final class GraftStreamTcpConnection(c: TcpNatsClient)
   }
 }
 
+/** Replay over REAL JetStream (docs.nats.io, "NATS JetStream API
+  * Reference"): the retention capability spoken as the public `$JS.API`
+  * request-reply surface, selected when the broker advertises
+  * `"jetstream":true` in INFO — i.e. against `nats-server -js`, with no
+  * graft-specific protocol involved. The subset used:
+  *
+  *   - `$JS.API.STREAM.NAMES` with a `{"subject":…}` filter — discover
+  *     which stream captures the subject (cached once found);
+  *   - `$JS.API.STREAM.INFO.<stream>` — `state.first_seq`/`last_seq`
+  *     give the retained window (limits-based streams evict from the
+  *     head, exactly the ring semantics [[ReplayableNatsConnection]]
+  *     contracts);
+  *   - `$JS.API.CONSUMER.CREATE.<stream>` — an EPHEMERAL pull consumer
+  *     positioned with `deliver_policy:"by_start_sequence"` /
+  *     `opt_start_seq`, `ack_policy:"none"` (the fetch is bounded and
+  *     positional; redelivery bookkeeping would only fight the
+  *     exactly-once offsets Spark already provides);
+  *   - `$JS.API.CONSUMER.MSG.NEXT.<stream>.<consumer>` with
+  *     `{"batch":n}` — the pull fetch: each stream message arrives as
+  *     one MSG on the reply inbox, its stream sequence in the
+  *     `$JS.ACK.<stream>.<consumer>.<delivered>.<sseq>.…` reply-to
+  *     (token 5), which is verified against the requested range;
+  *   - `$JS.API.CONSUMER.DELETE.<stream>.<consumer>` — best-effort
+  *     cleanup (real servers also expire idle ephemerals on their own).
+  *
+  * Publishes and live subscriptions stay plain core NATS — a JetStream
+  * broker accepts both against captured subjects.
+  */
+private[nats] final class JetStreamTcpConnection(c: TcpNatsClient)
+    extends ReplayableNatsConnection {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  def publish(subject: String, payload: Array[Byte]): Unit = c.publish(subject, payload)
+  def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription =
+    c.subscribe(subject)(handler)
+  def subscribeEach(subject: String)(
+      handler: (String, Array[Byte]) => Unit): NatsSubscription =
+    c.subscribeEach(subject)(handler)
+  def subscribeQueue(subject: String, group: String)(
+      handler: Array[Byte] => Unit): NatsSubscription =
+    c.subscribeQueue(subject, group)(handler)
+  def subscribeQueueEach(subject: String, group: String)(
+      handler: (String, Array[Byte]) => Unit): NatsSubscription =
+    c.subscribeQueueEach(subject, group)(handler)
+  def close(): Unit = c.close()
+
+  private val streamCache = new ConcurrentHashMap[String, String]()
+
+  private def apiError(body: String): Option[String] =
+    if (body.contains("\"error\""))
+      Some(NatsWire.jsonField(body, "description").getOrElse(body))
+    else None
+
+  /** The stream capturing `subject`, or None if no stream covers it yet
+    * (then there is nothing retained: currentSeq 0, earliest 1). */
+  private def streamFor(subject: String): Option[String] = {
+    NatsSubjects.validateSubject(subject)
+    Option(streamCache.get(subject)).orElse {
+      val body = new String(
+        c.request(s"$$JS.API.STREAM.NAMES",
+          s"""{"subject":${NatsWire.jsonStr(subject)}}""".getBytes(UTF_8))(_ => true).head,
+        UTF_8)
+      apiError(body).foreach(e => throw new IOException(s"JetStream STREAM.NAMES failed: $e"))
+      val name = "\"streams\"\\s*:\\s*\\[\\s*\"((?:[^\"\\\\]|\\\\.)+)\"".r
+        .findFirstMatchIn(body).map(_.group(1))
+      name.foreach(n => streamCache.put(subject, n))
+      name
+    }
+  }
+
+  /** (first_seq, last_seq) of the stream's state; (1, 0) when no stream
+    * covers the subject yet. A virgin real-JetStream stream reports
+    * first_seq 0 — clamped to 1 to honor the trait's "1 if nothing
+    * evicted" contract. */
+  private def state(subject: String): (Long, Long) =
+    streamFor(subject) match {
+      case None => (1L, 0L)
+      case Some(name) =>
+        val body = new String(
+          c.request(s"$$JS.API.STREAM.INFO.$name", Array.emptyByteArray)(_ => true).head,
+          UTF_8)
+        apiError(body).foreach(e => throw new IOException(s"JetStream STREAM.INFO failed: $e"))
+        (math.max(1L, NatsWire.jsonLongField(body, "first_seq").getOrElse(1L)),
+          NatsWire.jsonLongField(body, "last_seq").getOrElse(0L))
+    }
+
+  def currentSeq(subject: String): Long = state(subject)._2
+  def earliestRetained(subject: String): Long = state(subject)._1
+
+  def fetchRetained(subject: String, afterSeq: Long, max: Int): Array[Array[Byte]] = {
+    if (max <= 0) return Array.empty
+    val (first, last) = state(subject)
+    val from = afterSeq + 1
+    if (from > last) return Array.empty
+    if (from < first)
+      throw new IllegalStateException(
+        s"sequence $from on '$subject' is beyond the retention window " +
+          s"(earliest retained: $first): the checkpointed position was evicted")
+    val stream = streamFor(subject).get // nonEmpty: last > 0 implies a stream exists
+    val count = math.min(max.toLong, last - afterSeq).toInt
+    val created = new String(
+      c.request(s"$$JS.API.CONSUMER.CREATE.$stream",
+        (s"""{"stream_name":${NatsWire.jsonStr(stream)},"config":{""" +
+          s""""deliver_policy":"by_start_sequence","opt_start_seq":$from,""" +
+          s""""ack_policy":"none","replay_policy":"instant"}}""").getBytes(UTF_8))(_ => true).head,
+      UTF_8)
+    apiError(created).foreach(e => throw new IOException(s"JetStream CONSUMER.CREATE failed: $e"))
+    val consumer = NatsWire.jsonField(created, "name").getOrElse(
+      throw new IOException(s"JetStream CONSUMER.CREATE reply carries no name: $created"))
+    try {
+      var got = 0
+      val replies = c.requestRaw(
+        s"$$JS.API.CONSUMER.MSG.NEXT.$stream.$consumer",
+        s"""{"batch":$count}""".getBytes(UTF_8)) { (_, _) => got += 1; got >= count }
+      replies.zipWithIndex.map { case ((ack, payload), i) =>
+        // $JS.ACK.<stream>.<consumer>.<delivered>.<sseq>.<cseq>.<ts>.<pending>
+        val sseq = Option(ack).map(_.split('.')).filter(_.length >= 6).map(_(5).toLong)
+        if (!sseq.contains(from + i))
+          throw new IllegalStateException(
+            s"JetStream fetch on '$subject' returned sequence ${sseq.getOrElse("?")} " +
+              s"where ${from + i} was expected: stream was purged or rolled mid-fetch")
+        payload
+      }.toArray
+    } finally {
+      // best-effort: real servers expire idle ephemerals themselves
+      try c.request(s"$$JS.API.CONSUMER.DELETE.$stream.$consumer",
+        Array.emptyByteArray)(_ => true)
+      catch { case _: IOException => () }
+    }
+  }
+}
+
 /** A minimal in-repo NATS server speaking the same public wire protocol
   * over a real `ServerSocket` — the offline stand-in for `nats-server`
   * that lets the TCP transport (and through it the whole DSv2 path) be
@@ -420,12 +588,27 @@ private[nats] final class GraftStreamTcpConnection(c: TcpNatsClient)
   * answered — what a real deployment gets from a JetStream-enabled
   * broker. The default (0) stays pure core NATS: fire-and-forget,
   * nothing retained, `replay=true` correctly rejected.
+  *
+  * `jetStream = true` (requires `retainCapacity > 0`) speaks the PUBLIC
+  * JetStream API subset instead ([[JetStreamTcpConnection]]'s shapes):
+  * INFO advertises `"jetstream":true` exactly like `nats-server -js`
+  * (graft_stream is NOT advertised — the public protocol is the one
+  * under test), each published literal subject is auto-captured by a
+  * limits-based stream named after it (dots → underscores), and
+  * `$JS.API.STREAM.NAMES` / `STREAM.INFO` / `CONSUMER.CREATE` /
+  * `CONSUMER.MSG.NEXT` / `CONSUMER.DELETE` are answered with the
+  * documented JSON bodies; pull deliveries carry their stream sequence
+  * in the `$JS.ACK.…` reply-to, as real servers do.
   */
 final class MiniNatsServer(
     authToken: Option[String] = None,
     authUserPass: Option[(String, String)] = None,
-    retainCapacity: Int = 0) {
+    retainCapacity: Int = 0,
+    jetStream: Boolean = false) {
   import NatsWire._
+
+  require(!jetStream || retainCapacity > 0,
+    "jetStream mode needs retainCapacity > 0 (streams ARE the retention)")
 
   private val authRequired = authToken.isDefined || authUserPass.isDefined
 
@@ -443,8 +626,86 @@ final class MiniNatsServer(
     }
   }
   private val rings = new ConcurrentHashMap[String, Ring]()
+  // JetStream mode: stream name (dots → underscores) → captured subject
+  private val jsSubjects = new ConcurrentHashMap[String, String]()
   private def ringFor(subject: String): Ring =
-    rings.computeIfAbsent(subject, _ => new Ring)
+    rings.computeIfAbsent(subject, s => {
+      if (jetStream) jsSubjects.put(s.replace('.', '_'), s)
+      new Ring
+    })
+
+  // ---- the public JetStream API subset ($JS.API.…) ----
+
+  private final class JsConsumer(val subject: String, var cursor: Long) // next seq to deliver
+  private val jsConsumers = new ConcurrentHashMap[String, JsConsumer]() // "<stream>/<name>"
+  private val nextEphemeral = new AtomicLong(1)
+
+  private def jsApi(subject: String, reply: String, payload: Array[Byte]): Unit = {
+    if (reply == null) return // request-reply only
+    def respond(s: String): Unit = route(reply, s.getBytes(US_ASCII))
+    def notFound(what: String, code: Int): Unit =
+      respond(s"""{"type":"io.nats.jetstream.api.v1.error_response","error":{"code":404,"err_code":$code,"description":"$what not found"}}""")
+    val body = new String(payload, US_ASCII)
+    if (subject == "$JS.API.STREAM.NAMES") {
+      val filter = jsonField(body, "subject")
+      val names = filter match {
+        case Some(s) if rings.containsKey(s) => Seq(s.replace('.', '_'))
+        case Some(_)                         => Seq.empty
+        case None                            => jsSubjects.keySet.asScala.toSeq.sorted
+      }
+      val arr = if (names.isEmpty) "null" else names.map(jsonStr).mkString("[", ",", "]")
+      respond(s"""{"type":"io.nats.jetstream.api.v1.stream_names_response","total":${names.size},"offset":0,"limit":1024,"streams":$arr}""")
+    } else if (subject.startsWith("$JS.API.STREAM.INFO.")) {
+      val name = subject.stripPrefix("$JS.API.STREAM.INFO.")
+      val subj = jsSubjects.get(name)
+      if (subj == null) { notFound("stream", 10059); return }
+      val r = ringFor(subj)
+      val (first, last, msgs) = r.synchronized { (r.earliest, r.nextSeq - 1, r.buf.size) }
+      respond(s"""{"type":"io.nats.jetstream.api.v1.stream_info_response","config":{"name":${jsonStr(name)},"subjects":[${jsonStr(subj)}],"retention":"limits","max_msgs":$retainCapacity},"state":{"messages":$msgs,"first_seq":$first,"last_seq":$last}}""")
+    } else if (subject.startsWith("$JS.API.CONSUMER.CREATE.")) {
+      val name = subject.stripPrefix("$JS.API.CONSUMER.CREATE.")
+      val subj = jsSubjects.get(name)
+      if (subj == null) { notFound("stream", 10059); return }
+      val r = ringFor(subj)
+      val start = jsonField(body, "deliver_policy") match {
+        case Some("by_start_sequence") =>
+          jsonLongField(body, "opt_start_seq").getOrElse(r.synchronized(r.earliest))
+        case _ => r.synchronized(r.earliest) // deliver_policy "all"
+      }
+      val cname = s"eph${nextEphemeral.getAndIncrement()}"
+      jsConsumers.put(s"$name/$cname", new JsConsumer(subj, start))
+      respond(s"""{"type":"io.nats.jetstream.api.v1.consumer_create_response","stream_name":${jsonStr(name)},"name":${jsonStr(cname)},"config":{"deliver_policy":"by_start_sequence","opt_start_seq":$start,"ack_policy":"none"}}""")
+    } else if (subject.startsWith("$JS.API.CONSUMER.MSG.NEXT.")) {
+      val rest = subject.stripPrefix("$JS.API.CONSUMER.MSG.NEXT.").split("\\.", 2)
+      val (name, cname) = (rest(0), rest(1))
+      val consumer = jsConsumers.get(s"$name/$cname")
+      if (consumer == null) { notFound("consumer", 10014); return }
+      val batch = jsonLongField(body, "batch").getOrElse(1L)
+      val r = ringFor(consumer.subject)
+      r.synchronized {
+        // real JS skips nothing below first_seq unless evicted — if the
+        // cursor fell behind retention, delivery resumes at the head and
+        // the client's positional sequence check reports the gap loudly
+        if (consumer.cursor < r.earliest) consumer.cursor = r.earliest
+        var sent = 0L
+        while (sent < batch && consumer.cursor < r.nextSeq) {
+          val seq = consumer.cursor
+          val ack = s"$$JS.ACK.$name.$cname.1.$seq.$seq.0.${r.nextSeq - 1 - seq}"
+          route(reply, r.buf((seq - r.earliest).toInt), ack)
+          consumer.cursor += 1
+          sent += 1
+        }
+        // fewer than batch available: a real pull request would sit and
+        // expire; the fetch client never over-requests, so nothing to do
+      }
+    } else if (subject.startsWith("$JS.API.CONSUMER.DELETE.")) {
+      val rest = subject.stripPrefix("$JS.API.CONSUMER.DELETE.").split("\\.", 2)
+      val removed = jsConsumers.remove(s"${rest(0)}/${rest(1)}") != null
+      if (removed)
+        respond("""{"type":"io.nats.jetstream.api.v1.consumer_delete_response","success":true}""")
+      else notFound("consumer", 10014)
+    } else notFound("api endpoint", 10002)
+  }
 
   /** Answer a `$GRAFT.STREAM.*` request on its reply inbox. Runs on the
     * requesting connection's thread; replies route like any publish, so
@@ -516,9 +777,11 @@ final class MiniNatsServer(
       out.write(s.getBytes(US_ASCII)); out.flush()
     }
 
-    def sendMsg(subject: String, sid: String, payload: Array[Byte]): Unit =
+    def sendMsg(subject: String, sid: String, payload: Array[Byte],
+        replyTo: String = null): Unit =
       writeLock.synchronized {
-        out.write(s"MSG $subject $sid ${payload.length}\r\n".getBytes(US_ASCII))
+        val rt = if (replyTo == null) "" else s"$replyTo "
+        out.write(s"MSG $subject $sid $rt${payload.length}\r\n".getBytes(US_ASCII))
         out.write(payload)
         out.write('\r'); out.write('\n')
         out.flush()
@@ -540,7 +803,8 @@ final class MiniNatsServer(
         send("INFO {\"server_id\":\"graft-mini\",\"version\":\"0.1.0\"," +
           s"""\"proto\":0,\"host\":\"127.0.0.1\",\"port\":$port,""" +
           s"""\"auth_required\":$authRequired,""" +
-          s"""\"graft_stream\":${retainCapacity > 0},""" +
+          s"""\"graft_stream\":${retainCapacity > 0 && !jetStream},""" +
+          s"""\"jetstream\":$jetStream,""" +
           s"""\"max_payload\":$MaxPayload}\r\n""")
         var line = readLine(in)
         while (line != null && !stopped.get) {
@@ -572,7 +836,9 @@ final class MiniNatsServer(
               val n = t(t.length - 1).toInt
               if (n > MaxPayload) { send("-ERR 'Maximum Payload Violation'\r\n"); throw new EOFException }
               val payload = readPayload(in, n)
-              if (subject.startsWith("$GRAFT.STREAM."))
+              if (subject.startsWith("$JS.API."))
+                jsApi(subject, reply, payload)
+              else if (subject.startsWith("$GRAFT.STREAM."))
                 streamApi(subject, reply, payload)
               else if (valid(() => NatsSubjects.validateSubject(subject))) {
                 // Retention first (when enabled), like the memory bus: a
@@ -625,13 +891,14 @@ final class MiniNatsServer(
     * every connection: plain subs get the message directly; queue-group
     * members are collected per (pattern, group) and one member per group
     * is picked round-robin. */
-  private def route(subject: String, payload: Array[Byte]): Unit = {
+  private def route(subject: String, payload: Array[Byte],
+      replyTo: String = null): Unit = {
     var groups = Map.empty[(String, String), List[(ClientConn, String)]]
     clients.forEach { c =>
       c.subs.forEach { (sid, pg) =>
         val (pattern, group) = pg
         if (InMemoryBus.subjectMatches(pattern, subject)) {
-          if (group == null) c.sendMsg(subject, sid, payload)
+          if (group == null) c.sendMsg(subject, sid, payload, replyTo)
           else {
             val k = (pattern, group)
             groups = groups.updated(k, (c, sid) :: groups.getOrElse(k, Nil))
@@ -642,7 +909,7 @@ final class MiniNatsServer(
     groups.foreach { case (k, members) =>
       val counter = rr.computeIfAbsent(k, _ => new AtomicLong)
       val (c, sid) = members((counter.getAndIncrement() % members.size).toInt)
-      c.sendMsg(subject, sid, payload)
+      c.sendMsg(subject, sid, payload, replyTo)
     }
   }
 
