@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, MapType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -41,7 +41,8 @@ final case class NatsOptions(
     codec: String = "csv",
     inferSamples: Int = 16,
     inferTimeoutMs: Long = 2000L,
-    includeMetadata: Boolean = false) extends Serializable
+    includeMetadata: Boolean = false,
+    deadLetterSubject: Option[String] = None) extends Serializable
 
 object NatsOptions {
   def from(options: CaseInsensitiveStringMap): NatsOptions = {
@@ -51,9 +52,10 @@ object NatsOptions {
         throw new IllegalArgumentException(s"format(\"nats\") requires option '$k'")
       v
     }
+    val subject = req("subject")
     NatsOptions(
       url = req("url"),
-      subject = req("subject"),
+      subject = subject,
       batchSize = options.getInt("batchSize", 1000),
       flushTimeoutMs = options.getLong("flushTimeoutMs", 1000L),
       maxBufferSize = options.getInt("maxBufferSize", 10000),
@@ -95,7 +97,22 @@ object NatsOptions {
       // SupportsMetadataColumns surface works on BOTH batch and
       // streaming reads without it (streaming scans always carry the
       // envelope at trailing ordinals; see NatsScanBuilder).
-      includeMetadata = options.getBoolean("includeMetadata", false))
+      includeMetadata = options.getBoolean("includeMetadata", false),
+      // A10's design note made operational: skip-and-count stays the
+      // error policy, and each skipped payload is ALSO republished to
+      // this subject with the parse error in its headers (Graft-Error /
+      // Graft-Source-Subject / Graft-Source-Seq) — the NATS-native
+      // quarantine queue. Must be a literal subject the source's own
+      // subscription cannot match, or malformed payloads would loop.
+      deadLetterSubject =
+        Option(options.get("deadLetterSubject")).filter(_.nonEmpty).map { dl =>
+          NatsSubjects.validateSubject(dl)
+          require(!InMemoryBus.subjectMatches(subject, dl),
+            s"deadLetterSubject '$dl' is matched by the source subject " +
+              s"'$subject': republished malformed payloads would loop back " +
+              "into the stream")
+          dl
+        })
   }
 }
 
@@ -185,12 +202,33 @@ class NatsSourceProvider extends TableProvider with DataSourceRegister {
   *     subscription (`regions.*`);
   *   - `_seq`: the row's source sequence — the broker sequence in replay
   *     mode (stable across restarts), the ledger offset on a live stream,
-  *     arrival order (1-based) on a live one-shot batch read.
+  *     arrival order (1-based) on a live one-shot batch read;
+  *   - `_headers`: the message's NATS headers (HPUB/HMSG extension) as a
+  *     string map, empty when the message carried none. Live surfaces
+  *     only — the graft retention rings store payloads, so replay reads
+  *     see empty headers (real JetStream retains them; documented gap).
   */
 object NatsMetadata {
   val SubjectCol = "_subject"
   val SeqCol = "_seq"
-  val names: Set[String] = Set(SubjectCol, SeqCol)
+  val HeadersCol = "_headers"
+  val names: Set[String] = Set(SubjectCol, SeqCol, HeadersCol)
+
+  // Envelope transport encoding for header pairs (ledger entries and
+  // planned partitions): k SOH v, pairs joined by STX — neither control
+  // byte is valid inside NATS header keys/values or the NUL-framed
+  // ledger entry.
+  private val KV = '\u0001'
+  private val Pair = '\u0002'
+  def encodeHeaders(headers: Seq[(String, String)]): String =
+    if (headers.isEmpty) ""
+    else headers.iterator.map { case (k, v) => s"$k$KV$v" }.mkString(Pair.toString)
+  def decodeHeaderKeys(enc: String): Array[UTF8String] =
+    if (enc.isEmpty) Array.empty
+    else enc.split(Pair).map(p => UTF8String.fromString(p.substring(0, p.indexOf(KV))))
+  def decodeHeaderValues(enc: String): Array[UTF8String] =
+    if (enc.isEmpty) Array.empty
+    else enc.split(Pair).map(p => UTF8String.fromString(p.substring(p.indexOf(KV) + 1)))
 
   private def column(colName: String, colType: DataType, doc: String): MetadataColumn =
     new MetadataColumn {
@@ -204,7 +242,9 @@ object NatsMetadata {
     column(SubjectCol, StringType,
       "concrete NATS subject the message was published on"),
     column(SeqCol, LongType,
-      "source sequence: broker sequence (replay), ledger offset (stream), arrival order (one-shot batch)"))
+      "source sequence: broker sequence (replay), ledger offset (stream), arrival order (one-shot batch)"),
+    column(HeadersCol, MapType(StringType, StringType, valueContainsNull = false),
+      "NATS message headers (HPUB/HMSG); empty map when none, and on replay reads (not retained)"))
 }
 
 /** One NATS subject as a table (reference src/data_source.rs:19-32).
@@ -463,6 +503,7 @@ private[nats] final class RowPipeline(
 
   private val SubjectIdx = -1
   private val SeqIdx = -2
+  private val HeadersIdx = -3
 
   // Task-local malformed count feeding the scan's DSv2 custom metric
   // (per-query, executor→driver via task metrics); the static NatsMetrics
@@ -475,15 +516,50 @@ private[nats] final class RowPipeline(
     required.fieldNames.map {
       case NatsMetadata.SubjectCol if !fullSchema.fieldNames.contains(NatsMetadata.SubjectCol) => SubjectIdx
       case NatsMetadata.SeqCol if !fullSchema.fieldNames.contains(NatsMetadata.SeqCol) => SeqIdx
+      case NatsMetadata.HeadersCol if !fullSchema.fieldNames.contains(NatsMetadata.HeadersCol) => HeadersIdx
       case n => fullSchema.fieldIndex(n)
     }
+  @transient private lazy val emptyHeaders =
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      Array.empty[Any], Array.empty[Any])
 
-  /** None = malformed (counted) or filtered out. */
-  def decode(subject: String, seq: Long, payload: String): Option[InternalRow] =
+  private def headersMap(enc: String) =
+    if (enc.isEmpty) emptyHeaders
+    else org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      NatsMetadata.decodeHeaderKeys(enc).asInstanceOf[Array[Any]],
+      NatsMetadata.decodeHeaderValues(enc).asInstanceOf[Array[Any]])
+
+  // Dead-letter republish (deadLetterSubject option): lazily opened on
+  // the first malformed payload, one connection per task pipeline —
+  // executor-local, never the driver. Fire-and-forget like the sink
+  // (at-least-once under task retry); the parse error and source
+  // envelope ride as NATS headers on the original payload bytes.
+  @transient private var dlConn: NatsConnection = _
+  private def deadLetter(subject: String, seq: Long, payload: String, err: String): Unit =
+    opts.deadLetterSubject.foreach { dl =>
+      if (dlConn == null) dlConn = NatsTransport.connect(opts.url)
+      dlConn.publishWithHeaders(dl,
+        Seq(
+          "Graft-Error" -> err.replaceAll("[\r\n]+", " "),
+          "Graft-Source-Subject" -> subject,
+          "Graft-Source-Seq" -> seq.toString),
+        payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+  /** Release the dead-letter connection, if one was opened. Readers call
+    * this from their own close(). */
+  def close(): Unit =
+    if (dlConn != null) { dlConn.close(); dlConn = null }
+
+  /** None = malformed (counted) or filtered out. `headersEnc` is the
+    * [[NatsMetadata.encodeHeaders]] envelope form ("" = none). */
+  def decode(subject: String, seq: Long, headersEnc: String,
+      payload: String): Option[InternalRow] =
     codec.parse(payload) match {
-      case Left(_) =>
+      case Left(err) =>
         malformedLocal += 1
         NatsMetrics.malformedCounter(opts.url, opts.subject).increment()
+        deadLetter(subject, seq, payload, err.message)
         None
       case Right(values) =>
         if (filters.forall(RowFilter.eval(fullSchema, values, _))) {
@@ -493,6 +569,7 @@ private[nats] final class RowPipeline(
             out(i) = outIdx(i) match {
               case SubjectIdx => UTF8String.fromString(subject)
               case SeqIdx     => java.lang.Long.valueOf(seq)
+              case HeadersIdx => headersMap(headersEnc)
               case j          => values(j)
             }
             i += 1
@@ -594,12 +671,13 @@ final class NatsBatchReader(p: NatsBatchPartition) extends PartitionReader[Inter
   // filtered messages still consume an index — it names the message,
   // not the surviving row).
   private val arrivals = new java.util.concurrent.atomic.AtomicLong(0)
-  private val sub = conn.subscribeEach(p.opts.subject) { (subject, payload) =>
+  private val sub = conn.subscribeHeadersEach(p.opts.subject) { (subject, headers, payload) =>
     // Count rows AFTER filtering, so a pushed filter + limit means
     // "first n matching rows" — the semantics DataFusion's limit gives
     // the reference.
     if (accepted.get() < p.rowBound) {
       pipeline.decode(subject, arrivals.incrementAndGet(),
+        NatsMetadata.encodeHeaders(headers),
         new String(payload, java.nio.charset.StandardCharsets.UTF_8))
         .foreach { row =>
           if (accepted.incrementAndGet() <= p.rowBound) queue.put(row)
@@ -621,7 +699,7 @@ final class NatsBatchReader(p: NatsBatchPartition) extends PartitionReader[Inter
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = { sub.close(); conn.close() }
+  override def close(): Unit = { sub.close(); conn.close(); pipeline.close() }
   override def currentMetricsValues(): Array[CustomTaskMetric] =
     Array(MalformedRowsMetric.taskMetric(pipeline.malformedCount))
 }
@@ -639,22 +717,27 @@ final case class NatsOffset(count: Long) extends Offset {
 }
 
 object NatsMicroBatchStream {
-  /** Separator between subject and payload in ledger entries (every
-    * entry carries its concrete subject — the _subject metadata column
-    * and the partitionBySubject grouping both need it); NUL never occurs
-    * in subjects or valid CSV/JSON payload text. */
+  /** Separator between the envelope fields (concrete subject, encoded
+    * headers) and the payload in ledger entries — every entry carries
+    * its subject (the _subject metadata column and the
+    * partitionBySubject grouping both need it) and its headers
+    * (_headers); NUL never occurs in subjects, NATS headers, or valid
+    * CSV/JSON payload text. Entry form:
+    * `<subject>NUL<headersEnc>NUL<payload>`. */
   val SubjectSep: Char = '\u0000'
 }
 
 /** A shipped slice of messages: payloads plus their envelope (concrete
-  * subject, source sequence) in parallel arrays — the envelope feeds the
-  * [[NatsMetadata]] columns. Subject entries for a literal subject are
-  * the SAME string reference, which Java serialization writes once.
+  * subject, source sequence, encoded headers) in parallel arrays — the
+  * envelope feeds the [[NatsMetadata]] columns. Subject entries for a
+  * literal subject are the SAME string reference, which Java
+  * serialization writes once; headerless messages share the "" instance.
   */
 private final case class NatsStreamPartition(
     payloads: Array[String],
     subjects: Array[String],
     seqs: Array[Long],
+    headerEncs: Array[String],
     fullSchema: StructType,
     required: StructType,
     filters: Array[Filter],
@@ -667,11 +750,11 @@ private final class PayloadPartitionReader(p: NatsStreamPartition)
     extends PartitionReader[InternalRow] {
   private val pipeline = new RowPipeline(p.fullSchema, p.required, p.filters, p.opts)
   private val it = p.payloads.indices.iterator
-    .flatMap(i => pipeline.decode(p.subjects(i), p.seqs(i), p.payloads(i)))
+    .flatMap(i => pipeline.decode(p.subjects(i), p.seqs(i), p.headerEncs(i), p.payloads(i)))
   private var current: InternalRow = _
   override def next(): Boolean = it.hasNext && { current = it.next(); true }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = pipeline.close()
   override def currentMetricsValues(): Array[CustomTaskMetric] =
     Array(MalformedRowsMetric.taskMetric(pipeline.malformedCount))
 }
@@ -762,15 +845,17 @@ private[nats] final class NatsReplayReader(p: NatsReplayPartition)
             s"through $endSeq: messages were evicted or the broker lost them")
       val from = cursor
       cursor += want
+      // headers are not retained by the graft rings — replay rows carry
+      // an empty _headers map (see NatsMetadata scaladoc)
       it = payloads.iterator.zipWithIndex.flatMap { case (bytes, i) =>
-        pipeline.decode(p.opts.subject, from + 1 + i,
+        pipeline.decode(p.opts.subject, from + 1 + i, "",
           new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
       }
       next()
     }
 
   override def get(): InternalRow = current
-  override def close(): Unit = conn.close()
+  override def close(): Unit = { conn.close(); pipeline.close() }
   override def currentMetricsValues(): Array[CustomTaskMetric] =
     Array(MalformedRowsMetric.taskMetric(pipeline.malformedCount))
 }
@@ -810,17 +895,19 @@ final class NatsMicroBatchStream(
     LedgerConfig(opts.batchSize, opts.flushTimeoutMs, opts.maxBufferSize))
   // Ledger appends are synchronized, so N concurrent queue members admit
   // each message exactly once (each message reaches exactly one member).
-  // Every entry carries its concrete subject ("<subject>NUL<payload>") —
-  // planning splits it back out to feed the _subject metadata column and
-  // the partitionBySubject grouping. NUL as separator: subjects are
-  // ASCII-ish tokens and codec payloads are CSV/JSON text — a raw NUL in
-  // either is already invalid, and the FIRST NUL always belongs to the
-  // envelope.
-  private val onSubjectPayload: (String, Array[Byte]) => Unit = { (subj, payload) =>
-    ledger.append(
-      subj + NatsMicroBatchStream.SubjectSep +
-        new String(payload, java.nio.charset.StandardCharsets.UTF_8))
-    ()
+  // Every entry carries its envelope ("<subject>NUL<headers>NUL<payload>")
+  // — planning splits it back out to feed the _subject/_headers metadata
+  // columns and the partitionBySubject grouping. NUL as separator:
+  // subjects/headers are ASCII-ish tokens and codec payloads are CSV/JSON
+  // text — a raw NUL in any is already invalid, and the first two NULs
+  // always belong to the envelope.
+  private val onSubjectPayload: (String, Seq[(String, String)], Array[Byte]) => Unit = {
+    (subj, headers, payload) =>
+      ledger.append(
+        subj + NatsMicroBatchStream.SubjectSep +
+          NatsMetadata.encodeHeaders(headers) + NatsMicroBatchStream.SubjectSep +
+          new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+      ()
   }
   // Ingest scale-out (ADVICE r4 "What's missing" #2): with queueGroup set,
   // N queue-group members split the subject instead of one subscription
@@ -837,8 +924,8 @@ final class NatsMicroBatchStream(
     else opts.queueGroup match {
       case Some(g) =>
         (1 to math.max(1, opts.queueSubscribers))
-          .map(_ => conn.subscribeQueueEach(opts.subject, g)(onSubjectPayload))
-      case None => Seq(conn.subscribeEach(opts.subject)(onSubjectPayload))
+          .map(_ => conn.subscribeQueueHeadersEach(opts.subject, g)(onSubjectPayload))
+      case None => Seq(conn.subscribeHeadersEach(opts.subject)(onSubjectPayload))
     }
   private var admitted = 0L
   // Replay bookkeeping: the resolved start sequence (-1 until the first
@@ -990,23 +1077,27 @@ final class NatsMicroBatchStream(
     // payload bytes on the driver, and eviction between planning and
     // execution still fails fast, now executor-side. Live reads have no
     // re-fetchable store, so they ship the ledger's buffered
-    // "<subject>NUL<payload>" entries (seq = ledger offset), reusing one
-    // string instance per run of equal subjects.
+    // "<subject>NUL<headers>NUL<payload>" entries (seq = ledger offset),
+    // reusing one string instance per run of equal subjects and the ""
+    // instance for headerless messages.
     if (replayConn.isDefined)
       return NatsReplayPartition.slice(s, e - s, fullSchema, required, filters, opts)
-    val msgs: Array[(String, Long, String)] = {
+    // (subject, seq, headersEnc, payload)
+    val msgs: Array[(String, Long, String, String)] = {
       failIfNotResumable(s)
       var lastSubject: String = null
       ledger.rowsBetween(s, e).zipWithIndex.map { case (entry, i) =>
         val sep = entry.indexOf(NatsMicroBatchStream.SubjectSep)
+        val sep2 = entry.indexOf(NatsMicroBatchStream.SubjectSep, sep + 1)
         val subj = entry.substring(0, sep)
         if (lastSubject == null || subj != lastSubject) lastSubject = subj
-        (lastSubject, s + 1 + i, entry.substring(sep + 1))
+        val hdrs = if (sep2 == sep + 1) "" else entry.substring(sep + 1, sep2)
+        (lastSubject, s + 1 + i, hdrs, entry.substring(sep2 + 1))
       }
     }
-    def partition(slice: Array[(String, Long, String)]): NatsStreamPartition =
+    def partition(slice: Array[(String, Long, String, String)]): NatsStreamPartition =
       NatsStreamPartition(
-        slice.map(_._3), slice.map(_._1), slice.map(_._2),
+        slice.map(_._4), slice.map(_._1), slice.map(_._2), slice.map(_._3),
         fullSchema, required, filters, opts)
     if (msgs.isEmpty) Array.empty
     else if (opts.partitionBySubject) {
@@ -1016,10 +1107,10 @@ final class NatsMicroBatchStream(
       // numPartitions) and per-subject arrival order survives, the
       // property count-sliced chunks can't give an interleaved family.
       val bySubject = scala.collection.mutable.LinkedHashMap
-        .empty[String, scala.collection.mutable.ArrayBuffer[(String, Long, String)]]
+        .empty[String, scala.collection.mutable.ArrayBuffer[(String, Long, String, String)]]
       msgs.foreach { m =>
         bySubject.getOrElseUpdate(m._1,
-          scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)])
+          scala.collection.mutable.ArrayBuffer.empty[(String, Long, String, String)])
           .append(m)
       }
       val n = math.max(1, math.min(opts.numPartitions, bySubject.size))

@@ -40,6 +40,26 @@ trait NatsConnection extends AutoCloseable {
     * it in the MSG frame, so all transports provide it. */
   def subscribeQueueEach(subject: String, group: String)(
       handler: (String, Array[Byte]) => Unit): NatsSubscription
+
+  /** Publish with NATS message headers (the HPUB extension). Transports
+    * without header support deliver the payload and DROP the headers —
+    * the documented behavior of a real server delivering to a client
+    * that did not advertise `headers:true`. */
+  def publishWithHeaders(
+      subject: String, headers: Seq[(String, String)],
+      payload: Array[Byte]): Unit =
+    publish(subject, payload)
+
+  /** [[subscribeEach]] with the delivery's headers (empty when the
+    * message carried none, or the transport has no header support). */
+  def subscribeHeadersEach(subject: String)(
+      handler: (String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription =
+    subscribeEach(subject)((s, p) => handler(s, Nil, p))
+
+  /** [[subscribeQueueEach]] with the delivery's headers. */
+  def subscribeQueueHeadersEach(subject: String, group: String)(
+      handler: (String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription =
+    subscribeQueueEach(subject, group)((s, p) => handler(s, Nil, p))
 }
 
 trait NatsSubscription extends AutoCloseable
@@ -279,7 +299,9 @@ object InMemoryBus {
   private final class Sub(
       val subject: String,
       val group: String, // null = plain (non-queue) subscription
-      val handler: (String, Array[Byte]) => Unit) // (concrete subject, payload)
+      // (concrete subject, headers, payload) — headers empty unless the
+      // message came through publishWithHeaders
+      val handler: (String, Seq[(String, String)], Array[Byte]) => Unit)
 
   /** Bounded per-subject retention (the bus' JetStream-stream analog):
     * sequences start at 1 and never reset; the ring holds the newest
@@ -357,11 +379,19 @@ object InMemoryBus {
       }
     }
 
-    def publish(subject: String, payload: Array[Byte]): Unit = {
+    def publish(subject: String, payload: Array[Byte]): Unit =
+      publishWithHeaders(subject, Nil, payload)
+
+    override def publishWithHeaders(
+        subject: String, headers: Seq[(String, String)],
+        payload: Array[Byte]): Unit = {
       NatsSubjects.validateSubject(subject)
       // Retention first: a message is sequenced and retained whether or
       // not anyone is subscribed (that is the point of replay), then
       // push-delivered to live fire-and-forget subscribers as before.
+      // The ring retains the PAYLOAD only — replay consumers see empty
+      // headers, like the graft wire retention (real JetStream retains
+      // headers; the fetch protocol here does not carry them).
       val r = bus.retainedFor(subject)
       r.synchronized { r.append(payload) }
       // Queue groups are keyed by (subscription pattern, group) per NATS
@@ -374,7 +404,7 @@ object InMemoryBus {
       var groups = Map.empty[(String, String), List[Sub]]
       bus.subs.forEach { s =>
         if (subjectMatches(s.subject, subject)) {
-          if (s.group == null) s.handler(subject, payload)
+          if (s.group == null) s.handler(subject, headers, payload)
           else {
             val k = (s.subject, s.group)
             groups = groups.updated(k, s :: groups.getOrElse(k, Nil))
@@ -385,7 +415,7 @@ object InMemoryBus {
       groups.foreach { case (k, members) =>
         val counter = bus.rr.computeIfAbsent(k, _ => new AtomicLong)
         val pick = (counter.getAndIncrement() % members.size).toInt
-        members(pick).handler(subject, payload)
+        members(pick).handler(subject, headers, payload)
       }
     }
 
@@ -409,7 +439,11 @@ object InMemoryBus {
       subscribeEach(subject)((_, p) => handler(p))
 
     def subscribeEach(subject: String)(
-        handler: (String, Array[Byte]) => Unit): NatsSubscription = {
+        handler: (String, Array[Byte]) => Unit): NatsSubscription =
+      subscribeHeadersEach(subject)((s, _, p) => handler(s, p))
+
+    override def subscribeHeadersEach(subject: String)(
+        handler: (String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription = {
       NatsSubjects.validatePattern(subject)
       add(new Sub(subject, null, handler))
     }
@@ -419,7 +453,11 @@ object InMemoryBus {
       subscribeQueueEach(subject, group)((_, p) => handler(p))
 
     def subscribeQueueEach(subject: String, group: String)(
-        handler: (String, Array[Byte]) => Unit): NatsSubscription = {
+        handler: (String, Array[Byte]) => Unit): NatsSubscription =
+      subscribeQueueHeadersEach(subject, group)((s, _, p) => handler(s, p))
+
+    override def subscribeQueueHeadersEach(subject: String, group: String)(
+        handler: (String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription = {
       require(group != null && group.nonEmpty, "queue group must be non-empty")
       NatsSubjects.validatePattern(subject)
       add(new Sub(subject, group, handler))

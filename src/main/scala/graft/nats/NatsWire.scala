@@ -44,6 +44,32 @@ private[nats] object NatsAuth {
 private[nats] object NatsWire {
   val MaxPayload: Int = 1 << 20 // 1 MiB, advertised in INFO
 
+  /** NATS message headers (the HPUB/HMSG extension, docs.nats.io "NATS
+    * headers"): an HTTP-header-shaped block `NATS/1.0\r\nK: V\r\n…\r\n\r\n`
+    * whose byte length rides the frame's first size token. Servers only
+    * deliver HMSG to clients that advertised `"headers":true` in CONNECT. */
+  val HeaderVersion = "NATS/1.0"
+
+  def encodeHeaders(headers: Seq[(String, String)]): Array[Byte] = {
+    val sb = new StringBuilder(HeaderVersion).append("\r\n")
+    headers.foreach { case (k, v) =>
+      require(!k.exists(c => c == '\r' || c == '\n' || c == ':') && k.nonEmpty,
+        s"invalid header key '$k'")
+      require(!v.exists(c => c == '\r' || c == '\n'), s"invalid header value '$v'")
+      sb.append(k).append(": ").append(v).append("\r\n")
+    }
+    sb.append("\r\n").toString.getBytes(US_ASCII)
+  }
+
+  /** Inverse of [[encodeHeaders]]; tolerates a status after the version
+    * token (real servers send e.g. `NATS/1.0 503` on no-responders). */
+  def decodeHeaders(block: Array[Byte]): Seq[(String, String)] =
+    new String(block, US_ASCII).split("\r\n").toSeq.drop(1).filter(_.nonEmpty).flatMap { line =>
+      val i = line.indexOf(':')
+      if (i <= 0) None
+      else Some((line.substring(0, i).trim, line.substring(i + 1).trim))
+    }
+
   /** Minimal JSON string literal (escape backslash, quote, control chars)
     * for CONNECT fields — credentials are arbitrary user text. */
   def jsonStr(s: String): String = "\"" + s.flatMap {
@@ -135,10 +161,12 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
   private val out = new BufferedOutputStream(socket.getOutputStream, 64 * 1024)
   private val writeLock = new Object
   private val nextSid = new AtomicLong(1)
-  // (concrete subject, reply-to or null, payload): the reply-to carries
-  // JetStream's per-message metadata ($JS.ACK.<stream>.<consumer>.…) on
-  // push deliveries, so the raw internal surface keeps it.
-  private val handlers = new ConcurrentHashMap[String, (String, String, Array[Byte]) => Unit]()
+  // (concrete subject, reply-to or null, headers, payload): the reply-to
+  // carries JetStream's per-message metadata ($JS.ACK.<stream>.….…) on
+  // push deliveries, the headers come from HMSG frames — the raw
+  // internal surface keeps both.
+  private val handlers = new ConcurrentHashMap[
+    String, (String, String, Seq[(String, String)], Array[Byte]) => Unit]()
   private val closed = new AtomicBoolean(false)
   @volatile private var serverError: String = null
 
@@ -155,6 +183,18 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
       val info = NatsWire.readLine(in)
       if (info == null || !info.startsWith("INFO "))
         throw new IOException(s"not a NATS server: expected INFO, got '$info'")
+      // A server with tls{} configured advertises tls_required and
+      // expects a TLS upgrade immediately after INFO; speaking plaintext
+      // at it stalls or draws a handshake error with no hint of why.
+      // This client does not implement the TLS upgrade — fail fast and
+      // say so (the auth-error pattern) instead of wedging.
+      if ("\"tls_required\"\\s*:\\s*true".r.findFirstIn(info).isDefined)
+        throw new IOException(
+          s"NATS server at $host:$port requires TLS (INFO tls_required), " +
+            "which the built-in wire client does not speak. Use the " +
+            "official client via jnats://host:port (io.nats:jnats on the " +
+            "classpath handles TLS), or terminate TLS in front of the " +
+            "broker and connect plaintext inside")
       // A server with authorization{} configured advertises auth_required;
       // CONNECTing without credentials would draw -ERR and a disconnect —
       // fail locally with the fix spelled out instead.
@@ -171,7 +211,10 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
         case None => ""
       }
       writeLock.synchronized {
+        // headers:true — opt in to HMSG delivery (servers strip headers
+        // for clients that don't; docs.nats.io "NATS headers")
         write("CONNECT {\"verbose\":false,\"pedantic\":false,\"tls_required\":false," +
+          "\"headers\":true," +
           "\"name\":\"graft\",\"lang\":\"scala\",\"version\":\"0.1.0\",\"protocol\":0" +
           authFields + "}\r\n")
         write("PING\r\n")
@@ -230,7 +273,20 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
           val n = t(t.length - 1).toInt
           val payload = NatsWire.readPayload(in, n)
           val h = handlers.get(sid)
-          if (h != null) h(t(1), reply, payload) // t(1) = concrete subject
+          if (h != null) h(t(1), reply, Nil, payload) // t(1) = concrete subject
+        } else if (line.startsWith("HMSG ")) {
+          // HMSG <subject> <sid> [reply-to] <#header-bytes> <#total-bytes>
+          val t = line.split(" ")
+          val sid = t(2)
+          val reply = if (t.length >= 6) t(3) else null
+          val hdrLen = t(t.length - 2).toInt
+          val total = t(t.length - 1).toInt
+          val all = NatsWire.readPayload(in, total)
+          val h = handlers.get(sid)
+          if (h != null)
+            h(t(1), reply,
+              NatsWire.decodeHeaders(java.util.Arrays.copyOfRange(all, 0, hdrLen)),
+              java.util.Arrays.copyOfRange(all, hdrLen, all.length))
         } else if (line == "PING") {
           writeLock.synchronized { write("PONG\r\n"); out.flush() }
         } else if (line.startsWith("-ERR")) {
@@ -265,14 +321,36 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
     }
   }
 
+  /** HPUB: headers + payload in one frame; both size tokens are bytes
+    * (header block first, then total = headers + payload). */
+  override def publishWithHeaders(
+      subject: String, headers: Seq[(String, String)],
+      payload: Array[Byte]): Unit = {
+    if (headers.isEmpty) { publish(subject, payload); return }
+    NatsSubjects.validateSubject(subject)
+    checkHealthy()
+    val block = NatsWire.encodeHeaders(headers)
+    require(block.length + payload.length <= serverMaxPayload,
+      s"headers+payload ${block.length + payload.length} exceeds server " +
+        s"max_payload $serverMaxPayload")
+    writeLock.synchronized {
+      write(s"HPUB $subject ${block.length} ${block.length + payload.length}\r\n")
+      out.write(block)
+      out.write(payload)
+      write("\r\n")
+      out.flush()
+    }
+  }
+
   private def sub(subject: String, group: Option[String])(
       handler: (String, Array[Byte]) => Unit): NatsSubscription =
-    subRaw(subject, group)((subj, _, p) => handler(subj, p))
+    subRaw(subject, group)((subj, _, _, p) => handler(subj, p))
 
-  /** [[sub]] with the delivery's reply-to surfaced (null when absent) —
-    * JetStream pull deliveries carry their metadata there. */
+  /** [[sub]] with the delivery's reply-to (null when absent) and headers
+    * surfaced — JetStream pull metadata rides the reply-to, HMSG frames
+    * carry the headers. */
   private def subRaw(subject: String, group: Option[String])(
-      handler: (String, String, Array[Byte]) => Unit): NatsSubscription = {
+      handler: (String, String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription = {
     NatsSubjects.validatePattern(subject)
     group.foreach(g => require(g.nonEmpty, "queue group must be non-empty"))
     checkHealthy()
@@ -306,6 +384,14 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
       handler: (String, Array[Byte]) => Unit): NatsSubscription =
     sub(subject, Some(group))(handler)
 
+  override def subscribeHeadersEach(subject: String)(
+      handler: (String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription =
+    subRaw(subject, None)((subj, _, hdrs, p) => handler(subj, hdrs, p))
+
+  override def subscribeQueueHeadersEach(subject: String, group: String)(
+      handler: (String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription =
+    subRaw(subject, Some(group))((subj, _, hdrs, p) => handler(subj, hdrs, p))
+
   /** Synchronous request-reply over core NATS primitives (the pattern
     * real clients implement the same way: PUB with a unique `_INBOX.*`
     * reply-to + a subscription on it). Collects reply payloads until
@@ -331,7 +417,7 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
     checkHealthy()
     val inbox = "_INBOX." + java.util.UUID.randomUUID().toString.replace("-", "")
     val replies = new java.util.concurrent.LinkedBlockingQueue[(String, Array[Byte])]()
-    val s = subRaw(inbox, None)((_, reply, p) => { replies.put((reply, p)); () })
+    val s = subRaw(inbox, None)((_, reply, _, p) => { replies.put((reply, p)); () })
     try {
       writeLock.synchronized {
         write(s"PUB $subject $inbox ${payload.length}\r\n")
@@ -394,6 +480,14 @@ private[nats] final class GraftStreamTcpConnection(c: TcpNatsClient)
   def subscribeQueueEach(subject: String, group: String)(
       handler: (String, Array[Byte]) => Unit): NatsSubscription =
     c.subscribeQueueEach(subject, group)(handler)
+  override def publishWithHeaders(subject: String, headers: Seq[(String, String)],
+      payload: Array[Byte]): Unit = c.publishWithHeaders(subject, headers, payload)
+  override def subscribeHeadersEach(subject: String)(
+      handler: (String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription =
+    c.subscribeHeadersEach(subject)(handler)
+  override def subscribeQueueHeadersEach(subject: String, group: String)(
+      handler: (String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription =
+    c.subscribeQueueHeadersEach(subject, group)(handler)
   def close(): Unit = c.close()
 
   private def streamInfo(subject: String): (Long, Long) = {
@@ -475,6 +569,14 @@ private[nats] final class JetStreamTcpConnection(c: TcpNatsClient)
   def subscribeQueueEach(subject: String, group: String)(
       handler: (String, Array[Byte]) => Unit): NatsSubscription =
     c.subscribeQueueEach(subject, group)(handler)
+  override def publishWithHeaders(subject: String, headers: Seq[(String, String)],
+      payload: Array[Byte]): Unit = c.publishWithHeaders(subject, headers, payload)
+  override def subscribeHeadersEach(subject: String)(
+      handler: (String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription =
+    c.subscribeHeadersEach(subject)(handler)
+  override def subscribeQueueHeadersEach(subject: String, group: String)(
+      handler: (String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription =
+    c.subscribeQueueHeadersEach(subject, group)(handler)
   def close(): Unit = c.close()
 
   private val streamCache = new ConcurrentHashMap[String, String]()
@@ -604,7 +706,10 @@ final class MiniNatsServer(
     authToken: Option[String] = None,
     authUserPass: Option[(String, String)] = None,
     retainCapacity: Int = 0,
-    jetStream: Boolean = false) {
+    jetStream: Boolean = false,
+    // Advertise-only (no actual TLS upgrade follows): lets specs pin the
+    // client's fail-fast against a tls{}-configured broker's INFO.
+    tlsRequired: Boolean = false) {
   import NatsWire._
 
   require(!jetStream || retainCapacity > 0,
@@ -777,11 +882,22 @@ final class MiniNatsServer(
       out.write(s.getBytes(US_ASCII)); out.flush()
     }
 
+    // did this client's CONNECT opt in to HMSG delivery? (servers strip
+    // headers for clients that didn't — the documented downgrade)
+    @volatile var wantsHeaders = false
+
     def sendMsg(subject: String, sid: String, payload: Array[Byte],
-        replyTo: String = null): Unit =
+        replyTo: String = null, headers: Seq[(String, String)] = Nil): Unit =
       writeLock.synchronized {
         val rt = if (replyTo == null) "" else s"$replyTo "
-        out.write(s"MSG $subject $sid $rt${payload.length}\r\n".getBytes(US_ASCII))
+        if (headers.nonEmpty && wantsHeaders) {
+          val block = NatsWire.encodeHeaders(headers)
+          out.write(s"HMSG $subject $sid $rt${block.length} ${block.length + payload.length}\r\n"
+            .getBytes(US_ASCII))
+          out.write(block)
+        } else {
+          out.write(s"MSG $subject $sid $rt${payload.length}\r\n".getBytes(US_ASCII))
+        }
         out.write(payload)
         out.write('\r'); out.write('\n')
         out.flush()
@@ -803,6 +919,8 @@ final class MiniNatsServer(
         send("INFO {\"server_id\":\"graft-mini\",\"version\":\"0.1.0\"," +
           s"""\"proto\":0,\"host\":\"127.0.0.1\",\"port\":$port,""" +
           s"""\"auth_required\":$authRequired,""" +
+          s"""\"tls_required\":$tlsRequired,""" +
+          s"""\"headers\":true,""" +
           s"""\"graft_stream\":${retainCapacity > 0 && !jetStream},""" +
           s"""\"jetstream\":$jetStream,""" +
           s"""\"max_payload\":$MaxPayload}\r\n""")
@@ -818,11 +936,13 @@ final class MiniNatsServer(
           }
           verb match {
             case "CONNECT" =>
-              if (authRequired && !checkAuth(if (sp < 0) "" else line.substring(sp + 1))) {
+              val connectBody = if (sp < 0) "" else line.substring(sp + 1)
+              if (authRequired && !checkAuth(connectBody)) {
                 send("-ERR 'Authorization Violation'\r\n")
                 throw new EOFException
               }
               authed = true
+              wantsHeaders = "\"headers\"\\s*:\\s*true".r.findFirstIn(connectBody).isDefined
               // Liveness check straight after CONNECT: a protocol-correct
               // client answers PONG (asserted in NatsWireSpec).
               send("PING\r\n")
@@ -836,21 +956,19 @@ final class MiniNatsServer(
               val n = t(t.length - 1).toInt
               if (n > MaxPayload) { send("-ERR 'Maximum Payload Violation'\r\n"); throw new EOFException }
               val payload = readPayload(in, n)
-              if (subject.startsWith("$JS.API."))
-                jsApi(subject, reply, payload)
-              else if (subject.startsWith("$GRAFT.STREAM."))
-                streamApi(subject, reply, payload)
-              else if (valid(() => NatsSubjects.validateSubject(subject))) {
-                // Retention first (when enabled), like the memory bus: a
-                // message is sequenced whether or not anyone subscribes —
-                // that is the point of replay — then push-delivered.
-                if (retainCapacity > 0) {
-                  val r = ringFor(subject)
-                  r.synchronized { r.append(payload) }
-                }
-                route(subject, payload)
-              }
-              else send("-ERR 'Invalid Subject'\r\n")
+              handlePub(subject, reply, Nil, payload)
+            case "HPUB" =>
+              // HPUB <subject> [reply-to] <#header-bytes> <#total-bytes>
+              val t = line.split(" ")
+              val subject = t(1)
+              val reply = if (t.length >= 5) t(2) else null
+              val hdrLen = t(t.length - 2).toInt
+              val total = t(t.length - 1).toInt
+              if (total > MaxPayload) { send("-ERR 'Maximum Payload Violation'\r\n"); throw new EOFException }
+              val all = readPayload(in, total)
+              handlePub(subject, reply,
+                NatsWire.decodeHeaders(java.util.Arrays.copyOfRange(all, 0, hdrLen)),
+                java.util.Arrays.copyOfRange(all, hdrLen, all.length))
             case "SUB" =>
               // SUB <subject> [queue-group] <sid>
               val t = line.split(" ")
@@ -876,6 +994,28 @@ final class MiniNatsServer(
       }
     }
 
+    /** Shared PUB/HPUB tail: API subjects answer request-reply; ordinary
+      * subjects retain (payload only — the graft rings don't store
+      * headers) and route, headers delivered to opted-in subscribers. */
+    private def handlePub(subject: String, reply: String,
+        headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
+      if (subject.startsWith("$JS.API."))
+        jsApi(subject, reply, payload)
+      else if (subject.startsWith("$GRAFT.STREAM."))
+        streamApi(subject, reply, payload)
+      else if (valid(() => NatsSubjects.validateSubject(subject))) {
+        // Retention first (when enabled), like the memory bus: a
+        // message is sequenced whether or not anyone subscribes —
+        // that is the point of replay — then push-delivered.
+        if (retainCapacity > 0) {
+          val r = ringFor(subject)
+          r.synchronized { r.append(payload) }
+        }
+        route(subject, payload, reply, headers)
+      }
+      else send("-ERR 'Invalid Subject'\r\n")
+    }
+
     private def valid(check: () => Unit): Boolean =
       try { check(); true } catch { case _: IllegalArgumentException => false }
   }
@@ -892,13 +1032,13 @@ final class MiniNatsServer(
     * members are collected per (pattern, group) and one member per group
     * is picked round-robin. */
   private def route(subject: String, payload: Array[Byte],
-      replyTo: String = null): Unit = {
+      replyTo: String = null, headers: Seq[(String, String)] = Nil): Unit = {
     var groups = Map.empty[(String, String), List[(ClientConn, String)]]
     clients.forEach { c =>
       c.subs.forEach { (sid, pg) =>
         val (pattern, group) = pg
         if (InMemoryBus.subjectMatches(pattern, subject)) {
-          if (group == null) c.sendMsg(subject, sid, payload, replyTo)
+          if (group == null) c.sendMsg(subject, sid, payload, replyTo, headers)
           else {
             val k = (pattern, group)
             groups = groups.updated(k, (c, sid) :: groups.getOrElse(k, Nil))
@@ -909,7 +1049,7 @@ final class MiniNatsServer(
     groups.foreach { case (k, members) =>
       val counter = rr.computeIfAbsent(k, _ => new AtomicLong)
       val (c, sid) = members((counter.getAndIncrement() % members.size).toInt)
-      c.sendMsg(subject, sid, payload, replyTo)
+      c.sendMsg(subject, sid, payload, replyTo, headers)
     }
   }
 

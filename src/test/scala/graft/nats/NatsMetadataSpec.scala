@@ -85,8 +85,56 @@ class NatsMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = spark.readStream.format("nats").schema(schema)
       .option("url", url).option("subject", "t")
       .option("includeMetadata", "true").load()
-    assert(df.schema.fieldNames.toSeq === Seq("id", "name", "_subject", "_seq"))
+    assert(df.schema.fieldNames.toSeq === Seq("id", "name", "_subject", "_seq", "_headers"))
     assert(df.schema("_seq").dataType === LongType)
+    assert(df.schema("_headers").dataType ===
+      MapType(StringType, StringType, valueContainsNull = false))
+  }
+
+  test("_headers: a headered publish surfaces as a string map, headerless rows get an empty map") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val q = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "h").option("batchSize", "2").load()
+      .select(col("id"), col("_headers"))
+      .writeStream.format("memory").queryName("meta_headers").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "h")
+      conn.publishWithHeaders("h",
+        Seq("Trace-Id" -> "abc123", "Source" -> "ingest-7"), "1,x".getBytes)
+      conn.publish("h", "2,y".getBytes)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, _headers FROM meta_headers ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getMap[String, String](1).toMap)).toSeq
+      assert(rows === Seq(
+        (1, Map("Trace-Id" -> "abc123", "Source" -> "ingest-7")),
+        (2, Map.empty[String, String])))
+    } finally { q.stop(); conn.close() }
+  }
+
+  test("_headers over the WIRE transport: HPUB -> HMSG -> streaming map column") {
+    val server = new MiniNatsServer()
+    try {
+      val conn = NatsTransport.connect(server.url)
+      val q = spark.readStream.format("nats").schema(schema)
+        .option("url", server.url).option("subject", "wire.h")
+        .option("batchSize", "2").load()
+        .select(col("id"), col("_headers"))
+        .writeStream.format("memory").queryName("meta_headers_wire").start()
+      try {
+        val dl = System.currentTimeMillis() + 10000
+        while (server.subscriptionCount("wire.h") == 0 && System.currentTimeMillis() < dl)
+          Thread.sleep(20)
+        conn.publishWithHeaders("wire.h", Seq("K" -> "v1", "K2" -> "v 2"), "1,x".getBytes)
+        conn.publish("wire.h", "2,y".getBytes)
+        q.processAllAvailable()
+        val rows = spark.sql("SELECT id, _headers FROM meta_headers_wire ORDER BY id")
+          .collect().map(r => (r.getInt(0), r.getMap[String, String](1).toMap)).toSeq
+        assert(rows === Seq(
+          (1, Map("K" -> "v1", "K2" -> "v 2")),
+          (2, Map.empty[String, String])))
+      } finally { q.stop(); conn.close() }
+    } finally server.stop()
   }
 
   test("wildcard stream: _subject is the concrete family member, _seq the arrival offset") {

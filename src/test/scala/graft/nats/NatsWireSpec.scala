@@ -342,6 +342,59 @@ class NatsWireSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- authorization (server authorization{} block / URL credentials) ----
 
+  test("headers round-trip over TCP: HPUB -> HMSG preserves pairs and payload bytes") {
+    withServer { server =>
+      val pub = NatsTransport.connect(server.url)
+      val con = NatsTransport.connect(server.url)
+      try {
+        val got = new java.util.concurrent.LinkedBlockingQueue[
+          (Seq[(String, String)], String)]()
+        val sub = con.subscribeHeadersEach("hdr.t") { (_, headers, payload) =>
+          got.put((headers, new String(payload))); ()
+        }
+        try {
+          eventually()(server.subscriptionCount("hdr.t") == 1)
+          pub.publishWithHeaders("hdr.t",
+            Seq("Nats-Msg-Id" -> "m-1", "X-Colon-Value" -> "a:b:c"),
+            "body,with\r\nCRLF".getBytes)
+          val (hdrs, body) = got.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+          assert(hdrs === Seq("Nats-Msg-Id" -> "m-1", "X-Colon-Value" -> "a:b:c"))
+          assert(body === "body,with\r\nCRLF",
+            "payload after the header block must stay binary-safe")
+          // a plain headerless publish still arrives with empty headers
+          pub.publish("hdr.t", "plain".getBytes)
+          val (h2, b2) = got.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+          assert(h2.isEmpty && b2 === "plain")
+        } finally sub.close()
+      } finally { pub.close(); con.close() }
+    }
+  }
+
+  test("headers on the plain-subscribe surface are stripped, payload intact") {
+    withServer { server =>
+      val pub = NatsTransport.connect(server.url)
+      val con = NatsTransport.connect(server.url)
+      try {
+        val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+        val sub = con.subscribe("hdr.plain")(p => { got.put(new String(p)); () })
+        try {
+          eventually()(server.subscriptionCount("hdr.plain") == 1)
+          pub.publishWithHeaders("hdr.plain", Seq("K" -> "v"), "payload".getBytes)
+          assert(got.poll(10, java.util.concurrent.TimeUnit.SECONDS) === "payload")
+        } finally sub.close()
+      } finally { pub.close(); con.close() }
+    }
+  }
+
+  test("tls_required in INFO fails fast with guidance instead of speaking plaintext") {
+    val server = new MiniNatsServer(tlsRequired = true)
+    try {
+      val e = intercept[java.io.IOException](NatsTransport.connect(server.url))
+      assert(e.getMessage.contains("requires TLS"), e.getMessage)
+      assert(e.getMessage.contains("jnats://"), "must point at the TLS-capable client path")
+    } finally server.stop()
+  }
+
   test("token auth: wrong token draws -ERR 'Authorization Violation', surfaced at connect") {
     val server = new MiniNatsServer(authToken = Some("s3cret"))
     try {
