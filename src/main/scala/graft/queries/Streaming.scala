@@ -522,6 +522,50 @@ object Streaming {
         conn.close()
       }
       s.sql(s"SELECT id, name, _subject, _seq FROM $sink ORDER BY id")
+    },
+
+    // NATS message headers as first-class envelope data (the HPUB/HMSG
+    // extension; round-12 _headers metadata column): a producer stamps
+    // provenance headers on each message, and the stream reads them back
+    // through the hidden metadata surface — no includeMetadata, the
+    // projection binds `_headers` by name. The map is probed with
+    // element_at (missing key -> NULL) and sized, so the oracle compares
+    // deterministic scalars, never map iteration order. Headerless
+    // messages read as an EMPTY map (n_headers 0), not NULL — the
+    // envelope column is non-nullable by contract.
+    QueryDef.noBench(
+      "q101_headers_envelope",
+      """SELECT * FROM (VALUES
+        |  (1, 'apple',  'trace-1', 'ingest-7', 2),
+        |  (2, 'banana', NULL,      NULL,       0),
+        |  (3, 'orange', 'trace-3', NULL,       1))
+        |  AS t(id, name, trace_id, source, n_headers)
+        |ORDER BY id""".stripMargin) { (s, _) =>
+      val url = s"memory://q101-${UUID.randomUUID()}"
+      val sink = s"nats_hdr_sink_${sinkId.incrementAndGet()}"
+      val conn = NatsTransport.connect(url)
+      val q = s.readStream.format("nats").schema(rowSchema)
+        .option("url", url).option("subject", "hdr.ev")
+        .option("batchSize", "3")
+        .load()
+        .select(col("id"), col("name"),
+          col("_headers").getItem("Trace-Id").as("trace_id"),
+          col("_headers").getItem("Source").as("source"),
+          size(map_keys(col("_headers"))).as("n_headers"))
+        .writeStream.format("memory").queryName(sink).start()
+      try {
+        NatsDemo.awaitSubscriber(url, "hdr.ev")
+        conn.publishWithHeaders("hdr.ev",
+          Seq("Trace-Id" -> "trace-1", "Source" -> "ingest-7"), "1,apple".getBytes)
+        conn.publish("hdr.ev", "2,banana".getBytes)
+        conn.publishWithHeaders("hdr.ev",
+          Seq("Trace-Id" -> "trace-3"), "3,orange".getBytes)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        conn.close()
+      }
+      s.sql(s"SELECT id, name, trace_id, source, n_headers FROM $sink ORDER BY id")
     }
   )
 }
