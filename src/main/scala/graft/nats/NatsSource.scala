@@ -204,9 +204,10 @@ class NatsSourceProvider extends TableProvider with DataSourceRegister {
   *     mode (stable across restarts), the ledger offset on a live stream,
   *     arrival order (1-based) on a live one-shot batch read;
   *   - `_headers`: the message's NATS headers (HPUB/HMSG extension) as a
-  *     string map, empty when the message carried none. Live surfaces
-  *     only — the graft retention rings store payloads, so replay reads
-  *     see empty headers (real JetStream retains them; documented gap).
+  *     string map, empty when the message carried none. Retained under
+  *     replay on backends that store them — the memory bus and real
+  *     JetStream (the $JS.API pull delivers HMSG) — and empty over the
+  *     graft wire FETCH, whose framing is payload-only.
   */
 object NatsMetadata {
   val SubjectCol = "_subject"
@@ -244,7 +245,7 @@ object NatsMetadata {
     column(SeqCol, LongType,
       "source sequence: broker sequence (replay), ledger offset (stream), arrival order (one-shot batch)"),
     column(HeadersCol, MapType(StringType, StringType, valueContainsNull = false),
-      "NATS message headers (HPUB/HMSG); empty map when none, and on replay reads (not retained)"))
+      "NATS message headers (HPUB/HMSG); empty map when none (replay: retained on memory:// and JetStream, empty over graft wire FETCH)"))
 }
 
 /** One NATS subject as a table (reference src/data_source.rs:19-32).
@@ -835,20 +836,22 @@ private[nats] final class NatsReplayReader(p: NatsReplayPartition)
     else if (cursor >= endSeq) false
     else {
       val want = math.min(chunk.toLong, endSeq - cursor).toInt
-      val payloads = conn.fetchRetained(p.opts.subject, cursor, want)
+      val msgs = conn.fetchRetainedWithHeaders(p.opts.subject, cursor, want)
       // The planned range is committed work: retention must still cover
       // it in full, or the fail-fast contract (never silent loss) fires.
-      if (payloads.length < want)
+      if (msgs.length < want)
         throw new IllegalStateException(
           s"retention on '${p.opts.subject}' ended at sequence " +
-            s"${cursor + payloads.length} but this partition was planned " +
+            s"${cursor + msgs.length} but this partition was planned " +
             s"through $endSeq: messages were evicted or the broker lost them")
       val from = cursor
       cursor += want
-      // headers are not retained by the graft rings — replay rows carry
-      // an empty _headers map (see NatsMetadata scaladoc)
-      it = payloads.iterator.zipWithIndex.flatMap { case (bytes, i) =>
-        pipeline.decode(p.opts.subject, from + 1 + i, "",
+      // Headers come back from backends that retain them (memory bus,
+      // real JetStream); the graft wire FETCH is payload-only and yields
+      // empty maps (see NatsMetadata scaladoc).
+      it = msgs.iterator.zipWithIndex.flatMap { case ((headers, bytes), i) =>
+        pipeline.decode(p.opts.subject, from + 1 + i,
+          NatsMetadata.encodeHeaders(headers),
           new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
       }
       next()

@@ -92,6 +92,14 @@ trait ReplayableNatsConnection extends NatsConnection {
     * @throws IllegalStateException if part of that range was evicted —
     *         the caller's checkpoint is beyond the retention window. */
   def fetchRetained(subject: String, afterSeq: Long, max: Int): Array[Array[Byte]]
+
+  /** [[fetchRetained]] with each payload's NATS headers (empty when the
+    * message carried none, or the backend does not retain headers —
+    * real JetStream and the memory bus retain them; the graft wire
+    * FETCH framing is payload-only and uses this default). */
+  def fetchRetainedWithHeaders(
+      subject: String, afterSeq: Long, max: Int): Array[(Seq[(String, String)], Array[Byte])] =
+    fetchRetained(subject, afterSeq, max).map((Nil, _))
 }
 
 /** URL-scheme router — the DSv2 machinery above this interface is
@@ -305,13 +313,15 @@ object InMemoryBus {
 
   /** Bounded per-subject retention (the bus' JetStream-stream analog):
     * sequences start at 1 and never reset; the ring holds the newest
-    * `capacity` messages. All access synchronized on the instance. */
+    * `capacity` messages WITH their headers — real JetStream retains
+    * headers, so the bus does too. All access synchronized on the
+    * instance. */
   private final class Retained(val capacity: Int) {
     var nextSeq = 1L
-    val ring = scala.collection.mutable.ArrayDeque.empty[Array[Byte]]
+    val ring = scala.collection.mutable.ArrayDeque.empty[(Seq[(String, String)], Array[Byte])]
     def earliest: Long = nextSeq - ring.size // oldest retained seq
-    def append(payload: Array[Byte]): Unit = {
-      ring.append(payload)
+    def append(headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
+      ring.append((headers, payload))
       nextSeq += 1
       if (ring.size > capacity) ring.removeHead()
     }
@@ -362,7 +372,11 @@ object InMemoryBus {
       r.synchronized { r.earliest }
     }
 
-    def fetchRetained(subject: String, afterSeq: Long, max: Int): Array[Array[Byte]] = {
+    def fetchRetained(subject: String, afterSeq: Long, max: Int): Array[Array[Byte]] =
+      fetchRetainedWithHeaders(subject, afterSeq, max).map(_._2)
+
+    override def fetchRetainedWithHeaders(
+        subject: String, afterSeq: Long, max: Int): Array[(Seq[(String, String)], Array[Byte])] = {
       NatsSubjects.validateSubject(subject)
       val r = bus.retainedFor(subject)
       r.synchronized {
@@ -389,11 +403,8 @@ object InMemoryBus {
       // Retention first: a message is sequenced and retained whether or
       // not anyone is subscribed (that is the point of replay), then
       // push-delivered to live fire-and-forget subscribers as before.
-      // The ring retains the PAYLOAD only — replay consumers see empty
-      // headers, like the graft wire retention (real JetStream retains
-      // headers; the fetch protocol here does not carry them).
       val r = bus.retainedFor(subject)
-      r.synchronized { r.append(payload) }
+      r.synchronized { r.append(headers, payload) }
       // Queue groups are keyed by (subscription pattern, group) per NATS
       // semantics: the same group name on two different patterns forms
       // two groups, each getting its own delivery. Members are collected

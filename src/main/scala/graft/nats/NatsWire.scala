@@ -403,21 +403,23 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
       subject: String,
       payload: Array[Byte],
       timeoutMs: Long = 10000)(done: Array[Byte] => Boolean): Seq[Array[Byte]] =
-    requestRaw(subject, payload, timeoutMs)((_, m) => done(m)).map(_._2)
+    requestRaw(subject, payload, timeoutMs)((_, m) => done(m)).map(_._3)
 
-  /** [[request]] with each reply's OWN reply-to surfaced (null when the
-    * reply carries none) — JetStream pull fetches deliver one MSG per
-    * stream message to the inbox, with the `$JS.ACK.…` metadata subject
-    * in the reply-to slot. */
+  /** [[request]] with each reply's OWN reply-to (null when the reply
+    * carries none) and headers surfaced — JetStream pull fetches deliver
+    * one MSG/HMSG per stream message to the inbox, the `$JS.ACK.…`
+    * metadata subject in the reply-to slot and retained headers in the
+    * header block. Returns (replyTo, headers, payload) triples. */
   private[nats] def requestRaw(
       subject: String,
       payload: Array[Byte],
       timeoutMs: Long = 10000)(
-      done: (String, Array[Byte]) => Boolean): Seq[(String, Array[Byte])] = {
+      done: (String, Array[Byte]) => Boolean): Seq[(String, Seq[(String, String)], Array[Byte])] = {
     checkHealthy()
     val inbox = "_INBOX." + java.util.UUID.randomUUID().toString.replace("-", "")
-    val replies = new java.util.concurrent.LinkedBlockingQueue[(String, Array[Byte])]()
-    val s = subRaw(inbox, None)((_, reply, _, p) => { replies.put((reply, p)); () })
+    val replies =
+      new java.util.concurrent.LinkedBlockingQueue[(String, Seq[(String, String)], Array[Byte])]()
+    val s = subRaw(inbox, None)((_, reply, hdrs, p) => { replies.put((reply, hdrs, p)); () })
     try {
       writeLock.synchronized {
         write(s"PUB $subject $inbox ${payload.length}\r\n")
@@ -425,7 +427,7 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
         write("\r\n")
         out.flush()
       }
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[(String, String)], Array[Byte])]
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       var finished = false
       while (!finished) {
@@ -438,7 +440,7 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
               s"(${buf.size} partial replies)")
         }
         buf += m
-        finished = done(m._1, m._2)
+        finished = done(m._1, m._3)
       }
       buf.toSeq
     } finally s.close()
@@ -622,7 +624,11 @@ private[nats] final class JetStreamTcpConnection(c: TcpNatsClient)
   def currentSeq(subject: String): Long = state(subject)._2
   def earliestRetained(subject: String): Long = state(subject)._1
 
-  def fetchRetained(subject: String, afterSeq: Long, max: Int): Array[Array[Byte]] = {
+  def fetchRetained(subject: String, afterSeq: Long, max: Int): Array[Array[Byte]] =
+    fetchRetainedWithHeaders(subject, afterSeq, max).map(_._2)
+
+  override def fetchRetainedWithHeaders(
+      subject: String, afterSeq: Long, max: Int): Array[(Seq[(String, String)], Array[Byte])] = {
     if (max <= 0) return Array.empty
     val (first, last) = state(subject)
     val from = afterSeq + 1
@@ -647,14 +653,14 @@ private[nats] final class JetStreamTcpConnection(c: TcpNatsClient)
       val replies = c.requestRaw(
         s"$$JS.API.CONSUMER.MSG.NEXT.$stream.$consumer",
         s"""{"batch":$count}""".getBytes(UTF_8)) { (_, _) => got += 1; got >= count }
-      replies.zipWithIndex.map { case ((ack, payload), i) =>
+      replies.zipWithIndex.map { case ((ack, headers, payload), i) =>
         // $JS.ACK.<stream>.<consumer>.<delivered>.<sseq>.<cseq>.<ts>.<pending>
         val sseq = Option(ack).map(_.split('.')).filter(_.length >= 6).map(_(5).toLong)
         if (!sseq.contains(from + i))
           throw new IllegalStateException(
             s"JetStream fetch on '$subject' returned sequence ${sseq.getOrElse("?")} " +
               s"where ${from + i} was expected: stream was purged or rolled mid-fetch")
-        payload
+        (headers, payload)
       }.toArray
     } finally {
       // best-effort: real servers expire idle ephemerals themselves
@@ -720,12 +726,15 @@ final class MiniNatsServer(
   // Per-subject bounded retention ring (sequences start at 1, never
   // reset; newest `retainCapacity` kept) — same semantics as the memory
   // bus' ring and, at deployment scale, a JetStream limits-based stream.
+  // Headers are retained alongside each payload, as real JetStream does;
+  // the graft FETCH framing is payload-only, the $JS.API pull carries
+  // them back out as HMSG.
   private final class Ring {
     var nextSeq = 1L
-    val buf = scala.collection.mutable.ArrayDeque.empty[Array[Byte]]
+    val buf = scala.collection.mutable.ArrayDeque.empty[(Seq[(String, String)], Array[Byte])]
     def earliest: Long = nextSeq - buf.size
-    def append(p: Array[Byte]): Unit = {
-      buf.append(p)
+    def append(headers: Seq[(String, String)], p: Array[Byte]): Unit = {
+      buf.append((headers, p))
       nextSeq += 1
       if (buf.size > retainCapacity) buf.removeHead()
     }
@@ -796,7 +805,8 @@ final class MiniNatsServer(
         while (sent < batch && consumer.cursor < r.nextSeq) {
           val seq = consumer.cursor
           val ack = s"$$JS.ACK.$name.$cname.1.$seq.$seq.0.${r.nextSeq - 1 - seq}"
-          route(reply, r.buf((seq - r.earliest).toInt), ack)
+          val (hdrs, payload) = r.buf((seq - r.earliest).toInt)
+          route(reply, payload, ack, hdrs)
           consumer.cursor += 1
           sent += 1
         }
@@ -835,7 +845,7 @@ final class MiniNatsServer(
           var seq = from
           while (seq <= upTo) {
             val prefix = s"+$seq ".getBytes(US_ASCII)
-            route(reply, prefix ++ r.buf((seq - r.earliest).toInt))
+            route(reply, prefix ++ r.buf((seq - r.earliest).toInt)._2)
             seq += 1
           }
           respond("#END")
@@ -1009,7 +1019,7 @@ final class MiniNatsServer(
         // that is the point of replay — then push-delivered.
         if (retainCapacity > 0) {
           val r = ringFor(subject)
-          r.synchronized { r.append(payload) }
+          r.synchronized { r.append(headers, payload) }
         }
         route(subject, payload, reply, headers)
       }

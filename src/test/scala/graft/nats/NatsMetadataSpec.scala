@@ -255,6 +255,57 @@ class NatsMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  test("_headers under replay: retained on the memory bus and on real JetStream, empty over graft wire") {
+    // memory bus: the ring stores headers like a real JetStream stream
+    val url = freshBus() + "?retain=50"
+    val conn = NatsTransport.connect(url)
+    try {
+      conn.publishWithHeaders("aud", Seq("Trace-Id" -> "t1"), "1,a".getBytes)
+      conn.publish("aud", "2,b".getBytes)
+      val rows = spark.read.format("nats").schema(schema)
+        .option("url", url).option("subject", "aud").option("replay", "true")
+        .option("startSequence", "0")
+        .load()
+        .select(col("id"), col("_headers"))
+        .collect().map(r => (r.getInt(0), r.getMap[String, String](1).toMap)).sortBy(_._1).toSeq
+      assert(rows === Seq((1, Map("Trace-Id" -> "t1")), (2, Map.empty[String, String])))
+    } finally conn.close()
+
+    // real JetStream: the $JS.API pull delivers retained headers as HMSG
+    val js = new MiniNatsServer(retainCapacity = 50, jetStream = true)
+    try {
+      val c2 = NatsTransport.connect(js.url)
+      try {
+        c2.publishWithHeaders("js.aud", Seq("Trace-Id" -> "t2"), "1,a".getBytes)
+        c2.publish("js.aud", "2,b".getBytes)
+        val rows = spark.read.format("nats").schema(schema)
+          .option("url", js.url).option("subject", "js.aud").option("replay", "true")
+          .option("startSequence", "0")
+          .load()
+          .select(col("id"), col("_headers"))
+          .collect().map(r => (r.getInt(0), r.getMap[String, String](1).toMap)).sortBy(_._1).toSeq
+        assert(rows === Seq((1, Map("Trace-Id" -> "t2")), (2, Map.empty[String, String])))
+      } finally c2.close()
+    } finally js.stop()
+
+    // graft wire FETCH: payload-only framing, headers read back empty
+    val gw = new MiniNatsServer(retainCapacity = 50)
+    try {
+      val c3 = NatsTransport.connect(gw.url)
+      try {
+        c3.publishWithHeaders("gw.aud", Seq("Trace-Id" -> "t3"), "1,a".getBytes)
+        val rows = spark.read.format("nats").schema(schema)
+          .option("url", gw.url).option("subject", "gw.aud").option("replay", "true")
+          .option("startSequence", "0")
+          .load()
+          .select(col("id"), col("_headers"))
+          .collect().map(r => (r.getInt(0), r.getMap[String, String](1).toMap)).toSeq
+        assert(rows === Seq((1, Map.empty[String, String])),
+          "graft FETCH framing is payload-only by design")
+      } finally c3.close()
+    } finally gw.stop()
+  }
+
   test("a data column named _subject shadows the metadata column (Spark drops the conflict)") {
     val url = freshBus() + "?retain=10"
     val conn = NatsTransport.connect(url)
