@@ -216,20 +216,35 @@ object NatsMetadata {
   val names: Set[String] = Set(SubjectCol, SeqCol, HeadersCol)
 
   // Envelope transport encoding for header pairs (ledger entries and
-  // planned partitions): k SOH v, pairs joined by STX — neither control
-  // byte is valid inside NATS header keys/values or the NUL-framed
-  // ledger entry.
+  // planned partitions): k SOH v, pairs joined by STX. Well-formed NATS
+  // headers never contain NUL/SOH/STX, but a foreign client CAN put any
+  // byte in an HMSG value — sanitize at encode time (control bytes -> ' ')
+  // so hostile headers cannot mis-frame the NUL-separated ledger entry
+  // or desynchronize the k/v split; skip-and-continue must survive them.
   private val KV = '\u0001'
   private val Pair = '\u0002'
+  private def clean(s: String): String = {
+    var i = 0
+    while (i < s.length && s.charAt(i) > '\u0002') i += 1
+    if (i == s.length) s
+    else s.map(c => if (c <= '\u0002') ' ' else c)
+  }
   def encodeHeaders(headers: Seq[(String, String)]): String =
     if (headers.isEmpty) ""
-    else headers.iterator.map { case (k, v) => s"$k$KV$v" }.mkString(Pair.toString)
+    else headers.iterator
+      .map { case (k, v) => s"${clean(k)}$KV${clean(v)}" }.mkString(Pair.toString)
   def decodeHeaderKeys(enc: String): Array[UTF8String] =
     if (enc.isEmpty) Array.empty
-    else enc.split(Pair).map(p => UTF8String.fromString(p.substring(0, p.indexOf(KV))))
+    else enc.split(Pair).map { p =>
+      val i = p.indexOf(KV) // defensive: pair without SOH reads as bare key
+      UTF8String.fromString(if (i < 0) p else p.substring(0, i))
+    }
   def decodeHeaderValues(enc: String): Array[UTF8String] =
     if (enc.isEmpty) Array.empty
-    else enc.split(Pair).map(p => UTF8String.fromString(p.substring(p.indexOf(KV) + 1)))
+    else enc.split(Pair).map { p =>
+      val i = p.indexOf(KV)
+      UTF8String.fromString(if (i < 0) "" else p.substring(i + 1))
+    }
 
   private def column(colName: String, colType: DataType, doc: String): MetadataColumn =
     new MetadataColumn {
@@ -526,9 +541,23 @@ private[nats] final class RowPipeline(
 
   private def headersMap(enc: String) =
     if (enc.isEmpty) emptyHeaders
-    else org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
-      NatsMetadata.decodeHeaderKeys(enc).asInstanceOf[Array[Any]],
-      NatsMetadata.decodeHeaderValues(enc).asInstanceOf[Array[Any]])
+    else {
+      val ks = NatsMetadata.decodeHeaderKeys(enc)
+      val vs = NatsMetadata.decodeHeaderValues(enc)
+      // NATS allows repeated header keys; a Spark map does not. Keep the
+      // LAST occurrence per key (order otherwise preserved) so the map
+      // stays valid for map_keys/element_at/map_concat downstream.
+      if (ks.distinct.length == ks.length)
+        org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          ks.asInstanceOf[Array[Any]], vs.asInstanceOf[Array[Any]])
+      else {
+        val m = scala.collection.mutable.LinkedHashMap.empty[UTF8String, UTF8String]
+        var i = 0
+        while (i < ks.length) { m.put(ks(i), vs(i)); i += 1 }
+        org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          m.keysIterator.toArray[Any], m.valuesIterator.toArray[Any])
+      }
+    }
 
   // Dead-letter republish (deadLetterSubject option): lazily opened on
   // the first malformed payload, one connection per task pipeline —
@@ -826,6 +855,9 @@ private[nats] final class NatsReplayReader(p: NatsReplayPartition)
   }
   private val endSeq = p.afterSeq + p.count
   private val chunk = math.max(1, p.opts.batchSize)
+  // One fetch session for the whole partition — backends with per-fetch
+  // setup cost (JetStream: ephemeral consumer creation) pay it once.
+  private val session = conn.openRangeFetch(p.opts.subject, p.afterSeq)
   private var cursor = p.afterSeq // last sequence already handed to decode
   private var it: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
@@ -836,7 +868,7 @@ private[nats] final class NatsReplayReader(p: NatsReplayPartition)
     else if (cursor >= endSeq) false
     else {
       val want = math.min(chunk.toLong, endSeq - cursor).toInt
-      val msgs = conn.fetchRetainedWithHeaders(p.opts.subject, cursor, want)
+      val msgs = session.next(want)
       // The planned range is committed work: retention must still cover
       // it in full, or the fail-fast contract (never silent loss) fires.
       if (msgs.length < want)
@@ -858,7 +890,7 @@ private[nats] final class NatsReplayReader(p: NatsReplayPartition)
     }
 
   override def get(): InternalRow = current
-  override def close(): Unit = { conn.close(); pipeline.close() }
+  override def close(): Unit = { session.close(); conn.close(); pipeline.close() }
   override def currentMetricsValues(): Array[CustomTaskMetric] =
     Array(MalformedRowsMetric.taskMetric(pipeline.malformedCount))
 }

@@ -100,6 +100,34 @@ trait ReplayableNatsConnection extends NatsConnection {
   def fetchRetainedWithHeaders(
       subject: String, afterSeq: Long, max: Int): Array[(Seq[(String, String)], Array[Byte])] =
     fetchRetained(subject, afterSeq, max).map((Nil, _))
+
+  /** Stateful sequential fetch starting after `afterSeq`: each
+    * `next(max)` returns the following chunk in order. Exists so
+    * backends with per-fetch setup cost can amortize it across a
+    * partition's chunks — the JetStream backend keeps ONE ephemeral
+    * consumer for the whole range instead of creating and deleting one
+    * per chunk. Default: stateless [[fetchRetainedWithHeaders]] calls.
+    */
+  def openRangeFetch(subject: String, afterSeq: Long): RangeFetch = {
+    val self = this
+    new RangeFetch {
+      private var cursor = afterSeq
+      def next(max: Int): Array[(Seq[(String, String)], Array[Byte])] = {
+        val chunk = self.fetchRetainedWithHeaders(subject, cursor, max)
+        cursor += chunk.length
+        chunk
+      }
+      def close(): Unit = ()
+    }
+  }
+}
+
+/** A bounded sequential fetch over a retained range; see
+  * [[ReplayableNatsConnection.openRangeFetch]]. Not thread-safe. */
+trait RangeFetch extends AutoCloseable {
+  /** The next `max` retained messages in sequence order (fewer only when
+    * retention ends); empty when the subject holds nothing further. */
+  def next(max: Int): Array[(Seq[(String, String)], Array[Byte])]
 }
 
 /** URL-scheme router — the DSv2 machinery above this interface is
@@ -190,6 +218,17 @@ object JnatsTransport {
     private val msgGetSubject = msgCls.getMethod("getSubject")
     private val conn = natsCls.getMethod("connect", classOf[String]).invoke(null, url)
     private val publishM = connCls.getMethod("publish", classOf[String], classOf[Array[Byte]])
+    // Headers publish (jnats 2.x: publish(String, Headers, byte[]) with
+    // io.nats.client.impl.Headers.add(String, String...)) — resolved
+    // opportunistically so older jars degrade to payload-only publishes
+    // instead of breaking the adapter.
+    private val headerPublish: Option[(Class[_], java.lang.reflect.Method, java.lang.reflect.Method)] =
+      try {
+        val hc = Class.forName("io.nats.client.impl.Headers")
+        Some((hc,
+          connCls.getMethod("publish", classOf[String], hc, classOf[Array[Byte]]),
+          hc.getMethod("add", classOf[String], classOf[Array[String]])))
+      } catch { case _: ReflectiveOperationException => None }
     private val createDispatcherM = connCls.getMethod("createDispatcher", handlerCls)
     private val closeDispatcherM = connCls.getMethod("closeDispatcher", dispatcherCls)
     private val subscribeM = dispatcherCls.getMethod("subscribe", classOf[String])
@@ -219,6 +258,16 @@ object JnatsTransport {
 
     def publish(subject: String, payload: Array[Byte]): Unit =
       publishM.invoke(conn, subject, payload)
+
+    override def publishWithHeaders(
+        subject: String, headers: Seq[(String, String)],
+        payload: Array[Byte]): Unit = headerPublish match {
+      case Some((hc, publishH, add)) if headers.nonEmpty =>
+        val h = hc.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+        headers.foreach { case (k, v) => add.invoke(h, k, Array(v)) }
+        publishH.invoke(conn, subject, h, payload)
+      case _ => publish(subject, payload) // old jar: headers unsupported, payload intact
+    }
 
     def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription =
       dispatcherSub(d => subscribeM.invoke(d, subject))((_, p) => handler(p))

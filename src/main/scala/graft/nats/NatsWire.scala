@@ -2,7 +2,7 @@ package graft.nats
 
 import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, IOException, InputStream}
 import java.net.{InetAddress, InetSocketAddress, ServerSocket, Socket}
-import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
 import java.util.concurrent.{ConcurrentHashMap, CopyOnWriteArrayList, CountDownLatch, TimeUnit}
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
@@ -58,17 +58,30 @@ private[nats] object NatsWire {
       require(!v.exists(c => c == '\r' || c == '\n'), s"invalid header value '$v'")
       sb.append(k).append(": ").append(v).append("\r\n")
     }
-    sb.append("\r\n").toString.getBytes(US_ASCII)
+    // UTF-8: header values are byte strings on the wire (the block is
+    // length-prefixed, so multi-byte sequences are framing-safe) and
+    // real clients round-trip non-ASCII values
+    sb.append("\r\n").toString.getBytes(UTF_8)
   }
 
   /** Inverse of [[encodeHeaders]]; tolerates a status after the version
     * token (real servers send e.g. `NATS/1.0 503` on no-responders). */
   def decodeHeaders(block: Array[Byte]): Seq[(String, String)] =
-    new String(block, US_ASCII).split("\r\n").toSeq.drop(1).filter(_.nonEmpty).flatMap { line =>
+    new String(block, UTF_8).split("\r\n").toSeq.drop(1).filter(_.nonEmpty).flatMap { line =>
       val i = line.indexOf(':')
       if (i <= 0) None
       else Some((line.substring(0, i).trim, line.substring(i + 1).trim))
     }
+
+  /** The inline status of a headers block (`NATS/1.0 <code> [desc]`), if
+    * any — how real servers answer JetStream pulls with no message
+    * (404 no messages, 408 request timeout, 409 limits exceeded). */
+  def headerStatus(block: Array[Byte]): Option[String] = {
+    val first = new String(block, UTF_8).split("\r\n", 2)(0)
+    if (first.length > HeaderVersion.length && first.startsWith(HeaderVersion + " "))
+      Some(first.substring(HeaderVersion.length + 1).trim).filter(_.nonEmpty)
+    else None
+  }
 
   /** Minimal JSON string literal (escape backslash, quote, control chars)
     * for CONNECT fields — credentials are arbitrary user text. */
@@ -283,10 +296,18 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
           val total = t(t.length - 1).toInt
           val all = NatsWire.readPayload(in, total)
           val h = handlers.get(sid)
-          if (h != null)
-            h(t(1), reply,
-              NatsWire.decodeHeaders(java.util.Arrays.copyOfRange(all, 0, hdrLen)),
-              java.util.Arrays.copyOfRange(all, hdrLen, all.length))
+          if (h != null) {
+            val block = java.util.Arrays.copyOfRange(all, 0, hdrLen)
+            // Surface a server inline status ("NATS/1.0 404 …" — JetStream
+            // no-messages / request-expired replies) as a synthetic
+            // Nats-Status pair, the way official clients expose
+            // Message.getStatus; data messages never carry one.
+            val pairs = NatsWire.headerStatus(block) match {
+              case Some(status) => ("Nats-Status" -> status) +: NatsWire.decodeHeaders(block)
+              case None         => NatsWire.decodeHeaders(block)
+            }
+            h(t(1), reply, pairs, java.util.Arrays.copyOfRange(all, hdrLen, all.length))
+          }
         } else if (line == "PING") {
           writeLock.synchronized { write("PONG\r\n"); out.flush() }
         } else if (line.startsWith("-ERR")) {
@@ -297,6 +318,11 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
     } catch {
       case _: IOException if closed.get => () // orderly close
       case e: IOException => serverError = s"-ERR 'connection lost: ${e.getMessage}'"
+      // A malformed frame (bad size token, header length > total, …)
+      // must not let the reader die silently — every later operation
+      // would hang to its timeout with no diagnostic. Record and stop.
+      case e: Exception if !closed.get =>
+        serverError = s"-ERR 'protocol error reading from server: $e'"
     }
   }, s"graft-nats-client-$host:$port")
   reader.setDaemon(true)
@@ -583,8 +609,11 @@ private[nats] final class JetStreamTcpConnection(c: TcpNatsClient)
 
   private val streamCache = new ConcurrentHashMap[String, String]()
 
+  // An error OBJECT, not the quoted substring — a stream/subject named
+  // "error" must not read as a failure ("streams":["error"] contains
+  // "error" but is a success body).
   private def apiError(body: String): Option[String] =
-    if (body.contains("\"error\""))
+    if ("\"error\"\\s*:\\s*\\{".r.findFirstIn(body).isDefined)
       Some(NatsWire.jsonField(body, "description").getOrElse(body))
     else None
 
@@ -605,6 +634,31 @@ private[nats] final class JetStreamTcpConnection(c: TcpNatsClient)
     }
   }
 
+  private val validatedStreams = ConcurrentHashMap.newKeySet[String]()
+
+  /** The replay contract needs DENSE per-subject sequences: offsets are
+    * planned positionally over (first_seq, last_seq], so the stream must
+    * capture EXACTLY the one literal subject being replayed. A stream
+    * covering more (the common `ev.>` catch-all config) interleaves other
+    * subjects' messages into the same sequence space — a filtered
+    * consumer could skip them, but then sequence arithmetic (partition
+    * slicing, `_seq`, checkpoint offsets) would no longer be positional.
+    * Fail fast with the fix spelled out instead of silently returning
+    * other subjects' rows. */
+  private def validateSingleSubject(name: String, subject: String, infoBody: String): Unit =
+    if (!validatedStreams.contains(name)) {
+      val subjects = "\"subjects\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(infoBody)
+        .map(m => "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+        .getOrElse(Seq.empty)
+      if (subjects != Seq(subject))
+        throw new UnsupportedOperationException(
+          s"JetStream stream '$name' captures ${subjects.mkString("[", ", ", "]")} — " +
+            s"replay of '$subject' needs a stream capturing exactly that one literal " +
+            "subject (per-subject sequences must be dense for positional offsets). " +
+            "Create a dedicated single-subject stream for the replayed subject.")
+      validatedStreams.add(name)
+    }
+
   /** (first_seq, last_seq) of the stream's state; (1, 0) when no stream
     * covers the subject yet. A virgin real-JetStream stream reports
     * first_seq 0 — clamped to 1 to honor the trait's "1 if nothing
@@ -617,6 +671,7 @@ private[nats] final class JetStreamTcpConnection(c: TcpNatsClient)
           c.request(s"$$JS.API.STREAM.INFO.$name", Array.emptyByteArray)(_ => true).head,
           UTF_8)
         apiError(body).foreach(e => throw new IOException(s"JetStream STREAM.INFO failed: $e"))
+        validateSingleSubject(name, subject, body)
         (math.max(1L, NatsWire.jsonLongField(body, "first_seq").getOrElse(1L)),
           NatsWire.jsonLongField(body, "last_seq").getOrElse(0L))
     }
@@ -629,30 +684,72 @@ private[nats] final class JetStreamTcpConnection(c: TcpNatsClient)
 
   override def fetchRetainedWithHeaders(
       subject: String, afterSeq: Long, max: Int): Array[(Seq[(String, String)], Array[Byte])] = {
-    if (max <= 0) return Array.empty
-    val (first, last) = state(subject)
-    val from = afterSeq + 1
-    if (from > last) return Array.empty
-    if (from < first)
-      throw new IllegalStateException(
-        s"sequence $from on '$subject' is beyond the retention window " +
-          s"(earliest retained: $first): the checkpointed position was evicted")
-    val stream = streamFor(subject).get // nonEmpty: last > 0 implies a stream exists
-    val count = math.min(max.toLong, last - afterSeq).toInt
-    val created = new String(
-      c.request(s"$$JS.API.CONSUMER.CREATE.$stream",
-        (s"""{"stream_name":${NatsWire.jsonStr(stream)},"config":{""" +
-          s""""deliver_policy":"by_start_sequence","opt_start_seq":$from,""" +
-          s""""ack_policy":"none","replay_policy":"instant"}}""").getBytes(UTF_8))(_ => true).head,
-      UTF_8)
-    apiError(created).foreach(e => throw new IOException(s"JetStream CONSUMER.CREATE failed: $e"))
-    val consumer = NatsWire.jsonField(created, "name").getOrElse(
-      throw new IOException(s"JetStream CONSUMER.CREATE reply carries no name: $created"))
-    try {
+    val session = openRangeFetch(subject, afterSeq)
+    try session.next(max) finally session.close()
+  }
+
+  /** One ephemeral pull consumer serves the WHOLE range: chunked readers
+    * (NatsReplayReader pulls batchSize at a time) cost one
+    * CREATE/DELETE per partition instead of one per chunk — a 10M-row
+    * partition at batchSize 1000 would otherwise churn 10,000 consumers
+    * and re-fetch stream state as many times. */
+  override def openRangeFetch(subject: String, afterSeq: Long): RangeFetch = new RangeFetch {
+    private var cursor = afterSeq
+    // Resolved lazily so an immediately-empty subject costs one INFO and
+    // no consumer; `last` is the stream end at open time — the planned
+    // range always predates it, and a session never chases new data.
+    private var consumer: String = null
+    private var stream: String = null
+    private var last = -1L
+
+    private def ensureConsumer(): Boolean = {
+      if (consumer != null) return true
+      val (first, l) = state(subject)
+      last = l
+      if (cursor + 1 > last) return false // nothing retained past cursor
+      if (cursor + 1 < first)
+        throw new IllegalStateException(
+          s"sequence ${cursor + 1} on '$subject' is beyond the retention window " +
+            s"(earliest retained: $first): the checkpointed position was evicted")
+      stream = streamFor(subject).get // nonEmpty: last > 0 implies a stream exists
+      val created = new String(
+        c.request(s"$$JS.API.CONSUMER.CREATE.$stream",
+          (s"""{"stream_name":${NatsWire.jsonStr(stream)},"config":{""" +
+            s""""deliver_policy":"by_start_sequence","opt_start_seq":${cursor + 1},""" +
+            s""""filter_subject":${NatsWire.jsonStr(subject)},""" +
+            s""""ack_policy":"none","replay_policy":"instant"}}""").getBytes(UTF_8))(_ => true).head,
+        UTF_8)
+      apiError(created).foreach(e => throw new IOException(s"JetStream CONSUMER.CREATE failed: $e"))
+      consumer = NatsWire.jsonField(created, "name").getOrElse(
+        throw new IOException(s"JetStream CONSUMER.CREATE reply carries no name: $created"))
+      true
+    }
+
+    def next(max: Int): Array[(Seq[(String, String)], Array[Byte])] = {
+      if (max <= 0 || !ensureConsumer()) return Array.empty
+      val from = cursor + 1
+      val count = math.min(max.toLong, last - cursor).toInt
+      if (count <= 0) return Array.empty
       var got = 0
       val replies = c.requestRaw(
         s"$$JS.API.CONSUMER.MSG.NEXT.$stream.$consumer",
-        s"""{"batch":$count}""".getBytes(UTF_8)) { (_, _) => got += 1; got >= count }
+        s"""{"batch":$count}""".getBytes(UTF_8)) { (reply, _) =>
+        // A reply without $JS.ACK metadata is a server STATUS (404 no
+        // messages, 408 expired, 409 limits) — terminal, diagnosed below.
+        if (reply == null || !reply.startsWith("$JS.ACK.")) true
+        else { got += 1; got >= count }
+      }
+      replies.lastOption.foreach { case (reply, headers, payload) =>
+        if (reply == null || !reply.startsWith("$JS.ACK.")) {
+          val status = headers.collectFirst { case ("Nats-Status", s) => s }
+            .getOrElse(new String(payload, UTF_8).take(120))
+          throw new IOException(
+            s"JetStream MSG.NEXT on '$subject' answered with a status instead of " +
+              s"a message: '$status' after ${replies.size - 1} of $count — check " +
+              "consumer/account limits (e.g. max_request_batch) and stream health")
+        }
+      }
+      cursor += count
       replies.zipWithIndex.map { case ((ack, headers, payload), i) =>
         // $JS.ACK.<stream>.<consumer>.<delivered>.<sseq>.<cseq>.<ts>.<pending>
         val sseq = Option(ack).map(_.split('.')).filter(_.length >= 6).map(_(5).toLong)
@@ -662,11 +759,14 @@ private[nats] final class JetStreamTcpConnection(c: TcpNatsClient)
               s"where ${from + i} was expected: stream was purged or rolled mid-fetch")
         (headers, payload)
       }.toArray
-    } finally {
+    }
+
+    def close(): Unit = if (consumer != null) {
       // best-effort: real servers expire idle ephemerals themselves
       try c.request(s"$$JS.API.CONSUMER.DELETE.$stream.$consumer",
         Array.emptyByteArray)(_ => true)
       catch { case _: IOException => () }
+      consumer = null
     }
   }
 }
@@ -715,7 +815,12 @@ final class MiniNatsServer(
     jetStream: Boolean = false,
     // Advertise-only (no actual TLS upgrade follows): lets specs pin the
     // client's fail-fast against a tls{}-configured broker's INFO.
-    tlsRequired: Boolean = false) {
+    tlsRequired: Boolean = false,
+    // Advertise-only: when set, STREAM.INFO reports this subject list in
+    // the stream config (retention itself stays per-literal-subject) —
+    // lets specs pin the client's multi-subject-stream guard against the
+    // common `ev.>` catch-all stream configuration.
+    jsAdvertiseSubjects: Option[Seq[String]] = None) {
   import NatsWire._
 
   require(!jetStream || retainCapacity > 0,
@@ -775,7 +880,9 @@ final class MiniNatsServer(
       if (subj == null) { notFound("stream", 10059); return }
       val r = ringFor(subj)
       val (first, last, msgs) = r.synchronized { (r.earliest, r.nextSeq - 1, r.buf.size) }
-      respond(s"""{"type":"io.nats.jetstream.api.v1.stream_info_response","config":{"name":${jsonStr(name)},"subjects":[${jsonStr(subj)}],"retention":"limits","max_msgs":$retainCapacity},"state":{"messages":$msgs,"first_seq":$first,"last_seq":$last}}""")
+      val subjectsJson =
+        jsAdvertiseSubjects.getOrElse(Seq(subj)).map(jsonStr).mkString("[", ",", "]")
+      respond(s"""{"type":"io.nats.jetstream.api.v1.stream_info_response","config":{"name":${jsonStr(name)},"subjects":$subjectsJson,"retention":"limits","max_msgs":$retainCapacity},"state":{"messages":$msgs,"first_seq":$first,"last_seq":$last}}""")
     } else if (subject.startsWith("$JS.API.CONSUMER.CREATE.")) {
       val name = subject.stripPrefix("$JS.API.CONSUMER.CREATE.")
       val subj = jsSubjects.get(name)

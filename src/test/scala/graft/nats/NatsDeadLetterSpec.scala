@@ -13,8 +13,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * keeps the skip-and-count error policy AND republishes every skipped
   * payload to the named subject, the parse error and source envelope
   * riding as NATS headers (`Graft-Error`, `Graft-Source-Subject`,
-  * `Graft-Source-Seq`) on the ORIGINAL payload bytes — the NATS-native
-  * quarantine queue an operator drains with a plain subscription.
+  * `Graft-Source-Seq`) on the payload as the pipeline decoded it (UTF-8
+  * text — the codecs are textual, so a non-UTF-8 payload is already
+  * garbage at decode and its invalid bytes arrive replaced) — the
+  * NATS-native quarantine queue an operator drains with a plain
+  * subscription.
   */
 class NatsDeadLetterSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -57,7 +60,7 @@ class NatsDeadLetterSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the malformed payload arrived on the quarantine subject, intact,
       // with the error and source envelope in its headers
       val (headers, payload) = dead.poll(10, TimeUnit.SECONDS)
-      assert(payload === "not-a-row", "dead letter must carry the ORIGINAL payload bytes")
+      assert(payload === "not-a-row", "dead letter must carry the payload text unchanged")
       val h = headers.toMap
       assert(h.contains("Graft-Error") && h("Graft-Error").nonEmpty)
       assert(h("Graft-Source-Subject") === "ev")

@@ -306,6 +306,29 @@ class NatsMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally gw.stop()
   }
 
+  test("_headers survives hostile values: control chars sanitized, duplicate keys last-wins, UTF-8 kept") {
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val q = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "hostile").option("batchSize", "1").load()
+      .select(col("id"), col("_headers"))
+      .writeStream.format("memory").queryName("meta_hostile").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "hostile")
+      // a foreign client can put any byte in a header value — the
+      // envelope framing (NUL/SOH/STX) must survive, skip-and-continue
+      // intact; duplicate keys are legal NATS, Spark maps need one
+      conn.publishWithHeaders("hostile",
+        Seq("K" -> "a\u0000b\u0001c\u0002d", "K" -> "wins", "Naïve" -> "café"),
+        "1,x".getBytes)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, _headers FROM meta_hostile")
+        .collect().map(r => (r.getInt(0), r.getMap[String, String](1).toMap)).toSeq
+      assert(rows === Seq((1, Map("K" -> "wins", "Naïve" -> "café"))),
+        "control bytes must not mis-frame the envelope; last duplicate wins; UTF-8 intact")
+    } finally { q.stop(); conn.close() }
+  }
+
   test("a data column named _subject shadows the metadata column (Spark drops the conflict)") {
     val url = freshBus() + "?retain=10"
     val conn = NatsTransport.connect(url)

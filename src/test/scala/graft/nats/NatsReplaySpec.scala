@@ -526,6 +526,24 @@ class NatsReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  test("JetStream replay rejects multi-subject streams (positional offsets need dense sequences)") {
+    // The common catch-all config (`ev.>` stream) interleaves subjects in
+    // one sequence space — replay must fail with guidance, not silently
+    // return other subjects' rows.
+    val server = new MiniNatsServer(retainCapacity = 100, jetStream = true,
+      jsAdvertiseSubjects = Some(Seq("ev.>")))
+    try {
+      val conn = NatsTransport.connect(server.url)
+      try {
+        conn.publish("ev.a", "1,row1".getBytes)
+        val r = conn.asInstanceOf[ReplayableNatsConnection]
+        val e = intercept[UnsupportedOperationException](r.fetchRetained("ev.a", 0, 10))
+        assert(e.getMessage.contains("exactly that one literal subject"), e.getMessage)
+        assert(e.getMessage.contains("ev.>"), "must name the offending capture list")
+      } finally conn.close()
+    } finally server.stop()
+  }
+
   test("replay=true on a fire-and-forget transport is rejected with guidance") {
     val server = new MiniNatsServer
     try {
