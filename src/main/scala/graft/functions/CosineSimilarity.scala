@@ -143,6 +143,8 @@ object GraftFunctions {
     unary("graft_shingle_hashes", ShingleHashes),
     unary("graft_lsh_buckets", LshBuckets),
     unary("graft_text_counts", TextCounts),
+    unary("graft_span_hashes", SpanHashes),
+    unary("graft_char_entropy", CharEntropy),
     unary("graft_minhash_agg", (c: Expression) => MinHashAgg(c)))
 
   def register(spark: SparkSession): Unit = {

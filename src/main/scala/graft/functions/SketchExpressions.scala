@@ -83,6 +83,31 @@ case class ShingleHashes(child: Expression) extends NullableArraySketch {
     copy(child = newChild)
 }
 
+/** Strided rolling-window 60-bit span hashes over lower(text) (q102). */
+case class SpanHashes(child: Expression) extends NullableArraySketch {
+  protected def expectedInput: DataType = StringType
+  protected def kernel: String = "spanHashes"
+  override def prettyName: String = "graft_span_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.spanHashes(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): SpanHashes =
+    copy(child = newChild)
+}
+
+/** Shannon entropy in bits/char over the text's code points (q104). */
+case class CharEntropy(child: Expression) extends SketchUnary {
+  protected def expectedInput: DataType = StringType
+  protected def kernel: String = "charEntropy"
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_char_entropy"
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.charEntropy(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.charEntropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** Sign-LSH bucket keys, one per hash table (q46 / q54). */
 case class LshBuckets(child: Expression) extends SketchUnary {
   protected def expectedInput: DataType = ArrayType(FloatType)

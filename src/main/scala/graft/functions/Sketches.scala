@@ -193,6 +193,61 @@ object Sketches {
     new GenericArrayData(out)
   }
 
+  // ---- duplicated-span detection (q102): strided rolling windows over
+  // the lowercased text. 32-char windows every 8 chars ≈ the ExactSubstr
+  // idea at 1/8 the window count — a span duplicated across documents
+  // collides on at least one aligned-enough window.
+  val SPAN_W: Int = 32
+  val SPAN_S: Int = 8
+
+  /** 60-bit hashes of the strided SPAN_W-codepoint windows of
+    * `lower(text)` (duplicates kept; callers array_distinct scan-locally),
+    * or null when the text is shorter than one window — the same rows the
+    * oracle's `generate_series(1, len - (W-1), S)` leaves empty. */
+  def spanHashes(text: UTF8String): ArrayData = {
+    val lt = text.toLowerCase
+    val n = lt.numChars()
+    if (n < SPAN_W) return null
+    val count = (n - SPAN_W) / SPAN_S + 1
+    val out = new Array[Long](count)
+    var j = 0
+    while (j < count) {
+      val start = j * SPAN_S
+      out(j) = md5Prefix60(lt.substringSQL(start + 1, SPAN_W).getBytes)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Shannon entropy (bits/char) over the text's code points, as
+    * `log2(n) - sum(c_i * log2(c_i)) / n` — the exact arithmetic shape the
+    * DuckDB oracle writes, so cross-engine drift is the two engines' log2
+    * ulp difference only (rounded away at 6 decimals by the caller).
+    * 0.0 for empty text (callers filter len > 0 to match the oracle's
+    * vanishing empty-series rows). */
+  def charEntropy(text: UTF8String): Double = {
+    val s = text.toString
+    if (s.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    val ln2 = math.log(2.0)
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toDouble
+      acc += c * (math.log(c) / ln2)
+    }
+    math.log(n.toDouble) / ln2 - acc / n
+  }
+
   private val MARKERS: Array[UTF8String] =
     Array("the", "der", "el", "le", "的").map(UTF8String.fromString)
 

@@ -905,6 +905,100 @@ object Pipeline {
         .select(col("w").as("term"), col("df"), col("total_tf"),
           col("rk"), col("doc_id"), col("tf"))
         .orderBy(col("term"), col("rk"))
+    },
+
+    // ---- duplicated-span detection (ExactSubstr made tractable): strided
+    // 32-char rolling windows over lower(text), hashed scan-locally by the
+    // native graft_span_hashes kernel and deduped WITHIN the document by
+    // array_distinct before the explode — so the only shuffles are the
+    // span-hash window (which spans appear in >= 2 docs) and the per-doc
+    // rollup. Distinct from q48 (head fingerprint) and q98 (line-level):
+    // this finds PARTIAL cross-document duplication anywhere in the text,
+    // the Lee-et-al. "deduplicating training data" signal. At 100 TB the
+    // hash-keyed exchange carries 8-byte longs at ~len/8 per doc, never
+    // the text. ----
+    QueryDef("q102_dup_spans", dupSpansOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val spans = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(expr("graft_span_hashes(text)"))).as("h"))
+      val wH = Window.partitionBy(col("h"))
+      val per = spans.withColumn("n_docs_with", count(lit(1)).over(wH))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      per.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_spans")).as("sum_spans"),
+          sum(col("n_dup")).as("sum_dup_spans"),
+          round(avg(col("n_dup").cast(DoubleType) / col("n_spans")), 6).as("avg_dup_frac"),
+          sum(when(col("n_dup") * 2 >= col("n_spans"), 1L).otherwise(0L)).as("n_docs_flagged"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- bigram-LM quality scoring (the CCNet/KenLM idea, self-trained):
+    // an add-one-smoothed per-language word-bigram LM is "trained" as two
+    // count aggregations over the corpus, and every document is scored by
+    // its average negative log-likelihood — high cross-entropy = improbable
+    // under the corpus's own statistics = quality outlier. Reported: the
+    // top-3 most improbable documents per language. 100 TB shape: bigrams
+    // reduce to 60-bit hashes scan-locally, the count tables and the
+    // scoring join are all keyed on (lang, hash) — canonical co-partitioned
+    // token-statistics joins; the 5-row vocab table broadcasts. bg feeds
+    // four consumers -> persisted (one corpus scan, q85/q88/q99 rule). ----
+    QueryDef("q103_bigram_lm", bigramLmOracle) { (s, dir) =>
+      def h60(c: Column): Column =
+        conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+      val words = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val bg = words
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), size(col("ws")) - 1)).as("i"), col("ws"))
+        .select(col("doc_id"), col("lang"),
+          h60(element_at(col("ws"), col("i"))).as("h1"),
+          h60(concat_ws(" ",
+            element_at(col("ws"), col("i")),
+            element_at(col("ws"), col("i") + 1))).as("h2"))
+        .persist()
+      val c2 = bg.groupBy(col("lang"), col("h2")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("lang"), col("h1")).agg(count(lit(1)).as("c1"))
+      val vocab = bg.select(col("lang"), col("h1")).distinct()
+        .groupBy(col("lang")).agg(count(lit(1)).as("v"))
+      val per = bg
+        .join(c2, Seq("lang", "h2"))
+        .join(c1, Seq("lang", "h1"))
+        .join(broadcast(vocab), Seq("lang"))
+        .select(col("doc_id"), col("lang"),
+          (-log((col("c2") + lit(1)).cast(DoubleType) / (col("c1") + col("v")))).as("nll"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(avg(col("nll")).as("ce_raw"), count(lit(1)).as("n_bigrams"))
+      val wLang = Window.partitionBy(col("lang")).orderBy(col("ce_raw").desc, col("doc_id"))
+      per.withColumn("rk", row_number().over(wLang))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("rk"), col("doc_id"),
+          round(col("ce_raw"), 6).as("ce"), col("n_bigrams"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
+    // ---- per-document character entropy (bits/char), the classic
+    // low-entropy spam/boilerplate signal: one scan-local pass per row in
+    // the native codegen'd graft_char_entropy kernel (counting map + one
+    // log2 per distinct codepoint), then a 5-row per-language rollup —
+    // map-side partial aggregation, the cheapest possible 100 TB shape. ----
+    QueryDef("q104_char_entropy", charEntropyOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      T(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("lang"), expr("graft_char_entropy(text)").as("h"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("h")), 6).as("avg_entropy"),
+          round(min(col("h")), 6).as("min_entropy"),
+          round(max(col("h")), 6).as("max_entropy"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -1223,6 +1317,86 @@ object Pipeline {
       |  CAST(SUM(total) AS BIGINT) AS sum_shingles,
       |  CAST(SUM(total - uniq) AS BIGINT) AS sum_dups,
       |  round(AVG(1.0 - uniq::DOUBLE / total), 6) AS avg_dup_ratio
+      |FROM per GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** DuckDB mirror of q102: same lowercasing, same strided windows
+    * (SPAN_W/SPAN_S interpolated from Sketches so both engines move in
+    * lockstep), same 60-bit md5 hashes, same within-doc DISTINCT. */
+  private def dupSpansOracle: String = {
+    val w = graft.functions.Sketches.SPAN_W
+    val s = graft.functions.Sketches.SPAN_S
+    s"""WITH n AS (
+       |  SELECT doc_id, lang, lower(text) AS nt
+       |  FROM documents WHERE text IS NOT NULL),
+       |sp AS (
+       |  SELECT DISTINCT doc_id, lang,
+       |    ('0x' || substr(md5(substr(nt, i, $w)), 1, 15))::BIGINT AS h
+       |  FROM n, unnest(generate_series(1, len(nt) - ${w - 1}, $s)) AS u(i)),
+       |m AS (
+       |  SELECT doc_id, lang, COUNT(*) OVER (PARTITION BY h) AS n_docs_with
+       |  FROM sp),
+       |per AS (
+       |  SELECT doc_id, lang, COUNT(*) AS n_spans,
+       |    SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS n_dup
+       |  FROM m GROUP BY doc_id, lang)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_spans) AS BIGINT) AS sum_spans,
+       |  CAST(SUM(n_dup) AS BIGINT) AS sum_dup_spans,
+       |  round(AVG(n_dup::DOUBLE / n_spans), 6) AS avg_dup_frac,
+       |  CAST(SUM(CASE WHEN n_dup * 2 >= n_spans THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_flagged
+       |FROM per GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
+  /** DuckDB mirror of q103: identical 60-bit bigram/prefix hashes,
+    * identical add-one smoothing, avg(-ln) cross-entropy, top-3 per lang. */
+  private def bigramLmOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |bg AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(ws[i]), 1, 15))::BIGINT AS h1,
+      |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15))::BIGINT AS h2
+      |  FROM w, unnest(generate_series(1, len(ws)-1)) AS u(i)
+      |  WHERE len(ws) >= 2),
+      |c2 AS (SELECT lang, h2, COUNT(*) AS c2 FROM bg GROUP BY lang, h2),
+      |c1 AS (SELECT lang, h1, COUNT(*) AS c1 FROM bg GROUP BY lang, h1),
+      |v AS (SELECT lang, COUNT(DISTINCT h1) AS v FROM bg GROUP BY lang),
+      |sc AS (
+      |  SELECT bg.doc_id, bg.lang, -ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)) AS nll
+      |  FROM bg JOIN c2 USING (lang, h2) JOIN c1 USING (lang, h1) JOIN v USING (lang)),
+      |per AS (
+      |  SELECT doc_id, lang, AVG(nll) AS ce_raw, COUNT(*) AS n_bigrams
+      |  FROM sc GROUP BY doc_id, lang),
+      |r AS (
+      |  SELECT lang, doc_id, ce_raw, n_bigrams,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ce_raw DESC, doc_id) AS rk
+      |  FROM per)
+      |SELECT lang, rk, doc_id, round(ce_raw, 6) AS ce, n_bigrams
+      |FROM r WHERE rk <= 3
+      |ORDER BY lang, rk""".stripMargin
+
+  /** DuckDB mirror of q104: the kernel computes the exact formula written
+    * here — log2(n) - sum(c*log2(c))/n over per-character counts. */
+  private def charEntropyOracle: String =
+    """WITH pos AS (
+      |  SELECT doc_id, lang, text, len(text) AS n FROM documents
+      |  WHERE text IS NOT NULL AND len(text) > 0),
+      |ch AS (
+      |  SELECT doc_id, lang, substr(text, i, 1) AS c
+      |  FROM pos, unnest(generate_series(1, n)) AS u(i)),
+      |cc AS (SELECT doc_id, lang, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, lang, c),
+      |per AS (
+      |  SELECT doc_id, lang,
+      |    log2(SUM(cnt)) - SUM(cnt * log2(cnt)) / SUM(cnt) AS h
+      |  FROM cc GROUP BY doc_id, lang)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  round(AVG(h), 6) AS avg_entropy,
+      |  round(MIN(h), 6) AS min_entropy,
+      |  round(MAX(h), 6) AS max_entropy
       |FROM per GROUP BY lang
       |ORDER BY lang""".stripMargin
 

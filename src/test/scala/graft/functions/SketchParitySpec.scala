@@ -246,6 +246,62 @@ class SketchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tcNew === tcOld)
   }
 
+  test("graft_span_hashes equals the strided-substring SQL formulation (incl. null under one window)") {
+    val W = Sketches.SPAN_W
+    val S = Sketches.SPAN_S
+    val base = docs.select(col("doc_id"), lower(col("text")).as("nt"))
+    val oldWay = base
+      .filter(length(col("nt")) >= W)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("nt")) - (W - 1), lit(S))).as("i"), col("nt"))
+      .select(col("doc_id"), col("i"),
+        conv(substring(md5(expr(s"substring(nt, i, $W)")), 1, 15), 16, 10)
+          .cast(LongType).as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val newWay = docs
+      .select(col("doc_id"), posexplode(expr("graft_span_hashes(text)")).as(Seq("j", "h")))
+      .collect().map(r => (r.getLong(0), r.getInt(1) * S + 1) -> r.getLong(2)).toMap
+    assert(newWay === oldWay)
+    // documents shorter than one window (and only those) are null
+    import spark.implicits._
+    val edge = Seq((1L, "short"), (2L, "x" * (Sketches.SPAN_W - 1)),
+      (3L, "y" * Sketches.SPAN_W), (4L, "Z" * (Sketches.SPAN_W + Sketches.SPAN_S)))
+      .toDF("doc_id", "text")
+    val nulls = edge.select(col("doc_id"), expr("graft_span_hashes(text)").as("hs"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(nulls === Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    val sizes = edge.filter(col("doc_id") >= 3)
+      .select(col("doc_id"), size(expr("graft_span_hashes(text)")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sizes === Map(3L -> 1, 4L -> 2)) // lowercasing applied before windowing
+  }
+
+  test("graft_char_entropy equals the explode + count + log2 SQL formulation") {
+    val perChar = docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")))).as("i"), col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("c"))
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
+    val oldWay = perChar.groupBy(col("doc_id"))
+      .agg((log2(sum(col("cnt"))) -
+        sum(col("cnt") * log2(col("cnt"))) / sum(col("cnt"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val newWay = docs.select(col("doc_id"), expr("graft_char_entropy(text)"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(newWay.keySet === oldWay.keySet)
+    // summation order differs (map iteration vs aggregate); equality is
+    // up to float associativity — far inside the 6-decimal oracle round
+    newWay.foreach { case (id, h) => assert(math.abs(h - oldWay(id)) < 1e-9, s"doc $id") }
+    // degenerate inputs: empty -> 0.0, single repeated char -> 0.0
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "aaaa"), (3L, "ab"), (4L, "的的aa"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), expr("graft_char_entropy(text)").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(edge(1L) === 0.0 && edge(2L) === 0.0 && edge(3L) === 1.0 && edge(4L) === 1.0)
+  }
+
   test("graft_text_counts equals split/filter/regexp_extract_all formulation") {
     val markers = Seq("en" -> "the", "de" -> "der", "es" -> "el", "fr" -> "le", "zh" -> "的")
     val base = docs
