@@ -92,7 +92,15 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // renamed copies contribute ZERO postings — only corpus stats grow);
     // the inverted index caps postings per term at POSTK while the term
     // universe grows ~10x
-    "q93_kmeans_assign", "q96_bm25", "q99_inverted_index")
+    "q93_kmeans_assign", "q96_bm25", "q99_inverted_index",
+    // round-12 additions: q102's span windows are char-level — the zqN
+    // token suffixes shift every window, so copies share no span hashes
+    // and the dup structure is per-copy (the hash-keyed exchange grows
+    // linearly); q103's bigram alphabet is disjoint across copies, so
+    // count tables and the scoring join grow 10x in rows AND key
+    // cardinality — the co-partitioned-join linear case; q104 is a pure
+    // scan + 5-row rollup, the map-side-partial-agg linear baseline
+    "q102_dup_spans", "q103_bigram_lm", "q104_char_entropy")
 
   /** Build + materialize, cold (cache cleared): wall seconds, plan-node
     * multiset, result rows. Build time is included on purpose — q76 runs
