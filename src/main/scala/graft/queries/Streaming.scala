@@ -3,8 +3,9 @@ package graft.queries
 import java.util.UUID
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.nats.{NatsDemo, NatsTransport}
@@ -566,6 +567,108 @@ object Streaming {
         conn.close()
       }
       s.sql(s"SELECT id, name, trace_id, source, n_headers FROM $sink ORDER BY id")
+    },
+
+    // Spark 4's transformWithState (the arbitrary-state API succeeding
+    // mapGroupsWithState) over the live NATS source: per-user TYPED
+    // multi-state — two ValueStates (event count, floored value sum) and
+    // a MapState of per-event-type counts. The MapState is the part the
+    // old API cannot express incrementally: mapGroupsWithState holds ONE
+    // value per key, so a type histogram means rewriting the whole map
+    // every update, while MapState point-updates one (type -> count)
+    // entry in the store — O(1) state I/O per event at 100 TB streaming
+    // volume. Requires the multi-column-family RocksDB state store
+    // (set for this query, restored after). Two publish rounds force a
+    // batch boundary; update-mode emissions are monotone in all three
+    // outputs, so the sink's MAX per key is the final state.
+    QueryDef.noBench(
+      "q105_transform_with_state",
+      """SELECT uid, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(sum_floor AS BIGINT) AS sum_floor
+        |FROM (VALUES (1, 3, 2, 3), (2, 3, 3, 8)) AS t(uid, n_events, n_types, sum_floor)
+        |ORDER BY uid""".stripMargin) { (s, _) =>
+      val url = s"memory://q105-${UUID.randomUUID()}"
+      val sink = s"nats_tws_sink_${sinkId.incrementAndGet()}"
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType, nullable = false),
+        StructField("uid", IntegerType, nullable = false),
+        StructField("etype", StringType, nullable = false),
+        StructField("value", DoubleType, nullable = false)))
+      import s.implicits._
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val conn = NatsTransport.connect(url)
+        val updates = s.readStream.format("nats").schema(schema)
+          .option("url", url).option("subject", "user_events_tws")
+          .option("batchSize", "3").load()
+          .select(col("uid"), col("etype"), floor(col("value")).cast(LongType).as("vf"))
+          .as[(Int, String, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
+          .toDF("uid", "n_events", "n_types", "sum_floor")
+        val q = updates.writeStream.outputMode("update")
+          .format("memory").queryName(sink).start()
+        try {
+          NatsDemo.awaitSubscriber(url, "user_events_tws")
+          // batch 1 — u1: click 1.5, view 2.5; u2: click 3.0
+          Seq("2024-01-01 10:00:00,1,click,1.5", "2024-01-01 10:00:10,1,view,2.5",
+            "2024-01-01 10:00:00,2,click,3.0")
+            .foreach(m => conn.publish("user_events_tws", m.getBytes))
+          q.processAllAvailable()
+          // batch 2 — u1: repeat type (n_types stays 2); u2: two new types
+          Seq("2024-01-01 10:00:40,1,click,0.5", "2024-01-01 10:01:00,2,buy,4.0",
+            "2024-01-01 10:01:05,2,view,1.0")
+            .foreach(m => conn.publish("user_events_tws", m.getBytes))
+          q.processAllAvailable()
+        } finally {
+          q.stop()
+          conn.close()
+        }
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+      s.sql(s"""SELECT uid, MAX(n_events) AS n_events, MAX(n_types) AS n_types,
+               |  MAX(sum_floor) AS sum_floor
+               |FROM $sink GROUP BY uid ORDER BY uid""".stripMargin)
     }
   )
+}
+
+/** q105's processor: per-user running stats in three independently-typed
+  * state variables. Batch-internal row order is irrelevant — count, sum,
+  * and per-type counts are order-insensitive — so no within-batch sort is
+  * needed (unlike q80's inter-event gap).
+  */
+private class UserStatsProcessor
+    extends StatefulProcessor[Int, (Int, String, Long), (Int, Long, Long, Long)] {
+  @transient private var nEvents: ValueState[Long] = _
+  @transient private var sumFloor: ValueState[Long] = _
+  @transient private var typeCounts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    nEvents = getHandle.getValueState[Long]("n_events", Encoders.scalaLong, TTLConfig.NONE)
+    sumFloor = getHandle.getValueState[Long]("sum_floor", Encoders.scalaLong, TTLConfig.NONE)
+    typeCounts = getHandle.getMapState[String, Long](
+      "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(uid: Int, rows: Iterator[(Int, String, Long)],
+      timers: TimerValues): Iterator[(Int, Long, Long, Long)] = {
+    var n = if (nEvents.exists()) nEvents.get() else 0L
+    var sm = if (sumFloor.exists()) sumFloor.get() else 0L
+    rows.foreach { case (_, etype, vf) =>
+      n += 1
+      sm += vf
+      val c = if (typeCounts.containsKey(etype)) typeCounts.getValue(etype) else 0L
+      typeCounts.updateValue(etype, c + 1)
+    }
+    nEvents.update(n)
+    sumFloor.update(sm)
+    Iterator.single((uid, n, typeCounts.keys().size.toLong, sm))
+  }
 }

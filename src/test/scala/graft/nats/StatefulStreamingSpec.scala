@@ -210,4 +210,18 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("q105 QueryDef: MapState type histogram + two ValueStates across a batch boundary") {
+    // The registry entry (oracle-paired in the driver gate) run as a
+    // spec: point-updatable MapState per-type counts, monotone outputs
+    // reduced by the sink MAX, provider conf restored after the build.
+    val df = graft.queries.Registry.byName("q105_transform_with_state").build(spark, "")
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq((1, 3L, 2L, 3L), (2, 3L, 3L, 8L)))
+    // conf restore: the effective provider is back to the session default
+    // (RuntimeConfig.getOption surfaces the default, so the restore
+    // re-sets it explicitly — what matters is RocksDB didn't leak)
+    assert(!spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDB"), "q105 must not leak its RocksDB provider setting")
+  }
 }
