@@ -635,6 +635,70 @@ object Streaming {
       s.sql(s"""SELECT uid, MAX(n_events) AS n_events, MAX(n_types) AS n_types,
                |  MAX(sum_floor) AS sum_floor
                |FROM $sink GROUP BY uid ORDER BY uid""".stripMargin)
+    },
+
+    // Event-time TIMERS (transformWithState + TimeMode.EventTime): session
+    // summaries emitted ONLY when the watermark passes a per-key timer set
+    // 30 s after the key's last event — emission fully decoupled from
+    // input rows (the no-data micro-batch fires the expired timers), the
+    // pattern for "emit when a key goes quiet" at scale: no polling tick
+    // stream, no per-trigger full-state scan — the store indexes timers by
+    // expiry. u1 spans a batch boundary (its first timer is deleted and
+    // re-registered); u3's late traffic advances the watermark past
+    // u1/u2's timers but its own never expires — exactly two sessions
+    // close. Append mode: rows exist only where timers fired.
+    QueryDef.noBench(
+      "q106_stream_timers",
+      """SELECT uid, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(dur_s AS BIGINT) AS dur_s
+        |FROM (VALUES (1, 3, 20), (2, 1, 0)) AS t(uid, n_events, dur_s)
+        |ORDER BY uid""".stripMargin) { (s, _) =>
+      val url = s"memory://q106-${UUID.randomUUID()}"
+      val sink = s"nats_timer_sink_${sinkId.incrementAndGet()}"
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType, nullable = false),
+        StructField("uid", IntegerType, nullable = false)))
+      import s.implicits._
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val conn = NatsTransport.connect(url)
+        val sessions = s.readStream.format("nats").schema(schema)
+          .option("url", url).option("subject", "session_events")
+          .option("batchSize", "3").load()
+          .withWatermark("ts", "10 seconds")
+          .select(col("uid"), unix_timestamp(col("ts")).as("sec"))
+          .as[(Int, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new SessionTimerProcessor,
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("uid", "n_events", "dur_s")
+        val q = sessions.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try {
+          NatsDemo.awaitSubscriber(url, "session_events")
+          // batch 1 — u1: 10:00:00, 10:00:10 (timer -> 10:00:40);
+          //           u2: 10:00:05 (timer -> 10:00:35)
+          Seq("2024-01-01 10:00:00,1", "2024-01-01 10:00:10,1", "2024-01-01 10:00:05,2")
+            .foreach(m => conn.publish("session_events", m.getBytes))
+          q.processAllAvailable()
+          // batch 2 — u1 extends (timer re-registered -> 10:00:50); u3's
+          // traffic drives the watermark to 10:01:51: past u1/u2's timers
+          // (fired in the trailing no-data batch), short of u3's own
+          Seq("2024-01-01 10:00:20,1", "2024-01-01 10:02:00,3", "2024-01-01 10:02:01,3")
+            .foreach(m => conn.publish("session_events", m.getBytes))
+          q.processAllAvailable()
+        } finally {
+          q.stop()
+          conn.close()
+        }
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+      s.sql(s"SELECT uid, n_events, dur_s FROM $sink ORDER BY uid")
     }
   )
 }
@@ -670,5 +734,51 @@ private class UserStatsProcessor
     nEvents.update(n)
     sumFloor.update(sm)
     Iterator.single((uid, n, typeCounts.keys().size.toLong, sm))
+  }
+}
+
+/** q106's processor: input rows only maintain state and (re)arm the
+  * key's session timer; ALL emission happens in handleExpiredTimer when
+  * the watermark passes it — the "key went quiet" shape. Session gap:
+  * 30 s after the key's latest event.
+  */
+private class SessionTimerProcessor
+    extends StatefulProcessor[Int, (Int, Long), (Int, Long, Long)] {
+  private val GapSec = 30L
+  @transient private var cnt: ValueState[Long] = _
+  @transient private var tMin: ValueState[Long] = _
+  @transient private var tMax: ValueState[Long] = _
+  @transient private var armed: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+    tMin = getHandle.getValueState[Long]("t_min", Encoders.scalaLong, TTLConfig.NONE)
+    tMax = getHandle.getValueState[Long]("t_max", Encoders.scalaLong, TTLConfig.NONE)
+    armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(uid: Int, rows: Iterator[(Int, Long)],
+      timers: TimerValues): Iterator[(Int, Long, Long)] = {
+    var c = if (cnt.exists()) cnt.get() else 0L
+    var lo = if (tMin.exists()) tMin.get() else Long.MaxValue
+    var hi = if (tMax.exists()) tMax.get() else Long.MinValue
+    rows.foreach { case (_, sec) =>
+      c += 1
+      lo = math.min(lo, sec)
+      hi = math.max(hi, sec)
+    }
+    cnt.update(c); tMin.update(lo); tMax.update(hi)
+    if (armed.exists()) getHandle.deleteTimer(armed.get()) // session extended
+    val expiry = (hi + GapSec) * 1000L
+    getHandle.registerTimer(expiry)
+    armed.update(expiry)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(uid: Int, timers: TimerValues,
+      expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Int, Long, Long)] = {
+    val out = (uid, cnt.get(), tMax.get() - tMin.get())
+    cnt.clear(); tMin.clear(); tMax.clear(); armed.clear()
+    Iterator.single(out)
   }
 }

@@ -224,4 +224,13 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.conf.get("spark.sql.streaming.stateStore.providerClass")
       .contains("RocksDB"), "q105 must not leak its RocksDB provider setting")
   }
+
+  test("q106 QueryDef: event-time timers close sessions when the watermark passes them") {
+    // Emission is timer-driven only (append mode): u1/u2's timers expire
+    // in the trailing no-data batch once u3's traffic advances the
+    // watermark; u3's own timer never fires — exactly two session rows.
+    val df = graft.queries.Registry.byName("q106_stream_timers").build(spark, "")
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1, 3L, 20L), (2, 1L, 0L)))
+  }
 }
