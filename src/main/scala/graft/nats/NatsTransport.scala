@@ -234,14 +234,38 @@ object JnatsTransport {
     private val subscribeM = dispatcherCls.getMethod("subscribe", classOf[String])
     private val subscribeQueueM =
       dispatcherCls.getMethod("subscribe", classOf[String], classOf[String])
+    // Headers read side (jnats 2.x: Message.getHeaders -> Headers with
+    // keySet()/get(String) -> List<String>) — opportunistic like the
+    // publish side, so older jars degrade to headerless delivery.
+    private val msgGetHeaders: Option[java.lang.reflect.Method] =
+      try Some(msgCls.getMethod("getHeaders"))
+      catch { case _: ReflectiveOperationException => None }
+    private val headerRead: Option[(java.lang.reflect.Method, java.lang.reflect.Method)] =
+      headerPublish.flatMap { case (hc, _, _) =>
+        try Some((hc.getMethod("keySet"), hc.getMethod("get", classOf[String])))
+        catch { case _: ReflectiveOperationException => None }
+      }
 
-    private def handlerProxy(handler: (String, Array[Byte]) => Unit): AnyRef =
+    private def headersOf(msg: AnyRef): Seq[(String, String)] = (for {
+      gh <- msgGetHeaders
+      (keySetM, getM) <- headerRead
+      h <- Option(gh.invoke(msg))
+    } yield {
+      import scala.jdk.CollectionConverters._
+      keySetM.invoke(h).asInstanceOf[java.util.Set[String]].asScala.toSeq.flatMap { k =>
+        getM.invoke(h, k).asInstanceOf[java.util.List[String]].asScala.toSeq.map(k -> _)
+      }
+    }).getOrElse(Nil)
+
+    private def handlerProxy(
+        handler: (String, Seq[(String, String)], Array[Byte]) => Unit): AnyRef =
       java.lang.reflect.Proxy.newProxyInstance(
         handlerCls.getClassLoader,
         Array(handlerCls),
         (proxy, method, args) => method.getName match {
           case "onMessage" =>
             handler(msgGetSubject.invoke(args(0)).asInstanceOf[String],
+              headersOf(args(0)),
               msgGetData.invoke(args(0)).asInstanceOf[Array[Byte]]); null
           case "hashCode" => Integer.valueOf(System.identityHashCode(proxy))
           case "equals"   => java.lang.Boolean.valueOf(proxy eq args(0))
@@ -250,7 +274,7 @@ object JnatsTransport {
         })
 
     private def dispatcherSub(subscribe: AnyRef => Unit)(
-        handler: (String, Array[Byte]) => Unit): NatsSubscription = {
+        handler: (String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription = {
       val dispatcher = createDispatcherM.invoke(conn, handlerProxy(handler))
       subscribe(dispatcher)
       () => { closeDispatcherM.invoke(conn, dispatcher); () }
@@ -270,18 +294,26 @@ object JnatsTransport {
     }
 
     def subscribe(subject: String)(handler: Array[Byte] => Unit): NatsSubscription =
-      dispatcherSub(d => subscribeM.invoke(d, subject))((_, p) => handler(p))
+      dispatcherSub(d => subscribeM.invoke(d, subject))((_, _, p) => handler(p))
 
     def subscribeEach(subject: String)(
         handler: (String, Array[Byte]) => Unit): NatsSubscription =
-      dispatcherSub(d => subscribeM.invoke(d, subject))(handler)
+      dispatcherSub(d => subscribeM.invoke(d, subject))((s, _, p) => handler(s, p))
 
     def subscribeQueue(subject: String, group: String)(
         handler: Array[Byte] => Unit): NatsSubscription =
-      dispatcherSub(d => subscribeQueueM.invoke(d, subject, group))((_, p) => handler(p))
+      dispatcherSub(d => subscribeQueueM.invoke(d, subject, group))((_, _, p) => handler(p))
 
     def subscribeQueueEach(subject: String, group: String)(
         handler: (String, Array[Byte]) => Unit): NatsSubscription =
+      dispatcherSub(d => subscribeQueueM.invoke(d, subject, group))((s, _, p) => handler(s, p))
+
+    override def subscribeHeadersEach(subject: String)(
+        handler: (String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription =
+      dispatcherSub(d => subscribeM.invoke(d, subject))(handler)
+
+    override def subscribeQueueHeadersEach(subject: String, group: String)(
+        handler: (String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription =
       dispatcherSub(d => subscribeQueueM.invoke(d, subject, group))(handler)
 
     def close(): Unit = connCls.getMethod("close").invoke(conn)
