@@ -983,6 +983,42 @@ object Pipeline {
         .orderBy(col("lang"), col("rk"))
     },
 
+    // ---- hard-negative mining (contrastive-training data op): for every
+    // anchor vector, the top-3 most-similar vectors with a DIFFERENT
+    // label — the "looks close, means different" pairs an embedding
+    // model trains against. Candidates come from the q46/q54 sign-LSH
+    // bucket join (never all-pairs; the label-mismatch predicate prunes
+    // in the join itself), exact cosine runs over candidates only, and
+    // the per-anchor top-3 is a row_number<=k filter Spark turns into a
+    // partial WindowGroupLimit — each map task ships at most 3 rows per
+    // anchor. The kNN-join at 100 TB: bucket join + capped window, both
+    // keyed shuffles on compact ids. ----
+    QueryDef("q107_hard_negatives", hardNegativesOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = T(s, dir, "embeddings")
+      // Persisted: feeds both self-join sides (q41/q45/q54 rule).
+      val buckets = emb.select(col("vec_id"), col("label"),
+        posexplode(expr("graft_lsh_buckets(embedding)")).as(Seq("t", "bk")))
+        .persist()
+      val a = buckets.as("a"); val b = buckets.as("b")
+      val cand = a.join(b, col("a.t") === col("b.t") && col("a.bk") === col("b.bk")
+          && col("a.vec_id") =!= col("b.vec_id")
+          && col("a.label") =!= col("b.label"))
+        .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("neighbor"))
+        .distinct()
+      val ea = emb.select(col("vec_id").as("anchor"), col("embedding").as("emb_a"))
+      val eb = emb.select(col("vec_id").as("neighbor"), col("label").as("neg_label"),
+        col("embedding").as("emb_b"))
+      val wA = Window.partitionBy(col("anchor")).orderBy(col("cos_r").desc, col("neighbor"))
+      cand.join(ea, "anchor").join(eb, "neighbor")
+        .select(col("anchor"), col("neighbor"), col("neg_label"),
+          round(expr("cosine_similarity(emb_a, emb_b)"), 6).as("cos_r"))
+        .withColumn("rk", row_number().over(wA))
+        .filter(col("rk") <= 3)
+        .select(col("anchor"), col("rk"), col("neighbor"), col("neg_label"), col("cos_r"))
+        .orderBy(col("anchor"), col("rk"))
+    },
+
     // ---- per-document character entropy (bits/char), the classic
     // low-entropy spam/boilerplate signal: one scan-local pass per row in
     // the native codegen'd graft_char_entropy kernel (counting map + one
@@ -1130,6 +1166,54 @@ object Pipeline {
        |FROM s2
        |WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= $NEARDUP_COS
        |ORDER BY va, vb""".stripMargin
+
+  /** DuckDB mirror of q107: q54's LSH grid and bucket join with the
+    * label-mismatch predicate, exact fold cosine, rank on the ROUNDED
+    * cosine with neighbor id as tie-break (cross-engine-safe ordering). */
+  private def hardNegativesOracle: String =
+    s"""WITH xi AS (
+       |  SELECT vec_id, d, CAST(floor(embedding[d]::DOUBLE * 32768) AS BIGINT) AS xi
+       |  FROM embeddings, unnest(generate_series(1, $DIM)) AS u(d)),
+       |grid AS (
+       |  SELECT t, p, d,
+       |    1 - 2 * (('0x' || substr(md5(t || '_' || p || '_' || d), 1, 15))::BIGINT % 2) AS sg
+       |  FROM unnest(generate_series(0, ${TABLES - 1})) AS a(t),
+       |       unnest(generate_series(0, ${PLANES - 1})) AS b(p),
+       |       unnest(generate_series(1, $DIM)) AS c(d)),
+       |proj AS (
+       |  SELECT vec_id, t, p, sum(xi * sg) AS pr
+       |  FROM xi JOIN grid USING (d) GROUP BY vec_id, t, p),
+       |bucket AS (
+       |  SELECT vec_id, t, sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS bk
+       |  FROM proj GROUP BY vec_id, t),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS anchor, b.vec_id AS neighbor
+       |  FROM bucket a JOIN bucket b
+       |    ON a.t = b.t AND a.bk = b.bk AND a.vec_id <> b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE ea.label <> eb.label),
+       |p2 AS (
+       |  SELECT c.anchor, c.neighbor, eb.label AS neg_label,
+       |    unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+       |  FROM cand c
+       |  JOIN embeddings ea ON c.anchor = ea.vec_id
+       |  JOIN embeddings eb ON c.neighbor = eb.vec_id),
+       |s2 AS (
+       |  SELECT anchor, neighbor, neg_label,
+       |    SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+       |  FROM p2 GROUP BY anchor, neighbor, neg_label),
+       |scored AS (
+       |  SELECT anchor, neighbor, neg_label,
+       |    round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r
+       |  FROM s2),
+       |r AS (
+       |  SELECT anchor, neighbor, neg_label, cos_r,
+       |    ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cos_r DESC, neighbor) AS rk
+       |  FROM scored)
+       |SELECT anchor, rk, neighbor, neg_label, cos_r
+       |FROM r WHERE rk <= 3
+       |ORDER BY anchor, rk""".stripMargin
 
   /** DuckDB mirror of q55: same centroid seeds, same round-then-rank
     * argmax, same fold cosine as q42/q53 (bit-identical to the native

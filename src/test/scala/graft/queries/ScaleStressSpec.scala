@@ -100,7 +100,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // count tables and the scoring join grow 10x in rows AND key
     // cardinality — the co-partitioned-join linear case; q104 is a pure
     // scan + 5-row rollup, the map-side-partial-agg linear baseline
-    "q102_dup_spans", "q103_bigram_lm", "q104_char_entropy")
+    "q102_dup_spans", "q103_bigram_lm", "q104_char_entropy",
+    // q107: the boosted copy dimension dominates each copy's LSH
+    // projections, so buckets separate by copy and the candidate join
+    // grows with the corpus, not its square; per-anchor output is capped
+    // at 3 by the WindowGroupLimit
+    "q107_hard_negatives")
 
   /** Build + materialize, cold (cache cleared): wall seconds, plan-node
     * multiset, result rows. Build time is included on purpose — q76 runs
