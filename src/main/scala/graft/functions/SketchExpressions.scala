@@ -94,6 +94,30 @@ case class SpanHashes(child: Expression) extends NullableArraySketch {
     copy(child = newChild)
 }
 
+/** Per-position word-bigram (prefix-hash, bigram-hash) pairs (q103). */
+case class BigramHashes(child: Expression) extends SketchUnary {
+  protected def expectedInput: DataType = StringType
+  protected def kernel: String = "bigramHashes"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bigram_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.bigramHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.Sketches.bigramHashes($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): BigramHashes =
+    copy(child = newChild)
+}
+
 /** Shannon entropy in bits/char over the text's code points (q104). */
 case class CharEntropy(child: Expression) extends SketchUnary {
   protected def expectedInput: DataType = StringType

@@ -135,6 +135,30 @@ object Sketches {
     new GenericArrayData(out)
   }
 
+  /** Per-position word-bigram hash pairs for LM scoring (q103):
+    * (h1, h2) = (hash of the prefix word, hash of `w_i + ' ' + w_{i+1}`)
+    * at every position, duplicates kept — one pass replacing the
+    * sequence-explode + two per-row md5 expression trees. Null when the
+    * document has fewer than 2 tokens (the `size(ws) >= 2` population). */
+  def bigramHashes(text: UTF8String): ArrayData = {
+    val ws = tokens(text)
+    if (ws.length < 2) return null
+    val out = new Array[Any](ws.length - 1)
+    var i = 0
+    while (i <= ws.length - 2) {
+      val a = ws(i).getBytes
+      val b = ws(i + 1).getBytes
+      val joined = new Array[Byte](a.length + b.length + 1)
+      System.arraycopy(a, 0, joined, 0, a.length)
+      joined(a.length) = ' '
+      System.arraycopy(b, 0, joined, a.length + 1, b.length)
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        md5Prefix60(a), md5Prefix60(joined))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Deterministic ±1 hyperplane component from md5 — identical to the
     * formula the DuckDB oracle writes in SQL (and to Pipeline.planeSign). */
   def planeSign(t: Int, p: Int, d: Int): Long =

@@ -948,20 +948,16 @@ object Pipeline {
     // token-statistics joins; the 5-row vocab table broadcasts. bg feeds
     // four consumers -> persisted (one corpus scan, q85/q88/q99 rule). ----
     QueryDef("q103_bigram_lm", bigramLmOracle) { (s, dir) =>
-      def h60(c: Column): Column =
-        conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
-      val words = T(s, dir, "documents")
+      graft.functions.GraftFunctions.register(s)
+      // Bigram (prefix, pair) hashes come from the one-pass native kernel
+      // (SketchParitySpec pins it against the sequence-explode + two-md5
+      // SQL formulation the oracle still writes).
+      val bg = T(s, dir, "documents")
         .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-      val bg = words
         .select(col("doc_id"), col("lang"),
-          explode(sequence(lit(1), size(col("ws")) - 1)).as("i"), col("ws"))
+          explode(expr("graft_bigram_hashes(text)")).as("bh"))
         .select(col("doc_id"), col("lang"),
-          h60(element_at(col("ws"), col("i"))).as("h1"),
-          h60(concat_ws(" ",
-            element_at(col("ws"), col("i")),
-            element_at(col("ws"), col("i") + 1))).as("h2"))
+          col("bh.h1").as("h1"), col("bh.h2").as("h2"))
         .persist()
       val c2 = bg.groupBy(col("lang"), col("h2")).agg(count(lit(1)).as("c2"))
       val c1 = bg.groupBy(col("lang"), col("h1")).agg(count(lit(1)).as("c1"))

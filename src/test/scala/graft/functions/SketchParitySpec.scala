@@ -276,6 +276,36 @@ class SketchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes === Map(3L -> 1, 4L -> 2)) // lowercasing applied before windowing
   }
 
+  test("graft_bigram_hashes equals the sequence-explode + two-md5 SQL formulation") {
+    def sqlBigrams(df: DataFrame) = df
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"), col("ws"))
+      .select(col("doc_id"), col("i"),
+        conv(substring(md5(element_at(col("ws"), col("i"))), 1, 15), 16, 10)
+          .cast(LongType).as("h1"),
+        conv(substring(md5(concat_ws(" ",
+          element_at(col("ws"), col("i")),
+          element_at(col("ws"), col("i") + 1))), 1, 15), 16, 10)
+          .cast(LongType).as("h2"))
+    def kernelBigrams(df: DataFrame) = df
+      .select(col("doc_id"), posexplode(expr("graft_bigram_hashes(text)")).as(Seq("j", "bh")))
+      .select(col("doc_id"), (col("j") + 1).as("i"), col("bh.h1"), col("bh.h2"))
+    def toMap(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(toMap(kernelBigrams(docs)) === toMap(sqlBigrams(docs)))
+    // edge strings: empty tokens, unicode, single-token null population
+    import spark.implicits._
+    val edge = Seq("", " ", "a", "a b", " a  b ", "A B C", "的 的 x", "😀 a")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    assert(toMap(kernelBigrams(edge)) === toMap(sqlBigrams(edge)))
+    val nulls = edge.select(col("doc_id"), expr("graft_bigram_hashes(text)").as("bh"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(nulls === Map(0L -> true, 1L -> false, 2L -> true, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false, 7L -> false))
+  }
+
   test("graft_char_entropy equals the explode + count + log2 SQL formulation") {
     val perChar = docs
       .filter(length(col("text")) > 0)
