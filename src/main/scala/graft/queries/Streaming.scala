@@ -699,6 +699,60 @@ object Streaming {
         case None => s.conf.unset(provKey)
       }
       s.sql(s"SELECT uid, n_events, dur_s FROM $sink ORDER BY uid")
+    },
+
+    // Batch-bootstrapped streaming state (StatefulProcessorWithInitialState):
+    // the warm-start pattern for stream jobs that take over from a batch
+    // backfill — "yesterday's" per-user totals load as the stream's
+    // INITIAL state via handleInitialState (no synthetic catch-up replay
+    // of historic events), and live traffic increments from there. A key
+    // with only initial state stays silent until it sees live rows (u2);
+    // a key with only live rows starts from zero (u3) — both semantics
+    // pinned. At scale this is how a 100 TB backfill hands off to the
+    // stream: state seeds from the batch table partition-parallel, not by
+    // re-publishing history through the broker.
+    QueryDef.noBench(
+      "q108_stream_initial_state",
+      """SELECT uid, CAST(total AS BIGINT) AS total
+        |FROM (VALUES (1, 12), (3, 1)) AS t(uid, total)
+        |ORDER BY uid""".stripMargin) { (s, _) =>
+      val url = s"memory://q108-${UUID.randomUUID()}"
+      val sink = s"nats_init_sink_${sinkId.incrementAndGet()}"
+      import s.implicits._
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val conn = NatsTransport.connect(url)
+        // "yesterday's batch": per-user totals the stream starts from
+        val initial = Seq((1, 10L), (2, 5L)).toDS().groupByKey(_._1)
+        val totals = s.readStream.format("nats").schema(StructType(Seq(
+            StructField("uid", IntegerType, nullable = false))))
+          .option("url", url).option("subject", "live_events")
+          .option("batchSize", "3").load()
+          .as[Int]
+          .groupByKey(identity)
+          .transformWithState(new WarmStartCountProcessor,
+            TimeMode.None(), OutputMode.Update(), initial)
+          .toDF("uid", "total")
+        val q = totals.writeStream.outputMode("update")
+          .format("memory").queryName(sink).start()
+        try {
+          NatsDemo.awaitSubscriber(url, "live_events")
+          // u1 seeds at 10 and sees 2 live events; u3 has no seed; u2's
+          // seed stays silent (no live traffic -> no emission)
+          Seq("1", "1", "3").foreach(m => conn.publish("live_events", m.getBytes))
+          q.processAllAvailable()
+        } finally {
+          q.stop()
+          conn.close()
+        }
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+      s.sql(s"SELECT uid, MAX(total) AS total FROM $sink GROUP BY uid ORDER BY uid")
     }
   )
 }
@@ -780,5 +834,28 @@ private class SessionTimerProcessor
     val out = (uid, cnt.get(), tMax.get() - tMin.get())
     cnt.clear(); tMin.clear(); tMax.clear(); armed.clear()
     Iterator.single(out)
+  }
+}
+
+/** q108's processor: a running count whose state warm-starts from a
+  * batch dataset via handleInitialState — seeding emits nothing; only
+  * live rows produce output. */
+private class WarmStartCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Int, Int, (Int, Long), (Int, Long)] {
+  @transient private var cnt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInitialState(uid: Int, initial: (Int, Long),
+      timers: TimerValues): Unit =
+    cnt.update(initial._2)
+
+  override def handleInputRows(uid: Int, rows: Iterator[Int],
+      timers: TimerValues): Iterator[(Int, Long)] = {
+    val n = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+    cnt.update(n)
+    Iterator.single((uid, n))
   }
 }

@@ -233,4 +233,11 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     assert(rows === Seq((1, 3L, 20L), (2, 1L, 0L)))
   }
+
+  test("q108 QueryDef: batch dataset warm-starts streaming state; silent and unseeded keys pinned") {
+    val df = graft.queries.Registry.byName("q108_stream_initial_state").build(spark, "")
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // u1 = 10 seed + 2 live; u2's seed never emits (no live rows); u3 = live-only
+    assert(rows === Seq((1, 12L), (3, 1L)))
+  }
 }
