@@ -859,6 +859,11 @@ final class MiniNatsServer(
   private val jsConsumers = new ConcurrentHashMap[String, JsConsumer]() // "<stream>/<name>"
   private val nextEphemeral = new AtomicLong(1)
 
+  /** Ephemeral consumers created so far (observability for specs: the
+    * chunked range-fetch contract is ONE consumer per partition, not one
+    * per chunk). */
+  def consumersCreated: Long = nextEphemeral.get() - 1
+
   private def jsApi(subject: String, reply: String, payload: Array[Byte]): Unit = {
     if (reply == null) return // request-reply only
     def respond(s: String): Unit = route(reply, s.getBytes(US_ASCII))

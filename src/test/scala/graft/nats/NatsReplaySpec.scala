@@ -526,6 +526,32 @@ class NatsReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  test("JetStream chunked range fetch amortizes to ONE ephemeral consumer per session") {
+    // The partition-reader contract: a 10M-row partition at batchSize
+    // 1000 must not churn 10,000 consumers — openRangeFetch creates one
+    // lazily and every next() chunk pulls through it. The stateless
+    // fetchRetained path (one session per call) shows the cost it saves.
+    val server = new MiniNatsServer(retainCapacity = 100, jetStream = true)
+    try {
+      val conn = NatsTransport.connect(server.url)
+      try {
+        (1 to 20).foreach(i => conn.publish("ev", s"$i,row$i".getBytes))
+        val r = conn.asInstanceOf[ReplayableNatsConnection]
+        val session = r.openRangeFetch("ev", 0)
+        try {
+          val got = Iterator.continually(session.next(3)).takeWhile(_.nonEmpty)
+            .map(_.length).sum
+          assert(got === 20, "every retained row arrives through the session")
+        } finally session.close()
+        assert(server.consumersCreated === 1,
+          s"7 chunks must share one consumer, saw ${server.consumersCreated}")
+        // stateless calls pay one consumer each — the shape the reader avoids
+        r.fetchRetained("ev", 0, 3); r.fetchRetained("ev", 3, 3)
+        assert(server.consumersCreated === 3)
+      } finally conn.close()
+    } finally server.stop()
+  }
+
   test("JetStream replay rejects multi-subject streams (positional offsets need dense sequences)") {
     // The common catch-all config (`ev.>` stream) interleaves subjects in
     // one sequence space — replay must fail with guidance, not silently
