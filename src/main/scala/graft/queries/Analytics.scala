@@ -305,6 +305,14 @@ object Analytics {
       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
       |    FROM d2) WHERE rn = 1)""".stripMargin
 
+  // ---- q109 product-quantization constants (shared with the oracle
+  // generator — declared BEFORE `defs`, Scala val-init order). DIM=64
+  // splits into PQ_M×PQ_SUB; PQ_K codes per subvector come from the
+  // deterministic seed rule (vec_ids 1..PQ_K), the q93/q55 convention.
+  private val PQ_M = 4    // subvectors per vector
+  private val PQ_SUB = 16 // dims per subvector
+  private val PQ_K = 16   // codes per subvector codebook
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q65: bucketed co-located join --------------------------------
@@ -1342,6 +1350,53 @@ object Analytics {
     // within the cosine threshold. Output: per-cell keep/drop profile. ----
     QueryDef("q100_semantic_dedup", semanticDedupOracle) { (s, dir) =>
       semanticDedupAt(s, dir, 8) // K=8 is what the oracle CTE pins
+    },
+
+    // ---- q109: product quantization — the other half of FAISS-style
+    // IVFPQ next to q55's coarse cells. Vectors split into PQ_M
+    // subvectors; each subvector ENCODES to the id of its nearest
+    // codebook entry (codebooks here are the deterministic seed
+    // subvectors — production trains them with the q93 Lloyd kernel);
+    // the query builds a PQ_M×PQ_K lookup table of partial distances
+    // ONCE and every vector's asymmetric distance is then PQ_M table
+    // lookups summed — no full-dimension arithmetic per candidate.
+    // The 100 TB shape: codes compress 64 doubles to PQ_M bytes
+    // (memory-resident at billions of vectors), encode is one scan with
+    // a kilobyte broadcast codebook (equi-join on m, hash not BNLJ),
+    // scoring shuffles only (vec_id, code) pairs, and top-10 is a
+    // TakeOrdered. Determinism: subvector distances are the q93 fold,
+    // argmin ties break to the lowest code id, final rank on the
+    // ROUNDED adc with vec_id tie-break. ----
+    QueryDef("q109_pq_ann", pqAnnOracle) { (s, dir) =>
+      // (vec_id, label, m, sub): scan-local subvector slices. Fresh load
+      // per use-site keeps self-join lineage unambiguous; the cb/query
+      // scans prune to <= PQ_K+1 rows via the pushed vec_id filter.
+      def subv(df: DataFrame) = df
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        .select(col("vec_id"), col("label"),
+          explode(expr(
+            s"transform(sequence(0, ${PQ_M - 1}), " +
+              s"m -> struct(m AS m, slice(v, m * $PQ_SUB + 1, $PQ_SUB) AS sub))")).as("ms"))
+        .select(col("vec_id"), col("label"), col("ms.m").as("m"), col("ms.sub").as("sub"))
+      val cb = subv(T(s, dir, "embeddings").filter(col("vec_id").between(1, PQ_K)))
+        .select(col("m"), col("vec_id").as("c"), col("sub").as("csub"))
+      val wEnc = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("c"))
+      val codes = subv(T(s, dir, "embeddings").filter(col("vec_id") =!= 0))
+        .join(broadcast(cb), "m")
+        .select(col("vec_id"), col("label"), col("m"), col("c"),
+          Kmeans.dist2(col("sub"), col("csub")).as("d"))
+        .withColumn("rn", row_number().over(wEnc))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("m"), col("c").as("code"))
+      val lut = subv(T(s, dir, "embeddings").filter(col("vec_id") === 0))
+        .join(broadcast(cb), "m")
+        .select(col("m"), col("c"), Kmeans.dist2(col("sub"), col("csub")).as("ld"))
+      codes.join(broadcast(lut), codes("m") === lut("m") && codes("code") === lut("c"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(round(sum(col("ld")), 6).as("adc_r"))
+        .orderBy(col("adc_r"), col("vec_id"))
+        .limit(10)
     }
   )
 
@@ -1379,6 +1434,42 @@ object Analytics {
   /** DuckDB mirror of q100: the shared [[kmeansAssignCte]] assignment,
     * then within-cell pairwise cosine (same positional-unnest pattern as
     * the q42/q53 oracle) and the same keep-lowest-vec_id drop rule. */
+  /** DuckDB mirror of q109: same seed codebooks, same fold distances
+    * (SUM over positionally-zipped unnest, the q93-proven equivalence to
+    * Spark's sequential fold), argmin ROW_NUMBER (d, c), rank on the
+    * rounded adc. */
+  private def pqAnnOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |subv AS (
+       |  SELECT vec_id, label, m, v[m * $PQ_SUB + 1 : m * $PQ_SUB + $PQ_SUB] AS sub
+       |  FROM e, unnest(generate_series(0, ${PQ_M - 1})) AS u(m)),
+       |cb AS (
+       |  SELECT m, vec_id AS c, sub AS csub FROM subv
+       |  WHERE vec_id BETWEEN 1 AND $PQ_K),
+       |pe AS (
+       |  SELECT s.vec_id, s.label, s.m, cb.c,
+       |    unnest(s.sub) AS x, unnest(cb.csub) AS y
+       |  FROM subv s JOIN cb USING (m) WHERE s.vec_id <> 0),
+       |de AS (
+       |  SELECT vec_id, label, m, c, SUM((x - y) * (x - y)) AS d
+       |  FROM pe GROUP BY 1, 2, 3, 4),
+       |enc AS (
+       |  SELECT vec_id, label, m, c AS code FROM (
+       |    SELECT vec_id, label, m, c,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+       |    FROM de) WHERE rn = 1),
+       |pq AS (
+       |  SELECT q.m, cb.c, unnest(q.sub) AS x, unnest(cb.csub) AS y
+       |  FROM subv q JOIN cb USING (m) WHERE q.vec_id = 0),
+       |lut AS (SELECT m, c, SUM((x - y) * (x - y)) AS ld FROM pq GROUP BY 1, 2)
+       |SELECT enc.vec_id, enc.label, round(SUM(lut.ld), 6) AS adc_r
+       |FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.c
+       |GROUP BY 1, 2
+       |ORDER BY adc_r, enc.vec_id
+       |LIMIT 10""".stripMargin
+
   private def semanticDedupOracle: String =
     s"""WITH $kmeansAssignCte,
        |pr AS (
