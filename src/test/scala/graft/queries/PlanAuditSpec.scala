@@ -158,6 +158,31 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q99: expected <=3 unique keyed exchanges (tf fill, window w, stats w), saw ${exchanges.length}:\n$plan")
   }
 
+  test("q107: per-anchor top-3 is a map-side WindowGroupLimit; bucket frame feeds both join sides from cache") {
+    // The kNN-join at scale: candidates come from the persisted LSH
+    // bucket frame (both self-join sides read the cache) and the
+    // row_number<=3 cap must ship at most 3 rows per anchor per map task.
+    val plan = Registry.byName("q107_hard_negatives").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val wgl = plan.split("\n").filter(_.contains("WindowGroupLimit"))
+    assert(wgl.length >= 2 && wgl.exists(_.contains("Partial")),
+      s"q107: expected partial+final WindowGroupLimit:\n$plan")
+    assert(plan.split("\n").count(_.contains("InMemoryTableScan")) >= 2,
+      s"q107: both candidate-join sides must read the cached bucket frame:\n$plan")
+  }
+
+  test("q109: PQ encode and scoring join broadcast the codebook/LUT as hash joins, never nested loops") {
+    // The codebook (64 rows) and the query LUT (64 partial distances)
+    // must ride as broadcast HASH joins on their equi keys — a BNLJ here
+    // would pair every vector with every codebook row without the key.
+    val plan = Registry.byName("q109_pq_ann").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q109: codebook/LUT should broadcast-hash-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q109: nested-loop or cartesian leaked into the PQ plan:\n$plan")
+  }
+
   test("q81: both join inputs shuffle on (key, salt) — the hot key is split across salt partitions") {
     val plan = Registry.byName("q81_skew_salted_join").build(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -105,7 +105,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // projections, so buckets separate by copy and the candidate join
     // grows with the corpus, not its square; per-anchor output is capped
     // at 3 by the WindowGroupLimit
-    "q107_hard_negatives")
+    "q107_hard_negatives",
+    // q109: PQ encode is one scan against the kilobyte codebook; ADC
+    // scoring touches (vec_id, code) pairs only — linear by construction
+    "q109_pq_ann")
 
   /** Build + materialize, cold (cache cleared): wall seconds, plan-node
     * multiset, result rows. Build time is included on purpose — q76 runs
