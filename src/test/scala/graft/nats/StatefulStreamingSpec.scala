@@ -234,6 +234,72 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Seq((1, 3L, 20L), (2, 1L, 0L)))
   }
 
+  test("transformWithState state survives a checkpoint restart on RocksDB") {
+    // The durability half of the new API: typed state checkpoints with
+    // the query and restores on restart — a key that saw 5 before the
+    // stop must NOT report 4 after it (fresh state would).
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val url = freshBus() + "?retain=100"
+    val conn = NatsTransport.connect(url)
+    val ckpt = java.nio.file.Files.createTempDirectory("tws-restart-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("tws-restart-out").toString
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = false)))
+    import spark.implicits._
+    def startQuery() = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "tws_restart")
+      .option("batchSize", "3").option("flushTimeoutMs", "50")
+      .option("replay", "true").option("startSequence", "0")
+      .load()
+      .as[(Int, String)]
+      .groupByKey(_._2)
+      .transformWithState(new RunningMaxProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("name", "mx")
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    def sunk(): Seq[(String, Long)] =
+      spark.read.schema(StructType(Seq(
+        StructField("name", StringType), StructField("mx", LongType))))
+        .parquet(out).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    try {
+      Seq("5,a", "3,a", "7,b").foreach(m => conn.publish("tws_restart", m.getBytes))
+      val q1 = startQuery()
+      val deadline = System.currentTimeMillis() + 15000
+      while (sunk().size < 2 && System.currentTimeMillis() < deadline) {
+        q1.processAllAvailable(); Thread.sleep(50)
+      }
+      assert(sunk().toSet === Set(("a", 5L), ("b", 7L)))
+      q1.stop()
+      // down; the world keeps publishing — a's 4 must lose to restored 5
+      Seq("4,a", "9,b", "1,b").foreach(m => conn.publish("tws_restart", m.getBytes))
+      val q2 = startQuery()
+      val deadline2 = System.currentTimeMillis() + 15000
+      while (sunk().size < 4 && System.currentTimeMillis() < deadline2) {
+        q2.processAllAvailable(); Thread.sleep(50)
+      }
+      q2.stop()
+      val byKey = sunk().groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(byKey === Map("a" -> 5L, "b" -> 9L),
+        s"restored state must keep a's max at 5, got ${sunk()}")
+      assert(sunk().count(_ == ("a", 4L)) === 0,
+        "a emitted 4 after restart: ValueState did not restore")
+    } finally {
+      conn.close()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
+
   test("q108 QueryDef: batch dataset warm-starts streaming state; silent and unseeded keys pinned") {
     val df = graft.queries.Registry.byName("q108_stream_initial_state").build(spark, "")
     val rows = df.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
