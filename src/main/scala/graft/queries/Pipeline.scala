@@ -1015,6 +1015,50 @@ object Pipeline {
         .orderBy(col("anchor"), col("rk"))
     },
 
+    // ---- incremental near-dup triage (the append-only crawl-batch
+    // shape — q78's incremental idea lifted from exact hashes to
+    // MinHash-LSH): a new batch (doc_id % 10 = 0) checks its band keys
+    // against the EXISTING corpus's band index and against itself; the
+    // corpus is never re-clustered and never self-joins. At 100 TB the
+    // corpus band index is a stored bucketed table maintained across
+    // crawls — only the (small) batch is new work per ingest, so the
+    // join cost tracks the batch, not the corpus. Output: per-language
+    // batch triage (dup-vs-corpus / dup-within-batch / clean). ----
+    QueryDef("q110_incremental_near_dup", incrementalNearDupOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val sig = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), expr("graft_minhash_sig(text)").as("sig"))
+        .filter(col("sig").isNotNull)
+      // One scan builds all band rows; corpus/batch split after (the
+      // persisted frame feeds three consumers — q41/q85 cache rule).
+      val bandRows = sig.select(col("doc_id"), col("lang"),
+        expr(bands.zipWithIndex.map { case ((x, y), j) =>
+          s"$j, concat(sig[$x], '_', sig[$y])"
+        }.mkString(s"stack(${bands.size}, ", ", ", ") as (band, key)")))
+        .persist()
+      val corpus = bandRows.filter(col("doc_id") % 10 =!= 0)
+      val batch = bandRows.filter(col("doc_id") % 10 === 0)
+      val vsCorpus = batch.as("n").join(corpus.as("o"),
+          col("n.band") === col("o.band") && col("n.key") === col("o.key"))
+        .select(col("n.doc_id").as("doc_id"), col("n.lang").as("lang")).distinct()
+      // within-batch: flagged iff an EARLIER batch doc shares a bucket
+      // (the kept-first rule — the first occurrence stays clean)
+      val withinBatch = batch.as("a").join(batch.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.doc_id") > col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("a.lang").as("lang")).distinct()
+      batch.select(col("doc_id"), col("lang")).distinct()
+        .join(vsCorpus.withColumn("vs_corpus", lit(1)), Seq("doc_id", "lang"), "left")
+        .join(withinBatch.withColumn("in_batch", lit(1)), Seq("doc_id", "lang"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_batch"),
+          sum(coalesce(col("vs_corpus"), lit(0))).as("n_dup_vs_corpus"),
+          sum(coalesce(col("in_batch"), lit(0))).as("n_dup_in_batch"),
+          sum(when(coalesce(col("vs_corpus"), lit(0)) === 0
+            && coalesce(col("in_batch"), lit(0)) === 0, 1).otherwise(0)).as("n_clean"))
+        .orderBy(col("lang"))
+    },
+
     // ---- per-document character entropy (bits/char), the classic
     // low-entropy spam/boilerplate signal: one scan-local pass per row in
     // the native codegen'd graft_char_entropy kernel (counting map + one
@@ -1569,6 +1613,53 @@ object Pipeline {
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB mirror of q110: q41's minhash/band CTEs with the lang column
+    * carried, corpus/batch split on doc_id % 10, same kept-first rule. */
+  private def incrementalNearDupOracle: String = {
+    val minCols = (0 until K).map(i =>
+      s"min((hp * ${hashA(i)} + ${hashB(i)}) % $P) AS m$i").mkString(",\n        ")
+    val bandSelects = bands.zipWithIndex.map { case ((x, y), j) =>
+      s"SELECT doc_id, lang, $j AS band, m$x || '_' || m$y AS key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
+       |  WHERE len(ws) >= 3),
+       |h AS (
+       |  SELECT doc_id, lang, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS hp FROM sh),
+       |mh AS (
+       |  SELECT doc_id, lang,
+       |        $minCols
+       |  FROM h GROUP BY doc_id, lang),
+       |bands AS (
+       |  $bandSelects),
+       |corpus AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+       |batch AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+       |vs_corpus AS (
+       |  SELECT DISTINCT n.doc_id, n.lang FROM batch n
+       |  JOIN corpus o ON n.band = o.band AND n.key = o.key),
+       |in_batch AS (
+       |  SELECT DISTINCT a.doc_id, a.lang FROM batch a
+       |  JOIN batch b ON a.band = b.band AND a.key = b.key AND a.doc_id > b.doc_id),
+       |bd AS (SELECT DISTINCT doc_id, lang FROM batch),
+       |flags AS (
+       |  SELECT bd.doc_id, bd.lang,
+       |    CASE WHEN vc.doc_id IS NULL THEN 0 ELSE 1 END AS vs_corpus,
+       |    CASE WHEN ib.doc_id IS NULL THEN 0 ELSE 1 END AS in_batch
+       |  FROM bd
+       |  LEFT JOIN vs_corpus vc ON bd.doc_id = vc.doc_id AND bd.lang = vc.lang
+       |  LEFT JOIN in_batch ib ON bd.doc_id = ib.doc_id AND bd.lang = ib.lang)
+       |SELECT lang, COUNT(*) AS n_batch,
+       |  CAST(SUM(vs_corpus) AS BIGINT) AS n_dup_vs_corpus,
+       |  CAST(SUM(in_batch) AS BIGINT) AS n_dup_in_batch,
+       |  CAST(SUM(CASE WHEN vs_corpus = 0 AND in_batch = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clean
+       |FROM flags GROUP BY lang
+       |ORDER BY lang""".stripMargin
   }
 
   private def textStatsOracle: String =

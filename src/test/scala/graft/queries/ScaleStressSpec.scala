@@ -108,7 +108,11 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q107_hard_negatives",
     // q109: PQ encode is one scan against the kilobyte codebook; ADC
     // scoring touches (vec_id, code) pairs only — linear by construction
-    "q109_pq_ann")
+    "q109_pq_ann",
+    // q110: the offset doc_ids preserve the %10 corpus/batch split and
+    // renamed copies keep band keys disjoint — the batch-vs-corpus join
+    // grows linearly, the corpus never self-joins
+    "q110_incremental_near_dup")
 
   /** Build + materialize, cold (cache cleared): wall seconds, plan-node
     * multiset, result rows. Build time is included on purpose — q76 runs
