@@ -753,6 +753,60 @@ object Streaming {
         case None => s.conf.unset(provKey)
       }
       s.sql(s"SELECT uid, MAX(total) AS total FROM $sink GROUP BY uid ORDER BY uid")
+    },
+
+    // foreachBatch — the streaming→batch bridge sink: each micro-batch
+    // lands as a normal batch DataFrame write, here maintaining the
+    // q110-style MinHash band INDEX incrementally from the live stream
+    // (new crawl docs arrive on NATS, their band rows append to the
+    // standing index; the corpus never recomputes). Two publish rounds
+    // prove the appends accumulate across batches. At 100 TB this is the
+    // production index-maintenance loop: the stream ships only
+    // (doc_id, band, key) rows — kilobytes per doc — into a bucketed
+    // table the q110 batch triage then joins against.
+    QueryDef.noBench(
+      "q111_stream_index_maintain",
+      """SELECT doc_id, CAST(n_bands AS BIGINT) AS n_bands
+        |FROM (VALUES (1, 6), (2, 6), (3, 6), (4, 6)) AS t(doc_id, n_bands)
+        |ORDER BY doc_id""".stripMargin) { (s, _) =>
+      graft.functions.GraftFunctions.register(s)
+      val url = s"memory://q111-${UUID.randomUUID()}"
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-band-index").toString
+      val conn = NatsTransport.connect(url)
+      val schema = StructType(Seq(
+        StructField("doc_id", IntegerType, nullable = false),
+        StructField("text", StringType, nullable = false)))
+      val bandExpr = (0 until 6).map(j =>
+        s"$j, concat(sig[${2 * j}], '_', sig[${2 * j + 1}])")
+        .mkString("stack(6, ", ", ", ") as (band, key)")
+      val q = s.readStream.format("nats").schema(schema)
+        .option("url", url).option("subject", "crawl_docs")
+        .option("batchSize", "2").load()
+        .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(col("doc_id"), expr(bandExpr))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          batch.write.mode("append").parquet(idxDir)
+        }
+        .start()
+      try {
+        NatsDemo.awaitSubscriber(url, "crawl_docs")
+        conn.publish("crawl_docs", "1,alpha beta gamma delta".getBytes)
+        conn.publish("crawl_docs", "2,the quick brown fox".getBytes)
+        q.processAllAvailable()
+        conn.publish("crawl_docs", "3,alpha beta gamma delta".getBytes) // near-dup of 1
+        conn.publish("crawl_docs", "4,slow green turtle pace".getBytes)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        conn.close()
+      }
+      s.read.parquet(idxDir)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy(col("doc_id"))
     }
   )
 }
