@@ -395,6 +395,48 @@ class NatsWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  test("a malformed server frame records a protocol error surfaced on the next operation") {
+    // A rogue/buggy broker sends an unparseable MSG size token. The
+    // reader thread must record a diagnostic and stop — not die silently
+    // and leave every later call hanging to its timeout.
+    val ss = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val rogue = new Thread(() => {
+      try {
+        val s = ss.accept()
+        val in = new BufferedInputStream(s.getInputStream)
+        val out = s.getOutputStream
+        out.write("INFO {\"max_payload\":1048576}\r\n".getBytes(US_ASCII))
+        out.flush()
+        // drain CONNECT, answer the handshake PING
+        var line = NatsWire.readLine(in)
+        while (line != null && !line.startsWith("PING")) line = NatsWire.readLine(in)
+        out.write("PONG\r\n".getBytes(US_ASCII))
+        out.flush()
+        // garbage frame: size token is not a number
+        out.write("MSG foo 1 notanumber\r\n".getBytes(US_ASCII))
+        out.flush()
+      } catch { case _: Exception => () }
+    })
+    rogue.setDaemon(true)
+    rogue.start()
+    val c = new TcpNatsClient("127.0.0.1", ss.getLocalPort)
+    try {
+      val deadline = System.currentTimeMillis() + 5000
+      var thrown: Option[java.io.IOException] = None
+      while (thrown.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        try c.publish("x", "1".getBytes)
+        catch { case e: java.io.IOException => thrown = Some(e) }
+      }
+      assert(thrown.isDefined, "protocol error never surfaced — reader died silently")
+      assert(thrown.get.getMessage.contains("protocol error reading from server"),
+        thrown.get.getMessage)
+    } finally {
+      try c.close() catch { case _: Exception => () }
+      ss.close()
+    }
+  }
+
   test("token auth: wrong token draws -ERR 'Authorization Violation', surfaced at connect") {
     val server = new MiniNatsServer(authToken = Some("s3cret"))
     try {
