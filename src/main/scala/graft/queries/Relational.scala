@@ -689,6 +689,39 @@ object Relational {
         // combination absent from the long form — drop to match GROUP BY
         .filter(col("cnt") > 0)
         .orderBy(col("cohort"), col("event_type"))
+    },
+
+    // ---- WITH RECURSIVE (Spark 4.1's UnionLoop execution): the
+    // date-spine idiom — a recursive CTE generates the calendar spine
+    // (one row per level, 59 levels: linear, guaranteed-terminating
+    // recursion) and a LEFT join zero-fills days with no orders, which a
+    // bare GROUP BY over the fact table cannot produce. The recursion
+    // itself is driver-cheap (UnionLoopExec materializes one spine row
+    // per step); the join against the fact table is a normal equi join,
+    // so the 100 TB cost profile is the join, not the recursion. ----
+    QueryDef(
+      "q112_recursive_cte",
+      """WITH RECURSIVE spine(d) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT d + 1 FROM spine WHERE d < DATE '1995-02-28'
+        |)
+        |SELECT strftime(s.d, '%Y-%m-%d') AS day, COUNT(o.o_orderkey) AS n_orders
+        |FROM spine s LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = s.d
+        |GROUP BY s.d
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_q112")
+      s.sql(
+        """WITH RECURSIVE spine AS (
+          |  SELECT DATE'1995-01-01' AS d
+          |  UNION ALL
+          |  SELECT date_add(d, 1) AS d FROM spine WHERE d < DATE'1995-02-28'
+          |)
+          |SELECT date_format(s.d, 'yyyy-MM-dd') AS day,
+          |  COUNT(o.o_orderkey) AS n_orders
+          |FROM spine s LEFT JOIN orders_q112 o ON to_date(o.o_orderdate) = s.d
+          |GROUP BY s.d
+          |ORDER BY day""".stripMargin)
     }
   )
 }
