@@ -1367,6 +1367,36 @@ object Analytics {
     // TakeOrdered. Determinism: subvector distances are the q93 fold,
     // argmin ties break to the lowest code id, final rank on the
     // ROUNDED adc with vec_id tie-break. ----
+    // ---- q113: the VARIANT type (Spark 4's semi-structured flagship) —
+    // props parses ONCE into a binary variant and typed extraction runs
+    // on that, not on re-parsed JSON strings (q68's get_json_object
+    // re-parses per path — variant is the 100 TB answer when many paths
+    // read the same document). A missing path extracts as NULL, pinned
+    // alongside the present-path aggregate. ----
+    QueryDef(
+      "q113_variant",
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    json_extract_string(props, '$.missing') AS miss
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(*) - COUNT(miss) AS BIGINT) AS n_missing
+        |FROM e GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      T(s, dir, "events")
+        .withColumn("v", expr("parse_json(props)"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"),
+          expr("variant_get(v, '$.missing', 'string')").as("miss"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          (count(lit(1)) - count(col("miss"))).as("n_missing"))
+        .orderBy(col("event_type"))
+    },
+
     QueryDef("q109_pq_ann", pqAnnOracle) { (s, dir) =>
       // (vec_id, label, m, sub): scan-local subvector slices. Fresh load
       // per use-site keeps self-join lineage unambiguous; the cb/query

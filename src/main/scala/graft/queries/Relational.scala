@@ -722,6 +722,28 @@ object Relational {
           |FROM spine s LEFT JOIN orders_q112 o ON to_date(o.o_orderdate) = s.d
           |GROUP BY s.d
           |ORDER BY day""".stripMargin)
+    },
+
+    // ---- SQL pipe syntax (Spark 4's |> operators): the same logical
+    // plan as a nested SELECT, declared as a linear pipeline — scan,
+    // filter, aggregate, post-filter, order. Catalyst sees identical
+    // operators (pushdown/partial-agg all apply); this entry pins that
+    // the surface syntax works end-to-end and matches the ANSI oracle. ----
+    QueryDef(
+      "q114_pipe_syntax",
+      """SELECT l_returnflag, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity >= 45
+        |GROUP BY l_returnflag
+        |HAVING COUNT(*) > 0
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_q114")
+      s.sql(
+        """FROM lineitem_q114
+          ||> WHERE l_quantity >= 45
+          ||> AGGREGATE COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty GROUP BY l_returnflag
+          ||> WHERE cnt > 0
+          ||> ORDER BY l_returnflag""".stripMargin)
     }
   )
 }
