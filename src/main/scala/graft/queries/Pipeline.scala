@@ -1059,6 +1059,38 @@ object Pipeline {
         .orderBy(col("lang"))
     },
 
+    // ---- leakage-safe dataset split: q34 hashes doc_id, which puts
+    // exact/near duplicates in DIFFERENT splits — train/test leakage.
+    // Here the split keys on the CONTENT fingerprint (q48's normalized
+    // 64-char head hash), so duplicate-head documents co-assign by
+    // construction; the output carries the proof: n_leaky counts
+    // fingerprints spanning >1 split and must be 0. Scan-local hashing,
+    // one fingerprint-keyed aggregate, one small rollup — at 100 TB the
+    // same shape as exact dedup. ----
+    QueryDef("q115_leakage_safe_split", leakageSafeSplitOracle) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          conv(substring(md5(
+            substring(regexp_replace(lower(col("text")), "\\s+", " "), 1, 64)),
+            1, 15), 16, 10).cast(LongType).as("fp"))
+        .withColumn("split",
+          when(pmod(col("fp"), lit(10)) < 8, "train")
+            .when(pmod(col("fp"), lit(10)) === 8, "val")
+            .otherwise("test"))
+      // Two consumers (rollup + leakage audit): persist (one-scan rule).
+      val assigned = docs.persist()
+      val leaky = assigned.groupBy(col("fp"))
+        .agg(count_distinct(col("split")).as("n_splits"))
+        .filter(col("n_splits") > 1)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_leaky"))
+      assigned.groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(leaky))
+        .select(col("lang"), col("split"), col("n_docs"), col("n_leaky"))
+        .orderBy(col("lang"), col("split"))
+    },
+
     // ---- per-document character entropy (bits/char), the classic
     // low-entropy spam/boilerplate signal: one scan-local pass per row in
     // the native codegen'd graft_char_entropy kernel (counting map + one
@@ -1661,6 +1693,28 @@ object Pipeline {
        |FROM flags GROUP BY lang
        |ORDER BY lang""".stripMargin
   }
+
+  /** DuckDB mirror of q115: same head fingerprint (q48's normalization),
+    * same mod-10 split rule, same zero-leakage audit. */
+  private def leakageSafeSplitOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 64)), 1, 15))::BIGINT AS fp
+      |  FROM documents WHERE text IS NOT NULL),
+      |a AS (
+      |  SELECT doc_id, lang, fp,
+      |    CASE WHEN fp % 10 < 8 THEN 'train'
+      |         WHEN fp % 10 = 8 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM d),
+      |leaky AS (
+      |  SELECT COALESCE(COUNT(*), 0) AS n_leaky FROM (
+      |    SELECT fp FROM a GROUP BY fp HAVING COUNT(DISTINCT split) > 1))
+      |SELECT a.lang, a.split, COUNT(*) AS n_docs,
+      |  CAST(leaky.n_leaky AS BIGINT) AS n_leaky
+      |FROM a, leaky
+      |GROUP BY a.lang, a.split, leaky.n_leaky
+      |ORDER BY a.lang, a.split""".stripMargin
 
   private def textStatsOracle: String =
     """WITH d AS (
