@@ -1107,6 +1107,87 @@ object Pipeline {
           round(min(col("h")), 6).as("min_entropy"),
           round(max(col("h")), 6).as("max_entropy"))
         .orderBy(col("lang"))
+    },
+
+    // ---- mixture reweighting: temperature-scaled source sampling
+    // (the DoReMi/"alpha-sampling" curation step — upweight small
+    // sources, downweight the dominant crawl). alpha = 0.5 so the
+    // weight is sqrt(n) — IEEE-exact in both engines, then floored to
+    // integer micros so every downstream step (normalize, per-source
+    // target, keep-probability, hash draw) is pure int64 arithmetic:
+    // bit-identical cross-engine, no pow()-ULP drift. 100 TB shape:
+    // the per-source rollup is a map-side partial agg to #sources
+    // rows, the weight table broadcasts, and the sample itself is a
+    // scan-local salted-hash draw — join-stable, reproducible, and
+    // needing no global sort or reservoir. ----
+    QueryDef("q116_mix_weights", mixWeightsOracle) { (s, dir) =>
+      val docs = T(s, dir, "documents").select(col("source"), col("doc_id"))
+      val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_micro",
+          floor(sqrt(col("n_docs").cast(DoubleType)) * 1000000).cast(LongType))
+      val tot = per.agg(sum(col("w_micro")).cast(LongType).as("tot_w"))
+      // 1-row total broadcast (bnljAllowed); 5000-doc sample budget.
+      val plan = per.crossJoin(broadcast(tot))
+        .withColumn("target_docs", expr("(5000 * w_micro) DIV tot_w"))
+        .withColumn("p_micro",
+          least(lit(1000000L), expr("(target_docs * 1000000) DIV n_docs")))
+        .select(col("source"), col("n_docs"), col("w_micro"),
+          col("target_docs"), col("p_micro"))
+      val sampled = docs
+        .withColumn("draw",
+          conv(substring(md5(concat(lit("mix116_"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+            .cast(LongType) % 1000000)
+        .join(broadcast(plan.select(col("source"), col("p_micro"))), Seq("source"))
+        .filter(col("draw") < col("p_micro"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+      plan.join(sampled, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("w_micro"),
+          col("target_docs"), col("p_micro"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy(col("source"))
+    },
+
+    // ---- corpus-overlap matrix: pairwise source-vs-source Jaccard
+    // estimated from bottom-k MinHash sketches (the "how much does
+    // crawl A overlap crawl B" curation question, answered WITHOUT a
+    // doc-level join). Per source, keep the k=64 smallest distinct
+    // word-3-gram hashes (partial WindowGroupLimit ships <= k rows per
+    // task); the estimator is |sig_a AND sig_b among the k smallest of
+    // sig_a UNION sig_b| / k. The only non-equi join enumerates source
+    // PAIRS — #sources^2 rows, trivially bounded at any corpus size —
+    // while everything touching document data is an equi join. The
+    // corpus-heavy step is one distinct over 8-byte (source, hash)
+    // pairs; after the k-min cut the whole computation is kilobytes. ----
+    QueryDef("q117_source_overlap", sourceOverlapOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val wsig = Window.partitionBy(col("source")).orderBy(col("h"))
+      // 3 consumers (pair enumeration + both flag joins): persist.
+      val sig = T(s, dir, "documents")
+        .select(col("source"), explode(expr("graft_shingle_hashes(text)")).as("h"))
+        .distinct()
+        .withColumn("rk", row_number().over(wsig)).filter(col("rk") <= 64)
+        .select(col("source"), col("h"))
+        .persist()
+      val srcs = sig.select(col("source")).distinct()
+      val prs = srcs.as("x").join(srcs.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      val left = prs.join(sig, col("source") === col("src_a"))
+        .select(col("src_a"), col("src_b"), col("h"),
+          lit(1).as("in_a"), lit(0).as("in_b"))
+      val right = prs.join(sig, col("source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("h"),
+          lit(0).as("in_a"), lit(1).as("in_b"))
+      val wu = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+      left.union(right)
+        .groupBy(col("src_a"), col("src_b"), col("h"))
+        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+        .withColumn("rk", row_number().over(wu)).filter(col("rk") <= 64)
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_union_k"),
+          sum(col("in_a") * col("in_b")).cast(LongType).as("n_both"),
+          round(sum(col("in_a") * col("in_b")).cast(DoubleType) / count(lit(1)), 6)
+            .as("jaccard_est"))
+        .orderBy(col("src_a"), col("src_b"))
     }
   )
 
@@ -1715,6 +1796,75 @@ object Pipeline {
       |FROM a, leaky
       |GROUP BY a.lang, a.split, leaky.n_leaky
       |ORDER BY a.lang, a.split""".stripMargin
+
+  /** DuckDB mirror of q116: same sqrt-weight micros, same int64 DIV
+    * chain, same salted hash draw. Sums cast to BIGINT (DuckDB SUM of
+    * BIGINT widens to HUGEINT, which would break the schema compare). */
+  private def mixWeightsOracle: String =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_docs,
+      |    CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS w_micro FROM per),
+      |t AS (
+      |  SELECT source, n_docs, w_micro,
+      |    (5000 * w_micro) // CAST((SELECT SUM(w_micro) FROM w) AS BIGINT) AS target_docs
+      |  FROM w),
+      |p AS (
+      |  SELECT source, n_docs, w_micro, target_docs,
+      |    LEAST(1000000, (target_docs * 1000000) // n_docs) AS p_micro
+      |  FROM t),
+      |d AS (
+      |  SELECT source,
+      |    ('0x' || substr(md5('mix116_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS draw
+      |  FROM documents),
+      |smp AS (
+      |  SELECT d.source, COUNT(*) AS n_sampled
+      |  FROM d JOIN p ON d.source = p.source
+      |  WHERE d.draw < p.p_micro GROUP BY d.source)
+      |SELECT p.source, p.n_docs, p.w_micro, p.target_docs, p.p_micro,
+      |  COALESCE(smp.n_sampled, 0) AS n_sampled
+      |FROM p LEFT JOIN smp ON p.source = smp.source
+      |ORDER BY p.source""".stripMargin
+
+  /** DuckDB mirror of q117: same word-3-gram hash space as
+    * [[decontaminateOracle]], same bottom-64 sketch, same union-k-min
+    * Jaccard estimator. */
+  private def sourceOverlapOracle: String =
+    """WITH words AS (
+      |  SELECT source, string_split(lower(text), ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source,
+      |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS h
+      |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
+      |  WHERE len(ws) >= 3),
+      |sig AS (
+      |  SELECT source, h FROM (
+      |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+      |    FROM sh)
+      |  WHERE rk <= 64),
+      |pairs AS (
+      |  SELECT x.source AS src_a, y.source AS src_b
+      |  FROM (SELECT DISTINCT source FROM sig) x, (SELECT DISTINCT source FROM sig) y
+      |  WHERE x.source < y.source),
+      |u AS (
+      |  SELECT src_a, src_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+      |    SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+      |    FROM pairs p JOIN sig s ON s.source = p.src_a
+      |    UNION ALL
+      |    SELECT p.src_a, p.src_b, s.h, 0 AS in_a, 1 AS in_b
+      |    FROM pairs p JOIN sig s ON s.source = p.src_b)
+      |  GROUP BY src_a, src_b, h),
+      |r AS (
+      |  SELECT src_a, src_b, in_a, in_b,
+      |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+      |  FROM u)
+      |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_union_k,
+      |  CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+      |  round(CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*), 6) AS jaccard_est
+      |FROM r WHERE rk <= 64
+      |GROUP BY src_a, src_b
+      |ORDER BY src_a, src_b""".stripMargin
 
   private def textStatsOracle: String =
     """WITH d AS (

@@ -32,12 +32,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   // (K×dims doubles, kilobytes at any corpus size) per Lloyd round;
   // q96 its ONE-row (n_docs, avgdl) corpus stats; q100 rides q93's
   // centroid row (its pair join is keyed on cluster_id, audited tight);
-  // q115 its ONE-row leakage-audit count.
+  // q115 its ONE-row leakage-audit count; q116 its ONE-row weight
+  // total; q117's sole non-equi join enumerates source PAIRS
+  // (#sources^2 rows — document data flows only through equi joins).
   private val bnljAllowed = Set(
     "q42_topk_cosine", "q53_topk_cosine_native", "q46_ann_lsh",
     "q55_ivf_ann", "q56_tfidf", "q74_quant_cosine", "q79_bloom_decontaminate",
     "q85_cms_heavy_hitters", "q93_kmeans_assign", "q96_bm25",
-    "q100_semantic_dedup", "q115_leakage_safe_split")
+    "q100_semantic_dedup", "q115_leakage_safe_split", "q116_mix_weights",
+    "q117_source_overlap")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
