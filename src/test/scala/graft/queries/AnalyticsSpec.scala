@@ -282,4 +282,77 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the 32-bit range being exactly covered by 16+16 interleaved bits)
     assert(got.values.toSeq.distinct.size === got.size)
   }
+
+  test("q115: the leakage audit is non-vacuous (duplicate heads exist) and the fingerprint split truly co-assigns them") {
+    // Independent recomputation of the content fingerprint — not through
+    // the query — so the audit column is checked, not trusted.
+    val fp = conv(substring(md5(
+      substring(regexp_replace(lower(col("text")), "\\s+", " "), 1, 64)),
+      1, 15), 16, 10).cast("long")
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), fp.as("fp"))
+      .withColumn("split",
+        when(pmod(col("fp"), lit(10)) < 8, "train")
+          .when(pmod(col("fp"), lit(10)) === 8, "val")
+          .otherwise("test"))
+    val dupGroups = docs.groupBy("fp").count().filter(col("count") > 1).count()
+    assert(dupGroups > 0,
+      "fixture has no duplicate-head documents — the zero-leakage audit would be vacuous")
+    val leaky = docs.groupBy("fp").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(leaky === 0L, s"$leaky fingerprints span more than one split")
+    // The query's own audit column agrees, and fractions land near 80/10/10.
+    val rows = run("q115_leakage_safe_split").collect()
+    assert(rows.forall(_.getAs[Long]("n_leaky") == 0L))
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val total = bySplit.values.sum.toDouble
+    assert(math.abs(bySplit("train") / total - 0.8) < 0.05, s"train fraction off: $bySplit")
+  }
+
+  test("q116: targets sum to the budget (minus flooring), sampling respects rates, and small sources are upweighted") {
+    val rows = run("q116_mix_weights").collect()
+    val nSources = rows.length
+    val targetSum = rows.map(_.getAs[Long]("target_docs")).sum
+    // Each per-source floor loses < 1 doc.
+    assert(targetSum <= 5000L && targetSum > 5000L - nSources, s"target sum $targetSum")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p_micro") <= 1000000L)
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+    }
+    // sqrt-temperature property: the smallest source keeps a rate at
+    // least as high as the largest (the whole point of the reweighting).
+    val smallest = rows.minBy(_.getAs[Long]("n_docs"))
+    val largest = rows.maxBy(_.getAs[Long]("n_docs"))
+    assert(smallest.getAs[Long]("p_micro") >= largest.getAs[Long]("p_micro"))
+    // The hash draw is unbiased enough that realized counts track the
+    // expectation n*p (NOT the raw target — a small source whose
+    // sqrt-boosted target exceeds its size caps at p=1 and keeps all).
+    // Deterministic given the fixture; the band is 5 binomial sigmas.
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs").toDouble
+      val p = r.getAs[Long]("p_micro").toDouble / 1e6
+      val sigma = math.sqrt(n * p * (1 - p))
+      assert(math.abs(r.getAs[Long]("n_sampled") - n * p) <= 5 * sigma + 1,
+        s"${r.getAs[String]("source")}: sampled ${r.getAs[Long]("n_sampled")} vs expected ${n * p} (sigma $sigma)")
+    }
+  }
+
+  test("q117: overlap matrix covers every source pair with bounded, deterministic estimates") {
+    val rows = run("q117_source_overlap").collect()
+    val n = graft.Tables.load(spark, sfDir, "documents")
+      .select("source").distinct().count().toInt
+    assert(rows.length === n * (n - 1) / 2, s"expected C($n,2) pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val both = r.getAs[Long]("n_both")
+      val uk = r.getAs[Long]("n_union_k")
+      val est = r.getAs[Double]("jaccard_est")
+      assert(uk <= 64L && both <= uk, s"sketch bounds violated: both=$both unionK=$uk")
+      assert(est >= 0.0 && est <= 1.0, s"estimate out of range: $est")
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"), "pair not canonically ordered")
+    }
+    val again = run("q117_source_overlap").collect().map(_.toString).toSeq
+    assert(again === rows.map(_.toString).toSeq, "estimates changed between identical runs")
+  }
 }
