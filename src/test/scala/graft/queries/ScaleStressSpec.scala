@@ -112,7 +112,15 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q110: the offset doc_ids preserve the %10 corpus/batch split and
     // renamed copies keep band keys disjoint — the batch-vs-corpus join
     // grows linearly, the corpus never self-joins
-    "q110_incremental_near_dup")
+    "q110_incremental_near_dup",
+    // q115/q116: scan + per-key rollup; output stays at (lang x split) /
+    // #sources rows while the corpus grows — the audit and the weight
+    // table are scale-invariant. q117: the corpus-sized step is the
+    // distinct over (source, shingle-hash) pairs (renamed copies grow the
+    // hash universe ~10x); the bottom-64 sketch and every operator after
+    // the WindowGroupLimit cut are BY CONSTRUCTION independent of corpus
+    // size — output rows stay at C(#sources, 2)
+    "q115_leakage_safe_split", "q116_mix_weights", "q117_source_overlap")
 
   /** Build + materialize, cold (cache cleared): wall seconds, plan-node
     * multiset, result rows. Build time is included on purpose — q76 runs
