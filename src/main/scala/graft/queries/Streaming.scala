@@ -807,6 +807,56 @@ object Streaming {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bands"))
         .orderBy(col("doc_id"))
+    },
+
+    // Spark 4's state data source — the ops/debugging surface for
+    // stateful streams: AFTER the query stops, its checkpointed state
+    // opens as a normal batch DataFrame (format "statestore"), no
+    // re-run, no sink archaeology. Two publish rounds prove the read
+    // surfaces MERGED state across micro-batches (view 2+3, purchase
+    // 2+1, click 1+1), not the last batch's delta. At 100 TB this is
+    // how you audit a misbehaving aggregation's keys without replaying
+    // the topic: the state files are partition-parallel parquet-like
+    // snapshots, and the read is one scan of exactly the keys held. ----
+    QueryDef.noBench(
+      "q118_state_store_read",
+      """SELECT * FROM (VALUES ('click', CAST(2 AS BIGINT)),
+        |                      ('purchase', CAST(3 AS BIGINT)),
+        |                      ('view', CAST(5 AS BIGINT))) AS t(event_type, n)
+        |ORDER BY event_type""".stripMargin) { (s, _) =>
+      val url = s"memory://q118-${UUID.randomUUID()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-state-read").toString
+      val sink = s"state_read_sink_${sinkId.incrementAndGet()}"
+      val conn = NatsTransport.connect(url)
+      val schema = StructType(Seq(
+        StructField("event_type", StringType, nullable = false)))
+      val q = s.readStream.format("nats").schema(schema)
+        .option("url", url).option("subject", "typed_events")
+        .option("batchSize", "5") // full-batch admission per publish round
+        .load()
+        .groupBy(col("event_type")).count()
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(sink)
+        .start()
+      try {
+        NatsDemo.awaitSubscriber(url, "typed_events")
+        Seq("view", "purchase", "view", "click", "purchase")
+          .foreach(m => conn.publish("typed_events", m.getBytes))
+        q.processAllAvailable()
+        Seq("view", "view", "purchase", "click", "view")
+          .foreach(m => conn.publish("typed_events", m.getBytes))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        conn.close()
+      }
+      // key.* / value.* + positional rename: the agg buffer's internal
+      // field naming ("count(1)") is a Spark implementation detail.
+      s.read.format("statestore").load(ckpt)
+        .select(expr("key.*"), expr("value.*"))
+        .toDF("event_type", "n")
+        .orderBy(col("event_type"))
     }
   )
 }
