@@ -857,6 +857,67 @@ object Streaming {
         .select(expr("key.*"), expr("value.*"))
         .toDF("event_type", "n")
         .orderBy(col("event_type"))
+    },
+
+    // LEFT OUTER stream-stream join — q61's inner join exercises the
+    // match path only; the outer variant adds the eviction semantics: an
+    // unmatched left row may emit its null-padded result ONLY once the
+    // watermark proves no matching right row can still arrive (vts
+    // outside the join's time bound on both inputs). Views 3/4 have no
+    // click; the second publish round (the matched id-5 pair at 13:00)
+    // advances BOTH watermarks past 10:00 + 1 h, and Spark's no-data
+    // batch then flushes the two null rows from state. At 100 TB this is
+    // the funnel/attribution join: state per side is bounded by the
+    // watermark horizon, keyed and shuffled on the join key only.
+    QueryDef.noBench(
+      "q119_stream_outer_join",
+      """SELECT * FROM (VALUES
+        |  (1, 'apple', 10), (2, 'banana', 20), (3, 'orange', CAST(NULL AS INTEGER)),
+        |  (4, 'pear', CAST(NULL AS INTEGER)), (5, 'eve', 50)) AS t(id, name, amount)
+        |ORDER BY id""".stripMargin) { (s, _) =>
+      val url = s"memory://q119-${UUID.randomUUID()}"
+      val sink = s"nats_ssoj_sink_${sinkId.incrementAndGet()}"
+      val conn = NatsTransport.connect(url)
+      val viewSchema = StructType(Seq(
+        StructField("vts", TimestampType, nullable = false),
+        StructField("id", IntegerType, nullable = false),
+        StructField("name", StringType, nullable = false)))
+      val clickSchema = StructType(Seq(
+        StructField("cts", TimestampType, nullable = false),
+        StructField("cid", IntegerType, nullable = false),
+        StructField("amount", IntegerType, nullable = false)))
+      def src(subject: String, schema: StructType) =
+        s.readStream.format("nats").schema(schema)
+          .option("url", url).option("subject", subject)
+          .option("batchSize", "1").load() // one batch per publish: each
+          // round's watermark advance lands before the next round
+      val views = src("views", viewSchema).withWatermark("vts", "10 minutes")
+      val clicks = src("clicks", clickSchema).withWatermark("cts", "10 minutes")
+      val q = views.join(clicks,
+          col("id") === col("cid") &&
+            col("cts") >= col("vts") && col("cts") <= col("vts") + expr("interval 1 hour"),
+          "left_outer")
+        .select(col("id"), col("name"), col("amount"))
+        .writeStream.format("memory").queryName(sink).start()
+      try {
+        NatsDemo.awaitSubscriber(url, "views")
+        NatsDemo.awaitSubscriber(url, "clicks")
+        Seq("2024-01-01 10:00:00,1,apple", "2024-01-01 10:00:01,2,banana",
+          "2024-01-01 10:00:02,3,orange", "2024-01-01 10:00:03,4,pear")
+          .foreach(m => conn.publish("views", m.getBytes))
+        Seq("2024-01-01 10:05:00,1,10", "2024-01-01 10:05:01,2,20")
+          .foreach(m => conn.publish("clicks", m.getBytes))
+        q.processAllAvailable()
+        // Round 2: a matched pair far in the future moves min(watermarks)
+        // past every round-1 row's join horizon -> outer rows flush.
+        conn.publish("views", "2024-01-01 13:00:00,5,eve".getBytes)
+        conn.publish("clicks", "2024-01-01 13:00:01,5,50".getBytes)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        conn.close()
+      }
+      s.sql(s"SELECT id, name, amount FROM $sink ORDER BY id")
     }
   )
 }
