@@ -1119,7 +1119,10 @@ object Pipeline {
     // the per-source rollup is a map-side partial agg to #sources
     // rows, the weight table broadcasts, and the sample itself is a
     // scan-local salted-hash draw — join-stable, reproducible, and
-    // needing no global sort or reservoir. ----
+    // needing no global sort or reservoir. The corpus IS scanned twice
+    // (count pass, then draw pass) — deliberate: rates depend on global
+    // counts, and at 100 TB two pruned 2-column scans beat caching the
+    // corpus between passes. ----
     QueryDef("q116_mix_weights", mixWeightsOracle) { (s, dir) =>
       val docs = T(s, dir, "documents").select(col("source"), col("doc_id"))
       val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))

@@ -114,7 +114,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (user_id, day) projection by both the cohort and the active-days
     // aggregate. Each re-read must hit the cache — at 100 TB every
     // recompute is a full corpus pass.
-    for ((q, minScans) <- Seq("q85_cms_heavy_hitters" -> 3, "q88_cohort_retention" -> 2)) {
+    // q115's fingerprint+split frame feeds the rollup AND the leakage
+    // audit; q117's bottom-64 sketch feeds the pair enumeration and both
+    // membership-flag joins.
+    for ((q, minScans) <- Seq("q85_cms_heavy_hitters" -> 3, "q88_cohort_retention" -> 2,
+        "q115_leakage_safe_split" -> 2, "q117_source_overlap" -> 3)) {
       val plan = Registry.byName(q).build(spark, sfDir)
         .queryExecution.executedPlan.toString
       val imts = plan.split("\n").count(_.contains("InMemoryTableScan"))
