@@ -38,6 +38,33 @@ class RunningMaxProcessor
   }
 }
 
+/** Standalone (no `$outer`) processor for the ListState test: per-key
+  * top-3 distinct values kept in a ListState and re-`put` trimmed each
+  * batch — the bounded-buffer shape (last-N, top-N) ListState exists
+  * for, where MapState has no order and ValueState[Seq] forces a full
+  * serialize per append. Emits (key, sorted CSV of the current top-3). */
+class Top3ListProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, (Int, String), (String, String)] {
+  @transient private var vals: org.apache.spark.sql.streaming.ListState[Long] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    vals = getHandle.getListState[Long]("vals",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[(Int, String)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, String)] = {
+    rows.foreach(r => vals.appendValue(r._1.toLong))
+    val top = vals.get().toSeq.distinct.sorted(Ordering[Long].reverse).take(3)
+    vals.put(top.toArray) // trim: state stays bounded at 3 per key
+    Iterator.single((key, top.sorted.mkString(",")))
+  }
+}
+
 class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
@@ -202,6 +229,51 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = spark.sql("SELECT name, MAX(mx) AS mx FROM nats_tws GROUP BY name ORDER BY name")
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(got === Seq(("a", 5L), ("b", 9L)), s"state did not carry: $got")
+    } finally {
+      q.stop(); conn.close()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState ListState: bounded per-key top-3 buffer survives batches and trims") {
+    // Completes the typed-state family next to ValueState (RunningMax)
+    // and MapState (q105): append + trimmed re-put across two batches.
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val url = freshBus()
+    val conn = NatsTransport.connect(url)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = false)))
+    import spark.implicits._
+    val updates = spark.readStream.format("nats").schema(schema)
+      .option("url", url).option("subject", "tws_list")
+      .option("batchSize", "3")
+      .load()
+      .as[(Int, String)]
+      .groupByKey(_._2)
+      .transformWithState(new Top3ListProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("name", "top3")
+    val q = updates.writeStream.outputMode("update")
+      .format("memory").queryName("nats_tws_list").start()
+    try {
+      NatsDemo.awaitSubscriber(url, "tws_list")
+      Seq("5,a", "3,a", "7,b").foreach(m => conn.publish("tws_list", m.getBytes))
+      q.processAllAvailable()
+      // batch 2: a's 9 and 1 arrive — 1 must be trimmed out of a's top-3
+      // ([9,5,3]); b keeps both its values. State carried the batch-1 list.
+      Seq("9,a", "1,a", "2,b").foreach(m => conn.publish("tws_list", m.getBytes))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT name, top3 FROM nats_tws_list ORDER BY name, top3")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got === Seq(("a", "3,5"), ("a", "3,5,9"), ("b", "2,7"), ("b", "7")),
+        s"unexpected emissions: $got")
     } finally {
       q.stop(); conn.close()
       prevProvider match {
