@@ -42,7 +42,8 @@ final case class NatsOptions(
     inferSamples: Int = 16,
     inferTimeoutMs: Long = 2000L,
     includeMetadata: Boolean = false,
-    deadLetterSubject: Option[String] = None) extends Serializable
+    deadLetterSubject: Option[String] = None,
+    msgIdColumn: Option[String] = None) extends Serializable
 
 object NatsOptions {
   def from(options: CaseInsensitiveStringMap): NatsOptions = {
@@ -112,7 +113,13 @@ object NatsOptions {
               s"'$subject': republished malformed payloads would loop back " +
               "into the stream")
           dl
-        })
+        },
+      // Sink-only: this STRING column's value is published as the
+      // `Nats-Msg-Id` header (and excluded from the payload) so a
+      // retained/JetStream stream stores retried publishes once — the
+      // NATS-native idempotent-producer upgrade over fire-and-forget
+      // at-least-once. Reads ignore it.
+      msgIdColumn = Option(options.get("msgIdColumn")).filter(_.nonEmpty))
   }
 }
 
@@ -301,6 +308,11 @@ final class NatsTable(schema: StructType, opts: NatsOptions)
   * are core-NATS: fire-and-forget, at-least-once under task retry (no
   * transactional commit exists on a bus) — commit/abort are no-ops and a
   * replayed task republishes. Each writer task owns one connection.
+  * `msgIdColumn` upgrades retry semantics to idempotent-at-the-stream:
+  * republished rows carry the same `Nats-Msg-Id` and JetStream-style
+  * retention stores them once (live core-NATS subscribers still see
+  * every publish — dedup is a stream-ingest property, as on a real
+  * server).
   */
 final class NatsWrite(schema: StructType, opts: NatsOptions) extends Write {
   override def toBatch: BatchWrite = new BatchWrite {
@@ -331,19 +343,45 @@ private object NatsWriteCommit extends WriterCommitMessage
 
 final class NatsRowWriter(schema: StructType, opts: NatsOptions)
     extends DataWriter[InternalRow] {
-  private val codec = PayloadCodec.strict(opts.codec, schema)
+  // msgIdColumn: the named STRING column becomes the Nats-Msg-Id header
+  // (JetStream ingest dedup — task retries republish with the same ids
+  // and the stream stores them once); it is identity metadata, not data,
+  // so it is excluded from the encoded payload. Misuse fails at writer
+  // construction, before any row is published.
+  private val msgIdIdx: Option[Int] = opts.msgIdColumn.map { c =>
+    val i = schema.fieldNames.indexOf(c)
+    require(i >= 0, s"msgIdColumn '$c' is not a column of the written " +
+      s"schema ${schema.fieldNames.mkString("[", ", ", "]")}")
+    require(schema.fields(i).dataType == StringType,
+      s"msgIdColumn '$c' must be STRING, got ${schema.fields(i).dataType.simpleString}")
+    i
+  }
+  private val payloadFields: Array[Int] =
+    schema.indices.filterNot(msgIdIdx.contains).toArray
+  private val codec = PayloadCodec.strict(opts.codec,
+    StructType(payloadFields.map(schema.fields)))
   private val conn = NatsTransport.connect(opts.url)
 
   override def write(row: InternalRow): Unit = {
-    val values = new Array[Any](schema.length)
+    val values = new Array[Any](payloadFields.length)
     var i = 0
-    while (i < schema.length) {
-      values(i) = row.get(i, schema.fields(i).dataType)
+    while (i < payloadFields.length) {
+      val f = payloadFields(i)
+      values(i) = row.get(f, schema.fields(f).dataType)
       i += 1
     }
     codec.encode(values) match {
       case Right(payload) =>
-        conn.publish(opts.subject, payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val bytes = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        msgIdIdx match {
+          case Some(idx) =>
+            require(!row.isNullAt(idx),
+              s"msgIdColumn '${opts.msgIdColumn.get}' is NULL: every row " +
+                "needs a message id for idempotent publish")
+            conn.publishWithHeaders(opts.subject,
+              Seq(NatsSubjects.MsgIdHeader -> row.getUTF8String(idx).toString), bytes)
+          case None => conn.publish(opts.subject, bytes)
+        }
       case Left(e) =>
         throw new IllegalArgumentException(
           s"row not encodable as NATS ${opts.codec}: ${e.message}")

@@ -345,6 +345,11 @@ object JnatsTransport {
   * subscription into a consumer that receives nothing (ADVICE r5).
   */
 object NatsSubjects {
+  /** The JetStream publish-dedup header (docs.nats.io, "message
+    * deduplication"): publishes carrying the same id within the stream's
+    * dedup window are stored once. */
+  val MsgIdHeader = "Nats-Msg-Id"
+
   private def tokens(s: String): Array[String] = s.split("\\.", -1)
 
   /** Published subjects: non-empty literal tokens only (no wildcards). */
@@ -400,6 +405,21 @@ object InMemoryBus {
   private final class Retained(val capacity: Int) {
     var nextSeq = 1L
     val ring = scala.collection.mutable.ArrayDeque.empty[(Seq[(String, String)], Array[Byte])]
+    // JetStream's `Nats-Msg-Id` dedup window, bounded by message count
+    // instead of wall-clock (the in-process analog of the 2-minute
+    // default): a publish whose id was already seen is NOT re-sequenced
+    // into the stream. Live push delivery is unaffected — dedup happens
+    // at stream ingest, exactly as on a real server.
+    private val seenIds = scala.collection.mutable.LinkedHashSet.empty[String]
+    def duplicate(headers: Seq[(String, String)]): Boolean =
+      headers.collectFirst { case (NatsSubjects.MsgIdHeader, v) => v } match {
+        case None => false
+        case Some(id) if seenIds.contains(id) => true
+        case Some(id) =>
+          seenIds.add(id)
+          if (seenIds.size > capacity) seenIds.remove(seenIds.head)
+          false
+      }
     def earliest: Long = nextSeq - ring.size // oldest retained seq
     def append(headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
       ring.append((headers, payload))
@@ -484,8 +504,10 @@ object InMemoryBus {
       // Retention first: a message is sequenced and retained whether or
       // not anyone is subscribed (that is the point of replay), then
       // push-delivered to live fire-and-forget subscribers as before.
+      // A duplicate Nats-Msg-Id skips ONLY the retention append (stream
+      // ingest dedup); live delivery below still sees every publish.
       val r = bus.retainedFor(subject)
-      r.synchronized { r.append(headers, payload) }
+      r.synchronized { if (!r.duplicate(headers)) r.append(headers, payload) }
       // Queue groups are keyed by (subscription pattern, group) per NATS
       // semantics: the same group name on two different patterns forms
       // two groups, each getting its own delivery. Members are collected

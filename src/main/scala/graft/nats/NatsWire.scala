@@ -837,6 +837,18 @@ final class MiniNatsServer(
   private final class Ring {
     var nextSeq = 1L
     val buf = scala.collection.mutable.ArrayDeque.empty[(Seq[(String, String)], Array[Byte])]
+    // JetStream `Nats-Msg-Id` dedup at stream ingest (see
+    // NatsSubjects.MsgIdHeader): count-bounded window analog.
+    private val seenIds = scala.collection.mutable.LinkedHashSet.empty[String]
+    def duplicate(headers: Seq[(String, String)]): Boolean =
+      headers.collectFirst { case (NatsSubjects.MsgIdHeader, v) => v } match {
+        case None => false
+        case Some(id) if seenIds.contains(id) => true
+        case Some(id) =>
+          seenIds.add(id)
+          if (seenIds.size > retainCapacity) seenIds.remove(seenIds.head)
+          false
+      }
     def earliest: Long = nextSeq - buf.size
     def append(headers: Seq[(String, String)], p: Array[Byte]): Unit = {
       buf.append((headers, p))
@@ -1131,7 +1143,9 @@ final class MiniNatsServer(
         // that is the point of replay — then push-delivered.
         if (retainCapacity > 0) {
           val r = ringFor(subject)
-          r.synchronized { r.append(headers, payload) }
+          // duplicate Nats-Msg-Id: skip stream ingest only — routing
+          // below still delivers the publish to live subscribers
+          r.synchronized { if (!r.duplicate(headers)) r.append(headers, payload) }
         }
         route(subject, payload, reply, headers)
       }

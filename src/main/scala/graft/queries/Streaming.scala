@@ -918,6 +918,32 @@ object Streaming {
         conn.close()
       }
       s.sql(s"SELECT id, name, amount FROM $sink ORDER BY id")
+    },
+
+    // Idempotent sink: the same micro-batch written TWICE — the task-retry
+    // shape under at-least-once — lands in retention exactly once, because
+    // each row publishes with its msgIdColumn value as the `Nats-Msg-Id`
+    // header and stream ingest dedups on it (docs.nats.io message
+    // deduplication; the memory bus and MiniNatsServer implement the same
+    // count-bounded window). The replay read-back sees 3 rows, not 6. The
+    // id column is identity metadata: excluded from the payload, so the
+    // read schema is the plain (id, name) the canonical oracle expects.
+    QueryDef.noBench("q120_idempotent_sink", canonicalOracle) { (s, _) =>
+      import s.implicits._
+      val url = s"memory://q120-${UUID.randomUUID()}"
+      val subj = "idem_sink"
+      val df = Seq((1, "apple", "m1"), (2, "banana", "m2"), (3, "orange", "m3"))
+        .toDF("id", "name", "mid")
+      def writeOnce(): Unit = df.write.format("nats").mode("append")
+        .option("url", url).option("subject", subj)
+        .option("msgIdColumn", "mid").save()
+      writeOnce()
+      writeOnce() // the "retry": same rows, same message ids
+      s.read.format("nats").schema(rowSchema)
+        .option("url", url).option("subject", subj)
+        .option("replay", "true").option("startSequence", "0")
+        .load()
+        .orderBy("id")
     }
   )
 }

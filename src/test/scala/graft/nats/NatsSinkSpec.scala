@@ -51,6 +51,51 @@ class NatsSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sub.close()
   }
 
+  test("msgIdColumn: a retried batch write retains once; the id column never enters the payload") {
+    import spark.implicits._
+    val url = freshBus()
+    def writeOnce(): Unit =
+      Seq((1, "apple", "m1"), (2, "banana", "m2"), (3, "orange", "m3"))
+        .toDF("id", "name", "mid")
+        .write.format("nats").mode("append")
+        .option("url", url).option("subject", "idem")
+        .option("msgIdColumn", "mid").save()
+    writeOnce()
+    writeOnce() // at-least-once retry: same rows, same Nats-Msg-Id values
+    val conn = NatsTransport.connect(url)
+    try {
+      val r = conn.asInstanceOf[ReplayableNatsConnection]
+      assert(r.currentSeq("idem") === 3L, "6 publishes must dedup to 3 stored")
+      val stored = r.fetchRetainedWithHeaders("idem", 0L, 10)
+      assert(stored.map(m => new String(m._2, "UTF-8")).sorted.toSeq ===
+        Seq("1,apple", "2,banana", "3,orange"),
+        "payload must be (id, name) only — mid is identity metadata")
+      assert(stored.map(_._1.collectFirst { case ("Nats-Msg-Id", v) => v }.get).sorted.toSeq ===
+        Seq("m1", "m2", "m3"))
+    } finally conn.close()
+  }
+
+  test("msgIdColumn misuse fails loudly: unknown column, non-string type, NULL id") {
+    import spark.implicits._
+    val url = freshBus()
+    def write(df: org.apache.spark.sql.DataFrame, idCol: String): Unit =
+      df.write.format("nats").mode("append")
+        .option("url", url).option("subject", "idem_bad")
+        .option("msgIdColumn", idCol).save()
+    val base = Seq((1, "a", "m1")).toDF("id", "name", "mid")
+    val unknown = intercept[Exception](write(base, "nope"))
+    assert(unknown.getMessage.contains("msgIdColumn") ||
+      unknown.getCause.getMessage.contains("msgIdColumn"))
+    val wrongType = intercept[Exception](write(base, "id"))
+    assert(wrongType.getMessage.contains("STRING") ||
+      wrongType.getCause.getMessage.contains("STRING"))
+    val withNull = Seq((1, "a", "m1"), (2, "b", null))
+      .toDF("id", "name", "mid")
+    val nullId = intercept[Exception](write(withNull, "mid"))
+    assert(nullId.getMessage.contains("NULL") ||
+      (nullId.getCause != null && nullId.getCause.getMessage.contains("NULL")))
+  }
+
   test("batch write covers all six codec types and round-trips through parse") {
     import spark.implicits._
     val url = freshBus()

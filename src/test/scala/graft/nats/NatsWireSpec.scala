@@ -386,6 +386,37 @@ class NatsWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Nats-Msg-Id dedup at stream ingest: duplicate publishes retain once, live delivery sees all") {
+    // JetStream message deduplication (docs.nats.io): same Nats-Msg-Id
+    // within the window -> stored once. Dedup is a STREAM-INGEST property;
+    // core-NATS push delivery still carries every publish.
+    val server = new MiniNatsServer(retainCapacity = 64, jetStream = true)
+    try {
+      val pub = NatsTransport.connect(server.url)
+      val con = NatsTransport.connect(server.url)
+      try {
+        val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+        val sub = con.subscribe("dedup.t")(p => { got.put(new String(p)); () })
+        try {
+          eventually()(server.subscriptionCount("dedup.t") == 1)
+          pub.publishWithHeaders("dedup.t", Seq("Nats-Msg-Id" -> "a"), "one".getBytes)
+          pub.publishWithHeaders("dedup.t", Seq("Nats-Msg-Id" -> "a"), "one-retry".getBytes)
+          pub.publishWithHeaders("dedup.t", Seq("Nats-Msg-Id" -> "b"), "two".getBytes)
+          pub.publish("dedup.t", "plain".getBytes) // headerless: never deduped
+          val live = (1 to 4).map(_ =>
+            got.poll(10, java.util.concurrent.TimeUnit.SECONDS)).toSet
+          assert(live === Set("one", "one-retry", "two", "plain"))
+        } finally sub.close()
+        val r = pub.asInstanceOf[ReplayableNatsConnection]
+        assert(r.currentSeq("dedup.t") === 3L,
+          "retention must hold one 'a', one 'b', and the plain publish")
+        val retained = r.fetchRetained("dedup.t", 0L, 10).map(new String(_)).toSeq
+        assert(retained === Seq("one", "two", "plain"),
+          "the retry must not re-sequence; the first publish wins")
+      } finally { pub.close(); con.close() }
+    } finally server.stop()
+  }
+
   test("tls_required in INFO fails fast with guidance instead of speaking plaintext") {
     val server = new MiniNatsServer(tlsRequired = true)
     try {
