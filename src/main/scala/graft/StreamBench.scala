@@ -62,7 +62,33 @@ object StreamBench {
 
     val mem = one(overMemory(1, measureFlush = true), overMemory(64, measureFlush = false))
     val tcp = one(overTcp(1, measureFlush = true), overTcp(64, measureFlush = false))
-    s""""streaming":{"rows":$rows,"target_batch_rows":1000,"target_flush_ms":1000,"memory":$mem,"nats_tcp":$tcp}"""
+    // Sink (write path) over TCP: per-row flush (publishBatchRows=1, the
+    // pre-pipelining behavior) vs the pipelined default — the delta is
+    // the per-publish syscall ceiling the batch seam removes.
+    val sinkPerRow = sinkOne(spark, 1, rows)
+    val sinkPiped = sinkOne(spark, 500, rows)
+    val sink = f"""{"rows_per_sec_flush_per_row":$sinkPerRow%.1f,"rows_per_sec_pipelined":$sinkPiped%.1f}"""
+    s""""streaming":{"rows":$rows,"target_batch_rows":1000,"target_flush_ms":1000,"memory":$mem,"nats_tcp":$tcp,"sink_tcp":$sink}"""
+  }
+
+  /** Sink path wall-clock: N materialized rows -> codec encode -> TCP
+    * publish (no subscriber — the server discards; this times the full
+    * client write path, which is what the sink contributes). */
+  private def sinkOne(spark: SparkSession, batchRows: Int, rows: Int): Double = {
+    val server = new MiniNatsServer
+    try {
+      val df = spark.range(rows.toLong)
+        .selectExpr("cast(id as int) as id", "concat('row', id) as name")
+        .coalesce(4).persist()
+      df.count() // materialize first: time the write, not the projection
+      val t0 = System.nanoTime()
+      df.write.format("nats").mode("append")
+        .option("url", server.url).option("subject", "bench_sink")
+        .option("publishBatchRows", batchRows.toString).save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      df.unpersist()
+      rows / sec
+    } finally server.stop()
   }
 
   private def runOne(

@@ -43,7 +43,8 @@ final case class NatsOptions(
     inferTimeoutMs: Long = 2000L,
     includeMetadata: Boolean = false,
     deadLetterSubject: Option[String] = None,
-    msgIdColumn: Option[String] = None) extends Serializable
+    msgIdColumn: Option[String] = None,
+    publishBatchRows: Int = 500) extends Serializable
 
 object NatsOptions {
   def from(options: CaseInsensitiveStringMap): NatsOptions = {
@@ -119,7 +120,15 @@ object NatsOptions {
       // retained/JetStream stream stores retried publishes once — the
       // NATS-native idempotent-producer upgrade over fire-and-forget
       // at-least-once. Reads ignore it.
-      msgIdColumn = Option(options.get("msgIdColumn")).filter(_.nonEmpty))
+      msgIdColumn = Option(options.get("msgIdColumn")).filter(_.nonEmpty),
+      // Sink-only: rows buffered per writer task before one pipelined
+      // publish (and one TCP flush) — a flush per row caps the sink at
+      // the syscall rate. 1 = the old per-row behavior.
+      publishBatchRows = {
+        val n = options.getInt("publishBatchRows", 500)
+        require(n >= 1, s"publishBatchRows must be >= 1, got $n")
+        n
+      })
   }
 }
 
@@ -361,6 +370,17 @@ final class NatsRowWriter(schema: StructType, opts: NatsOptions)
   private val codec = PayloadCodec.strict(opts.codec,
     StructType(payloadFields.map(schema.fields)))
   private val conn = NatsTransport.connect(opts.url)
+  // Encoded rows buffered up to publishBatchRows, then published as one
+  // pipelined run (one TCP flush). Unflushed rows publish at commit();
+  // abort() discards them — already-flushed rows stay at-least-once, as
+  // before (fire-and-forget has no transactional take-back).
+  private val pending =
+    scala.collection.mutable.ArrayBuffer.empty[(Seq[(String, String)], Array[Byte])]
+
+  private def flushPending(): Unit = if (pending.nonEmpty) {
+    conn.publishBatchWithHeaders(opts.subject, pending.iterator)
+    pending.clear()
+  }
 
   override def write(row: InternalRow): Unit = {
     val values = new Array[Any](payloadFields.length)
@@ -373,23 +393,24 @@ final class NatsRowWriter(schema: StructType, opts: NatsOptions)
     codec.encode(values) match {
       case Right(payload) =>
         val bytes = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        msgIdIdx match {
+        val headers = msgIdIdx match {
           case Some(idx) =>
             require(!row.isNullAt(idx),
               s"msgIdColumn '${opts.msgIdColumn.get}' is NULL: every row " +
                 "needs a message id for idempotent publish")
-            conn.publishWithHeaders(opts.subject,
-              Seq(NatsSubjects.MsgIdHeader -> row.getUTF8String(idx).toString), bytes)
-          case None => conn.publish(opts.subject, bytes)
+            Seq(NatsSubjects.MsgIdHeader -> row.getUTF8String(idx).toString)
+          case None => Nil
         }
+        pending.append((headers, bytes))
+        if (pending.size >= opts.publishBatchRows) flushPending()
       case Left(e) =>
         throw new IllegalArgumentException(
           s"row not encodable as NATS ${opts.codec}: ${e.message}")
     }
   }
 
-  override def commit(): WriterCommitMessage = NatsWriteCommit
-  override def abort(): Unit = ()
+  override def commit(): WriterCommitMessage = { flushPending(); NatsWriteCommit }
+  override def abort(): Unit = pending.clear()
   override def close(): Unit = conn.close()
 }
 

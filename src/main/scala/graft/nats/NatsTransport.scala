@@ -50,6 +50,18 @@ trait NatsConnection extends AutoCloseable {
       payload: Array[Byte]): Unit =
     publish(subject, payload)
 
+  /** Publish a run of messages to one subject as a unit. Semantics are
+    * identical to calling [[publishWithHeaders]] per message (ordering
+    * included); the seam exists so syscall-bound transports can pipeline
+    * the frames and flush ONCE — the hot path of the Spark sink, where a
+    * flush per row is the single-node throughput ceiling. In-process
+    * transports inherit the per-message loop. */
+  def publishBatchWithHeaders(subject: String,
+      msgs: Iterator[(Seq[(String, String)], Array[Byte])]): Unit =
+    msgs.foreach { case (h, p) =>
+      if (h.isEmpty) publish(subject, p) else publishWithHeaders(subject, h, p)
+    }
+
   /** [[subscribeEach]] with the delivery's headers (empty when the
     * message carried none, or the transport has no header support). */
   def subscribeHeadersEach(subject: String)(

@@ -368,6 +368,36 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
     }
   }
 
+  /** One lock acquisition, one flush for the whole run: PUB/HPUB frames
+    * pipeline through the buffered stream back-to-back — the NATS client
+    * idiom for bulk publish (a flush per message caps throughput at the
+    * syscall rate). Per-message size checks are unchanged. */
+  override def publishBatchWithHeaders(subject: String,
+      msgs: Iterator[(Seq[(String, String)], Array[Byte])]): Unit = {
+    NatsSubjects.validateSubject(subject)
+    checkHealthy()
+    writeLock.synchronized {
+      msgs.foreach {
+        case (headers, payload) if headers.isEmpty =>
+          require(payload.length <= serverMaxPayload,
+            s"payload ${payload.length} exceeds server max_payload $serverMaxPayload")
+          write(s"PUB $subject ${payload.length}\r\n")
+          out.write(payload)
+          write("\r\n")
+        case (headers, payload) =>
+          val block = NatsWire.encodeHeaders(headers)
+          require(block.length + payload.length <= serverMaxPayload,
+            s"headers+payload ${block.length + payload.length} exceeds server " +
+              s"max_payload $serverMaxPayload")
+          write(s"HPUB $subject ${block.length} ${block.length + payload.length}\r\n")
+          out.write(block)
+          out.write(payload)
+          write("\r\n")
+      }
+      out.flush()
+    }
+  }
+
   private def sub(subject: String, group: Option[String])(
       handler: (String, Array[Byte]) => Unit): NatsSubscription =
     subRaw(subject, group)((subj, _, _, p) => handler(subj, p))
@@ -510,6 +540,9 @@ private[nats] final class GraftStreamTcpConnection(c: TcpNatsClient)
     c.subscribeQueueEach(subject, group)(handler)
   override def publishWithHeaders(subject: String, headers: Seq[(String, String)],
       payload: Array[Byte]): Unit = c.publishWithHeaders(subject, headers, payload)
+  override def publishBatchWithHeaders(subject: String,
+      msgs: Iterator[(Seq[(String, String)], Array[Byte])]): Unit =
+    c.publishBatchWithHeaders(subject, msgs)
   override def subscribeHeadersEach(subject: String)(
       handler: (String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription =
     c.subscribeHeadersEach(subject)(handler)
@@ -599,6 +632,9 @@ private[nats] final class JetStreamTcpConnection(c: TcpNatsClient)
     c.subscribeQueueEach(subject, group)(handler)
   override def publishWithHeaders(subject: String, headers: Seq[(String, String)],
       payload: Array[Byte]): Unit = c.publishWithHeaders(subject, headers, payload)
+  override def publishBatchWithHeaders(subject: String,
+      msgs: Iterator[(Seq[(String, String)], Array[Byte])]): Unit =
+    c.publishBatchWithHeaders(subject, msgs)
   override def subscribeHeadersEach(subject: String)(
       handler: (String, Seq[(String, String)], Array[Byte]) => Unit): NatsSubscription =
     c.subscribeHeadersEach(subject)(handler)

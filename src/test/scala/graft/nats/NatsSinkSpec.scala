@@ -75,6 +75,35 @@ class NatsSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  test("pipelined publish over TCP: batched frames keep order, payload bytes, and headers") {
+    // The sink buffers publishBatchRows rows and ships them as one
+    // PUB/HPUB pipeline + one flush (TcpNatsClient.publishBatchWithHeaders).
+    // 10 rows with publishBatchRows=4 exercises two full runs + the
+    // commit-time flush of the remainder. jetStream mode: the $JS.API
+    // fetch carries headers back out (the graft FETCH framing is
+    // payload-only — documented gap).
+    import spark.implicits._
+    val server = new MiniNatsServer(retainCapacity = 64, jetStream = true)
+    try {
+      (1 to 10).map(i => (i, s"name$i", s"id$i")).toDF("id", "name", "mid")
+        .coalesce(1) // one writer task: retention order = row order
+        .write.format("nats").mode("append")
+        .option("url", server.url).option("subject", "pipe")
+        .option("msgIdColumn", "mid")
+        .option("publishBatchRows", "4").save()
+      val conn = NatsTransport.connect(server.url)
+      try {
+        val r = conn.asInstanceOf[ReplayableNatsConnection]
+        assert(r.currentSeq("pipe") === 10L)
+        val stored = r.fetchRetainedWithHeaders("pipe", 0L, 20)
+        assert(stored.map(m => new String(m._2, "UTF-8")).toSeq ===
+          (1 to 10).map(i => s"$i,name$i"))
+        assert(stored.map(_._1.collectFirst { case ("Nats-Msg-Id", v) => v }.get).toSeq ===
+          (1 to 10).map(i => s"id$i"))
+      } finally conn.close()
+    } finally server.stop()
+  }
+
   test("msgIdColumn misuse fails loudly: unknown column, non-string type, NULL id") {
     import spark.implicits._
     val url = freshBus()
