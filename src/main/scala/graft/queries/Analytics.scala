@@ -227,26 +227,32 @@ object Analytics {
         lit(0.0), (acc, t) => acc + t)
 
     // Argmin over the broadcast centroid array; strict < keeps the
-    // lowest cid on exact ties (cents is sorted by cid).
-    def assign(v: Column, cents: Column): Column =
+    // lowest cid on exact ties (cents is sorted by cid). The full
+    // (d, cid) struct — q121 keeps the distance, assign() drops it.
+    def assignStruct(v: Column, cents: Column): Column =
       aggregate(cents,
         struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
         (acc, c) => {
           val d = dist2(v, c.getField("ce"))
           when(d < acc.getField("d"),
             struct(d.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
-        }).getField("cid")
+        })
+
+    def assign(v: Column, cents: Column): Column =
+      assignStruct(v, cents).getField("cid")
 
     // All K centroids as ONE broadcastable row of (cid, vector) structs.
     def centroidRow(df: DataFrame): DataFrame =
       df.agg(array_sort(collect_list(struct(col("cid"), col("ce")))).as("cents"))
 
-    /** Input columns preserved, plus `cluster_id` from two deterministic
-      * Lloyd rounds seeded by vec_id < k (default 8 — what the q93/q100
-      * oracles pin). Expects a DOUBLE vector column `v` and a `vec_id`
-      * column. K is the scale knob: cells bound the quadratic
-      * within-cell work downstream, so production raises K with the
-      * corpus (ScaleStressSpec pins this as a tested fact).
+    /** Input columns preserved, plus `cluster_id` (and `cluster_d2`, the
+      * squared distance to the winning centroid — q121 ranks on it,
+      * q93/q100 ignore it) from two deterministic Lloyd rounds seeded by
+      * vec_id < k (default 8 — what the q93/q100 oracles pin). Expects a
+      * DOUBLE vector column `v` and a `vec_id` column. K is the scale
+      * knob: cells bound the quadratic within-cell work downstream, so
+      * production raises K with the corpus (ScaleStressSpec pins this as
+      * a tested fact).
       */
     def twoRoundAssign(e: DataFrame, k: Int = 8): DataFrame = {
       val c0 = centroidRow(e.filter(col("vec_id") < k)
@@ -265,8 +271,10 @@ object Analytics {
             array_sort(collect_list(struct(col("pos"), col("y")))),
             p => p.getField("y")).as("ce")))
       e.crossJoin(broadcast(m1))
-        .withColumn("cluster_id", assign(col("v"), col("cents")))
-        .drop("cents")
+        .withColumn("asg", assignStruct(col("v"), col("cents")))
+        .withColumn("cluster_id", col("asg").getField("cid"))
+        .withColumn("cluster_d2", col("asg").getField("d"))
+        .drop("cents", "asg")
     }
   }
 
@@ -1427,6 +1435,49 @@ object Analytics {
         .agg(round(sum(col("ld")), 6).as("adc_r"))
         .orderBy(col("adc_r"), col("vec_id"))
         .limit(10)
+    },
+
+    // ---- q121: coreset / diversity selection — the "train on less,
+    // cover the same distribution" curation step (herding / k-center
+    // style): cluster the corpus with the SHARED q93 Lloyd kernel, then
+    // keep each cell's 2 most-central vectors as its representatives. A
+    // top-quality-only filter collapses onto the densest modes; picking
+    // per-cell medoid-ish representatives keeps every mode covered. The
+    // 100 TB shape: assignment is the scan-local broadcast-fold (no
+    // shuffle), and the per-cell cut is a row_number<=k over K cells —
+    // a partial WindowGroupLimit ships at most 2 rows per cell per map
+    // task, so the output is K x 2 rows at any corpus size (production
+    // raises K with the corpus, the q100 rule). Determinism: distances
+    // are the q93 fold (the proven SUM-unnest equivalence), ranked on
+    // the ROUNDED distance with vec_id tie-break. ----
+    QueryDef(
+      "q121_coreset_sample",
+      s"""WITH $kmeansAssignCte,
+         |a2d AS (
+         |  SELECT vec_id, cid, d FROM (
+         |    SELECT vec_id, cid, d,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |r AS (
+         |  SELECT cid AS cluster_id, vec_id, round(d, 6) AS d2_r,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY cid ORDER BY round(d, 6), vec_id) AS rk
+         |  FROM a2d)
+         |SELECT cluster_id, rk, vec_id, d2_r
+         |FROM r WHERE rk <= 2
+         |ORDER BY cluster_id, rk""".stripMargin) { (s, dir) =>
+      val e = T(s, dir, "embeddings").select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val wCell = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("d2_r"), col("vec_id"))
+      Kmeans.twoRoundAssign(e)
+        .select(col("cluster_id"), col("vec_id"),
+          round(col("cluster_d2"), 6).as("d2_r"))
+        .withColumn("rk", row_number().over(wCell))
+        .filter(col("rk") <= 2)
+        .select(col("cluster_id"), col("rk"), col("vec_id"), col("d2_r"))
+        .orderBy(col("cluster_id"), col("rk"))
     }
   )
 

@@ -108,6 +108,44 @@ object Pipeline {
   // q99 posting-list cap (top-K documents by tf retained per term).
   private val POSTK = 3
 
+  /** Shared per-document bigram-LM cross-entropy frame — q103 scores
+    * outliers from it, q122 buckets the whole corpus by it; one kernel so
+    * the two cannot drift (the q93/q100 no-drift rule). Columns:
+    * (doc_id, lang, ce_raw DOUBLE, n_bigrams LONG).
+    *
+    * An add-one-smoothed per-language word-bigram LM is "trained" as two
+    * count aggregations over the corpus and every document is scored by
+    * its average negative log-likelihood. Bigram (prefix, pair) hashes
+    * come from the one-pass native kernel (SketchParitySpec pins it
+    * against the sequence-explode + two-md5 SQL formulation the oracles
+    * still write). 100 TB shape: bigrams reduce to 60-bit hashes
+    * scan-locally, the count tables and the scoring join are all keyed on
+    * (lang, hash) — canonical co-partitioned token-statistics joins; the
+    * #langs-row vocab table broadcasts. bg feeds four consumers ->
+    * persisted (one corpus scan, q85/q88/q99 rule).
+    */
+  private def bigramCePerDoc(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bg = T(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("graft_bigram_hashes(text)")).as("bh"))
+      .select(col("doc_id"), col("lang"),
+        col("bh.h1").as("h1"), col("bh.h2").as("h2"))
+      .persist()
+    val c2 = bg.groupBy(col("lang"), col("h2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("lang"), col("h1")).agg(count(lit(1)).as("c1"))
+    val vocab = bg.select(col("lang"), col("h1")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("v"))
+    bg.join(c2, Seq("lang", "h2"))
+      .join(c1, Seq("lang", "h1"))
+      .join(broadcast(vocab), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        (-log((col("c2") + lit(1)).cast(DoubleType) / (col("c1") + col("v")))).as("nll"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(avg(col("nll")).as("ce_raw"), count(lit(1)).as("n_bigrams"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: the scalable keep-first idiom (one shuffle, no
@@ -948,29 +986,7 @@ object Pipeline {
     // token-statistics joins; the 5-row vocab table broadcasts. bg feeds
     // four consumers -> persisted (one corpus scan, q85/q88/q99 rule). ----
     QueryDef("q103_bigram_lm", bigramLmOracle) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      // Bigram (prefix, pair) hashes come from the one-pass native kernel
-      // (SketchParitySpec pins it against the sequence-explode + two-md5
-      // SQL formulation the oracle still writes).
-      val bg = T(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("lang"),
-          explode(expr("graft_bigram_hashes(text)")).as("bh"))
-        .select(col("doc_id"), col("lang"),
-          col("bh.h1").as("h1"), col("bh.h2").as("h2"))
-        .persist()
-      val c2 = bg.groupBy(col("lang"), col("h2")).agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy(col("lang"), col("h1")).agg(count(lit(1)).as("c1"))
-      val vocab = bg.select(col("lang"), col("h1")).distinct()
-        .groupBy(col("lang")).agg(count(lit(1)).as("v"))
-      val per = bg
-        .join(c2, Seq("lang", "h2"))
-        .join(c1, Seq("lang", "h1"))
-        .join(broadcast(vocab), Seq("lang"))
-        .select(col("doc_id"), col("lang"),
-          (-log((col("c2") + lit(1)).cast(DoubleType) / (col("c1") + col("v")))).as("nll"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(avg(col("nll")).as("ce_raw"), count(lit(1)).as("n_bigrams"))
+      val per = bigramCePerDoc(s, dir)
       val wLang = Window.partitionBy(col("lang")).orderBy(col("ce_raw").desc, col("doc_id"))
       per.withColumn("rk", row_number().over(wLang))
         .filter(col("rk") <= 3)
@@ -1191,6 +1207,82 @@ object Pipeline {
           round(sum(col("in_a") * col("in_b")).cast(DoubleType) / count(lit(1)), 6)
             .as("jaccard_est"))
         .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // ---- perplexity bucketing: the CCNet curation step — split each
+    // language's corpus into head/middle/tail terciles by LM
+    // cross-entropy (bucket 1 = most fluent under the corpus's own
+    // statistics, bucket 3 = noisiest; CCNet trains on head+middle and
+    // drops/reviews tail). Scoring is the SHARED q103 kernel
+    // (bigramCePerDoc — one definition, no drift); the tercile split is
+    // NTILE over (round(ce,6), doc_id) — rounding makes cross-engine
+    // float ties EXACT ties and doc_id then pins them, so bucket
+    // boundaries are deterministic in both engines. 100 TB shape: the
+    // per-language NTILE is the only global-ish step and production
+    // replaces it with approx quantile cutoffs (q90's sketch) broadcast
+    // back — the output contract (per-bucket doc counts + ce range) is
+    // identical; everything upstream is the q103 co-partitioned join
+    // family. Output rows = #langs x 3 at any corpus size. ----
+    QueryDef("q122_perplexity_buckets", perplexityBucketsOracle) { (s, dir) =>
+      val per = bigramCePerDoc(s, dir)
+      val wLang = Window.partitionBy(col("lang"))
+        .orderBy(round(col("ce_raw"), 6), col("doc_id"))
+      per.withColumn("bucket", ntile(3).over(wLang))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("ce_raw")), 6).as("min_ce"),
+          round(max(col("ce_raw")), 6).as("max_ce"),
+          round(avg(col("ce_raw")), 6).as("avg_ce"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+
+    // ---- contamination scoring: the GPT-3/PaLM n-gram-overlap
+    // decontamination report. q57/q79 answer "is this exact document in
+    // the benchmark?"; this answers the harder production question "what
+    // FRACTION of each training doc's word-3-grams appears anywhere in
+    // the held-out set?" — catching partial/embedded contamination exact
+    // match misses. Held-out set = doc_id % 20 = 0 (5%); per train doc:
+    // total 3-grams, 3-grams hitting the held-out gram set (left-semi),
+    // frac = hit/total (single int/int division — IEEE-exact in both
+    // engines), then the top-5 most-contaminated docs per language via
+    // the partial-WindowGroupLimit cap. 100 TB shape: real benchmarks
+    // are tiny, so the distinct (lang, hash) gram set broadcasts and the
+    // probe is map-side (the q57/q79 decontamination shape lifted from
+    // doc hashes to n-grams); the gram frame feeds the held-out build
+    // AND the train probe -> persisted (one corpus scan); per-doc
+    // rollups are keyed on doc_id; output rows = 5 x #langs always. ----
+    QueryDef("q123_contamination_score", contaminationScoreOracle) { (s, dir) =>
+      val grams = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(0, size(ws) - 3), " +
+              "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
+        .select(col("doc_id"), col("lang"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast(LongType).as("h"))
+        .persist()
+      val benchSet = grams.filter(col("doc_id") % 20 === 0)
+        .select(col("lang"), col("h")).distinct()
+      val train = grams.filter(col("doc_id") % 20 =!= 0)
+      val tot = train.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_grams"))
+      val hit = train.join(broadcast(benchSet), Seq("lang", "h"), "left_semi")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_hit"))
+      val wLang = Window.partitionBy(col("lang"))
+        .orderBy(col("frac").desc, col("doc_id"))
+      tot.join(hit, Seq("doc_id", "lang"), "left")
+        .select(col("doc_id"), col("lang"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n_grams"), 6)
+            .as("frac"))
+        .withColumn("rk", row_number().over(wLang))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("doc_id"),
+          col("n_grams"), col("n_hit"), col("frac"))
+        .orderBy(col("lang"), col("rk"))
     }
   )
 
@@ -1592,8 +1684,11 @@ object Pipeline {
 
   /** DuckDB mirror of q103: identical 60-bit bigram/prefix hashes,
     * identical add-one smoothing, avg(-ln) cross-entropy, top-3 per lang. */
-  private def bigramLmOracle: String =
-    """WITH w AS (
+  /** DuckDB mirror of [[bigramCePerDoc]]: CTE chain ending in
+    * `per` = (doc_id, lang, ce_raw, n_bigrams). Shared by the q103 and
+    * q122 oracles — same no-drift rule as the Spark kernel. */
+  private def bigramPerDocCte: String =
+    """w AS (
       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
       |  FROM documents WHERE text IS NOT NULL),
       |bg AS (
@@ -1610,13 +1705,64 @@ object Pipeline {
       |  FROM bg JOIN c2 USING (lang, h2) JOIN c1 USING (lang, h1) JOIN v USING (lang)),
       |per AS (
       |  SELECT doc_id, lang, AVG(nll) AS ce_raw, COUNT(*) AS n_bigrams
-      |  FROM sc GROUP BY doc_id, lang),
+      |  FROM sc GROUP BY doc_id, lang)""".stripMargin
+
+  private def bigramLmOracle: String =
+    s"""WITH $bigramPerDocCte,
+       |r AS (
+       |  SELECT lang, doc_id, ce_raw, n_bigrams,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ce_raw DESC, doc_id) AS rk
+       |  FROM per)
+       |SELECT lang, rk, doc_id, round(ce_raw, 6) AS ce, n_bigrams
+       |FROM r WHERE rk <= 3
+       |ORDER BY lang, rk""".stripMargin
+
+  /** DuckDB mirror of q122: the shared [[bigramPerDocCte]] scoring, then
+    * the identical NTILE(3) over (round(ce,6), doc_id). */
+  private def perplexityBucketsOracle: String =
+    s"""WITH $bigramPerDocCte,
+       |b AS (
+       |  SELECT lang, doc_id, ce_raw,
+       |    NTILE(3) OVER (PARTITION BY lang ORDER BY round(ce_raw, 6), doc_id) AS bucket
+       |  FROM per)
+       |SELECT lang, bucket, COUNT(*) AS n_docs,
+       |  round(MIN(ce_raw), 6) AS min_ce,
+       |  round(MAX(ce_raw), 6) AS max_ce,
+       |  round(AVG(ce_raw), 6) AS avg_ce
+       |FROM b GROUP BY lang, bucket
+       |ORDER BY lang, bucket""".stripMargin
+
+  /** DuckDB mirror of q123: same split/lowercase 3-gram formulation and
+    * md5-60-bit hash, held-out membership via EXISTS (= the left-semi),
+    * same int/int division and top-5 window. */
+  private def contaminationScoreOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS h
+      |  FROM w, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+      |  WHERE len(ws) >= 3),
+      |bench AS (SELECT DISTINCT lang, h FROM g WHERE doc_id % 20 = 0),
+      |train AS (SELECT doc_id, lang, h FROM g WHERE doc_id % 20 <> 0),
+      |tot AS (SELECT doc_id, lang, COUNT(*) AS n_grams FROM train GROUP BY 1, 2),
+      |hit AS (
+      |  SELECT t.doc_id, t.lang, COUNT(*) AS n_hit
+      |  FROM train t
+      |  WHERE EXISTS (SELECT 1 FROM bench b WHERE b.lang = t.lang AND b.h = t.h)
+      |  GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT tot.doc_id, tot.lang, tot.n_grams,
+      |    COALESCE(hit.n_hit, 0) AS n_hit,
+      |    round(COALESCE(hit.n_hit, 0)::DOUBLE / tot.n_grams, 6) AS frac
+      |  FROM tot LEFT JOIN hit USING (doc_id, lang)),
       |r AS (
-      |  SELECT lang, doc_id, ce_raw, n_bigrams,
-      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ce_raw DESC, doc_id) AS rk
-      |  FROM per)
-      |SELECT lang, rk, doc_id, round(ce_raw, 6) AS ce, n_bigrams
-      |FROM r WHERE rk <= 3
+      |  SELECT lang, doc_id, n_grams, n_hit, frac,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY frac DESC, doc_id) AS rk
+      |  FROM sc)
+      |SELECT lang, rk, doc_id, n_grams, n_hit, frac
+      |FROM r WHERE rk <= 5
       |ORDER BY lang, rk""".stripMargin
 
   /** DuckDB mirror of q104: the kernel computes the exact formula written
