@@ -34,13 +34,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   // centroid row (its pair join is keyed on cluster_id, audited tight);
   // q115 its ONE-row leakage-audit count; q116 its ONE-row weight
   // total; q117's sole non-equi join enumerates source PAIRS
-  // (#sources^2 rows — document data flows only through equi joins).
+  // (#sources^2 rows — document data flows only through equi joins);
+  // q121 rides q93's ONE-row centroid array (same Lloyd kernel).
   private val bnljAllowed = Set(
     "q42_topk_cosine", "q53_topk_cosine_native", "q46_ann_lsh",
     "q55_ivf_ann", "q56_tfidf", "q74_quant_cosine", "q79_bloom_decontaminate",
     "q85_cms_heavy_hitters", "q93_kmeans_assign", "q96_bm25",
     "q100_semantic_dedup", "q115_leakage_safe_split", "q116_mix_weights",
-    "q117_source_overlap")
+    "q117_source_overlap", "q121_coreset_sample")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
@@ -116,9 +117,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // recompute is a full corpus pass.
     // q115's fingerprint+split frame feeds the rollup AND the leakage
     // audit; q117's bottom-64 sketch feeds the pair enumeration and both
-    // membership-flag joins.
+    // membership-flag joins; q103/q122's shared bigram frame feeds the
+    // two count tables, the vocab, and the scoring probe; q123's gram
+    // frame feeds the held-out set build and both train rollups.
     for ((q, minScans) <- Seq("q85_cms_heavy_hitters" -> 3, "q88_cohort_retention" -> 2,
-        "q115_leakage_safe_split" -> 2, "q117_source_overlap" -> 3)) {
+        "q115_leakage_safe_split" -> 2, "q117_source_overlap" -> 3,
+        "q103_bigram_lm" -> 4, "q122_perplexity_buckets" -> 4,
+        "q123_contamination_score" -> 3)) {
       val plan = Registry.byName(q).build(spark, sfDir)
         .queryExecution.executedPlan.toString
       val imts = plan.split("\n").count(_.contains("InMemoryTableScan"))
@@ -178,6 +183,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q107: expected partial+final WindowGroupLimit:\n$plan")
     assert(plan.split("\n").count(_.contains("InMemoryTableScan")) >= 2,
       s"q107: both candidate-join sides must read the cached bucket frame:\n$plan")
+  }
+
+  test("q121/q123: per-group caps are map-side WindowGroupLimits; q123's held-out probe is a broadcast hash semi-join") {
+    // q121 ships at most 2 rows per k-means cell per map task; q123 at
+    // most 5 docs per language — both must infer the partial
+    // WindowGroupLimit or the whole corpus rides the final exchange.
+    for (q <- Seq("q121_coreset_sample", "q123_contamination_score")) {
+      val plan = Registry.byName(q).build(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val wgl = plan.split("\n").filter(_.contains("WindowGroupLimit"))
+      assert(wgl.length >= 2 && wgl.exists(_.contains("Partial")),
+        s"$q: expected partial+final WindowGroupLimit:\n$plan")
+    }
+    // The contamination probe is the q57/q79 decontamination shape: the
+    // (small) held-out gram set broadcasts and the semi-join stays
+    // map-side — an exchange-both-sides probe re-shuffles the corpus.
+    val p123 = Registry.byName("q123_contamination_score").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p123.contains("BroadcastHashJoin") && p123.contains("LeftSemi"),
+      s"q123: held-out probe should be a broadcast LeftSemi hash join:\n$p123")
   }
 
   test("q109: PQ encode and scoring join broadcast the codebook/LUT as hash joins, never nested loops") {

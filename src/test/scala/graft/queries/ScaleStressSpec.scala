@@ -120,7 +120,17 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // hash universe ~10x); the bottom-64 sketch and every operator after
     // the WindowGroupLimit cut are BY CONSTRUCTION independent of corpus
     // size — output rows stay at C(#sources, 2)
-    "q115_leakage_safe_split", "q116_mix_weights", "q117_source_overlap")
+    "q115_leakage_safe_split", "q116_mix_weights", "q117_source_overlap",
+    // q121: assignment is the scan-local centroid fold (K fixed), the
+    // per-cell cut ships <= 2 rows per cell — output stays at K x 2 rows
+    // while the corpus grows. q122: the q103 bigram family (disjoint
+    // copy alphabets grow the count tables ~10x in rows AND keys) with a
+    // scale-invariant #langs x 3 output. q123: the renamed copies keep
+    // gram sets disjoint and the offset doc_ids (multiples of 1e6)
+    // preserve the %20 held-out split — the probe stays a broadcast
+    // semi-join and output stays at 5 x #langs
+    "q121_coreset_sample", "q122_perplexity_buckets",
+    "q123_contamination_score")
 
   /** Build + materialize, cold (cache cleared): wall seconds, plan-node
     * multiset, result rows. Build time is included on purpose — q76 runs
