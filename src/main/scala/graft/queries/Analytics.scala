@@ -199,6 +199,92 @@ object Analytics {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** DuckDB mirror of the q76 cluster assignment: the recursive
+    * reachability walk over [[minhashPairsCte]]'s near-dup edges, ending
+    * in `comp` = (doc_id, cluster_id). Shared by the q76 and q125
+    * oracles (same no-drift rule as the Spark kernel). Callers prepend
+    * `WITH RECURSIVE `. */
+  private def dupClusterCte: String =
+    s"""$minhashPairsCte,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (
+       |  SELECT id AS doc_id, MIN(r) AS cluster_id
+       |  FROM reach GROUP BY id)""".stripMargin
+
+  /** q76's distributed min-label propagation, factored so q125's
+    * canonical-keep reuses the IDENTICAL cluster assignment (the
+    * q93/q100 no-drift rule): returns (doc_id, cluster_id) for every
+    * near-dup node, unordered. Runs the propagation loop at build time —
+    * each round is a keyed join + keyed min-agg over the (tiny: near-dup
+    * nodes only) frame, localCheckpoint-truncated lineage, LOUD failure
+    * if the safety bound is hit with labels still moving. */
+  private def dupClusterAssign(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sig = T(s, dir, "documents")
+      .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
+      .filter(col("sig").isNotNull)
+    // Persisted: feeds both self-join sides (see q41/q45 note).
+    val bandRows = sig.select(col("doc_id"),
+      expr(bandPairs.zipWithIndex.map { case ((x, y), j) =>
+        s"$j, concat(sig[$x], '_', sig[$y])"
+      }.mkString(s"stack(${bandPairs.size}, ", ", ", ") as (band, key)")))
+      .persist()
+    val a = bandRows.as("a"); val b = bandRows.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").persist()
+    var comp = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    // Iterate to FIXPOINT with a per-round convergence check (a scalar
+    // aggregate over the checkpointed round output — the standard
+    // iterative-algorithm driver loop; no row data ever reaches the
+    // driver). CCRounds is the safety bound, not the expected count:
+    // min-label propagation converges in diameter(component) rounds
+    // (2-3 on prefix-sharing near-dup clusters).
+    // One min-over-neighbors propagation step per materialized round.
+    // (A two-hop-per-round variant was measured and did NOT win: the
+    // deeper pre-checkpoint plan costs more than the saved round on
+    // these tiny frames.)
+    var converged = false
+    var round = 0
+    while (!converged && round < CCRounds) {
+      round += 1
+      val nbrMin = edges.join(comp, edges("dst") === comp("id"))
+        .groupBy(col("src").as("nid")).agg(min(col("comp")).as("nbr_min"))
+      val next = comp.join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+          (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("changed"))
+        // localCheckpoint (not persist): each round's plan embeds the
+        // previous round's, so without truncation the logical plan
+        // doubles per round — 2^8 nodes by round 8 blew the optimizer's
+        // heap. Checkpointing pins the (tiny: near-dup nodes only)
+        // frame and restarts the plan from a leaf.
+        .localCheckpoint()
+      converged = next.filter(col("changed")).isEmpty
+      comp = next.drop("changed")
+    }
+    // Non-convergence must be LOUD (ADVICE r5): exhausting the safety
+    // bound with labels still moving means some component has diameter
+    // > CCRounds and the ids below would be silently wrong. Raise the
+    // bound for such data rather than returning a partial fixpoint.
+    if (!converged) throw new IllegalStateException(
+      s"q76 min-label propagation did not converge within $CCRounds rounds: " +
+        "a duplicate cluster has diameter > the safety bound; raise CCRounds")
+    comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
   // q100 within-cell near-dup threshold. Fixture embeddings are random
   // (max pairwise cosine ~0.51), so 0.3 surfaces the most-similar tail —
   // ~300 of ~15k within-cell pairs at sf0.01; a real corpus would use ~0.9.
@@ -683,76 +769,10 @@ object Analytics {
     // with a recursive CTE.
     QueryDef(
       "q76_dup_clusters",
-      s"""WITH RECURSIVE $minhashPairsCte,
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id)
-         |SELECT id AS doc_id, MIN(r) AS cluster_id
-         |FROM reach GROUP BY id
+      s"""WITH RECURSIVE $dupClusterCte
+         |SELECT doc_id, cluster_id FROM comp
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val sig = T(s, dir, "documents")
-        .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
-        .filter(col("sig").isNotNull)
-      // Persisted: feeds both self-join sides (see q41/q45 note).
-      val bandRows = sig.select(col("doc_id"),
-        expr(bandPairs.zipWithIndex.map { case ((x, y), j) =>
-          s"$j, concat(sig[$x], '_', sig[$y])"
-        }.mkString(s"stack(${bandPairs.size}, ", ", ", ") as (band, key)")))
-        .persist()
-      val a = bandRows.as("a"); val b = bandRows.as("b")
-      val pairs = a.join(b,
-          col("a.band") === col("b.band") && col("a.key") === col("b.key")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst").persist()
-      var comp = edges.select(col("src").as("id")).distinct()
-        .withColumn("comp", col("id"))
-      // Iterate to FIXPOINT with a per-round convergence check (a scalar
-      // aggregate over the checkpointed round output — the standard
-      // iterative-algorithm driver loop; no row data ever reaches the
-      // driver). CCRounds is the safety bound, not the expected count:
-      // min-label propagation converges in diameter(component) rounds
-      // (2-3 on prefix-sharing near-dup clusters).
-      // One min-over-neighbors propagation step per materialized round.
-      // (A two-hop-per-round variant was measured and did NOT win: the
-      // deeper pre-checkpoint plan costs more than the saved round on
-      // these tiny frames.)
-      var converged = false
-      var round = 0
-      while (!converged && round < CCRounds) {
-        round += 1
-        val nbrMin = edges.join(comp, edges("dst") === comp("id"))
-          .groupBy(col("src").as("nid")).agg(min(col("comp")).as("nbr_min"))
-        val next = comp.join(nbrMin, col("id") === col("nid"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
-            (coalesce(col("nbr_min"), col("comp")) < col("comp")).as("changed"))
-          // localCheckpoint (not persist): each round's plan embeds the
-          // previous round's, so without truncation the logical plan
-          // doubles per round — 2^8 nodes by round 8 blew the optimizer's
-          // heap. Checkpointing pins the (tiny: near-dup nodes only)
-          // frame and restarts the plan from a leaf.
-          .localCheckpoint()
-        converged = next.filter(col("changed")).isEmpty
-        comp = next.drop("changed")
-      }
-      // Non-convergence must be LOUD (ADVICE r5): exhausting the safety
-      // bound with labels still moving means some component has diameter
-      // > CCRounds and the ids below would be silently wrong. Raise the
-      // bound for such data rather than returning a partial fixpoint.
-      if (!converged) throw new IllegalStateException(
-        s"q76 min-label propagation did not converge within $CCRounds rounds: " +
-          "a duplicate cluster has diameter > the safety bound; raise CCRounds")
-      comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-        .orderBy(col("doc_id"))
+      dupClusterAssign(s, dir).orderBy(col("doc_id"))
     },
 
     // ---- q77: partition-pruned scan ------------------------------------
@@ -1478,6 +1498,58 @@ object Analytics {
         .filter(col("rk") <= 2)
         .select(col("cluster_id"), col("rk"), col("vec_id"), col("d2_r"))
         .orderBy(col("cluster_id"), col("rk"))
+    },
+
+    // ---- q125: canonical-keep dedup — the step AFTER q76's transitive
+    // closure: real pipelines don't keep an arbitrary cluster member,
+    // they keep the BEST one (here: longest text, doc_id tie-break — the
+    // keep-longest rule common in crawl dedup) and account for what the
+    // collapse removes. Reuses q76's propagation verbatim
+    // (dupClusterAssign — one kernel, no drift). 100 TB shape: the
+    // cluster frame holds near-dup nodes only (tiny vs the corpus), the
+    // doc-stats join is keyed on doc_id, the representative pick is a
+    // partial WindowGroupLimit (1 row per cluster per map task), and the
+    // rollup is keyed on cluster_id. Output: one row per duplicate
+    // cluster. ----
+    QueryDef(
+      "q125_canonical_keep",
+      s"""WITH RECURSIVE $dupClusterCte,
+         |m AS (
+         |  SELECT c.cluster_id, c.doc_id, d.n_chars
+         |  FROM comp c JOIN documents d USING (doc_id)),
+         |r AS (
+         |  SELECT cluster_id, doc_id, n_chars,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM m),
+         |a AS (
+         |  SELECT cluster_id, COUNT(*) AS n_members, SUM(n_chars) AS sum_chars
+         |  FROM m GROUP BY 1)
+         |SELECT a.cluster_id, r.doc_id AS canonical_doc,
+         |  r.n_chars AS canonical_chars, a.n_members,
+         |  a.n_members - 1 AS n_dropped,
+         |  CAST(a.sum_chars - r.n_chars AS BIGINT) AS chars_dropped
+         |FROM a JOIN r ON a.cluster_id = r.cluster_id AND r.rk = 1
+         |ORDER BY a.cluster_id""".stripMargin) { (s, dir) =>
+      // Two consumers (representative pick + rollup): persist — though
+      // the propagation output is already a checkpointed leaf, the
+      // doc-stats join should still run once.
+      val members = dupClusterAssign(s, dir)
+        .join(T(s, dir, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
+        .persist()
+      val wc = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val canon = members
+        .withColumn("rk", row_number().over(wc)).filter(col("rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
+          col("n_chars").as("canonical_chars"))
+      val agg = members.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), sum(col("n_chars")).as("sum_chars"))
+      agg.join(canon, Seq("cluster_id"))
+        .select(col("cluster_id"), col("canonical_doc"), col("canonical_chars"),
+          col("n_members"), (col("n_members") - 1).as("n_dropped"),
+          (col("sum_chars") - col("canonical_chars")).as("chars_dropped"))
+        .orderBy(col("cluster_id"))
     }
   )
 

@@ -108,6 +108,11 @@ object Pipeline {
   // q99 posting-list cap (top-K documents by tf retained per term).
   private val POSTK = 3
 
+  // q124 boilerplate rule: a line is boilerplate within a source when it
+  // appears in >= this many distinct documents of that source. Real
+  // corpora tune per site; 3 is what the word-soup fixture supports.
+  private val BoilerMinDocs = 3
+
   /** Shared per-document bigram-LM cross-entropy frame — q103 scores
     * outliers from it, q122 buckets the whole corpus by it; one kernel so
     * the two cannot drift (the q93/q100 no-drift rule). Columns:
@@ -1283,6 +1288,58 @@ object Pipeline {
         .select(col("lang"), col("rk"), col("doc_id"),
           col("n_grams"), col("n_hit"), col("frac"))
         .orderBy(col("lang"), col("rk"))
+    },
+
+    // ---- boilerplate-line profile (the C4/RefinedWeb boilerplate-removal
+    // signal, next to q98's corpus-global line dedup): a line is
+    // boilerplate when it repeats across >= BoilerMinDocs distinct
+    // documents of the SAME source — headers/footers/nav chrome repeat
+    // within a site, not across the corpus, so the key is (source, h)
+    // where q98's is h alone. Reported per source: what stripping would
+    // do (lines, distinct lines, boilerplate lines, affected docs,
+    // removed instances) — all integer counts, hash-exact. 100 TB shape:
+    // segmentation is the scan-local q98 5-word rule; every agg and the
+    // flag probe are keyed on (source, h) — co-partitioned, no
+    // broadcast of corpus-sized data; output is #sources rows. segs
+    // feeds the doc-frequency build, the per-source rollup, and the
+    // removal probe -> persisted (one corpus scan). ----
+    QueryDef("q124_boilerplate_profile", boilerplateOracle) { (s, dir) =>
+      val ws = split(lower(col("text")), " ")
+      val segs = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), ws.as("ws"))
+        .withColumn("n_segs", ceil(size(col("ws")) / lit(LineWords.toDouble)).cast(LongType))
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(0L), col("n_segs") - 1)).as("seg_idx"),
+          col("ws"))
+        .select(col("doc_id"), col("source"),
+          conv(substring(md5(array_join(
+            slice(col("ws"), (col("seg_idx") * LineWords + 1).cast(IntegerType), lit(LineWords)),
+            " ")), 1, 15), 16, 10).cast(LongType).as("h"))
+        .persist()
+      val boiler = segs.select(col("source"), col("h"), col("doc_id")).distinct()
+        .groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("n_docs_line"))
+        .filter(col("n_docs_line") >= BoilerMinDocs)
+        .select(col("source"), col("h"))
+        .persist() // feeds the count rollup AND the removal probe
+      val perSource = segs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct(col("h")).as("n_distinct_lines"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      val removed = segs.join(boiler, Seq("source", "h"), "left_semi")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_removed"),
+          countDistinct(col("doc_id")).as("n_affected_docs"))
+      val boilCnt = boiler.groupBy(col("source")).agg(count(lit(1)).as("n_boiler_lines"))
+      perSource
+        .join(boilCnt, Seq("source"), "left")
+        .join(removed, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_lines"), col("n_distinct_lines"),
+          coalesce(col("n_boiler_lines"), lit(0L)).as("n_boiler_lines"),
+          coalesce(col("n_affected_docs"), lit(0L)).as("n_affected_docs"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        .orderBy(col("source"))
     }
   )
 
@@ -1557,6 +1614,44 @@ object Pipeline {
        |ORDER BY bm25_micro DESC, doc_id
        |LIMIT 20""".stripMargin
   }
+
+  /** DuckDB mirror of q124: q98's segmentation, doc frequency per
+    * (source, line-hash), the same >= BoilerMinDocs rule and rollups. */
+  private def boilerplateOracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |n AS (
+       |  SELECT doc_id, source, ws,
+       |    CAST(ceil(len(ws) / $LineWords.0) AS BIGINT) AS n_segs FROM w),
+       |segs AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5(array_to_string(
+       |      ws[si * $LineWords + 1 : si * $LineWords + $LineWords], ' ')), 1, 15))::BIGINT AS h
+       |  FROM n, unnest(generate_series(0, n_segs - 1)) AS u(si)),
+       |ld AS (SELECT DISTINCT source, h, doc_id FROM segs),
+       |boiler AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, COUNT(*) AS n_docs_line FROM ld GROUP BY 1, 2)
+       |  WHERE n_docs_line >= $BoilerMinDocs),
+       |per AS (
+       |  SELECT source, COUNT(*) AS n_lines, COUNT(DISTINCT h) AS n_distinct_lines,
+       |    COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM segs GROUP BY source),
+       |rem AS (
+       |  SELECT s.source, COUNT(*) AS n_removed, COUNT(DISTINCT s.doc_id) AS n_affected_docs
+       |  FROM segs s
+       |  WHERE EXISTS (SELECT 1 FROM boiler b WHERE b.source = s.source AND b.h = s.h)
+       |  GROUP BY s.source),
+       |bc AS (SELECT source, COUNT(*) AS n_boiler_lines FROM boiler GROUP BY source)
+       |SELECT per.source, per.n_docs, per.n_lines, per.n_distinct_lines,
+       |  COALESCE(bc.n_boiler_lines, 0) AS n_boiler_lines,
+       |  COALESCE(rem.n_affected_docs, 0) AS n_affected_docs,
+       |  COALESCE(rem.n_removed, 0) AS n_removed
+       |FROM per
+       |LEFT JOIN bc USING (source)
+       |LEFT JOIN rem USING (source)
+       |ORDER BY per.source""".stripMargin
 
   /** DuckDB mirror of q98 (line-level dedup + reconstruction): same 5-word
     * segmentation, same 60-bit md5 keep-first rule, rebuilt text via
