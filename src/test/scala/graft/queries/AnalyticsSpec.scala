@@ -417,4 +417,49 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fracs.head > 0.0, s"$lang: top contaminated doc has zero overlap")
     }
   }
+
+  test("q124: per-source boilerplate accounting is internally consistent and non-vacuous") {
+    val rows = run("q124_boilerplate_profile").collect()
+    val nSources = graft.Tables.load(spark, sfDir, "documents")
+      .select("source").distinct().count()
+    assert(rows.length === nSources, "one row per source expected")
+    rows.foreach { r =>
+      val nLines = r.getAs[Long]("n_lines"); val nDistinct = r.getAs[Long]("n_distinct_lines")
+      val nBoiler = r.getAs[Long]("n_boiler_lines"); val nRemoved = r.getAs[Long]("n_removed")
+      val nDocs = r.getAs[Long]("n_docs"); val nAffected = r.getAs[Long]("n_affected_docs")
+      assert(nDistinct <= nLines && nBoiler <= nDistinct, s"line counts inconsistent: $r")
+      assert(nAffected <= nDocs, s"more affected docs than docs: $r")
+      // Each boilerplate line occurs in >= 3 distinct docs, so stripping
+      // removes at least 3 instances per flagged line.
+      assert(nRemoved >= 3 * nBoiler && nRemoved <= nLines, s"removal count inconsistent: $r")
+      assert(nBoiler > 0 || nRemoved == 0, s"removals without flagged lines: $r")
+    }
+    // Non-vacuous on the word-soup fixture: some source repeats a line.
+    assert(rows.map(_.getAs[Long]("n_boiler_lines")).sum > 0,
+      "no boilerplate found anywhere — threshold too high for the fixture")
+  }
+
+  test("q125: canonical picks are real cluster members with maximal length, accounting adds up vs q76") {
+    val rows = run("q125_canonical_keep").collect()
+    assert(rows.nonEmpty)
+    val q76 = run("q76_dup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val clusters = q76.values.toSet
+    assert(rows.length === clusters.size, "one row per q76 cluster expected")
+    val chars = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id"); val canon = r.getAs[Long]("canonical_doc")
+      assert(q76(canon) === cid, s"canonical doc $canon is not a member of cluster $cid")
+      val memberChars = q76.collect { case (d, c) if c == cid => chars(d) }
+      assert(r.getAs[Long]("canonical_chars") === memberChars.max,
+        s"cluster $cid: canonical is not the longest member")
+      assert(r.getAs[Long]("n_members") === memberChars.size.toLong)
+      assert(r.getAs[Long]("n_dropped") === memberChars.size.toLong - 1)
+      assert(r.getAs[Long]("chars_dropped") === memberChars.sum - memberChars.max,
+        s"cluster $cid: removed-chars accounting is off")
+      assert(r.getAs[Long]("n_members") >= 2, "singleton cluster in the near-dup closure")
+    }
+  }
 }

@@ -120,10 +120,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // membership-flag joins; q103/q122's shared bigram frame feeds the
     // two count tables, the vocab, and the scoring probe; q123's gram
     // frame feeds the held-out set build and both train rollups.
+    // q124's segment frame feeds the doc-frequency build, the per-source
+    // rollup, and the removal probe; q125's member frame feeds the
+    // representative pick and the cluster rollup.
     for ((q, minScans) <- Seq("q85_cms_heavy_hitters" -> 3, "q88_cohort_retention" -> 2,
         "q115_leakage_safe_split" -> 2, "q117_source_overlap" -> 3,
         "q103_bigram_lm" -> 4, "q122_perplexity_buckets" -> 4,
-        "q123_contamination_score" -> 3)) {
+        "q123_contamination_score" -> 3, "q124_boilerplate_profile" -> 3,
+        "q125_canonical_keep" -> 2)) {
       val plan = Registry.byName(q).build(spark, sfDir)
         .queryExecution.executedPlan.toString
       val imts = plan.split("\n").count(_.contains("InMemoryTableScan"))

@@ -130,7 +130,13 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // preserve the %20 held-out split — the probe stays a broadcast
     // semi-join and output stays at 5 x #langs
     "q121_coreset_sample", "q122_perplexity_buckets",
-    "q123_contamination_score")
+    "q123_contamination_score",
+    // q124: the q98 segment family keyed on (source, h) — the renamed
+    // copies keep segment hashes disjoint so per-source doc frequencies
+    // replicate per copy and the rollup stays at #sources rows. q125:
+    // the q76 propagation with a per-cluster representative pick —
+    // clusters (and output rows) grow ~linearly with the corpus
+    "q124_boilerplate_profile", "q125_canonical_keep")
 
   /** Build + materialize, cold (cache cleared): wall seconds, plan-node
     * multiset, result rows. Build time is included on purpose — q76 runs
