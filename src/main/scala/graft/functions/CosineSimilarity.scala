@@ -144,6 +144,7 @@ object GraftFunctions {
     unary("graft_lsh_buckets", LshBuckets),
     unary("graft_text_counts", TextCounts),
     unary("graft_span_hashes", SpanHashes),
+    unary("graft_line_hashes", LineHashes),
     unary("graft_bigram_hashes", BigramHashes),
     unary("graft_char_entropy", CharEntropy),
     unary("graft_minhash_agg", (c: Expression) => MinHashAgg(c)))

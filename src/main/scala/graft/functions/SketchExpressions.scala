@@ -94,6 +94,22 @@ case class SpanHashes(child: Expression) extends NullableArraySketch {
     copy(child = newChild)
 }
 
+/** Fixed 5-word non-overlapping line hashes, q98's segmentation (q124).
+  * Unlike the >=3-token sketches this is never null for non-null text,
+  * so it rides the plain defineCodeGen path. */
+case class LineHashes(child: Expression) extends SketchUnary {
+  protected def expectedInput: DataType = StringType
+  protected def kernel: String = "lineHashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_line_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.lineHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.lineHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): LineHashes =
+    copy(child = newChild)
+}
+
 /** Per-position word-bigram (prefix-hash, bigram-hash) pairs (q103). */
 case class BigramHashes(child: Expression) extends SketchUnary {
   protected def expectedInput: DataType = StringType

@@ -135,6 +135,46 @@ object Sketches {
     new GenericArrayData(out)
   }
 
+  // q98/q124 "line" width in words (the boundary rule is a parameter —
+  // real corpora segment on newlines); referenced by Pipeline so the
+  // kernel and the SQL/oracle formulations stay in lockstep.
+  val LINE_WORDS: Int = 5
+
+  /** 60-bit hashes of the fixed [[LINE_WORDS]]-word non-overlapping
+    * "lines" (q98's segmentation; the final partial segment included),
+    * duplicates kept — one pass replacing the sequence-explode +
+    * slice + array_join + md5 expression tree. Never null: any non-null
+    * text tokenizes to at least one (possibly empty) token = one
+    * segment, matching `ceil(len(ws) / width)` in SQL. */
+  def lineHashes(text: UTF8String): ArrayData = {
+    val ws = tokens(text)
+    val n = ws.length
+    val width = LINE_WORDS
+    val nSegs = (n + width - 1) / width
+    val out = new Array[Long](nSegs)
+    var s = 0
+    while (s < nSegs) {
+      val start = s * width
+      val end = math.min(n, start + width)
+      var len = end - start - 1 // single-space separators
+      var j = start
+      while (j < end) { len += ws(j).getBytes.length; j += 1 }
+      val joined = new Array[Byte](len)
+      var off = 0
+      j = start
+      while (j < end) {
+        val b = ws(j).getBytes
+        System.arraycopy(b, 0, joined, off, b.length)
+        off += b.length
+        if (j < end - 1) { joined(off) = ' '; off += 1 }
+        j += 1
+      }
+      out(s) = md5Prefix60(joined)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-position word-bigram hash pairs for LM scoring (q103):
     * (h1, h2) = (hash of the prefix word, hash of `w_i + ' ' + w_{i+1}`)
     * at every position, duplicates kept — one pass replacing the

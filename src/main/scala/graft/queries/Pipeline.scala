@@ -100,10 +100,11 @@ object Pipeline {
   private val BM25_K1P1 = 2.2
   private val BM25_TERMS = Seq("hash", "join", "stream")
 
-  // q98 "line" width in words. 5 on the word-soup fixture yields real
-  // cross-document duplicates (320 of 5,638 segments at sf0.01); real
-  // corpora would segment on newlines instead.
-  private val LineWords = 5
+  // q98/q124 "line" width in words (shared with the graft_line_hashes
+  // kernel so the SQL and native formulations cannot drift). 5 on the
+  // word-soup fixture yields real cross-document duplicates (320 of
+  // 5,638 segments at sf0.01); real corpora would segment on newlines.
+  private val LineWords = graft.functions.Sketches.LINE_WORDS
 
   // q99 posting-list cap (top-K documents by tf retained per term).
   private val POSTK = 3
@@ -1257,16 +1258,16 @@ object Pipeline {
     // AND the train probe -> persisted (one corpus scan); per-doc
     // rollups are keyed on doc_id; output rows = 5 x #langs always. ----
     QueryDef("q123_contamination_score", contaminationScoreOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      // Gram hashes come from the one-pass native kernel (q117's
+      // graft_shingle_hashes — SketchParitySpec pins it against the
+      // split + md5 + conv SQL formulation the oracle still writes);
+      // explode drops the null arrays of <3-token docs, the same
+      // population the SQL filter kept.
       val grams = T(s, dir, "documents")
         .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), col("lang"),
-          explode(expr(
-            "transform(sequence(0, size(ws) - 3), " +
-              "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
-        .select(col("doc_id"), col("lang"),
-          conv(substring(md5(col("g")), 1, 15), 16, 10).cast(LongType).as("h"))
+          explode(expr("graft_shingle_hashes(text)")).as("h"))
         .persist()
       val benchSet = grams.filter(col("doc_id") % 20 === 0)
         .select(col("lang"), col("h")).distinct()
@@ -1304,18 +1305,14 @@ object Pipeline {
     // feeds the doc-frequency build, the per-source rollup, and the
     // removal probe -> persisted (one corpus scan). ----
     QueryDef("q124_boilerplate_profile", boilerplateOracle) { (s, dir) =>
-      val ws = split(lower(col("text")), " ")
+      graft.functions.GraftFunctions.register(s)
+      // Line hashes come from the one-pass native kernel (q98's
+      // segmentation; SketchParitySpec pins it against the explode +
+      // slice + md5 SQL formulation the oracle still writes).
       val segs = T(s, dir, "documents")
         .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("source"), ws.as("ws"))
-        .withColumn("n_segs", ceil(size(col("ws")) / lit(LineWords.toDouble)).cast(LongType))
         .select(col("doc_id"), col("source"),
-          explode(sequence(lit(0L), col("n_segs") - 1)).as("seg_idx"),
-          col("ws"))
-        .select(col("doc_id"), col("source"),
-          conv(substring(md5(array_join(
-            slice(col("ws"), (col("seg_idx") * LineWords + 1).cast(IntegerType), lit(LineWords)),
-            " ")), 1, 15), 16, 10).cast(LongType).as("h"))
+          explode(expr("graft_line_hashes(text)")).as("h"))
         .persist()
       val boiler = segs.select(col("source"), col("h"), col("doc_id")).distinct()
         .groupBy(col("source"), col("h"))

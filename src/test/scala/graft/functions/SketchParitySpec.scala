@@ -114,6 +114,27 @@ class SketchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(newWay === oldWay)
   }
 
+  test("graft_line_hashes equals the explode + slice + md5 segment formulation (incl. partial tails)") {
+    val W = Sketches.LINE_WORDS
+    val oldWay = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .withColumn("n_segs", ceil(size(col("ws")) / lit(W.toDouble)).cast(LongType))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_segs") - 1)).as("si"), col("ws"))
+      .select(col("doc_id"), col("si"),
+        conv(substring(md5(array_join(
+          slice(col("ws"), (col("si") * W + 1).cast(IntegerType), lit(W)), " ")), 1, 15), 16, 10)
+          .cast(LongType).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val newWay = docs
+      .select(col("doc_id"), posexplode(expr("graft_line_hashes(text)")).as(Seq("si", "h")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+    assert(newWay === oldWay)
+    // Every non-null text yields at least one segment (even one word).
+    val nSegRows = docs.select(explode(expr("graft_line_hashes(text)"))).count()
+    assert(nSegRows >= docs.filter(col("text").isNotNull).count())
+  }
+
   test("graft_lsh_buckets equals the dim-explode + sign-grid-join SQL formulation") {
     val xi = emb.select(col("vec_id"),
         explode(sequence(lit(1), lit(Sketches.DIM))).as("d"), col("embedding"))
