@@ -133,6 +133,28 @@ class SketchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // Every non-null text yields at least one segment (even one word).
     val nSegRows = docs.select(explode(expr("graft_line_hashes(text)"))).count()
     assert(nSegRows >= docs.filter(col("text").isNotNull).count())
+    // Edge strings the fixture lacks: empty text, single word, double
+    // spaces (empty tokens), trailing space, exactly-one/just-over-one
+    // segment widths — the kernel must match the SQL form on all.
+    import spark.implicits._
+    val edge = Seq(
+      (1L, ""), (2L, "a"), (3L, "a  b"), (4L, "a b c d e"),
+      (5L, "a b c d e f"), (6L, "ends with space "), (7L, "  "))
+      .toDF("doc_id", "text")
+    val edgeOld = edge
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .withColumn("n_segs", ceil(size(col("ws")) / lit(W.toDouble)).cast(LongType))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_segs") - 1)).as("si"), col("ws"))
+      .select(col("doc_id"), col("si"),
+        conv(substring(md5(array_join(
+          slice(col("ws"), (col("si") * W + 1).cast(IntegerType), lit(W)), " ")), 1, 15), 16, 10)
+          .cast(LongType).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val edgeNew = edge
+      .select(col("doc_id"), posexplode(expr("graft_line_hashes(text)")).as(Seq("si", "h")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+    assert(edgeNew === edgeOld)
   }
 
   test("graft_lsh_buckets equals the dim-explode + sign-grid-join SQL formulation") {
