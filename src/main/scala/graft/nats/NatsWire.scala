@@ -163,15 +163,25 @@ private[nats] object NatsWire {
   * single reader thread, matching the delivery model of both the
   * in-memory bus (publisher thread) and jnats (dispatcher thread) —
   * handlers must be quick and non-blocking (MessageLedger.append is).
+  *
+  * Resilience: a connection the SERVER drops (restart, idle kill, network
+  * blip) is re-dialed by the reader thread with linear backoff and every
+  * live subscription is replayed with its original sid — the official
+  * clients' reconnect-and-resubscribe behavior. Messages published by
+  * others while disconnected are lost (core NATS is fire-and-forget;
+  * replay mode re-fetches by sequence and is unaffected); a publish
+  * racing the dead window throws to the caller (at-least-once under task
+  * retry, as before). After `reconnectAttempts` failed dials the client
+  * stays failed and every operation surfaces the connection loss.
   */
-final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None)
+final class TcpNatsClient(
+    host: String, port: Int, auth: Option[NatsAuth] = None,
+    reconnectAttempts: Int = 3, reconnectWaitMs: Long = 200)
     extends NatsConnection {
-  private val socket = new Socket()
-  socket.connect(new InetSocketAddress(host, port), 5000)
-  socket.setTcpNoDelay(true)
-
-  private val in = new BufferedInputStream(socket.getInputStream, 64 * 1024)
-  private val out = new BufferedOutputStream(socket.getOutputStream, 64 * 1024)
+  @volatile private var socket: Socket = null
+  @volatile private var in: BufferedInputStream = null
+  @volatile private var out: BufferedOutputStream = null
+  @volatile private var serverMaxPayload: Int = NatsWire.MaxPayload
   private val writeLock = new Object
   private val nextSid = new AtomicLong(1)
   // (concrete subject, reply-to or null, headers, payload): the reply-to
@@ -180,20 +190,35 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
   // internal surface keeps both.
   private val handlers = new ConcurrentHashMap[
     String, (String, String, Seq[(String, String)], Array[Byte]) => Unit]()
+  // sid -> (pattern, queue-group or null): what a reconnect must replay.
+  private val subsActive = new ConcurrentHashMap[String, (String, String)]()
   private val closed = new AtomicBoolean(false)
+  private val reconnectsDone = new AtomicLong(0)
   @volatile private var serverError: String = null
 
-  // ---- handshake (before the reader thread exists, so reads are inline):
-  // server speaks first with INFO; we CONNECT (verbose off — +OK chatter
-  // adds a round-trip per op) and PING; its PONG confirms the server
-  // processed everything up to and including our CONNECT — including any
-  // authorization check, so a bad credential fails HERE, not on first use.
-  // A handshake failure must close the socket: the constructor throws, so
-  // no caller ever gets a close() to call.
-  private val (serverMaxPayload: Int, graftStream: Boolean, jetStream: Boolean) =
+  /** Completed reconnect-and-resubscribe cycles (testing/metrics hook). */
+  private[nats] def reconnectCount: Long = reconnectsDone.get
+
+  // ---- dial + handshake (constructor: before the reader thread exists;
+  // reconnect: on the reader thread under writeLock), reads inline on the
+  // new streams: server speaks first with INFO; we CONNECT (verbose off —
+  // +OK chatter adds a round-trip per op) and PING; its PONG confirms the
+  // server processed everything up to and including our CONNECT —
+  // including any authorization check, so a bad credential fails HERE,
+  // not on first use. A handshake failure must close its socket: the
+  // constructor throws (no caller ever gets a close() to call) and a
+  // reconnect attempt moves on to the next try.
+  // On success the live socket/stream fields are swapped in and the
+  // server's advertised (graft_stream, jetstream) flags returned.
+  private def connectSocket(): (Boolean, Boolean) = {
+    val sock = new Socket()
+    sock.connect(new InetSocketAddress(host, port), 5000)
+    sock.setTcpNoDelay(true)
+    val i = new BufferedInputStream(sock.getInputStream, 64 * 1024)
+    val o = new BufferedOutputStream(sock.getOutputStream, 64 * 1024)
     try {
-      socket.setSoTimeout(5000)
-      val info = NatsWire.readLine(in)
+      sock.setSoTimeout(5000)
+      val info = NatsWire.readLine(i)
       if (info == null || !info.startsWith("INFO "))
         throw new IOException(s"not a NATS server: expected INFO, got '$info'")
       // A server with tls{} configured advertises tls_required and
@@ -223,27 +248,24 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
           s",\"auth_token\":${NatsWire.jsonStr(t)}"
         case None => ""
       }
-      writeLock.synchronized {
-        // headers:true — opt in to HMSG delivery (servers strip headers
-        // for clients that don't; docs.nats.io "NATS headers")
-        write("CONNECT {\"verbose\":false,\"pedantic\":false,\"tls_required\":false," +
-          "\"headers\":true," +
-          "\"name\":\"graft\",\"lang\":\"scala\",\"version\":\"0.1.0\",\"protocol\":0" +
-          authFields + "}\r\n")
-        write("PING\r\n")
-        out.flush()
-      }
+      // headers:true — opt in to HMSG delivery (servers strip headers
+      // for clients that don't; docs.nats.io "NATS headers")
+      o.write(("CONNECT {\"verbose\":false,\"pedantic\":false,\"tls_required\":false," +
+        "\"headers\":true," +
+        "\"name\":\"graft\",\"lang\":\"scala\",\"version\":\"0.1.0\",\"protocol\":0" +
+        authFields + "}\r\nPING\r\n").getBytes(US_ASCII))
+      o.flush()
       var handshook = false
       while (!handshook) {
-        NatsWire.readLine(in) match {
+        NatsWire.readLine(i) match {
           case null          => throw new EOFException("server closed during handshake")
           case "PONG"        => handshook = true
-          case "PING"        => writeLock.synchronized { write("PONG\r\n"); out.flush() }
+          case "PING"        => o.write("PONG\r\n".getBytes(US_ASCII)); o.flush()
           case l if l.startsWith("-ERR") => throw new IOException(s"server rejected connect: $l")
           case _             => () // INFO updates, +OK — ignore
         }
       }
-      socket.setSoTimeout(0)
+      sock.setSoTimeout(0)
       // Honor the server's advertised payload ceiling (INFO max_payload):
       // a PUB above it draws -ERR 'Maximum Payload Violation' and real
       // servers close the connection — reject locally instead. Also note
@@ -251,16 +273,20 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
       // extension (INFO graft_stream) or real JetStream (INFO jetstream,
       // what `nats-server -js` sends) — NatsTransport wraps the
       // connection as replayable for either.
-      ("\"max_payload\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(info)
+      serverMaxPayload = "\"max_payload\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(info)
         .map(_.group(1).toLong min NatsWire.MaxPayload.toLong)
-        .getOrElse(NatsWire.MaxPayload.toLong).toInt,
-        "\"graft_stream\"\\s*:\\s*true".r.findFirstIn(info).isDefined,
+        .getOrElse(NatsWire.MaxPayload.toLong).toInt
+      socket = sock; in = i; out = o
+      ("\"graft_stream\"\\s*:\\s*true".r.findFirstIn(info).isDefined,
         "\"jetstream\"\\s*:\\s*true".r.findFirstIn(info).isDefined)
     } catch {
       case e: Throwable =>
-        try socket.close() catch { case _: IOException => () }
+        try sock.close() catch { case _: IOException => () }
         throw e
     }
+  }
+
+  private val (graftStream: Boolean, jetStream: Boolean) = connectSocket()
 
   /** Did INFO advertise the graft retention API ([[MiniNatsServer]] with
     * `retainCapacity > 0`)? Decides whether [[NatsTransport.connect]]
@@ -274,9 +300,39 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
 
   private def write(s: String): Unit = out.write(s.getBytes(US_ASCII))
 
-  private val reader = new Thread(() => {
-    try {
-      var line = NatsWire.readLine(in)
+  /** Re-dial with linear backoff and replay every live subscription under
+    * its original sid. Runs on the reader thread; holds writeLock through
+    * the swap + replay so publishers never interleave with a half-open
+    * connection. False when attempts are exhausted or the client closed
+    * mid-dial (the freshly-opened socket is closed again in that race —
+    * close() only closes the field current at its call). */
+  private def tryReconnect(): Boolean = {
+    try socket.close() catch { case _: IOException => () }
+    var attempt = 0
+    while (attempt < reconnectAttempts && !closed.get) {
+      attempt += 1
+      try Thread.sleep(reconnectWaitMs * attempt)
+      catch { case _: InterruptedException => return false }
+      try {
+        val ok = writeLock.synchronized {
+          connectSocket()
+          if (closed.get) { try socket.close() catch { case _: IOException => () }; false }
+          else {
+            subsActive.forEach((sid, pg) =>
+              write(s"SUB ${pg._1} ${Option(pg._2).map(_ + " ").getOrElse("")}$sid\r\n"))
+            out.flush()
+            true
+          }
+        }
+        if (ok) { reconnectsDone.incrementAndGet(); return true }
+        return false
+      } catch { case _: IOException => () } // next attempt
+    }
+    false
+  }
+
+  private def readLoop(stream: BufferedInputStream): Unit = {
+      var line = NatsWire.readLine(stream)
       while (line != null) {
         if (line.startsWith("MSG ")) {
           // MSG <subject> <sid> [reply-to] <#bytes>
@@ -284,7 +340,7 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
           val sid = t(2)
           val reply = if (t.length >= 5) t(3) else null
           val n = t(t.length - 1).toInt
-          val payload = NatsWire.readPayload(in, n)
+          val payload = NatsWire.readPayload(stream, n)
           val h = handlers.get(sid)
           if (h != null) h(t(1), reply, Nil, payload) // t(1) = concrete subject
         } else if (line.startsWith("HMSG ")) {
@@ -294,7 +350,7 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
           val reply = if (t.length >= 6) t(3) else null
           val hdrLen = t(t.length - 2).toInt
           val total = t(t.length - 1).toInt
-          val all = NatsWire.readPayload(in, total)
+          val all = NatsWire.readPayload(stream, total)
           val h = handlers.get(sid)
           if (h != null) {
             val block = java.util.Arrays.copyOfRange(all, 0, hdrLen)
@@ -313,16 +369,35 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
         } else if (line.startsWith("-ERR")) {
           serverError = line // surfaced on the next client operation
         } // PONG / INFO / +OK: no-ops outside the handshake
-        line = NatsWire.readLine(in)
+        line = NatsWire.readLine(stream)
       }
-    } catch {
-      case _: IOException if closed.get => () // orderly close
-      case e: IOException => serverError = s"-ERR 'connection lost: ${e.getMessage}'"
-      // A malformed frame (bad size token, header length > total, …)
-      // must not let the reader die silently — every later operation
-      // would hang to its timeout with no diagnostic. Record and stop.
-      case e: Exception if !closed.get =>
-        serverError = s"-ERR 'protocol error reading from server: $e'"
+  }
+
+  private val reader = new Thread(() => {
+    var running = true
+    while (running) {
+      // why-the-loop-ended: None = stop the thread, Some(reason) = the
+      // connection dropped out from under us — try to get it back.
+      val lost: Option[String] =
+        try { readLoop(in); Some("server closed the connection") }
+        catch {
+          case _: IOException if closed.get => running = false; None // orderly close
+          case e: IOException => Some(e.getMessage)
+          // A malformed frame (bad size token, header length > total, …)
+          // must not let the reader die silently — every later operation
+          // would hang to its timeout with no diagnostic. Record and stop.
+          case e: Exception if !closed.get =>
+            serverError = s"-ERR 'protocol error reading from server: $e'"
+            running = false; None
+          case _: Exception => running = false; None
+        }
+      lost.foreach { why =>
+        if (closed.get) running = false
+        else if (!tryReconnect()) {
+          serverError = s"-ERR 'connection lost: $why'"
+          running = false
+        } // reconnected: next iteration reads from the fresh stream
+      }
     }
   }, s"graft-nats-client-$host:$port")
   reader.setDaemon(true)
@@ -412,12 +487,14 @@ final class TcpNatsClient(host: String, port: Int, auth: Option[NatsAuth] = None
     checkHealthy()
     val sid = nextSid.getAndIncrement().toString
     handlers.put(sid, handler)
+    subsActive.put(sid, (subject, group.orNull)) // replayed on reconnect
     writeLock.synchronized {
       write(s"SUB $subject ${group.map(_ + " ").getOrElse("")}$sid\r\n")
       out.flush()
     }
     () => {
       handlers.remove(sid)
+      subsActive.remove(sid)
       if (!closed.get) writeLock.synchronized {
         write(s"UNSUB $sid\r\n")
         out.flush()
@@ -1038,6 +1115,12 @@ final class MiniNatsServer(
       if (InMemoryBus.subjectMatches(pg._1, subject)) n += 1))
     n
   }
+
+  /** Testing hook: sever every live client connection (what a broker
+    * restart or idle kill looks like from the client side) WITHOUT
+    * stopping the server — lets specs exercise the client's
+    * reconnect-and-resubscribe path against the same listener. */
+  def dropConnections(): Unit = clients.forEach(_.disconnect())
 
   private final class ClientConn(sock: Socket) {
     sock.setTcpNoDelay(true)

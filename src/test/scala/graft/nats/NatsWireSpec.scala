@@ -417,6 +417,51 @@ class NatsWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
+  test("client auto-reconnects and resubscribes after the server drops every connection") {
+    withServer { server =>
+      val consumer = new TcpNatsClient("127.0.0.1", server.port)
+      val producer = new TcpNatsClient("127.0.0.1", server.port)
+      try {
+        val seen = new LinkedBlockingQueue[String]()
+        val sub = consumer.subscribe("rc.data")(p => seen.put(new String(p, "UTF-8")))
+        eventually()(server.subscriptionCount("rc.data") == 1)
+        producer.publish("rc.data", "before".getBytes("UTF-8"))
+        assert(seen.poll(5, TimeUnit.SECONDS) === "before")
+
+        // A broker restart from the client's perspective: every TCP
+        // connection severed, the listener itself stays up.
+        server.dropConnections()
+        // Both clients must re-dial; the consumer must replay its SUB
+        // (under the same sid) without any caller involvement.
+        eventually()(server.subscriptionCount("rc.data") == 1)
+        eventually()(consumer.reconnectCount >= 1 && producer.reconnectCount >= 1)
+
+        producer.publish("rc.data", "after".getBytes("UTF-8"))
+        assert(seen.poll(5, TimeUnit.SECONDS) === "after")
+        sub.close()
+      } finally { consumer.close(); producer.close() }
+    }
+  }
+
+  test("reconnect gives up after its attempt budget when the server is gone, surfacing the loss") {
+    val server = new MiniNatsServer
+    val conn = new TcpNatsClient(
+      "127.0.0.1", server.port, reconnectAttempts = 2, reconnectWaitMs = 50)
+    try {
+      server.stop() // listener gone: every re-dial is refused
+      val deadline = System.currentTimeMillis() + 10000
+      var failed = false
+      while (!failed && System.currentTimeMillis() < deadline) {
+        try { conn.publish("gone.subject", "x".getBytes("UTF-8")); Thread.sleep(20) }
+        catch { case e: Exception =>
+          failed = true
+          assert(e.getMessage != null, "connection loss should carry a diagnostic")
+        }
+      }
+      assert(failed, "publishing into a dead server never surfaced the connection loss")
+    } finally conn.close()
+  }
+
   test("tls_required in INFO fails fast with guidance instead of speaking plaintext") {
     val server = new MiniNatsServer(tlsRequired = true)
     try {
