@@ -1550,6 +1550,166 @@ object Analytics {
           col("n_members"), (col("n_members") - 1).as("n_dropped"),
           (col("sum_chars") - col("canonical_chars")).as("chars_dropped"))
         .orderBy(col("cluster_id"))
+    },
+
+    // ---- q127: nearest-centroid classification — the supervised probe
+    // over the embedding space (the fastText-style quality-classifier
+    // inference step, FineWeb-Edu shape: score every document against a
+    // tiny trained model and keep/drop by the prediction). Train: per-
+    // label mean vector over the vec_id%5!=0 split, round(avg,6) — the
+    // exact q93 m1 centroid rule, so both engines assign from
+    // bit-identical centroids. Classify: held-out vectors take the
+    // argmin-L2 label via the SHARED Kmeans fold kernel (strict < keeps
+    // the lowest label on ties ≡ ROW_NUMBER ORDER BY d, label). Output
+    // is the label confusion matrix — all-integer, hash-exact. NOTE the
+    // fixture's labels are independent of its vectors, so accuracy here
+    // is the 1/K null baseline; AnalyticsSpec proves the classifier on
+    // vectors that actually cluster by label. 100 TB shape: the model is
+    // #labels x dims -> one broadcast row; assignment is the scan-local
+    // fold (zero shuffle); the matrix rollup is one map-side partial
+    // agg to <= #labels^2 rows. The centroid build is the same partial
+    // (sum,count)-per-cell exchange as q93. ----
+    QueryDef(
+      "q127_nearest_centroid",
+      """WITH dims AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS clabel, pos, round(AVG(x), 6) AS y
+        |  FROM dims WHERE vec_id % 5 <> 0 GROUP BY 1, 2),
+        |d AS (
+        |  SELECT dims.vec_id, dims.label, cent.clabel,
+        |         SUM((dims.x - cent.y) * (dims.x - cent.y)) AS d
+        |  FROM dims JOIN cent ON dims.pos = cent.pos
+        |  WHERE dims.vec_id % 5 = 0 GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT label, clabel FROM (
+        |    SELECT label, clabel,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+        |    FROM d) WHERE rn = 1)
+        |SELECT CAST(label AS BIGINT) AS actual_label,
+        |  CAST(clabel AS BIGINT) AS pred_label, COUNT(*) AS n_vecs
+        |FROM pred GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = T(s, dir, "embeddings").select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val model = Kmeans.centroidRow(
+        e.filter(col("vec_id") % 5 =!= 0)
+          .select(col("label").cast(LongType).as("cid"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(round(avg(col("x")), 6).as("y"))
+          .groupBy(col("cid"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("y")))),
+            p => p.getField("y")).as("ce")))
+      e.filter(col("vec_id") % 5 === 0)
+        .crossJoin(broadcast(model))
+        .select(col("label").cast(LongType).as("actual_label"),
+          Kmeans.assign(col("v"), col("cents")).as("pred_label"))
+        .groupBy(col("actual_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("actual_label"), col("pred_label"))
+    },
+
+    // ---- q128: PageRank over the customer-nation -> supplier-nation
+    // trade graph — the iterative graph-quality primitive (Common Crawl
+    // pipelines rank DOMAINS by host-graph PageRank and use it as a
+    // quality prior; q76's label propagation covers reachability, this
+    // covers stationary mass). Edge (src, dst, w) = lineitems whose
+    // order's customer sits in src and supplier in dst; 3 unrolled
+    // power-iteration rounds with damping 0.85. Cross-engine exactness:
+    // PageRank is all divisions, so everything runs in int64 micro
+    // units — per-edge flow is (pr*850000*w) DIV (1000000*outw), an
+    // integer in both engines, and integer sums are order-free (no
+    // float association drift; products stay < 2^63 at any sf: pr sums
+    // to #nodes x 1e6, w <= corpus rows). Dangling nodes simply leak
+    // their mass (the standard simplification). 100 TB shape: the edge
+    // build is the canonical fact-table join (dims broadcast, one keyed
+    // shuffle of lineitem), aggregated once to <= #nations^2 rows and
+    // persisted across rounds; each round is an equi-join + keyed
+    // groupBy on dst — at web scale (nodes = domains) the same plan is
+    // the production shape with edges hash-partitioned on src and q76's
+    // localCheckpoint lineage rule for deeper iteration; the final
+    // global rank window orders #nodes rows, never corpus rows. ----
+    QueryDef(
+      "q128_pagerank",
+      """WITH edges AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |outd AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY 1),
+        |e AS (
+        |  SELECT edges.src, edges.dst, edges.w, outd.outw
+        |  FROM edges JOIN outd USING (src)),
+        |pr0 AS (
+        |  SELECT n_nationkey AS node, CAST(1000000 AS BIGINT) AS pr FROM nation),
+        |pr1 AS (
+        |  SELECT n.node, CAST(150000 + COALESCE(
+        |      SUM((p.pr * 850000 * e.w) // (1000000 * e.outw)), 0) AS BIGINT) AS pr
+        |  FROM pr0 n
+        |  LEFT JOIN e ON e.dst = n.node
+        |  LEFT JOIN pr0 p ON p.node = e.src
+        |  GROUP BY n.node),
+        |pr2 AS (
+        |  SELECT n.node, CAST(150000 + COALESCE(
+        |      SUM((p.pr * 850000 * e.w) // (1000000 * e.outw)), 0) AS BIGINT) AS pr
+        |  FROM pr1 n
+        |  LEFT JOIN e ON e.dst = n.node
+        |  LEFT JOIN pr1 p ON p.node = e.src
+        |  GROUP BY n.node),
+        |pr3 AS (
+        |  SELECT n.node, CAST(150000 + COALESCE(
+        |      SUM((p.pr * 850000 * e.w) // (1000000 * e.outw)), 0) AS BIGINT) AS pr
+        |  FROM pr2 n
+        |  LEFT JOIN e ON e.dst = n.node
+        |  LEFT JOIN pr2 p ON p.node = e.src
+        |  GROUP BY n.node)
+        |SELECT ROW_NUMBER() OVER (ORDER BY pr3.pr DESC, nat.n_name) AS rank,
+        |  nat.n_name, pr3.pr AS pr_micro
+        |FROM pr3 JOIN nation nat ON nat.n_nationkey = pr3.node
+        |ORDER BY rank""".stripMargin) { (s, dir) =>
+      val cust = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("src"))
+      val supp = T(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("dst"))
+      val edges = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+        // The corpus-heavy fact join runs ONCE: the aggregated edge list
+        // (<= #nations^2 rows) is what the out-degree build and all three
+        // power-iteration rounds re-read.
+        .persist()
+      val withOut = edges
+        .join(edges.groupBy(col("src")).agg(sum(col("w")).as("outw")), "src")
+      val nodes = T(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType).as("node"), col("n_name"))
+      def step(pr: DataFrame): DataFrame = {
+        val inflow = withOut.join(pr, withOut("src") === pr("node"))
+          .select(col("dst"),
+            expr("(pr * 850000 * w) DIV (1000000 * outw)").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        nodes.select(col("node"))
+          .join(inflow, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(150000L) + coalesce(col("inflow"), lit(0L))).as("pr"))
+      }
+      val pr3 = step(step(step(nodes.select(col("node"), lit(1000000L).as("pr")))))
+      val wRank = Window.orderBy(col("pr_micro").desc, col("n_name"))
+      pr3.join(broadcast(nodes), "node")
+        .select(col("n_name"), col("pr").as("pr_micro"))
+        .withColumn("rank", row_number().over(wRank))
+        .select(col("rank"), col("n_name"), col("pr_micro"))
+        .orderBy(col("rank"))
     }
   )
 

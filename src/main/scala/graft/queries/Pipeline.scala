@@ -114,6 +114,11 @@ object Pipeline {
   // corpora tune per site; 3 is what the word-soup fixture supports.
   private val BoilerMinDocs = 3
 
+  /** Profile size for q126's per-language trigram table (Cavnar–Trenkle
+    * used 300; 100 keeps the broadcast tiny and the fixture saturated).
+    * Declared before `defs` — val-init order (see the MinHash note). */
+  private val LangIdProfileK = 100
+
   /** Shared per-document bigram-LM cross-entropy frame — q103 scores
     * outliers from it, q122 buckets the whole corpus by it; one kernel so
     * the two cannot drift (the q93/q100 no-drift rule). Columns:
@@ -1337,8 +1342,89 @@ object Pipeline {
           coalesce(col("n_affected_docs"), lit(0L)).as("n_affected_docs"),
           coalesce(col("n_removed"), lit(0L)).as("n_removed"))
         .orderBy(col("source"))
+    },
+
+    // ---- q126: n-gram language identification (the Cavnar–Trenkle
+    // char-trigram profile method — the lang-ID step every multilingual
+    // curation pipeline runs before per-language filtering). Train: the
+    // top-100 most frequent character trigrams per language over the
+    // doc_id%5!=0 split (count DESC, trigram ASC rank — byte-order ties
+    // identical in both engines). Classify: each held-out doc scores
+    // each language by how many of its trigram OCCURRENCES land in that
+    // language's profile; argmax wins (score DESC, language ASC). Output
+    // is the confusion matrix — all-integer, hash-exact. NOTE the
+    // fixture's `lang` labels are independent of its synthetic text, so
+    // the matrix here is the null baseline; AnalyticsSpec proves the
+    // classifier on a corpus whose scripts actually differ. 100 TB
+    // shape: trigram extraction is scan-local (sequence/transform/
+    // explode all codegen); the profile is <=100 x #langs rows ->
+    // broadcast probe; scoring and argmax are both keyed on doc_id (one
+    // shuffle, window co-partitioned with the groupBy); output rows <=
+    // (#langs+1) x #langs at any corpus size. grams feeds the profile
+    // build AND the held-out probe -> persisted (one corpus scan). ----
+    QueryDef("q126_lang_id", langIdOracle) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val grams = docs.select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+            .as("tg"))
+        .persist()
+      val wProf = Window.partitionBy(col("plang"))
+        .orderBy(col("cnt").desc, col("tg"))
+      val prof = grams.filter(col("doc_id") % 5 =!= 0)
+        .groupBy(col("lang").as("plang"), col("tg"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wProf))
+        .filter(col("rk") <= LangIdProfileK)
+        .select(col("plang"), col("tg"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("plang"))
+      val pred = grams.filter(col("doc_id") % 5 === 0)
+        .join(broadcast(prof), "tg")
+        .groupBy(col("doc_id"), col("plang"))
+        .agg(count(lit(1)).as("score"))
+        .withColumn("rk", row_number().over(wDoc))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("plang"))
+      docs.filter(col("doc_id") % 5 === 0)
+        .join(pred, Seq("doc_id"), "left")
+        .groupBy(col("lang").as("actual_lang"),
+          coalesce(col("plang"), lit("und")).as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("actual_lang"), col("pred_lang"))
     }
   )
+
+  /** DuckDB mirror of q126: same trigram extraction (1-based char
+    * substrings), same top-K profile rank, same overlap-count argmax. */
+  private def langIdOracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE text IS NOT NULL AND length(text) >= 3),
+       |grams AS (
+       |  SELECT doc_id, lang, substring(text, CAST(i AS INT), 3) AS tg
+       |  FROM docs, unnest(generate_series(1, length(text) - 2)) AS u(i)),
+       |prof AS (
+       |  SELECT plang, tg FROM (
+       |    SELECT lang AS plang, tg,
+       |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tg) AS rk
+       |    FROM grams WHERE doc_id % 5 <> 0 GROUP BY lang, tg)
+       |  WHERE rk <= $LangIdProfileK),
+       |pred AS (
+       |  SELECT doc_id, plang FROM (
+       |    SELECT doc_id, plang,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, plang) AS rk
+       |    FROM grams JOIN prof USING (tg) WHERE doc_id % 5 = 0
+       |    GROUP BY doc_id, plang)
+       |  WHERE rk = 1)
+       |SELECT d.lang AS actual_lang, COALESCE(p.plang, 'und') AS pred_lang,
+       |  COUNT(*) AS n_docs
+       |FROM docs d LEFT JOIN pred p USING (doc_id)
+       |WHERE d.doc_id % 5 = 0
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
 
   /** DuckDB mirror of q44, generated from the same bit/chunk layout. */
   private def simhashOracle: String = {

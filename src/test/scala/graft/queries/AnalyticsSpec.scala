@@ -462,4 +462,80 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_members") >= 2, "singleton cluster in the near-dup closure")
     }
   }
+
+  // The sf fixtures label text/vectors INDEPENDENTLY of content (lang and
+  // label are random), so on them q126/q127 can only pin mechanics (the
+  // hash gate does). Classifier SEMANTICS need inputs where the signal
+  // exists — these fixtures construct it: disjoint scripts per language,
+  // label-centered vector clusters — and demand perfect classification.
+
+  test("q126: on a corpus whose languages use disjoint scripts, lang-ID is perfect") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-langid").toString
+    val alphabets = Map("aa" -> "abcdefg", "bb" -> "hijklmn", "cc" -> "opqrstu")
+    val langs = alphabets.keys.toSeq.sorted
+    import spark.implicits._
+    (0L until 60L).map { id =>
+      val lang = langs((id % 3).toInt)
+      val a = alphabets(lang)
+      val rot = (id % 7).toInt
+      val word = a.drop(rot % a.length) + a.take(rot % a.length)
+      (id, lang, Seq.fill(8)(word).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.byName("q126_lang_id").build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("pred_lang") === r.getAs[String]("actual_lang"),
+        s"misclassified under disjoint scripts: $r")
+    }
+    // Every held-out doc (doc_id % 5 == 0 -> 12 of 60) got classified.
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 12L)
+    assert(rows.map(_.getAs[String]("actual_lang")).toSet === langs.toSet)
+  }
+
+  test("q127: on vectors that cluster by label, nearest-centroid classification is perfect") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ncc").toString
+    import spark.implicits._
+    // 3 labels x 40 vectors in R^12, label l centered at 10*e_(4l) with
+    // +-0.05 deterministic jitter — separation >> jitter.
+    (0L until 120L).map { id =>
+      val label = (id % 3).toInt
+      val jitter = ((id * 7) % 11).toFloat / 100f
+      val v = Array.tabulate(12)(d =>
+        (if (d == 4 * label) 10f else 0f) + (if (d % 3 == id % 3) jitter else -jitter))
+      (id, v, label)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val rows = Registry.byName("q127_nearest_centroid").build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pred_label") === r.getAs[Long]("actual_label"),
+        s"misclassified under clustered labels: $r")
+    }
+    // Every held-out vector (vec_id % 5 == 0 -> 24 of 120) got classified.
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === 24L)
+    assert(rows.map(_.getAs[Long]("actual_label")).toSet === Set(0L, 1L, 2L))
+  }
+
+  test("q128: rank is a permutation, mass is conserved up to dangling leak, and reruns are identical") {
+    val rows = run("q128_pagerank").collect()
+    assert(rows.length === 25, "one row per nation expected")
+    assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 25),
+      "rank must be a permutation of 1..25")
+    // Ranks ordered by descending mass (name tie-break inside equal mass).
+    val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("pr_micro"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+      "pr_micro must be non-increasing in rank")
+    // Every node keeps its teleport mass; total mass never exceeds the
+    // initial 25e6 (damping + integer-floor + dangling nodes only LEAK).
+    assert(rows.forall(_.getAs[Long]("pr_micro") >= 150000L))
+    val total = rows.map(_.getAs[Long]("pr_micro")).sum
+    assert(total > 25L * 150000L && total <= 25L * 1000000L,
+      s"total mass $total outside (3.75e6, 25e6]")
+    // Non-vacuous: the trade graph is not uniform — ranking must spread.
+    assert(rows.map(_.getAs[Long]("pr_micro")).distinct.length > 5,
+      "PageRank collapsed to near-uniform mass")
+    val again = run("q128_pagerank").collect().map(_.toString).toSeq
+    assert(again === rows.map(_.toString).toSeq, "PageRank is nondeterministic")
+  }
 }

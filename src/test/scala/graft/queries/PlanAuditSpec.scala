@@ -35,13 +35,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   // q115 its ONE-row leakage-audit count; q116 its ONE-row weight
   // total; q117's sole non-equi join enumerates source PAIRS
   // (#sources^2 rows — document data flows only through equi joins);
-  // q121 rides q93's ONE-row centroid array (same Lloyd kernel).
+  // q121 rides q93's ONE-row centroid array (same Lloyd kernel);
+  // q127 broadcasts its ONE-row per-label centroid model (same shape).
   private val bnljAllowed = Set(
     "q42_topk_cosine", "q53_topk_cosine_native", "q46_ann_lsh",
     "q55_ivf_ann", "q56_tfidf", "q74_quant_cosine", "q79_bloom_decontaminate",
     "q85_cms_heavy_hitters", "q93_kmeans_assign", "q96_bm25",
     "q100_semantic_dedup", "q115_leakage_safe_split", "q116_mix_weights",
-    "q117_source_overlap", "q121_coreset_sample")
+    "q117_source_overlap", "q121_coreset_sample", "q127_nearest_centroid")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
@@ -122,12 +123,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // frame feeds the held-out set build and both train rollups.
     // q124's segment frame feeds the doc-frequency build, the per-source
     // rollup, and the removal probe; q125's member frame feeds the
-    // representative pick and the cluster rollup.
+    // representative pick and the cluster rollup; q126's trigram frame
+    // feeds the profile build and the held-out probe; q128's aggregated
+    // edge list feeds the out-degree build and all three power-iteration
+    // rounds (the corpus-heavy fact join must run exactly once).
     for ((q, minScans) <- Seq("q85_cms_heavy_hitters" -> 3, "q88_cohort_retention" -> 2,
         "q115_leakage_safe_split" -> 2, "q117_source_overlap" -> 3,
         "q103_bigram_lm" -> 4, "q122_perplexity_buckets" -> 4,
         "q123_contamination_score" -> 3, "q124_boilerplate_profile" -> 3,
-        "q125_canonical_keep" -> 2)) {
+        "q125_canonical_keep" -> 2, "q126_lang_id" -> 2,
+        "q128_pagerank" -> 4)) {
       val plan = Registry.byName(q).build(spark, sfDir)
         .queryExecution.executedPlan.toString
       val imts = plan.split("\n").count(_.contains("InMemoryTableScan"))

@@ -136,7 +136,13 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // replicate per copy and the rollup stays at #sources rows. q125:
     // the q76 propagation with a per-cluster representative pick —
     // clusters (and output rows) grow ~linearly with the corpus
-    "q124_boilerplate_profile", "q125_canonical_keep")
+    "q124_boilerplate_profile", "q125_canonical_keep",
+    // q126: trigram extraction is scan-local and the zqN suffixes grow
+    // the trigram universe with the corpus; the profile stays <= 100 x
+    // #langs rows (broadcast), scoring/argmax stay keyed on doc_id, and
+    // the offset doc_ids (multiples of 1e6 = multiples of 5) preserve
+    // the %5 train/held-out split — output stays <= (#langs+1) x #langs
+    "q126_lang_id")
 
   /** Build + materialize, cold (cache cleared): wall seconds, plan-node
     * multiset, result rows. Build time is included on purpose — q76 runs
