@@ -169,14 +169,21 @@ private[nats] object NatsWire {
   * live subscription is replayed with its original sid — the official
   * clients' reconnect-and-resubscribe behavior. Messages published by
   * others while disconnected are lost (core NATS is fire-and-forget;
-  * replay mode re-fetches by sequence and is unaffected); a publish
-  * racing the dead window throws to the caller (at-least-once under task
-  * retry, as before). After `reconnectAttempts` failed dials the client
-  * stays failed and every operation surfaces the connection loss.
+  * replay mode re-fetches by sequence and is unaffected). A single-message
+  * publish hitting the dead window is BUFFERED (whole frames, up to
+  * `reconnectBufBytes` — the official clients' reconnect buffer) and
+  * drained in order right after resubscribe; subscribe/unsubscribe during
+  * the window likewise succeed locally and replay on reconnect. The BULK
+  * sink path (`publishBatchWithHeaders`) deliberately stays fail-fast:
+  * a Spark task retry + `Nats-Msg-Id` stream dedup (q120) is strictly
+  * stronger than a client-side buffer there. After `reconnectAttempts`
+  * failed dials the client stays failed, buffered frames are dropped, and
+  * every operation surfaces the connection loss.
   */
 final class TcpNatsClient(
     host: String, port: Int, auth: Option[NatsAuth] = None,
-    reconnectAttempts: Int = 3, reconnectWaitMs: Long = 200)
+    reconnectAttempts: Int = 3, reconnectWaitMs: Long = 200,
+    reconnectBufBytes: Int = 8 * 1024 * 1024)
     extends NatsConnection {
   @volatile private var socket: Socket = null
   @volatile private var in: BufferedInputStream = null
@@ -196,8 +203,33 @@ final class TcpNatsClient(
   private val reconnectsDone = new AtomicLong(0)
   @volatile private var serverError: String = null
 
+  // Whole PUB/HPUB frames waiting out a dead window, drained FIFO after
+  // resubscribe. Guarded by writeLock (pendingBytes too).
+  private val pendingFrames = new java.util.ArrayDeque[Array[Byte]]()
+  private var pendingBytes = 0
+
   /** Completed reconnect-and-resubscribe cycles (testing/metrics hook). */
   private[nats] def reconnectCount: Long = reconnectsDone.get
+
+  /** Frames currently buffered for the reconnect drain (testing hook). */
+  private[nats] def pendingCount: Int = writeLock.synchronized(pendingFrames.size)
+
+  /** Write one complete wire frame now, or park it in the reconnect
+    * buffer when the connection is down. Once anything is pending, later
+    * frames must queue BEHIND it even if the socket looks alive again —
+    * the drain preserves publish order. Overflow throws to the caller
+    * (at-least-once under task retry, the pre-buffer semantics). */
+  private def writeFrameOrBuffer(frame: Array[Byte]): Unit = writeLock.synchronized {
+    if (pendingFrames.isEmpty) {
+      try { out.write(frame); out.flush(); return }
+      catch { case e: IOException => if (closed.get) throw e }
+    }
+    if (pendingBytes + frame.length > reconnectBufBytes)
+      throw new IOException(
+        s"reconnect buffer full ($pendingBytes bytes pending) — connection down")
+    pendingFrames.addLast(frame)
+    pendingBytes += frame.length
+  }
 
   // ---- dial + handshake (constructor: before the reader thread exists;
   // reconnect: on the reader thread under writeLock), reads inline on the
@@ -320,7 +352,15 @@ final class TcpNatsClient(
           else {
             subsActive.forEach((sid, pg) =>
               write(s"SUB ${pg._1} ${Option(pg._2).map(_ + " ").getOrElse("")}$sid\r\n"))
+            // Drain the reconnect buffer in publish order, AFTER the SUB
+            // replay so our own subscribers see the parked messages.
+            // Clear only once the flush succeeds — a failure here falls
+            // to the outer catch and the next attempt retries the drain.
+            val it = pendingFrames.iterator
+            while (it.hasNext) out.write(it.next())
             out.flush()
+            pendingFrames.clear()
+            pendingBytes = 0
             true
           }
         }
@@ -414,12 +454,12 @@ final class TcpNatsClient(
     checkHealthy()
     require(payload.length <= serverMaxPayload,
       s"payload ${payload.length} exceeds server max_payload $serverMaxPayload")
-    writeLock.synchronized {
-      write(s"PUB $subject ${payload.length}\r\n")
-      out.write(payload)
-      write("\r\n")
-      out.flush()
-    }
+    val head = s"PUB $subject ${payload.length}\r\n".getBytes(US_ASCII)
+    val frame = new Array[Byte](head.length + payload.length + 2)
+    System.arraycopy(head, 0, frame, 0, head.length)
+    System.arraycopy(payload, 0, frame, head.length, payload.length)
+    frame(frame.length - 2) = '\r'; frame(frame.length - 1) = '\n'
+    writeFrameOrBuffer(frame)
   }
 
   /** HPUB: headers + payload in one frame; both size tokens are bytes
@@ -434,13 +474,14 @@ final class TcpNatsClient(
     require(block.length + payload.length <= serverMaxPayload,
       s"headers+payload ${block.length + payload.length} exceeds server " +
         s"max_payload $serverMaxPayload")
-    writeLock.synchronized {
-      write(s"HPUB $subject ${block.length} ${block.length + payload.length}\r\n")
-      out.write(block)
-      out.write(payload)
-      write("\r\n")
-      out.flush()
-    }
+    val head = (s"HPUB $subject ${block.length} " +
+      s"${block.length + payload.length}\r\n").getBytes(US_ASCII)
+    val frame = new Array[Byte](head.length + block.length + payload.length + 2)
+    System.arraycopy(head, 0, frame, 0, head.length)
+    System.arraycopy(block, 0, frame, head.length, block.length)
+    System.arraycopy(payload, 0, frame, head.length + block.length, payload.length)
+    frame(frame.length - 2) = '\r'; frame(frame.length - 1) = '\n'
+    writeFrameOrBuffer(frame)
   }
 
   /** One lock acquisition, one flush for the whole run: PUB/HPUB frames
@@ -488,16 +529,23 @@ final class TcpNatsClient(
     val sid = nextSid.getAndIncrement().toString
     handlers.put(sid, handler)
     subsActive.put(sid, (subject, group.orNull)) // replayed on reconnect
+    // A dead window is not an error for SUB/UNSUB: subsActive is the
+    // source of truth the reconnect replays, so the local registration
+    // above already took effect — swallow the transient write failure.
     writeLock.synchronized {
-      write(s"SUB $subject ${group.map(_ + " ").getOrElse("")}$sid\r\n")
-      out.flush()
+      try {
+        write(s"SUB $subject ${group.map(_ + " ").getOrElse("")}$sid\r\n")
+        out.flush()
+      } catch { case e: IOException => if (closed.get) throw e }
     }
     () => {
       handlers.remove(sid)
       subsActive.remove(sid)
       if (!closed.get) writeLock.synchronized {
-        write(s"UNSUB $sid\r\n")
-        out.flush()
+        try {
+          write(s"UNSUB $sid\r\n")
+          out.flush()
+        } catch { case _: IOException => () } // reconnect won't replay it
       }
     }
   }
@@ -933,7 +981,11 @@ final class MiniNatsServer(
     // the stream config (retention itself stays per-literal-subject) —
     // lets specs pin the client's multi-subject-stream guard against the
     // common `ev.>` catch-all stream configuration.
-    jsAdvertiseSubjects: Option[Seq[String]] = None) {
+    jsAdvertiseSubjects: Option[Seq[String]] = None,
+    // 0 = ephemeral. A fixed port lets specs RESTART the listener at the
+    // same address, exercising the client's full broker-outage cycle
+    // (detect -> buffer -> re-dial -> resubscribe -> drain).
+    fixedPort: Int = 0) {
   import NatsWire._
 
   require(!jetStream || retainCapacity > 0,
@@ -1091,7 +1143,15 @@ final class MiniNatsServer(
     } else respond("#ERR unknown stream api")
   }
 
-  private val server = new ServerSocket(0, 50, InetAddress.getLoopbackAddress)
+  private val server = {
+    // Unbound-then-bind so SO_REUSEADDR is set BEFORE the bind — a
+    // restarted fixed-port listener must not trip over lingering
+    // TIME_WAIT connections from its predecessor.
+    val s = new ServerSocket()
+    s.setReuseAddress(true)
+    s.bind(new InetSocketAddress(InetAddress.getLoopbackAddress, fixedPort), 50)
+    s
+  }
   def port: Int = server.getLocalPort
   def url: String = s"nats://127.0.0.1:$port"
 

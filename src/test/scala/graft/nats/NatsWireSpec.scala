@@ -1,6 +1,6 @@
 package graft.nats
 
-import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, IOException}
 import java.net.Socket
 import java.nio.charset.StandardCharsets.US_ASCII
 import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
@@ -441,6 +441,74 @@ class NatsWireSpec extends AnyFunSuite with BeforeAndAfterAll {
         sub.close()
       } finally { consumer.close(); producer.close() }
     }
+  }
+
+  test("publishes parked during a broker outage drain in order after the listener returns") {
+    val server1 = new MiniNatsServer
+    val port = server1.port
+    // One client as both subscriber and publisher: its reconnect replays
+    // the SUB and THEN drains the buffer on the same connection, so the
+    // post-restart delivery of every parked frame is deterministic.
+    val client = new TcpNatsClient(
+      "127.0.0.1", port, reconnectAttempts = 60, reconnectWaitMs = 100)
+    var server2: MiniNatsServer = null
+    try {
+      val seen = new LinkedBlockingQueue[String]()
+      client.subscribe("ob.data")(p => seen.put(new String(p, "UTF-8")))
+      eventually()(server1.subscriptionCount("ob.data") == 1)
+      server1.stop()
+      // Burn the kernel-buffer window: the first write(s) after the FIN
+      // can still succeed into the dead socket (that's the documented
+      // fire-and-forget loss window); keep probing until a write FAILS
+      // and lands in the reconnect buffer.
+      eventually() {
+        client.publish("ob.data", "probe".getBytes("UTF-8"))
+        client.pendingCount > 0
+      }
+      (1 to 5).foreach(i => client.publish("ob.data", s"m$i".getBytes("UTF-8")))
+      assert(client.pendingCount >= 6, "parked frames should queue behind the first")
+
+      server2 = new MiniNatsServer(fixedPort = port)
+      eventually(30000)(client.reconnectCount >= 1)
+      // Everything buffered arrives, in publish order: >= 1 probe frames
+      // first, then exactly m1..m5.
+      val got = scala.collection.mutable.ArrayBuffer[String]()
+      eventually(30000) {
+        Option(seen.poll(100, TimeUnit.MILLISECONDS)).foreach(got += _)
+        got.lastOption.contains("m5")
+      }
+      val (probes, ms) = got.span(_ == "probe")
+      assert(probes.nonEmpty, "the buffered probe frame should have drained")
+      assert(ms.toSeq === (1 to 5).map(i => s"m$i"),
+        s"parked publishes out of order or lost: $got")
+    } finally {
+      client.close()
+      if (server2 != null) server2.stop()
+    }
+  }
+
+  test("the bulk sink publish path stays fail-fast during a dead window (task retry + msg-id dedup owns it)") {
+    val server = new MiniNatsServer
+    val client = new TcpNatsClient(
+      "127.0.0.1", server.port, reconnectAttempts = 60, reconnectWaitMs = 100)
+    try {
+      server.stop()
+      // Prove the socket is dead (first writes may still enter the kernel
+      // buffer), using the buffering single-message path.
+      eventually() {
+        client.publish("fb.probe", "p".getBytes("UTF-8"))
+        client.pendingCount > 0
+      }
+      // The sink's bulk path must NOT buffer: a parked batch that never
+      // drains would silently void the sink's at-least-once contract,
+      // while an exception here triggers Spark task retry and the
+      // Nats-Msg-Id stream dedup (q120) makes that retry exactly-once.
+      val e = intercept[IOException] {
+        client.publishBatchWithHeaders("fb.data",
+          Iterator((Nil, "x".getBytes("UTF-8"))))
+      }
+      assert(e.getMessage != null)
+    } finally client.close()
   }
 
   test("reconnect gives up after its attempt budget when the server is gone, surfacing the loss") {

@@ -214,6 +214,28 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q123: held-out probe should be a broadcast LeftSemi hash join:\n$p123")
   }
 
+  test("q126/q128: the tiny side broadcasts — lang profile and graph dims ride hash joins, corpus stays keyed") {
+    // q126's <= 100 x #langs profile must broadcast against the exploded
+    // trigram stream (an exchange-both-sides join re-shuffles every
+    // trigram occurrence in the corpus); the final actual-vs-pred join
+    // is keyed on doc_id.
+    val p126 = Registry.byName("q126_lang_id").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p126.contains("BroadcastHashJoin"),
+      s"q126: trigram profile should broadcast-hash-join:\n$p126")
+    assert(!p126.contains("BroadcastNestedLoopJoin") && !p126.contains("CartesianProduct"),
+      s"q126: nested-loop or cartesian leaked into the plan:\n$p126")
+    // q128's customer/supplier nation lookups broadcast into the
+    // lineitem-orders fact join — the one corpus-sized shuffle; the
+    // power-iteration rounds touch <= #nations^2-row frames only.
+    val p128 = Registry.byName("q128_pagerank").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p128.contains("BroadcastHashJoin"),
+      s"q128: nation dims should broadcast into the fact join:\n$p128")
+    assert(!p128.contains("BroadcastNestedLoopJoin") && !p128.contains("CartesianProduct"),
+      s"q128: nested-loop or cartesian leaked into the plan:\n$p128")
+  }
+
   test("q109: PQ encode and scoring join broadcast the codebook/LUT as hash joins, never nested loops") {
     // The codebook (64 rows) and the query LUT (64 partial distances)
     // must ride as broadcast HASH joins on their equi keys — a BNLJ here
