@@ -1710,6 +1710,125 @@ object Analytics {
         .withColumn("rank", row_number().over(wRank))
         .select(col("rank"), col("n_name"), col("pr_micro"))
         .orderBy(col("rank"))
+    },
+
+    // ---- q129: declarative data-quality audit (the Deequ/dbt-test
+    // gate every production pipeline runs before a training job reads
+    // the table): five constraint classes — not-null, range, value-set,
+    // primary-key uniqueness, foreign-key existence — each reported as
+    // (rule, n_checked, n_violations, viol_rate). All-integer counts +
+    // one rounded division: hash-exact. The fixture is clean by
+    // construction for 3 of 5 rules (zero IS the audit's answer);
+    // AnalyticsSpec plants violations of every class in a constructed
+    // table and asserts exact counts. 100 TB shape: the three row-local
+    // rules fold into ONE conditional-sum scan (map-side partial agg to
+    // one row); PK uniqueness is one keyed groupBy; FK existence is one
+    // anti join on the key (the q57 decontamination shape); the rule
+    // table itself is 5 rows at any corpus size. The audited projection
+    // feeds all three -> persisted (one corpus scan). ----
+    QueryDef(
+      "q129_quality_audit",
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem),
+        |n AS (SELECT COUNT(*) AS n FROM li),
+        |v AS (SELECT
+        |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |    SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 1 ELSE 0 END) AS v_range,
+        |    SUM(CASE WHEN l_returnflag IS NULL
+        |             OR l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS v_flag
+        |  FROM li),
+        |d AS (SELECT COALESCE(SUM(c - 1), 0) AS v_dup FROM (
+        |    SELECT COUNT(*) AS c FROM li GROUP BY l_orderkey, l_linenumber) WHERE c > 1),
+        |f AS (SELECT COUNT(*) AS v_fk
+        |  FROM li LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderkey IS NULL),
+        |r AS (
+        |  SELECT 'fk_order_exists' AS rule, (SELECT v_fk FROM f) AS nv
+        |  UNION ALL SELECT 'not_null_quantity', (SELECT v_null FROM v)
+        |  UNION ALL SELECT 'pk_unique_line', (SELECT v_dup FROM d)
+        |  UNION ALL SELECT 'quantity_in_range', (SELECT v_range FROM v)
+        |  UNION ALL SELECT 'valid_returnflag', (SELECT v_flag FROM v))
+        |SELECT rule, (SELECT n FROM n) AS n_checked,
+        |  CAST(nv AS BIGINT) AS n_violations,
+        |  round(nv::DOUBLE / (SELECT n FROM n), 6) AS viol_rate
+        |FROM r ORDER BY rule""".stripMargin) { (s, dir) =>
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+        .persist() // 3 consumers: row-rule scan, PK groupBy, FK anti join
+      val rowRules = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(!col("l_quantity").between(1, 45), 1L).otherwise(0L)).as("v_range"),
+        sum(when(col("l_returnflag").isNull ||
+            !col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)).as("v_flag"))
+      val dups = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("v_dup"))
+      val orphans = li
+        .join(T(s, dir, "orders").select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v_fk"))
+      rowRules.crossJoin(broadcast(dups)).crossJoin(broadcast(orphans))
+        .selectExpr("n", """stack(5,
+            'fk_order_exists', v_fk,
+            'not_null_quantity', v_null,
+            'pk_unique_line', v_dup,
+            'quantity_in_range', v_range,
+            'valid_returnflag', v_flag) as (rule, n_violations)""")
+        .select(col("rule"), col("n").as("n_checked"), col("n_violations"),
+          round(col("n_violations").cast(DoubleType) / col("n"), 6).as("viol_rate"))
+        .orderBy(col("rule"))
+    },
+
+    // ---- q130: single-pass column profiling (the ANALYZE TABLE /
+    // Deequ-profiler primitive feeding CBO stats, data-skipping layouts,
+    // and drift monitors): per numeric column — null count, exact
+    // distinct count, min, max. One corpus scan computes all four
+    // columns' stats together; the exact multi-column COUNT(DISTINCT)
+    // plans through Catalyst's Expand (4x shuffle rows of (value, gid)
+    // pairs — still one scan); at 100 TB production swaps exact ndv for
+    // approx_count_distinct (q83's HLL sketch, kilobytes per column)
+    // with an identical output contract, while null/min/max stay
+    // map-side partial aggs. Output: one row per profiled column,
+    // always. Fixture doubles are exact binary values in both engines
+    // (min/max/distinct hash-exact; no float summation anywhere). ----
+    QueryDef(
+      "q130_column_profile",
+      """WITH p AS (SELECT COUNT(*) AS n FROM lineitem)
+        |SELECT col_name, (SELECT n FROM p) AS n_rows, n_nulls, n_distinct,
+        |  min_val, max_val FROM (
+        |  SELECT 'l_discount' AS col_name,
+        |    CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    COUNT(DISTINCT l_discount) AS n_distinct,
+        |    MIN(l_discount) AS min_val, MAX(l_discount) AS max_val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice',
+        |    CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT l_extendedprice),
+        |    MIN(l_extendedprice), MAX(l_extendedprice) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity',
+        |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT l_quantity),
+        |    MIN(l_quantity), MAX(l_quantity) FROM lineitem
+        |  UNION ALL SELECT 'l_tax',
+        |    CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT l_tax),
+        |    MIN(l_tax), MAX(l_tax) FROM lineitem)
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      val exprs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast(DoubleType).as(s"mn_$c"),
+        max(col(c)).cast(DoubleType).as(s"mx_$c")))
+      T(s, dir, "lineitem").select(cols.map(col): _*)
+        .agg(exprs.head, exprs.tail: _*)
+        .selectExpr("n", s"""stack(${cols.length},
+            ${cols.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")})
+            as (col_name, n_nulls, n_distinct, min_val, max_val)""")
+        .select(col("col_name"), col("n").as("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+        .orderBy(col("col_name"))
     }
   )
 

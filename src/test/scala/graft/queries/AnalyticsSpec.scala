@@ -538,4 +538,55 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = run("q128_pagerank").collect().map(_.toString).toSeq
     assert(again === rows.map(_.toString).toSeq, "PageRank is nondeterministic")
   }
+
+  test("q129: planted violations of every constraint class are counted exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    import spark.implicits._
+    // 10 clean rows (orders 1..10, line 1), plus one violation of each
+    // class: a NULL quantity, an out-of-range quantity, a bad flag, a
+    // duplicated (orderkey, linenumber), and an orphan orderkey 99.
+    val clean = (1L to 10L).map(k => (k, 1, Some(5.0), "N"))
+    val planted = Seq(
+      (1L, 2, None: Option[Double], "N"), // null quantity
+      (2L, 2, Some(46.0), "N"),           // out of [1, 45]
+      (3L, 2, Some(5.0), "X"),            // flag outside {A, N, R}
+      (4L, 1, Some(5.0), "N"),            // duplicate PK (4, 1)
+      (99L, 1, Some(5.0), "N"))           // no parent order
+    (clean ++ planted)
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    (1L to 10L).toDF("o_orderkey")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val rows = Registry.byName("q129_quality_audit").build(spark, dir).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"))).toMap
+    assert(rows.keySet === Set("fk_order_exists", "not_null_quantity",
+      "pk_unique_line", "quantity_in_range", "valid_returnflag"))
+    assert(rows.values.forall(_._1 === 15L), s"every rule audits all 15 rows: $rows")
+    assert(rows("not_null_quantity")._2 === 1L, s"null count off: $rows")
+    // The NULL quantity is NOT a range violation (three-valued logic:
+    // the range rule skips unknowns; the not-null rule owns them).
+    assert(rows("quantity_in_range")._2 === 1L, s"range count off: $rows")
+    assert(rows("valid_returnflag")._2 === 1L, s"flag count off: $rows")
+    assert(rows("pk_unique_line")._2 === 1L, s"dup count off: $rows")
+    assert(rows("fk_order_exists")._2 === 1L, s"orphan count off: $rows")
+  }
+
+  test("q130: profile matches an independently computed ground truth on the fixture") {
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    val rows = run("q130_column_profile").collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.keySet === Set("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+    val n = li.count()
+    for ((c, r) <- rows) {
+      assert(r.getAs[Long]("n_rows") === n)
+      val truth = li.agg(
+        sum(when(col(c).isNull, 1L).otherwise(0L)),
+        countDistinct(col(c)), min(col(c)), max(col(c))).first()
+      assert(r.getAs[Long]("n_nulls") === truth.getLong(0), s"$c nulls")
+      assert(r.getAs[Long]("n_distinct") === truth.getLong(1), s"$c ndv")
+      assert(r.getAs[Double]("min_val") === truth.getDouble(2), s"$c min")
+      assert(r.getAs[Double]("max_val") === truth.getDouble(3), s"$c max")
+    }
+  }
 }

@@ -42,7 +42,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q55_ivf_ann", "q56_tfidf", "q74_quant_cosine", "q79_bloom_decontaminate",
     "q85_cms_heavy_hitters", "q93_kmeans_assign", "q96_bm25",
     "q100_semantic_dedup", "q115_leakage_safe_split", "q116_mix_weights",
-    "q117_source_overlap", "q121_coreset_sample", "q127_nearest_centroid")
+    "q117_source_overlap", "q121_coreset_sample", "q127_nearest_centroid",
+    // q129 cross-joins its three ONE-row audit aggregates into the rule table.
+    "q129_quality_audit")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
@@ -132,7 +134,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q103_bigram_lm" -> 4, "q122_perplexity_buckets" -> 4,
         "q123_contamination_score" -> 3, "q124_boilerplate_profile" -> 3,
         "q125_canonical_keep" -> 2, "q126_lang_id" -> 2,
-        "q128_pagerank" -> 4)) {
+        "q128_pagerank" -> 4,
+        // q129's audited projection feeds the row-rule scan, the PK
+        // groupBy, and the FK anti join.
+        "q129_quality_audit" -> 3)) {
       val plan = Registry.byName(q).build(spark, sfDir)
         .queryExecution.executedPlan.toString
       val imts = plan.split("\n").count(_.contains("InMemoryTableScan"))
