@@ -1829,6 +1829,91 @@ object Analytics {
         .select(col("col_name"), col("n").as("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_val"), col("max_val"))
         .orderBy(col("col_name"))
+    },
+
+    // ---- q131: distribution-drift report — the monitoring leg of the
+    // quality suite (q129 audits constraints, q130 profiles stats, this
+    // compares a CURRENT snapshot against a REFERENCE one, the
+    // Deequ/EvidentlyAI drift check run before every incremental train).
+    // Snapshots here: l_orderkey parity (production feeds two dates/
+    // partitions). Per monitored column: 10 equal-width bins anchored on
+    // the REFERENCE min/max (the standard rule — current outliers clamp
+    // to the edge bins), per-bin proportions in integer micros
+    // (cnt*1e6 DIV n — exact in both engines), drift = total-variation
+    // distance (half the L1 gap) plus the worst single-bin gap. TV is
+    // chosen over PSI/KL deliberately: it needs no ln(), so the whole
+    // report is int64 arithmetic — cross-engine bit-exact (the binning
+    // float expr is the identical IEEE op sequence both sides). 100 TB
+    // shape: pass 1 is a pruned reference-side min/max scan collapsing
+    // to ONE broadcast row; pass 2 bins both snapshots scan-locally and
+    // partial-aggregates to (column x 10 x 2) cells per map task; the
+    // two-pass split is the q116 rule (bin edges depend on global
+    // stats; two pruned scans beat caching the corpus). Output: one row
+    // per monitored column, always. ----
+    QueryDef(
+      "q131_drift_report",
+      """WITH src AS (
+        |  SELECT l_orderkey % 2 AS side, col_name, x FROM (
+        |    SELECT l_orderkey, 'l_discount' AS col_name, l_discount AS x FROM lineitem
+        |    UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+        |    UNION ALL SELECT l_orderkey, 'l_quantity', l_quantity FROM lineitem)),
+        |stats AS (
+        |  SELECT col_name, MIN(x) AS mn, MAX(x) AS mx
+        |  FROM src WHERE side = 0 GROUP BY col_name),
+        |binned AS (
+        |  SELECT src.side, src.col_name,
+        |    CASE WHEN stats.mx > stats.mn THEN
+        |      LEAST(9, GREATEST(0, CAST(floor((src.x - stats.mn) * 10 / (stats.mx - stats.mn)) AS BIGINT)))
+        |    ELSE 0 END AS bin
+        |  FROM src JOIN stats USING (col_name)),
+        |cells AS (
+        |  SELECT col_name, bin,
+        |    CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |    CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+        |  FROM binned GROUP BY col_name, bin),
+        |tot AS (
+        |  SELECT col_name,
+        |    CAST(SUM(c_ref) AS BIGINT) AS n_ref, CAST(SUM(c_cur) AS BIGINT) AS n_cur
+        |  FROM cells GROUP BY col_name),
+        |gaps AS (
+        |  SELECT cells.col_name,
+        |    abs((c_ref * 1000000) // n_ref - (c_cur * 1000000) // n_cur) AS gap
+        |  FROM cells JOIN tot USING (col_name))
+        |SELECT col_name, n_ref, n_cur,
+        |  CAST(SUM(gap) // 2 AS BIGINT) AS tv_micro,
+        |  CAST(MAX(gap) AS BIGINT) AS max_gap_micro
+        |FROM gaps JOIN tot USING (col_name)
+        |GROUP BY col_name, n_ref, n_cur
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity")
+      val li = T(s, dir, "lineitem")
+        .select((col("l_orderkey") +: cols.map(col)): _*)
+      val src = li.selectExpr("l_orderkey % 2 AS side",
+        s"stack(${cols.length}, ${cols.map(c => s"'$c', $c").mkString(", ")}) as (col_name, x)")
+      // Pass 1: reference-side bin anchors — one broadcastable row per
+      // monitored column (#cols rows total).
+      val stats = src.filter(col("side") === 0)
+        .groupBy(col("col_name"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val binned = src.join(broadcast(stats), "col_name")
+        .withColumn("bin",
+          when(col("mx") > col("mn"),
+            least(lit(9L), greatest(lit(0L),
+              floor((col("x") - col("mn")) * 10 / (col("mx") - col("mn"))))))
+            .otherwise(0L))
+      val cells = binned.groupBy(col("col_name"), col("bin"))
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("c_cur"))
+      // Everything below operates on #cols x 10 rows.
+      val tot = cells.groupBy(col("col_name"))
+        .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+      cells.join(tot, "col_name")
+        .withColumn("gap",
+          abs(expr("(c_ref * 1000000) DIV n_ref - (c_cur * 1000000) DIV n_cur")))
+        .groupBy(col("col_name"), col("n_ref"), col("n_cur"))
+        .agg(expr("CAST(SUM(gap) DIV 2 AS BIGINT)").as("tv_micro"),
+          max(col("gap")).as("max_gap_micro"))
+        .orderBy(col("col_name"))
     }
   )
 

@@ -572,6 +572,34 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("fk_order_exists")._2 === 1L, s"orphan count off: $rows")
   }
 
+  test("q131: planted drift is measured exactly; identical distributions report zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    import spark.implicits._
+    // Reference side (even keys): one value per bin, 0.5..9.5 — the ten
+    // equal-width bins each hold exactly 10% (p = 100000 micro).
+    // Current side (odd keys): l_quantity collapses onto the top bin
+    // (drift), while l_extendedprice/l_discount mirror the reference
+    // exactly (no drift). Expected TV for quantity: nine bins lose
+    // 100000 each, the top bin gains 900000 -> sum 1800000, halved.
+    (0 until 10).flatMap { k =>
+      val v = 0.5 + k
+      Seq((2L * k, v, v, v), (2L * k + 1, 9.5, v, v))
+    }.toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val rows = Registry.byName("q131_drift_report").build(spark, dir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.keySet === Set("l_discount", "l_extendedprice", "l_quantity"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_ref") === 10L && r.getAs[Long]("n_cur") === 10L)
+    }
+    assert(rows("l_quantity").getAs[Long]("tv_micro") === 900000L,
+      s"drifted column TV off: ${rows("l_quantity")}")
+    assert(rows("l_quantity").getAs[Long]("max_gap_micro") === 900000L)
+    assert(rows("l_extendedprice").getAs[Long]("tv_micro") === 0L,
+      "mirrored column must report zero drift")
+    assert(rows("l_discount").getAs[Long]("tv_micro") === 0L)
+  }
+
   test("q130: profile matches an independently computed ground truth on the fixture") {
     val li = graft.Tables.load(spark, sfDir, "lineitem")
     val rows = run("q130_column_profile").collect()
