@@ -1914,6 +1914,226 @@ object Analytics {
         .agg(expr("CAST(SUM(gap) DIV 2 AS BIGINT)").as("tv_micro"),
           max(col("gap")).as("max_gap_micro"))
         .orderBy(col("col_name"))
+    },
+
+    // ---- q133: domain-mixture sampling plan — the DoReMi/Pile-style
+    // mixture step run before every pretraining job: given per-domain
+    // token masses and a target policy (balanced domains within a global
+    // token budget of total/2 here; production swaps in learned weights),
+    // emit each domain's sampling rate. rate_micro =
+    // min(1e6, target_tokens*1e6 DIV domain_tokens) — domains below
+    // their quota keep everything (rate 1e6), oversized ones are
+    // downsampled proportionally; all arithmetic is int64 DIV, so the
+    // plan is cross-engine bit-exact. The rate then drives q34's
+    // hash-split (rand()-free, reproducible) as the materialization
+    // step. 100 TB shape: ONE corpus scan partial-aggregates to
+    // #domains rows; the corpus-total frame is a 1-row broadcast; every
+    // row after the scan is dictionary-sized. Output: one row per
+    // domain, always. ----
+    QueryDef(
+      "q133_domain_mixture",
+      """WITH d AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS domain_tokens
+        |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+        |t AS (SELECT CAST(SUM(domain_tokens) AS BIGINT) AS total_tokens,
+        |        COUNT(*) AS n_domains FROM d),
+        |r AS (
+        |  SELECT source, n_docs, domain_tokens,
+        |    (total_tokens // 2) // n_domains AS target_tokens,
+        |    LEAST(1000000, (((total_tokens // 2) // n_domains) * 1000000) // domain_tokens) AS rate_micro
+        |  FROM d, t)
+        |SELECT source, n_docs, domain_tokens, target_tokens, rate_micro,
+        |  (domain_tokens * rate_micro) // 1000000 AS expected_tokens
+        |FROM r ORDER BY source""".stripMargin) { (s, dir) =>
+      val d = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(lower(col("text")), " "))).as("domain_tokens"))
+      val t = d.agg(sum(col("domain_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_domains"))
+      d.crossJoin(broadcast(t))
+        .withColumn("target_tokens", expr("(total_tokens DIV 2) DIV n_domains"))
+        .withColumn("rate_micro",
+          least(lit(1000000L), expr("(target_tokens * 1000000) DIV domain_tokens")))
+        .select(col("source"), col("n_docs"), col("domain_tokens"),
+          col("target_tokens"), col("rate_micro"),
+          expr("(domain_tokens * rate_micro) DIV 1000000").as("expected_tokens"))
+        .orderBy(col("source"))
+    },
+
+    // ---- q134: fuzzy entity matching over the DISTINCT-value dictionary
+    // (record linkage / typo canonicalization, the Zingg/Splink shape):
+    // candidate pairs are generated ONLY within a blocking key (the
+    // name's second word here; production stacks several keys) and ONLY
+    // over the deduplicated dictionary — edit distance never touches
+    // corpus rows. Pairs at levenshtein <= 3 surface with both sides'
+    // corpus support so a downstream merge rule can pick the canonical
+    // form. 100 TB shape: the dictionary aggregation is the only corpus
+    // shuffle (distinct values ~ vocabulary, orders of magnitude below
+    // row count); the dictionary self-join is block-bounded (never
+    // all-pairs) and broadcast (vocab fits in MB); levenshtein is
+    // codegen'd in both engines with identical classic-DP semantics. ----
+    QueryDef(
+      "q134_fuzzy_match",
+      """WITH d AS (
+        |  SELECT p_name, split_part(p_name, ' ', 2) AS blk, COUNT(*) AS n_rows
+        |  FROM part GROUP BY p_name, blk)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |  a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+      val d = T(s, dir, "part")
+        .groupBy(col("p_name"), split(col("p_name"), " ")(1).as("blk"))
+        .agg(count(lit(1)).as("n_rows"))
+      val a = d.as("a"); val b = d.as("b")
+      a.join(broadcast(b),
+          col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name")
+            && levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).cast(LongType).as("dist"),
+          col("a.n_rows").as("n_rows_a"), col("b.n_rows").as("n_rows_b"))
+        .orderBy(col("name_a"), col("name_b"))
+    },
+
+    // ---- q135: SCD type-2 history build (the warehouse
+    // change-data-capture op: an append-only event log becomes a
+    // versioned dimension with validity intervals): per user, collapse
+    // consecutive same-state runs, stamp each run with
+    // [valid_from, valid_to) = run start / next run start (NULL while
+    // current), version = run ordinal. Timestamps are floor-to-second
+    // epochs (q69's rule) and ordering is pinned by (tsec, event_id), so
+    // run boundaries are engine-identical. 100 TB shape: ONE shuffle
+    // keyed by the entity id; the change flag, running version, run
+    // aggregate, and interval stitch all reuse that partitioning (the
+    // q69 sessionize shape — window + same-key groupBy, AQE keeps them
+    // co-partitioned). Output rows = state transitions, not events. ----
+    QueryDef(
+      "q135_scd2_history",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |c AS (
+        |  SELECT user_id, event_type, tsec, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |v AS (
+        |  SELECT user_id, event_type, tsec,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM c),
+        |g AS (
+        |  SELECT user_id, version, MIN(event_type) AS state,
+        |    MIN(tsec) AS valid_from_s, COUNT(*) AS n_events
+        |  FROM v GROUP BY user_id, version)
+        |SELECT user_id, version, state, valid_from_s,
+        |  lead(valid_from_s) OVER pv AS valid_to_s,
+        |  CAST(CASE WHEN lead(valid_from_s) OVER pv IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+        |  n_events
+        |FROM g WINDOW pv AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+      val pv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tsec"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .withColumn("chg",
+          when(col("prev").isNull || col("prev") =!= col("event_type"), 1).otherwise(0))
+        .withColumn("version",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(LongType))
+        .groupBy(col("user_id"), col("version"))
+        .agg(min(col("event_type")).as("state"),
+          min(col("tsec")).as("valid_from_s"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("version"), col("state"), col("valid_from_s"),
+          lead(col("valid_from_s"), 1).over(pv).as("valid_to_s"),
+          when(lead(col("valid_from_s"), 1).over(pv).isNull, 1L).otherwise(0L).as("is_current"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("version"))
+    },
+
+    // ---- q136: event-time rolling aggregates via a RANGE window frame
+    // (the telemetry moving-average op — and the one frame kind no other
+    // query exercises: q09's running sums are ROWS frames, q38's sliding
+    // windows are pre-bucketed; RANGE bounds follow the ORDER BY VALUE,
+    // so each event sees exactly the trailing 5 minutes regardless of
+    // event density). Aggregates are floor-to-integer count/sum/max —
+    // order-free within the frame, so RANGE-peer tie order (same tsec)
+    // cannot matter and the result is engine-identical. 100 TB shape:
+    // ONE shuffle keyed by entity; the frame evaluator is a per-key
+    // sliding accumulator over the sorted run (linear, no
+    // per-event rescan); output rows = input rows. ----
+    QueryDef(
+      "q136_rolling_window",
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    CAST(floor(value) AS BIGINT) AS v FROM events)
+        |SELECT event_id, user_id, tsec,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_5min,
+        |  CAST(SUM(v) OVER w AS BIGINT) AS sum_5min,
+        |  CAST(MAX(v) OVER w AS BIGINT) AS max_5min
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+        |  RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, tsec, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+        .rangeBetween(-300, Window.currentRow)
+      T(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("tsec"),
+          floor(col("value")).cast(LongType).as("v"))
+        .select(col("event_id"), col("user_id"), col("tsec"),
+          count(lit(1)).over(w).as("n_5min"),
+          sum(col("v")).over(w).as("sum_5min"),
+          max(col("v")).over(w).as("max_5min"))
+        .orderBy(col("user_id"), col("tsec"), col("event_id"))
+    },
+
+    // ---- q137: robust anomaly detection via median/MAD (the
+    // outlier-rate monitor that survives the skew that wrecks q71's
+    // mean/stddev z-scores): per group, med = exact median, MAD =
+    // median(|x - med|), outlier = |x - med| > 3*MAD. Values floor to
+    // int64 first, so every median is a half-integer — exactly
+    // representable — and the 3*MAD threshold compare is bit-identical
+    // cross-engine (no epsilon). 100 TB shape: the value projection is
+    // persisted (median pass + deviation join — one corpus scan); both
+    // median tables are #groups-row broadcasts; exact percentile is a
+    // per-group sort-agg, the documented swap point for q90's mergeable
+    // KLL sketch at corpus scale with the same output contract. ----
+    QueryDef(
+      "q137_mad_outliers",
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events),
+        |m AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM e GROUP BY event_type),
+        |d AS (SELECT e.event_type, e.v, m.med, abs(e.v - m.med) AS adev
+        |      FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY event_type)
+        |SELECT d.event_type, COUNT(*) AS n, MIN(d.med) AS med, MIN(md.mad) AS mad,
+        |  CAST(SUM(CASE WHEN abs(d.v - d.med) > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type
+        |ORDER BY d.event_type""".stripMargin) { (s, dir) =>
+      val e = T(s, dir, "events")
+        .select(col("event_type"), floor(col("value")).cast(LongType).as("v"))
+        .persist()
+      val m = e.groupBy(col("event_type")).agg(expr("percentile(v, 0.5)").as("med"))
+      val d = e.join(broadcast(m), "event_type")
+        .withColumn("adev", abs(col("v") - col("med")))
+        .persist()
+      val md = d.groupBy(col("event_type")).agg(expr("percentile(adev, 0.5)").as("mad"))
+      d.join(broadcast(md), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("med")).as("med"), min(col("mad")).as("mad"),
+          sum(when(abs(col("v") - col("med")) > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
     }
   )
 

@@ -100,6 +100,19 @@ object Pipeline {
   private val BM25_K1P1 = 2.2
   private val BM25_TERMS = Seq("hash", "join", "stream")
 
+  // q132 RRF constants: the standard fusion constant k=60 (Cormack &
+  // Clarke's reciprocal-rank-fusion paper value), each leg truncated to
+  // its top-50 before fusion, final top-20. RRF is chosen over score
+  // fusion deliberately: ranks are integers, so the fused score
+  // 1000000 DIV (60 + rank) is ln()-free int64 arithmetic — cross-engine
+  // bit-exact with no score normalization to disagree on.
+  private val RRF_K = 60
+  private val RRF_LEG_K = 50
+  private val RRF_TOPK = 20
+
+  // q138: recall@K cut of the ANN-vs-brute-force eval (q46 emits 10).
+  private val ANN_RECALL_K = 10
+
   // q98/q124 "line" width in words (shared with the graft_line_hashes
   // kernel so the SQL and native formulations cannot drift). 5 on the
   // word-soup fixture yields real cross-document duplicates (320 of
@@ -852,32 +865,68 @@ object Pipeline {
     // micro-units and the per-doc sum is integer addition (order-free),
     // so the cross-engine hash is exact despite ln(). ----
     QueryDef("q96_bm25", bm25Oracle) { (s, dir) =>
-      // Two consumers (the postings explode + the corpus-stats agg):
-      // persist, one corpus scan + tokenize — not two (q85/q88/q99 rule).
-      val toks = T(s, dir, "documents")
-        .filter(col("text").isNotNull) // pin N = docs WITH text on both engines
-        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-        .persist()
-      val words = toks
-        .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("w"))
-        .filter(col("w").isin(BM25_TERMS: _*))
-      val tf = words.groupBy(col("doc_id"), col("dl"), col("w"))
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val stats = toks.agg(count(lit(1)).as("n_docs"), avg(size(col("ws"))).as("avgdl"))
-      val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-      val norm = col("tf") +
-        lit(BM25_K1) * (lit(1.0) - lit(BM25_B) + lit(BM25_B) * col("dl") / col("avgdl"))
-      val contrib = idf * (col("tf") * lit(BM25_K1P1)) / norm
-      tf.join(broadcast(df), "w")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), round(contrib * lit(1e6), 0).cast(LongType).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("bm25_micro"))
+      bm25MicroPerDoc(s, dir)
         .select(col("doc_id"), col("n_terms"), col("bm25_micro"),
           round(col("bm25_micro") / lit(1e6), 6).as("bm25"))
         .orderBy(col("bm25_micro").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // ---- hybrid retrieval via reciprocal-rank fusion (the standard
+    // sparse+dense production shape: BM25 and embedding-cosine each
+    // nominate a top-50 list, RRF merges them): score = sum over legs of
+    // 1000000 DIV (RRF_K + rank), docs missing from a leg contribute 0.
+    // 100 TB shape: each leg ends in a TakeOrderedAndProject (distributed
+    // per-partition heaps, never a global sort of the corpus); ranks are
+    // then assigned by a window over the <=50 surviving rows (a single
+    // tiny partition BY CONSTRUCTION — the limit runs first), and the
+    // fusion join touches <=100 rows total. The BM25 leg reuses q96's
+    // scoring kernel verbatim (bm25MicroPerDoc — the q93/q100 no-drift
+    // rule); the dense leg is q53's native cosine Expression. ----
+    QueryDef("q132_rrf_hybrid", rrfHybridOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val wS = Window.orderBy(col("bm25_micro").desc, col("doc_id"))
+      val sparse = bm25MicroPerDoc(s, dir)
+        .orderBy(col("bm25_micro").desc, col("doc_id")).limit(RRF_LEG_K)
+        .select(col("doc_id"), row_number().over(wS).cast(LongType).as("rank_s"))
+      val e = T(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val wD = Window.orderBy(col("cos_r").desc, col("doc_id"))
+      val dense = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(expr("cosine_similarity(embedding, qe)"), 6).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("doc_id")).limit(RRF_LEG_K)
+        .select(col("doc_id"), row_number().over(wD).cast(LongType).as("rank_d"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rank_s"), col("rank_d"),
+          (coalesce(expr(s"1000000 DIV ($RRF_K + rank_s)"), lit(0L)) +
+            coalesce(expr(s"1000000 DIV ($RRF_K + rank_d)"), lit(0L))).as("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+        .limit(RRF_TOPK)
+    },
+
+    // ---- ANN quality evaluation: recall@10 of the LSH index (q46)
+    // against the brute-force ground truth (q42) — the eval harness
+    // every production ANN deployment runs before trusting an index.
+    // Both legs are the registry's own operators invoked verbatim
+    // (Registry.byName at build time — any change to either propagates
+    // here automatically), and the oracle splices both queries' oracle
+    // SQL as subqueries, so all three stay in lockstep. 100 TB shape:
+    // each leg is its own audited plan; the eval itself joins two
+    // <=20-row frames (persisted — neither leg's pipeline replays for
+    // its second consumer) and emits ONE row. ----
+    QueryDef("q138_ann_recall", annRecallOracle) { (s, dir) =>
+      val gt = Registry.byName("q42_topk_cosine").build(s, dir)
+        .orderBy(col("cos_r").desc, col("vec_id")).limit(ANN_RECALL_K)
+        .select(col("vec_id")).persist()
+      val ann = Registry.byName("q46_ann_lsh").build(s, dir)
+        .select(col("vec_id")).persist()
+      val g = gt.agg(count(lit(1)).as("n_gt"))
+      val a = ann.agg(count(lit(1)).as("n_ann"))
+      val hit = gt.join(ann, "vec_id").agg(count(lit(1)).as("n_hit"))
+      g.crossJoin(a).crossJoin(hit)
+        .select(lit(ANN_RECALL_K.toLong).as("k"), col("n_gt"), col("n_ann"), col("n_hit"),
+          expr(s"(n_hit * 1000000) DIV $ANN_RECALL_K").as("recall_micro"))
     },
 
     // ---- line-level exact dedup with document reconstruction (the
@@ -1672,9 +1721,41 @@ object Pipeline {
     * the identical IEEE operation tree; constants interpolate from the
     * same vals. `CAST(SUM(c) AS BIGINT)`: DuckDB sums BIGINT into HUGEINT.
     */
-  private def bm25Oracle: String = {
+  /** Shared BM25 per-document scoring frame — q96 ranks the corpus by it
+    * and q132's sparse leg reuses it; ONE kernel so the two cannot drift
+    * (the q93/q100 no-drift rule). Columns: (doc_id, n_terms,
+    * bm25_micro). Shape notes live on q96's QueryDef scaladoc. */
+  private def bm25MicroPerDoc(s: SparkSession, dir: String): DataFrame = {
+    // Two consumers (the postings explode + the corpus-stats agg):
+    // persist, one corpus scan + tokenize — not two (q85/q88/q99 rule).
+    val toks = T(s, dir, "documents")
+      .filter(col("text").isNotNull) // pin N = docs WITH text on both engines
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .persist()
+    val words = toks
+      .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("w"))
+      .filter(col("w").isin(BM25_TERMS: _*))
+    val tf = words.groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), avg(size(col("ws"))).as("avgdl"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") +
+      lit(BM25_K1) * (lit(1.0) - lit(BM25_B) + lit(BM25_B) * col("dl") / col("avgdl"))
+    val contrib = idf * (col("tf") * lit(BM25_K1P1)) / norm
+    tf.join(broadcast(df), "w")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(contrib * lit(1e6), 0).cast(LongType).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("bm25_micro"))
+  }
+
+  /** Shared oracle CTE chain ending in `s` = per-doc (doc_id, n_terms,
+    * bm25_micro) — the DuckDB mirror of [[bm25MicroPerDoc]]; q96's and
+    * q132's oracles both splice it so the SQL cannot drift either. */
+  private def bm25CoreCtes: String = {
     val inList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, string_split(lower(text), ' ') AS ws
        |  FROM documents WHERE text IS NOT NULL),
        |w AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM t),
@@ -1691,12 +1772,56 @@ object Pipeline {
        |  FROM tf JOIN df USING (w), stats),
        |s AS (
        |  SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS BIGINT) AS bm25_micro
-       |  FROM contrib GROUP BY doc_id)
+       |  FROM contrib GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bm25Oracle: String =
+    s"""WITH $bm25CoreCtes
        |SELECT doc_id, n_terms, bm25_micro, round(bm25_micro / 1000000.0, 6) AS bm25
        |FROM s
        |ORDER BY bm25_micro DESC, doc_id
        |LIMIT 20""".stripMargin
-  }
+
+  /** DuckDB mirror of q138: both legs' oracle SQL spliced verbatim as
+    * subqueries (the no-drift rule applied to oracle text too),
+    * intersected on vec_id. */
+  private def annRecallOracle: String =
+    s"""WITH gt AS (
+       |  SELECT vec_id FROM ($cosineTopkOracle)
+       |  ORDER BY cos_r DESC, vec_id LIMIT $ANN_RECALL_K),
+       |ann AS (SELECT vec_id FROM ($annLshOracle))
+       |SELECT CAST($ANN_RECALL_K AS BIGINT) AS k,
+       |  (SELECT COUNT(*) FROM gt) AS n_gt,
+       |  (SELECT COUNT(*) FROM ann) AS n_ann,
+       |  (SELECT COUNT(*) FROM gt JOIN ann USING (vec_id)) AS n_hit,
+       |  ((SELECT COUNT(*) FROM gt JOIN ann USING (vec_id)) * 1000000) // $ANN_RECALL_K AS recall_micro""".stripMargin
+
+  /** DuckDB mirror of q132: q96's scoring CTEs, per-leg top-RRF_LEG_K
+    * truncation, rank assignment, reciprocal-rank fusion in int64. */
+  private def rrfHybridOracle: String =
+    s"""WITH $bm25CoreCtes,
+       |sl AS (SELECT doc_id, bm25_micro FROM s
+       |       ORDER BY bm25_micro DESC, doc_id LIMIT $RRF_LEG_K),
+       |sr AS (SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rank_s
+       |       FROM sl),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |p AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+       |      FROM embeddings e, q),
+       |cs AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+       |       FROM p GROUP BY vec_id),
+       |dl AS (SELECT vec_id AS doc_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r
+       |       FROM cs WHERE vec_id <> 0 ORDER BY cos_r DESC, doc_id LIMIT $RRF_LEG_K),
+       |dr AS (SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY cos_r DESC, doc_id) AS BIGINT) AS rank_d
+       |       FROM dl),
+       |f AS (SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id, rank_s, rank_d,
+       |        COALESCE(1000000 // ($RRF_K + rank_s), 0)
+       |          + COALESCE(1000000 // ($RRF_K + rank_d), 0) AS rrf_micro
+       |      FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id)
+       |SELECT doc_id, rank_s, rank_d, rrf_micro FROM f
+       |ORDER BY rrf_micro DESC, doc_id
+       |LIMIT $RRF_TOPK""".stripMargin
 
   /** DuckDB mirror of q124: q98's segmentation, doc frequency per
     * (source, line-hash), the same >= BoilerMinDocs rule and rollups. */

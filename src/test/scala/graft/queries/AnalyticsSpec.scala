@@ -600,6 +600,153 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("l_discount").getAs[Long]("tv_micro") === 0L)
   }
 
+  test("q132: fused scores recompute exactly from leg ranks; both legs contribute; order is total") {
+    val rows = run("q132_rrf_hybrid").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val rs = Option(r.getAs[java.lang.Long]("rank_s")).map(_.toLong)
+      val rd = Option(r.getAs[java.lang.Long]("rank_d")).map(_.toLong)
+      assert(rs.nonEmpty || rd.nonEmpty, s"doc in neither leg: $r")
+      (rs ++ rd).foreach(v => assert(v >= 1 && v <= 50, s"rank outside leg cap: $r"))
+      val want = rs.map(v => 1000000L / (60L + v)).getOrElse(0L) +
+        rd.map(v => 1000000L / (60L + v)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_micro") === want, s"fused score drifted: $r")
+    }
+    // Non-vacuous fusion: each leg must place at least one doc in the
+    // top-20 (otherwise the "hybrid" collapsed to a single ranker).
+    assert(rows.exists(r => r.getAs[java.lang.Long]("rank_s") != null))
+    assert(rows.exists(r => r.getAs[java.lang.Long]("rank_d") != null))
+    val scores = rows.map(_.getAs[Long]("rrf_micro")).toSeq
+    assert(scores === scores.sorted.reverse, "not ordered by fused score")
+  }
+
+  test("q133: under-quota domains keep everything, over-quota ones downsample to the target exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    import spark.implicits._
+    // "big": 100 docs x 10 tokens = 1000; "small": 10 docs x 10 = 100.
+    // total 1100, budget 550, 2 domains -> target 275 each: big
+    // downsamples to rate 275000 micro, small keeps all (rate 1e6).
+    val text = Seq.fill(10)("w").mkString(" ")
+    ((0 until 100).map(i => (i.toLong, text, "en", "big", text.length.toLong)) ++
+      (0 until 10).map(i => (1000L + i, text, "en", "small", text.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = Registry.byName("q133_domain_mixture").build(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet === Set("big", "small"))
+    rows.values.foreach(r => assert(r.getAs[Long]("target_tokens") === 275L))
+    assert(rows("big").getAs[Long]("rate_micro") === 275000L)
+    assert(rows("big").getAs[Long]("expected_tokens") === 275L)
+    assert(rows("small").getAs[Long]("rate_micro") === 1000000L)
+    assert(rows("small").getAs[Long]("expected_tokens") === 100L)
+  }
+
+  test("q134: a planted typo pairs within its block with corpus support; cross-block near-names never pair") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy").toString
+    import spark.implicits._
+    // "red bolt" (3 corpus rows) vs typo "rad bolt" (1 row): same block
+    // ("bolt"), dist 1 -> must pair. "red bol" is dist 1 from "red bolt"
+    // too, but its block is "bol" -> blocking excludes it (the
+    // documented recall tradeoff of blocked linkage). "blue gear" has no
+    // block partner.
+    Seq((1L, "red bolt"), (2L, "red bolt"), (3L, "red bolt"),
+      (4L, "rad bolt"), (5L, "red bol"), (6L, "blue gear"))
+      .toDF("p_partkey", "p_name")
+      .coalesce(1).write.parquet(s"$dir/part.parquet")
+    val rows = Registry.byName("q134_fuzzy_match").build(spark, dir).collect()
+    assert(rows.length === 1, s"expected exactly the in-block pair: ${rows.mkString("; ")}")
+    val r = rows.head
+    assert(r.getAs[String]("name_a") === "rad bolt" && r.getAs[String]("name_b") === "red bolt")
+    assert(r.getAs[Long]("dist") === 1L)
+    assert(r.getAs[Long]("n_rows_a") === 1L && r.getAs[Long]("n_rows_b") === 3L)
+  }
+
+  test("q135: runs collapse to versioned intervals that tile each user's timeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    // user 1: A,A,B,A -> 3 versions (run lengths 2,1,1); user 2: C only.
+    Seq((1L, ns(10), 1L, "A"), (2L, ns(20), 1L, "A"),
+      (3L, ns(30), 1L, "B"), (4L, ns(40), 1L, "A"),
+      (5L, ns(10), 2L, "C"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val rows = Registry.byName("q135_scd2_history").build(spark, dir).collect()
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+      .sortBy(_.getAs[Long]("version"))
+    assert(u1.map(_.getAs[String]("state")).toSeq === Seq("A", "B", "A"))
+    assert(u1.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 1L, 1L))
+    assert(u1.map(_.getAs[Long]("valid_from_s")).toSeq === Seq(10L, 30L, 40L))
+    // Intervals tile: each valid_to equals the next valid_from; only the
+    // last version is open-ended and flagged current.
+    assert(u1.map(r => Option(r.getAs[java.lang.Long]("valid_to_s")).map(_.toLong)).toSeq
+      === Seq(Some(30L), Some(40L), None))
+    assert(u1.map(_.getAs[Long]("is_current")).toSeq === Seq(0L, 0L, 1L))
+    val u2 = rows.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length === 1 && u2.head.getAs[Long]("is_current") === 1L)
+  }
+
+  test("q136: trailing-5-min frames are exact on a planted timeline; same-tsec peers see each other") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-roll").toString
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    // t=0,100,200,200,400,701 with values 1..6: the t=200 twins are
+    // RANGE peers (must both count each other), t=400's frame spans
+    // [100,400] (300 PRECEDING is inclusive), t=701 sees only itself.
+    Seq((1L, ns(0), 1.0), (2L, ns(100), 2.0), (3L, ns(200), 3.0),
+      (4L, ns(200), 4.0), (5L, ns(400), 5.0), (6L, ns(701), 6.0))
+      .map { case (id, t, v) => (id, t, 1L, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val rows = Registry.byName("q136_rolling_window").build(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_5min"), r.getAs[Long]("sum_5min"), r.getAs[Long]("max_5min"))).toMap
+    assert(rows(1L) === ((1L, 1L, 1L)))
+    assert(rows(2L) === ((2L, 3L, 2L)))
+    assert(rows(3L) === ((4L, 10L, 4L)), "RANGE peers at the same tsec must include each other")
+    assert(rows(4L) === ((4L, 10L, 4L)))
+    assert(rows(5L) === ((4L, 14L, 5L)), "300 PRECEDING must be inclusive of t-300")
+    assert(rows(6L) === ((1L, 6L, 6L)))
+  }
+
+  test("q137: planted median/MAD are exact; a zero-MAD group flags nothing under the strict > rule") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    import spark.implicits._
+    def ns(sec: Long) = sec * 1000000000L
+    // "a": values 0,1,2,3,100 -> med 2, adev {2,1,0,1,98} -> mad 1,
+    // threshold 3 -> only 100 is an outlier (the mean/stddev z-score
+    // would have dragged the mean to 21.2 and flagged nothing at 3
+    // sigma... which is exactly why MAD exists). "b": constant 5s ->
+    // mad 0, strict > keeps the count at zero.
+    (Seq(0.0, 1.0, 2.0, 3.0, 100.0).zipWithIndex.map { case (v, i) => (i.toLong, "a", v) } ++
+      Seq(5.0, 5.0, 5.0).zipWithIndex.map { case (v, i) => (10L + i, "b", v) })
+      .map { case (id, et, v) => (id, ns(id), 1L, et, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val rows = Registry.byName("q137_mad_outliers").build(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows("a").getAs[Double]("med") === 2.0)
+    assert(rows("a").getAs[Double]("mad") === 1.0)
+    assert(rows("a").getAs[Long]("n_outliers") === 1L)
+    assert(rows("b").getAs[Double]("mad") === 0.0)
+    assert(rows("b").getAs[Long]("n_outliers") === 0L)
+  }
+
+  test("q138: recall accounting matches an independent recompute of both legs") {
+    val r = run("q138_ann_recall").collect().head
+    assert(r.getAs[Long]("k") === 10L)
+    assert(r.getAs[Long]("n_gt") === 10L && r.getAs[Long]("n_ann") === 10L)
+    val gt = Registry.byName("q42_topk_cosine").build(spark, sfDir)
+      .orderBy(col("cos_r").desc, col("vec_id")).limit(10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val ann = Registry.byName("q46_ann_lsh").build(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val hit = gt.intersect(ann).size.toLong
+    assert(r.getAs[Long]("n_hit") === hit)
+    assert(r.getAs[Long]("recall_micro") === hit * 1000000L / 10L)
+  }
+
   test("q130: profile matches an independently computed ground truth on the fixture") {
     val li = graft.Tables.load(spark, sfDir, "lineitem")
     val rows = run("q130_column_profile").collect()

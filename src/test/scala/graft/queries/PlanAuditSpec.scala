@@ -44,7 +44,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q100_semantic_dedup", "q115_leakage_safe_split", "q116_mix_weights",
     "q117_source_overlap", "q121_coreset_sample", "q127_nearest_centroid",
     // q129 cross-joins its three ONE-row audit aggregates into the rule table.
-    "q129_quality_audit")
+    "q129_quality_audit",
+    // q132's dense leg rides q53's ONE query-vector row; its sparse leg
+    // rides q96's ONE-row corpus stats. q133 cross-joins its ONE-row
+    // corpus-total aggregate into the #domains-row mixture table. q138
+    // embeds q42/q46 (query-vector broadcasts) and cross-joins its three
+    // ONE-row eval counters.
+    "q132_rrf_hybrid", "q133_domain_mixture", "q138_ann_recall")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
