@@ -79,6 +79,15 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
           when(j === lit(i * 6), x + lit(50.0f)).otherwise(x)))
     }.reduce(_ unionByName _)
       .coalesce(4).write.parquet(s"$dir/embeddings.parquet")
+    // Part duplicates verbatim with offset keys (q134's input): the
+    // NAME DICTIONARY is invariant under corpus growth — exactly the
+    // property q134's scale story claims (fuzzy pairs are
+    // dictionary-sized, support counts grow 10x).
+    val part = spark.read.parquet(s"$base/part.parquet")
+    (0 until Copies).map(i =>
+        part.withColumn("p_partkey", col("p_partkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .coalesce(4).write.parquet(s"$dir/part.parquet")
     dir
   }
 
@@ -142,7 +151,30 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // #langs rows (broadcast), scoring/argmax stay keyed on doc_id, and
     // the offset doc_ids (multiples of 1e6 = multiples of 5) preserve
     // the %5 train/held-out split — output stays <= (#langs+1) x #langs
-    "q126_lang_id")
+    "q126_lang_id",
+    // q132: the renamed copies contribute zero BM25 postings (zqN
+    // suffixes miss the query terms) and the boosted-dim copies rank
+    // behind copy 0 on cosine — both legs still cut to <=50 rows and the
+    // fused output stays at 20 regardless of corpus size; runtime tracks
+    // the two corpus scans. q133: sources replicate across copies, so
+    // the mixture table stays at #sources rows while token masses grow
+    // 10x — the plan is scan + dictionary-sized rollup
+    "q132_rrf_hybrid", "q133_domain_mixture",
+    // q134: verbatim part copies leave the name dictionary INVARIANT —
+    // the pair set is identical at 10x (support counts grow instead);
+    // the only corpus-sized step is the dictionary groupBy
+    "q134_fuzzy_match",
+    // q135: duplicated events share (user, tsec, type), so runs absorb
+    // the copies (same transition count, 10x n_events) — interval rows
+    // stay 1x while the keyed shuffle grows linearly. q136: output rows
+    // = input rows by construction; frames get 10x denser but the
+    // sliding accumulator stays linear per key. q137: verbatim copies
+    // preserve every median and MAD exactly — output stays #groups rows,
+    // outlier counts scale 10x inside them
+    "q135_scd2_history", "q136_rolling_window", "q137_mad_outliers",
+    // q138: both legs re-run at 10x (interleaved vec_ids keep the query
+    // vector at id 0); the eval output is ONE row at any scale
+    "q138_ann_recall")
     // (q127 is NOT here: its confusion-matrix output is bounded by
     // #labels^2 and legitimately SHRINKS when the boosted-copy geometry
     // concentrates predictions, so the harness's rows-non-decreasing
