@@ -46,13 +46,22 @@ object Bench {
 
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try materialize(build(name)(spark, sfDir))
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try { materialize(build(name)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
+      // Cache hygiene (VERDICT r12 "what's wrong" #2): several queries
+      // persist() multi-consumer frames and nothing unpersisted them, so
+      // cached partitions accumulated across the 119-query × 4-pass run
+      // and timings became order- and registry-size-dependent (q117's 4×
+      // "regression" was cache thrash, not code). Dropping the cache
+      // AFTER the timing capture keeps each query's own persist cost in
+      // its number while making every query start cache-cold.
+      spark.catalog.clearCache()
+      elapsed
     }
 
     names.foreach(timeOne) // warm-up pass, discarded

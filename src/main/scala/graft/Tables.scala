@@ -14,16 +14,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for: sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (done in Verify/Bench/specs), and the loader converts the raw nanos to
-    * Spark's native µs TimestampType here so downstream queries see a
-    * normal timestamp column.
+  /** `events.ts` must surface as Spark's native µs `TimestampType` for
+    * downstream event-time semantics (windows, watermarks) and for the
+    * DuckDB oracle compare (session TZ is pinned to UTC everywhere, so
+    * NTZ wall-clock == LTZ instant). The fixture's physical type has
+    * drifted across driver regenerations — TIMESTAMP(NANOS) (read as
+    * BIGINT under `spark.sql.legacy.parquet.nanosAsLong=true`) vs
+    * timestamp[us] (read as TIMESTAMP_NTZ) — so the conversion branches
+    * on the *read* dtype instead of assuming one encoding (VERDICT r12
+    * "what's wrong" #1: the unconditional nanos rewrite crashed 24
+    * queries when the fixture became µs).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    if (name == "events") {
+      val out = df.schema("ts").dataType match {
+        case LongType          => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampNTZType  => df.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType     => df
+        case other => throw new IllegalStateException(
+          s"events.ts read as unsupported type $other — fixture drifted again; extend Tables.load")
+      }
+      assert(out.schema("ts").dataType == TimestampType, "events.ts must normalize to TimestampType")
+      out
+    } else df
   }
 
   /** Register fixture tables as temp views so `spark.sql` queries

@@ -106,9 +106,9 @@ trait ReplayableNatsConnection extends NatsConnection {
   def fetchRetained(subject: String, afterSeq: Long, max: Int): Array[Array[Byte]]
 
   /** [[fetchRetained]] with each payload's NATS headers (empty when the
-    * message carried none, or the backend does not retain headers —
-    * real JetStream and the memory bus retain them; the graft wire
-    * FETCH framing is payload-only and uses this default). */
+    * message carried none — real JetStream, the memory bus, AND the
+    * graft wire FETCH all retain and replay headers; this payload-only
+    * default exists for hypothetical backends without header storage). */
   def fetchRetainedWithHeaders(
       subject: String, afterSeq: Long, max: Int): Array[(Seq[(String, String)], Array[Byte])] =
     fetchRetained(subject, afterSeq, max).map((Nil, _))

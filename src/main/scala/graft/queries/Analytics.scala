@@ -1831,6 +1831,36 @@ object Analytics {
         .orderBy(col("col_name"))
     },
 
+    // ---- q139: the q130 profile with the documented 100 TB swap made
+    // REAL (VERDICT r12 "do this" #4): exact multi-column
+    // COUNT(DISTINCT) plans through Catalyst Expand — 4 monitored
+    // columns shuffle 4× the corpus — while approx_count_distinct is a
+    // fixed-size mergeable HyperLogLog++ per column: one scan, map-side
+    // partials, bytes per column shuffled at ANY corpus size. Output
+    // contract is IDENTICAL to q130 (col_name, n_rows, n_nulls,
+    // n_distinct, min_val, max_val); n_distinct carries the sketch's
+    // documented ~2.8%@rsd=0.02 error, so the entry is no_oracle and
+    // AnalyticsSpec pins it against the exact sibling with a 5% bound
+    // (the q26/q83 pattern). PlanAuditSpec asserts the plan has NO
+    // Expand node — the property that makes this the production
+    // profile. ----
+    QueryDef.noOracle("q139_profile_approx") { (s, dir) =>
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      val exprs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"nd_$c"),
+        min(col(c)).cast(DoubleType).as(s"mn_$c"),
+        max(col(c)).cast(DoubleType).as(s"mx_$c")))
+      T(s, dir, "lineitem").select(cols.map(col): _*)
+        .agg(exprs.head, exprs.tail: _*)
+        .selectExpr("n", s"""stack(${cols.length},
+            ${cols.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")})
+            as (col_name, n_nulls, n_distinct, min_val, max_val)""")
+        .select(col("col_name"), col("n").as("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+        .orderBy(col("col_name"))
+    },
+
     // ---- q131: distribution-drift report — the monitoring leg of the
     // quality suite (q129 audits constraints, q130 profiles stats, this
     // compares a CURRENT snapshot against a REFERENCE one, the

@@ -122,6 +122,9 @@ object Pipeline {
   // q99 posting-list cap (top-K documents by tf retained per term).
   private val POSTK = 3
 
+  // q142 sampling budget: total docs the smoothed multinomial allocates.
+  private val MixBudget = 100000L
+
   // q124 boilerplate rule: a line is boilerplate within a source when it
   // appears in >= this many distinct documents of that source. Real
   // corpora tune per site; 3 is what the word-soup fixture supports.
@@ -1296,6 +1299,124 @@ object Pipeline {
         .orderBy(col("lang"), col("bucket"))
     },
 
+    // ---- q140: q122's terciles with the documented production swap
+    // made REAL (VERDICT r12 "do this" #4): q122's per-language NTILE
+    // sorts each language in ONE partition — the skew magnet at 100 TB
+    // (a 60%-English corpus puts 60 TB through one task). Here the
+    // cutoffs come from percentile_approx — a mergeable KLL-style
+    // sketch aggregated with map-side partials, #langs rows out — and
+    // bucket assignment is a broadcast-join + two scalar compares,
+    // fully scan-local. Output contract is IDENTICAL to q122
+    // (lang, bucket, n_docs, min_ce, max_ce, avg_ce); boundary docs can
+    // land one bucket over vs the exact rank split, so the entry is
+    // no_oracle and AnalyticsSpec pins per-bucket counts against the
+    // exact sibling with a tolerance plus exact totals. PlanAuditSpec
+    // asserts NO window/sort over a whole language anywhere in the
+    // plan. ----
+    QueryDef.noOracle("q140_buckets_approx") { (s, dir) =>
+      val per = bigramCePerDoc(s, dir)
+        .select(col("doc_id"), col("lang"), round(col("ce_raw"), 6).as("ce_r"),
+          col("ce_raw"))
+        .persist()
+      val cuts = per.groupBy(col("lang"))
+        .agg(percentile_approx(col("ce_r"),
+          array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("cs"))
+        .select(col("lang"), col("cs").getItem(0).as("c1"), col("cs").getItem(1).as("c2"))
+      per.join(broadcast(cuts), "lang")
+        .withColumn("bucket",
+          lit(1) + when(col("ce_r") > col("c1"), 1).otherwise(0)
+                 + when(col("ce_r") > col("c2"), 1).otherwise(0))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("ce_raw")), 6).as("min_ce"),
+          round(max(col("ce_raw")), 6).as("max_ce"),
+          round(avg(col("ce_raw")), 6).as("avg_ce"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+
+    // ---- q141: boilerplate-line REMOVAL rewrite — the first registry
+    // entry that REWRITES the corpus rather than scoring it (q124
+    // profiles boilerplate, q98 detects duplicate lines; this one emits
+    // the cleaned documents — the step a real curation pipeline actually
+    // ships). Segmentation is q98's LineWords rule (one definition both
+    // engines); the boilerplate dictionary = segments appearing in >= 3
+    // DISTINCT docs; each doc drops its dictionary segments and the
+    // remainder reassembles in order (md5 digest stands in for the full
+    // text so the oracle row stays narrow). 100 TB shape: the dictionary
+    // is by definition low-cardinality/high-frequency (nav chrome, cookie
+    // banners) -> it BROADCASTS and the drop is a map-side anti join;
+    // segments of a doc are generated scan-locally; the only corpus
+    // shuffle is the doc_id reassembly groupBy — irreducible for a
+    // rewrite. In production the df threshold (here 3) caps the dict;
+    // segments hash to 8 bytes before shipping (q98's rule). ----
+    QueryDef("q141_clean_text", cleanTextOracle) { (s, dir) =>
+      val ws = split(lower(col("text")), " ")
+      // base feeds the segment explode twice (dict build + rewrite) and
+      // the n_segs re-attach: persist, one corpus scan (q85/q88 rule).
+      val base = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), ws.as("ws"))
+        .withColumn("n_segs", ceil(size(col("ws")) / lit(LineWords.toDouble)).cast(LongType))
+        .persist()
+      val segs = base
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0L), col("n_segs") - 1)).as("seg_idx"))
+        .select(col("doc_id"), col("seg_idx"),
+          array_join(
+            slice(col("ws"), (col("seg_idx") * LineWords + 1).cast(IntegerType), lit(LineWords)),
+            " ").as("seg"))
+        .persist()
+      val dict = segs.groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3)
+        .select(col("seg"))
+      val kept = segs.join(broadcast(dict), Seq("seg"), "left_anti")
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+              x => x.getField("seg")),
+            " ")).as("cleaned_md5"))
+      base.select(col("doc_id"), col("n_segs"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+          coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q142: temperature-smoothed mixture weights — the mT5/XLM-R
+    // pretraining mixing rule (w_l ∝ p_l^alpha, alpha=0.3: upsample the
+    // tail without drowning the head). q116 reweights to a fixed budget
+    // and q133 enforces per-domain quotas; this computes the SMOOTHED
+    // multinomial itself. Exactness: pow() is one IEEE double op on
+    // identical inputs; its result converts to integer MICROS
+    // immediately (round*1e6 -> int64), so the sum and the final
+    // integer divisions are bit-exact cross-engine (the q131 rule —
+    // no float accumulation ever crosses an engine boundary). 100 TB
+    // shape: one #langs-row aggregate off a metadata-only scan; the
+    // two corpus-independent 1-row totals ride broadcast cross joins
+    // (q133's audited pattern). ----
+    QueryDef("q142_temperature_mix", temperatureMixOracle) { (s, dir) =>
+      val counts = T(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+      val sm = counts.crossJoin(broadcast(tot))
+        .withColumn("weight_micro",
+          round(pow(col("n_docs").cast(DoubleType) / col("n_total"), 0.3) * 1e6)
+            .cast(LongType))
+      val sw = sm.agg(sum(col("weight_micro")).as("sum_wm"))
+      sm.crossJoin(broadcast(sw))
+        .select(col("lang"), col("n_docs"),
+          expr("(n_docs * 1000000L) DIV n_total").as("share_micro"),
+          col("weight_micro"),
+          expr(s"($MixBudget * weight_micro) DIV sum_wm").as("target_docs"))
+        .orderBy(col("lang"))
+    },
+
     // ---- contamination scoring: the GPT-3/PaLM n-gram-overlap
     // decontamination report. q57/q79 answer "is this exact document in
     // the benchmark?"; this answers the harder production question "what
@@ -1892,6 +2013,54 @@ object Pipeline {
        |  COALESCE(agg.rebuilt_md5, md5('')) AS rebuilt_md5
        |FROM n LEFT JOIN agg USING (doc_id)
        |ORDER BY n.doc_id""".stripMargin
+
+  /** DuckDB mirror of q141 (boilerplate removal rewrite): q98's
+    * segmentation, dictionary = segments in >= 3 distinct docs
+    * (NOT IN instead of the broadcast anti join), identical ordered
+    * reassembly digest. */
+  private def cleanTextOracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |n AS (
+       |  SELECT doc_id, ws, CAST(ceil(len(ws) / $LineWords.0) AS BIGINT) AS n_segs FROM w),
+       |segs AS (
+       |  SELECT doc_id, CAST(si AS BIGINT) AS seg_idx,
+       |    array_to_string(ws[si * $LineWords + 1 : si * $LineWords + $LineWords], ' ') AS seg
+       |  FROM n, unnest(generate_series(0, n_segs - 1)) AS u(si)),
+       |bp AS (
+       |  SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3),
+       |kept AS (
+       |  SELECT doc_id, seg_idx, seg FROM segs
+       |  WHERE seg NOT IN (SELECT seg FROM bp)),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS cleaned_md5
+       |  FROM kept GROUP BY doc_id)
+       |SELECT n.doc_id, n.n_segs,
+       |  COALESCE(agg.n_kept, 0) AS n_kept,
+       |  n.n_segs - COALESCE(agg.n_kept, 0) AS n_dropped,
+       |  COALESCE(agg.cleaned_md5, md5('')) AS cleaned_md5
+       |FROM n LEFT JOIN agg USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
+
+  /** DuckDB mirror of q142 (temperature mixing): identical single pow()
+    * per language converted to integer micros before any sum or division
+    * (the q131 int-exactness rule). */
+  private def temperatureMixOracle: String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+       |t AS (SELECT SUM(n_docs) AS n_total FROM c),
+       |s AS (
+       |  SELECT lang, n_docs,
+       |    CAST(round(pow(n_docs * 1.0 / (SELECT n_total FROM t), 0.3) * 1000000) AS BIGINT)
+       |      AS weight_micro
+       |  FROM c),
+       |u AS (SELECT SUM(weight_micro) AS sum_wm FROM s)
+       |SELECT lang, n_docs,
+       |  CAST((n_docs * 1000000) // (SELECT n_total FROM t) AS BIGINT) AS share_micro,
+       |  weight_micro,
+       |  CAST(($MixBudget * weight_micro) // (SELECT sum_wm FROM u) AS BIGINT) AS target_docs
+       |FROM s ORDER BY lang""".stripMargin
 
   /** DuckDB mirror of q99 (capped inverted index): same tokenization,
     * same top-POSTK-by-(tf DESC, doc_id) posting cap, uncapped df/total_tf.

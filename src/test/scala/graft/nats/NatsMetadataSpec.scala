@@ -255,7 +255,7 @@ class NatsMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop()
   }
 
-  test("_headers under replay: retained on the memory bus and on real JetStream, empty over graft wire") {
+  test("_headers under replay: retained on the memory bus, real JetStream, AND the graft wire FETCH") {
     // memory bus: the ring stores headers like a real JetStream stream
     val url = freshBus() + "?retain=50"
     val conn = NatsTransport.connect(url)
@@ -288,20 +288,23 @@ class NatsMetadataSpec extends AnyFunSuite with BeforeAndAfterAll {
       } finally c2.close()
     } finally js.stop()
 
-    // graft wire FETCH: payload-only framing, headers read back empty
+    // graft wire FETCH: replies arrive as HMSG carrying the ring's
+    // retained header block (VERDICT r12 gap #2 closed) — a dead-letter
+    // audit replaying its quarantine subject sees the same error/envelope
+    // headers live delivery carried. Headerless messages stay empty.
     val gw = new MiniNatsServer(retainCapacity = 50)
     try {
       val c3 = NatsTransport.connect(gw.url)
       try {
         c3.publishWithHeaders("gw.aud", Seq("Trace-Id" -> "t3"), "1,a".getBytes)
+        c3.publish("gw.aud", "2,b".getBytes)
         val rows = spark.read.format("nats").schema(schema)
           .option("url", gw.url).option("subject", "gw.aud").option("replay", "true")
           .option("startSequence", "0")
           .load()
           .select(col("id"), col("_headers"))
-          .collect().map(r => (r.getInt(0), r.getMap[String, String](1).toMap)).toSeq
-        assert(rows === Seq((1, Map.empty[String, String])),
-          "graft FETCH framing is payload-only by design")
+          .collect().map(r => (r.getInt(0), r.getMap[String, String](1).toMap)).sortBy(_._1).toSeq
+        assert(rows === Seq((1, Map("Trace-Id" -> "t3")), (2, Map.empty[String, String])))
       } finally c3.close()
     } finally gw.stop()
   }

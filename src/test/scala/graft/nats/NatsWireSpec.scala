@@ -530,12 +530,66 @@ class NatsWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally conn.close()
   }
 
-  test("tls_required in INFO fails fast with guidance instead of speaking plaintext") {
-    val server = new MiniNatsServer(tlsRequired = true)
+  // ---- TLS: the post-INFO upgrade (docs.nats.io "TLS"; reference
+  // parity: async-nats does TLS via rustls, Cargo.toml:9) ----
+
+  private def resPath(name: String): String =
+    new java.io.File(getClass.getResource("/" + name).toURI).getAbsolutePath
+  private def tlsServer(): MiniNatsServer =
+    new MiniNatsServer(tlsKeystore = Some((resPath("graft-tls-test.p12"), "graft-test")))
+  private def trustCtx() =
+    GraftTls.contextFromTruststore(resPath("graft-tls-trust.p12"), "graft-test")
+
+  test("TLS: raw pub/sub round-trips over the encrypted socket (explicit SSLContext)") {
+    val server = tlsServer()
+    val client = new TcpNatsClient("127.0.0.1", server.port, tlsContext = Some(trustCtx()))
     try {
-      val e = intercept[java.io.IOException](NatsTransport.connect(server.url))
-      assert(e.getMessage.contains("requires TLS"), e.getMessage)
-      assert(e.getMessage.contains("jnats://"), "must point at the TLS-capable client path")
+      val got = new LinkedBlockingQueue[String]()
+      client.subscribe("tls.subject")(p => got.put(new String(p, US_ASCII)))
+      eventually()(server.subscriptionCount("tls.subject") >= 1)
+      client.publish("tls.subject", "over-tls".getBytes(US_ASCII))
+      assert(got.poll(10, TimeUnit.SECONDS) === "over-tls")
+    } finally { client.close(); server.stop() }
+  }
+
+  test("TLS: canonical 3-row E2E through the DSv2 streaming path (truststore via system property)") {
+    val server = tlsServer()
+    sys.props("graft.nats.tls.truststore") = resPath("graft-tls-trust.p12")
+    sys.props("graft.nats.tls.truststorePassword") = "graft-test"
+    try {
+      val pub = NatsTransport.connect(server.url)
+      val df = spark.readStream.format("nats").schema(schema)
+        .option("url", server.url).option("subject", "tlsE2e")
+        .option("batchSize", "3")
+        .load()
+      val q = df.writeStream.format("memory").queryName("wire_tls_e2e").start()
+      try {
+        eventually()(server.subscriptionCount("tlsE2e") >= 1)
+        Seq("1,apple", "2,banana", "3,orange")
+          .foreach(m => pub.publish("tlsE2e", m.getBytes))
+        eventually() {
+          q.processAllAvailable()
+          spark.sql("SELECT * FROM wire_tls_e2e").count() == 3
+        }
+        val rows = spark.sql("SELECT id, name FROM wire_tls_e2e ORDER BY id")
+          .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+        assert(rows === Seq((1, "apple"), (2, "banana"), (3, "orange")))
+      } finally { q.stop(); pub.close() }
+    } finally {
+      sys.props.remove("graft.nats.tls.truststore")
+      sys.props.remove("graft.nats.tls.truststorePassword")
+      server.stop()
+    }
+  }
+
+  test("TLS: an untrusted (self-signed) broker certificate fails the handshake with truststore guidance") {
+    val server = tlsServer() // self-signed cert, client left on JVM default trust
+    try {
+      val e = intercept[java.io.IOException](
+        new TcpNatsClient("127.0.0.1", server.port))
+      assert(e.getMessage.contains("TLS handshake"), e.getMessage)
+      assert(e.getMessage.contains("graft.nats.tls.truststore"),
+        s"guidance must name the trust knob: ${e.getMessage}")
     } finally server.stop()
   }
 

@@ -764,4 +764,88 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Double]("max_val") === truth.getDouble(3), s"$c max")
     }
   }
+
+  test("q141: rewrite accounting tiles every doc, drops are non-vacuous, and clean docs pass through verbatim") {
+    val rows = run("q141_clean_text").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") === r.getAs[Long]("n_segs"),
+        s"doc ${r.getAs[Long]("doc_id")}: kept+dropped != segments")
+    }
+    // The fixture plants real cross-document duplicates (q98's 320-of-5638
+    // observation) — a rewrite that never drops anything is broken.
+    assert(rows.map(_.getAs[Long]("n_dropped")).sum > 0, "no boilerplate dropped anywhere")
+    // And it must not nuke the corpus: most segments survive.
+    val (kept, segs) = (rows.map(_.getAs[Long]("n_kept")).sum, rows.map(_.getAs[Long]("n_segs")).sum)
+    assert(kept * 2 > segs, s"rewrite dropped most of the corpus ($kept of $segs kept)")
+    // Deterministic across reruns (append-stable curation requirement).
+    val again = run("q141_clean_text").collect().map(_.toString).toSeq
+    assert(again === rows.map(_.toString).toSeq)
+  }
+
+  test("q142: temperature smoothing upsamples the tail, downsamples the head, and allocation sums to the budget minus flooring") {
+    val rows = run("q142_temperature_mix").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("share_micro"), r.getAs[Long]("weight_micro"),
+        r.getAs[Long]("target_docs")))
+    assert(rows.length >= 2)
+    val budget = 100000L
+    val total = rows.map(_._5).sum
+    assert(total <= budget && total > budget - rows.length,
+      s"targets sum to $total, expected within flooring loss of $budget")
+    // alpha < 1 compresses the distribution: the rarest language's
+    // allocation share must exceed its raw share, the most common one's
+    // must not exceed it.
+    val sumW = rows.map(_._4).sum.toDouble
+    val tail = rows.minBy(_._2); val head = rows.maxBy(_._2)
+    assert(tail._4 / sumW > tail._3 / 1e6,
+      s"tail ${tail._1}: smoothed share not above raw share")
+    assert(head._4 / sumW < head._3 / 1e6,
+      s"head ${head._1}: smoothed share not below raw share")
+    // Monotone: more docs never means a smaller weight.
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array((_, _, _, w1, _), (_, _, _, w2, _)) => assert(w1 <= w2)
+      case _ => ()
+    }
+  }
+
+  test("q139: approx profile matches q130 exactly on everything but n_distinct, which lands within the 5% sketch bound") {
+    // The q26/q83 pattern: no DuckDB oracle (HLL++ estimates are
+    // engine-specific), so the exact sibling IS the oracle — identical
+    // output contract, bounded estimate error (rsd=0.02 => ~2.8%
+    // typical; 5% is the hard bound we pin).
+    val exact = run("q130_column_profile").collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val approx = run("q139_profile_approx").collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((c, a) <- approx; e = exact(c)) {
+      assert(a.getAs[Long]("n_rows") === e.getAs[Long]("n_rows"), s"$c n_rows")
+      assert(a.getAs[Long]("n_nulls") === e.getAs[Long]("n_nulls"), s"$c n_nulls")
+      assert(a.getAs[Double]("min_val") === e.getAs[Double]("min_val"), s"$c min")
+      assert(a.getAs[Double]("max_val") === e.getAs[Double]("max_val"), s"$c max")
+      val (est, truth) = (a.getAs[Long]("n_distinct").toDouble, e.getAs[Long]("n_distinct").toDouble)
+      assert(math.abs(est - truth) <= 0.05 * truth + 1,
+        s"$c: approx ndv $est vs exact $truth — outside the 5% bound")
+    }
+  }
+
+  test("q140: approx buckets preserve per-language totals and land each tercile within 10% of the exact split") {
+    val exact = run("q122_perplexity_buckets").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("bucket")) -> r.getAs[Long]("n_docs")).toMap
+    val approx = run("q140_buckets_approx").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("bucket")) -> r.getAs[Long]("n_docs")).toMap
+    val langs = exact.keys.map(_._1).toSet
+    assert(approx.keys.map(_._1).toSet === langs)
+    for (l <- langs) {
+      val nExact = exact.collect { case ((`l`, _), n) => n }.sum
+      val nApprox = approx.collect { case ((`l`, _), n) => n }.sum
+      assert(nApprox === nExact, s"$l: approx buckets lost/duplicated docs ($nApprox vs $nExact)")
+      for (b <- 1 to 3) {
+        val (ne, na) = (exact.getOrElse((l, b), 0L), approx.getOrElse((l, b), 0L))
+        assert(math.abs(na - ne) <= math.max(2L, (0.10 * nExact).toLong),
+          s"$l bucket $b: approx $na vs exact $ne — boundary drift beyond 10% of the language")
+      }
+    }
+  }
 }

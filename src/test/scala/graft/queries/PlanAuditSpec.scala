@@ -50,7 +50,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // corpus-total aggregate into the #domains-row mixture table. q138
     // embeds q42/q46 (query-vector broadcasts) and cross-joins its three
     // ONE-row eval counters.
-    "q132_rrf_hybrid", "q133_domain_mixture", "q138_ann_recall")
+    "q132_rrf_hybrid", "q133_domain_mixture", "q138_ann_recall",
+    // q142 cross-joins its two corpus-independent 1-row totals (corpus
+    // count, smoothed-weight sum) into the #langs-row mixture table —
+    // the q133 shape.
+    "q142_temperature_mix")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
@@ -141,6 +145,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q123_contamination_score" -> 3, "q124_boilerplate_profile" -> 3,
         "q125_canonical_keep" -> 2, "q126_lang_id" -> 2,
         "q128_pagerank" -> 4,
+        // q141's segment frame feeds the dictionary build and the
+        // rewrite anti join; its base frame adds the n_segs re-attach.
+        "q141_clean_text" -> 3,
         // q129's audited projection feeds the row-rule scan, the PK
         // groupBy, and the FK anti join.
         "q129_quality_audit" -> 3)) {
@@ -245,6 +252,37 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q128: nation dims should broadcast into the fact join:\n$p128")
     assert(!p128.contains("BroadcastNestedLoopJoin") && !p128.contains("CartesianProduct"),
       s"q128: nested-loop or cartesian leaked into the plan:\n$p128")
+  }
+
+  test("q139: approx profile plans with NO Expand — the property that makes it the 100 TB profile") {
+    // q130's exact multi-column COUNT(DISTINCT) plans through Catalyst
+    // Expand (4 monitored columns -> 4x the corpus shuffled). The
+    // approx_count_distinct swap must eliminate that: one scan, fixed-
+    // size HLL partials, no Expand node anywhere.
+    val plan = Registry.byName("q139_profile_approx").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"q139: Expand in the approx profile plan — the exact-distinct shape leaked back:\n$plan")
+    val exact = Registry.byName("q130_column_profile").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Expand"),
+      "q130 stopped planning through Expand — revisit whether q139 is still needed")
+  }
+
+  test("q140: approx buckets plan with NO per-language sort window — cutoffs are mergeable sketch partials") {
+    // q122's NTILE sorts each language in one partition (the skew magnet
+    // at 100 TB). The percentile_approx swap must leave no Window node
+    // and no sort over the corpus — bucket assignment is a broadcast
+    // join + scalar compares; the only sort allowed is the final
+    // #langs*3-row presentation ORDER BY.
+    val plan = Registry.byName("q140_buckets_approx").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q140: Window node in the approx-bucket plan — the NTILE shape leaked back:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q140: per-language cutoffs should broadcast back into the scan:\n$plan")
+    assert(plan.contains("approx_percentile") || plan.contains("percentile_approx"),
+      s"q140: cutoffs should come from the mergeable percentile sketch:\n$plan")
   }
 
   test("q109: PQ encode and scoring join broadcast the codebook/LUT as hash joins, never nested loops") {
