@@ -125,6 +125,10 @@ object Pipeline {
   // q142 sampling budget: total docs the smoothed multinomial allocates.
   private val MixBudget = 100000L
 
+  // q143 matryoshka prefix width (leading dims used for cheap candidate
+  // generation; the fixture stores 64-dim vectors).
+  private val MrlPrefixDims = 16
+
   // q124 boilerplate rule: a line is boilerplate within a source when it
   // appears in >= this many distinct documents of that source. Real
   // corpora tune per site; 3 is what the word-soup fixture supports.
@@ -929,6 +933,52 @@ object Pipeline {
       val hit = gt.join(ann, "vec_id").agg(count(lit(1)).as("n_hit"))
       g.crossJoin(a).crossJoin(hit)
         .select(lit(ANN_RECALL_K.toLong).as("k"), col("n_gt"), col("n_ann"), col("n_hit"),
+          expr(s"(n_hit * 1000000) DIV $ANN_RECALL_K").as("recall_micro"))
+    },
+
+    // ---- q143: matryoshka (MRL) prefix-dimension retrieval eval — the
+    // modern two-stage ANN economics question: MRL-trained embeddings
+    // put most signal in the leading dimensions, so production searches
+    // candidate-generate at a PREFIX (here 16 of 64 dims: 4× less
+    // distance compute and memory bandwidth) and re-rank at full width.
+    // This is q138's eval harness pointed at that tradeoff: top-K by
+    // full-width cosine (ground truth) vs top-K by prefix-width cosine,
+    // recall@K in integer micros. Honest on the fixture: random vectors
+    // are NOT MRL-trained, so the measured recall is the uninformative-
+    // prefix floor — the harness proves the accounting, the number
+    // grades the embedding. 100 TB shape: both legs are the q42 shape —
+    // ONE broadcast query row, scan-local fold, TakeOrdered per-
+    // partition heaps; the prefix leg folds a slice of the same column
+    // (no second corpus copy); eval joins two <= K-row frames. ----
+    QueryDef("q143_matryoshka_eval", matryoshkaOracle) { (s, dir) =>
+      val dbl = (c: Column) => transform(c, x => x.cast(DoubleType))
+      val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+      def topk(width: Option[Int]): DataFrame = {
+        val e = T(s, dir, "embeddings")
+        val cut = (c: Column) => width.map(d => slice(c, 1, d)).getOrElse(c)
+        val q = e.filter(col("vec_id") === 0)
+          .select(cut(col("embedding")).as("qe"))
+        e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"), dbl(cut(col("embedding"))).as("ed"), dbl(col("qe")).as("qd"))
+          .select(col("vec_id"),
+            fold(zip_with(col("ed"), col("qd"), (x, y) => x * y)).as("dot"),
+            fold(zip_with(col("ed"), col("ed"), (x, y) => x * y)).as("na"),
+            fold(zip_with(col("qd"), col("qd"), (x, y) => x * y)).as("nb"))
+          .select(col("vec_id"),
+            round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cos_r"))
+          .orderBy(col("cos_r").desc, col("vec_id"))
+          .limit(ANN_RECALL_K)
+          .select(col("vec_id"))
+      }
+      val full = topk(None).persist()
+      val pre = topk(Some(MrlPrefixDims)).persist()
+      val nf = full.agg(count(lit(1)).as("n_full"))
+      val np = pre.agg(count(lit(1)).as("n_prefix"))
+      val hit = full.join(pre, "vec_id").agg(count(lit(1)).as("n_hit"))
+      nf.crossJoin(np).crossJoin(hit)
+        .select(lit(ANN_RECALL_K.toLong).as("k"),
+          lit(MrlPrefixDims.toLong).as("prefix_dims"),
+          col("n_full"), col("n_prefix"), col("n_hit"),
           expr(s"(n_hit * 1000000) DIV $ANN_RECALL_K").as("recall_micro"))
     },
 
@@ -1916,6 +1966,35 @@ object Pipeline {
        |  (SELECT COUNT(*) FROM ann) AS n_ann,
        |  (SELECT COUNT(*) FROM gt JOIN ann USING (vec_id)) AS n_hit,
        |  ((SELECT COUNT(*) FROM gt JOIN ann USING (vec_id)) * 1000000) // $ANN_RECALL_K AS recall_micro""".stripMargin
+
+  /** DuckDB mirror of q143: the q42 cosine formulation at full width and
+    * at the leading MrlPrefixDims, same round-6/ties/limit rules, recall
+    * accounting in int64 (q138's shape). */
+  private def matryoshkaOracle: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |pf AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+       |       FROM embeddings e, q WHERE e.vec_id <> 0),
+       |cf AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+       |       FROM pf GROUP BY vec_id),
+       |fl AS (SELECT vec_id FROM cf
+       |       ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id
+       |       LIMIT $ANN_RECALL_K),
+       |pp AS (SELECT e.vec_id,
+       |         unnest(e.embedding[1:$MrlPrefixDims])::DOUBLE AS x,
+       |         unnest(q.qe[1:$MrlPrefixDims])::DOUBLE AS y
+       |       FROM embeddings e, q WHERE e.vec_id <> 0),
+       |cp AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+       |       FROM pp GROUP BY vec_id),
+       |pl AS (SELECT vec_id FROM cp
+       |       ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id
+       |       LIMIT $ANN_RECALL_K)
+       |SELECT CAST($ANN_RECALL_K AS BIGINT) AS k,
+       |  CAST($MrlPrefixDims AS BIGINT) AS prefix_dims,
+       |  (SELECT COUNT(*) FROM fl) AS n_full,
+       |  (SELECT COUNT(*) FROM pl) AS n_prefix,
+       |  (SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) AS n_hit,
+       |  CAST(((SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) * 1000000) // $ANN_RECALL_K AS BIGINT)
+       |    AS recall_micro""".stripMargin
 
   /** DuckDB mirror of q132: q96's scoring CTEs, per-leg top-RRF_LEG_K
     * truncation, rank assignment, reciprocal-rank fusion in int64. */

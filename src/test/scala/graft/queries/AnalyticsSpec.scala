@@ -809,6 +809,32 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q143: matryoshka eval matches a driver-side recompute of both retrieval legs") {
+    val r = run("q143_matryoshka_eval").collect().head
+    assert(r.getAs[Long]("k") === 10L && r.getAs[Long]("prefix_dims") === 16L)
+    assert(r.getAs[Long]("n_full") === 10L && r.getAs[Long]("n_prefix") === 10L)
+    // Independent oracle: 500 fixture vectors fit in the driver — regrow
+    // both top-10 lists with the same round-6 + vec_id-tie rule and pin
+    // the intersection.
+    val em = graft.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(row => row.getAs[Long]("vec_id") -> row.getSeq[Float](1).map(_.toDouble).toArray)
+    val q = em.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double], d: Int): BigDecimal = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    def top10(d: Int): Set[Long] = em.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, q, d)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val expectHit = (top10(64) intersect top10(16)).size.toLong
+    assert(r.getAs[Long]("n_hit") === expectHit,
+      s"engine n_hit ${r.getAs[Long]("n_hit")} vs recomputed $expectHit")
+    assert(r.getAs[Long]("recall_micro") === expectHit * 100000L)
+  }
+
   test("q139: approx profile matches q130 exactly on everything but n_distinct, which lands within the 5% sketch bound") {
     // The q26/q83 pattern: no DuckDB oracle (HLL++ estimates are
     // engine-specific), so the exact sibling IS the oracle — identical

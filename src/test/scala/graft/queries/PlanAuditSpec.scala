@@ -54,7 +54,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q142 cross-joins its two corpus-independent 1-row totals (corpus
     // count, smoothed-weight sum) into the #langs-row mixture table —
     // the q133 shape.
-    "q142_temperature_mix")
+    "q142_temperature_mix",
+    // q143 rides q42's ONE query-vector broadcast in both legs and
+    // cross-joins its three 1-row eval counters — the q138 shape.
+    "q143_matryoshka_eval")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.

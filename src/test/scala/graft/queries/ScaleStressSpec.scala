@@ -88,6 +88,15 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         part.withColumn("p_partkey", col("p_partkey") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .coalesce(4).write.parquet(s"$dir/part.parquet")
+    // Lineitem duplicates verbatim with offset keys (q139's input): the
+    // monitored columns' value sets are invariant, so exact/approx
+    // distinct counts stay 1x while row counts grow 10x — the profile's
+    // output contract is corpus-size-independent.
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until Copies).map(i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .coalesce(4).write.parquet(s"$dir/lineitem.parquet")
     dir
   }
 
@@ -174,7 +183,22 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q135_scd2_history", "q136_rolling_window", "q137_mad_outliers",
     // q138: both legs re-run at 10x (interleaved vec_ids keep the query
     // vector at id 0); the eval output is ONE row at any scale
-    "q138_ann_recall")
+    "q138_ann_recall",
+    // round-13 additions. q139: one scan with fixed-size HLL partials —
+    // output is always 4 rows and verbatim lineitem copies keep every
+    // estimate at its 1x value while the scan grows 10x. q140: the q103
+    // bigram family plus a #langs-row sketch aggregate and a broadcast
+    // bucket assignment — output stays #langs x 3. q141: the q98 segment
+    // family; the bijective copy renames keep each copy's duplicate
+    // structure so the boilerplate dictionary and the rewrite both grow
+    // ~10x with no cross-copy pairing; output rows = #docs. q142: a
+    // metadata-only #langs-row aggregate — the corpus-sized step is one
+    // count, output is scale-invariant
+    "q139_profile_approx", "q140_buckets_approx",
+    "q141_clean_text", "q142_temperature_mix",
+    // q143: both cosine legs are the q42 scan-local fold + TakeOrdered
+    // (interleaved vec_ids keep the query at id 0); output ONE row
+    "q143_matryoshka_eval")
     // (q127 is NOT here: its confusion-matrix output is bounded by
     // #labels^2 and legitimately SHRINKS when the boosted-copy geometry
     // concentrates predictions, so the harness's rows-non-decreasing
