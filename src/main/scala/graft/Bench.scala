@@ -40,7 +40,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Local-iteration aid (mirrors Verify's SPARK_GRAFT_ONLY): restrict
+    // the timed set. Unset for the driver, which always times everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val defs = graft.queries.Registry.all.filter(_.bench)
+      .filter(d => only.forall(_(d.name)))
     val names = defs.map(_.name).sorted
     val build = defs.map(d => d.name -> d.build).toMap
 
@@ -89,12 +93,14 @@ object Bench {
     // <= 1 s flush), on both the in-process bus and the TCP wire client.
     // A failure must not sink the batch numbers: report it inline instead.
     val streaming =
-      try StreamBench.section(spark)
-      catch {
-        case e: Throwable =>
-          val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\r\n]", " ")
-          s""""streaming":{"error":"$msg"}"""
-      }
+      if (only.isDefined) """"streaming":{"skipped":"SPARK_GRAFT_BENCH_ONLY set"}"""
+      else
+        try StreamBench.section(spark)
+        catch {
+          case e: Throwable =>
+            val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\r\n]", " ")
+            s""""streaming":{"error":"$msg"}"""
+        }
 
     // A crashing query reports -1.0; keep it out of the total (it would
     // LOWER the sum, masquerading as a speedup) and surface it explicitly
@@ -109,8 +115,9 @@ object Bench {
     // Always persist the full JSON next to the build: the driver keeps only
     // the last 2,000 chars of stdout, which truncated away q01-q21 and the
     // total in round 5 (VERDICT r5 "what's wrong" #2). A committed file
-    // survives regardless of how stdout is captured.
-    Files.writeString(Paths.get("BENCH_FULL.json"), json + "\n")
+    // survives regardless of how stdout is captured. (Filtered local runs
+    // must NOT clobber the committed full artifact.)
+    if (only.isEmpty) Files.writeString(Paths.get("BENCH_FULL.json"), json + "\n")
     spark.stop()
   }
 }

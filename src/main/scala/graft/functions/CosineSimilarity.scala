@@ -146,6 +146,7 @@ object GraftFunctions {
     unary("graft_span_hashes", SpanHashes),
     unary("graft_line_hashes", LineHashes),
     unary("graft_bigram_hashes", BigramHashes),
+    unary("graft_trigram_hashes", TrigramHashes),
     unary("graft_char_entropy", CharEntropy),
     unary("graft_minhash_agg", (c: Expression) => MinHashAgg(c)))
 

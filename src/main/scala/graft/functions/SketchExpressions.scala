@@ -134,6 +134,26 @@ case class BigramHashes(child: Expression) extends SketchUnary {
     copy(child = newChild)
 }
 
+/** Per-position char-trigram hashes for language ID (q126). */
+case class TrigramHashes(child: Expression) extends SketchUnary {
+  protected def expectedInput: DataType = StringType
+  protected def kernel: String = "trigramHashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_trigram_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.trigramHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.Sketches.trigramHashes($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): TrigramHashes =
+    copy(child = newChild)
+}
+
 /** Shannon entropy in bits/char over the text's code points (q104). */
 case class CharEntropy(child: Expression) extends SketchUnary {
   protected def expectedInput: DataType = StringType

@@ -46,10 +46,16 @@ object Sketches {
   /** `conv(substr(md5(x), 1, 15), 16, 10)::BIGINT` without the hex string:
     * the first 15 hex chars are the first 60 bits of the digest.
     */
-  def md5Prefix60(bytes: Array[Byte]): Long = {
+  def md5Prefix60(bytes: Array[Byte]): Long =
+    md5Prefix60(bytes, 0, bytes.length)
+
+  /** Slice variant: hash `len` bytes at `off` without materializing a
+    * per-call array — the hot path for per-position windows (trigrams). */
+  def md5Prefix60(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.update(bytes, off, len)
+    val d = md.digest()
     (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
       ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
@@ -171,6 +177,41 @@ object Sketches {
       }
       out(s) = md5Prefix60(joined)
       s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 60-bit hashes of every char trigram (one per position, RAW text —
+    * no lowercasing: q126's `substring(text, i, 3)` population over
+    * code points), or null when the document has fewer than 3 chars
+    * (the `length(text) >= 3` rows). One pass replacing the
+    * sequence-explode + per-position substring + md5 expression tree —
+    * the corpus-heavy step of language ID. */
+  def trigramHashes(text: UTF8String): ArrayData = {
+    val n = text.numChars()
+    if (n < 3) return null
+    // One UTF-8 byte pass: record each code point's byte offset, then
+    // hash byte windows [cp(i), cp(i+3)) in place — no per-position
+    // substring/UTF8String/array allocations (this kernel's md5 count is
+    // irreducible; the allocations around it were not).
+    val bytes = text.getBytes
+    val offs = new Array[Int](n + 1)
+    var b = 0; var c = 0
+    while (c < n) {
+      offs(c) = b
+      val first = bytes(b)
+      b += (if ((first & 0x80) == 0) 1
+            else if ((first & 0xe0) == 0xc0) 2
+            else if ((first & 0xf0) == 0xe0) 3
+            else 4)
+      c += 1
+    }
+    offs(n) = bytes.length
+    val out = new Array[Any](n - 2)
+    var i = 0
+    while (i <= n - 3) {
+      out(i) = md5Prefix60(bytes, offs(i), offs(i + 3) - offs(i))
+      i += 1
     }
     new GenericArrayData(out)
   }

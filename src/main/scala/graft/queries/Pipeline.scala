@@ -1583,13 +1583,19 @@ object Pipeline {
     // (#langs+1) x #langs at any corpus size. grams feeds the profile
     // build AND the held-out probe -> persisted (one corpus scan). ----
     QueryDef("q126_lang_id", langIdOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val docs = T(s, dir, "documents")
         .filter(col("text").isNotNull && length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"), col("text"))
+      // Trigram hashes from the one-pass native kernel (round 13 —
+      // SketchParitySpec pins it against the sequence-explode +
+      // substring + md5 SQL formulation the oracle still writes): the
+      // corpus-heavy step sheds the per-position substring/UTF8String
+      // allocation tree, and profile/probe keys shuffle as 8-byte longs
+      // instead of 3-char strings. Ranking ties break on the hash (both
+      // engines identically).
       val grams = docs.select(col("doc_id"), col("lang"),
-          explode(expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-            .as("tg"))
+          explode(expr("graft_trigram_hashes(text)")).as("tg"))
         .persist()
       val wProf = Window.partitionBy(col("plang"))
         .orderBy(col("cnt").desc, col("tg"))
@@ -1618,13 +1624,16 @@ object Pipeline {
   )
 
   /** DuckDB mirror of q126: same trigram extraction (1-based char
-    * substrings), same top-K profile rank, same overlap-count argmax. */
+    * substrings, hashed with the shared 60-bit md5 rule the
+    * graft_trigram_hashes kernel implements), same top-K profile rank
+    * (hash tie-break), same overlap-count argmax. */
   private def langIdOracle: String =
     s"""WITH docs AS (
        |  SELECT doc_id, lang, text FROM documents
        |  WHERE text IS NOT NULL AND length(text) >= 3),
        |grams AS (
-       |  SELECT doc_id, lang, substring(text, CAST(i AS INT), 3) AS tg
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(substring(text, CAST(i AS INT), 3)), 1, 15))::BIGINT AS tg
        |  FROM docs, unnest(generate_series(1, length(text) - 2)) AS u(i)),
        |prof AS (
        |  SELECT plang, tg FROM (

@@ -319,6 +319,32 @@ class SketchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes === Map(3L -> 1, 4L -> 2)) // lowercasing applied before windowing
   }
 
+  test("graft_trigram_hashes equals the sequence-explode + substring + md5 SQL formulation") {
+    def sqlTrigrams(df: DataFrame) = df
+      .filter(col("text").isNotNull && length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - 2)).as("i"), col("text"))
+      .select(col("doc_id"), col("i"),
+        conv(substring(md5(expr("substring(text, i, 3)")), 1, 15), 16, 10)
+          .cast(LongType).as("h"))
+    def kernelTrigrams(df: DataFrame) = df
+      .select(col("doc_id"), posexplode(expr("graft_trigram_hashes(text)")).as(Seq("j", "h")))
+      .select(col("doc_id"), (col("j") + 1).as("i"), col("h"))
+    def toMap(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(toMap(kernelTrigrams(docs)) === toMap(sqlTrigrams(docs)))
+    // edge strings: raw case preserved (no lowercasing), unicode code
+    // points count as one char, <3-char docs are the null population
+    import spark.implicits._
+    val edge = Seq("", "ab", "abc", "AbCd", "a b c", "的的的的", "😀😀😀a")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    assert(toMap(kernelTrigrams(edge)) === toMap(sqlTrigrams(edge)))
+    val nulls = edge.select(col("doc_id"), expr("graft_trigram_hashes(text)").as("hs"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(nulls === Map(0L -> true, 1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false))
+  }
+
   test("graft_bigram_hashes equals the sequence-explode + two-md5 SQL formulation") {
     def sqlBigrams(df: DataFrame) = df
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
