@@ -2164,6 +2164,51 @@ object Analytics {
           sum(when(abs(col("v") - col("med")) > lit(3.0) * col("mad"), 1L).otherwise(0L))
             .as("n_outliers"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- q144: event-transition matrix — the first-order Markov prior
+    // over user behavior sequences (the "what follows what" model a
+    // session-recommendation or anomaly baseline trains on; q69 cuts
+    // sessions, q86 walks one fixed funnel — this estimates ALL
+    // transition probabilities). Ordering is pinned by (tsec, event_id)
+    // (q135's rule), so each user's sequence — and therefore every
+    // (prev, next) pair — is engine-identical; probabilities are
+    // n*1e6 DIV row-total, integer-exact. 100 TB shape: ONE shuffle
+    // keyed by user for the lag; the transition count partial-aggregates
+    // to <= #types^2 cells per map task; row totals are a #types-row
+    // broadcast back into the matrix. Output <= #types^2 rows at any
+    // corpus size. ----
+    QueryDef(
+      "q144_markov_transitions",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |c AS (
+        |  SELECT event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY tsec, event_id)
+        |      AS prev_type
+        |  FROM e),
+        |t AS (
+        |  SELECT prev_type, next_type, COUNT(*) AS n FROM c
+        |  WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
+        |tot AS (SELECT prev_type, SUM(n) AS tn FROM t GROUP BY prev_type)
+        |SELECT t.prev_type, t.next_type, t.n,
+        |  CAST((t.n * 1000000) // tot.tn AS BIGINT) AS p_micro
+        |FROM t JOIN tot USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+      val t = T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tsec"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = t.groupBy(col("prev_type")).agg(sum(col("n")).as("tn"))
+      t.join(broadcast(tot), "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          expr("(n * 1000000L) DIV tn").as("p_micro"))
+        .orderBy(col("prev_type"), col("next_type"))
     }
   )
 

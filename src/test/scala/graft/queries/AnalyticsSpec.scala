@@ -809,6 +809,28 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q144: transition matrix conserves events and each row's probabilities sum to 1 minus flooring") {
+    val rows = run("q144_markov_transitions").collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type"),
+        r.getAs[Long]("n"), r.getAs[Long]("p_micro")))
+    assert(rows.nonEmpty)
+    // Every user contributes exactly (n_events - 1) transitions.
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === nEvents - nUsers,
+      "transition count != events - users: sequence broken or duplicated")
+    // Per-prev row: probabilities sum to 1e6 minus integer-division loss.
+    rows.groupBy(_._1).foreach { case (prev, grp) =>
+      val s = grp.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - grp.size,
+        s"$prev: row probabilities sum to $s")
+      grp.foreach { case (_, next, n, p) =>
+        assert(p === n * 1000000L / grp.map(_._3).sum, s"$prev->$next micro mismatch")
+      }
+    }
+  }
+
   test("q143: matryoshka eval matches a driver-side recompute of both retrieval legs") {
     val r = run("q143_matryoshka_eval").collect().head
     assert(r.getAs[Long]("k") === 10L && r.getAs[Long]("prefix_dims") === 16L)

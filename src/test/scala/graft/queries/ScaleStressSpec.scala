@@ -198,7 +198,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q141_clean_text", "q142_temperature_mix",
     // q143: both cosine legs are the q42 scan-local fold + TakeOrdered
     // (interleaved vec_ids keep the query at id 0); output ONE row
-    "q143_matryoshka_eval")
+    "q143_matryoshka_eval",
+    // q144: the duplicated events densify each user's (tsec, event_id)
+    // sequence, so transition counts grow ~10x while the matrix stays
+    // <= #types^2 rows; the per-user lag shuffle is the only
+    // corpus-sized step
+    "q144_markov_transitions")
     // (q127 is NOT here: its confusion-matrix output is bounded by
     // #labels^2 and legitimately SHRINKS when the boosted-copy geometry
     // concentrates predictions, so the harness's rows-non-decreasing
