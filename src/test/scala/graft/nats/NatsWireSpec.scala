@@ -582,6 +582,28 @@ class NatsWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("TLS: reconnect re-runs the upgrade — drop every connection, client re-dials encrypted and delivery resumes") {
+    // The reconnect path shares connectSocket with the constructor, so a
+    // broker restart against a TLS broker must re-handshake TLS before
+    // replaying SUBs — a client that re-dialed plaintext would wedge.
+    val server = tlsServer()
+    val ctx = Some(trustCtx())
+    val consumer = new TcpNatsClient("127.0.0.1", server.port, tlsContext = ctx)
+    val producer = new TcpNatsClient("127.0.0.1", server.port, tlsContext = ctx)
+    try {
+      val seen = new LinkedBlockingQueue[String]()
+      consumer.subscribe("tls.rc")(p => seen.put(new String(p, US_ASCII)))
+      eventually()(server.subscriptionCount("tls.rc") == 1)
+      producer.publish("tls.rc", "before".getBytes(US_ASCII))
+      assert(seen.poll(5, TimeUnit.SECONDS) === "before")
+      server.dropConnections()
+      eventually()(server.subscriptionCount("tls.rc") == 1)
+      eventually()(consumer.reconnectCount >= 1 && producer.reconnectCount >= 1)
+      producer.publish("tls.rc", "after".getBytes(US_ASCII))
+      assert(seen.poll(5, TimeUnit.SECONDS) === "after")
+    } finally { consumer.close(); producer.close(); server.stop() }
+  }
+
   test("TLS: an untrusted (self-signed) broker certificate fails the handshake with truststore guidance") {
     val server = tlsServer() // self-signed cert, client left on JVM default trust
     try {
