@@ -2209,6 +2209,135 @@ object Analytics {
         .select(col("prev_type"), col("next_type"), col("n"),
           expr("(n * 1000000L) DIV tn").as("p_micro"))
         .orderBy(col("prev_type"), col("next_type"))
+    },
+
+    // ---- q145: Markov next-event prediction EVAL — the q138/q143
+    // harness pattern applied to q144's behavior prior: train the
+    // transition matrix on user_id % 5 != 0, predict each held-out
+    // user's next event as the trained argmax (count desc, next_type
+    // tie — deterministic), report per-prev-type accuracy in integer
+    // micros. The train/eval split is BY USER (sequences never leak
+    // across the split — q115's leakage rule applied to behavior data).
+    // 100 TB shape: one user-keyed lag shuffle on each split; the
+    // trained argmax is a <= #types-row broadcast into the eval pairs;
+    // output <= #types rows. ----
+    QueryDef(
+      "q145_markov_eval",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+        |c AS (
+        |  SELECT user_id, event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY tsec, event_id)
+        |      AS prev_type
+        |  FROM e),
+        |p AS (SELECT user_id, prev_type, next_type FROM c WHERE prev_type IS NOT NULL),
+        |m AS (
+        |  SELECT prev_type, next_type AS pred_type FROM (
+        |    SELECT prev_type, next_type,
+        |      ROW_NUMBER() OVER (PARTITION BY prev_type
+        |        ORDER BY COUNT(*) DESC, next_type) AS rk
+        |    FROM p WHERE user_id % 5 <> 0 GROUP BY prev_type, next_type)
+        |  WHERE rk = 1),
+        |ev AS (SELECT prev_type, next_type FROM p WHERE user_id % 5 = 0)
+        |SELECT ev.prev_type, m.pred_type,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN ev.next_type = m.pred_type THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST((SUM(CASE WHEN ev.next_type = m.pred_type THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS acc_micro
+        |FROM ev JOIN m USING (prev_type)
+        |GROUP BY ev.prev_type, m.pred_type
+        |ORDER BY ev.prev_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+      val pairs = T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tsec"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .select(col("user_id"), col("prev_type"), col("event_type").as("next_type"))
+        .persist()
+      val wArg = Window.partitionBy(col("prev_type"))
+        .orderBy(col("cnt").desc, col("next_type"))
+      val model = pairs.filter(col("user_id") % 5 =!= 0)
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wArg))
+        .filter(col("rk") === 1)
+        .select(col("prev_type"), col("next_type").as("pred_type"))
+      pairs.filter(col("user_id") % 5 === 0)
+        .join(broadcast(model), "prev_type")
+        .groupBy(col("prev_type"), col("pred_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("next_type") === col("pred_type"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("prev_type"), col("pred_type"), col("n_pairs"), col("n_correct"),
+          expr("(n_correct * 1000000L) DIV n_pairs").as("acc_micro"))
+        .orderBy(col("prev_type"))
+    },
+
+    // ---- q146: corpus embedding-diversity score — exact mean pairwise
+    // cosine per label WITHOUT enumerating pairs (the curation metric
+    // behind the dedup-vs-diversity tension: SemDeDup prunes low-
+    // diversity cells, mixture tuning watches per-source diversity).
+    // The algebraic identity does the work: for unit-normalized vectors
+    // u_i, sum_{i<j} cos(u_i,u_j) = (||Σu||² − Σ||u||²) / 2, so the
+    // whole statistic needs only per-dimension sums and per-row self
+    // dots — two linear aggregates, never the n² pairs. round-6 on the
+    // result (the q72/q132 float rule: double sums agree to ~1e-13,
+    // output precision 1e-6). 100 TB shape: normalize scan-locally, one
+    // (label, dim)-keyed partial agg of 64·n rows + one #labels-row
+    // rollup; output #labels rows. ----
+    QueryDef(
+      "q146_embedding_diversity",
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings WHERE vec_id <> 0),
+        |n AS (
+        |  SELECT vec_id, label,
+        |    list_transform(vd, x -> x / sqrt(list_sum(list_transform(vd, y -> y * y)))) AS u
+        |  FROM v),
+        |selfd AS (
+        |  SELECT label, COUNT(*) AS n,
+        |    SUM(list_sum(list_transform(u, x -> x * x))) AS sself
+        |  FROM n GROUP BY label),
+        |dims AS (
+        |  SELECT label, d, ux FROM (
+        |    SELECT label, unnest(generate_series(1, len(u))) AS d,
+        |      unnest(u) AS ux FROM n)),
+        |s2 AS (
+        |  SELECT label, SUM(sd * sd) AS ssq FROM (
+        |    SELECT label, d, SUM(ux) AS sd FROM dims GROUP BY label, d)
+        |  GROUP BY label)
+        |SELECT selfd.label, selfd.n,
+        |  round((s2.ssq - selfd.sself) / (selfd.n * (selfd.n - 1)), 6) AS mean_cos
+        |FROM selfd JOIN s2 USING (label)
+        |WHERE selfd.n >= 2
+        |ORDER BY selfd.label""".stripMargin) { (s, dir) =>
+      val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+      // Normalize scan-locally; v feeds the self-dot rollup AND the
+      // per-dimension sums: persist (one corpus scan).
+      val v = T(s, dir, "embeddings")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("vd"))
+        .select(col("vec_id"), col("label"),
+          transform(col("vd"),
+            x => x / sqrt(fold(zip_with(col("vd"), col("vd"), (a, b) => a * b)))).as("u"))
+        .persist()
+      val selfd = v.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(fold(zip_with(col("u"), col("u"), (a, b) => a * b))).as("sself"))
+      val s2 = v.select(col("label"), posexplode(col("u")).as(Seq("d", "ux")))
+        .groupBy(col("label"), col("d"))
+        .agg(sum(col("ux")).as("sd"))
+        .groupBy(col("label"))
+        .agg(sum(col("sd") * col("sd")).as("ssq"))
+      selfd.join(s2, "label")
+        .filter(col("n") >= 2)
+        .select(col("label"), col("n"),
+          round((col("ssq") - col("sself")) / (col("n") * (col("n") - 1)), 6).as("mean_cos"))
+        .orderBy(col("label"))
     }
   )
 

@@ -831,6 +831,47 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q145: eval accounting is internally consistent and the split never leaks users across train/eval") {
+    val rows = run("q145_markov_eval").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("acc_micro") ===
+        r.getAs[Long]("n_correct") * 1000000L / r.getAs[Long]("n_pairs"))
+    }
+    // Every prev_type with eval pairs appears exactly once (one argmax
+    // prediction per prev state).
+    val prevs = rows.map(_.getAs[String]("prev_type"))
+    assert(prevs.distinct.length === prevs.length)
+    // Determinism across reruns (argmax ties are pinned by next_type).
+    val again = run("q145_markov_eval").collect().map(_.toString).toSeq
+    assert(again === rows.map(_.toString).toSeq)
+  }
+
+  test("q146: pairless mean cosine equals a brute-force driver recompute per label") {
+    val got = run("q146_embedding_diversity").collect()
+      .map(r => r.getAs[Int]("label") -> (r.getAs[Long]("n"), r.getAs[Double]("mean_cos"))).toMap
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") =!= 0)
+      .collect().map(r => (r.getAs[Int]("label"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for ((label, vs) <- vecs if vs.length >= 2) {
+      val us = vs.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      }
+      var s = 0.0; var c = 0L
+      for (i <- us.indices; j <- (i + 1) until us.length) {
+        s += us(i).zip(us(j)).map { case (a, b) => a * b }.sum; c += 1
+      }
+      val brute = s / c
+      val (n, mc) = got(label)
+      assert(n === vs.length.toLong, s"label $label count")
+      assert(math.abs(mc - brute) < 1e-5,
+        s"label $label: engine $mc vs brute-force $brute — the pairless identity broke")
+    }
+  }
+
   test("q143: matryoshka eval matches a driver-side recompute of both retrieval legs") {
     val r = run("q143_matryoshka_eval").collect().head
     assert(r.getAs[Long]("k") === 10L && r.getAs[Long]("prefix_dims") === 16L)

@@ -151,6 +151,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         // q141's segment frame feeds the dictionary build and the
         // rewrite anti join; its base frame adds the n_segs re-attach.
         "q141_clean_text" -> 3,
+        // q145's lagged pair frame feeds the model build and the eval
+        // probe; q146's normalized frame feeds the self-dot rollup and
+        // the per-dimension sums.
+        "q145_markov_eval" -> 2, "q146_embedding_diversity" -> 2,
         // q129's audited projection feeds the row-rule scan, the PK
         // groupBy, and the FK anti join.
         "q129_quality_audit" -> 3)) {

@@ -202,8 +202,13 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q144: the duplicated events densify each user's (tsec, event_id)
     // sequence, so transition counts grow ~10x while the matrix stays
     // <= #types^2 rows; the per-user lag shuffle is the only
-    // corpus-sized step
-    "q144_markov_transitions")
+    // corpus-sized step. q145 adds the <= #types-row argmax broadcast on
+    // top of the same lag shuffle — output stays <= #types rows.
+    "q144_markov_transitions", "q145_markov_eval",
+    // q146: normalize + two linear aggregates (self dots, per-dim sums)
+    // — the pairless identity never enumerates pairs, so 10x vectors is
+    // 10x aggregate rows and output stays #labels rows
+    "q146_embedding_diversity")
     // (q127 is NOT here: its confusion-matrix output is bounded by
     // #labels^2 and legitimately SHRINKS when the boosted-copy geometry
     // concentrates predictions, so the harness's rows-non-decreasing
