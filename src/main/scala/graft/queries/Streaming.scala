@@ -47,6 +47,50 @@ object Streaming {
         .orderBy("id")
     },
 
+    // The same canonical workload over an ENCRYPTED wire: in-process TLS
+    // broker (MiniNatsServer with the in-repo self-signed keystore), the
+    // native client upgrades on tls_required INFO, trust rides the
+    // documented -Dgraft.nats.tls.truststore knob — so the hash gate
+    // itself proves publish -> TLS socket -> DSv2 streaming read end to
+    // end, not just the specs (round 13; reference parity: async-nats
+    // TLS, Cargo.toml:9). Keystore paths are repo-relative (Verify and
+    // the specs both run from the repo root).
+    QueryDef.noBench("q147_nats_tls_e2e", canonicalOracle) { (s, _) =>
+      import graft.nats.{MiniNatsServer, NatsTransport}
+      val server = new MiniNatsServer(
+        tlsKeystore = Some(("src/test/resources/graft-tls-test.p12", "graft-test")))
+      val prevT = sys.props.get("graft.nats.tls.truststore")
+      val prevP = sys.props.get("graft.nats.tls.truststorePassword")
+      sys.props("graft.nats.tls.truststore") = "src/test/resources/graft-tls-trust.p12"
+      sys.props("graft.nats.tls.truststorePassword") = "graft-test"
+      try {
+        val sink = s"nats_tls_sink_${sinkId.incrementAndGet()}"
+        val conn = NatsTransport.connect(server.url)
+        val q = s.readStream.format("nats").schema(rowSchema)
+          .option("url", server.url).option("subject", "nats_table")
+          .option("batchSize", canonicalRows.size.toString)
+          .load()
+          .writeStream.format("memory").queryName(sink).start()
+        try {
+          val deadline = System.currentTimeMillis() + 20000
+          while (server.subscriptionCount("nats_table") < 1 &&
+            System.currentTimeMillis() < deadline) Thread.sleep(20)
+          canonicalRows.foreach(m => conn.publish("nats_table", m.getBytes))
+          q.processAllAvailable()
+        } finally {
+          q.stop()
+          conn.close()
+        }
+        s.sql(s"SELECT id, name FROM $sink ORDER BY id")
+      } finally {
+        prevT.fold(sys.props.remove("graft.nats.tls.truststore"): Unit)(v =>
+          sys.props("graft.nats.tls.truststore") = v)
+        prevP.fold(sys.props.remove("graft.nats.tls.truststorePassword"): Unit)(v =>
+          sys.props("graft.nats.tls.truststorePassword") = v)
+        server.stop()
+      }
+    },
+
     // Same workload through the micro-batch streaming path (A1): publish
     // after the subscription is live, drain via the memory sink, return the
     // materialized result as a batch DataFrame for the correctness gate.

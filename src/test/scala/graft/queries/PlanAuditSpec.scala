@@ -67,7 +67,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q87_wildcard_stream", "q91_nats_json", "q95_subject_metadata",
     "q97_stream_static_join", "q101_headers_envelope", "q105_transform_with_state",
     "q106_stream_timers", "q108_stream_initial_state", "q111_stream_index_maintain",
-    "q118_state_store_read", "q119_stream_outer_join", "q120_idempotent_sink")
+    "q118_state_store_read", "q119_stream_outer_join", "q120_idempotent_sink",
+    "q147_nats_tls_e2e")
 
   test("registry names are unique and well-formed (duplicates would silently shadow in SparkEntry.queries)") {
     val names = Registry.all.map(_.name)
