@@ -757,6 +757,88 @@ object Analytics {
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
+    // ---- q148: chunk-level BM25 retrieval — the RAG shape (q96 ranks
+    // whole DOCUMENTS, q75 only cuts chunks; retrieval-augmented
+    // generation retrieves the best CHUNK, so the index unit must be the
+    // chunk): q75's 64/48 windows become the corpus, BM25 runs with
+    // chunk-level df / avgdl / length norm (Pipeline's shared k1/b/term
+    // constants — no drift), top-10 chunks by integer-micro score.
+    // 100 TB shape: chunking is scan-local explode; corpus stats are a
+    // 1-row broadcast; tf partial-aggregates on (doc, chunk, term); the
+    // final cut is TakeOrdered per-partition heaps — no global sort,
+    // identical to q96's plan economics at chunk granularity. ----
+    QueryDef(
+      "q148_chunk_retrieval",
+      {
+        val inList = Pipeline.BM25_TERMS.map(t => s"'$t'").mkString(", ")
+        s"""WITH w AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+           |n AS (
+           |  SELECT doc_id, ws,
+           |         CASE WHEN len(ws) <= $ChunkTokens THEN 1
+           |              ELSE CAST(1 + floor((len(ws) - $ChunkTokens + $ChunkStride - 1) / $ChunkStride) AS BIGINT)
+           |         END AS n_chunks
+           |  FROM w),
+           |c AS (
+           |  SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+           |         ws[ci * $ChunkStride + 1 : ci * $ChunkStride + $ChunkTokens] AS toks
+           |  FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(ci)),
+           |stats AS (SELECT COUNT(*) AS n_chunks, AVG(len(toks)) AS avgdl FROM c),
+           |qt AS (SELECT doc_id, chunk_id, len(toks) AS dl, unnest(toks) AS w FROM c),
+           |tf AS (
+           |  SELECT doc_id, chunk_id, dl, w, COUNT(*) AS tf FROM qt
+           |  WHERE w IN ($inList) GROUP BY doc_id, chunk_id, dl, w),
+           |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+           |contrib AS (
+           |  SELECT tf.doc_id, tf.chunk_id,
+           |    CAST(round(ln((stats.n_chunks - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           |      * (tf.tf * ${Pipeline.BM25_K1P1})
+           |      / (tf.tf + ${Pipeline.BM25_K1} * (1.0 - ${Pipeline.BM25_B} + ${Pipeline.BM25_B} * tf.dl / stats.avgdl))
+           |      * 1000000.0, 0) AS BIGINT) AS c
+           |  FROM tf JOIN df USING (w), stats)
+           |SELECT doc_id, chunk_id, COUNT(*) AS n_terms,
+           |  CAST(SUM(c) AS BIGINT) AS bm25_micro
+           |FROM contrib GROUP BY doc_id, chunk_id
+           |ORDER BY bm25_micro DESC, doc_id, chunk_id
+           |LIMIT 10""".stripMargin
+      }) { (s, dir) =>
+      val ws = split(lower(col("text")), " ")
+      // chunks feed the corpus stats AND the tf explode: persist, one
+      // corpus scan + chunking pass (the q85/q88/q99 rule).
+      val chunks = T(s, dir, "documents")
+        .select(col("doc_id"), ws.as("ws"))
+        .withColumn("n", size(col("ws")))
+        .withColumn("n_chunks",
+          when(col("n") <= ChunkTokens, lit(1L))
+            .otherwise((lit(1) + floor((col("n") - ChunkTokens + ChunkStride - 1) / lit(ChunkStride))).cast(LongType)))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("ws"), (col("chunk_id") * ChunkStride + 1).cast(IntegerType), lit(ChunkTokens)).as("toks"))
+        .persist()
+      val stats = chunks.agg(count(lit(1)).as("n_chunks"), avg(size(col("toks"))).as("avgdl"))
+      val tf = chunks
+        .select(col("doc_id"), col("chunk_id"), size(col("toks")).as("dl"),
+          explode(col("toks")).as("w"))
+        .filter(col("w").isin(Pipeline.BM25_TERMS: _*))
+        .groupBy(col("doc_id"), col("chunk_id"), col("dl"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val idf = log((col("n_chunks") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+      val norm = col("tf") +
+        lit(Pipeline.BM25_K1) * (lit(1.0) - lit(Pipeline.BM25_B) +
+          lit(Pipeline.BM25_B) * col("dl") / col("avgdl"))
+      val contrib = idf * (col("tf") * lit(Pipeline.BM25_K1P1)) / norm
+      tf.join(broadcast(df), "w")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("chunk_id"),
+          round(contrib * lit(1e6), 0).cast(LongType).as("c"))
+        .groupBy(col("doc_id"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("bm25_micro"))
+        .orderBy(col("bm25_micro").desc, col("doc_id"), col("chunk_id"))
+        .limit(10)
+    },
+
     // ---- q76: duplicate-cluster resolution (connected components) ------
     // Near-dup PAIRS (q41) are not enough for dedup at scale: keep-one
     // needs the transitive closure (a~b, b~c => one canonical of {a,b,c}).

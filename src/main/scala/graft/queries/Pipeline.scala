@@ -95,10 +95,10 @@ object Pipeline {
   // literal, NOT computed as K1+1.0: 1.2+1.0 lands exactly between two
   // doubles, so the computed sum and the parsed literal "2.2" the oracle
   // would see could differ by one ulp. Both engines parse the same string.
-  private val BM25_K1 = 1.2
-  private val BM25_B = 0.75
-  private val BM25_K1P1 = 2.2
-  private val BM25_TERMS = Seq("hash", "join", "stream")
+  private[queries] val BM25_K1 = 1.2
+  private[queries] val BM25_B = 0.75
+  private[queries] val BM25_K1P1 = 2.2
+  private[queries] val BM25_TERMS = Seq("hash", "join", "stream")
 
   // q132 RRF constants: the standard fusion constant k=60 (Cormack &
   // Clarke's reciprocal-rank-fusion paper value), each leg truncated to

@@ -831,6 +831,25 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q148: every retrieved chunk really contains a query term and scores rank consistently") {
+    val rows = run("q148_chunk_retrieval").collect()
+    assert(rows.length === 10)
+    val scores = rows.map(_.getAs[Long]("bm25_micro"))
+    assert(scores.sameElements(scores.sortBy(-_)), "results not score-descending")
+    rows.foreach(r => assert(r.getAs[Long]("n_terms") >= 1 && r.getAs[Long]("n_terms") <= 3))
+    // Ground the top hit: re-chunk its document on the driver and check
+    // the returned chunk window actually contains a query term.
+    val top = rows.head
+    val text = graft.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") === top.getAs[Long]("doc_id"))
+      .select("text").first().getString(0)
+    val toks = text.toLowerCase.split(" ", -1)
+    val start = (top.getAs[Long]("chunk_id") * 48).toInt
+    val window = toks.slice(start, start + 64)
+    assert(window.exists(Set("hash", "join", "stream")),
+      s"top chunk window contains no query term: ${window.take(20).mkString(" ")}")
+  }
+
   test("q145: eval accounting is internally consistent and the split never leaks users across train/eval") {
     val rows = run("q145_markov_eval").collect()
     assert(rows.nonEmpty)

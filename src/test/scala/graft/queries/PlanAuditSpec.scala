@@ -57,7 +57,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q142_temperature_mix",
     // q143 rides q42's ONE query-vector broadcast in both legs and
     // cross-joins its three 1-row eval counters — the q138 shape.
-    "q143_matryoshka_eval")
+    "q143_matryoshka_eval",
+    // q148 cross-joins its ONE-row (n_chunks, avgdl) corpus stats —
+    // q96's audited shape at chunk granularity.
+    "q148_chunk_retrieval")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
@@ -154,8 +157,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q141_clean_text" -> 3,
         // q145's lagged pair frame feeds the model build and the eval
         // probe; q146's normalized frame feeds the self-dot rollup and
-        // the per-dimension sums.
+        // the per-dimension sums; q148's chunk frame feeds the corpus
+        // stats and the tf explode.
         "q145_markov_eval" -> 2, "q146_embedding_diversity" -> 2,
+        "q148_chunk_retrieval" -> 2,
         // q129's audited projection feeds the row-rule scan, the PK
         // groupBy, and the FK anti join.
         "q129_quality_audit" -> 3)) {

@@ -208,7 +208,11 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q146: normalize + two linear aggregates (self dots, per-dim sums)
     // — the pairless identity never enumerates pairs, so 10x vectors is
     // 10x aggregate rows and output stays #labels rows
-    "q146_embedding_diversity")
+    "q146_embedding_diversity",
+    // q148: q96's story at chunk granularity — the renamed copies
+    // contribute ZERO postings (zqN suffixes miss the query terms), only
+    // corpus stats and the scan grow; output stays 10 rows
+    "q148_chunk_retrieval")
     // (q127 is NOT here: its confusion-matrix output is bounded by
     // #labels^2 and legitimately SHRINKS when the boosted-copy geometry
     // concentrates predictions, so the harness's rows-non-decreasing
