@@ -1620,8 +1620,128 @@ object Pipeline {
           coalesce(col("plang"), lit("und")).as("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("actual_lang"), col("pred_lang"))
+    },
+
+    // ---- q149: the curation funnel END TO END — the whole pipeline the
+    // individual operators exist FOR, as ONE oracle-paired query: pool
+    // (non-benchmark docs) → C4 quality rules (q47's four, verbatim) →
+    // fingerprint dedup keep-first on q48's normalized-head hash (the
+    // crawl-dedup heuristic) → decontamination against the benchmark split's shingle
+    // set (q57/q123's broadcast semi-join shape, strictest any-shared-
+    // gram rule). Output: the survivor funnel (stage, n_docs, n_tokens)
+    // — the per-stage accounting every curation run reports. Shingles
+    // come from the pinned graft_shingle_hashes kernel; the oracle
+    // recomputes them with the long-form md5 SQL, so the gate proves the
+    // four chained stages agree cross-engine, not just each stage alone.
+    // 100 TB shape: quality rules are scan-local; the dedup is ONE
+    // shuffle on an 8-byte-ish hash; the benchmark gram set broadcasts
+    // (benchmarks are tiny by definition); each stage's frame persists
+    // once and feeds exactly (next stage + its funnel row). ----
+    QueryDef("q149_curation_funnel", curationFunnelOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val d = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          split(lower(col("text")), " ").as("ws"))
+      val pool = d.filter(col("doc_id") % 20 =!= 0)
+        .withColumn("n_tok", size(col("ws")))
+        .persist()
+      val keepq = pool
+        .withColumn("mtl",
+          (col("n_chars") - (col("n_tok") - 1)).cast(DoubleType) / col("n_tok"))
+        .withColumn("n_stop",
+          size(filter(col("ws"), w => w === "the" || w === "a" || w === "of")))
+        .withColumn("dr",
+          size(array_distinct(col("ws"))).cast(DoubleType) / col("n_tok"))
+        .filter(col("n_tok").between(10, 1000) &&
+          col("mtl") >= 2 && col("mtl") <= 12 &&
+          col("n_stop") >= 1 && col("dr") >= 0.3)
+        .select(col("doc_id"), col("lang"), col("text"), col("ws"), col("n_tok"))
+        .persist()
+      // Dedup key: q48's normalized-head fingerprint (whitespace-collapsed
+      // lower text, first 64 chars) — the crawl-dedup heuristic; the
+      // fixture has REAL head collisions (q48's 99 clusters), so this
+      // stage demonstrably drops, where byte-exact dedup would be
+      // vacuous on this corpus (0 exact dups).
+      val wFirst = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      val dedup = keepq
+        .withColumn("h",
+          md5(substring(regexp_replace(lower(col("text")), "\\s+", " "), 1, 64)))
+        .withColumn("rn", row_number().over(wFirst))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_tok"))
+        .persist()
+      val bench = d.filter(col("doc_id") % 20 === 0)
+        .select(col("lang"), explode(expr("graft_shingle_hashes(text)")).as("g"))
+        .distinct()
+      val contaminated = dedup
+        .select(col("doc_id"), col("lang"),
+          explode(expr("graft_shingle_hashes(text)")).as("g"))
+        .join(broadcast(bench), Seq("lang", "g"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val cleanDocs = dedup.join(contaminated, Seq("doc_id"), "left_anti")
+      def stage(name: String, df: DataFrame, tok: Column): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), sum(tok).cast(LongType).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stage("0_pool", pool, col("n_tok"))
+        .unionByName(stage("1_quality", keepq, col("n_tok")))
+        .unionByName(stage("2_fingerprint_dedup", dedup, col("n_tok")))
+        .unionByName(stage("3_decontaminated", cleanDocs, col("n_tok")))
+        .orderBy(col("stage"))
     }
   )
+
+  /** DuckDB mirror of q149: the same four chained stages — q47's quality
+    * rules, keep-first dedup on md5 of the re-joined tokens, and the
+    * any-shared-shingle decontamination (long-form md5 shingles, the
+    * formula graft_shingle_hashes implements). */
+  private def curationFunnelOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars, string_split(lower(text), ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |pool AS (
+      |  SELECT doc_id, lang, n_chars, ws, len(ws) AS n_tok
+      |  FROM d WHERE doc_id % 20 <> 0),
+      |keepq AS (
+      |  SELECT doc_id, lang, ws, n_tok FROM (
+      |    SELECT doc_id, lang, ws, n_tok,
+      |      CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok AS mtl,
+      |      len(list_filter(ws, x -> x = 'the' OR x = 'a' OR x = 'of')) AS n_stop,
+      |      CAST(len(list_distinct(ws)) AS DOUBLE) / n_tok AS dr
+      |    FROM pool)
+      |  WHERE n_tok BETWEEN 10 AND 1000 AND mtl >= 2 AND mtl <= 12
+      |    AND n_stop >= 1 AND dr >= 0.3),
+      |dedup AS (
+      |  SELECT doc_id, lang, ws, n_tok FROM (
+      |    SELECT k.doc_id, k.lang, k.ws, k.n_tok,
+      |      ROW_NUMBER() OVER (
+      |        PARTITION BY md5(substr(regexp_replace(lower(doc.text), '\s+', ' ', 'g'), 1, 64))
+      |        ORDER BY k.doc_id) AS rn
+      |    FROM keepq k JOIN documents doc ON doc.doc_id = k.doc_id)
+      |  WHERE rn = 1),
+      |bench AS (
+      |  SELECT DISTINCT lang,
+      |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS g
+      |  FROM d, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+      |  WHERE doc_id % 20 = 0 AND len(ws) >= 3),
+      |cgrams AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS g
+      |  FROM dedup, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+      |  WHERE len(ws) >= 3),
+      |contaminated AS (
+      |  SELECT DISTINCT cg.doc_id FROM cgrams cg
+      |  JOIN bench b ON b.lang = cg.lang AND b.g = cg.g),
+      |clean AS (
+      |  SELECT * FROM dedup
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+      |SELECT * FROM (
+      |  SELECT '0_pool' AS stage, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM pool
+      |  UNION ALL SELECT '1_quality', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM keepq
+      |  UNION ALL SELECT '2_fingerprint_dedup', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM dedup
+      |  UNION ALL SELECT '3_decontaminated', COUNT(*), CAST(SUM(n_tok) AS BIGINT) FROM clean)
+      |ORDER BY stage""".stripMargin
 
   /** DuckDB mirror of q126: same trigram extraction (1-based char
     * substrings, hashed with the shared 60-bit md5 rule the

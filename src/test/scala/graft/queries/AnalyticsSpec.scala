@@ -831,6 +831,20 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q149: the funnel is strictly monotone, every stage earns its keep, and reruns are identical") {
+    val rows = run("q149_curation_funnel").collect()
+      .map(r => r.getAs[String]("stage") -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    assert(rows.map(_._1).toSeq ===
+      Seq("0_pool", "1_quality", "2_fingerprint_dedup", "3_decontaminated"))
+    val (docs, toks) = (rows.map(_._2._1), rows.map(_._2._2))
+    // Monotone non-increasing, and every stage actually drops something
+    // on this fixture (a stage that never fires is dead weight).
+    docs.sliding(2).foreach { case Array(a, b) => assert(b < a, s"stage kept everything: $docs") }
+    toks.sliding(2).foreach { case Array(a, b) => assert(b < a) }
+    val again = run("q149_curation_funnel").collect().map(_.toString).toSeq
+    assert(again === run("q149_curation_funnel").collect().map(_.toString).toSeq)
+  }
+
   test("q148: every retrieved chunk really contains a query term and scores rank consistently") {
     val rows = run("q148_chunk_retrieval").collect()
     assert(rows.length === 10)

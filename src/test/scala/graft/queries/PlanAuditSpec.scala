@@ -161,6 +161,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         // stats and the tf explode.
         "q145_markov_eval" -> 2, "q146_embedding_diversity" -> 2,
         "q148_chunk_retrieval" -> 2,
+        // q149's three persisted stage frames each feed the next stage
+        // AND their own funnel row (pool 2 + keepq 2 + dedup 3).
+        "q149_curation_funnel" -> 4,
         // q129's audited projection feeds the row-rule scan, the PK
         // groupBy, and the FK anti join.
         "q129_quality_audit" -> 3)) {

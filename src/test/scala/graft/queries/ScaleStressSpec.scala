@@ -212,7 +212,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q148: q96's story at chunk granularity — the renamed copies
     // contribute ZERO postings (zqN suffixes miss the query terms), only
     // corpus stats and the scan grow; output stays 10 rows
-    "q148_chunk_retrieval")
+    "q148_chunk_retrieval",
+    // q149: chained scan-local stages + one hash-keyed dedup shuffle +
+    // a broadcast decon probe; the renamed copies fail the stopword rule
+    // (tokens are 'thezqN'), so later stages shrink to ~copy-0 — the
+    // funnel output is 4 rows at any scale and runtime tracks the scan
+    "q149_curation_funnel")
     // (q127 is NOT here: its confusion-matrix output is bounded by
     // #labels^2 and legitimately SHRINKS when the boosted-copy geometry
     // concentrates predictions, so the harness's rows-non-decreasing
