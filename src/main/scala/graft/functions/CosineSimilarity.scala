@@ -148,7 +148,16 @@ object GraftFunctions {
     unary("graft_bigram_hashes", BigramHashes),
     unary("graft_trigram_hashes", TrigramHashes),
     unary("graft_char_entropy", CharEntropy),
-    unary("graft_minhash_agg", (c: Expression) => MinHashAgg(c)))
+    unary("graft_minhash_agg", (c: Expression) => MinHashAgg(c)),
+    bottomKFn)
+
+  private lazy val bottomKFn
+    : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_bottomk_distinct"),
+      new ExpressionInfo(classOf[BottomKDistinctAgg].getName, null, "graft_bottomk_distinct"),
+      { case Seq(c, k) => BottomKDistinctAgg(c, k)
+        case other => throw new IllegalArgumentException(
+          s"graft_bottomk_distinct expects 2 arguments, got ${other.size}") })
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(

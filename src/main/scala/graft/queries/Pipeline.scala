@@ -1292,13 +1292,22 @@ object Pipeline {
     // pairs; after the k-min cut the whole computation is kilobytes. ----
     QueryDef("q117_source_overlap", sourceOverlapOracle) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val wsig = Window.partitionBy(col("source")).orderBy(col("h"))
+      // Per-source bottom-64 DISTINCT hashes via the mergeable KMV
+      // aggregate (round 14): the old distinct()->row_number<=64 shape
+      // shuffled every (source, hash) pair and its spill behavior made
+      // the cache-cold timing swing 2.2x between identical-code runs
+      // (VERDICT r13 #1). The sketch aggregate keeps <=64 values per
+      // group per map task, so the only corpus-sized work is the scan
+      // itself — the shuffle carries one <=520-byte sketch per
+      // (task, source). Result set is identical by construction
+      // (BottomKParitySpec pins it against the exact distinct+rank
+      // formulation on adversarial duplicates).
       // 3 consumers (pair enumeration + both flag joins): persist.
       val sig = T(s, dir, "documents")
         .select(col("source"), explode(expr("graft_shingle_hashes(text)")).as("h"))
-        .distinct()
-        .withColumn("rk", row_number().over(wsig)).filter(col("rk") <= 64)
-        .select(col("source"), col("h"))
+        .groupBy(col("source"))
+        .agg(expr("graft_bottomk_distinct(h, 64)").as("hs"))
+        .select(col("source"), explode(col("hs")).as("h"))
         .persist()
       val srcs = sig.select(col("source")).distinct()
       val prs = srcs.as("x").join(srcs.as("y"), col("x.source") < col("y.source"))

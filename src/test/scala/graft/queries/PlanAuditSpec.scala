@@ -270,6 +270,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q128: nested-loop or cartesian leaked into the plan:\n$p128")
   }
 
+  test("q117: signature step is the KMV sketch aggregate, not a corpus-wide distinct+rank") {
+    // Round 14: the per-source bottom-64 signature must plan as an
+    // ObjectHashAggregate over graft_bottomk_distinct (map-side <=64-value
+    // partials), NOT as distinct() + row_number — the old shape shuffled
+    // every (source, hash) pair and its spill behavior made cache-cold
+    // timings swing 2.2x on identical code (VERDICT r13 #1). The only
+    // Window left is the pair-union k-min over the kilobyte-sized
+    // persisted sketch frame.
+    val plan = Registry.byName("q117_source_overlap").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bottomk_distinct"),
+      s"q117: bottom-k sketch aggregate missing from the plan:\n$plan")
+    assert(plan.split("\n").count(_.trim.startsWith("Window")) <= 1,
+      s"q117: more than one Window node — the distinct+rank signature shape leaked back:\n$plan")
+  }
+
   test("q139: approx profile plans with NO Expand — the property that makes it the 100 TB profile") {
     // q130's exact multi-column COUNT(DISTINCT) plans through Catalyst
     // Expand (4 monitored columns -> 4x the corpus shuffled). The
