@@ -30,6 +30,16 @@ object Tables {
     import org.apache.spark.sql.types._
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
+      // The NTZ->LTZ cast below is instant-correct ONLY under a UTC
+      // session (wall-clock == instant). Every entry point pins
+      // spark.sql.session.timeZone=UTC; a future one that forgets must
+      // fail HERE, loudly, instead of silently shifting every event
+      // instant by the local offset (ADVICE r13).
+      require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "Tables.load(events) requires spark.sql.session.timeZone=UTC — " +
+          "the TimestampNTZ->Timestamp normalization reads fixture " +
+          "wall-clock as the instant; a non-UTC session would skew all " +
+          "event-time results")
       val out = df.schema("ts").dataType match {
         case LongType          => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
         case TimestampNTZType  => df.withColumn("ts", col("ts").cast(TimestampType))

@@ -95,12 +95,24 @@ private[nats] object GraftTls {
   }
 
   /** Layer a SERVER-mode TLS session over an accepted socket (the
-    * broker's side of the post-INFO upgrade). */
+    * broker's side of the post-INFO upgrade). The handshake runs under a
+    * read timeout mirroring the client's 5 s window (ADVICE r13): a peer
+    * that connects but never sends ClientHello would otherwise park this
+    * connection's thread forever. Cleared again after the handshake —
+    * the serving read loop blocks indefinitely by design. */
   def upgradeServer(sock: Socket, ctx: SSLContext): SSLSocket = {
+    val prevTimeout = sock.getSoTimeout
+    sock.setSoTimeout(5000)
     val ssl = ctx.getSocketFactory
       .createSocket(sock, null, sock.getPort, true).asInstanceOf[SSLSocket]
     ssl.setUseClientMode(false)
-    ssl.startHandshake()
+    try ssl.startHandshake()
+    catch {
+      case e: IOException =>
+        try ssl.close() catch { case _: IOException => () }
+        throw e
+    }
+    ssl.setSoTimeout(prevTimeout)
     ssl
   }
 }

@@ -44,7 +44,17 @@ final case class NatsOptions(
     includeMetadata: Boolean = false,
     deadLetterSubject: Option[String] = None,
     msgIdColumn: Option[String] = None,
-    publishBatchRows: Int = 500) extends Serializable
+    publishBatchRows: Int = 500,
+    tlsTruststore: Option[String] = None,
+    tlsTruststorePassword: String = "changeit") extends Serializable {
+
+  /** Per-source TLS trust in [[NatsTransport.connect]]'s shape. Unlike
+    * the `-Dgraft.nats.tls.truststore` fallback this serializes with the
+    * options, so executor-side connections (partition readers, the
+    * dead-letter publisher, sink writers) get the same trust on a real
+    * multi-JVM cluster, not just in local mode. */
+  def tls: Option[(String, String)] = tlsTruststore.map((_, tlsTruststorePassword))
+}
 
 object NatsOptions {
   def from(options: CaseInsensitiveStringMap): NatsOptions = {
@@ -128,7 +138,13 @@ object NatsOptions {
         val n = options.getInt("publishBatchRows", 500)
         require(n >= 1, s"publishBatchRows must be >= 1, got $n")
         n
-      })
+      },
+      // TLS trust for a `nats://` broker advertising tls_required, as a
+      // SOURCE OPTION so it rides the serialized scan to every executor
+      // (a driver-set -Dgraft.nats.tls.truststore only works single-JVM).
+      tlsTruststore = Option(options.get("tlsTruststore")).filter(_.nonEmpty),
+      tlsTruststorePassword =
+        Option(options.get("tlsTruststorePassword")).getOrElse("changeit"))
   }
 }
 
@@ -191,7 +207,7 @@ class NatsSourceProvider extends TableProvider with DataSourceRegister {
           "sample of payloads (see also inferSamples / inferTimeoutMs)")
     val opts = NatsOptions.from(options)
     val payloads =
-      SchemaInference.sample(opts.url, opts.subject, opts.inferSamples, opts.inferTimeoutMs)
+      SchemaInference.sample(opts.url, opts.subject, opts.inferSamples, opts.inferTimeoutMs, opts.tls)
     SchemaInference.infer(opts.codec, payloads)
   }
 
@@ -369,7 +385,7 @@ final class NatsRowWriter(schema: StructType, opts: NatsOptions)
     schema.indices.filterNot(msgIdIdx.contains).toArray
   private val codec = PayloadCodec.strict(opts.codec,
     StructType(payloadFields.map(schema.fields)))
-  private val conn = NatsTransport.connect(opts.url)
+  private val conn = NatsTransport.connect(opts.url, opts.tls)
   // Encoded rows buffered up to publishBatchRows, then published as one
   // pipelined run (one TCP flush). Unflushed rows publish at commit();
   // abort() discards them — already-flushed rows stay at-least-once, as
@@ -626,7 +642,7 @@ private[nats] final class RowPipeline(
   @transient private var dlConn: NatsConnection = _
   private def deadLetter(subject: String, seq: Long, payload: String, err: String): Unit =
     opts.deadLetterSubject.foreach { dl =>
-      if (dlConn == null) dlConn = NatsTransport.connect(opts.url)
+      if (dlConn == null) dlConn = NatsTransport.connect(opts.url, opts.tls)
       dlConn.publishWithHeaders(dl,
         Seq(
           "Graft-Error" -> err.replaceAll("[\r\n]+", " "),
@@ -720,7 +736,7 @@ final class NatsBatch(
     * truncates below the bound).
     */
   private def replayPartitions(): Array[InputPartition] = {
-    val conn = NatsTransport.connect(opts.url)
+    val conn = NatsTransport.connect(opts.url, opts.tls)
     try conn match {
       case r: ReplayableNatsConnection =>
         require(!opts.subject.exists(c => c == '*' || c == '>'),
@@ -754,7 +770,7 @@ final class NatsBatchReader(p: NatsBatchPartition) extends PartitionReader[Inter
   private val pipeline = new RowPipeline(p.fullSchema, p.required, p.filters, p.opts)
   private val queue = new java.util.concurrent.LinkedBlockingQueue[InternalRow]()
   private val accepted = new java.util.concurrent.atomic.AtomicLong(0)
-  private val conn = NatsTransport.connect(p.opts.url)
+  private val conn = NatsTransport.connect(p.opts.url, p.opts.tls)
   // A live one-shot read has no broker sequence: _seq is the 1-based
   // arrival index of the message on this subscription (malformed or
   // filtered messages still consume an index — it names the message,
@@ -902,7 +918,7 @@ private[nats] object NatsReplayPartition {
 private[nats] final class NatsReplayReader(p: NatsReplayPartition)
     extends PartitionReader[InternalRow] {
   private val pipeline = new RowPipeline(p.fullSchema, p.required, p.filters, p.opts)
-  private val conn: ReplayableNatsConnection = NatsTransport.connect(p.opts.url) match {
+  private val conn: ReplayableNatsConnection = NatsTransport.connect(p.opts.url, p.opts.tls) match {
     case r: ReplayableNatsConnection =>
       NatsMetrics.replayReaderConnections.increment()
       r
@@ -962,7 +978,7 @@ final class NatsMicroBatchStream(
     with SupportsAdmissionControl with SupportsTriggerAvailableNow
     with ReportsSourceMetrics {
 
-  private val conn = NatsTransport.connect(opts.url)
+  private val conn = NatsTransport.connect(opts.url, opts.tls)
 
   // replay=true: PULL consumer over the transport's retention window
   // (JetStream analog) — offsets are broker sequences, no push

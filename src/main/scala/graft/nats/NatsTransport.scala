@@ -159,7 +159,17 @@ trait RangeFetch extends AutoCloseable {
   *     credentials included — jnats parses them natively).
   */
 object NatsTransport {
-  def connect(url: String): NatsConnection =
+  def connect(url: String): NatsConnection = connect(url, None)
+
+  /** As [[connect]], with per-connection trust for `nats://` brokers that
+    * advertise `tls_required`: `(PKCS12 truststore path, password)`. This
+    * is the SCOPED form of the `-Dgraft.nats.tls.truststore` knob (round
+    * 14, ADVICE r13): a source/sink option serializes with the scan and
+    * reaches every executor, whereas a driver-set system property only
+    * works in local mode (executors are separate JVMs on a real cluster).
+    * Ignored by `memory://` (no wire) and `jnats://` (the official client
+    * manages TLS through its own configuration). */
+  def connect(url: String, tlsTruststore: Option[(String, String)]): NatsConnection =
     if (url.startsWith("memory://")) InMemoryBus.connect(url.stripPrefix("memory://"))
     else if (url.startsWith("nats://")) {
       val rest = url.stripPrefix("nats://")
@@ -178,7 +188,13 @@ object NatsTransport {
         case Array(h) => (h, 4222) // NATS default port
         case _ => throw new IllegalArgumentException(s"Malformed NATS url: $url")
       }
-      val client = new TcpNatsClient(host, port, auth)
+      // Built here (truststore read at connect time, where a bad path
+      // fails loudly); only CONSULTED if the server's INFO demands the
+      // upgrade — plaintext brokers never pay for the handshake.
+      val tlsCtx = tlsTruststore.map { case (path, pw) =>
+        GraftTls.contextFromTruststore(path, pw)
+      }
+      val client = new TcpNatsClient(host, port, auth, tlsContext = tlsCtx)
       // A server advertising a retention surface upgrades the connection
       // to replayable: the graft extension (INFO graft_stream —
       // MiniNatsServer with retainCapacity > 0) or REAL JetStream (INFO

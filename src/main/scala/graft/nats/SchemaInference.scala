@@ -47,9 +47,10 @@ object SchemaInference {
     * otherwise a live subscription collects until `n` or the timeout.
     * Wildcard subjects always sample live (a family has no single
     * retention sequence). */
-  def sample(url: String, subject: String, n: Int, timeoutMs: Long): Seq[String] = {
+  def sample(url: String, subject: String, n: Int, timeoutMs: Long,
+      tls: Option[(String, String)] = None): Seq[String] = {
     require(n > 0, s"inferSamples must be positive, got $n")
-    val conn = NatsTransport.connect(url)
+    val conn = NatsTransport.connect(url, tls)
     try {
       val literal = !subject.exists(c => c == '*' || c == '>')
       conn match {

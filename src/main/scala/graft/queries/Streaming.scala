@@ -50,25 +50,44 @@ object Streaming {
     // The same canonical workload over an ENCRYPTED wire: in-process TLS
     // broker (MiniNatsServer with the in-repo self-signed keystore), the
     // native client upgrades on tls_required INFO, trust rides the
-    // documented -Dgraft.nats.tls.truststore knob — so the hash gate
-    // itself proves publish -> TLS socket -> DSv2 streaming read end to
-    // end, not just the specs (round 13; reference parity: async-nats
-    // TLS, Cargo.toml:9). Keystore paths are repo-relative (Verify and
-    // the specs both run from the repo root).
+    // `tlsTruststore` SOURCE OPTION — the per-source form of the
+    // -Dgraft.nats.tls.truststore knob that serializes to executors
+    // instead of mutating JVM-global state (round 14, ADVICE r13) — so
+    // the hash gate itself proves publish -> TLS socket -> DSv2
+    // streaming read end to end, not just the specs (reference parity:
+    // async-nats TLS, Cargo.toml:9). Keystores resolve from the main
+    // classpath, so the query is CWD-independent.
     QueryDef.noBench("q147_nats_tls_e2e", canonicalOracle) { (s, _) =>
       import graft.nats.{MiniNatsServer, NatsTransport}
+      // Classpath resource -> filesystem path (GraftTls takes paths).
+      // Under `sbt runMain` the main resources ride in a packaged jar
+      // (jar: URI, not a plain file), so fall back to a temp-file copy.
+      def res(name: String): String = {
+        val url = getClass.getResource("/" + name)
+        require(url != null, s"classpath resource /$name missing")
+        if (url.getProtocol == "file")
+          new java.io.File(url.toURI).getAbsolutePath
+        else {
+          val tmp = java.nio.file.Files.createTempFile("graft-tls", ".p12")
+          val is = getClass.getResourceAsStream("/" + name)
+          try java.nio.file.Files.copy(is, tmp,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          finally is.close()
+          tmp.toFile.deleteOnExit()
+          tmp.toString
+        }
+      }
+      val trust = res("graft-tls-trust.p12")
       val server = new MiniNatsServer(
-        tlsKeystore = Some(("src/test/resources/graft-tls-test.p12", "graft-test")))
-      val prevT = sys.props.get("graft.nats.tls.truststore")
-      val prevP = sys.props.get("graft.nats.tls.truststorePassword")
-      sys.props("graft.nats.tls.truststore") = "src/test/resources/graft-tls-trust.p12"
-      sys.props("graft.nats.tls.truststorePassword") = "graft-test"
+        tlsKeystore = Some((res("graft-tls-test.p12"), "graft-test")))
       try {
         val sink = s"nats_tls_sink_${sinkId.incrementAndGet()}"
-        val conn = NatsTransport.connect(server.url)
+        val conn = NatsTransport.connect(server.url, Some((trust, "graft-test")))
         val q = s.readStream.format("nats").schema(rowSchema)
           .option("url", server.url).option("subject", "nats_table")
           .option("batchSize", canonicalRows.size.toString)
+          .option("tlsTruststore", trust)
+          .option("tlsTruststorePassword", "graft-test")
           .load()
           .writeStream.format("memory").queryName(sink).start()
         try {
@@ -83,10 +102,6 @@ object Streaming {
         }
         s.sql(s"SELECT id, name FROM $sink ORDER BY id")
       } finally {
-        prevT.fold(sys.props.remove("graft.nats.tls.truststore"): Unit)(v =>
-          sys.props("graft.nats.tls.truststore") = v)
-        prevP.fold(sys.props.remove("graft.nats.tls.truststorePassword"): Unit)(v =>
-          sys.props("graft.nats.tls.truststorePassword") = v)
         server.stop()
       }
     },

@@ -98,4 +98,20 @@ class FixtureSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
     val minYear = ev.agg(min(year(col("ts")))).first().getInt(0)
     assert(minYear >= 2000, s"events.ts decoded to implausible year $minYear — unit mismatch in conversion")
   }
+
+  test("events load FAILS LOUDLY in a non-UTC session instead of silently shifting instants") {
+    // ADVICE r13: the NTZ->LTZ cast is instant-correct only because every
+    // entry point pins spark.sql.session.timeZone=UTC. A forgotten pin
+    // must be an error at load, not a skew in every event-time result.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Tables.load(spark, "/root/testdata/sf0.001", "events")
+      }
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    // and the UTC path still loads
+    assert(Tables.load(spark, "/root/testdata/sf0.001", "events").limit(1).count() == 1)
+  }
 }

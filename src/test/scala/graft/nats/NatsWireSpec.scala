@@ -582,6 +582,59 @@ class NatsWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("TLS: tlsTruststore SOURCE OPTION scopes trust per connection — no system properties involved") {
+    // The per-source form of the truststore knob (round 14, ADVICE r13):
+    // trust rides NatsOptions, so nothing JVM-global is mutated and a
+    // real cluster's executor-side connections inherit it from the
+    // serialized scan. Assert the props really are unset for the whole
+    // read — this test fails if trust silently leaks back to globals.
+    val server = tlsServer()
+    assert(sys.props.get("graft.nats.tls.truststore").isEmpty)
+    try {
+      val pub = NatsTransport.connect(
+        server.url, Some((resPath("graft-tls-trust.p12"), "graft-test")))
+      val df = spark.readStream.format("nats").schema(schema)
+        .option("url", server.url).option("subject", "tlsOpt")
+        .option("batchSize", "3")
+        .option("tlsTruststore", resPath("graft-tls-trust.p12"))
+        .option("tlsTruststorePassword", "graft-test")
+        .load()
+      val q = df.writeStream.format("memory").queryName("wire_tls_opt").start()
+      try {
+        eventually()(server.subscriptionCount("tlsOpt") >= 1)
+        Seq("1,apple", "2,banana", "3,orange")
+          .foreach(m => pub.publish("tlsOpt", m.getBytes))
+        eventually() {
+          q.processAllAvailable()
+          spark.sql("SELECT * FROM wire_tls_opt").count() == 3
+        }
+        assert(sys.props.get("graft.nats.tls.truststore").isEmpty,
+          "per-source TLS trust must not touch global system properties")
+      } finally { q.stop(); pub.close() }
+    } finally server.stop()
+  }
+
+  test("TLS: advertise-only broker (INFO demands TLS, socket refuses the handshake) fails fast with guidance") {
+    // Pins the MiniNatsServer tlsRequired knob's reason to exist (ADVICE
+    // r13): a misconfigured terminator advertises tls_required but never
+    // completes the upgrade. The client must surface an actionable
+    // IOException within its 5 s handshake window — not park the dial
+    // thread forever.
+    val server = new MiniNatsServer(tlsRequired = true)
+    try {
+      val t0 = System.nanoTime()
+      val e = intercept[java.io.IOException] {
+        new TcpNatsClient("127.0.0.1", server.port,
+          tlsContext = Some(trustCtx()), reconnectAttempts = 0).close()
+      }
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      assert(e.getMessage.contains("TLS handshake"),
+        s"expected the guidance error, got: ${e.getMessage}")
+      assert(elapsedSec < 15.0,
+        s"handshake failure took ${elapsedSec}s — the 5s window is not bounding the dial")
+    } finally server.stop()
+  }
+
   test("TLS: reconnect re-runs the upgrade — drop every connection, client re-dials encrypted and delivery resumes") {
     // The reconnect path shares connectSocket with the constructor, so a
     // broker restart against a TLS broker must re-handshake TLS before
