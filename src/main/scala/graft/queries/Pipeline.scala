@@ -1697,8 +1697,143 @@ object Pipeline {
         .unionByName(stage("2_fingerprint_dedup", dedup, col("n_tok")))
         .unionByName(stage("3_decontaminated", cleanDocs, col("n_tok")))
         .orderBy(col("stage"))
+    },
+
+    // ---- BPE tokenizer TRAINING (round 14): learn the first 24 merge
+    // rules from the corpus, distributed. The scale move is the FIRST
+    // step: one corpus-sized explode+groupBy collapses 100 TB of text to
+    // its word HISTOGRAM (vocab-sized — ~10M rows for web-scale English,
+    // kilobytes here), and every training round after that runs on the
+    // histogram, corpus-size-independent. Per round: adjacent symbol
+    // pairs are counted corpus-weighted (freq), the argmax pair (ties
+    // broken lexicographically — deterministic) becomes merge rule r,
+    // and the rule is applied to the vocab via a constant-key broadcast
+    // LEFT join (1-row build side -> BroadcastHashJoin, never a
+    // cartesian; an exhausted pair vocabulary degrades to a no-op join
+    // instead of wiping the frame). Both per-round frames are
+    // localCheckpoint'ed — vocab-sized, eager, cuts the 24-round lineage
+    // exactly like q76's propagation loop. No .collect(): the argmax
+    // stays a 1-row DataFrame end to end. No oracle: iterative
+    // data-dependent re-tokenization is not ANSI-SQL-expressible; BpeSpec
+    // pins the FULL merge table exactly against an independent in-memory
+    // reference implementation (stronger than the q139/q140 bounded
+    // pattern), plus determinism across runs. ----
+    QueryDef.noOracle("q150_bpe_train") { (s, dir) =>
+      bpeTrain(s, dir, BpeMerges)
+        .select(col("rank"), col("l"), col("r"),
+          concat(col("l"), col("r")).as("merged"), col("cnt"))
+        .orderBy(col("rank"))
+    },
+
+    // ---- BPE tokenizer APPLICATION (round 14): re-train the 24 rules,
+    // then tokenize every document and report subword token counts — the
+    // honest token-budget unit (q34/q116's budgets count whitespace
+    // words; BPE counts are what an LLM actually consumes). Tokenization
+    // is vocab-sized too: the merge list rides ONE broadcast row (an
+    // array<struct> folded over each word — nested higher-order
+    // aggregate, no UDF), each DISTINCT word is tokenized once, and
+    // per-doc counts come from re-joining the exploded corpus to the
+    // 31-row (at this fixture; ~10M at web scale) tokenized vocab —
+    // broadcast or shuffle hash join on the word key, never per-document
+    // work on the merge rules. Empty-text docs keep n_words = 0 via the
+    // left re-join. BpeSpec pins per-doc counts exactly against the
+    // independent reference tokenizer. ----
+    QueryDef.noOracle("q151_bpe_tokenize") { (s, dir) =>
+      val merges = bpeTrain(s, dir, BpeMerges)
+      val mergesArr = merges
+        .agg(sort_array(collect_list(struct(col("rank"), col("l"), col("r"))))
+          .as("ms"))
+        .select(lit(1).as("k"), col("ms"))
+      // tokenize each DISTINCT word once: fold the ranked merge list over
+      // the char split (outer aggregate), each rule applied by the same
+      // left-to-right fold bpeTrain uses (inner aggregate).
+      val vocab = bpeWordHist(s, dir)
+        .withColumn("syms", split(col("w"), ""))
+        .withColumn("k", lit(1))
+        .join(broadcast(mergesArr), Seq("k"), "left")
+        .select(col("w"),
+          size(expr(s"aggregate(ms, syms, (cur, m) -> ${bpeFoldSql("cur", "m.l", "m.r")})"))
+            .as("n_tok"))
+      val perDoc = T(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(vocab, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_tok")).cast(LongType).as("n_tokens_bpe"))
+      T(s, dir, "documents").select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_tokens_bpe"), lit(0L)).as("n_tokens_bpe"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  // ---- BPE shared pieces (q150/q151) ----
+
+  /** Merge count learned by q150 / applied by q151. 24 is deep enough to
+    * grow multi-character subwords on the fixture vocabulary while
+    * keeping the training loop's job count bench-friendly. */
+  private val BpeMerges = 24
+
+  /** Corpus -> corpus-weighted word histogram (the one corpus-sized step
+    * of the BPE family; everything downstream is vocab-sized). Lowercased
+    * alnum runs — the "BPE-ish" pre-tokenization of the survey brief. */
+  private def bpeWordHist(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** One left-to-right BPE merge pass as a SQL fold: every non-
+    * overlapping adjacent (l, r) in the symbol array becomes the
+    * concatenated symbol, scanning left to right (the classic algorithm's
+    * replacement order — "aaaa" with rule (a,a) gives [aa, aa]). Shared
+    * verbatim by training and application so the two cannot drift. */
+  private def bpeFoldSql(symsExpr: String, lExpr: String, rExpr: String): String =
+    s"""aggregate($symsExpr, cast(array() as array<string>), (acc, x) ->
+       |  case when size(acc) = 0 then array(x)
+       |       when element_at(acc, -1) = $lExpr and x = $rExpr
+       |         then concat(slice(acc, 1, size(acc) - 1), array(concat($lExpr, $rExpr)))
+       |       else concat(acc, array(x)) end)""".stripMargin
+
+  /** The q150 training loop: `nMerges` rounds of corpus-weighted pair
+    * count -> deterministic argmax -> vocab-wide rule application.
+    * Returns the merge table (rank, l, r, cnt). */
+  private def bpeTrain(s: SparkSession, dir: String, nMerges: Int): DataFrame = {
+    var words = bpeWordHist(s, dir)
+      .withColumn("syms", split(col("w"), ""))
+      .select(col("freq"), col("syms"))
+      .localCheckpoint() // eager: corpus lineage ends here, vocab-sized
+    var merges: DataFrame = null
+    for (rank <- 1 to nMerges) {
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) as l, element_at(syms, i + 1) as r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).cast(LongType).as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r")).limit(1)
+        .select(lit(rank).as("rank"), col("l"), col("r"), col("cnt"))
+      // NOT checkpointed: the words checkpoint below materializes best_r
+      // inside its own job, and the final merge-table materialization
+      // recomputes each best_r as one aggregate over its CHECKPOINTED
+      // words_r — linear, vocab-sized. A per-round best checkpoint would
+      // double the job count (the dominant cost of a 24-round loop).
+      merges = if (merges == null) best else merges.union(best)
+      words = words
+        .withColumn("k", lit(1))
+        .join(broadcast(best.select(lit(1).as("k"), col("l"), col("r"))), Seq("k"), "left")
+        .withColumn("syms",
+          when(col("l").isNull, col("syms"))
+            .otherwise(expr(bpeFoldSql("syms", "l", "r"))))
+        .select(col("freq"), col("syms"))
+        .localCheckpoint()
+    }
+    merges
+  }
 
   /** DuckDB mirror of q149: the same four chained stages — q47's quality
     * rules, keep-first dedup on md5 of the re-joined tokens, and the

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exactness gate for the BPE family (q150 train / q151 apply), which is
+  * `no_oracle` in the driver gate (iterative data-dependent
+  * re-tokenization is not ANSI-SQL-expressible). The pin here is EXACT,
+  * not bounded: an independent in-memory BPE implementation (written
+  * from the algorithm, sharing no code with the distributed one — plain
+  * Scala maps and lists, no Spark) must produce the identical merge
+  * table and identical per-document token counts on the same fixture.
+  */
+class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("bpe-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- independent reference implementation (no Spark, no shared code) ----
+
+  private def refWords(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+
+  /** One left-to-right merge pass of rule (l, r) over a symbol list. */
+  private def refMergePass(syms: List[String], l: String, r: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  /** Classic histogram BPE: returns (merge table, final word->tokens). */
+  private def refTrain(hist: Map[String, Long], nMerges: Int)
+    : (Seq[(Int, String, String, Long)], Map[String, List[String]]) = {
+    var words: Map[List[String], Long] =
+      hist.groupMapReduce { case (w, _) => w.split("").toList } (_._2)(_ + _)
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, freq) <- words; Seq(a, b) <- syms.sliding(2) if syms.length >= 2)
+        pairCnt((a, b)) = pairCnt.getOrElse((a, b), 0L) + freq
+      if (pairCnt.nonEmpty) {
+        // argmax, ties broken lexicographically — must match the query's
+        // ORDER BY cnt DESC, l, r LIMIT 1
+        val ((l, r), cnt) = pairCnt.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((rank, l, r, cnt))
+        words = words.groupMapReduce { case (syms, _) => refMergePass(syms, l, r) } (_._2)(_ + _)
+      }
+    }
+    val tokensByWord = hist.keys.map { w =>
+      var syms = w.split("").toList
+      merges.foreach { case (_, l, r, _) => syms = refMergePass(syms, l, r) }
+      w -> syms
+    }.toMap
+    (merges.toList, tokensByWord)
+  }
+
+  private lazy val corpus: Seq[(Long, String)] = {
+    // read the fixture via Spark but materialize to plain Scala — the
+    // reference computation itself never touches a DataFrame
+    graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+      .toSeq
+  }
+
+  private lazy val refHist: Map[String, Long] =
+    corpus.flatMap { case (_, t) => refWords(t) }
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+
+  private lazy val ref = refTrain(refHist, 24)
+
+  test("q150: distributed merge table EXACTLY equals the independent reference (all 24 ranks)") {
+    val got = Registry.byName("q150_bpe_train").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    val want = ref._1.map { case (rank, l, r, cnt) => (rank, l, r, l + r, cnt) }
+    assert(got.size === 24, s"expected 24 merge rules, got ${got.size}")
+    assert(got === want)
+  }
+
+  test("q151: per-document counts match the reference tokenizer exactly, and budget invariants hold") {
+    val got = Registry.byName("q151_bpe_tokenize").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val tokensByWord = ref._2
+    corpus.foreach { case (docId, text) =>
+      val ws = refWords(text)
+      val want = (ws.size.toLong, ws.map(w => tokensByWord(w).size.toLong).sum)
+      assert(got(docId) === want, s"doc $docId: got ${got(docId)}, want $want")
+      // budget invariants: >= 1 token per word, <= 1 token per character
+      val (nw, nt) = got(docId)
+      assert(nt >= nw, s"doc $docId: fewer tokens than words")
+      assert(nt <= ws.map(_.length.toLong).sum, s"doc $docId: more tokens than characters")
+    }
+    assert(got.size === corpus.size, "every document must appear exactly once")
+  }
+
+  test("q150 is deterministic across runs (argmax ties pinned)") {
+    val a = Registry.byName("q150_bpe_train").build(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val b = Registry.byName("q150_bpe_train").build(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+}

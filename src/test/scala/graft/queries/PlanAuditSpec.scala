@@ -60,7 +60,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q143_matryoshka_eval",
     // q148 cross-joins its ONE-row (n_chunks, avgdl) corpus stats —
     // q96's audited shape at chunk granularity.
-    "q148_chunk_retrieval")
+    "q148_chunk_retrieval",
+    // q151 broadcasts its ONE-row ranked-merge-list array (24 structs,
+    // bytes at any corpus size) into the vocab tokenization — the
+    // constant-key left join constant-folds to a BNLJ with a 1-row
+    // build side. q150's equivalent joins run eagerly inside the
+    // training loop's checkpoints and never appear in a cold plan.
+    "q151_bpe_tokenize")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.

@@ -217,7 +217,14 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a broadcast decon probe; the renamed copies fail the stopword rule
     // (tokens are 'thezqN'), so later stages shrink to ~copy-0 — the
     // funnel output is 4 rows at any scale and runtime tracks the scan
-    "q149_curation_funnel")
+    "q149_curation_funnel",
+    // round-14 additions. q150: the zqN suffixes grow the WORD VOCABULARY
+    // ~10x, which is exactly the dimension BPE training scales in — one
+    // corpus-sized histogram shuffle, then 24 vocab-sized rounds; output
+    // is 24 rows at any scale. q151 re-trains and tokenizes the 10x
+    // vocab once, then re-joins the exploded corpus — output rows =
+    // #docs, the 10x-linear case.
+    "q150_bpe_train", "q151_bpe_tokenize")
     // (q127 is NOT here: its confusion-matrix output is bounded by
     // #labels^2 and legitimately SHRINKS when the boosted-copy geometry
     // concentrates predictions, so the harness's rows-non-decreasing
