@@ -129,6 +129,44 @@ object Streaming {
       s.sql(s"SELECT id, name FROM $sink ORDER BY id")
     },
 
+    // Trigger.AvailableNow BACKFILL DRAIN (round 14): the operational
+    // "catch up on the retained backlog, then stop" mode — what a
+    // nightly job runs against a JetStream stream that accumulated all
+    // day. The whole `nation` fixture is published DISTRIBUTED through
+    // the NATS sink (q32's write path — no driver-side row loop), then
+    // an AvailableNow read with a small batchSize drains the retained
+    // backlog across MULTIPLE micro-batches (7+7+7+4, the
+    // prepare-time-snapshot bound of SupportsTriggerAvailableNow) and
+    // self-terminates; the deliberately huge flushTimeoutMs proves
+    // bounded runs flush the final partial batch immediately instead of
+    // waiting out the timer. Oracle: the fixture table itself — the
+    // drain must be exactly the data that went in. At scale this is the
+    // replay path whose partitions carry offsets only (executor-side
+    // ranged FETCH), so the backfill parallelizes like any batch scan. ----
+    QueryDef.noBench(
+      "q152_availablenow_backfill",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val url = s"memory://q152-${UUID.randomUUID()}"
+      val sink = s"nats_backfill_sink_${sinkId.incrementAndGet()}"
+      val nation = graft.Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      nation.write.format("nats")
+        .option("url", url).option("subject", "backfill")
+        .mode("append").save()
+      val q = s.readStream.format("nats").schema(nation.schema)
+        .option("url", url).option("subject", "backfill")
+        .option("batchSize", "7")
+        .option("flushTimeoutMs", "60000")
+        .option("replay", "true").option("startSequence", "0")
+        .load()
+        .writeStream.format("memory").queryName(sink)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(60000),
+        "AvailableNow backfill must drain the backlog and self-terminate")
+      s.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM $sink ORDER BY n_nationkey")
+    },
+
     // The write path (beyond parity — the reference has no sink at all):
     // df.write.format("nats") publishes codec-encoded payloads; a live
     // subscription collects them and the codec parses them back. Proves

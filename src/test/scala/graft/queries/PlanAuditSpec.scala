@@ -77,7 +77,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q97_stream_static_join", "q101_headers_envelope", "q105_transform_with_state",
     "q106_stream_timers", "q108_stream_initial_state", "q111_stream_index_maintain",
     "q118_state_store_read", "q119_stream_outer_join", "q120_idempotent_sink",
-    "q147_nats_tls_e2e")
+    "q147_nats_tls_e2e", "q152_availablenow_backfill")
 
   test("registry names are unique and well-formed (duplicates would silently shadow in SparkEntry.queries)") {
     val names = Registry.all.map(_.name)
