@@ -2420,6 +2420,133 @@ object Analytics {
         .select(col("label"), col("n"),
           round((col("ssq") - col("sself")) / (col("n") * (col("n") - 1)), 6).as("mean_cos"))
         .orderBy(col("label"))
+    },
+
+    // ---- q153: triangle count + local clustering coefficient on the
+    // nation trade graph (round 14) — the LOCAL-structure metric the
+    // graph family lacked: q76 covers reachability, q128 stationary
+    // mass; triangles/clustering coefficient is what spam and community
+    // detection on host graphs actually compute (a link farm is a
+    // high-cc clique; an organic hub is low-cc). Edges: undirected
+    // nation pairs whose trade weight is STRICTLY above the mean —
+    // compared in pure integer arithmetic (w * n_pairs > sum_w, no
+    // float threshold to drift cross-engine), which yields a mid-density
+    // graph at every fixture SF (81 edges/16 nodes at sf0.001) where
+    // the raw graph is complete. The scale move is DEGREE-ORDERED
+    // ORIENTATION (Suri-Vassilvitskii): each edge points from its
+    // lower-(degree, id) endpoint to the higher, so every triangle is
+    // counted exactly once from its lowest vertex and the candidate
+    // pair join per node is bounded by ORIENTED out-degree² = O(m^1.5)
+    // total work instead of Σ deg² (which a star graph blows up).
+    // cc_micro = 2·T(v)·10^6 DIV deg(v)·(deg(v)−1) stays in int64
+    // (division guarded for degree-1 nodes — ANSI mode errors on /0).
+    // 100 TB shape (nodes = hosts, edges = hyperlinks): the corpus-sized
+    // fact join aggregates ONCE to the edge list and everything after is
+    // edge-sized; candidate generation + existence check are EQUI joins
+    // on node keys (hash-partitionable; PlanAudit holds them to
+    // hash/merge); the only broadcasts are the 1-row total and the
+    // #nodes-row degree/name dims. ----
+    QueryDef(
+      "q153_triangle_count",
+      """WITH p AS (
+        |  SELECT LEAST(c.c_nationkey, s.s_nationkey) AS u,
+        |         GREATEST(c.c_nationkey, s.s_nationkey) AS v, COUNT(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT COUNT(*) AS np, SUM(w) AS sw FROM p),
+        |edges AS (SELECT u, v FROM p, tot WHERE w * tot.np > tot.sw),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS degree FROM (
+        |    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges) dd
+        |  GROUP BY node),
+        |oriented AS (
+        |  SELECT CASE WHEN du.degree < dv.degree
+        |              OR (du.degree = dv.degree AND e.u < e.v)
+        |         THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN du.degree < dv.degree
+        |              OR (du.degree = dv.degree AND e.u < e.v)
+        |         THEN e.v ELSE e.u END AS dst
+        |  FROM edges e
+        |  JOIN deg du ON du.node = e.u
+        |  JOIN deg dv ON dv.node = e.v),
+        |tri AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM oriented e1
+        |  JOIN oriented e2 ON e2.src = e1.src AND e2.dst <> e1.dst
+        |  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |pertri AS (
+        |  SELECT node, COUNT(*) AS triangles FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) tt
+        |  GROUP BY node)
+        |SELECT n.n_name, d.degree, COALESCE(t.triangles, 0) AS triangles,
+        |  CASE WHEN d.degree >= 2
+        |       THEN (COALESCE(t.triangles, 0) * 2000000)
+        |            // (d.degree * (d.degree - 1))
+        |       ELSE CAST(0 AS BIGINT) END AS cc_micro
+        |FROM deg d
+        |JOIN nation n ON n.n_nationkey = d.node
+        |LEFT JOIN pertri t ON t.node = d.node
+        |ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+      val cust = T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val supp = T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val pairs = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .select(least(col("c_nationkey"), col("s_nationkey")).as("u"),
+          greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      // The corpus-sized fact join runs ONCE; the 1-row total broadcasts
+      // back over the edge-sized pair list (q133/q142's audited shape).
+      val tot = pairs.agg(count(lit(1)).as("np"), sum(col("w")).as("sw"))
+      val edges = pairs.crossJoin(broadcast(tot))
+        .filter(col("w") * col("np") > col("sw"))
+        .select(col("u"), col("v"))
+        .persist()
+      val deg = edges.select(col("u").as("node"))
+        .unionByName(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .persist()
+      val lower = (col("du") < col("dv")) ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = edges
+        .join(broadcast(deg.select(col("node").as("un"), col("degree").as("du"))),
+          col("u") === col("un"))
+        .join(broadcast(deg.select(col("node").as("vn"), col("degree").as("dv"))),
+          col("v") === col("vn"))
+        .select(when(lower, col("u")).otherwise(col("v")).as("src"),
+          when(lower, col("v")).otherwise(col("u")).as("dst"))
+        .persist()
+      val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+      val e2 = oriented.select(col("src").as("a2"), col("dst").as("c"))
+      val e3 = oriented.select(col("src").as("b3"), col("dst").as("c3"))
+      // Candidate wedges from each low vertex, then ONE oriented
+      // existence probe closes (or drops) the wedge — both equi joins.
+      val tri = e1.join(e2, col("a") === col("a2") && col("b") =!= col("c"))
+        .join(e3, col("b") === col("b3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+      val pertri = tri.select(col("a").as("node"))
+        .unionByName(tri.select(col("b").as("node")))
+        .unionByName(tri.select(col("c").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+        .withColumnRenamed("node", "tn")
+      val nation = T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      deg.join(broadcast(nation), col("node") === col("n_nationkey"))
+        .join(pertri, col("node") === col("tn"), "left")
+        .select(col("n_name"), col("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"),
+          when(col("degree") >= 2,
+            expr("(coalesce(triangles, 0L) * 2000000) DIV (degree * (degree - 1))"))
+            .otherwise(lit(0L)).as("cc_micro"))
+        .orderBy(col("n_name"))
     }
   )
 

@@ -1767,6 +1767,61 @@ object Pipeline {
           coalesce(col("n_words"), lit(0L)).as("n_words"),
           coalesce(col("n_tokens_bpe"), lit(0L)).as("n_tokens_bpe"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q155: DSIR-style importance resampling (round 14; Data
+    // Selection via Importance Resampling, Xie et al. 2023 — public
+    // method): pick the source documents that look most like a TARGET
+    // domain by hashed-feature importance weights. Features are hashed
+    // unigrams (the shared 60-bit md5 rule, mod 1024 buckets); target =
+    // the doc_id%20 benchmark split (q149's convention), source = the
+    // rest. Per-bucket log-ratio r(b) = ln((ct+1)(Ns+1024) /
+    // (cs+1)(Nt+1024)) — add-1 smoothing over the bucket space; per-doc
+    // importance = Σ_b count_b · r(b). Cross-engine exactness is the
+    // q96 trick: r(b) is rounded ONCE to integer micro-units (the ln of
+    // a ratio of exact integer products, so both engines divide the
+    // same doubles), and the per-doc sum is order-free integer
+    // arithmetic. Output: top-50 source docs by importance. 100 TB
+    // shape: feature hashing is scan-local; the model is TWO 1024-row
+    // bucket aggregates + two 1-row totals (kilobytes, broadcast —
+    // DSIR's whole point is that the importance model is tiny); scoring
+    // is a broadcast join + one doc-keyed partial agg; the final cut is
+    // a TakeOrdered heap, never a global sort. ----
+    QueryDef("q155_dsir_resample", dsirOracle) { (s, dir) =>
+      val words = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), col("lang"),
+          pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType),
+            lit(1024L)).as("b"))
+        .persist() // 4 consumers: target counts, source counts, totals, scoring
+      val isTgt = col("doc_id") % 20 === 0
+      val tgt = words.filter(isTgt).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val srcw = words.filter(!isTgt)
+      val scnt = srcw.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+      val totT = words.filter(isTgt).agg(count(lit(1)).as("nt"))
+      val totS = srcw.agg(count(lit(1)).as("ns"))
+      val ratio = scnt.join(tgt, Seq("b"), "left")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(totT)).crossJoin(broadcast(totS))
+        .select(col("b"), expr(
+          "cast(round(ln(((ct + 1) * (ns + 1024)) / ((cs + 1) * (nt + 1024))) " +
+            "* 1000000, 0) as bigint)").as("r_micro"))
+      val scores = srcw
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(ratio), Seq("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("cnt") * col("r_micro")).as("score_micro"))
+      // TakeOrdered cut FIRST (per-partition heaps), then rank the
+      // 50-row frame — the global window never sees corpus rows.
+      val top = scores.orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+      val wTop = Window.orderBy(col("score_micro").desc, col("doc_id"))
+      top.withColumn("rank", row_number().over(wTop))
+        .select(col("rank"), col("doc_id"), col("lang"), col("score_micro"))
+        .orderBy(col("rank"))
     }
   )
 
@@ -1834,6 +1889,39 @@ object Pipeline {
     }
     merges
   }
+
+  /** DuckDB mirror of q155: same hashed-unigram buckets (shared 60-bit
+    * md5 rule mod 1024), same add-1-smoothed log-ratio rounded once to
+    * integer micro-units, same order-free integer per-doc sum. */
+  private def dsirOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS b
+      |  FROM (SELECT doc_id, lang,
+      |          unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+      |        FROM documents WHERE text IS NOT NULL)
+      |  WHERE len(w) > 0),
+      |tgt AS (SELECT b, COUNT(*) AS ct FROM words WHERE doc_id % 20 = 0 GROUP BY b),
+      |srcw AS (SELECT * FROM words WHERE doc_id % 20 <> 0),
+      |scnt AS (SELECT b, COUNT(*) AS cs FROM srcw GROUP BY b),
+      |tott AS (SELECT COUNT(*) AS nt FROM words WHERE doc_id % 20 = 0),
+      |tots AS (SELECT COUNT(*) AS ns FROM srcw),
+      |ratio AS (
+      |  SELECT s.b,
+      |    CAST(round(ln(((COALESCE(t.ct, 0) + 1) * (ns + 1024))
+      |                  / ((s.cs + 1) * (nt + 1024))) * 1000000, 0) AS BIGINT) AS r_micro
+      |  FROM scnt s LEFT JOIN tgt t USING (b), tott, tots),
+      |perdoc AS (
+      |  SELECT doc_id, lang, b, COUNT(*) AS cnt FROM srcw GROUP BY 1, 2, 3),
+      |scores AS (
+      |  SELECT doc_id, lang, CAST(SUM(cnt * r_micro) AS BIGINT) AS score_micro
+      |  FROM perdoc JOIN ratio USING (b) GROUP BY 1, 2)
+      |SELECT * FROM (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rank,
+      |    doc_id, lang, score_micro
+      |  FROM scores)
+      |WHERE rank <= 50
+      |ORDER BY rank""".stripMargin
 
   /** DuckDB mirror of q149: the same four chained stages — q47's quality
     * rules, keep-first dedup on md5 of the re-joined tokens, and the
@@ -2871,4 +2959,61 @@ object Pipeline {
       |FROM p
       |GROUP BY lang, lang_pred
       |ORDER BY lang, lang_pred""".stripMargin
+
+  // ---- q149's benchmark gram set as a STORED layout (round 14, VERDICT
+  // r13 item 6): at 100 TB the benchmark suite is static — its shingle
+  // set is written ONCE as a bucketed table and every curation run
+  // PROBES it, instead of re-exploding the benchmark split per run
+  // (q149 keeps the inline derivation because its oracle re-derives
+  // too; this is the production layout next to it, spec-asserted in
+  // StorageLayoutSpec). Write-once per (JVM, source dir) like q65/q77.
+  private val benchGramDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Returns the dir-qualified bucketed gram-table name. */
+  private[graft] def ensureBenchGramTable(s: SparkSession, dir: String): String = synchronized {
+    graft.functions.GraftFunctions.register(s)
+    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_bench_grams_$dirKey"
+    if (!(benchGramDirs.contains(dir) && s.catalog.tableExists(tbl))) {
+      val root = graft.BuildPaths.scratch(s"bench_grams/$dirKey")
+      T(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 20 === 0)
+        .select(col("lang"), explode(expr("graft_shingle_hashes(text)")).as("g"))
+        .distinct()
+        .write.mode("overwrite")
+        .bucketBy(8, "lang", "g").sortBy("lang", "g")
+        .option("path", s"$root/$tbl")
+        .format("parquet").saveAsTable(tbl)
+      benchGramDirs.add(dir)
+    }
+    tbl
+  }
+
+  /** The q149 decontamination stage against the STORED gram table: per
+    * lang, how many pool docs share any benchmark shingle. Two physical
+    * shapes, both spec-asserted:
+    *   - `merge = false` (benchmarks are tiny — the q149 default): the
+    *     stored table BROADCASTS, the corpus probe side never shuffles;
+    *   - `merge = true` (the full-eval-suite fallback when the gram set
+    *     outgrows broadcast): sort-merge semi join where the bucketed
+    *     gram side is read IN PLACE (zero exchange — the write-once
+    *     bucketing pays for every later run) and only the per-run corpus
+    *     side shuffles.
+    */
+  private[graft] def decontaminateStoredGrams(
+      s: SparkSession, dir: String, merge: Boolean): DataFrame = {
+    val tbl = ensureBenchGramTable(s, dir)
+    val grams = s.table(tbl)
+    val corpus = T(s, dir, "documents")
+      .filter(col("text").isNotNull && col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("graft_shingle_hashes(text)")).as("g"))
+    val probed =
+      if (merge) corpus.join(grams.hint("merge"), Seq("lang", "g"), "left_semi")
+      else corpus.join(broadcast(grams), Seq("lang", "g"), "left_semi")
+    probed.select(col("doc_id"), col("lang")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_contaminated"))
+      .orderBy(col("lang"))
+  }
 }

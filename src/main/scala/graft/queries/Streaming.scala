@@ -906,6 +906,84 @@ object Streaming {
         .orderBy(col("doc_id"))
     },
 
+    // Dedup-AT-INGEST (round 14): q111 maintains the standing band
+    // index; a real crawl loop also TRIAGES each arriving batch against
+    // that index before appending — one foreachBatch does both, so a
+    // duplicate published in batch 2 is flagged against batch 1's bands
+    // with exactly one index round-trip per micro-batch. Doc 3 (batch 2)
+    // is a near-dup of doc 1 (batch 1): its MinHash bands collide with
+    // the standing index and it is flagged AND withheld from the index
+    // (the index stays canonical — later copies keep matching the FIRST
+    // occurrence, the q40/q110 kept-first rule at ingest time). At
+    // 100 TB this is the production ingest loop: the batch is small, the
+    // index is a bucketed table joined on (band, key) — cost tracks the
+    // batch, the corpus is never rescanned, and the left-semi probe is
+    // the only corpus-sized-index touch. ----
+    QueryDef.noBench(
+      "q154_stream_dedup_ingest",
+      """SELECT doc_id, is_dup
+        |FROM (VALUES (1, false), (2, false), (3, true), (4, false))
+        |  AS t(doc_id, is_dup)
+        |ORDER BY doc_id""".stripMargin) { (s, _) =>
+      graft.functions.GraftFunctions.register(s)
+      val url = s"memory://q154-${UUID.randomUUID()}"
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-ingest-index").toString
+      val triageDir = java.nio.file.Files.createTempDirectory("graft-ingest-triage").toString
+      val conn = NatsTransport.connect(url)
+      val schema = StructType(Seq(
+        StructField("doc_id", IntegerType, nullable = false),
+        StructField("text", StringType, nullable = false)))
+      val bandSchema = StructType(Seq(
+        StructField("doc_id", IntegerType, nullable = false),
+        StructField("band", IntegerType, nullable = false),
+        StructField("key", StringType, nullable = false)))
+      // Seed an EMPTY index so batch 1's probe reads a well-formed table
+      // (production: the standing bucketed index already exists).
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandSchema)
+        .write.mode("overwrite").parquet(idxDir)
+      val bandExpr = (0 until 6).map(j =>
+        s"$j, concat(sig[${2 * j}], '_', sig[${2 * j + 1}])")
+        .mkString("stack(6, ", ", ", ") as (band, key)")
+      val q = s.readStream.format("nats").schema(schema)
+        .option("url", url).option("subject", "crawl_docs")
+        .option("batchSize", "2").load()
+        .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(col("doc_id"), expr(bandExpr))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          val b = batch.persist()
+          try {
+            val idx = b.sparkSession.read.parquet(idxDir)
+            // triage: any shared (band, key) with the standing index
+            val dup = b.join(idx, Seq("band", "key"), "left_semi")
+              .select(col("doc_id")).distinct()
+            b.select(col("doc_id")).distinct()
+              .join(dup.withColumn("d", lit(1)), Seq("doc_id"), "left")
+              .select(col("doc_id"), col("d").isNotNull.as("is_dup"))
+              .write.mode("append").parquet(triageDir)
+            // append: only CLEAN docs' bands join the canonical index
+            b.join(dup, Seq("doc_id"), "left_anti")
+              .write.mode("append").parquet(idxDir)
+          } finally b.unpersist()
+        }
+        .start()
+      try {
+        NatsDemo.awaitSubscriber(url, "crawl_docs")
+        conn.publish("crawl_docs", "1,alpha beta gamma delta".getBytes)
+        conn.publish("crawl_docs", "2,the quick brown fox".getBytes)
+        q.processAllAvailable()
+        conn.publish("crawl_docs", "3,alpha beta gamma delta".getBytes) // near-dup of 1
+        conn.publish("crawl_docs", "4,slow green turtle pace".getBytes)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        conn.close()
+      }
+      s.read.parquet(triageDir).orderBy(col("doc_id"))
+    },
+
     // Spark 4's state data source — the ops/debugging surface for
     // stateful streams: AFTER the query stops, its checkpointed state
     // opens as a normal batch DataFrame (format "statestore"), no

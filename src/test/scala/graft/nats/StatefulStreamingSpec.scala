@@ -378,4 +378,14 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // u1 = 10 seed + 2 live; u2's seed never emits (no live rows); u3 = live-only
     assert(rows === Seq((1, 12L), (3, 1L)))
   }
+
+  test("q154 QueryDef: dedup-at-ingest flags a batch-2 duplicate against batch 1's index") {
+    // The cross-batch property the entry exists for: doc 3 arrives in
+    // micro-batch 2, its bands collide with doc 1's (appended to the
+    // standing index by micro-batch 1's foreachBatch), so it is flagged
+    // dup — while batch-1 docs and the genuinely-new doc 4 stay clean.
+    val df = graft.queries.Registry.byName("q154_stream_dedup_ingest").build(spark, "")
+    val rows = df.collect().map(r => (r.getInt(0), r.getBoolean(1))).toSeq
+    assert(rows === Seq((1, false), (2, false), (3, true), (4, false)))
+  }
 }

@@ -66,7 +66,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // constant-key left join constant-folds to a BNLJ with a 1-row
     // build side. q150's equivalent joins run eagerly inside the
     // training loop's checkpoints and never appear in a cold plan.
-    "q151_bpe_tokenize")
+    "q151_bpe_tokenize",
+    // q153 cross-joins its ONE-row (n_pairs, total_weight) aggregate
+    // into the edge-sized pair list to apply the above-mean threshold —
+    // the q133/q142 shape; the triangle joins themselves are equi joins
+    // and stay under the hash/merge rule.
+    "q153_triangle_count",
+    // q155 cross-joins its two 1-row corpus totals into the ≤1024-row
+    // bucket ratio table (the DSIR importance model is kilobytes by
+    // design); scoring joins are broadcast/hash equi joins.
+    "q155_dsir_resample")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
@@ -77,7 +86,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q97_stream_static_join", "q101_headers_envelope", "q105_transform_with_state",
     "q106_stream_timers", "q108_stream_initial_state", "q111_stream_index_maintain",
     "q118_state_store_read", "q119_stream_outer_join", "q120_idempotent_sink",
-    "q147_nats_tls_e2e", "q152_availablenow_backfill")
+    "q147_nats_tls_e2e", "q152_availablenow_backfill",
+    "q154_stream_dedup_ingest")
 
   test("registry names are unique and well-formed (duplicates would silently shadow in SparkEntry.queries)") {
     val names = Registry.all.map(_.name)

@@ -97,6 +97,22 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .coalesce(4).write.parquet(s"$dir/lineitem.parquet")
+    // Orders duplicates with offsets MATCHING lineitem's (q153's input):
+    // each copy's lineitems join their own orders copy, so every trade
+    // pair's weight grows exactly 10x and the above-mean edge set — and
+    // with it the triangle/clustering output — is INVARIANT while the
+    // fact join grows 10x. Dimensions (customer/supplier/nation) copy
+    // verbatim: a trade graph grows in edge weight long before in node
+    // count, which is exactly the q153 scale claim.
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    (0 until Copies).map(i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .coalesce(4).write.parquet(s"$dir/orders.parquet")
+    Seq("customer", "supplier", "nation").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .coalesce(1).write.parquet(s"$dir/$t.parquet")
+    }
     dir
   }
 
@@ -224,7 +240,18 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // is 24 rows at any scale. q151 re-trains and tokenizes the 10x
     // vocab once, then re-joins the exploded corpus — output rows =
     // #docs, the 10x-linear case.
-    "q150_bpe_train", "q151_bpe_tokenize")
+    "q150_bpe_train", "q151_bpe_tokenize",
+    // q153: matched lineitem+orders offsets grow every trade pair's
+    // weight exactly 10x, so the above-mean edge set, orientation,
+    // triangles and cc are all INVARIANT (output stays #nodes rows) —
+    // runtime tracks the one corpus-sized fact join; everything after
+    // the pair aggregation is edge-sized
+    "q153_triangle_count",
+    // q155: hashing is scan-local; the importance model stays two
+    // 1024-row bucket aggregates + two 1-row totals no matter the
+    // corpus (the zqN copies shift bucket masses, never the model
+    // SIZE); output is pinned at 50 rows; runtime tracks the scan
+    "q155_dsir_resample")
     // (q127 is NOT here: its confusion-matrix output is bounded by
     // #labels^2 and legitimately SHRINKS when the boosted-copy geometry
     // concentrates predictions, so the harness's rows-non-decreasing

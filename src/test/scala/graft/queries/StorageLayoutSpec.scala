@@ -145,4 +145,53 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zHit <= zAll / 2,
       s"z-ordered layout should skip most files for a y-band: $zHit of $zAll hit")
   }
+
+  test("bench gram table is write-once and the broadcast decon probe never re-derives or shuffles the corpus side") {
+    // The q149 decontamination stage against the STORED benchmark gram
+    // set (VERDICT r13 item 6): the gram table is written once per
+    // source dir; every later run probes it. In the broadcast shape the
+    // plan must show (a) exactly ONE Generate node — the corpus
+    // shingle explode; the benchmark split is NOT re-exploded per run —
+    // and (b) no shuffle of the probe side below the semi join.
+    val t0 = Pipeline.ensureBenchGramTable(spark, sfDir)
+    val t1 = Pipeline.ensureBenchGramTable(spark, sfDir) // no-op rewrite
+    assert(t0 === t1)
+    val df = Pipeline.decontaminateStoredGrams(spark, sfDir, merge = false)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi probe:\n$plan")
+    val generates = plan.split("\n").count(_.contains("Generate explode"))
+    assert(generates === 1,
+      s"benchmark grams re-derived per run ($generates Generate nodes):\n$plan")
+    // The only exchanges are the post-join distinct/agg — the corpus
+    // probe side reaches the semi join unshuffled (no (lang, g)-keyed
+    // exchange anywhere; the post-agg hashpartitioning(lang) alone is
+    // not a join shuffle).
+    assert(!plan.matches("(?s).*Exchange hashpartitioning\\(lang#\\d+, g#\\d+.*"),
+      s"probe side shuffled on the join key:\n$plan")
+    // And the join actually prunes: some pool docs share benchmark grams.
+    assert(df.agg(org.apache.spark.sql.functions.sum("n_contaminated")).head().getLong(0) > 0)
+  }
+
+  test("full-eval-suite fallback: sort-merge decon probe reads the bucketed gram side in place — zero exchange on the stored table") {
+    // When the gram set outgrows broadcast, the bucketed write pays off
+    // the q65 way: SMJ semi join where the stored side's 8 buckets are
+    // read in place (SelectedBucketsCount, no Exchange) and the ONLY
+    // join-key shuffle is the per-run corpus side.
+    val df = Pipeline.decontaminateStoredGrams(spark, sfDir, merge = true)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("LeftSemi"),
+      s"expected sort-merge semi probe:\n$plan")
+    assert(plan.contains("SelectedBucketsCount: 8 out of 8"),
+      s"bucketed gram read not planned:\n$plan")
+    val joinKeyExchanges = plan.split("\n").count(
+      _.matches(".*Exchange hashpartitioning\\(lang#\\d+, g#\\d+.*"))
+    assert(joinKeyExchanges === 1,
+      s"expected exactly the corpus-side shuffle ($joinKeyExchanges (lang, g)-keyed exchanges):\n$plan")
+    // Both physical shapes agree with each other (same rows).
+    val bc = Pipeline.decontaminateStoredGrams(spark, sfDir, merge = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sm = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sm === bc)
+  }
 }
