@@ -1713,12 +1713,15 @@ object Pipeline {
     // instead of wiping the frame). Both per-round frames are
     // localCheckpoint'ed — vocab-sized, eager, cuts the 24-round lineage
     // exactly like q76's propagation loop. No .collect(): the argmax
-    // stays a 1-row DataFrame end to end. No oracle: iterative
-    // data-dependent re-tokenization is not ANSI-SQL-expressible; BpeSpec
-    // pins the FULL merge table exactly against an independent in-memory
-    // reference implementation (stronger than the q139/q140 bounded
-    // pattern), plus determinism across runs. ----
-    QueryDef.noOracle("q150_bpe_train") { (s, dir) =>
+    // stays a 1-row DataFrame end to end. ORACLE-PAIRED: the iterative
+    // loop unrolls into 24 generated chained MATERIALIZED CTE rounds
+    // (pair-count + argmax + one replace() pass per round) — see
+    // bpeOracleCtes for why replace() on the double-pipe token encoding
+    // is provably the same greedy left-to-right pass as bpeFoldSql.
+    // BpeSpec additionally pins the FULL merge table exactly against an
+    // independent in-memory reference implementation, plus determinism
+    // across runs. ----
+    QueryDef("q150_bpe_train", bpeTrainOracle) { (s, dir) =>
       bpeTrain(s, dir, BpeMerges)
         .select(col("rank"), col("l"), col("r"),
           concat(col("l"), col("r")).as("merged"), col("cnt"))
@@ -1736,37 +1739,49 @@ object Pipeline {
     // 31-row (at this fixture; ~10M at web scale) tokenized vocab —
     // broadcast or shuffle hash join on the word key, never per-document
     // work on the merge rules. Empty-text docs keep n_words = 0 via the
-    // left re-join. BpeSpec pins per-doc counts exactly against the
-    // independent reference tokenizer. ----
-    QueryDef.noOracle("q151_bpe_tokenize") { (s, dir) =>
-      val merges = bpeTrain(s, dir, BpeMerges)
-      val mergesArr = merges
-        .agg(sort_array(collect_list(struct(col("rank"), col("l"), col("r"))))
-          .as("ms"))
-        .select(lit(1).as("k"), col("ms"))
-      // tokenize each DISTINCT word once: fold the ranked merge list over
-      // the char split (outer aggregate), each rule applied by the same
-      // left-to-right fold bpeTrain uses (inner aggregate).
-      val vocab = bpeWordHist(s, dir)
-        .withColumn("syms", split(col("w"), ""))
-        .withColumn("k", lit(1))
-        .join(broadcast(mergesArr), Seq("k"), "left")
-        .select(col("w"),
-          size(expr(s"aggregate(ms, syms, (cur, m) -> ${bpeFoldSql("cur", "m.l", "m.r")})"))
-            .as("n_tok"))
-      val perDoc = T(s, dir, "documents")
-        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
-        .filter(length(col("w")) > 0)
-        .join(vocab, Seq("w"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(col("n_tok")).cast(LongType).as("n_tokens_bpe"))
+    // left re-join. ORACLE-PAIRED: DuckDB re-trains the same 24 rules via
+    // the unrolled CTE chain, then counts each word's tokens straight off
+    // the double-pipe encoding (n_tok = pipes/2) and replays the same
+    // corpus re-join. BpeSpec additionally pins per-doc counts exactly
+    // against the independent reference tokenizer. ----
+    QueryDef("q151_bpe_tokenize", bpeTokenizeOracle) { (s, dir) =>
+      val perDoc = bpeDocTokens(s, dir)
       T(s, dir, "documents").select(col("doc_id"))
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_words"), lit(0L)).as("n_words"),
           coalesce(col("n_tokens_bpe"), lit(0L)).as("n_tokens_bpe"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q156 (round 14): sequence packing in SUBWORD tokens — q36
+    // re-expressed in the budget unit an LLM actually consumes. Same
+    // greedy source-ordered packing shape as q36 (per-source running
+    // offset, 2048-token context chunks), but the per-doc length is the
+    // BPE token count from the q150-trained merge table instead of the
+    // whitespace word count. The window is PARTITIONED by source (never
+    // global); the per-doc BPE counts reuse q151's vocab-sized
+    // tokenization (merge rules fold once per DISTINCT word, corpus
+    // re-join on the word key). Oracle re-trains the rules via the
+    // unrolled CTE chain and replays the identical packing window. 100 TB
+    // shape: tokenization cost = vocab + one corpus join; packing is one
+    // source-keyed window over (doc_id, n_tok) pairs — bytes per doc, and
+    // a production packer shards the stream (source, day) to bound
+    // partitions; no global sort anywhere (final ORDER BY is the
+    // chunk-count frame). ----
+    QueryDef("q156_bpe_pack", bpePackOracle) { (s, dir) =>
+      val perDoc = bpeDocTokens(s, dir)
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "documents").select(col("source"), col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("source"), col("doc_id"),
+          coalesce(col("n_tokens_bpe"), lit(0L)).as("n_tok"))
+        .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+        .withColumn("chunk", floor(col("start_off") / 2048))
+        .groupBy(col("source"), col("chunk"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast(LongType).as("n_tokens"))
+        .orderBy(col("source"), col("chunk"))
     },
 
     // ---- q155: DSIR-style importance resampling (round 14; Data
@@ -1830,7 +1845,8 @@ object Pipeline {
   /** Merge count learned by q150 / applied by q151. 24 is deep enough to
     * grow multi-character subwords on the fixture vocabulary while
     * keeping the training loop's job count bench-friendly. */
-  private val BpeMerges = 24
+  private final val BpeMerges = 24 // compile-time constant: `defs` builds
+  // the generated oracles during object init, BEFORE later vals assign
 
   /** Corpus -> corpus-weighted word histogram (the one corpus-sized step
     * of the BPE family; everything downstream is vocab-sized). Lowercased
@@ -1889,6 +1905,120 @@ object Pipeline {
     }
     merges
   }
+
+  /** Shared by q151/q156: per-doc subword token counts under the
+    * q150-trained merge table. Tokenizes each DISTINCT word once (the
+    * ranked merge list rides one broadcast array row, folded over the
+    * char split by the same bpeFoldSql pass training uses), then
+    * re-joins the exploded corpus on the word key — vocab-sized work
+    * plus one corpus join, never merges × corpus. */
+  private def bpeDocTokens(s: SparkSession, dir: String): DataFrame = {
+    val mergesArr = bpeTrain(s, dir, BpeMerges)
+      .agg(sort_array(collect_list(struct(col("rank"), col("l"), col("r"))))
+        .as("ms"))
+      .select(lit(1).as("k"), col("ms"))
+    val vocab = bpeWordHist(s, dir)
+      .withColumn("syms", split(col("w"), ""))
+      .withColumn("k", lit(1))
+      .join(broadcast(mergesArr), Seq("k"), "left")
+      .select(col("w"),
+        size(expr(s"aggregate(ms, syms, (cur, m) -> ${bpeFoldSql("cur", "m.l", "m.r")})"))
+          .as("n_tok"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).cast(LongType).as("n_tokens_bpe"))
+  }
+
+  /** DuckDB mirror of bpeTrain, generated: the 24-round loop unrolled
+    * into chained MATERIALIZED CTEs (MATERIALIZED is load-bearing —
+    * each round references its predecessor 3×, so inlined CTEs would
+    * blow up 3^24). Each word's tokenization is carried as a
+    * DOUBLE-PIPE string ("|a||b||c|" = [a,b,c]): one merge pass is then
+    * exactly `replace(s, '|l||r|', '|lr|')`, because SQL replace scans
+    * the ORIGINAL string left to right non-overlapping — the same
+    * greedy pass as bpeFoldSql (a merged product can never re-match
+    * within its own pass: as the left of a new pair it would need
+    * l+r = l, impossible; as the right, the scan is already past it).
+    * Rounds after pair exhaustion no-op via the NULL scalar subquery +
+    * coalesce. Token count falls out as pipes/2. */
+  private def bpeOracleCtes(n: Int): String = {
+    val v0 =
+      """v0 AS MATERIALIZED (
+        |  SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS s, freq FROM (
+        |    SELECT w, COUNT(*) AS freq FROM (
+        |      SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        |      FROM documents WHERE text IS NOT NULL)
+        |    WHERE len(w) > 0 GROUP BY w))""".stripMargin
+    val rounds = (1 to n).map { k =>
+      s"""b$k AS MATERIALIZED (
+         |  SELECT $k AS rank, l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT t.toks[i] AS l, t.toks[i+1] AS r, t.freq
+         |    FROM (SELECT string_split(substr(s, 2, len(s) - 2), '||') AS toks, freq
+         |          FROM v${k - 1}) t,
+         |         unnest(generate_series(1, len(t.toks) - 1)) AS u(i)
+         |    WHERE len(t.toks) >= 2)
+         |  GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT coalesce(replace(s,
+         |      (SELECT '|' || l || '||' || r || '|' FROM b$k),
+         |      (SELECT '|' || l || r || '|' FROM b$k)), s) AS s, freq
+         |  FROM v${k - 1})""".stripMargin
+    }
+    "WITH " + (v0 +: rounds).mkString(",\n")
+  }
+
+  /** Per-doc subword counts in DuckDB (q151/q156's shared tail): token
+    * count per word straight off the double-pipe encoding, then the
+    * same corpus re-join as bpeDocTokens. */
+  private def bpeOracleDocCtes: String =
+    s""",
+       |wtok AS MATERIALIZED (
+       |  SELECT translate(s, '|', '') AS w,
+       |    CAST((len(s) - len(replace(s, '|', ''))) / 2 AS BIGINT) AS n_tok
+       |  FROM v$BpeMerges),
+       |perdoc AS (
+       |  SELECT d.doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(wt.n_tok) AS BIGINT) AS n_tokens_bpe
+       |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+       |        FROM documents WHERE text IS NOT NULL) d
+       |  JOIN wtok wt ON wt.w = d.w
+       |  WHERE len(d.w) > 0
+       |  GROUP BY d.doc_id)""".stripMargin
+
+  private def bpeTrainOracle: String = {
+    val union = (1 to BpeMerges)
+      .map(k => s"SELECT rank, l, r, l || r AS merged, cnt FROM b$k")
+      .mkString("\nUNION ALL ")
+    bpeOracleCtes(BpeMerges) + "\nSELECT * FROM (\n" + union + ")\nORDER BY rank"
+  }
+
+  private def bpeTokenizeOracle: String =
+    bpeOracleCtes(BpeMerges) + bpeOracleDocCtes +
+      """
+        |SELECT doc.doc_id, coalesce(p.n_words, 0) AS n_words,
+        |  coalesce(p.n_tokens_bpe, 0) AS n_tokens_bpe
+        |FROM documents doc LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY doc.doc_id""".stripMargin
+
+  private def bpePackOracle: String =
+    bpeOracleCtes(BpeMerges) + bpeOracleDocCtes +
+      """,
+        |lens AS (
+        |  SELECT doc.source, doc.doc_id, coalesce(p.n_tokens_bpe, 0) AS n_tok
+        |  FROM documents doc LEFT JOIN perdoc p USING (doc_id)),
+        |offs AS (
+        |  SELECT source, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+        |  FROM lens)
+        |SELECT source, CAST(start_off // 2048 AS BIGINT) AS chunk,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM offs GROUP BY source, CAST(start_off // 2048 AS BIGINT)
+        |ORDER BY source, chunk""".stripMargin
 
   /** DuckDB mirror of q155: same hashed-unigram buckets (shared 60-bit
     * md5 rule mod 1024), same add-1-smoothed log-ratio rounded once to

@@ -241,6 +241,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // vocab once, then re-joins the exploded corpus — output rows =
     // #docs, the 10x-linear case.
     "q150_bpe_train", "q151_bpe_tokenize",
+    // q156: q151's tokenization + q36's source-partitioned packing
+    // window — 10x docs is 10x window rows per source, chunks grow
+    // ~linearly and the window never goes global
+    "q156_bpe_pack",
     // q153: matched lineitem+orders offsets grow every trade pair's
     // weight exactly 10x, so the above-mean edge set, orientation,
     // triangles and cc are all INVARIANT (output stays #nodes rows) —
