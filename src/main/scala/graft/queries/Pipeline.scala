@@ -1837,8 +1837,251 @@ object Pipeline {
       top.withColumn("rank", row_number().over(wTop))
         .select(col("rank"), col("doc_id"), col("lang"), col("score_micro"))
         .orderBy(col("rank"))
+    },
+
+    // ---- q157 (round 14): LEARNED document classifier — multinomial
+    // Naive Bayes trained on the corpus itself, the fastText-shaped
+    // filter every production curation stack runs (quality/domain
+    // classifiers a la CCNet/C4; q126's lang-ID is a fixed heuristic,
+    // this one LEARNS its class profiles from labeled docs). Features
+    // are hashed unigrams (shared 60-bit md5 rule mod 4096 — the
+    // hashing trick caps the model at #classes x 4096 weights no matter
+    // how the vocabulary grows), train = doc_id%5 != 0, eval = the %5
+    // holdout (q145's by-doc split). Per-(class, bucket) weight =
+    // ln((c+1)/(n+4096)) add-1 smoothed, class prior = ln(d_k/D), both
+    // rounded ONCE to integer micro-units (the q96 rule: ln of a ratio
+    // of exact integers); per-doc score = prior + order-free integer
+    // sum cnt_b * w(k,b) with the add-1 MISS weight for unseen buckets;
+    // argmax via max(struct(score, class)) — ties to the
+    // lexicographically larger class, mirrored in the oracle's window.
+    // Output: the eval confusion matrix. HONEST on this fixture (the
+    // q143/q145 rule): the synthetic lang labels are independent of the
+    // text — q126's Cavnar–Trenkle scores chance (~20%) on the same
+    // split — so with near-identical class likelihoods the Bayes
+    // decision IS the prior and NB collapses to the majority class;
+    // the gate grades the mechanics (exact cross-engine weight/argmax
+    // agreement), the number grades the corpus. 100 TB shape: the model is TWO
+    // aggregates capped at #classes x 4096 rows (kilobytes, broadcast);
+    // scoring is scan-local hashing + one (doc, bucket) partial agg +
+    // the #classes-row broadcast fan-out + one doc-keyed agg; output
+    // <= #classes^2 rows at any corpus size. ----
+    QueryDef("q157_nb_classifier", nbClassifierOracle) { (s, dir) =>
+      val d = T(s, dir, "documents")
+      val isEval = col("doc_id") % 5 === 0
+      val words = d.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), col("lang"),
+          pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType),
+            lit(4096L)).as("b"))
+      val train = words.filter(!isEval)
+      val cnt = train.groupBy(col("lang").as("k"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val tot = train.groupBy(col("lang").as("k")).agg(count(lit(1)).as("n"))
+      val trainDocs = d.filter(!isEval)
+      val dTot = trainDocs.agg(count(lit(1)).as("dd"))
+      val prior = trainDocs.groupBy(col("lang").as("k"))
+        .agg(count(lit(1)).as("dk"))
+        .crossJoin(broadcast(dTot))
+        .select(col("k"),
+          expr("cast(round(ln(dk / cast(dd as double)) * 1000000, 0) as bigint)")
+            .as("prior_micro"))
+      val stats = tot.join(broadcast(prior), Seq("k"))
+        .select(col("k"), col("prior_micro"),
+          expr("cast(round(ln(1 / cast(n + 4096 as double)) * 1000000, 0) as bigint)")
+            .as("miss_micro"))
+      val wts = cnt.join(broadcast(tot), Seq("k"))
+        .select(col("k"), col("b"),
+          expr("cast(round(ln((c + 1) / cast(n + 4096 as double)) * 1000000, 0) as bigint)")
+            .as("w_micro"))
+      val evalCnt = words.filter(isEval)
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cb"))
+      val sums = evalCnt.crossJoin(broadcast(stats))
+        .join(broadcast(wts), Seq("k", "b"), "left")
+        .groupBy(col("doc_id"), col("k"))
+        .agg(sum(col("cb") * coalesce(col("w_micro"), col("miss_micro")))
+          .cast(LongType).as("s_micro"))
+      val evalDocs = d.filter(isEval)
+        .select(col("doc_id"), col("lang").as("true_lang"))
+      val scored = evalDocs
+        .crossJoin(broadcast(stats.select(col("k"), col("prior_micro"))))
+        .join(sums.hint("merge"), Seq("doc_id", "k"), "left")
+        .select(col("doc_id"), col("true_lang"), col("k"),
+          (col("prior_micro") + coalesce(col("s_micro"), lit(0L))).as("score"))
+      scored.groupBy(col("doc_id"), col("true_lang"))
+        .agg(max(struct(col("score"), col("k"))).as("m"))
+        .select(col("true_lang"), col("m.k").as("pred_lang"))
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("true_lang"), col("pred_lang"))
+    },
+
+    // ---- q158 (round 14): c-TF-IDF cluster labeling (the BERTopic
+    // formulation, public) — name each document cluster by its most
+    // DISTINGUISHING terms, the step that turns q93/q100's anonymous
+    // cluster ids into an inspectable corpus map. Classes here are the
+    // lang clusters; per (class, term): score = tf * ln(1 + A/f) where
+    // A = total_tokens/#classes and f = corpus term frequency — common
+    // terms (high f) shrink toward ln(1), class-concentrated terms
+    // keep their mass. Integer-exact cross-engine: ln(1 + A/f) =
+    // ln((nc*f + total)/(nc*f)) is the ln of a ratio of exact integers,
+    // rounded ONCE to micro-units, THEN multiplied by the integer tf.
+    // Top-5 per class via rank <= 5 — WindowGroupLimit caps the sort
+    // per map task. 100 TB shape: (class, term) and term aggs are one
+    // co-partitioned join on the term key; the two corpus totals ride
+    // an audited 1-row broadcast; the per-class window is group-limited
+    // (never a global sort); output = 5 x #classes rows. ----
+    QueryDef("q158_ctfidf_labels", ctfidfOracle) { (s, dir) =>
+      val words = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("lang"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val tf = words.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("tf"))
+      val f = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val totals = words.agg(count(lit(1)).as("total"),
+        countDistinct(col("lang")).as("nc"))
+      // merge hint: the term-keyed join is vocab x vocab — co-partitioned
+      // sort-merge at any scale (pinning it also keeps the 1x/10x plan
+      // shapes identical for the scale-stress comparison)
+      val weighted = tf.join(f.hint("merge"), Seq("w"))
+        .crossJoin(broadcast(totals))
+        .select(col("lang"), col("w"), col("tf"),
+          (expr("cast(round(ln((nc * f + total) / cast(nc * f as double)) * 1000000, 0) as bigint)")
+            * col("tf")).as("score_micro"))
+      val win = Window.partitionBy(col("lang"))
+        .orderBy(col("score_micro").desc, col("w"))
+      weighted.withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("w").as("term"), col("tf"),
+          col("score_micro"))
+        .orderBy(col("lang"), col("rank"))
+    },
+
+    // ---- q159 (round 14): deterministic epoch shuffle — the
+    // reproducible global permutation a training run consumes (data
+    // ORDER matters to an LLM run; re-shuffling per epoch must be
+    // cluster-deterministic and seekable, not a sort of 100 TB). The
+    // permutation is pure arithmetic: hkey = md5('e1:' || doc_id) (the
+    // epoch salt re-keys every epoch), shard = hkey % 64, position =
+    // rank of hkey within shard — a global shuffle materialized as 64
+    // independent shard streams, no global sort anywhere. Output pins
+    // the ENTIRE permutation cross-engine: per shard, the doc count,
+    // the first doc in shard order, and the order-sensitive checksum
+    // sum(pos * doc_id). 100 TB shape: hashing is scan-local, the only
+    // exchange is the shard hash partition, the within-shard window
+    // sorts corpus/#shards rows per task and #shards is the knob a
+    // 1000-executor run raises; readers seek any shard independently
+    // (the curriculum/resume property). ----
+    QueryDef("q159_epoch_shuffle", epochShuffleOracle) { (s, dir) =>
+      val assigned = T(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("cast(conv(substring(md5(concat('e1:', doc_id)), 1, 15), 16, 10) as bigint)")
+            .as("hkey"))
+        .withColumn("shard", pmod(col("hkey"), lit(64L)))
+      val win = Window.partitionBy(col("shard"))
+        .orderBy(col("hkey"), col("doc_id"))
+      assigned.withColumn("pos", row_number().over(win))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(when(col("pos") === 1, col("doc_id"))).as("first_doc"),
+          sum(col("pos") * col("doc_id")).cast(LongType).as("order_checksum"))
+        .orderBy(col("shard"))
     }
   )
+
+  /** DuckDB mirror of q157: same hashed buckets, add-1 weights and
+    * prior rounded once to micros, same miss-weight fill, argmax ties
+    * to the larger class (the struct-max order). */
+  private def nbClassifierOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 4096 AS b
+      |  FROM (SELECT doc_id, lang,
+      |          unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+      |        FROM documents WHERE text IS NOT NULL)
+      |  WHERE len(w) > 0),
+      |train AS (SELECT * FROM words WHERE doc_id % 5 <> 0),
+      |cnt AS (SELECT lang AS k, b, COUNT(*) AS c FROM train GROUP BY 1, 2),
+      |tot AS (SELECT lang AS k, COUNT(*) AS n FROM train GROUP BY 1),
+      |prior AS (
+      |  SELECT lang AS k, CAST(round(ln(COUNT(*) /
+      |      CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 5 <> 0) AS DOUBLE))
+      |      * 1000000, 0) AS BIGINT) AS prior_micro
+      |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+      |stats AS (
+      |  SELECT t.k, p.prior_micro,
+      |    CAST(round(ln(1 / CAST(t.n + 4096 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+      |      AS miss_micro
+      |  FROM tot t JOIN prior p USING (k)),
+      |wts AS (
+      |  SELECT k, b,
+      |    CAST(round(ln((c + 1) / CAST(n + 4096 AS DOUBLE)) * 1000000, 0) AS BIGINT)
+      |      AS w_micro
+      |  FROM cnt JOIN tot USING (k)),
+      |evalcnt AS (
+      |  SELECT doc_id, b, COUNT(*) AS cb FROM words WHERE doc_id % 5 = 0
+      |  GROUP BY 1, 2),
+      |sums AS (
+      |  SELECT e.doc_id, s.k,
+      |    CAST(SUM(e.cb * coalesce(w.w_micro, s.miss_micro)) AS BIGINT) AS s_micro
+      |  FROM evalcnt e CROSS JOIN stats s
+      |  LEFT JOIN wts w ON w.k = s.k AND w.b = e.b
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.doc_id, d.lang AS true_lang, s.k AS pred_lang,
+      |    s.prior_micro + coalesce(m.s_micro, 0) AS score
+      |  FROM documents d CROSS JOIN stats s
+      |  LEFT JOIN sums m ON m.doc_id = d.doc_id AND m.k = s.k
+      |  WHERE d.doc_id % 5 = 0),
+      |pred AS (
+      |  SELECT true_lang, pred_lang FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, pred_lang DESC) AS rn
+      |    FROM scored) WHERE rn = 1)
+      |SELECT true_lang, pred_lang, COUNT(*) AS n_docs
+      |FROM pred GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin
+
+  /** DuckDB mirror of q158: same integer-micro ln(1 + A/f) weight
+    * (rounded before the tf multiply), same rank tie-break. */
+  private def ctfidfOracle: String =
+    """WITH words AS (
+      |  SELECT lang, w FROM (
+      |    SELECT lang, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+      |    FROM documents WHERE text IS NOT NULL)
+      |  WHERE len(w) > 0),
+      |tf AS (SELECT lang, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+      |f AS (SELECT w, COUNT(*) AS f FROM words GROUP BY 1),
+      |totals AS (SELECT COUNT(*) AS total, COUNT(DISTINCT lang) AS nc FROM words),
+      |weighted AS (
+      |  SELECT lang, w, tf,
+      |    CAST(round(ln((nc * f + total) / CAST(nc * f AS DOUBLE)) * 1000000, 0)
+      |      AS BIGINT) * tf AS score_micro
+      |  FROM tf JOIN f USING (w), totals)
+      |SELECT lang, rank, w AS term, tf, score_micro FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY score_micro DESC, w) AS rank
+      |  FROM weighted)
+      |WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
+  /** DuckDB mirror of q159: same salted 60-bit hash, shard = hkey % 64,
+    * within-shard rank, order-sensitive integer checksum. */
+  private def epochShuffleOracle: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('e1:' || doc_id), 1, 15))::BIGINT AS hkey
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, hkey, hkey % 64 AS shard,
+      |    ROW_NUMBER() OVER (PARTITION BY hkey % 64
+      |        ORDER BY hkey, doc_id) AS pos
+      |  FROM a)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  MAX(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+      |  CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+      |FROM p GROUP BY shard ORDER BY shard""".stripMargin
 
   // ---- BPE shared pieces (q150/q151) ----
 

@@ -77,7 +77,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q155 cross-joins its two 1-row corpus totals into the ≤1024-row
     // bucket ratio table (the DSIR importance model is kilobytes by
     // design); scoring joins are broadcast/hash equi joins.
-    "q155_dsir_resample")
+    "q155_dsir_resample",
+    // q157 cross-joins its 1-row train-doc total into the #classes-row
+    // prior, and fans eval rows out over the #classes-row broadcast
+    // stats (the NB model is capped at #classes x 4096 by the hashing
+    // trick); all other joins are broadcast/merge equi joins.
+    "q157_nb_classifier",
+    // q158 cross-joins its ONE-row (total, #classes) corpus stats into
+    // the (class, term) table — the q96/q148 corpus-stats shape.
+    "q158_ctfidf_labels")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.

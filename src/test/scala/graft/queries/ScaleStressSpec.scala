@@ -245,6 +245,20 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // window — 10x docs is 10x window rows per source, chunks grow
     // ~linearly and the window never goes global
     "q156_bpe_pack",
+    // q157: the hashing trick caps the NB model at #classes x 4096
+    // weights while the 10x (zq-renamed, disjoint) vocabulary folds
+    // into the same buckets; the offset doc_ids (multiples of 1e6)
+    // preserve the %5 split; output stays <= #classes^2 rows
+    "q157_nb_classifier",
+    // q158: the (class, term) and term aggregates grow 10x in rows AND
+    // keys (disjoint copy alphabets) — the co-partitioned merge-join
+    // linear case; the rank <= 5 WindowGroupLimit keeps the output at
+    // 5 x #classes rows at any scale
+    "q158_ctfidf_labels",
+    // q159: hashing is scan-local and 10x docs spread over the same 64
+    // shards — the one keyed exchange and the within-shard rank grow
+    // linearly; output is <= 64 rows at any corpus size
+    "q159_epoch_shuffle",
     // q153: matched lineitem+orders offsets grow every trade pair's
     // weight exactly 10x, so the above-mean edge set, orientation,
     // triangles and cc are all INVARIANT (output stays #nodes rows) —
