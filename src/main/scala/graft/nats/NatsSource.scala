@@ -44,6 +44,7 @@ final case class NatsOptions(
     includeMetadata: Boolean = false,
     deadLetterSubject: Option[String] = None,
     msgIdColumn: Option[String] = None,
+    subjectColumn: Option[String] = None,
     publishBatchRows: Int = 500,
     tlsTruststore: Option[String] = None,
     tlsTruststorePassword: String = "changeit") extends Serializable {
@@ -131,6 +132,11 @@ object NatsOptions {
       // NATS-native idempotent-producer upgrade over fire-and-forget
       // at-least-once. Reads ignore it.
       msgIdColumn = Option(options.get("msgIdColumn")).filter(_.nonEmpty),
+      // Sink-side content-based routing: the named STRING column is each
+      // row's target subject (the NATS subject-hierarchy pattern, e.g.
+      // "docs.en"/"docs.de" consumed back via "docs.*"); it is routing
+      // metadata, not data — excluded from the payload like msgIdColumn.
+      subjectColumn = Option(options.get("subjectColumn")).filter(_.nonEmpty),
       // Sink-only: rows buffered per writer task before one pipelined
       // publish (and one TCP flush) — a flush per row caps the sink at
       // the syscall rate. 1 = the old per-row behavior.
@@ -381,20 +387,40 @@ final class NatsRowWriter(schema: StructType, opts: NatsOptions)
       s"msgIdColumn '$c' must be STRING, got ${schema.fields(i).dataType.simpleString}")
     i
   }
+  // subjectColumn: the named STRING column routes each row to its own
+  // subject (content-based routing — the NATS subject-hierarchy idiom).
+  // Routing metadata, not data: excluded from the payload; the scan-side
+  // `subject` option stays the table identity / consumer-side pattern.
+  private val subjIdx: Option[Int] = opts.subjectColumn.map { c =>
+    val i = schema.fieldNames.indexOf(c)
+    require(i >= 0, s"subjectColumn '$c' is not a column of the written " +
+      s"schema ${schema.fieldNames.mkString("[", ", ", "]")}")
+    require(schema.fields(i).dataType == StringType,
+      s"subjectColumn '$c' must be STRING, got ${schema.fields(i).dataType.simpleString}")
+    require(!msgIdIdx.contains(i),
+      s"subjectColumn '$c' and msgIdColumn must be different columns")
+    i
+  }
   private val payloadFields: Array[Int] =
-    schema.indices.filterNot(msgIdIdx.contains).toArray
+    schema.indices.filterNot(i => msgIdIdx.contains(i) || subjIdx.contains(i)).toArray
   private val codec = PayloadCodec.strict(opts.codec,
     StructType(payloadFields.map(schema.fields)))
   private val conn = NatsTransport.connect(opts.url, opts.tls)
   // Encoded rows buffered up to publishBatchRows, then published as one
-  // pipelined run (one TCP flush). Unflushed rows publish at commit();
-  // abort() discards them — already-flushed rows stay at-least-once, as
-  // before (fire-and-forget has no transactional take-back).
+  // pipelined run (one TCP flush) per target subject. Unflushed rows
+  // publish at commit(); abort() discards them — already-flushed rows
+  // stay at-least-once, as before (fire-and-forget has no transactional
+  // take-back).
   private val pending =
-    scala.collection.mutable.ArrayBuffer.empty[(Seq[(String, String)], Array[Byte])]
+    scala.collection.mutable.ArrayBuffer.empty[(String, Seq[(String, String)], Array[Byte])]
 
   private def flushPending(): Unit = if (pending.nonEmpty) {
-    conn.publishBatchWithHeaders(opts.subject, pending.iterator)
+    // One pipelined batch per target subject; within-subject publish
+    // order is preserved (NATS ordering is per subject — cross-subject
+    // interleaving carries no semantics).
+    pending.groupBy(_._1).foreach { case (subj, rows) =>
+      conn.publishBatchWithHeaders(subj, rows.iterator.map(r => (r._2, r._3)))
+    }
     pending.clear()
   }
 
@@ -417,7 +443,19 @@ final class NatsRowWriter(schema: StructType, opts: NatsOptions)
             Seq(NatsSubjects.MsgIdHeader -> row.getUTF8String(idx).toString)
           case None => Nil
         }
-        pending.append((headers, bytes))
+        val subj = subjIdx match {
+          case Some(idx) =>
+            require(!row.isNullAt(idx),
+              s"subjectColumn '${opts.subjectColumn.get}' is NULL: every " +
+                "row needs a target subject for routed publish")
+            val s0 = row.getUTF8String(idx).toString
+            require(s0.nonEmpty && !s0.exists(c => c == '*' || c == '>' || c == ' '),
+              s"subjectColumn value '$s0' is not a publishable literal " +
+                "subject (wildcards/spaces are subscribe-side syntax)")
+            s0
+          case None => opts.subject
+        }
+        pending.append((subj, headers, bytes))
         if (pending.size >= opts.publishBatchRows) flushPending()
       case Left(e) =>
         throw new IllegalArgumentException(

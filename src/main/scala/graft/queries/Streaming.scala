@@ -1119,6 +1119,61 @@ object Streaming {
         .option("replay", "true").option("startSequence", "0")
         .load()
         .orderBy("id")
+    },
+
+    // ---- q160 (round 14): content-based ROUTING through the sink — the
+    // NATS subject-hierarchy idiom (one subject per partition key, e.g.
+    // docs.en / docs.de, consumers pick their slice with a wildcard).
+    // `subjectColumn` makes the target subject a per-row STRING column
+    // (routing metadata, excluded from the payload like msgIdColumn);
+    // here the whole documents table fans out to docs.<lang> and ONE
+    // wildcard consumer (docs.*) reads it all back with the `_subject`
+    // envelope column proving where each row landed. The oracle computes
+    // the same per-subject census straight from the parquet, so mis-
+    // routed/dropped/duplicated rows hash-fail (sum_ids pins membership,
+    // not just counts). 100 TB shape: routing is writer-local (each
+    // task batches per target subject, one pipelined publish run per
+    // subject per flush); the subject space is the partition-key
+    // dictionary, consumers scale by subscribing sub-trees. ----
+    QueryDef.noBench(
+      "q160_subject_routing",
+      """SELECT 'docs.' || lang AS subject, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY lang ORDER BY subject""".stripMargin) { (s, dir) =>
+      val url = s"memory://q160-${UUID.randomUUID()}"
+      val sink = s"nats_route_sink_${sinkId.incrementAndGet()}"
+      // doc_id rides as Int32: the codecs carry the reference's payload
+      // type set (reference src/codec/csv.rs:48-198 — no int64 column)
+      val feedSchema = StructType(Seq(
+        StructField("doc_id", IntegerType, nullable = false),
+        StructField("lang", StringType, nullable = false)))
+      val q = s.readStream.format("nats").schema(feedSchema)
+        .option("url", url).option("subject", "docs.*")
+        .option("batchSize", "200")
+        .option("flushTimeoutMs", "100")
+        .option("includeMetadata", "true")
+        .load()
+        .select(col("doc_id"), col("_subject").as("subject"))
+        .writeStream.format("memory").queryName(sink).start()
+      try {
+        NatsDemo.awaitSubscriber(url, "docs.en")
+        graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id").cast(IntegerType).as("doc_id"), col("lang"),
+            concat(lit("docs."), col("lang")).as("subj"))
+          .write.format("nats").mode("append")
+          .option("url", url).option("subject", "docs.unrouted")
+          .option("subjectColumn", "subj").save()
+        // Double drain: the first pass takes every FULL batch; the
+        // trailing partial batch only becomes an available offset after
+        // flushTimeoutMs, so wait past it and drain again (save() has
+        // returned — every row is already in the ledger by here).
+        q.processAllAvailable()
+        Thread.sleep(500)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.sql(s"""SELECT subject, COUNT(*) AS n_docs,
+        CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM $sink GROUP BY subject ORDER BY subject""")
     }
   )
 }

@@ -125,6 +125,44 @@ class NatsSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       (nullId.getCause != null && nullId.getCause.getMessage.contains("NULL")))
   }
 
+  test("subjectColumn: rows route to their own subjects; the column never enters the payload") {
+    import spark.implicits._
+    val url = freshBus()
+    val (gotEn, subEn) = collectSubject(url, "docs.en")
+    val (gotDe, subDe) = collectSubject(url, "docs.de")
+    try {
+      Seq((1, "hello", "docs.en"), (2, "hallo", "docs.de"), (3, "world", "docs.en"))
+        .toDF("id", "text", "subj")
+        .write.format("nats").mode("append")
+        .option("url", url).option("subject", "docs.default")
+        .option("subjectColumn", "subj").save()
+      // routed correctly, subj not in payload (memory-bus delivery is
+      // async — compare sorted, as the plain batch-write test does;
+      // wire-order preservation is the TCP pipelining test's job)
+      assert(gotEn.toArray.map(_.toString).sorted.toSeq ===
+        Seq("1,hello", "3,world"))
+      assert(gotDe.toArray.map(_.toString).toSeq === Seq("2,hallo"))
+    } finally { subEn.close(); subDe.close() }
+  }
+
+  test("subjectColumn misuse fails loudly: unknown/non-string column, NULL or wildcard value") {
+    import spark.implicits._
+    val url = freshBus()
+    def write(df: org.apache.spark.sql.DataFrame, c: String): Unit =
+      df.write.format("nats").mode("append")
+        .option("url", url).option("subject", "route_bad")
+        .option("subjectColumn", c).save()
+    def msg(e: Throwable): String =
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    val base = Seq((1, "a", "docs.en")).toDF("id", "name", "subj")
+    assert(msg(intercept[Exception](write(base, "nope"))).contains("subjectColumn"))
+    assert(msg(intercept[Exception](write(base, "id"))).contains("STRING"))
+    val withNull = Seq((1, "a", "docs.en"), (2, "b", null)).toDF("id", "name", "subj")
+    assert(msg(intercept[Exception](write(withNull, "subj"))).contains("NULL"))
+    val wildcard = Seq((1, "a", "docs.*")).toDF("id", "name", "subj")
+    assert(msg(intercept[Exception](write(wildcard, "subj"))).contains("literal"))
+  }
+
   test("batch write covers all six codec types and round-trips through parse") {
     import spark.implicits._
     val url = freshBus()
