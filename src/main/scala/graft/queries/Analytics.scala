@@ -2547,6 +2547,99 @@ object Analytics {
             expr("(coalesce(triangles, 0L) * 2000000) DIV (degree * (degree - 1))"))
             .otherwise(lit(0L)).as("cc_micro"))
         .orderBy(col("n_name"))
+    },
+
+    // ---- q161 (round 14): deletion-propagation audit — the
+    // right-to-be-forgotten cascade a training-data platform must
+    // answer for: a deletion request set (here the deterministic
+    // doc_id % 97 cohort) must purge not just the SOURCE rows but every
+    // DERIVED artifact keyed by them. Three artifact families are
+    // re-derived in-query and audited: the corpus itself, q75's 64/48
+    // retrieval chunks, and the q99-style distinct (doc, term) postings.
+    // Each audit is ONE scan with the deletion set broadcast-joined as a
+    // hit flag (the same broadcast hash join a left_anti purge plans —
+    // counting both sides in one pass instead of two jobs); n_purged +
+    // n_retained = n_total by construction, and the oracle re-derives
+    // all three artifacts independently. 100 TB shape: deletion sets
+    // are request-sized (broadcast); every artifact audit is scan-local
+    // explode + one flag join + one partial agg — the corpus is touched
+    // once per artifact and never shuffled on a corpus-sized key. ----
+    QueryDef(
+      "q161_deletion_propagation",
+      s"""WITH chunks AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(ws) <= $ChunkTokens THEN 1
+         |           ELSE CAST(1 + floor((len(ws) - $ChunkTokens + $ChunkStride - 1) / $ChunkStride) AS BIGINT)
+         |      END AS n_chunks
+         |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)) n,
+         |    unnest(generate_series(0, n_chunks - 1)) AS u(ci)),
+         |postings AS (
+         |  SELECT DISTINCT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE len(w) > 0),
+         |a AS (
+         |  SELECT '1_documents' AS artifact, doc_id FROM documents
+         |  UNION ALL SELECT '2_chunks', doc_id FROM chunks
+         |  UNION ALL SELECT '3_postings', doc_id FROM postings)
+         |SELECT artifact, COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+         |  CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_retained
+         |FROM a GROUP BY artifact ORDER BY artifact""".stripMargin) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val del = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), lit(1).as("hit"))
+      val chunks = docs
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .withColumn("n", size(col("ws")))
+        .withColumn("n_chunks",
+          when(col("n") <= ChunkTokens, lit(1L))
+            .otherwise((lit(1) + floor((col("n") - ChunkTokens + ChunkStride - 1) / lit(ChunkStride))).cast(LongType)))
+        .select(col("doc_id"), explode(sequence(lit(0L), col("n_chunks") - 1)).as("ci"))
+        .select(col("doc_id"))
+      val postings = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), col("w")).distinct()
+        .select(col("doc_id"))
+      def audit(name: String, df: DataFrame): DataFrame =
+        df.join(broadcast(del), Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n_total"),
+            sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_purged"),
+            sum(when(col("hit").isNull, 1).otherwise(0)).cast(LongType).as("n_retained"))
+          .select(lit(name).as("artifact"),
+            col("n_total"), col("n_purged"), col("n_retained"))
+      audit("1_documents", docs.select(col("doc_id")))
+        .unionByName(audit("2_chunks", chunks))
+        .unionByName(audit("3_postings", postings))
+        .orderBy(col("artifact"))
+    },
+
+    // ---- q163 (round 14): k-anonymity audit — the quasi-identifier
+    // re-identification check privacy review runs before a corpus
+    // ships: any (source, lang, length-bucket) combination matching
+    // fewer than K documents singles its authors out. Reported at GROUP
+    // granularity (the quasi-identifier dictionary, NOT the corpus):
+    // every risky group with its member count, plus the exact bucket
+    // rule (n_chars DIV 200) both engines compute in integers. 100 TB
+    // shape: one quasi-identifier-keyed partial aggregate (map-side
+    // combine collapses to the combo dictionary), the risky filter is
+    // on the aggregate; output is bounded by #combos, corpus-size-
+    // independent for fixed dictionaries. ----
+    QueryDef(
+      "q163_k_anonymity",
+      """SELECT source, lang, n_chars // 200 AS len_bucket, COUNT(*) AS n_docs
+        |FROM documents
+        |GROUP BY source, lang, n_chars // 200
+        |HAVING COUNT(*) < 10
+        |ORDER BY source, lang, len_bucket""".stripMargin) { (s, dir) =>
+      T(s, dir, "documents")
+        .groupBy(col("source"), col("lang"),
+          expr("n_chars DIV 200").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") < 10)
+        .orderBy(col("source"), col("lang"), col("len_bucket"))
     }
   )
 

@@ -1988,6 +1988,33 @@ object Pipeline {
           max(when(col("pos") === 1, col("doc_id"))).as("first_doc"),
           sum(col("pos") * col("doc_id")).cast(LongType).as("order_checksum"))
         .orderBy(col("shard"))
+    },
+
+    // ---- q162 (round 14): tokenizer fertility — the standard
+    // multilingual tokenizer eval (tokens-per-word and chars-per-token
+    // by language): a vocabulary trained on a skewed language mix
+    // "taxes" under-represented languages with more subwords per word,
+    // inflating their effective sequence lengths and training cost.
+    // Reuses q151's per-doc BPE counts (shared bpeDocTokens); ratios
+    // are integer-micro DIV on the per-language sums (identical
+    // truncation both engines — all values positive). 100 TB shape:
+    // rides the vocab-sized tokenization + one corpus join; the report
+    // is one #langs-row aggregate off the doc-level frame. ----
+    QueryDef("q162_bpe_fertility", bpeFertilityOracle) { (s, dir) =>
+      val perDoc = bpeDocTokens(s, dir)
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("nch"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_words"), lit(0L))).cast(LongType).as("n_words"),
+          sum(coalesce(col("n_tokens_bpe"), lit(0L))).cast(LongType).as("n_tokens_bpe"),
+          sum(coalesce(col("nch"), lit(0))).cast(LongType).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_tokens_bpe"), col("n_chars"),
+          expr("(n_tokens_bpe * 1000000) DIV n_words").as("fertility_micro"),
+          expr("(n_chars * 1000000) DIV n_tokens_bpe").as("chars_per_token_micro"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -2246,6 +2273,27 @@ object Pipeline {
         |  coalesce(p.n_tokens_bpe, 0) AS n_tokens_bpe
         |FROM documents doc LEFT JOIN perdoc p USING (doc_id)
         |ORDER BY doc.doc_id""".stripMargin
+
+  /** DuckDB mirror of q162: the CTE-chain tokenization + the same
+    * per-language integer-micro ratios ("//" floors, Spark DIV
+    * truncates — identical on these all-positive sums). */
+  private def bpeFertilityOracle: String =
+    bpeOracleCtes(BpeMerges) + bpeOracleDocCtes +
+      """,
+        |f AS (
+        |  SELECT d.lang, coalesce(p.n_words, 0) AS nw,
+        |    coalesce(p.n_tokens_bpe, 0) AS nt,
+        |    coalesce(length(d.text), 0) AS nch
+        |  FROM documents d LEFT JOIN perdoc p USING (doc_id))
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(nw) AS BIGINT) AS n_words,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens_bpe,
+        |  CAST(SUM(nch) AS BIGINT) AS n_chars,
+        |  (CAST(SUM(nt) AS BIGINT) * 1000000) // CAST(SUM(nw) AS BIGINT)
+        |    AS fertility_micro,
+        |  (CAST(SUM(nch) AS BIGINT) * 1000000) // CAST(SUM(nt) AS BIGINT)
+        |    AS chars_per_token_micro
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
   private def bpePackOracle: String =
     bpeOracleCtes(BpeMerges) + bpeOracleDocCtes +

@@ -66,9 +66,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // constant-key left join constant-folds to a BNLJ with a 1-row
     // build side. q150's equivalent joins run eagerly inside the
     // training loop's checkpoints and never appear in a cold plan.
-    // q156 packs in BPE tokens, so it rides the same shared per-doc
-    // tokenization (bpeDocTokens) and inherits q151's 1-row broadcast.
-    "q151_bpe_tokenize", "q156_bpe_pack",
+    // q156 packs in BPE tokens and q162 reports fertility from them, so
+    // both ride the same shared per-doc tokenization (bpeDocTokens) and
+    // inherit q151's 1-row broadcast.
+    "q151_bpe_tokenize", "q156_bpe_pack", "q162_bpe_fertility",
     // q153 cross-joins its ONE-row (n_pairs, total_weight) aggregate
     // into the edge-sized pair list to apply the above-mean threshold —
     // the q133/q142 shape; the triangle joins themselves are equi joins

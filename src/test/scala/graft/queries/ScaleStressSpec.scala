@@ -259,6 +259,19 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // shards — the one keyed exchange and the within-shard rank grow
     // linearly; output is <= 64 rows at any corpus size
     "q159_epoch_shuffle",
+    // q161: every artifact audit is scan-local explode + a broadcast
+    // flag join + one partial agg; the offset doc_ids shift which rows
+    // fall in the %97 deletion cohort but the output is 3 rows at any
+    // scale and runtime tracks the three scans
+    "q161_deletion_propagation",
+    // q162: q151's vocab-sized tokenization + one corpus join; the
+    // report is a #langs-row aggregate — output stays 5 rows
+    "q162_bpe_fertility",
+    // (q163 is NOT here for the q127 reason: its risky-group report
+    // legitimately SHRINKS at 10x — verbatim-metadata copies multiply
+    // every quasi-identifier combo's count past the k threshold, which
+    // is exactly what k-anonymity predicts; its scale story is
+    // structural — one dictionary-keyed partial agg.)
     // q153: matched lineitem+orders offsets grow every trade pair's
     // weight exactly 10x, so the above-mean edge set, orientation,
     // triangles and cc are all INVARIANT (output stays #nodes rows) —
