@@ -1990,6 +1990,66 @@ object Pipeline {
         .orderBy(col("shard"))
     },
 
+    // ---- q164 (round 14): decontamination by SPAN EXCISION — the
+    // surgical alternative to q57's drop-the-document: production
+    // pipelines often keep a contaminated document and cut only the
+    // overlapping benchmark text (a doc quoting one benchmark snippet
+    // is still 99% good training data). Benchmark word-3-gram set
+    // (lang, hash) from the %20 split (q149's convention, the
+    // graft_shingle_hashes kernel); every train-doc gram position
+    // whose hash is in the set covers word positions i..i+2; the doc
+    // is rebuilt from the uncovered words (q141's ordered-reassembly
+    // digest) with full accounting (n_words/n_kept/n_cut). Cross-
+    // engine: the rebuilt text is pinned by md5 digest, not length —
+    // any off-by-one in span arithmetic hash-fails. 100 TB shape:
+    // gram/word explodes are scan-local (positions ride posexplode,
+    // no window); the benchmark set broadcasts (static, or the q149
+    // stored-bucketed layout); coverage is a broadcast semi join +
+    // distinct on (doc, pos) — keyed by doc, never corpus-global; the
+    // one reassembly shuffle is the rewrite's irreducible doc-keyed
+    // groupBy (q141's bound). ----
+    QueryDef("q164_decontam_rewrite", decontamRewriteOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val d = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), col("text"),
+          split(lower(col("text")), " ").as("ws"))
+        .persist() // feeds bench grams, train grams, words, output spine
+      val isBench = col("doc_id") % 20 === 0
+      val bench = d.filter(isBench)
+        .select(col("lang"), explode(expr("graft_shingle_hashes(text)")).as("h"))
+        .distinct()
+      val train = d.filter(!isBench)
+      val hits = train
+        .select(col("doc_id"), col("lang"),
+          posexplode(expr("graft_shingle_hashes(text)")).as(Seq("gi", "h")))
+        .join(broadcast(bench), Seq("lang", "h"), "left_semi")
+      val covered = hits
+        .select(col("doc_id"),
+          explode(array(lit(0), lit(1), lit(2))).as("off"),
+          (col("gi") + 1).as("i"))
+        .select(col("doc_id"), (col("i") + col("off")).as("pos"))
+        .distinct()
+      val words = train
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+      val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      val reb = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("w")))),
+              x => x.getField("w")),
+            " ")).as("clean_md5"))
+      train.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"))
+        .join(reb, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+          coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q162 (round 14): tokenizer fertility — the standard
     // multilingual tokenizer eval (tokens-per-word and chars-per-token
     // by language): a vocabulary trained on a skewed language mix
@@ -2172,6 +2232,16 @@ object Pipeline {
             .otherwise(expr(bpeFoldSql("syms", "l", "r"))))
         .select(col("freq"), col("syms"))
         .localCheckpoint()
+      // Per-round eager checkpointing is MEASURED, not cargo-culted:
+      // checkpointing every 6th round instead (lazy chains between)
+      // took isolated q150 at sf0.1 from 6.4-7.2 s to 15-16 s — each
+      // broadcast argmax re-plans the un-checkpointed chain, and
+      // Catalyst optimization of the deepening nested-fold expression
+      // tree dwarfs the saved checkpoint jobs. The ~6 s the family
+      // benches is a corpus-INDEPENDENT job floor (sf0.01 and sf0.1
+      // time identically): 24 rounds x (argmax broadcast + checkpoint)
+      // of vocab-sized work — at 100 TB the same ~50 jobs amortize over
+      // the one corpus-sized histogram shuffle.
     }
     merges
   }
@@ -2273,6 +2343,46 @@ object Pipeline {
         |  coalesce(p.n_tokens_bpe, 0) AS n_tokens_bpe
         |FROM documents doc LEFT JOIN perdoc p USING (doc_id)
         |ORDER BY doc.doc_id""".stripMargin
+
+  /** DuckDB mirror of q164: same 60-bit lang-scoped gram set, same
+    * i..i+2 coverage arithmetic, same ordered-reassembly digest. */
+  private def decontamRewriteOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |bench AS (
+      |  SELECT DISTINCT lang,
+      |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS g
+      |  FROM d, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+      |  WHERE doc_id % 20 = 0 AND len(ws) >= 3),
+      |train AS (SELECT * FROM d WHERE doc_id % 20 <> 0),
+      |grams AS (
+      |  SELECT doc_id, lang, i,
+      |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS g
+      |  FROM train, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+      |  WHERE len(ws) >= 3),
+      |cov AS (
+      |  SELECT DISTINCT h.doc_id, h.i + o.off AS pos
+      |  FROM (SELECT gr.doc_id, gr.i FROM grams gr
+      |        JOIN bench b ON b.lang = gr.lang AND b.g = gr.g) h,
+      |       unnest([0, 1, 2]) AS o(off)),
+      |words AS (
+      |  SELECT doc_id, i AS pos, ws[i] AS w
+      |  FROM train, unnest(generate_series(1, len(ws))) AS u(i)),
+      |kept AS (
+      |  SELECT w.doc_id, w.pos, w.w FROM words w
+      |  LEFT JOIN cov c ON c.doc_id = w.doc_id AND c.pos = w.pos
+      |  WHERE c.doc_id IS NULL),
+      |reb AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, len(t.ws) AS n_words,
+      |  coalesce(r.n_kept, 0) AS n_kept,
+      |  len(t.ws) - coalesce(r.n_kept, 0) AS n_cut,
+      |  coalesce(r.clean_md5, md5('')) AS clean_md5
+      |FROM train t LEFT JOIN reb r USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
 
   /** DuckDB mirror of q162: the CTE-chain tokenization + the same
     * per-language integer-micro ratios ("//" floors, Spark DIV

@@ -267,6 +267,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q162: q151's vocab-sized tokenization + one corpus join; the
     // report is a #langs-row aggregate — output stays 5 rows
     "q162_bpe_fertility",
+    // q164: gram/word position explodes are scan-local, the benchmark
+    // set broadcasts, coverage and reassembly are doc-keyed — the
+    // renamed copies keep gram sets disjoint (each copy only excises
+    // against its own benchmark split) and output rows = #train docs,
+    // the 10x-linear case
+    "q164_decontam_rewrite",
     // (q163 is NOT here for the q127 reason: its risky-group report
     // legitimately SHRINKS at 10x — verbatim-metadata copies multiply
     // every quasi-identifier combo's count past the k threshold, which
