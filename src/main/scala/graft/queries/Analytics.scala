@@ -2123,51 +2123,44 @@ object Analytics {
     // aggregate, and interval stitch all reuse that partitioning (the
     // q69 sessionize shape — window + same-key groupBy, AQE keeps them
     // co-partitioned). Output rows = state transitions, not events. ----
-    QueryDef(
-      "q135_scd2_history",
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
-        |c AS (
-        |  SELECT user_id, event_type, tsec, event_id,
-        |    CASE WHEN lag(event_type) OVER w IS NULL
-        |           OR lag(event_type) OVER w <> event_type
-        |         THEN 1 ELSE 0 END AS chg
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
-        |v AS (
-        |  SELECT user_id, event_type, tsec,
-        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY tsec, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
-        |  FROM c),
-        |g AS (
-        |  SELECT user_id, version, MIN(event_type) AS state,
-        |    MIN(tsec) AS valid_from_s, COUNT(*) AS n_events
-        |  FROM v GROUP BY user_id, version)
-        |SELECT user_id, version, state, valid_from_s,
-        |  lead(valid_from_s) OVER pv AS valid_to_s,
-        |  CAST(CASE WHEN lead(valid_from_s) OVER pv IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
-        |  n_events
-        |FROM g WINDOW pv AS (PARTITION BY user_id ORDER BY version)
-        |ORDER BY user_id, version""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
-      val pv = Window.partitionBy(col("user_id")).orderBy(col("version"))
-      T(s, dir, "events")
+    QueryDef("q135_scd2_history", Scd2OracleSql) { (s, dir) =>
+      scd2Build(
+        T(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("tsec")))
+        .orderBy(col("user_id"), col("version"))
+    },
+
+    // ---- q165 (round 14): INCREMENTAL SCD2 upsert — q135 rebuilds the
+    // versioned dimension from scratch; production CDC maintains a
+    // STORED history as batches arrive. The production-honest
+    // incremental shape is partition-scoped rebuild (Hudi/Iceberg
+    // merge-on-read): the batch's affected entity set is tiny, so only
+    // those users' histories recompute (from their full event slice —
+    // which also makes LATE events correct for free, where interval
+    // stitching on the open tail alone would corrupt), everyone else's
+    // rows stream through untouched from the stored base. The batch
+    // here is the event_id%200 slice (~30% of users affected at sf0.01,
+    // the rest stream through untouched) — arbitrary arrival order,
+    // deliberately including in-the-past events. The ORACLE IS THE
+    // FULL REBUILD (q135's SQL verbatim): hash equality proves the
+    // upsert stitch drops, duplicates, and mis-versions nothing.
+    // 100 TB shape: the base reads from storage (bucketed by user — no
+    // exchange on the untouched side beyond the anti probe against the
+    // broadcast affected set); recompute cost tracks the AFFECTED
+    // users' events, not the corpus; the union is exchange-free. ----
+    QueryDef("q165_scd2_upsert", Scd2OracleSql) { (s, dir) =>
+      val ev = T(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_timestamp(col("ts")).as("tsec"))
-        .withColumn("prev", lag(col("event_type"), 1).over(w))
-        .withColumn("chg",
-          when(col("prev").isNull || col("prev") =!= col("event_type"), 1).otherwise(0))
-        .withColumn("version",
-          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast(LongType))
-        .groupBy(col("user_id"), col("version"))
-        .agg(min(col("event_type")).as("state"),
-          min(col("tsec")).as("valid_from_s"),
-          count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("version"), col("state"), col("valid_from_s"),
-          lead(col("valid_from_s"), 1).over(pv).as("valid_to_s"),
-          when(lead(col("valid_from_s"), 1).over(pv).isNull, 1L).otherwise(0L).as("is_current"),
-          col("n_events"))
+      val isBatch = col("event_id") % 200 === 0
+      val baseTbl = ensureScd2Base(s, dir)
+      val affected = ev.filter(isBatch).select(col("user_id")).distinct()
+      val untouched = s.table(baseTbl)
+        .join(broadcast(affected), Seq("user_id"), "left_anti")
+      val rebuilt = scd2Build(
+        ev.join(broadcast(affected), Seq("user_id"), "left_semi"))
+      untouched.unionByName(rebuilt)
         .orderBy(col("user_id"), col("version"))
     },
 
@@ -2734,6 +2727,90 @@ object Analytics {
        |  mem.n_members - COALESCE(dc.n_dropped, 0) AS n_kept
        |FROM mem LEFT JOIN dc USING (cid)
        |ORDER BY cluster_id""".stripMargin
+
+  /** q135/q165's shared oracle: the FULL SCD2 rebuild. q165 (the
+    * incremental upsert) deliberately shares it — hash equality with
+    * the rebuild is the correctness statement for incremental
+    * maintenance. A def, not a val: it is referenced during `defs`
+    * object init, before later vals are assigned (the BpeMerges
+    * lesson). */
+  private def Scd2OracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+      |c AS (
+      |  SELECT user_id, event_type, tsec, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+      |v AS (
+      |  SELECT user_id, event_type, tsec,
+      |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      |  FROM c),
+      |g AS (
+      |  SELECT user_id, version, MIN(event_type) AS state,
+      |    MIN(tsec) AS valid_from_s, COUNT(*) AS n_events
+      |  FROM v GROUP BY user_id, version)
+      |SELECT user_id, version, state, valid_from_s,
+      |  lead(valid_from_s) OVER pv AS valid_to_s,
+      |  CAST(CASE WHEN lead(valid_from_s) OVER pv IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+      |  n_events
+      |FROM g WINDOW pv AS (PARTITION BY user_id ORDER BY version)
+      |ORDER BY user_id, version""".stripMargin
+
+  /** The q135 SCD2 build over a (user_id, event_id, event_type, tsec)
+    * frame: per user, collapse consecutive same-state runs into
+    * [valid_from, valid_to) versions. ONE shuffle keyed by the entity
+    * id; the change flag, running version, run aggregate, and interval
+    * stitch all reuse that partitioning. Shared by q135 (full corpus)
+    * and q165 (affected-user slices) so the two cannot drift. */
+  private def scd2Build(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+    val pv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    ev
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1).otherwise(0))
+      .withColumn("version",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(LongType))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"),
+        min(col("tsec")).as("valid_from_s"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("version"), col("state"), col("valid_from_s"),
+        lead(col("valid_from_s"), 1).over(pv).as("valid_to_s"),
+        when(lead(col("valid_from_s"), 1).over(pv).isNull, 1L).otherwise(0L).as("is_current"),
+        col("n_events"))
+  }
+
+  // q165's stored base: the SCD2 history of the NON-batch events,
+  // written once per (JVM, source dir) as a user-bucketed table — the
+  // standing dimension a CDC pipeline maintains (the q110 standing-index
+  // / ensureBenchGramTable pattern).
+  private val scd2BaseDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def ensureScd2Base(s: SparkSession, dir: String): String = synchronized {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_scd2_base_$dirKey"
+    if (!(scd2BaseDirs.contains(dir) && s.catalog.tableExists(tbl))) {
+      val root = graft.BuildPaths.scratch(s"scd2_base/$dirKey")
+      scd2Build(
+        T(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("tsec"))
+          .filter(col("event_id") % 200 =!= 0))
+        .write.mode("overwrite")
+        .bucketBy(8, "user_id").sortBy("user_id", "version")
+        .option("path", s"$root/$tbl")
+        .format("parquet").saveAsTable(tbl)
+      scd2BaseDirs.add(dir)
+    }
+    tbl
+  }
 
   /** Spread a 16-bit value's bits to the even positions of a 32-bit word
     * (the classic mask-shift construction); building block of [[zValue]].

@@ -267,6 +267,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q162: q151's vocab-sized tokenization + one corpus join; the
     // report is a #langs-row aggregate — output stays 5 rows
     "q162_bpe_fertility",
+    // q165: the stored base builds once per (JVM, dir); the upsert's
+    // cost is the affected users' event slice + the anti probe against
+    // the broadcast affected set — duplicated events absorb into the
+    // same runs (q135's story), so output rows stay 1x while the
+    // keyed shuffle grows linearly
+    "q165_scd2_upsert",
     // q164: gram/word position explodes are scan-local, the benchmark
     // set broadcasts, coverage and reassembly are doc-keyed — the
     // renamed copies keep gram sets disjoint (each copy only excises
