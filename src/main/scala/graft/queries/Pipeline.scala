@@ -1990,6 +1990,75 @@ object Pipeline {
         .orderBy(col("shard"))
     },
 
+    // ---- q166 (round 14): n-gram NOVELTY score — the memorization
+    // check run on model OUTPUTS (Carlini et al.'s membership
+    // methodology, public): what fraction of a generation's word
+    // 5-grams already exist verbatim in the training corpus? High
+    // overlap = regurgitation; it is decontamination's dual (q123 asks
+    // "is my TRAIN set polluted by eval", this asks "is my OUTPUT a
+    // copy of train"). The %20 split stands in for generations; grams
+    // are 5-word shingles under the shared 60-bit rule; per-doc
+    // novelty_micro = 1e6 - copied*1e6 DIV n_grams, rolled up to a
+    // per-lang mean (sum of integer per-doc scores DIV n_docs — no
+    // float accumulation). 100 TB shape: the TRAIN gram set is the big
+    // side — the probe flips q123's broadcast (outputs are small, the
+    // corpus is not): output grams semi-probe the train set via a
+    // merge-hinted co-partitioned join on the gram key; per-doc and
+    // per-lang rollups are keyed partial aggs. ----
+    QueryDef(
+      "q166_novelty_memorization",
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |grams AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 15))::BIGINT AS g
+        |  FROM d, unnest(generate_series(1, len(ws) - 4)) AS u(i)
+        |  WHERE len(ws) >= 5),
+        |train AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 <> 0),
+        |outg AS (SELECT doc_id, lang, g FROM grams WHERE doc_id % 20 = 0),
+        |per AS (
+        |  SELECT o.doc_id, o.lang, COUNT(*) AS n_grams,
+        |    CAST(SUM(CASE WHEN t.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS copied
+        |  FROM outg o LEFT JOIN train t USING (g)
+        |  GROUP BY o.doc_id, o.lang),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    1000000 - (copied * 1000000) // n_grams AS novelty_micro
+        |  FROM per)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(novelty_micro) // COUNT(*) AS BIGINT) AS mean_novelty_micro,
+        |  CAST(MIN(novelty_micro) AS BIGINT) AS min_novelty_micro
+        |FROM scored GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 5)
+      val grams = d.select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(ws) - 4), i -> " +
+            "cast(conv(substring(md5(concat_ws(' ', element_at(ws, i), " +
+            "element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3), " +
+            "element_at(ws, i + 4))), 1, 15), 16, 10) as bigint))")).as("g"))
+      val isOut = col("doc_id") % 20 === 0
+      val train = grams.filter(!isOut).select(col("g")).distinct()
+      val per = grams.filter(isOut)
+        // merge hint: at scale the TRAIN gram set is the big side — the
+        // co-partitioned sort-merge join on the gram key is the honest
+        // shape (and pins the 1x/10x plan for the scale-stress compare)
+        .join(train.hint("merge").withColumn("hit", lit(1)), Seq("g"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0))).cast(LongType).as("copied"))
+      per
+        .select(col("doc_id"), col("lang"),
+          (lit(1000000L) - expr("(copied * 1000000) DIV n_grams")).as("novelty_micro"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("cast(sum(novelty_micro) DIV count(1) as bigint)").as("mean_novelty_micro"),
+          min(col("novelty_micro")).cast(LongType).as("min_novelty_micro"))
+        .orderBy(col("lang"))
+    },
+
     // ---- q164 (round 14): decontamination by SPAN EXCISION — the
     // surgical alternative to q57's drop-the-document: production
     // pipelines often keep a contaminated document and cut only the

@@ -163,6 +163,34 @@ class NatsSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msg(intercept[Exception](write(wildcard, "subj"))).contains("literal"))
   }
 
+  test("subjectColumn routes from writeStream too (same writer both paths)") {
+    import spark.implicits._
+    val in = freshBus(); val out = freshBus()
+    val connIn = NatsTransport.connect(in)
+    val (gotA, subA) = collectSubject(out, "out.apple")
+    val (gotB, subB) = collectSubject(out, "out.banana")
+    val ckpt = java.nio.file.Files.createTempDirectory("nats-route-ckpt").toString
+    val q = spark.readStream.format("nats").schema(schema)
+      .option("url", in).option("subject", "raw")
+      .option("batchSize", "2")
+      .load()
+      .withColumn("subj", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("out."), col("name")))
+      .writeStream.format("nats")
+      .option("url", out).option("subject", "out.default")
+      .option("subjectColumn", "subj")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      NatsDemo.awaitSubscriber(in, "raw")
+      connIn.publish("raw", "1,apple".getBytes)
+      connIn.publish("raw", "2,banana".getBytes)
+      q.processAllAvailable()
+      assert(gotA.toArray.map(_.toString).toSeq === Seq("1,apple"))
+      assert(gotB.toArray.map(_.toString).toSeq === Seq("2,banana"))
+    } finally { q.stop(); subA.close(); subB.close(); connIn.close() }
+  }
+
   test("batch write covers all six codec types and round-trips through parse") {
     import spark.implicits._
     val url = freshBus()

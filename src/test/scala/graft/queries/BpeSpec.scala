@@ -114,6 +114,45 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size === corpus.size, "every document must appear exactly once")
   }
 
+  test("oracle equivalence: literal replace() on the double-pipe encoding IS the greedy merge pass") {
+    // The generated DuckDB oracle applies one merge rule as
+    // replace(s, '|l||r|', '|lr|') over each word's "|a||b||c|"
+    // encoding. SQL replace (and Java's String.replace, used here as
+    // its semantic twin) scans the ORIGINAL string left to right,
+    // non-overlapping — this pins that that equals the reference
+    // greedy pass for every small symbol sequence and compounded rule,
+    // including the cascade shapes ("aaaa" under (a,a); products
+    // feeding later higher-rank rules).
+    def encode(syms: List[String]): String = syms.map(s => s"|$s|").mkString
+    def decode(enc: String): List[String] =
+      if (enc.isEmpty) Nil
+      else enc.substring(1, enc.length - 1).split("\\|\\|", -1).toList
+    def viaReplace(syms: List[String], l: String, r: String): List[String] =
+      decode(encode(syms).replace(s"|$l||$r|", s"|$l$r|"))
+    val alphabet = List("a", "b", "ab")
+    val seqs: Seq[List[String]] = (0 to 5).flatMap { n =>
+      Seq.fill(n)(alphabet).foldLeft(Seq(List.empty[String])) {
+        (acc, cs) => acc.flatMap(p => cs.map(c => p :+ c))
+      }
+    }
+    val rules = for {
+      l <- alphabet ++ List("aa", "ba", "abb", "aba")
+      r <- alphabet
+    } yield (l, r)
+    var checked = 0
+    for (s0 <- seqs; (l1, r1) <- rules) {
+      val folded = refMergePass(s0, l1, r1)
+      assert(viaReplace(s0, l1, r1) === folded, s"seq=$s0 rule=($l1,$r1)")
+      // compound: the merged product becomes the left side of a
+      // higher-rank rule, applied on the first pass's output
+      val (l2, r2) = (l1 + r1, r1)
+      assert(viaReplace(folded, l2, r2) === refMergePass(folded, l2, r2),
+        s"seq=$folded rule2=($l2,$r2)")
+      checked += 2
+    }
+    assert(checked > 10000, s"only $checked cases checked")
+  }
+
   test("q150 is deterministic across runs (argmax ties pinned)") {
     val a = Registry.byName("q150_bpe_train").build(spark, sfDir)
       .collect().map(_.toString).toSeq

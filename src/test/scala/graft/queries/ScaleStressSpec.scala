@@ -267,6 +267,11 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q162: q151's vocab-sized tokenization + one corpus join; the
     // report is a #langs-row aggregate — output stays 5 rows
     "q162_bpe_fertility",
+    // q166: gram extraction is scan-local; the train-side distinct and
+    // the merge-hinted probe grow 10x in rows AND keys (disjoint copy
+    // alphabets) — the co-partitioned linear case; output stays #langs
+    // rows
+    "q166_novelty_memorization",
     // q165: the stored base builds once per (JVM, dir); the upsert's
     // cost is the affected users' event slice + the anti probe against
     // the broadcast affected set — duplicated events absorb into the
