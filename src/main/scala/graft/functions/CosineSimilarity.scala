@@ -148,6 +148,7 @@ object GraftFunctions {
     unary("graft_bigram_hashes", BigramHashes),
     unary("graft_trigram_hashes", TrigramHashes),
     unary("graft_char_entropy", CharEntropy),
+    unary("graft_nfc", NfcNormalize),
     unary("graft_minhash_agg", (c: Expression) => MinHashAgg(c)),
     bottomKFn)
 

@@ -154,6 +154,20 @@ case class TrigramHashes(child: Expression) extends SketchUnary {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (q167) — UAX#15 canonical composition. */
+case class NfcNormalize(child: Expression) extends SketchUnary {
+  protected def expectedInput: DataType = StringType
+  protected def kernel: String = "nfc"
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Shannon entropy in bits/char over the text's code points (q104). */
 case class CharEntropy(child: Expression) extends SketchUnary {
   protected def expectedInput: DataType = StringType

@@ -330,6 +330,21 @@ object Sketches {
     * ulp difference only (rounded away at 6 decimals by the caller).
     * 0.0 for empty text (callers filter len > 0 to match the oracle's
     * vanishing empty-series rows). */
+  /** Unicode NFC normalization (UAX#15) — the multilingual-corpus
+    * canonicalization step (mC4-style pipelines normalize before
+    * tokenizing, so "é" composed and "e"+U+0301 dedup/hash/count the
+    * same). The JDK's java.text.Normalizer implements the same standard
+    * DuckDB's nfc_normalize does (cross-engine agreement spot-validated
+    * on composed/decomposed Latin, Hangul jamo, combining-mark ordering,
+    * compatibility chars, 4-byte emoji). Fast path: isNormalized avoids
+    * the String round-trip for already-NFC (incl. all-ASCII) text. */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   def charEntropy(text: UTF8String): Double = {
     val s = text.toString
     if (s.isEmpty) return 0.0

@@ -1990,6 +1990,43 @@ object Pipeline {
         .orderBy(col("shard"))
     },
 
+    // ---- q167 (round 14): Unicode NFC canonicalization audit — the
+    // multilingual preprocessing step before any hashing/dedup/counting
+    // op is trustworthy ("é" composed and "e"+combining-acute must
+    // dedup, hash, and count identically; mC4-style pipelines normalize
+    // first). graft_nfc is a codegen'd Catalyst expression over the
+    // JDK's UAX#15 implementation, oracle-paired against DuckDB's
+    // nfc_normalize (same standard; agreement spot-validated on Hangul
+    // jamo, combining-mark ordering, compatibility chars). Output: per
+    // lang, docs needing normalization + an order-free integer content
+    // checksum of the NORMALIZED text (md5-60bit mod 1e9+7, summed) —
+    // the checksum pins every normalized byte cross-engine, so the
+    // entry stays meaningful on this all-ASCII fixture (identity must
+    // agree too) and UnicodeNormSpec carries the real-unicode pins.
+    // 100 TB shape: normalization is scan-local with an isNormalized
+    // fast path (no allocation on ASCII); one #langs-row aggregate. ----
+    QueryDef(
+      "q167_unicode_normalize",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(SUM(('0x' || substr(md5(nfc_normalize(text)), 1, 15))::BIGINT
+        |           % 1000000007) AS BIGINT) AS content_checksum
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("lang"), col("text"), expr("graft_nfc(text)").as("norm"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("norm") =!= col("text"), 1).otherwise(0))
+            .cast(LongType).as("n_changed"),
+          sum(pmod(conv(substring(md5(col("norm")), 1, 15), 16, 10).cast(LongType),
+            lit(1000000007L))).cast(LongType).as("content_checksum"))
+        .orderBy(col("lang"))
+    },
+
     // ---- q166 (round 14): n-gram NOVELTY score — the memorization
     // check run on model OUTPUTS (Carlini et al.'s membership
     // methodology, public): what fraction of a generation's word

@@ -419,4 +419,37 @@ class SketchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(newWay === oldWay)
   }
+
+  test("graft_nfc: UAX#15 canonical composition — real unicode, idempotence, ASCII fast path") {
+    import spark.implicits._
+    val cases = Seq(
+      // (input, expected NFC); \u escapes keep de/composed explicit
+      // decomposed Latin (e + combining acute U+0301) composes to U+00E9
+      ("cafe\u0301", "caf\u00e9"),
+      // already-composed stays
+      ("caf\u00e9", "caf\u00e9"),
+      // Hangul jamo (U+1100 U+1161) compose to the syllable U+AC00
+      ("\u1100\u1161", "\uac00"),
+      // combining marks reorder canonically (below U+0316 before U+0301)
+      ("a\u0301\u0316", "\u00e1\u0316"),
+      // compatibility chars do NOT change under NFC (that's NFKC)
+      ("\ufb01le", "\ufb01le"),
+      ("\uff21b\uff43", "\uff21b\uff43"),
+      // 4-byte supplementary chars pass through
+      ("a\ud83d\ude00b", "a\ud83d\ude00b"),
+      // pure ASCII is the identity fast path
+      ("plain ascii text 123", "plain ascii text 123"),
+      ("", ""))
+    val got = cases.map(_._1).toDF("s")
+      .select(expr("graft_nfc(s)").as("n")).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+    // idempotence: nfc(nfc(x)) == nfc(x)
+    val twice = cases.map(_._1).toDF("s")
+      .select(expr("graft_nfc(graft_nfc(s))").as("n")).as[String].collect().toSeq
+    assert(twice === cases.map(_._2))
+    // and the kernel agrees with java.text.Normalizer directly
+    cases.foreach { case (in, want) =>
+      assert(java.text.Normalizer.normalize(in, java.text.Normalizer.Form.NFC) === want)
+    }
+  }
 }

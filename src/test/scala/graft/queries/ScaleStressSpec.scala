@@ -267,6 +267,9 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q162: q151's vocab-sized tokenization + one corpus join; the
     // report is a #langs-row aggregate — output stays 5 rows
     "q162_bpe_fertility",
+    // q167: pure scan-local codegen kernel + one #langs-row aggregate —
+    // the map-side-partial linear baseline (q104's shape)
+    "q167_unicode_normalize",
     // q166: gram extraction is scan-local; the train-side distinct and
     // the merge-hinted probe grow 10x in rows AND keys (disjoint copy
     // alphabets) — the co-partitioned linear case; output stays #langs
