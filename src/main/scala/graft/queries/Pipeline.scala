@@ -1990,6 +1990,37 @@ object Pipeline {
         .orderBy(col("shard"))
     },
 
+    // ---- q168 (round 14): quality gate with OBSERVED in-flight
+    // metrics — Spark's Observation API is the zero-cost ops layer a
+    // production gate needs: the audit counters (rows in, null-text,
+    // rule failures, rows kept) ride the SAME scan as the filter
+    // itself, computed by codegen'd accumulators at the exact point
+    // the plan evaluates the rules — no second pass, no separate audit
+    // query that could see different data. The gated OUTPUT (kept docs
+    // per lang) is hash-checked by the oracle; ObserveGateSpec asserts
+    // the in-flight counters equal independently recomputed values.
+    // 100 TB shape: observe() adds one CollectMetrics node over the
+    // scan — accumulator traffic only, the filter plan is unchanged;
+    // the report is a #langs-row aggregate. ----
+    QueryDef(
+      "q168_observe_gate",
+      """WITH d AS (
+        |  SELECT lang, n_chars, string_split(lower(text), ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT lang, len(ws) AS n_tok,
+        |    CAST(n_chars - (len(ws) - 1) AS DOUBLE) / len(ws) AS mtl,
+        |    len(list_filter(ws, x -> x = 'the' OR x = 'a' OR x = 'of')) AS n_stop,
+        |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dr
+        |  FROM d)
+        |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM m
+        |WHERE n_tok BETWEEN 10 AND 1000 AND mtl >= 2 AND mtl <= 12
+        |  AND n_stop >= 1 AND dr >= 0.3
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      observedQualityGate(s, dir)._1
+    },
+
     // ---- q167 (round 14): Unicode NFC canonicalization audit — the
     // multilingual preprocessing step before any hashing/dedup/counting
     // op is trustworthy ("é" composed and "e"+combining-acute must
@@ -2449,6 +2480,40 @@ object Pipeline {
         |  coalesce(p.n_tokens_bpe, 0) AS n_tokens_bpe
         |FROM documents doc LEFT JOIN perdoc p USING (doc_id)
         |ORDER BY doc.doc_id""".stripMargin
+
+  /** q168's gate with its Observation attached — the C4 rules of q47 as
+    * a FILTER (q47 reports; this gates), with the audit counters
+    * collected in-flight on the same scan. Returns (gated summary,
+    * observation); the registry entry returns the frame, ObserveGateSpec
+    * runs an action and asserts the counters. A fresh Observation per
+    * call: they are one-shot per action. */
+  private[graft] def observedQualityGate(
+      s: SparkSession, dir: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val d = T(s, dir, "documents")
+      .select(col("lang"), col("n_chars"), col("text"))
+      .withColumn("ws", split(lower(col("text")), " "))
+      .withColumn("n_tok", size(col("ws")))
+      .withColumn("mtl",
+        (col("n_chars") - (col("n_tok") - 1)).cast(DoubleType) / col("n_tok"))
+      .withColumn("n_stop",
+        size(filter(col("ws"), w => w === "the" || w === "a" || w === "of")))
+      .withColumn("dr", size(array_distinct(col("ws"))).cast(DoubleType) / col("n_tok"))
+      .withColumn("pass",
+        col("text").isNotNull && col("n_tok").between(10, 1000) &&
+          col("mtl") >= 2 && col("mtl") <= 12 &&
+          col("n_stop") >= 1 && col("dr") >= 0.3)
+      .observe(obs,
+        count(lit(1)).as("n_input"),
+        sum(when(col("text").isNull, 1).otherwise(0)).as("n_null_text"),
+        sum(when(col("pass"), 1).otherwise(0)).as("n_kept"),
+        sum(when(!col("pass"), 1).otherwise(0)).as("n_dropped"))
+    val out = d.filter(col("pass"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).cast(LongType).as("n_tokens"))
+      .orderBy(col("lang"))
+    (out, obs)
+  }
 
   /** DuckDB mirror of q164: same 60-bit lang-scoped gram set, same
     * i..i+2 coverage arithmetic, same ordered-reassembly digest. */

@@ -270,6 +270,9 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q167: pure scan-local codegen kernel + one #langs-row aggregate —
     // the map-side-partial linear baseline (q104's shape)
     "q167_unicode_normalize",
+    // q168: the q47 rules as a gate + a CollectMetrics node on the same
+    // scan — accumulator traffic only; output stays #langs rows
+    "q168_observe_gate",
     // q166: gram extraction is scan-local; the train-side distinct and
     // the merge-hinted probe grow 10x in rows AND keys (disjoint copy
     // alphabets) — the co-partitioned linear case; output stays #langs
