@@ -1990,6 +1990,68 @@ object Pipeline {
         .orderBy(col("shard"))
     },
 
+    // ---- q169 (round 14): greedy QUOTA-FILL selection — the mixture
+    // EXECUTION step: q116/q133/q142 compute budgets and keep rates;
+    // something still has to pick the CONCRETE documents. Per language,
+    // rank docs by quality (distinct-token ratio in integer micros —
+    // one rounded division, the q47 signal) with doc_id tie-break, and
+    // take the greedy prefix until the language's token quota (40% of
+    // its corpus tokens, pure integer DIV) is crossed — the first doc
+    // to cross is INCLUDED (prefix rule: selected iff running sum
+    // BEFORE it is under quota), so both engines cut at the same row.
+    // Output pins the selected SET, not just counts: an order-free
+    // integer membership checksum (md5-60bit of doc_id mod 1e9+7,
+    // summed). 100 TB shape: scoring is scan-local; quotas are a
+    // #langs-row broadcast; the running sum is a LANG-partitioned
+    // window (the q36 packing shape — production shards the stream
+    // (lang, day) to bound partitions); the report is #langs rows. ----
+    QueryDef(
+      "q169_quota_fill",
+      """WITH d AS (
+        |  SELECT doc_id, lang, len(string_split(lower(text), ' ')) AS n_tok,
+        |    CAST(round(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+        |         / len(string_split(lower(text), ' ')) * 1000000, 0) AS BIGINT) AS score_micro
+        |  FROM documents WHERE text IS NOT NULL),
+        |q AS (
+        |  SELECT lang, CAST(SUM(n_tok) AS BIGINT) * 40 // 100 AS quota_tokens
+        |  FROM d GROUP BY lang),
+        |r AS (
+        |  SELECT d.doc_id, d.lang, d.n_tok, q.quota_tokens,
+        |    SUM(d.n_tok) OVER (PARTITION BY d.lang
+        |      ORDER BY d.score_micro DESC, d.doc_id
+        |      ROWS UNBOUNDED PRECEDING) - d.n_tok AS cum_before
+        |  FROM d JOIN q USING (lang))
+        |SELECT lang, COUNT(*) AS n_selected,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tokens_selected,
+        |  MIN(quota_tokens) AS quota_tokens,
+        |  CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |       % 1000000007) AS BIGINT) AS member_checksum
+        |FROM r WHERE cum_before < quota_tokens
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("ws", split(lower(col("text")), " "))
+        .withColumn("n_tok", size(col("ws")))
+        .withColumn("score_micro",
+          expr("cast(round(cast(size(array_distinct(ws)) as double) / size(ws) * 1000000, 0) as bigint)"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("score_micro"))
+      val quota = d.groupBy(col("lang"))
+        .agg(expr("cast(sum(n_tok) as bigint) * 40 DIV 100").as("quota_tokens"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.join(broadcast(quota), Seq("lang"))
+        .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
+        .filter(col("cum_before") < col("quota_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("n_tok")).cast(LongType).as("tokens_selected"),
+          min(col("quota_tokens")).as("quota_tokens"),
+          sum(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast(LongType), lit(1000000007L))).cast(LongType).as("member_checksum"))
+        .orderBy(col("lang"))
+    },
+
     // ---- q168 (round 14): quality gate with OBSERVED in-flight
     // metrics — Spark's Observation API is the zero-cost ops layer a
     // production gate needs: the audit counters (rows in, null-text,

@@ -273,6 +273,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q168: the q47 rules as a gate + a CollectMetrics node on the same
     // scan — accumulator traffic only; output stays #langs rows
     "q168_observe_gate",
+    // q169: scoring is scan-local, quotas a #langs-row broadcast, the
+    // running sum a lang-partitioned window (10x rows per partition,
+    // never global); output stays #langs rows
+    "q169_quota_fill",
     // q166: gram extraction is scan-local; the train-side distinct and
     // the merge-hinted probe grow 10x in rows AND keys (disjoint copy
     // alphabets) — the co-partitioned linear case; output stays #langs
