@@ -2542,6 +2542,43 @@ object Analytics {
         .orderBy(col("n_name"))
     },
 
+    // ---- q170 (round 14): behavior-sequence corpus construction —
+    // turn the event LOG into trainable SEQUENCES (the
+    // behavioral-pretraining / recommendation-LM data op: each user's
+    // ordered event-type tokens become one training document; q144/
+    // q145 model transitions, this EMITS the corpus they train on).
+    // Ordering is pinned by (tsec, event_id) — the q135 rule — and the
+    // sequence content is pinned cross-engine by its md5 digest, so
+    // any reorder or drop hash-fails. Output: one row per user with
+    // the sequence digest + length stats. 100 TB shape: ONE shuffle
+    // keyed by user; the reassembly is the same irreducible doc-keyed
+    // groupBy every corpus rewrite pays (q141/q164); a production run
+    // shards (user, day) and emits windowed sequences. ----
+    QueryDef(
+      "q170_behavior_sequences",
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    event_id
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  md5(string_agg(event_type, ' ' ORDER BY tsec, event_id)) AS seq_md5
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("tsec"), col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("tsec"), col("event_id"),
+                col("event_type")))),
+              x => x.getField("event_type")),
+            " ")).as("seq_md5"))
+        .orderBy(col("user_id"))
+    },
+
     // ---- q161 (round 14): deletion-propagation audit — the
     // right-to-be-forgotten cascade a training-data platform must
     // answer for: a deletion request set (here the deterministic

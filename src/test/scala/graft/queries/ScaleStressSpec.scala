@@ -277,6 +277,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // running sum a lang-partitioned window (10x rows per partition,
     // never global); output stays #langs rows
     "q169_quota_fill",
+    // q170: one user-keyed shuffle + per-user reassembly; duplicated
+    // events densify each user's sequence 10x while output stays one
+    // row per user — the keyed-groupBy linear case
+    "q170_behavior_sequences",
     // q166: gram extraction is scan-local; the train-side distinct and
     // the merge-hinted probe grow 10x in rows AND keys (disjoint copy
     // alphabets) — the co-partitioned linear case; output stays #langs
