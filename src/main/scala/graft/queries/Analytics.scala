@@ -2542,6 +2542,62 @@ object Analytics {
         .orderBy(col("n_name"))
     },
 
+    // ---- q171 (round 14): per-user TEMPORAL train/eval split — the
+    // no-time-travel split sequence models need (q115 splits documents
+    // by content hash; behavior data must split each user's TIMELINE:
+    // train on the first 80% of their events, evaluate on the rest, or
+    // the model sees the future). Per user: rank events by (tsec,
+    // event_id), train = first ceil(0.8n) (integer (4n+4) DIV 5 — same
+    // truncation both engines), and the output AUDITS the split: per
+    // split sizes, the train/eval boundary instants (train_max <=
+    // eval_min by construction — emitted so the gate would catch a
+    // broken rank), and order-free membership checksums per side. 100
+    // TB shape: ONE user-keyed shuffle; rank + partition count ride
+    // the same window partitioning; output one row per user. ----
+    QueryDef(
+      "q171_temporal_split",
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, tsec,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, event_id, tsec,
+        |    CASE WHEN rn <= (4 * n + 4) // 5 THEN 1 ELSE 0 END AS is_train
+        |  FROM r)
+        |SELECT user_id,
+        |  CAST(SUM(is_train) AS BIGINT) AS n_train,
+        |  CAST(SUM(1 - is_train) AS BIGINT) AS n_eval,
+        |  MAX(CASE WHEN is_train = 1 THEN tsec END) AS train_max_tsec,
+        |  MIN(CASE WHEN is_train = 0 THEN tsec END) AS eval_min_tsec,
+        |  CAST(SUM(CASE WHEN is_train = 1 THEN event_id % 1000000007 END) AS BIGINT)
+        |    AS train_checksum,
+        |  CAST(SUM(CASE WHEN is_train = 0 THEN event_id % 1000000007 END) AS BIGINT)
+        |    AS eval_checksum
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("tsec"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("is_train",
+          when(col("rn") <= expr("(4 * n + 4) DIV 5"), 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("is_train")).cast(LongType).as("n_train"),
+          sum(lit(1) - col("is_train")).cast(LongType).as("n_eval"),
+          max(when(col("is_train") === 1, col("tsec"))).as("train_max_tsec"),
+          min(when(col("is_train") === 0, col("tsec"))).as("eval_min_tsec"),
+          sum(when(col("is_train") === 1, col("event_id") % 1000000007L))
+            .cast(LongType).as("train_checksum"),
+          sum(when(col("is_train") === 0, col("event_id") % 1000000007L))
+            .cast(LongType).as("eval_checksum"))
+        .orderBy(col("user_id"))
+    },
+
     // ---- q170 (round 14): behavior-sequence corpus construction —
     // turn the event LOG into trainable SEQUENCES (the
     // behavioral-pretraining / recommendation-LM data op: each user's

@@ -281,6 +281,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // events densify each user's sequence 10x while output stays one
     // row per user — the keyed-groupBy linear case
     "q170_behavior_sequences",
+    // q171: rank + partition-count ride the same user-keyed window
+    // partitioning; 10x denser timelines, output stays one row per
+    // user
+    "q171_temporal_split",
     // q166: gram extraction is scan-local; the train-side distinct and
     // the merge-hinted probe grow 10x in rows AND keys (disjoint copy
     // alphabets) — the co-partitioned linear case; output stays #langs
