@@ -1990,6 +1990,62 @@ object Pipeline {
         .orderBy(col("shard"))
     },
 
+    // ---- q172 (round 14): LSH band-configuration sweep — the tuning
+    // harness behind every MinHash dedup deployment: bands×rows trades
+    // recall for candidate volume (P[candidate] = 1-(1-s^r)^b), and at
+    // 100 TB choosing wrong means either missed dupes or a quadratic
+    // candidate explosion. From the SAME 12-permutation signature
+    // (q41's kernel), three layouts — 6×2 (q41's), 4×3, 3×4 — each
+    // generate candidates by banded self-join; every pool pair's
+    // signature agreement (matching components / 12, the unbiased
+    // Jaccard estimator) grades them: precision = matched/candidates,
+    // recall vs the UNION candidate pool's matches (the standard
+    // at-scale proxy — exact ground truth would be the all-pairs join
+    // LSH exists to avoid, and the oracle replays the same pool
+    // definition). 100 TB shape: signatures scan-local; every
+    // candidate join is banded (never all-pairs); agreement joins are
+    // doc-keyed; the three 1-row totals ride audited broadcasts;
+    // output = 3 rows. ----
+    QueryDef("q172_lsh_band_sweep", lshBandSweepOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val sig = T(s, dir, "documents")
+        .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
+        .filter(col("sig").isNotNull)
+        .persist() // feeds 3 band derivations + 2 agreement probes
+      def candidates(name: String, layout: Seq[Seq[Int]]): DataFrame = {
+        val br = sig.select(col("doc_id"),
+          expr(layout.zipWithIndex.map { case (ids, j) =>
+            s"$j, concat(${ids.map(i => s"sig[$i]").mkString(", '_', ")})"
+          }.mkString(s"stack(${layout.size}, ", ", ", ") as (band, key)")))
+        val a = br.as("a"); val b = br.as("b")
+        a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .withColumn("config", lit(name))
+      }
+      val pairs = sweepLayouts.map { case (n, l) => candidates(n, l) }
+        .reduce(_ unionByName _).persist()
+      val pool = pairs.select(col("doc_a"), col("doc_b")).distinct()
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))").as("agree"))
+        .withColumn("is_match", (col("agree") >= 6).cast(IntegerType))
+        .persist()
+      val truthTotal = pool.agg(sum(col("is_match")).cast(LongType).as("pool_matches"))
+      pairs.join(pool, Seq("doc_a", "doc_b"))
+        .groupBy(col("config"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(col("is_match")).cast(LongType).as("n_matched"))
+        .crossJoin(broadcast(truthTotal))
+        .select(col("config"), col("n_candidates"), col("n_matched"),
+          col("pool_matches"),
+          expr("(n_matched * 1000000) DIV n_candidates").as("precision_micro"),
+          expr("(n_matched * 1000000) DIV pool_matches").as("recall_micro"))
+        .orderBy(col("config"))
+    },
+
     // ---- q169 (round 14): greedy QUOTA-FILL selection — the mixture
     // EXECUTION step: q116/q133/q142 compute budgets and keep rates;
     // something still has to pick the CONCRETE documents. Per language,
@@ -3527,6 +3583,69 @@ object Pipeline {
 
   /** DuckDB mirror of q41, generated from the same hash-family constants
     * so both engines are in lockstep by construction. */
+  /** q172's three band layouts over the shared 12-perm signature. A def
+    * (not a val): referenced during `defs` object init via the oracle
+    * generator (the BpeMerges lesson). Spark keys use index [i]
+    * (0-based element_at under the hood matches); oracle keys use the
+    * same component columns. */
+  private def sweepLayouts: Seq[(String, Seq[Seq[Int]])] = Seq(
+    "6x2" -> (0 until 6).map(j => Seq(2 * j, 2 * j + 1)),
+    "4x3" -> (0 until 4).map(j => Seq(3 * j, 3 * j + 1, 3 * j + 2)),
+    "3x4" -> (0 until 3).map(j => (0 until 4).map(4 * j + _)))
+
+  /** DuckDB mirror of q172: same signature CTE as q41's oracle, the
+    * three band layouts generated from the same sweepLayouts, agreement
+    * from the 12 m-columns, pool/precision/recall identical. */
+  private def lshBandSweepOracle: String = {
+    val minCols = (0 until K).map(i =>
+      s"min((hp * ${hashA(i)} + ${hashB(i)}) % $P) AS m$i").mkString(",\n        ")
+    def bandCtes(name: String, layout: Seq[Seq[Int]]): (String, String) = {
+      val sel = layout.zipWithIndex.map { case (ids, j) =>
+        s"SELECT doc_id, $j AS band, ${ids.map(i => s"m$i").mkString(" || '_' || ")} AS key FROM mh"
+      }.mkString("\n  UNION ALL ")
+      (s"""b_$name AS (
+          |  $sel),
+          |cand_$name AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM b_$name a JOIN b_$name b
+          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin,
+        s"SELECT '$name' AS config, doc_a, doc_b FROM cand_$name")
+    }
+    val parts = sweepLayouts.map { case (n, l) => bandCtes(n, l) }
+    val agree = (0 until K).map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
+       |  WHERE len(ws) >= 3),
+       |h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS hp FROM sh),
+       |mh AS (
+       |  SELECT doc_id,
+       |        $minCols
+       |  FROM h GROUP BY doc_id),
+       |${parts.map(_._1).mkString(",\n")},
+       |pairs AS (
+       |  ${parts.map(_._2).mkString("\n  UNION ALL ")}),
+       |pool AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CASE WHEN ($agree) >= 6 THEN 1 ELSE 0 END AS is_match
+       |  FROM (SELECT DISTINCT doc_a, doc_b FROM pairs) p
+       |  JOIN mh x ON x.doc_id = p.doc_a
+       |  JOIN mh y ON y.doc_id = p.doc_b),
+       |tot AS (SELECT CAST(SUM(is_match) AS BIGINT) AS pool_matches FROM pool)
+       |SELECT config, COUNT(*) AS n_candidates,
+       |  CAST(SUM(is_match) AS BIGINT) AS n_matched,
+       |  pool_matches,
+       |  (CAST(SUM(is_match) AS BIGINT) * 1000000) // COUNT(*) AS precision_micro,
+       |  (CAST(SUM(is_match) AS BIGINT) * 1000000) // pool_matches AS recall_micro
+       |FROM pairs JOIN pool USING (doc_a, doc_b), tot
+       |GROUP BY config, pool_matches
+       |ORDER BY config""".stripMargin
+  }
+
   private def minhashOracle: String = {
     val minCols = (0 until K).map(i =>
       s"min((hp * ${hashA(i)} + ${hashB(i)}) % $P) AS m$i").mkString(",\n        ")

@@ -79,6 +79,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bucket ratio table (the DSIR importance model is kilobytes by
     // design); scoring joins are broadcast/hash equi joins.
     "q155_dsir_resample",
+    // q172 cross-joins its 1-row pool-matches total into the 3-row
+    // per-config stats; all candidate generation is banded equi joins.
+    "q172_lsh_band_sweep",
     // q157 cross-joins its 1-row train-doc total into the #classes-row
     // prior, and fans eval rows out over the #classes-row broadcast
     // stats (the NB model is capped at #classes x 4096 by the hashing

@@ -285,6 +285,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // partitioning; 10x denser timelines, output stays one row per
     // user
     "q171_temporal_split",
+    // q172: disjoint copy signatures keep every candidate join
+    // within-copy (bounded banding, never all-pairs), candidate pools
+    // grow ~10x; output stays 3 rows
+    "q172_lsh_band_sweep",
     // q166: gram extraction is scan-local; the train-side distinct and
     // the merge-hinted probe grow 10x in rows AND keys (disjoint copy
     // alphabets) — the co-partitioned linear case; output stays #langs
