@@ -12,4 +12,16 @@ object BuildPaths {
     sys.env.getOrElse("GRAFT_SCRATCH", s"${sys.props("user.dir")}/target/graft-scratch")
 
   def scratch(sub: String): String = s"$root/$sub"
+
+  /** Filesystem/catalog-safe key for a source dir. The sanitized prefix
+    * stays readable; the appended hash of the RAW dir keeps distinct dirs
+    * from colliding after sanitization ('sf0.01' vs 'sf0_01' — ADVICE
+    * r14: a collision let a write-once memoization check and its table
+    * identity diverge, silently reusing the wrong base). Every
+    * write-once layout (bucketed tables, partitioned events, stored gram
+    * sets, SCD2 bases) keys its table name AND its scratch path on this.
+    */
+  def dirKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
 }

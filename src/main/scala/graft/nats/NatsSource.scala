@@ -449,9 +449,21 @@ final class NatsRowWriter(schema: StructType, opts: NatsOptions)
               s"subjectColumn '${opts.subjectColumn.get}' is NULL: every " +
                 "row needs a target subject for routed publish")
             val s0 = row.getUTF8String(idx).toString
-            require(s0.nonEmpty && !s0.exists(c => c == '*' || c == '>' || c == ' '),
+            // Data-driven subjects are interpolated into the transport's
+            // 'PUB <subject> ...' control line, so the gate is strict:
+            // printable ASCII only (control chars — \r\n especially —
+            // would inject protocol framing), no wildcards/spaces (those
+            // are subscribe-side syntax), no empty dot-tokens (ADVICE
+            // r14: 'docs.' must fail HERE with the subjectColumn
+            // message, not later in the transport or not at all on the
+            // memory bus).
+            require(s0.nonEmpty &&
+              s0.forall(c => c >= 0x21 && c <= 0x7e && c != '*' && c != '>') &&
+              !s0.split("\\.", -1).exists(_.isEmpty),
               s"subjectColumn value '$s0' is not a publishable literal " +
-                "subject (wildcards/spaces are subscribe-side syntax)")
+                "subject: tokens must be non-empty printable-ASCII " +
+                "literals (wildcards/spaces are subscribe-side syntax; " +
+                "control characters would corrupt wire framing)")
             s0
           case None => opts.subject
         }

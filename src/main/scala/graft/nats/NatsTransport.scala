@@ -380,11 +380,17 @@ object NatsSubjects {
 
   private def tokens(s: String): Array[String] = s.split("\\.", -1)
 
-  /** Published subjects: non-empty literal tokens only (no wildcards). */
+  /** Published subjects: non-empty literal tokens only (no wildcards),
+    * printable ASCII throughout — subjects ride verbatim on the
+    * 'PUB <subject> …' control line, so whitespace/control characters
+    * (CR/LF above all) would corrupt framing or inject protocol verbs
+    * (ADVICE r14). */
   def validateSubject(subject: String): Unit = {
     val t = tokens(subject)
     require(subject.nonEmpty && t.forall(tok => tok.nonEmpty && tok != "*" && tok != ">"),
       s"invalid NATS subject '$subject': tokens must be non-empty literals")
+    require(subject.forall(c => c >= 0x21 && c <= 0x7e),
+      s"invalid NATS subject '$subject': only printable ASCII is wire-safe")
   }
 
   /** Subscription patterns: non-empty tokens; `*` anywhere; `>` only as
@@ -395,6 +401,8 @@ object NatsSubjects {
       s"invalid NATS pattern '$pattern': empty token")
     require(!t.init.contains(">"),
       s"invalid NATS pattern '$pattern': '>' is only valid as the final token")
+    require(pattern.forall(c => c >= 0x21 && c <= 0x7e),
+      s"invalid NATS pattern '$pattern': only printable ASCII is wire-safe")
   }
 }
 

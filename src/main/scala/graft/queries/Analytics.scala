@@ -67,7 +67,7 @@ object Analytics {
 
   /** Returns the dir-qualified (customerTable, ordersTable) names. */
   private def ensureBucketedTables(s: SparkSession, dir: String): (String, String) = synchronized {
-    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val dirKey = graft.BuildPaths.dirKey(dir)
     val cTbl = s"graft_bkt_customer_$dirKey"
     val oTbl = s"graft_bkt_orders_$dirKey"
     val written = bucketedDirs.contains(dir)
@@ -97,7 +97,7 @@ object Analytics {
     val cached = partitionedEvents.get(dir)
     if (cached != null) cached
     else {
-      val path = graft.BuildPaths.scratch(s"events_by_day/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      val path = graft.BuildPaths.scratch(s"events_by_day/${graft.BuildPaths.dirKey(dir)}")
       T(s, dir, "events")
         .withColumn("d", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("d").parquet(path)
@@ -120,7 +120,7 @@ object Analytics {
     if (cached != null) cached
     else {
       val root = graft.BuildPaths.scratch(
-        s"evolved_docs/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+        s"evolved_docs/${graft.BuildPaths.dirKey(dir)}")
       val docs = T(s, dir, "documents")
       // src0..src9 predate the quality column; src10..src19 have it.
       val isV2 = length(col("source")) === 5
@@ -2887,7 +2887,7 @@ object Analytics {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private[graft] def ensureScd2Base(s: SparkSession, dir: String): String = synchronized {
-    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val dirKey = graft.BuildPaths.dirKey(dir)
     val tbl = s"graft_scd2_base_$dirKey"
     if (!(scd2BaseDirs.contains(dir) && s.catalog.tableExists(tbl))) {
       val root = graft.BuildPaths.scratch(s"scd2_base/$dirKey")

@@ -3856,7 +3856,7 @@ object Pipeline {
   /** Returns the dir-qualified bucketed gram-table name. */
   private[graft] def ensureBenchGramTable(s: SparkSession, dir: String): String = synchronized {
     graft.functions.GraftFunctions.register(s)
-    val dirKey = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val dirKey = graft.BuildPaths.dirKey(dir)
     val tbl = s"graft_bench_grams_$dirKey"
     if (!(benchGramDirs.contains(dir) && s.catalog.tableExists(tbl))) {
       val root = graft.BuildPaths.scratch(s"bench_grams/$dirKey")

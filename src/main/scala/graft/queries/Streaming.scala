@@ -1157,19 +1157,27 @@ object Streaming {
         .writeStream.format("memory").queryName(sink).start()
       try {
         NatsDemo.awaitSubscriber(url, "docs.en")
+        val nDocs = graft.Tables.load(s, dir, "documents").count()
         graft.Tables.load(s, dir, "documents")
           .select(col("doc_id").cast(IntegerType).as("doc_id"), col("lang"),
             concat(lit("docs."), col("lang")).as("subj"))
           .write.format("nats").mode("append")
           .option("url", url).option("subject", "docs.unrouted")
           .option("subjectColumn", "subj").save()
-        // Double drain: the first pass takes every FULL batch; the
-        // trailing partial batch only becomes an available offset after
-        // flushTimeoutMs, so wait past it and drain again (save() has
-        // returned — every row is already in the ledger by here).
+        // Drain until the sink holds every published row: the first pass
+        // takes every FULL batch, but a trailing partial batch only
+        // becomes an available offset after flushTimeoutMs — so poll the
+        // sink count to the known total with a deadline instead of a
+        // fixed sleep (ADVICE r14: a sleep races the flush on a loaded
+        // machine). save() has returned — every row is in the ledger.
         q.processAllAvailable()
-        Thread.sleep(500)
-        q.processAllAvailable()
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (s.table(sink).count() < nDocs && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          q.processAllAvailable()
+        }
+        require(s.table(sink).count() == nDocs,
+          s"q160 drain timed out: sink has ${s.table(sink).count()} of $nDocs rows")
       } finally q.stop()
       s.sql(s"""SELECT subject, COUNT(*) AS n_docs,
         CAST(SUM(doc_id) AS BIGINT) AS sum_ids

@@ -161,6 +161,21 @@ class NatsSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msg(intercept[Exception](write(withNull, "subj"))).contains("NULL"))
     val wildcard = Seq((1, "a", "docs.*")).toDF("id", "name", "subj")
     assert(msg(intercept[Exception](write(wildcard, "subj"))).contains("literal"))
+    // ADVICE r14 (medium): data-driven subjects ride on the transport's
+    // 'PUB <subject> …' control line — CRLF in a row value would
+    // terminate the line early and inject protocol verbs. Rejected at
+    // write(), before anything reaches a connection.
+    val crlf = Seq((1, "a", "docs.x\r\nPUB evil 0\r\n")).toDF("id", "name", "subj")
+    assert(msg(intercept[Exception](write(crlf, "subj"))).contains("printable"))
+    val tab = Seq((1, "a", "docs\ten")).toDF("id", "name", "subj")
+    assert(msg(intercept[Exception](write(tab, "subj"))).contains("printable"))
+    // ADVICE r14 (low): empty dot-tokens previously slipped past the
+    // writer ('docs.' matched 'docs.*' on the memory bus via an empty
+    // token); they now fail here with the subjectColumn-specific message.
+    val dot = Seq((1, "a", "docs.")).toDF("id", "name", "subj")
+    assert(msg(intercept[Exception](write(dot, "subj"))).contains("non-empty"))
+    val dotdot = Seq((1, "a", "a..b")).toDF("id", "name", "subj")
+    assert(msg(intercept[Exception](write(dotdot, "subj"))).contains("non-empty"))
   }
 
   test("subjectColumn routes from writeStream too (same writer both paths)") {

@@ -92,7 +92,7 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doing its own job, neither leaking into the other.
     Registry.byName("q77_partition_pruned").build(spark, sfDir) // ensures layout
     val root = graft.BuildPaths.scratch(
-      s"events_by_day/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}")
+      s"events_by_day/${graft.BuildPaths.dirKey(sfDir)}")
     val plan = spark.read.parquet(root)
       .filter(col("d").between("2024-01-08", "2024-01-14") && col("event_type") === "click")
       .queryExecution.executedPlan.toString
