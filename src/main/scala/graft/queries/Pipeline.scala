@@ -1722,28 +1722,32 @@ object Pipeline {
     // independent in-memory reference implementation, plus determinism
     // across runs. ----
     QueryDef("q150_bpe_train", bpeTrainOracle) { (s, dir) =>
-      bpeTrain(s, dir, BpeMerges)
+      // Trains AND persists on first touch (ensureBpeModel); the query
+      // itself reads the stored 24-row merge table — the shape a model
+      // registry consumer sees. The r14 defect (every family member
+      // re-training in-query, ~7 redundant corpus scans/run) dies here.
+      val (mTbl, _) = ensureBpeModel(s, dir)
+      s.table(mTbl)
         .select(col("rank"), col("l"), col("r"),
           concat(col("l"), col("r")).as("merged"), col("cnt"))
         .orderBy(col("rank"))
     },
 
-    // ---- BPE tokenizer APPLICATION (round 14): re-train the 24 rules,
-    // then tokenize every document and report subword token counts — the
-    // honest token-budget unit (q34/q116's budgets count whitespace
-    // words; BPE counts are what an LLM actually consumes). Tokenization
-    // is vocab-sized too: the merge list rides ONE broadcast row (an
-    // array<struct> folded over each word — nested higher-order
-    // aggregate, no UDF), each DISTINCT word is tokenized once, and
-    // per-doc counts come from re-joining the exploded corpus to the
-    // 31-row (at this fixture; ~10M at web scale) tokenized vocab —
-    // broadcast or shuffle hash join on the word key, never per-document
-    // work on the merge rules. Empty-text docs keep n_words = 0 via the
-    // left re-join. ORACLE-PAIRED: DuckDB re-trains the same 24 rules via
-    // the unrolled CTE chain, then counts each word's tokens straight off
-    // the double-pipe encoding (n_tok = pipes/2) and replays the same
-    // corpus re-join. BpeSpec additionally pins per-doc counts exactly
-    // against the independent reference tokenizer. ----
+    // ---- BPE tokenizer APPLICATION (round 14; stored-model probe since
+    // round 15): tokenize every document under the q150 model and report
+    // subword token counts — the honest token-budget unit (q34/q116's
+    // budgets count whitespace words; BPE counts are what an LLM
+    // actually consumes). The consumer PLAN contains no training: it
+    // probes the write-once tokenized-vocab table (each DISTINCT word
+    // tokenized once at model-build time; ~10M rows at web scale, read
+    // in place) with one corpus re-join on the word key — never
+    // per-document work on the merge rules. Empty-text docs keep
+    // n_words = 0 via the left re-join. ORACLE-PAIRED: DuckDB derives
+    // the same 24 rules via the unrolled CTE chain, then counts each
+    // word's tokens straight off the double-pipe encoding
+    // (n_tok = pipes/2) and replays the same corpus re-join. BpeSpec
+    // additionally pins per-doc counts exactly against the independent
+    // reference tokenizer, multilingual corpus included. ----
     QueryDef("q151_bpe_tokenize", bpeTokenizeOracle) { (s, dir) =>
       val perDoc = bpeDocTokens(s, dir)
       T(s, dir, "documents").select(col("doc_id"))
@@ -1760,10 +1764,10 @@ object Pipeline {
     // offset, 2048-token context chunks), but the per-doc length is the
     // BPE token count from the q150-trained merge table instead of the
     // whitespace word count. The window is PARTITIONED by source (never
-    // global); the per-doc BPE counts reuse q151's vocab-sized
-    // tokenization (merge rules fold once per DISTINCT word, corpus
-    // re-join on the word key). Oracle re-trains the rules via the
-    // unrolled CTE chain and replays the identical packing window. 100 TB
+    // global); the per-doc BPE counts probe the same stored vocab as
+    // q151 (no training in the plan — round 15). Oracle derives the
+    // rules via the unrolled CTE chain and replays the identical
+    // packing window. 100 TB
     // shape: tokenization cost = vocab + one corpus join; packing is one
     // source-keyed window over (doc_id, n_tok) pairs — bytes per doc, and
     // a production packer shards the stream (source, day) to bound
@@ -2310,7 +2314,14 @@ object Pipeline {
     // by language): a vocabulary trained on a skewed language mix
     // "taxes" under-represented languages with more subwords per word,
     // inflating their effective sequence lengths and training cost.
-    // Reuses q151's per-doc BPE counts (shared bpeDocTokens); ratios
+    // MEANINGFUL since round 15: the fixture text is pure ASCII, so the
+    // metric is computed over the derived multilingual corpus
+    // (bpeCaseSql — CJK/accented/Hangul scripts per lang) with unicode
+    // word splitting; the per-lang ratios genuinely diverge (zh ~4.4
+    // tok/word vs en ~3.2 at sf0.01) instead of measuring nothing for
+    // exactly the scripts the metric exists to protect (VERDICT r14
+    // #2). n_chars counts the NFC text's codepoints, both engines.
+    // Reuses q151's per-doc BPE counts (stored-vocab probe); ratios
     // are integer-micro DIV on the per-language sums (identical
     // truncation both engines — all values positive). 100 TB shape:
     // rides the vocab-sized tokenization + one corpus join; the report
@@ -2318,7 +2329,7 @@ object Pipeline {
     QueryDef("q162_bpe_fertility", bpeFertilityOracle) { (s, dir) =>
       val perDoc = bpeDocTokens(s, dir)
       T(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), length(col("text")).as("nch"))
+        .select(col("doc_id"), col("lang"), length(bpeTextCol(s)).as("nch"))
         .join(perDoc, Seq("doc_id"), "left")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -2330,6 +2341,55 @@ object Pipeline {
           expr("(n_tokens_bpe * 1000000) DIV n_words").as("fertility_micro"),
           expr("(n_chars * 1000000) DIV n_tokens_bpe").as("chars_per_token_micro"))
         .orderBy(col("lang"))
+    },
+
+    // ---- q173 (round 15): the TRAINING-READY corpus — q151 counted
+    // subword tokens and q156 packed counts, but neither emitted what a
+    // trainer actually loads: token-ID sequences. This materializes the
+    // packed 2048-token context chunks as ID streams and pins them with
+    // an ORDER-SENSITIVE integer digest (Σ (pos_in_chunk+1)·id — the
+    // q170 reassembly rule: any reordering, drop, or duplicate shifts
+    // the checksum). IDs are the dense rank of the subword string over
+    // the final vocab's distinct tokens (binary UTF-8 order — both
+    // engines compare strings bytewise), assigned once from the STORED
+    // model; merge-rank lookups are what a tokenizer service ships.
+    // 100 TB shape: the ID dictionary is subword-vocab-sized (~100k) —
+    // its one single-partition window is a dictionary build, not a data
+    // path, and it broadcasts to the corpus join; the token stream is
+    // one corpus-sized explode with doc-local window indexes; the only
+    // cross-doc coordination is the per-source running offset over the
+    // doc-LENGTH frame (bytes per doc), the q156 packing window. ----
+    QueryDef("q173_bpe_ids", bpeIdsOracle) { (s, dir) =>
+      val (_, vTbl) = ensureBpeModel(s, dir)
+      val ids = s.table(vTbl)
+        .select(explode(col("toks")).as("token")).distinct()
+        .withColumn("id",
+          row_number().over(Window.orderBy(col("token"))).cast(LongType))
+      val toks = bpeCorpusWords(s, dir)
+        .join(s.table(vTbl).select(col("w"), col("toks")), Seq("w"))
+        .select(col("source"), col("doc_id"), col("wp"), posexplode(col("toks")))
+        .toDF("source", "doc_id", "wp", "tp", "token")
+        .join(broadcast(ids), Seq("token"))
+        .withColumn("tok_idx",
+          (row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("wp"), col("tp"))) - 1).cast(LongType))
+      val offs = toks.groupBy(col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"))
+        .withColumn("start_off",
+          sum(col("n_tok")).over(Window.partitionBy(col("source"))
+            .orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("n_tok"))
+        .select(col("doc_id"), col("start_off"))
+      toks.join(offs, Seq("doc_id"))
+        .withColumn("pos", col("start_off") + col("tok_idx"))
+        .withColumn("chunk", expr("pos DIV 2048"))
+        .withColumn("pic", col("pos") % 2048)
+        .groupBy(col("source"), col("chunk"))
+        .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+          sum((col("pic") + 1) * col("id")).cast(LongType).as("id_checksum"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("source"), col("chunk"))
     }
   )
 
@@ -2425,7 +2485,7 @@ object Pipeline {
       |  CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
       |FROM p GROUP BY shard ORDER BY shard""".stripMargin
 
-  // ---- BPE shared pieces (q150/q151) ----
+  // ---- BPE shared pieces (q150/q151/q156/q162/q173) ----
 
   /** Merge count learned by q150 / applied by q151. 24 is deep enough to
     * grow multi-character subwords on the fixture vocabulary while
@@ -2433,14 +2493,72 @@ object Pipeline {
   private final val BpeMerges = 24 // compile-time constant: `defs` builds
   // the generated oracles during object init, BEFORE later vals assign
 
+  /** Transliteration alphabet for the zh corpus slice: a..p -> U+4E00..
+    * U+4E0F, q -> U+20BB7 (a 4-byte supplementary char, deliberately —
+    * it pins surrogate-pair handling through the whole distributed path
+    * AND the oracle), r..z -> U+4E10..U+4E18. Compile-time literals:
+    * the generated oracles read these during object init. */
+  private final val BpeLatin = "abcdefghijklmnopqrstuvwxyz"
+  private final val BpeCjk = "一丁丂七丄丅丆万丈三上下丌不与丏𠮷丐丑丒专且丕世丗丘"
+  // NFD building blocks (explicit escapes so no editor/encoding pass can
+  // silently precompose them): combining diaeresis after a/o, decomposed
+  // Hangul jamo GA — NFC composes all three.
+  private final val BpeDeA = "a\u0308"
+  private final val BpeDeO = "o\u0308"
+  private final val BpeDeU = "\u1100\u1161"
+
+  /** The multilingual BPE corpus, derived deterministically from the
+    * fixture (whose text is pure lowercase ASCII — vacuous for a
+    * unicode tokenizer, VERDICT r14 #2): each lang's documents are
+    * transliterated into their script with the SAME scan-local
+    * translate/replace construction in both engines, so the oracle sees
+    * byte-identical text.
+    *   - zh: letters -> CJK ideographs (incl. one 4-byte char);
+    *   - de: 'a'/'o' -> NFD combining-diaeresis sequences, 'u' -> NFD
+    *     Hangul jamo (NFC composes them to ae/oe umlauts and a Hangul
+    *     syllable — exercising canonical composition end to end);
+    *   - es/fr: vowels/c -> precomposed accents;
+    *   - en: unchanged.
+    * Shared verbatim by Spark (wrapped in graft_nfc) and DuckDB
+    * (wrapped in nfc_normalize): plain SQL, no backslashes, so the two
+    * parsers cannot diverge on escaping. */
+  private def bpeCaseSql: String =
+    s"""CASE lang
+       |      WHEN 'zh' THEN translate(lower(text), '$BpeLatin', '$BpeCjk')
+       |      WHEN 'de' THEN replace(replace(replace(lower(text),
+       |        'a', '$BpeDeA'), 'o', '$BpeDeO'), 'u', '$BpeDeU')
+       |      WHEN 'es' THEN translate(lower(text), 'aeioun', 'áéíóúñ')
+       |      WHEN 'fr' THEN translate(lower(text), 'aec', 'àéç')
+       |      ELSE lower(text) END""".stripMargin
+
+  /** NFC-normalized derived corpus text (Spark side). */
+  private def bpeTextCol(s: SparkSession): Column = {
+    graft.functions.GraftFunctions.register(s)
+    expr(s"graft_nfc($bpeCaseSql)")
+  }
+
+  /** Unicode-word pre-tokenization: letters-or-digits runs of ANY
+    * script ([^\p{L}\p{N}]+ split — Java and RE2 agree on the property
+    * classes), after NFC. Non-Latin text tokenizes for real now instead
+    * of contributing zero tokens (the r14 a-z0-9-only gap). */
+  private def bpeWordsCol(s: SparkSession): Column =
+    split(bpeTextCol(s), "[^\\p{L}\\p{N}]+")
+
   /** Corpus -> corpus-weighted word histogram (the one corpus-sized step
-    * of the BPE family; everything downstream is vocab-sized). Lowercased
-    * alnum runs — the "BPE-ish" pre-tokenization of the survey brief. */
-  private def bpeWordHist(s: SparkSession, dir: String): DataFrame =
+    * of the BPE family; everything downstream is vocab-sized). */
+  private[graft] def bpeWordHist(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
-      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+      .select(explode(bpeWordsCol(s)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Corpus -> (source, doc_id, word-position, word), the exploded form
+    * every consumer re-joins to the stored vocab. */
+  private def bpeCorpusWords(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("source"), col("doc_id"), posexplode(bpeWordsCol(s)))
+      .toDF("source", "doc_id", "wp", "w")
+      .filter(length(col("w")) > 0)
 
   /** One left-to-right BPE merge pass as a SQL fold: every non-
     * overlapping adjacent (l, r) in the symbol array becomes the
@@ -2455,10 +2573,11 @@ object Pipeline {
        |       else concat(acc, array(x)) end)""".stripMargin
 
   /** The q150 training loop: `nMerges` rounds of corpus-weighted pair
-    * count -> deterministic argmax -> vocab-wide rule application.
-    * Returns the merge table (rank, l, r, cnt). */
-  private def bpeTrain(s: SparkSession, dir: String, nMerges: Int): DataFrame = {
-    var words = bpeWordHist(s, dir)
+    * count -> deterministic argmax -> vocab-wide rule application over
+    * the supplied word histogram. Returns the merge table
+    * (rank, l, r, cnt). */
+  private[graft] def bpeTrain(hist: DataFrame, nMerges: Int): DataFrame = {
+    var words = hist
       .withColumn("syms", split(col("w"), ""))
       .select(col("freq"), col("syms"))
       .localCheckpoint() // eager: corpus lineage ends here, vocab-sized
@@ -2501,27 +2620,70 @@ object Pipeline {
     merges
   }
 
-  /** Shared by q151/q156: per-doc subword token counts under the
-    * q150-trained merge table. Tokenizes each DISTINCT word once (the
-    * ranked merge list rides one broadcast array row, folded over the
-    * char split by the same bpeFoldSql pass training uses), then
-    * re-joins the exploded corpus on the word key — vocab-sized work
-    * plus one corpus join, never merges × corpus. */
+  // The BPE model as a STORED artifact (VERDICT r14 #1): training is
+  // write-once per (JVM, source dir) — q150 trained the same 24 rules
+  // FOUR times per gate/bench run in r14 (q150/q151/q156/q162 each
+  // re-deriving it, ~7 redundant corpus-sized scans, 17% of the bench).
+  // Now one training run persists TWO tables and every consumer probes:
+  //   - graft_bpe_merges_<dir>: the 24-row merge table (rank, l, r, cnt)
+  //     — the model a tokenizer service ships;
+  //   - graft_bpe_vocab_<dir>: every distinct word with its full
+  //     tokenization (w, freq, toks), bucketed+sorted on w — at 100 TB
+  //     this is the ~10M-row cache that turns tokenization into one
+  //     corpus-side join against an in-place bucketed read (the
+  //     ensureBenchGramTable / ensureScd2Base pattern).
+  private val bpeModelDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Returns the dir-qualified (mergesTable, vocabTable) names. */
+  private[graft] def ensureBpeModel(s: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val dirKey = graft.BuildPaths.dirKey(dir)
+      val mTbl = s"graft_bpe_merges_$dirKey"
+      val vTbl = s"graft_bpe_vocab_$dirKey"
+      if (!(bpeModelDirs.contains(dir) &&
+            s.catalog.tableExists(mTbl) && s.catalog.tableExists(vTbl))) {
+        val root = graft.BuildPaths.scratch(s"bpe_model/$dirKey")
+        // ONE corpus-sized histogram feeds both training and the vocab
+        // tokenization; the localCheckpoint inside bpeTrain materializes
+        // it vocab-sized before the 24 rounds run.
+        val hist = bpeWordHist(s, dir)
+        bpeTrain(hist, BpeMerges)
+          .write.mode("overwrite")
+          .option("path", s"$root/$mTbl")
+          .format("parquet").saveAsTable(mTbl)
+        // Tokenize each DISTINCT word once: the ranked merge list rides
+        // ONE broadcast array row, folded over the char split by the
+        // same bpeFoldSql pass training uses — vocab-sized, never
+        // merges × corpus.
+        val mergesArr = s.table(mTbl)
+          .agg(sort_array(collect_list(struct(col("rank"), col("l"), col("r"))))
+            .as("ms"))
+          .select(lit(1).as("k"), col("ms"))
+        hist
+          .withColumn("syms", split(col("w"), ""))
+          .withColumn("k", lit(1))
+          .join(broadcast(mergesArr), Seq("k"), "left")
+          .select(col("w"), col("freq"),
+            expr(s"aggregate(ms, syms, (cur, m) -> ${bpeFoldSql("cur", "m.l", "m.r")})")
+              .as("toks"))
+          .write.mode("overwrite")
+          .bucketBy(8, "w").sortBy("w")
+          .option("path", s"$root/$vTbl")
+          .format("parquet").saveAsTable(vTbl)
+        bpeModelDirs.add(dir)
+      }
+      (mTbl, vTbl)
+    }
+
+  /** Shared by q151/q156/q162: per-doc subword token counts by PROBING
+    * the stored vocab (no training in the consumer plan — the model is
+    * read in place; StorageLayoutSpec asserts the plan shape). One
+    * corpus join on the word key, vocab-sized everything else. */
   private def bpeDocTokens(s: SparkSession, dir: String): DataFrame = {
-    val mergesArr = bpeTrain(s, dir, BpeMerges)
-      .agg(sort_array(collect_list(struct(col("rank"), col("l"), col("r"))))
-        .as("ms"))
-      .select(lit(1).as("k"), col("ms"))
-    val vocab = bpeWordHist(s, dir)
-      .withColumn("syms", split(col("w"), ""))
-      .withColumn("k", lit(1))
-      .join(broadcast(mergesArr), Seq("k"), "left")
-      .select(col("w"),
-        size(expr(s"aggregate(ms, syms, (cur, m) -> ${bpeFoldSql("cur", "m.l", "m.r")})"))
-          .as("n_tok"))
-    T(s, dir, "documents")
-      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
-      .filter(length(col("w")) > 0)
+    val (_, vTbl) = ensureBpeModel(s, dir)
+    val vocab = s.table(vTbl).select(col("w"), size(col("toks")).as("n_tok"))
+    bpeCorpusWords(s, dir)
       .join(vocab, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
@@ -2540,14 +2702,23 @@ object Pipeline {
     * l+r = l, impossible; as the right, the scan is already past it).
     * Rounds after pair exhaustion no-op via the NULL scalar subquery +
     * coalesce. Token count falls out as pipes/2. */
+  /** DuckDB-side derived corpus text / word split — the byte-identical
+    * twins of bpeTextCol/bpeWordsCol (same CASE fragment, nfc_normalize
+    * for graft_nfc, RE2 \p classes for Java's — parity of NFC, the
+    * property classes, per-codepoint '.'-matching and 4-byte chars was
+    * probe-verified cross-engine before this landed). */
+  private def bpeOracleText: String = s"nfc_normalize($bpeCaseSql)"
+  private def bpeOracleWords: String =
+    s"""string_split_regex($bpeOracleText, '[^\\p{L}\\p{N}]+')"""
+
   private def bpeOracleCtes(n: Int): String = {
     val v0 =
-      """v0 AS MATERIALIZED (
-        |  SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS s, freq FROM (
-        |    SELECT w, COUNT(*) AS freq FROM (
-        |      SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
-        |      FROM documents WHERE text IS NOT NULL)
-        |    WHERE len(w) > 0 GROUP BY w))""".stripMargin
+      s"""v0 AS MATERIALIZED (
+         |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, freq FROM (
+         |    SELECT w, COUNT(*) AS freq FROM (
+         |      SELECT unnest($bpeOracleWords) AS w
+         |      FROM documents WHERE text IS NOT NULL)
+         |    WHERE len(w) > 0 GROUP BY w))""".stripMargin
     val rounds = (1 to n).map { k =>
       s"""b$k AS MATERIALIZED (
          |  SELECT $k AS rank, l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -2578,7 +2749,7 @@ object Pipeline {
        |perdoc AS (
        |  SELECT d.doc_id, COUNT(*) AS n_words,
        |    CAST(SUM(wt.n_tok) AS BIGINT) AS n_tokens_bpe
-       |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+       |  FROM (SELECT doc_id, unnest($bpeOracleWords) AS w
        |        FROM documents WHERE text IS NOT NULL) d
        |  JOIN wtok wt ON wt.w = d.w
        |  WHERE len(d.w) > 0
@@ -2678,11 +2849,11 @@ object Pipeline {
     * truncates — identical on these all-positive sums). */
   private def bpeFertilityOracle: String =
     bpeOracleCtes(BpeMerges) + bpeOracleDocCtes +
-      """,
+      s""",
         |f AS (
         |  SELECT d.lang, coalesce(p.n_words, 0) AS nw,
         |    coalesce(p.n_tokens_bpe, 0) AS nt,
-        |    coalesce(length(d.text), 0) AS nch
+        |    coalesce(len($bpeOracleText), 0) AS nch
         |  FROM documents d LEFT JOIN perdoc p USING (doc_id))
         |SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(nw) AS BIGINT) AS n_words,
@@ -2709,6 +2880,54 @@ object Pipeline {
         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |FROM offs GROUP BY source, CAST(start_off // 2048 AS BIGINT)
         |ORDER BY source, chunk""".stripMargin
+
+  /** DuckDB mirror of q173: same CTE-chain tokenization carried to full
+    * token LISTS (the double-pipe encoding already holds each word's
+    * ordered tokens — ids fall out of a dense rank over the distinct
+    * token strings), same doc-local (word-pos, token-pos) ordering, same
+    * per-source running offsets, same order-sensitive digest. */
+  private def bpeIdsOracle: String =
+    bpeOracleCtes(BpeMerges) +
+      s""",
+         |wtoks AS MATERIALIZED (
+         |  SELECT translate(s, '|', '') AS w,
+         |    string_split(substr(s, 2, len(s) - 2), '||') AS toks
+         |  FROM v$BpeMerges),
+         |ids AS (
+         |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS id
+         |  FROM (SELECT DISTINCT unnest(toks) AS token FROM wtoks)),
+         |dwords AS (
+         |  SELECT d.source, d.doc_id, u.i AS wp, d.ws[u.i] AS w
+         |  FROM (SELECT source, doc_id, $bpeOracleWords AS ws
+         |        FROM documents WHERE text IS NOT NULL) d,
+         |       unnest(generate_series(1, len(d.ws))) AS u(i)
+         |  WHERE len(d.ws[u.i]) > 0),
+         |dtoks AS (
+         |  SELECT dw.source, dw.doc_id, dw.wp, v.j AS tp, wt.toks[v.j] AS token
+         |  FROM dwords dw JOIN wtoks wt USING (w),
+         |       unnest(generate_series(1, len(wt.toks))) AS v(j)),
+         |sq AS (
+         |  SELECT dt.source, dt.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY dt.doc_id ORDER BY dt.wp, dt.tp) - 1
+         |      AS tok_idx,
+         |    i.id
+         |  FROM dtoks dt JOIN ids i USING (token)),
+         |dlen AS (
+         |  SELECT source, doc_id, COUNT(*) AS n_tok FROM sq GROUP BY source, doc_id),
+         |offs AS (
+         |  SELECT doc_id,
+         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |                     ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+         |  FROM dlen),
+         |pk AS (
+         |  SELECT sq.source, (o.start_off + sq.tok_idx) // 2048 AS chunk,
+         |    (o.start_off + sq.tok_idx) % 2048 AS pic, sq.id
+         |  FROM sq JOIN offs o USING (doc_id))
+         |SELECT source, CAST(chunk AS BIGINT) AS chunk,
+         |  COUNT(*) AS n_tokens,
+         |  CAST(SUM((pic + 1) * id) AS BIGINT) AS id_checksum,
+         |  CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
+         |FROM pk GROUP BY source, chunk ORDER BY source, chunk""".stripMargin
 
   /** DuckDB mirror of q155: same hashed-unigram buckets (shared 60-bit
     * md5 rule mod 1024), same add-1-smoothed log-ratio rounded once to

@@ -4,13 +4,16 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Exactness gate for the BPE family (q150 train / q151 apply), which is
-  * `no_oracle` in the driver gate (iterative data-dependent
-  * re-tokenization is not ANSI-SQL-expressible). The pin here is EXACT,
-  * not bounded: an independent in-memory BPE implementation (written
-  * from the algorithm, sharing no code with the distributed one — plain
-  * Scala maps and lists, no Spark) must produce the identical merge
-  * table and identical per-document token counts on the same fixture.
+/** Exactness gate for the BPE family (q150 train / q151 apply), oracle-
+  * paired in the driver gate since r14 via the generated chained-CTE
+  * oracle. The pin here is EXACT and INDEPENDENT of both engines: an
+  * in-memory BPE implementation (written from the algorithm, sharing no
+  * code with the distributed one — plain Scala maps and lists, no Spark)
+  * must produce the identical merge table and identical per-document
+  * token counts on the same fixture, including the r15 multilingual
+  * derived corpus (CJK transliteration with a 4-byte supplementary char,
+  * NFD combining marks and decomposed Hangul jamo that NFC composes,
+  * unicode-property word splitting).
   */
 class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -32,8 +35,38 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- independent reference implementation (no Spark, no shared code) ----
 
-  private def refWords(text: String): Seq[String] =
-    text.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+  /** The multilingual derived corpus, re-derived with plain JDK string
+    * ops (codePoints stream for the transliteration — the 4-byte 'q'
+    * mapping must stay one symbol; java.text.Normalizer for NFC). */
+  private val refCjk: Array[String] = {
+    val cps = (0 to 15).map(i => 0x4e00 + i) ++ Seq(0x20bb7) ++ (0 to 8).map(i => 0x4e10 + i)
+    cps.map(cp => new String(Character.toChars(cp))).toArray
+  }
+
+  private def refTranslit(lang: String, text: String): String = {
+    val t = text.toLowerCase(java.util.Locale.ROOT)
+    def tr(src: String, dst: Seq[String]): String = {
+      val sb = new StringBuilder
+      t.foreach { c =>
+        val i = src.indexOf(c)
+        sb.append(if (i >= 0) dst(i) else c.toString)
+      }
+      sb.toString
+    }
+    lang match {
+      case "zh" => tr("abcdefghijklmnopqrstuvwxyz", refCjk.toSeq)
+      case "de" => t.replace("a", "a\u0308").replace("o", "o\u0308")
+        .replace("u", "\u1100\u1161")
+      case "es" => tr("aeioun", "áéíóúñ".map(_.toString))
+      case "fr" => tr("aec", "àéç".map(_.toString))
+      case _ => t
+    }
+  }
+
+  private def refWords(lang: String, text: String): Seq[String] =
+    java.text.Normalizer.normalize(refTranslit(lang, text),
+        java.text.Normalizer.Form.NFC)
+      .split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
 
   /** One left-to-right merge pass of rule (l, r) over a symbol list. */
   private def refMergePass(syms: List[String], l: String, r: String): List[String] = {
@@ -47,11 +80,17 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.toList
   }
 
+  /** Codepoint-wise symbol split — String.split("") splits SURROGATE
+    * PAIRS (verified on this JDK), which would give the 4-byte CJK
+    * symbol two broken half-symbols and two phantom tokens. */
+  private def refSyms(w: String): List[String] =
+    w.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp)))
+
   /** Classic histogram BPE: returns (merge table, final word->tokens). */
   private def refTrain(hist: Map[String, Long], nMerges: Int)
     : (Seq[(Int, String, String, Long)], Map[String, List[String]]) = {
     var words: Map[List[String], Long] =
-      hist.groupMapReduce { case (w, _) => w.split("").toList } (_._2)(_ + _)
+      hist.groupMapReduce { case (w, _) => refSyms(w) } (_._2)(_ + _)
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     for (rank <- 1 to nMerges) {
       val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -66,24 +105,25 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     val tokensByWord = hist.keys.map { w =>
-      var syms = w.split("").toList
+      var syms = refSyms(w)
       merges.foreach { case (_, l, r, _) => syms = refMergePass(syms, l, r) }
       w -> syms
     }.toMap
     (merges.toList, tokensByWord)
   }
 
-  private lazy val corpus: Seq[(Long, String)] = {
+  private lazy val corpus: Seq[(Long, String, String)] = {
     // read the fixture via Spark but materialize to plain Scala — the
     // reference computation itself never touches a DataFrame
     graft.Tables.load(spark, sfDir, "documents")
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).getOrElse("")))
       .toSeq
   }
 
   private lazy val refHist: Map[String, Long] =
-    corpus.flatMap { case (_, t) => refWords(t) }
+    corpus.flatMap { case (_, lang, t) => refWords(lang, t) }
       .groupMapReduce(identity)(_ => 1L)(_ + _)
 
   private lazy val ref = refTrain(refHist, 24)
@@ -102,14 +142,16 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Registry.byName("q151_bpe_tokenize").build(spark, sfDir)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     val tokensByWord = ref._2
-    corpus.foreach { case (docId, text) =>
-      val ws = refWords(text)
+    corpus.foreach { case (docId, lang, text) =>
+      val ws = refWords(lang, text)
       val want = (ws.size.toLong, ws.map(w => tokensByWord(w).size.toLong).sum)
       assert(got(docId) === want, s"doc $docId: got ${got(docId)}, want $want")
-      // budget invariants: >= 1 token per word, <= 1 token per character
+      // budget invariants: >= 1 token per word, <= 1 token per CODEPOINT
+      // (UTF-16 length would over-count the 4-byte CJK symbol)
       val (nw, nt) = got(docId)
       assert(nt >= nw, s"doc $docId: fewer tokens than words")
-      assert(nt <= ws.map(_.length.toLong).sum, s"doc $docId: more tokens than characters")
+      assert(nt <= ws.map(w => w.codePointCount(0, w.length).toLong).sum,
+        s"doc $docId: more tokens than codepoints")
     }
     assert(got.size === corpus.size, "every document must appear exactly once")
   }

@@ -267,6 +267,11 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q162: q151's vocab-sized tokenization + one corpus join; the
     // report is a #langs-row aggregate — output stays 5 rows
     "q162_bpe_fertility",
+    // q173 (round 15): the token-ID stream is one corpus-sized explode
+    // with doc-local window indexes + the broadcast ID dictionary; the
+    // per-source offset window rides doc-LENGTH rows; chunks (the
+    // output) grow ~linearly with total tokens
+    "q173_bpe_ids",
     // q167: pure scan-local codegen kernel + one #langs-row aggregate —
     // the map-side-partial linear baseline (q104's shape)
     "q167_unicode_normalize",
@@ -348,8 +353,22 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     runBuilt(qd.build(spark, dir))
   }
 
+  /** The BPE queries consume a WRITE-ONCE stored model (round 15): their
+    * production cost is the probe, with training amortized across every
+    * later run — so the harness warms the artifact on BOTH corpora
+    * before timing (otherwise whichever entry touches the 10x dir first
+    * pays training inside its timed run and the ratio measures artifact
+    * lifecycle, not query scaling). Training's own 10x behavior is
+    * pinned separately below. */
+  private val bpeStoredModel = Set("q150_bpe_train", "q151_bpe_tokenize",
+    "q156_bpe_pack", "q162_bpe_fertility", "q173_bpe_ids")
+
   family.foreach { name =>
     test(s"$name: 10x corpus keeps the plan shape and scales ~linearly") {
+      if (bpeStoredModel(name)) {
+        Pipeline.ensureBpeModel(spark, base)
+        Pipeline.ensureBpeModel(spark, scaledDir)
+      }
       val warm = run(name, base) // JVM/codegen warm-up, discarded
       assert(warm._3 >= 0)
       val (t1, plan1, rows1) = run(name, base)
@@ -372,6 +391,27 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       info(f"$name: 1x ${t1}%.2fs -> 10x ${t10}%.2fs (ratio ${ratio}%.1fx, rows $rows1 -> $rows10)")
       assert(ratio < 30.0, f"superlinear blow-up: ${ratio}%.1fx for 10x data")
     }
+  }
+
+  test("BPE training (the write-once model build) scales ~linearly in the corpus") {
+    // q150's registry entry now reads the stored model, so the training
+    // loop's scale behavior is pinned here directly: the one corpus-
+    // sized histogram shuffle dominates, and the zqN suffixes grow the
+    // word vocabulary ~10x — exactly the dimension the 24 vocab-sized
+    // rounds scale in.
+    def train(dir: String): Double = {
+      spark.sqlContext.clearCache()
+      val t0 = System.nanoTime()
+      Pipeline.bpeTrain(Pipeline.bpeWordHist(spark, dir), 24)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val w = train(base) // warm-up, discarded
+    assert(w > 0)
+    val t1 = train(base)
+    val t10 = train(scaledDir)
+    info(f"bpe train: 1x ${t1}%.2fs -> 10x ${t10}%.2fs (ratio ${t10 / t1}%.1fx)")
+    assert(t10 / t1 < 30.0, f"superlinear training blow-up: ${t10 / t1}%.1fx")
   }
 
   test("q100_semantic_dedup: 10x corpus with K raised 10x keeps cells bounded, ~linear") {
