@@ -149,6 +149,7 @@ object GraftFunctions {
     unary("graft_trigram_hashes", TrigramHashes),
     unary("graft_char_entropy", CharEntropy),
     unary("graft_nfc", NfcNormalize),
+    unary("graft_html_text", HtmlText),
     unary("graft_minhash_agg", (c: Expression) => MinHashAgg(c)),
     bottomKFn)
 

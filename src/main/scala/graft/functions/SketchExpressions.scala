@@ -168,6 +168,23 @@ case class NfcNormalize(child: Expression) extends SketchUnary {
     copy(child = newChild)
 }
 
+/** HTML/markup -> text extraction (q174): script/style excision, tag
+  * stripping, entity decoding, whitespace collapse — the documented
+  * regex-chain semantics as hand-rolled linear scans (see
+  * Sketches.htmlText). */
+case class HtmlText(child: Expression) extends SketchUnary {
+  protected def expectedInput: DataType = StringType
+  protected def kernel: String = "htmlText"
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_text"
+  override protected def nullSafeEval(input: Any): Any =
+    Sketches.htmlText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.htmlText($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlText =
+    copy(child = newChild)
+}
+
 /** Shannon entropy in bits/char over the text's code points (q104). */
 case class CharEntropy(child: Expression) extends SketchUnary {
   protected def expectedInput: DataType = StringType

@@ -345,6 +345,101 @@ object Sketches {
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
 
+  // ---- HTML/markup text extraction (q174) ----
+  //
+  // The step before every text operator on real web crawl (C4/RefinedWeb
+  // start from markup). Semantics are DEFINED as this regex-pass chain —
+  // the DuckDB oracle runs it literally, the kernel here replicates it
+  // with hand-rolled linear scans (no regex engine in the hot path; at
+  // 100 TB this runs once per fetched page):
+  //   1. (?is)<script[^>]*>.*?</script>  -> ''   (global)
+  //   2. (?is)<style[^>]*>.*?</style>    -> ''   (global)
+  //   3. <[^>]*>                         -> ' '  (global)
+  //   4. entity chain, each a full literal pass in this order:
+  //      &lt; &gt; &quot; &#39; &nbsp;(->space) and &amp; LAST
+  //      (so double-encoded '&amp;lt;' decodes one level, like the chain)
+  //   5. [ \t\r\n]+ -> ' ', then trim spaces.
+  // Pass ORDER is load-bearing for pathological interleavings (e.g.
+  // '<style>x<script>y</style>z</script>w' — script spans are excised
+  // over the WHOLE document before style matching sees it); a single
+  // interleaved scan would disagree with the chain. Each pass scans the
+  // ORIGINAL input of that pass left-to-right, non-overlapping — exactly
+  // regexp_replace(..., 'g') / SQL replace semantics.
+
+  /** ASCII-case-insensitive indexOf (the (?i) of the chain is only ever
+    * applied to the ASCII words 'script'/'style'). */
+  private def indexOfIc(s: String, target: String, from: Int): Int = {
+    val n = s.length; val m = target.length
+    var i = math.max(from, 0)
+    while (i + m <= n) {
+      if (s.regionMatches(true, i, target, 0, m)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** One global pass of `(?is)<tag[^>]*>.*?</tag>` -> ''. */
+  private def stripBlocks(s: String, tag: String): String = {
+    val open = "<" + tag
+    val close = "</" + tag + ">"
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<' && s.regionMatches(true, i, open, 0, open.length)) {
+        // open tag = '<tag' + [^>]* + '>' (first '>' after the name)
+        val gt = s.indexOf('>', i + open.length)
+        val end = if (gt < 0) -1 else indexOfIc(s, close, gt + 1)
+        if (gt >= 0 && end >= 0) { i = end + close.length }
+        else { out.append(c); i += 1 } // no full match at this position
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** One global pass of `<[^>]*>` -> ' '. */
+  private def stripTags(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        val gt = s.indexOf('>', i + 1)
+        if (gt >= 0) { out.append(' '); i = gt + 1 }
+        else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** `[ \t\r\n]+` -> ' ' then trim spaces. */
+  private def collapseWs(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\r' || c == '\n') pendingSpace = true
+      else {
+        if (pendingSpace && out.length > 0) out.append(' ')
+        pendingSpace = false
+        out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  def htmlText(html: UTF8String): UTF8String = {
+    var s = html.toString
+    s = stripBlocks(s, "script")
+    s = stripBlocks(s, "style")
+    s = stripTags(s)
+    s = s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+    UTF8String.fromString(collapseWs(s))
+  }
+
   def charEntropy(text: UTF8String): Double = {
     val s = text.toString
     if (s.isEmpty) return 0.0

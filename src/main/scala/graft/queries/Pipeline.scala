@@ -2390,6 +2390,37 @@ object Pipeline {
           sum((col("pic") + 1) * col("id")).cast(LongType).as("id_checksum"),
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))
         .orderBy(col("source"), col("chunk"))
+    },
+
+    // ---- q174 (round 15): HTML/markup -> text extraction — the step
+    // BEFORE every text operator on real web crawl (C4/RefinedWeb start
+    // from fetched markup; the fixture is already-clean text, so the
+    // markup is derived deterministically around it with the same SQL
+    // construction in both engines, branching on doc_id to exercise
+    // script blocks with embedded '<', style blocks, unclosed tags,
+    // unterminated script opens, and the pass-order-pinning interleave
+    // '<style>x<script>y</style>z</script>w'). Extraction is
+    // `graft_html_text`, a codegen kernel of hand-rolled linear scans
+    // whose semantics are DEFINED as the oracle's regex chain
+    // (script/style excision -> tag strip -> entity chain -> whitespace
+    // collapse; Sketches.htmlText documents why pass order is
+    // load-bearing); the title rides the same regexp_extract in both
+    // engines. Output pins the extraction byte-for-byte via md5. 100 TB
+    // shape: perfectly scan-local (one kernel call per page, no regex
+    // engine, no shuffle at all until the final ORDER BY display frame);
+    // SketchParitySpec pins kernel == regex chain on adversarial
+    // fragments beyond the derived corpus. ----
+    QueryDef("q174_html_extract", htmlExtractOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("html", expr(htmlCaseSql))
+        .select(col("doc_id"),
+          regexp_extract(col("html"), "(?is)<title>(.*?)</title>", 1).as("title"),
+          expr("graft_html_text(html)").as("body"))
+        .select(col("doc_id"), col("title"),
+          length(col("body")).as("n_chars"), md5(col("body")).as("body_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -2928,6 +2959,49 @@ object Pipeline {
          |  CAST(SUM((pic + 1) * id) AS BIGINT) AS id_checksum,
          |  CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
          |FROM pk GROUP BY source, chunk ORDER BY source, chunk""".stripMargin
+
+  /** The derived markup: plain SQL shared verbatim by both engines
+    * (q174). Branches on doc_id so every extraction code path appears in
+    * the corpus: %7 style block, %5 script with embedded '<' and an
+    * entity, %11 unclosed tag, %13 unterminated script open (only its
+    * open tag strips), %19 the style/script interleave that pins pass
+    * order. */
+  private def htmlCaseSql: String =
+    """'<html><head><title>' || source || ' #' || doc_id || '</title>' ||
+      |      CASE WHEN doc_id % 7 = 0
+      |        THEN '<style type="text/css">p { color: red }</style>' ELSE '' END ||
+      |      '</head><body>' ||
+      |      CASE WHEN doc_id % 5 = 0
+      |        THEN '<script>var x = 1 < 2; alert("&amp;");</script>' ELSE '' END ||
+      |      '<h1 class="t">' || source || '</h1><p>' ||
+      |      replace(text, ' the ', ' &amp;the&nbsp;') || '</p>' ||
+      |      CASE WHEN doc_id % 11 = 0 THEN '<p>broken <unclosed' ELSE '' END ||
+      |      CASE WHEN doc_id % 13 = 0 THEN '<script>no close' ELSE '' END ||
+      |      CASE WHEN doc_id % 19 = 0
+      |        THEN '<style>x<script>y</style>z</script>w' ELSE '' END ||
+      |      '</body></html>'""".stripMargin
+
+  /** DuckDB mirror of q174: the regex chain IS the semantic definition
+    * the kernel implements (see Sketches.htmlText). */
+  private def htmlExtractOracle: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, $htmlCaseSql AS html
+       |  FROM documents WHERE text IS NOT NULL),
+       |x AS (
+       |  SELECT doc_id,
+       |    regexp_extract(html, '(?is)<title>(.*?)</title>', 1) AS title,
+       |    trim(regexp_replace(
+       |      replace(replace(replace(replace(replace(replace(
+       |        regexp_replace(regexp_replace(regexp_replace(html,
+       |          '(?is)<script[^>]*>.*?</script>', '', 'g'),
+       |          '(?is)<style[^>]*>.*?</style>', '', 'g'),
+       |          '<[^>]*>', ' ', 'g'),
+       |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+       |      '[ \\t\\r\\n]+', ' ', 'g')) AS body
+       |  FROM h)
+       |SELECT doc_id, title, len(body) AS n_chars, md5(body) AS body_md5
+       |FROM x ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of q155: same hashed-unigram buckets (shared 60-bit
     * md5 rule mod 1024), same add-1-smoothed log-ratio rounded once to

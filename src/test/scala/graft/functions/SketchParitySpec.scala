@@ -452,4 +452,54 @@ class SketchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(java.text.Normalizer.normalize(in, java.text.Normalizer.Form.NFC) === want)
     }
   }
+
+  test("graft_html_text equals the regex chain on adversarial markup (nested/unclosed/interleaved/pseudo tags)") {
+    import spark.implicits._
+    // The semantic definition, run literally with java.util.regex — the
+    // twin of the DuckDB oracle chain (RE2 and Java agree on these
+    // ASCII-only patterns). The kernel's hand-rolled scans must match
+    // byte-for-byte on every fragment, including shapes the derived
+    // q174 corpus can't produce.
+    import java.util.regex.Pattern
+    val pScript = Pattern.compile("<script[^>]*>.*?</script>",
+      Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+    val pStyle = Pattern.compile("<style[^>]*>.*?</style>",
+      Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+    val pTag = Pattern.compile("<[^>]*>")
+    def refChain(s: String): String = {
+      var t = pScript.matcher(s).replaceAll("")
+      t = pStyle.matcher(t).replaceAll("")
+      t = pTag.matcher(t).replaceAll(" ")
+      t = t.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+        .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+      t = t.replaceAll("[ \t\r\n]+", " ")
+      t.replaceAll("\\A | \\z", "")
+    }
+    val cases = Seq(
+      "<html><body><p>plain</p></body></html>",
+      "<div><p>nested <b>bold</b> text</p></div>",
+      "<p>broken <unclosed and more text",
+      "lone < bracket and lone > bracket",
+      "<script>var x = 1 < 2;</script>after",
+      "<SCRIPT TYPE=\"x\">shouty</SCRIPT>ok",
+      "<script>no close at all",
+      "<scripty>pseudo tag</scripty>",            // <script[^>]*> matches '<scripty>'
+      "orphan </script> close",
+      "<style>x<script>y</style>z</script>w",     // pass-order pin
+      "<script>a<style>b</script>c</style>d",     // the mirror image
+      "<style media='x'>p{}</style>kept",
+      "a&amp;lt;b",                               // double-encoding decodes ONE level
+      "&lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y &amp; z",
+      "  \t leading\nand\r\ninternal   runs \t ",
+      "<p title=\"a > b\">attr gt</p>",           // first '>' ends the tag
+      "<>empty tag<> and <<double",
+      "unicode café 一𠮷 <b>样</b>",
+      "")
+    val got = cases.toDF("s")
+      .select(expr("graft_html_text(s)").as("t")).as[String].collect().toSeq
+    val want = cases.map(refChain)
+    got.zip(want).zip(cases).foreach { case ((g, w), in) =>
+      assert(g === w, s"kernel drift on <<$in>>: kernel=<<$g>> chain=<<$w>>")
+    }
+  }
 }

@@ -272,6 +272,9 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // per-source offset window rides doc-LENGTH rows; chunks (the
     // output) grow ~linearly with total tokens
     "q173_bpe_ids",
+    // q174 (round 15): pure scan-local codegen kernel (markup strip) +
+    // the display sort — the q167 shape; output rows = #docs
+    "q174_html_extract",
     // q167: pure scan-local codegen kernel + one #langs-row aggregate —
     // the map-side-partial linear baseline (q104's shape)
     "q167_unicode_normalize",
