@@ -2553,7 +2553,7 @@ object Pipeline {
     * Shared verbatim by Spark (wrapped in graft_nfc) and DuckDB
     * (wrapped in nfc_normalize): plain SQL, no backslashes, so the two
     * parsers cannot diverge on escaping. */
-  private def bpeCaseSql: String =
+  private[graft] def bpeCaseSql: String =
     s"""CASE lang
        |      WHEN 'zh' THEN translate(lower(text), '$BpeLatin', '$BpeCjk')
        |      WHEN 'de' THEN replace(replace(replace(lower(text),
@@ -2563,7 +2563,7 @@ object Pipeline {
        |      ELSE lower(text) END""".stripMargin
 
   /** NFC-normalized derived corpus text (Spark side). */
-  private def bpeTextCol(s: SparkSession): Column = {
+  private[graft] def bpeTextCol(s: SparkSession): Column = {
     graft.functions.GraftFunctions.register(s)
     expr(s"graft_nfc($bpeCaseSql)")
   }
@@ -2585,7 +2585,7 @@ object Pipeline {
 
   /** Corpus -> (source, doc_id, word-position, word), the exploded form
     * every consumer re-joins to the stored vocab. */
-  private def bpeCorpusWords(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bpeCorpusWords(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .select(col("source"), col("doc_id"), posexplode(bpeWordsCol(s)))
       .toDF("source", "doc_id", "wp", "w")
@@ -2738,8 +2738,8 @@ object Pipeline {
     * for graft_nfc, RE2 \p classes for Java's — parity of NFC, the
     * property classes, per-codepoint '.'-matching and 4-byte chars was
     * probe-verified cross-engine before this landed). */
-  private def bpeOracleText: String = s"nfc_normalize($bpeCaseSql)"
-  private def bpeOracleWords: String =
+  private[graft] def bpeOracleText: String = s"nfc_normalize($bpeCaseSql)"
+  private[graft] def bpeOracleWords: String =
     s"""string_split_regex($bpeOracleText, '[^\\p{L}\\p{N}]+')"""
 
   private def bpeOracleCtes(n: Int): String = {

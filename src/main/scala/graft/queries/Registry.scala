@@ -5,7 +5,8 @@ package graft.queries
   * the NATS source E2E (§2.A), and LLM-pipeline extensions (§7.5).
   */
 object Registry {
-  val all: Seq[QueryDef] = Relational.defs ++ Streaming.defs ++ Pipeline.defs ++ Analytics.defs
+  val all: Seq[QueryDef] =
+    Relational.defs ++ Streaming.defs ++ Pipeline.defs ++ Analytics.defs ++ Unigram.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap
 }

@@ -275,6 +275,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q174 (round 15): pure scan-local codegen kernel (markup strip) +
     // the display sort — the q167 shape; output rows = #docs
     "q174_html_extract",
+    // q175/q176 (round 15): stored-model probes like the BPE family —
+    // q175 reads the piece table (40 rows at any scale); q176 is the
+    // q151 shape (one corpus join against the bucketed vocab, output
+    // rows = #docs). Training's scale story is the histogram + vocab-
+    // sized Viterbi folds — pinned by the shared-histogram test below.
+    "q175_unigram_train", "q176_unigram_tokenize",
     // q167: pure scan-local codegen kernel + one #langs-row aggregate —
     // the map-side-partial linear baseline (q104's shape)
     "q167_unicode_normalize",
@@ -365,12 +371,17 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     * pinned separately below. */
   private val bpeStoredModel = Set("q150_bpe_train", "q151_bpe_tokenize",
     "q156_bpe_pack", "q162_bpe_fertility", "q173_bpe_ids")
+  private val uniStoredModel = Set("q175_unigram_train", "q176_unigram_tokenize")
 
   family.foreach { name =>
     test(s"$name: 10x corpus keeps the plan shape and scales ~linearly") {
       if (bpeStoredModel(name)) {
         Pipeline.ensureBpeModel(spark, base)
         Pipeline.ensureBpeModel(spark, scaledDir)
+      }
+      if (uniStoredModel(name)) {
+        Unigram.ensureUnigramModel(spark, base)
+        Unigram.ensureUnigramModel(spark, scaledDir)
       }
       val warm = run(name, base) // JVM/codegen warm-up, discarded
       assert(warm._3 >= 0)
@@ -414,6 +425,26 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t1 = train(base)
     val t10 = train(scaledDir)
     info(f"bpe train: 1x ${t1}%.2fs -> 10x ${t10}%.2fs (ratio ${t10 / t1}%.1fx)")
+    assert(t10 / t1 < 30.0, f"superlinear training blow-up: ${t10 / t1}%.1fx")
+  }
+
+  test("unigram-LM training (the write-once model build) scales ~linearly in the corpus") {
+    // Same contract as the BPE training pin: the corpus-sized step is
+    // the shared word histogram; seeding, both Viterbi folds, and the
+    // re-score are vocab-/piece-sized. The zqN renames grow the word
+    // vocabulary ~10x — the dimension the folds scale in.
+    def train(dir: String): Double = {
+      spark.sqlContext.clearCache()
+      val t0 = System.nanoTime()
+      Unigram.trainModel(spark, dir)._2
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val w = train(base) // warm-up, discarded
+    assert(w > 0)
+    val t1 = train(base)
+    val t10 = train(scaledDir)
+    info(f"unigram train: 1x ${t1}%.2fs -> 10x ${t10}%.2fs (ratio ${t10 / t1}%.1fx)")
     assert(t10 / t1 < 30.0, f"superlinear training blow-up: ${t10 / t1}%.1fx")
   }
 

@@ -227,4 +227,21 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(idsPlan.contains(v0), s"q173 not probing the stored vocab:\n$idsPlan")
   }
+
+  test("unigram model is a write-once artifact: q175 reads the piece table, q176 probes the vocab") {
+    val (p0, v0) = Unigram.ensureUnigramModel(spark, sfDir)
+    val (p1, v1) = Unigram.ensureUnigramModel(spark, sfDir) // no-op rewrite
+    assert((p0, v0) === (p1, v1))
+    val trainPlan = Registry.byName("q175_unigram_train").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(trainPlan.contains(p0), s"q175 not reading the stored pieces:\n$trainPlan")
+    assert(!trainPlan.contains("documents.parquet"),
+      s"q175 re-scans the corpus after training is stored:\n$trainPlan")
+    val tokPlan = Registry.byName("q176_unigram_tokenize").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(tokPlan.contains(v0), s"q176 not probing the stored vocab:\n$tokPlan")
+    val corpusScans = tokPlan.split("\n").count(_.contains("documents.parquet"))
+    assert(corpusScans === 2, // probe join side + left-join doc spine
+      s"expected the corpus probe + doc spine only ($corpusScans documents scans):\n$tokPlan")
+  }
 }
