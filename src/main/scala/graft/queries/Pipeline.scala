@@ -2421,6 +2421,56 @@ object Pipeline {
         .select(col("doc_id"), col("title"),
           length(col("body")).as("n_chars"), md5(col("body")).as("body_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q177 (round 15): FROZEN-MODEL transfer application with OOV
+    // fallback — the production tokenizer contract: a model trained on
+    // one distribution (here: the English slice, the classic
+    // English-centric-tokenizer setup) is FROZEN and applied to
+    // everything, including words its vocab cache has never seen. Known
+    // words probe the stored en-model vocab; OOV words (most of
+    // zh/de/es/fr under this model) are DISTINCT'd first and tokenized
+    // once by folding the frozen merge list — never merges × corpus,
+    // and exactly what the model does to them (BPE degrades gracefully:
+    // unseen scripts fall back toward per-character tokens, which is
+    // the transfer tax this query measures). Output per lang: word/OOV/
+    // token counts + integer-micro OOV rate and fertility — the
+    // quantified "English tokenizer taxes other scripts" table next to
+    // q162's matched-model fertility. ORACLE: the generated CTE chain
+    // trained on the lang='en' slice, plus a second generated chain
+    // applying the SAME b_k rules to the distinct OOV words. 100 TB
+    // shape: model broadcast; OOV fold per DISTINCT word; one corpus
+    // join; #langs-row aggregate. ----
+    QueryDef("q177_bpe_transfer", bpeTransferOracle) { (s, dir) =>
+      val (mTbl, vTbl) = ensureBpeEnModel(s, dir)
+      val mergesArr = s.table(mTbl)
+        .agg(sort_array(collect_list(struct(col("rank"), col("l"), col("r"))))
+          .as("ms"))
+        .select(lit(1).as("k"), col("ms"))
+      val known = s.table(vTbl)
+        .select(col("w"), size(col("toks")).as("n_tok"), lit(0L).as("oov"))
+      val words = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(bpeWordsCol(s)).as("w"))
+        .filter(length(col("w")) > 0)
+      val oov = words.select(col("w")).distinct()
+        .join(known.select(col("w")), Seq("w"), "left_anti")
+        .withColumn("syms", split(col("w"), ""))
+        .withColumn("k", lit(1))
+        .join(broadcast(mergesArr), Seq("k"), "left")
+        .select(col("w"),
+          size(expr(s"aggregate(ms, syms, (cur, m) -> ${bpeFoldSql("cur", "m.l", "m.r")})"))
+            .as("n_tok"),
+          lit(1L).as("oov"))
+      words.join(known.unionByName(oov), Seq("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("oov")).cast(LongType).as("n_oov_words"),
+          sum(col("n_tok")).cast(LongType).as("n_tokens_bpe"))
+        .select(col("lang"), col("n_words"), col("n_oov_words"),
+          col("n_tokens_bpe"),
+          expr("(n_oov_words * 1000000) DIV n_words").as("oov_rate_micro"),
+          expr("(n_tokens_bpe * 1000000) DIV n_words").as("fertility_micro"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -2577,8 +2627,10 @@ object Pipeline {
 
   /** Corpus -> corpus-weighted word histogram (the one corpus-sized step
     * of the BPE family; everything downstream is vocab-sized). */
-  private[graft] def bpeWordHist(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bpeWordHist(
+      s: SparkSession, dir: String, docFilter: Column = lit(true)): DataFrame =
     T(s, dir, "documents")
+      .filter(docFilter)
       .select(explode(bpeWordsCol(s)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -2666,19 +2718,31 @@ object Pipeline {
   private val bpeModelDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Returns the dir-qualified (mergesTable, vocabTable) names. */
+  /** Returns the dir-qualified (mergesTable, vocabTable) names for the
+    * whole-corpus model. */
   private[graft] def ensureBpeModel(s: SparkSession, dir: String): (String, String) =
+    ensureBpeModelTagged(s, dir, "", lit(true))
+
+  /** The ENGLISH-ONLY model (q177): trained on the lang='en' slice —
+    * the domain-shift artifact the transfer experiment applies to the
+    * whole multilingual corpus. */
+  private[graft] def ensureBpeEnModel(s: SparkSession, dir: String): (String, String) =
+    ensureBpeModelTagged(s, dir, "en_", col("lang") === "en")
+
+  private def ensureBpeModelTagged(
+      s: SparkSession, dir: String, tag: String, docFilter: Column): (String, String) =
     synchronized {
       val dirKey = graft.BuildPaths.dirKey(dir)
-      val mTbl = s"graft_bpe_merges_$dirKey"
-      val vTbl = s"graft_bpe_vocab_$dirKey"
-      if (!(bpeModelDirs.contains(dir) &&
+      val memoKey = s"$tag|$dir"
+      val mTbl = s"graft_bpe_${tag}merges_$dirKey"
+      val vTbl = s"graft_bpe_${tag}vocab_$dirKey"
+      if (!(bpeModelDirs.contains(memoKey) &&
             s.catalog.tableExists(mTbl) && s.catalog.tableExists(vTbl))) {
-        val root = graft.BuildPaths.scratch(s"bpe_model/$dirKey")
+        val root = graft.BuildPaths.scratch(s"bpe_model/$tag$dirKey")
         // ONE corpus-sized histogram feeds both training and the vocab
         // tokenization; the localCheckpoint inside bpeTrain materializes
         // it vocab-sized before the 24 rounds run.
-        val hist = bpeWordHist(s, dir)
+        val hist = bpeWordHist(s, dir, docFilter)
         bpeTrain(hist, BpeMerges)
           .write.mode("overwrite")
           .option("path", s"$root/$mTbl")
@@ -2702,7 +2766,7 @@ object Pipeline {
           .bucketBy(8, "w").sortBy("w")
           .option("path", s"$root/$vTbl")
           .format("parquet").saveAsTable(vTbl)
-        bpeModelDirs.add(dir)
+        bpeModelDirs.add(memoKey)
       }
       (mTbl, vTbl)
     }
@@ -2742,13 +2806,13 @@ object Pipeline {
   private[graft] def bpeOracleWords: String =
     s"""string_split_regex($bpeOracleText, '[^\\p{L}\\p{N}]+')"""
 
-  private def bpeOracleCtes(n: Int): String = {
+  private def bpeOracleCtes(n: Int, extraWhere: String = ""): String = {
     val v0 =
       s"""v0 AS MATERIALIZED (
          |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, freq FROM (
          |    SELECT w, COUNT(*) AS freq FROM (
          |      SELECT unnest($bpeOracleWords) AS w
-         |      FROM documents WHERE text IS NOT NULL)
+         |      FROM documents WHERE text IS NOT NULL$extraWhere)
          |    WHERE len(w) > 0 GROUP BY w))""".stripMargin
     val rounds = (1 to n).map { k =>
       s"""b$k AS MATERIALIZED (
@@ -3002,6 +3066,53 @@ object Pipeline {
        |  FROM h)
        |SELECT doc_id, title, len(body) AS n_chars, md5(body) AS body_md5
        |FROM x ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of q177: the generated chain trained on the
+    * lang='en' slice, then a SECOND generated chain (u0..u24) applying
+    * the same b_k rules to each distinct OOV word — replace() reuses
+    * the scalar subqueries off the b_k tables, so the frozen model and
+    * its application cannot drift. */
+  private def bpeTransferOracle: String = {
+    val oovRounds = (1 to BpeMerges).map { k =>
+      s"""u$k AS MATERIALIZED (
+         |  SELECT w, coalesce(replace(s,
+         |      (SELECT '|' || l || '||' || r || '|' FROM b$k),
+         |      (SELECT '|' || l || r || '|' FROM b$k)), s) AS s
+         |  FROM u${k - 1})""".stripMargin
+    }.mkString(",\n")
+    bpeOracleCtes(BpeMerges, " AND lang = 'en'") +
+      s""",
+         |wtok AS MATERIALIZED (
+         |  SELECT translate(s, '|', '') AS w,
+         |    CAST((len(s) - len(replace(s, '|', ''))) / 2 AS BIGINT) AS n_tok
+         |  FROM v$BpeMerges),
+         |cw AS MATERIALIZED (
+         |  SELECT doc_id, lang, w FROM (
+         |    SELECT doc_id, lang, unnest($bpeOracleWords) AS w
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE len(w) > 0),
+         |u0 AS MATERIALIZED (
+         |  SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS s FROM (
+         |    SELECT DISTINCT cw.w FROM cw
+         |    LEFT JOIN wtok ON wtok.w = cw.w WHERE wtok.w IS NULL)),
+         |$oovRounds,
+         |oovtok AS (
+         |  SELECT w, CAST((len(s) - len(replace(s, '|', ''))) / 2 AS BIGINT) AS n_tok
+         |  FROM u$BpeMerges),
+         |f AS (
+         |  SELECT cw.lang,
+         |    coalesce(wt.n_tok, ot.n_tok) AS n_tok,
+         |    CASE WHEN wt.w IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM cw
+         |  LEFT JOIN wtok wt ON wt.w = cw.w
+         |  LEFT JOIN oovtok ot ON ot.w = cw.w)
+         |SELECT lang, COUNT(*) AS n_words,
+         |  CAST(SUM(oov) AS BIGINT) AS n_oov_words,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens_bpe,
+         |  (CAST(SUM(oov) AS BIGINT) * 1000000) // COUNT(*) AS oov_rate_micro,
+         |  (CAST(SUM(n_tok) AS BIGINT) * 1000000) // COUNT(*) AS fertility_micro
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+  }
 
   /** DuckDB mirror of q155: same hashed-unigram buckets (shared 60-bit
     * md5 rule mod 1024), same add-1-smoothed log-ratio rounded once to

@@ -195,6 +195,41 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked > 10000, s"only $checked cases checked")
   }
 
+  test("q177: frozen en-model transfer matches the independent reference (OOV fallback included)") {
+    // Train the reference on the ENGLISH slice only, then apply the
+    // frozen merges to EVERY corpus word — known or not, the same fold
+    // produces the token count (BPE's graceful OOV degradation). The
+    // distributed version must agree per language on word/OOV/token
+    // sums and the derived integer-micro rates.
+    val enHist: Map[String, Long] =
+      corpus.filter(_._2 == "en")
+        .flatMap { case (_, lang, t) => refWords(lang, t) }
+        .groupMapReduce(identity)(_ => 1L)(_ + _)
+    val (merges, _) = refTrain(enHist, 24)
+    def tok(w: String): Int = {
+      var syms = refSyms(w)
+      merges.foreach { case (_, l, r, _) => syms = refMergePass(syms, l, r) }
+      syms.size
+    }
+    val agg = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    corpus.foreach { case (_, lang, text) =>
+      refWords(lang, text).foreach { w =>
+        val (nw, no, nt) = agg.getOrElse(lang, (0L, 0L, 0L))
+        agg(lang) = (nw + 1, no + (if (enHist.contains(w)) 0 else 1), nt + tok(w))
+      }
+    }
+    val got = Registry.byName("q177_bpe_transfer").build(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    agg.foreach { case (lang, (nw, no, nt)) =>
+      val want = (nw, no, nt, no * 1000000 / nw, nt * 1000000 / nw)
+      assert(got(lang) === want, s"lang $lang: got ${got(lang)}, want $want")
+    }
+    assert(got.keySet === agg.keySet)
+  }
+
   test("q150 is deterministic across runs (argmax ties pinned)") {
     val a = Registry.byName("q150_bpe_train").build(spark, sfDir)
       .collect().map(_.toString).toSeq

@@ -75,6 +75,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the q133/q142 shape; the triangle joins themselves are equi joins
     // and stay under the hash/merge rule.
     "q153_triangle_count",
+    // q177 folds the frozen merge list over the DISTINCT OOV words —
+    // the same ONE-row ranked-merge-array broadcast as q151 (24
+    // structs, bytes at any corpus size); the corpus join itself is an
+    // equi join on the word key.
+    "q177_bpe_transfer",
     // q155 cross-joins its two 1-row corpus totals into the ≤1024-row
     // bucket ratio table (the DSIR importance model is kilobytes by
     // design); scoring joins are broadcast/hash equi joins.

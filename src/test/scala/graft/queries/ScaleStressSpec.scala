@@ -281,6 +281,11 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rows = #docs). Training's scale story is the histogram + vocab-
     // sized Viterbi folds — pinned by the shared-histogram test below.
     "q175_unigram_train", "q176_unigram_tokenize",
+    // q177 (round 15): frozen en-model probe + distinct-OOV fold + one
+    // corpus join; the 10x renamed copies are ~all OOV (zqN words miss
+    // the en vocab) -- exactly the path the fallback exists for; output
+    // stays #langs rows
+    "q177_bpe_transfer",
     // q167: pure scan-local codegen kernel + one #langs-row aggregate —
     // the map-side-partial linear baseline (q104's shape)
     "q167_unicode_normalize",
@@ -378,6 +383,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (bpeStoredModel(name)) {
         Pipeline.ensureBpeModel(spark, base)
         Pipeline.ensureBpeModel(spark, scaledDir)
+      }
+      if (name == "q177_bpe_transfer") {
+        Pipeline.ensureBpeEnModel(spark, base)
+        Pipeline.ensureBpeEnModel(spark, scaledDir)
       }
       if (uniStoredModel(name)) {
         Unigram.ensureUnigramModel(spark, base)
