@@ -2571,7 +2571,7 @@ object Pipeline {
   /** Merge count learned by q150 / applied by q151. 24 is deep enough to
     * grow multi-character subwords on the fixture vocabulary while
     * keeping the training loop's job count bench-friendly. */
-  private final val BpeMerges = 24 // compile-time constant: `defs` builds
+  private[graft] final val BpeMerges = 24 // compile-time constant: `defs` builds
   // the generated oracles during object init, BEFORE later vals assign
 
   /** Transliteration alphabet for the zh corpus slice: a..p -> U+4E00..
@@ -2622,7 +2622,7 @@ object Pipeline {
     * script ([^\p{L}\p{N}]+ split — Java and RE2 agree on the property
     * classes), after NFC. Non-Latin text tokenizes for real now instead
     * of contributing zero tokens (the r14 a-z0-9-only gap). */
-  private def bpeWordsCol(s: SparkSession): Column =
+  private[graft] def bpeWordsCol(s: SparkSession): Column =
     split(bpeTextCol(s), "[^\\p{L}\\p{N}]+")
 
   /** Corpus -> corpus-weighted word histogram (the one corpus-sized step
@@ -2806,7 +2806,12 @@ object Pipeline {
   private[graft] def bpeOracleWords: String =
     s"""string_split_regex($bpeOracleText, '[^\\p{L}\\p{N}]+')"""
 
-  private def bpeOracleCtes(n: Int, extraWhere: String = ""): String = {
+  private def bpeOracleCtes(n: Int, extraWhere: String = ""): String =
+    "WITH " + bpeOracleCtesBody(n, extraWhere)
+
+  /** The chain without the WITH prefix, for composition into combined
+    * oracles (q178 runs the BPE and unigram chains in ONE query). */
+  private[graft] def bpeOracleCtesBody(n: Int, extraWhere: String = ""): String = {
     val v0 =
       s"""v0 AS MATERIALIZED (
          |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, freq FROM (
@@ -2829,13 +2834,13 @@ object Pipeline {
          |      (SELECT '|' || l || r || '|' FROM b$k)), s) AS s, freq
          |  FROM v${k - 1})""".stripMargin
     }
-    "WITH " + (v0 +: rounds).mkString(",\n")
+    (v0 +: rounds).mkString(",\n")
   }
 
   /** Per-doc subword counts in DuckDB (q151/q156's shared tail): token
     * count per word straight off the double-pipe encoding, then the
     * same corpus re-join as bpeDocTokens. */
-  private def bpeOracleDocCtes: String =
+  private[graft] def bpeOracleDocCtes: String =
     s""",
        |wtok AS MATERIALIZED (
        |  SELECT translate(s, '|', '') AS w,

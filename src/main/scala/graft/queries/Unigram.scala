@@ -240,6 +240,37 @@ object Unigram {
           coalesce(col("n_words"), lit(0L)).as("n_words"),
           coalesce(col("n_tokens_uni"), lit(0L)).as("n_tokens_uni"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q178: tokenizer ABLATION — BPE vs unigram side by side on
+    // the SAME corpus, the table a tokenizer selection actually reads
+    // (fertility per language under each algorithm + their ratio; the
+    // SentencePiece paper's comparison, reproduced distributed). Both
+    // models are stored artifacts, so the query is two vocab probes +
+    // one corpus join — the heavy chains ran once each at model-build
+    // time. The ORACLE composes BOTH generated chains (the 24-round
+    // BPE CTE unroll AND the recursive-CTE unigram EM) into one
+    // query — the two oracle generators were built to compose. ----
+    QueryDef("q178_tokenizer_ablation", ablationOracle) { (s, dir) =>
+      val (_, bV) = Pipeline.ensureBpeModel(s, dir)
+      val (_, uV) = ensureUnigramModel(s, dir)
+      val words = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(Pipeline.bpeWordsCol(s)).as("w"))
+        .filter(length(col("w")) > 0)
+      val bpe = s.table(bV).select(col("w"), size(col("toks")).as("nb"))
+      val uni = s.table(uV).select(col("w"), col("n_tok").as("nu"))
+      words.join(bpe, Seq("w")).join(uni, Seq("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("nb")).cast(LongType).as("n_tokens_bpe"),
+          sum(col("nu")).cast(LongType).as("n_tokens_uni"))
+        .select(col("lang"), col("n_words"), col("n_tokens_bpe"),
+          col("n_tokens_uni"),
+          expr("(n_tokens_bpe * 1000000) DIV n_words").as("bpe_fertility_micro"),
+          expr("(n_tokens_uni * 1000000) DIV n_words").as("uni_fertility_micro"),
+          expr("(n_tokens_uni * 1000000) DIV n_tokens_bpe").as("uni_vs_bpe_micro"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -287,8 +318,12 @@ object Unigram {
 
   /** Shared chain: histogram → seed → E1 → M1 → E2 → c2. */
   private def uniOracleCtes: String =
-    s"""WITH RECURSIVE
-       |hist AS MATERIALIZED (
+    "WITH RECURSIVE\n" + uniOracleCtesBody
+
+  /** The chain without the WITH RECURSIVE prefix, for composition into
+    * combined oracles (q178 runs both tokenizer chains in ONE query). */
+  private[graft] def uniOracleCtesBody: String =
+    s"""hist AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(${Pipeline.bpeOracleWords}) AS w
        |    FROM documents WHERE text IS NOT NULL)
@@ -318,23 +353,58 @@ object Unigram {
        |  FROM (SELECT freq, unnest(string_split(substr(toks, 2, len(toks) - 2), '||')) AS p
        |        FROM seg1) t
        |  GROUP BY t.p),
-       |v1 AS (
+       |pv1 AS (
        |  SELECT u.piece, coalesce(c1.cnt, 0) AS cnt
        |  FROM (SELECT piece FROM c1 UNION
        |        SELECT piece FROM pcnt WHERE len(piece) = 1) u
        |  LEFT JOIN c1 ON c1.piece = u.piece),
-       |st1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, COUNT(*) AS v FROM v1),
+       |st1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, COUNT(*) AS v FROM pv1),
        |m1 AS MATERIALIZED (
        |  SELECT piece, cnt,
        |    CAST(round(ln(cnt + 1) * 1000000, 0) AS BIGINT)
        |      - (SELECT CAST(round(ln(t + v) * 1000000, 0) AS BIGINT) FROM st1) AS s
-       |  FROM v1),
+       |  FROM pv1),
        |${dpCte("seg2", "hist", "m1")},
        |c2 AS (
        |  SELECT t.p AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
        |  FROM (SELECT freq, unnest(string_split(substr(toks, 2, len(toks) - 2), '||')) AS p
        |        FROM seg2) t
        |  GROUP BY t.p)""".stripMargin
+
+  /** DuckDB mirror of q178: BOTH tokenizer chains composed in one
+    * query — the BPE 24-round unroll (v0..v24 + wtok + perdoc) and the
+    * recursive unigram EM (hist..seg2), disjoint CTE namespaces by
+    * construction; the final frame joins the two per-doc counts. */
+  private def ablationOracle: String =
+    "WITH RECURSIVE\n" +
+      Pipeline.bpeOracleCtesBody(Pipeline.BpeMerges) +
+      Pipeline.bpeOracleDocCtes + ",\n" +
+      uniOracleCtesBody +
+      s""",
+         |perdoc_uni AS (
+         |  SELECT d.doc_id, CAST(SUM(sg.n) AS BIGINT) AS n_tokens_uni
+         |  FROM (SELECT doc_id, unnest(${Pipeline.bpeOracleWords}) AS w
+         |        FROM documents WHERE text IS NOT NULL) d
+         |  JOIN seg2 sg ON sg.w = d.w
+         |  WHERE len(d.w) > 0
+         |  GROUP BY d.doc_id),
+         |f AS (
+         |  SELECT doc.lang, coalesce(pb.n_words, 0) AS nw,
+         |    coalesce(pb.n_tokens_bpe, 0) AS nb,
+         |    coalesce(pu.n_tokens_uni, 0) AS nu
+         |  FROM documents doc
+         |  LEFT JOIN perdoc pb USING (doc_id)
+         |  LEFT JOIN perdoc_uni pu USING (doc_id))
+         |SELECT lang, CAST(SUM(nw) AS BIGINT) AS n_words,
+         |  CAST(SUM(nb) AS BIGINT) AS n_tokens_bpe,
+         |  CAST(SUM(nu) AS BIGINT) AS n_tokens_uni,
+         |  (CAST(SUM(nb) AS BIGINT) * 1000000) // CAST(SUM(nw) AS BIGINT)
+         |    AS bpe_fertility_micro,
+         |  (CAST(SUM(nu) AS BIGINT) * 1000000) // CAST(SUM(nw) AS BIGINT)
+         |    AS uni_fertility_micro,
+         |  (CAST(SUM(nu) AS BIGINT) * 1000000) // CAST(SUM(nb) AS BIGINT)
+         |    AS uni_vs_bpe_micro
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
   private def uniTrainOracle: String =
     uniOracleCtes +

@@ -281,6 +281,9 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rows = #docs). Training's scale story is the histogram + vocab-
     // sized Viterbi folds — pinned by the shared-histogram test below.
     "q175_unigram_train", "q176_unigram_tokenize",
+    // q178 (round 15): two stored-vocab probes + one corpus join; the
+    // ablation report stays #langs rows at any scale
+    "q178_tokenizer_ablation",
     // q177 (round 15): frozen en-model probe + distinct-OOV fold + one
     // corpus join; the 10x renamed copies are ~all OOV (zqN words miss
     // the en vocab) -- exactly the path the fallback exists for; output
@@ -376,7 +379,8 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     * pinned separately below. */
   private val bpeStoredModel = Set("q150_bpe_train", "q151_bpe_tokenize",
     "q156_bpe_pack", "q162_bpe_fertility", "q173_bpe_ids")
-  private val uniStoredModel = Set("q175_unigram_train", "q176_unigram_tokenize")
+  private val uniStoredModel = Set("q175_unigram_train", "q176_unigram_tokenize",
+    "q178_tokenizer_ablation")
 
   family.foreach { name =>
     test(s"$name: 10x corpus keeps the plan shape and scales ~linearly") {
@@ -391,6 +395,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (uniStoredModel(name)) {
         Unigram.ensureUnigramModel(spark, base)
         Unigram.ensureUnigramModel(spark, scaledDir)
+        if (name == "q178_tokenizer_ablation") {
+          Pipeline.ensureBpeModel(spark, base)
+          Pipeline.ensureBpeModel(spark, scaledDir)
+        }
       }
       val warm = run(name, base) // JVM/codegen warm-up, discarded
       assert(warm._3 >= 0)
