@@ -2643,6 +2643,12 @@ object Pipeline {
       .toDF("source", "doc_id", "wp", "w")
       .filter(length(col("w")) > 0)
 
+  /** Apply a ranked merge array `ms` to a char-split `syms` column —
+    * the frozen-model application expression shared by the vocab build,
+    * q177's OOV fallback, and q179's ingest-time fallback. */
+  private[graft] def bpeApplySql: String =
+    s"aggregate(ms, syms, (cur, m) -> ${bpeFoldSql("cur", "m.l", "m.r")})"
+
   /** One left-to-right BPE merge pass as a SQL fold: every non-
     * overlapping adjacent (l, r) in the symbol array becomes the
     * concatenated symbol, scanning left to right (the classic algorithm's

@@ -1182,8 +1182,117 @@ object Streaming {
       s.sql(s"""SELECT subject, COUNT(*) AS n_docs,
         CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         FROM $sink GROUP BY subject ORDER BY subject""")
+    },
+
+    // ---- q179 (round 15): TOKENIZE-AT-INGEST — the q154 ingest-loop
+    // pattern applied to the tokenizer artifact: the documents table
+    // streams through the bus (JSON codec — text payloads), and each
+    // micro-batch is tokenized in foreachBatch against the STORED BPE
+    // vocab (probe for known words, the q177 distinct-OOV merge-fold
+    // fallback for words the cache has never seen — on a live crawl
+    // that path is hot), appending per-doc token counts downstream.
+    // The ORACLE is the real generated 24-round chain aggregated per
+    // language — so a tokenization drift, a dropped micro-batch, or a
+    // double-processed doc all hash-fail, not just row counts. 100 TB
+    // shape: the model rides the shared catalog (broadcast-sized merge
+    // list + bucketed vocab read per batch); per-batch cost tracks the
+    // BATCH (one probe join + a batch-local OOV fold), the corpus is
+    // never rescanned — the production "tokens land with the data"
+    // ingest contract. ----
+    QueryDef.noBench("q179_tokenize_at_ingest", bpeIngestOracle) { (s, dir) =>
+      val (mTbl, vTbl) = Pipeline.ensureBpeModel(s, dir)
+      val url = s"memory://q179-${UUID.randomUUID()}"
+      val outDir = java.nio.file.Files.createTempDirectory("graft-tok-ingest").toString
+      val feedSchema = StructType(Seq(
+        StructField("doc_id", IntegerType, nullable = false),
+        StructField("lang", StringType, nullable = false),
+        StructField("text", StringType, nullable = false)))
+      val q = s.readStream.format("nats").schema(feedSchema)
+        .option("url", url).option("subject", "docs_tok")
+        .option("codec", "json")
+        .option("batchSize", "200")
+        .option("flushTimeoutMs", "100")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          val sess = batch.sparkSession
+          val b = batch.persist()
+          try {
+            val words = b
+              .select(col("doc_id"), col("lang"),
+                explode(Pipeline.bpeWordsCol(sess)).as("w"))
+              .filter(length(col("w")) > 0)
+            val known = sess.table(vTbl)
+              .select(col("w"), size(col("toks")).as("n_tok"))
+            val mergesArr = sess.table(mTbl)
+              .agg(sort_array(collect_list(struct(col("rank"), col("l"), col("r"))))
+                .as("ms"))
+              .select(lit(1).as("k"), col("ms"))
+            val oov = words.select(col("w")).distinct()
+              .join(known.select(col("w")), Seq("w"), "left_anti")
+              .withColumn("syms", split(col("w"), ""))
+              .withColumn("k", lit(1))
+              .join(broadcast(mergesArr), Seq("k"), "left")
+              .select(col("w"), size(expr(Pipeline.bpeApplySql)).as("n_tok"))
+            words.join(known.unionByName(oov), Seq("w"))
+              .groupBy(col("doc_id"), col("lang"))
+              .agg(count(lit(1)).as("n_words"),
+                sum(col("n_tok")).cast(LongType).as("n_tokens_bpe"))
+              .write.mode("append").parquet(outDir)
+          } finally b.unpersist()
+        }
+        .start()
+      try {
+        NatsDemo.awaitSubscriber(url, "docs_tok")
+        val pub = graft.Tables.load(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id").cast(IntegerType).as("doc_id"),
+            col("lang"), col("text"))
+        // expected = docs contributing at least one word (null/empty-text
+        // rows never emit a per-doc count row and must not be waited for)
+        val nDocs = pub
+          .select(col("doc_id"), explode(Pipeline.bpeWordsCol(s)).as("w"))
+          .filter(length(col("w")) > 0)
+          .select(col("doc_id")).distinct().count()
+        pub.write.format("nats").mode("append")
+          .option("url", url).option("subject", "docs_tok")
+          .option("codec", "json").save()
+        // q160's drain rule: poll the accumulated output to the known
+        // doc count with a deadline (the trailing partial batch only
+        // becomes an offset after flushTimeoutMs).
+        def done(): Long =
+          try s.read.parquet(outDir).count() catch { case _: Exception => 0L }
+        q.processAllAvailable()
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (done() < nDocs && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          q.processAllAvailable()
+        }
+        require(done() == nDocs,
+          s"q179 drain timed out: ${done()} of $nDocs docs tokenized")
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast(LongType).as("n_words"),
+          sum(col("n_tokens_bpe")).cast(LongType).as("n_tokens_bpe"))
+        .orderBy(col("lang"))
     }
   )
+
+  /** DuckDB mirror of q179: the real generated chain, rolled up per
+    * language — the ingest loop must reproduce the batch tokenization
+    * exactly, micro-batching and all. */
+  private def bpeIngestOracle: String =
+    "WITH " + Pipeline.bpeOracleCtesBody(Pipeline.BpeMerges) +
+      Pipeline.bpeOracleDocCtes +
+      """
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+        |  CAST(SUM(p.n_tokens_bpe) AS BIGINT) AS n_tokens_bpe
+        |FROM perdoc p JOIN documents d USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 }
 
 /** q105's processor: per-user running stats in three independently-typed
