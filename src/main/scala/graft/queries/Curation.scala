@@ -1,0 +1,375 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Round-15 curation/export operators: PII redaction (the rewrite the
+  * governance family's q66 DETECTION feeds) and the shard-export
+  * manifest (the step that turns a curated corpus into the numbered,
+  * digest-pinned shards a training job actually mounts).
+  *
+  * Cross-engine determinism follows the repo contract: md5-derived
+  * 60-bit hashes, integer arithmetic, explicit aliases, total ORDER BY.
+  */
+object Curation {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- q181 PII patterns: Java regex and RE2 agree on these (ASCII
+  // classes, bounded quantifiers, \b word boundaries — no lookaround,
+  // no backrefs). Declared as compile-time constants (final val
+  // literals) so the oracle strings interpolate safely at object init.
+  private final val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private final val SsnPat = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  private final val PhonePat = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  // q182: 16 export shards — the WebDataset/tfrecord convention of a
+  // fixed shard count per corpus snapshot.
+  private final val Shards = 16
+
+  // q183: contrastive batch size (the in-batch-negatives granularity).
+  private final val BatchSize = 32
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q181 (round 15): PII REDACTION — the rewrite half of
+    // governance (q66 detects and counts; production must also SHIP a
+    // cleaned corpus): emails / SSNs / phone numbers are replaced with
+    // typed placeholder tokens and the rewrite is pinned byte-for-byte
+    // by md5, so a drifting regex or a wrong replacement order
+    // hash-fails, not just a count. The fixture text is PII-free, so
+    // the corpus is DERIVED: deterministic doc_id-keyed suffixes
+    // inject each PII type (and every 12th doc two types) identically
+    // in both engines — the q174 derived-corpus convention. Patterns
+    // are chosen to be disjoint (3-3-4 phone vs 3-2-4 SSN groups;
+    // emails carry no dash-separated digit runs), so replacement order
+    // cannot create or destroy matches — documented, and the md5 pin
+    // would catch it if the injection ever violated that. 100 TB
+    // shape: perfectly scan-local — three codegen'd regexp passes per
+    // row, zero shuffles before the presentation sort; this is the
+    // shape PII scrubbing must have, because it runs over EVERY byte
+    // of the corpus. ----
+    QueryDef("q181_pii_redaction", piiRedactionOracle) { (s, dir) =>
+      val idStr = col("doc_id").cast(StringType)
+      val pii = concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" contact user"), idStr, lit("@ex-mail.org for access")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit(" call 555-310-"), lpad(idStr, 4, "0")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit(" ssn 219-09-"), lpad(idStr, 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 12 === 1,
+          concat(lit(" or user"), idStr, lit("@alt-mail.net")))
+          .otherwise(lit("")))
+      val redacted = regexp_replace(
+        regexp_replace(
+          regexp_replace(pii, EmailPat, "<EMAIL>"),
+          SsnPat, "<SSN>"),
+        PhonePat, "<PHONE>")
+      T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          regexp_count(pii, lit(EmailPat)).cast(LongType).as("n_email"),
+          regexp_count(pii, lit(SsnPat)).cast(LongType).as("n_ssn"),
+          regexp_count(pii, lit(PhonePat)).cast(LongType).as("n_phone"),
+          md5(redacted).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q182 (round 15): SHARD-EXPORT MANIFEST — the last hop of
+    // every curation pipeline (q159 fixes the epoch ORDER; this fixes
+    // the LAYOUT): each doc lands in shard h60(doc_id) mod 16, docs
+    // within a shard are ordered by (hash, doc_id) — the same
+    // content-free salted order q159 established — and the manifest
+    // row per shard carries doc/token/char counts, the running byte
+    // offset of the shard in the concatenated export, and an
+    // ORDER-SENSITIVE membership digest (md5 over the ordered doc_id
+    // list), so a dropped doc, a reassigned doc, or a reordering
+    // inside any shard hash-fails. 100 TB shape: ONE hash-keyed
+    // shuffle (the irreducible export partitioning — this query IS
+    // the shuffle a sharded write performs), per-shard digests are the
+    // reassembly aggregate, and the offset scan is a window over
+    // #shards rows. Balanced by construction: md5 spreads doc_ids
+    // uniformly, no skew key exists. ----
+    QueryDef("q182_shard_manifest", shardManifestOracle) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType)
+      val docs = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"), h.as("h"), (h % Shards).as("shard"))
+      val perShard = docs
+        .select(col("shard"), col("h"), col("doc_id"),
+          size(split(lower(col("text")), " ")).cast(LongType).as("n_tok"),
+          length(col("text")).cast(LongType).as("n_chr"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chr")).as("n_chars"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("h"), col("doc_id")))),
+              x => x.getField("doc_id").cast(StringType)),
+            ",")).as("manifest_md5"))
+      // Running byte offset of each shard in the concatenated export:
+      // a window over exactly `Shards` rows (post-aggregation, bytes).
+      val w = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      perShard
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_chars"),
+          coalesce(sum(col("n_chars")).over(w), lit(0L)).as("byte_offset"),
+          col("manifest_md5"))
+        .orderBy(col("shard"))
+    },
+
+    // ---- q183 (round 15): CONTRASTIVE BATCH construction audit — the
+    // in-batch-negatives data op behind every embedding-model training
+    // run (batches ARE the negative-sampling distribution: two
+    // same-label vectors landing in one batch become a FALSE negative
+    // that actively teaches the wrong thing). Vectors land in batch
+    // h60('cb:'||vec_id) mod ceil(N/32) — the deterministic shuffle-
+    // into-batches q159 established for docs, applied at batch
+    // granularity — and each batch row audits its size, its pair
+    // count, and its label-collision count (Σ c·(c−1)/2 over same-
+    // label groups), with the collision rate in integer micros. 100 TB
+    // shape: assignment is scan-local arithmetic; the ONE keyed
+    // aggregation runs (batch, label) then batch — no pair
+    // enumeration anywhere (the c·(c−1)/2 closed form replaces the
+    // within-batch self-join); the batch count rides an audited 1-row
+    // broadcast (the q133 corpus-total shape). ----
+    QueryDef("q183_contrastive_batches", contrastiveBatchesOracle) { (s, dir) =>
+      val vecs = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          conv(substring(md5(concat(lit("cb:"), col("vec_id").cast(StringType))), 1, 15), 16, 10)
+            .cast(LongType).as("h"))
+      val nb = vecs.agg(expr(s"greatest(count(1) DIV $BatchSize, 1)").as("nb"))
+      val byLabel = vecs.crossJoin(broadcast(nb))
+        .select(pmod(col("h"), col("nb")).as("batch"), col("label"))
+        .groupBy(col("batch"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      byLabel.groupBy(col("batch"))
+        .agg(sum(col("c")).cast(LongType).as("n_vecs"),
+          sum(expr("(c * (c - 1)) DIV 2")).cast(LongType).as("n_collisions"))
+        .select(col("batch"), col("n_vecs"),
+          expr("(n_vecs * (n_vecs - 1)) DIV 2").as("n_pairs"),
+          col("n_collisions"),
+          when(col("n_vecs") > 1,
+            expr("(n_collisions * 1000000) DIV ((n_vecs * (n_vecs - 1)) DIV 2)"))
+            .otherwise(lit(0L)).as("collision_micro"))
+        .orderBy(col("batch"))
+    },
+
+    // ---- q184 (round 15): SPAN-CORRUPTION objective construction
+    // (T5 / UL2 denoising) — the op that turns a clean corpus into
+    // (input-with-sentinels, target) training pairs: deterministic
+    // hash-selected 3-token spans (one per 20-token block, offset
+    // h60('sc:'||doc_id||':'||block) mod 18 — non-overlapping BY
+    // CONSTRUCTION, so there is no sequential greedy dependency and
+    // every position's mask decision is scan-local arithmetic),
+    // sentinels numbered per doc in block order, input = unmasked
+    // tokens with each span collapsed to its sentinel, target =
+    // sentinel-prefixed masked spans — BOTH rebuilt and pinned
+    // byte-for-byte by md5 (the even/odd position-key trick keeps one
+    // integer sort key: tokens at 2·pos, sentinels at 2·s0−1). A
+    // wrong span boundary, a misnumbered sentinel, or a dropped
+    // token hash-fails. 100 TB shape: mask decisions scan-local; the
+    // span index is #blocks-sized (~n/20 per doc); reassembly is the
+    // irreducible doc-keyed groupBy; output rows = #docs. ----
+    QueryDef("q184_span_corruption", spanCorruptionOracle) { (s, dir) =>
+      val d = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .persist() // feeds the word stream + the output spine
+      val words = d
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"), col("w"))
+        .withColumn("block", expr("(pos - 1) DIV 20"))
+        .withColumn("off",
+          pmod(conv(substring(md5(concat(lit("sc:"), col("doc_id").cast(StringType),
+            lit(":"), col("block").cast(StringType))), 1, 15), 16, 10).cast(LongType),
+            lit(18L)))
+        .withColumn("masked",
+          expr("(pos - 1) % 20").between(col("off"), col("off") + 2))
+        .persist() // feeds spans + input stream + target stream + counts
+      val spans = words.filter(col("masked"))
+        .groupBy(col("doc_id"), col("block"))
+        .agg(min(col("pos")).as("s0"), count(lit(1)).as("n_in_span"))
+        .withColumn("span_k",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("block"))).cast(LongType))
+        .persist() // feeds sentinel rows in BOTH streams + span counts
+      val sentinel = concat(lit("<extra_id_"), col("span_k").cast(StringType), lit(">"))
+      val inputRows = words.filter(!col("masked"))
+        .select(col("doc_id"), (col("pos") * 2).as("k"), col("w"))
+        .unionByName(spans.select(col("doc_id"), (col("s0") * 2 - 1).as("k"),
+          sentinel.as("w")))
+      val inputAgg = inputRows.groupBy(col("doc_id"))
+        .agg(md5(array_join(
+          transform(array_sort(collect_list(struct(col("k"), col("w")))),
+            x => x.getField("w")), " ")).as("input_md5"))
+      val targetRows = words.filter(col("masked"))
+        .join(spans.select(col("doc_id"), col("block"), col("span_k")),
+          Seq("doc_id", "block"))
+        .select(col("doc_id"), (col("span_k") * 1000000 + col("pos")).as("k"), col("w"))
+        .unionByName(spans.select(col("doc_id"), (col("span_k") * 1000000).as("k"),
+          sentinel.as("w")))
+      val targetAgg = targetRows.groupBy(col("doc_id"))
+        .agg(md5(array_join(
+          transform(array_sort(collect_list(struct(col("k"), col("w")))),
+            x => x.getField("w")), " ")).as("target_md5"))
+      val spanStats = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("n_in_span")).cast(LongType).as("n_masked"))
+      d.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_tokens"))
+        .join(spanStats, Seq("doc_id"), "left")
+        .join(inputAgg, Seq("doc_id"), "left")
+        .join(targetAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("input_md5"), md5(lit(""))).as("input_md5"),
+          coalesce(col("target_md5"), md5(lit(""))).as("target_md5"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** DuckDB mirror of q181: identical injection, identical pattern
+    * chain, identical replacement order (the 'g' flag matches Spark's
+    * replace-all default). */
+  private def piiRedactionOracle: String =
+    s"""WITH pii AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE
+       |      WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@ex-mail.org for access'
+       |      WHEN doc_id % 4 = 1 THEN ' call 555-310-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+       |      WHEN doc_id % 4 = 2 THEN ' ssn 219-09-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 12 = 1 THEN ' or user' || CAST(doc_id AS VARCHAR) || '@alt-mail.net'
+       |      ELSE '' END AS t
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$EmailPat')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(t, '$SsnPat')) AS BIGINT) AS n_ssn,
+       |  CAST(len(regexp_extract_all(t, '$PhonePat')) AS BIGINT) AS n_phone,
+       |  md5(regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(t, '$EmailPat', '<EMAIL>', 'g'),
+       |          '$SsnPat', '<SSN>', 'g'),
+       |        '$PhonePat', '<PHONE>', 'g')) AS redacted_md5
+       |FROM pii
+       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of q183: same salted 60-bit hash, same mod-ceil(N/32)
+    * batch assignment, same closed-form pair/collision counts. */
+  private def contrastiveBatchesOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label,
+       |    ('0x' || substr(md5('cb:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM embeddings),
+       |nb AS (SELECT greatest(count(*) // $BatchSize, 1) AS nb FROM v),
+       |bl AS (
+       |  SELECT v.h % nb.nb AS batch, v.label, count(*) AS c
+       |  FROM v, nb GROUP BY 1, 2),
+       |b AS (
+       |  SELECT batch, CAST(sum(c) AS BIGINT) AS n_vecs,
+       |    CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS n_collisions
+       |  FROM bl GROUP BY batch)
+       |SELECT batch, n_vecs,
+       |  (n_vecs * (n_vecs - 1)) // 2 AS n_pairs,
+       |  n_collisions,
+       |  CASE WHEN n_vecs > 1
+       |    THEN (n_collisions * 1000000) // ((n_vecs * (n_vecs - 1)) // 2)
+       |    ELSE 0 END AS collision_micro
+       |FROM b
+       |ORDER BY batch""".stripMargin
+
+  /** DuckDB mirror of q184: same salted per-block offset, same
+    * non-overlapping span rule, same even/odd sort-key reassembly for
+    * both the input and the target stream. */
+  private def spanCorruptionOracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |words AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS pos, ws[p] AS wd,
+       |    (CAST(p AS BIGINT) - 1) // 20 AS block
+       |  FROM w, unnest(generate_series(1, len(ws))) AS u(p)),
+       |marked AS (
+       |  SELECT doc_id, pos, wd, block,
+       |    ('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR) || ':' ||
+       |      CAST(block AS VARCHAR)), 1, 15))::BIGINT % 18 AS off,
+       |    ((pos - 1) % 20) BETWEEN
+       |      (('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR) || ':' ||
+       |        CAST(block AS VARCHAR)), 1, 15))::BIGINT % 18) AND
+       |      (('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR) || ':' ||
+       |        CAST(block AS VARCHAR)), 1, 15))::BIGINT % 18) + 2 AS masked
+       |  FROM words),
+       |spans AS (
+       |  SELECT doc_id, block, min(pos) AS s0, count(*) AS n_in_span,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY block) AS BIGINT) AS span_k
+       |  FROM marked WHERE masked GROUP BY doc_id, block),
+       |input_rows AS (
+       |  SELECT doc_id, pos * 2 AS k, wd FROM marked WHERE NOT masked
+       |  UNION ALL
+       |  SELECT doc_id, s0 * 2 - 1 AS k,
+       |    '<extra_id_' || CAST(span_k AS VARCHAR) || '>' AS wd FROM spans),
+       |input_agg AS (
+       |  SELECT doc_id, md5(string_agg(wd, ' ' ORDER BY k)) AS input_md5
+       |  FROM input_rows GROUP BY doc_id),
+       |target_rows AS (
+       |  SELECT m.doc_id, s.span_k * 1000000 + m.pos AS k, m.wd
+       |  FROM marked m JOIN spans s ON m.doc_id = s.doc_id AND m.block = s.block
+       |  WHERE m.masked
+       |  UNION ALL
+       |  SELECT doc_id, span_k * 1000000 AS k,
+       |    '<extra_id_' || CAST(span_k AS VARCHAR) || '>' AS wd FROM spans),
+       |target_agg AS (
+       |  SELECT doc_id, md5(string_agg(wd, ' ' ORDER BY k)) AS target_md5
+       |  FROM target_rows GROUP BY doc_id),
+       |span_stats AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(n_in_span) AS BIGINT) AS n_masked
+       |  FROM spans GROUP BY doc_id)
+       |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       |  COALESCE(ss.n_masked, 0) AS n_masked,
+       |  COALESCE(ss.n_spans, 0) AS n_spans,
+       |  COALESCE(ia.input_md5, md5('')) AS input_md5,
+       |  COALESCE(ta.target_md5, md5('')) AS target_md5
+       |FROM w
+       |LEFT JOIN span_stats ss USING (doc_id)
+       |LEFT JOIN input_agg ia USING (doc_id)
+       |LEFT JOIN target_agg ta USING (doc_id)
+       |ORDER BY w.doc_id""".stripMargin
+
+  /** DuckDB mirror of q182: same 60-bit doc hash, same mod-$Shards
+    * assignment, same (h, doc_id) intra-shard order, same digests and
+    * running offsets. */
+  private def shardManifestOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents WHERE text IS NOT NULL),
+       |s AS (
+       |  SELECT doc_id, h, h % $Shards AS shard,
+       |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+       |    CAST(length(text) AS BIGINT) AS n_chr
+       |  FROM d),
+       |m AS (
+       |  SELECT shard, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chr) AS BIGINT) AS n_chars,
+       |    md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id)) AS manifest_md5
+       |  FROM s GROUP BY shard)
+       |SELECT shard, n_docs, n_tokens, n_chars,
+       |  COALESCE(CAST(sum(n_chars) OVER (ORDER BY shard
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS byte_offset,
+       |  manifest_md5
+       |FROM m
+       |ORDER BY shard""".stripMargin
+}

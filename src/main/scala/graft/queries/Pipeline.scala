@@ -119,6 +119,13 @@ object Pipeline {
   // 5,638 segments at sf0.01); real corpora would segment on newlines.
   private val LineWords = graft.functions.Sketches.LINE_WORDS
 
+  // q180 span width: word-8-grams, the smallest span the Lee-et-al
+  // suffix-array dedup family treats as "verbatim duplication" worth
+  // excising (50 BPE tokens in the paper; 8 words at this fixture's
+  // ~55-word docs keeps the same spirit at fixture scale). final val
+  // literal = compile-time constant, immune to object-init order.
+  private final val SpanK = 8
+
   // q99 posting-list cap (top-K documents by tf retained per term).
   private val POSTK = 3
 
@@ -2471,8 +2478,110 @@ object Pipeline {
           expr("(n_oov_words * 1000000) DIV n_words").as("oov_rate_micro"),
           expr("(n_tokens_bpe * 1000000) DIV n_words").as("fertility_micro"))
         .orderBy(col("lang"))
+    },
+
+    // ---- q180 (round 15): cross-document EXACT SUBSTRING dedup (Lee
+    // et al. 2021, "Deduplicating Training Data Makes Language Models
+    // Better") — the span-level sibling of q40 (doc-level) and q98
+    // (fixed-segment line-level): any word-8-gram occurring >= 2 times
+    // in the corpus (across docs OR repeated within one) keeps only
+    // its canonical occurrence (min (doc_id, pos) — lexicographic
+    // struct min, identical both engines); every OTHER occurrence's
+    // 8-token span is excised and the doc rebuilt from the surviving
+    // positions with q164's accounting + ordered-reassembly md5, so
+    // any off-by-one in the span arithmetic hash-fails. Unlike q141
+    // (segment-frequency boilerplate, alignment-sensitive) the match
+    // is position-free: a quoted passage is cut wherever it reappears,
+    // at any offset. 100 TB shape: the gram explode is scan-local; the
+    // ONE corpus-sized shuffle keys on the 60-bit gram hash (the
+    // irreducible Lee-et-al shuffle — the dup groupBy and the
+    // occurrence join SHARE it via the persisted occ frame); span
+    // coverage distinct and reassembly are doc-keyed; nothing is ever
+    // all-pairs. ----
+    QueryDef("q180_substring_dedup", substringDedupOracle) { (s, dir) =>
+      val d = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .persist() // feeds gram explode + word spine + output spine
+      // Docs shorter than SpanK words have no grams in either engine
+      // (DuckDB's generate_series(1, n-7) is empty at n < 8; Spark's
+      // sequence would count DOWN — the filter keeps parity).
+      val occ = d
+        .filter(size(col("ws")) >= SpanK)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(1), size(col("ws")) - (SpanK - 1))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          conv(substring(
+              md5(array_join(slice(col("ws"), col("pos"), lit(SpanK)), " ")),
+              1, 15), 16, 10).cast(LongType).as("h"))
+        .persist() // feeds the dup groupBy AND the join back (q85 rule)
+      val dup = occ.groupBy(col("h"))
+        .agg(count(lit(1)).as("c"),
+          min(struct(col("doc_id"), col("pos"))).as("keep"))
+        .filter(col("c") >= 2)
+        .select(col("h"), col("keep.doc_id").as("kd"), col("keep.pos").as("kp"))
+      val covered = occ.join(dup, Seq("h"))
+        .filter(!(col("doc_id") === col("kd") && col("pos") === col("kp")))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (SpanK - 1))).as("pos"))
+        .distinct()
+      val words = d
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "w")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+      val reb = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("w")))),
+              x => x.getField("w")),
+            " ")).as("rebuilt_md5"))
+      d.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"))
+        .join(reb, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+          coalesce(col("rebuilt_md5"), md5(lit(""))).as("rebuilt_md5"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** DuckDB mirror of q180: same 60-bit gram hash, same lexicographic
+    * struct-min canonical pick, same span arithmetic, same ordered
+    * reassembly digest. */
+  private def substringDedupOracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |occ AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |    ('0x' || substr(md5(array_to_string(ws[i : i + ${SpanK - 1}], ' ')), 1, 15))::BIGINT AS h
+       |  FROM w, unnest(generate_series(1, len(ws) - ${SpanK - 1})) AS u(i)),
+       |dup AS (
+       |  SELECT h, min(struct_pack(d := doc_id, p := pos)) AS keep
+       |  FROM occ GROUP BY h HAVING count(*) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT o.doc_id, o.pos + off AS cp
+       |  FROM occ o JOIN dup USING (h),
+       |    unnest(generate_series(0, ${SpanK - 1})) AS u(off)
+       |  WHERE NOT (o.doc_id = dup.keep.d AND o.pos = dup.keep.p)),
+       |words AS (
+       |  SELECT doc_id, CAST(p AS INT) AS pos, ws[p] AS wd
+       |  FROM w, unnest(generate_series(1, len(ws))) AS u(p)),
+       |kept AS (
+       |  SELECT words.doc_id, words.pos, words.wd FROM words
+       |  LEFT JOIN cov ON words.doc_id = cov.doc_id AND words.pos = cov.cp
+       |  WHERE cov.cp IS NULL),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    md5(string_agg(wd, ' ' ORDER BY pos)) AS rebuilt_md5
+       |  FROM kept GROUP BY doc_id)
+       |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+       |  COALESCE(agg.n_kept, 0) AS n_kept,
+       |  CAST(len(w.ws) AS BIGINT) - COALESCE(agg.n_kept, 0) AS n_cut,
+       |  COALESCE(agg.rebuilt_md5, md5('')) AS rebuilt_md5
+       |FROM w LEFT JOIN agg USING (doc_id)
+       |ORDER BY w.doc_id""".stripMargin
 
   /** DuckDB mirror of q157: same hashed buckets, add-1 weights and
     * prior rounded once to micros, same miss-weight fill, argmax ties

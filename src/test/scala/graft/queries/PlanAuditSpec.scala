@@ -201,7 +201,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q149_curation_funnel" -> 4,
         // q129's audited projection feeds the row-rule scan, the PK
         // groupBy, and the FK anti join.
-        "q129_quality_audit" -> 3)) {
+        "q129_quality_audit" -> 3,
+        // q180's tokenized base feeds the gram explode, the word spine
+        // and the output spine; its occ frame feeds the dup groupBy AND
+        // the occurrence join — each a corpus-sized recompute if not
+        // cached.
+        "q180_substring_dedup" -> 4)) {
       val plan = Registry.byName(q).build(spark, sfDir)
         .queryExecution.executedPlan.toString
       val imts = plan.split("\n").count(_.contains("InMemoryTableScan"))

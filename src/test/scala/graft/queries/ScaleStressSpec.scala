@@ -343,7 +343,23 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 1024-row bucket aggregates + two 1-row totals no matter the
     // corpus (the zqN copies shift bucket masses, never the model
     // SIZE); output is pinned at 50 rows; runtime tracks the scan
-    "q155_dsir_resample")
+    "q155_dsir_resample",
+    // q180 (round 15): gram explode is scan-local; the gram-hash
+    // groupBy and the occurrence join share ONE keyed shuffle that
+    // grows 10x in rows AND keys (the zqN token renames keep each
+    // copy's duplicated grams within-copy — a bijection preserves
+    // every within-copy duplicate span exactly); coverage/reassembly
+    // are doc-keyed; output rows = #docs, the 10x-linear case
+    "q180_substring_dedup",
+    // q181 (round 15): three codegen regexp passes per row, zero
+    // shuffles before the display sort — the q167/q174 scan-local
+    // shape; output rows = #docs
+    "q181_pii_redaction",
+    // q182 (round 15): ONE hash-keyed exchange (the export shuffle);
+    // 10x docs spread over the same 16 shards (md5 is uniform — no
+    // skew key exists); the manifest digest is the per-shard
+    // reassembly aggregate and output stays 16 rows at any corpus
+    "q182_shard_manifest")
     // (q127 is NOT here: its confusion-matrix output is bounded by
     // #labels^2 and legitimately SHRINKS when the boosted-copy geometry
     // concentrates predictions, so the harness's rows-non-decreasing
