@@ -94,7 +94,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q157_nb_classifier",
     // q158 cross-joins its ONE-row (total, #classes) corpus stats into
     // the (class, term) table — the q96/q148 corpus-stats shape.
-    "q158_ctfidf_labels")
+    "q158_ctfidf_labels",
+    // q183 cross-joins its ONE-row batch-count aggregate (ceil(N/32))
+    // into the vector stream — the q133 corpus-total shape; everything
+    // downstream is closed-form arithmetic on (batch, label) counts.
+    "q183_contrastive_batches")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
@@ -206,7 +210,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         // and the output spine; its occ frame feeds the dup groupBy AND
         // the occurrence join — each a corpus-sized recompute if not
         // cached.
-        "q180_substring_dedup" -> 4)) {
+        "q180_substring_dedup" -> 4,
+        // q184's marked word stream feeds the span index, the input
+        // stream, and the target stream; its span index feeds sentinel
+        // rows in both streams plus the per-doc span stats.
+        "q184_span_corruption" -> 5)) {
       val plan = Registry.byName(q).build(spark, sfDir)
         .queryExecution.executedPlan.toString
       val imts = plan.split("\n").count(_.contains("InMemoryTableScan"))

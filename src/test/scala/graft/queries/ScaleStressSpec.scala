@@ -359,7 +359,17 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 10x docs spread over the same 16 shards (md5 is uniform — no
     // skew key exists); the manifest digest is the per-shard
     // reassembly aggregate and output stays 16 rows at any corpus
-    "q182_shard_manifest")
+    "q182_shard_manifest",
+    // q183 (round 15): assignment is scan-local arithmetic + the 1-row
+    // batch-count broadcast; the keyed agg runs (batch, label) then
+    // batch with NO pair enumeration (closed-form c*(c-1)/2) — 10x
+    // vectors means 10x batches, output rows grow 10x linearly
+    "q183_contrastive_batches",
+    // q184 (round 15): mask decisions are scan-local hash arithmetic
+    // (non-overlapping spans by block construction — no sequential
+    // dependency); the span index is #blocks-sized; reassembly is the
+    // irreducible doc-keyed groupBy; output rows = #docs
+    "q184_span_corruption")
     // (q127 is NOT here: its confusion-matrix output is bounded by
     // #labels^2 and legitimately SHRINKS when the boosted-copy geometry
     // concentrates predictions, so the harness's rows-non-decreasing
