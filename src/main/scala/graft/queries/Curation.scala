@@ -34,6 +34,12 @@ object Curation {
   // q183: contrastive batch size (the in-batch-negatives granularity).
   private final val BatchSize = 32
 
+  // q185: length-bucket width (tokens) and batch size for the padding
+  // study. Bucket = n_tok DIV 8 — fine enough that the fixture's ~40-70
+  // token docs spread over several buckets.
+  private final val LenBucketW = 8
+  private final val LenBatch = 16
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q181 (round 15): PII REDACTION — the rewrite half of
@@ -235,6 +241,93 @@ object Curation {
           coalesce(col("input_md5"), md5(lit(""))).as("input_md5"),
           coalesce(col("target_md5"), md5(lit(""))).as("target_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q185 (round 15): LENGTH-BUCKETED BATCHING — the padding-
+    // efficiency study every fixed-shape training run needs (a batch
+    // pads every sequence to its longest member; batching short docs
+    // with long ones burns FLOPs on pad tokens): docs are batched two
+    // ways from the SAME deterministic hash — within length buckets
+    // (n_tok DIV 8) and globally (the bucket=-1 control row) — and
+    // each bucket row reports its doc/batch counts, real tokens,
+    // padding waste Σ(max_len·size − Σlen) and the integer-micro
+    // waste fraction, quantifying exactly what bucketing buys. 100 TB
+    // shape: length + hash are scan-local; the per-bucket batch
+    // counts are a #buckets-row broadcast dictionary; batch stats are
+    // ONE keyed aggregation — no sorting of the corpus anywhere (the
+    // point: length-grouped batching WITHOUT a global length sort);
+    // the global control's batch count rides the audited 1-row
+    // broadcast (q133/q183 shape). ----
+    QueryDef("q185_length_batching", lengthBatchingOracle) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(lower(col("text")), " ")).cast(LongType).as("n_tok"),
+          conv(substring(md5(concat(lit("lb:"), col("doc_id").cast(StringType))), 1, 15), 16, 10)
+            .cast(LongType).as("h"))
+        .persist() // feeds the bucketed leg + the global control leg
+      val bucketed = docs.withColumn("bucket", expr(s"n_tok DIV $LenBucketW"))
+      val bCounts = bucketed.groupBy(col("bucket"))
+        .agg(expr(s"greatest(count(1) DIV $LenBatch, 1)").as("nb"))
+      val bAssigned = bucketed
+        .join(broadcast(bCounts), Seq("bucket"))
+        .select(col("bucket"), pmod(col("h"), col("nb")).as("batch"), col("n_tok"))
+      val gN = docs.agg(expr(s"greatest(count(1) DIV $LenBatch, 1)").as("nb"))
+      val gAssigned = docs.crossJoin(broadcast(gN))
+        .select(lit(-1L).as("bucket"), pmod(col("h"), col("nb")).as("batch"), col("n_tok"))
+      bAssigned.unionByName(gAssigned)
+        .groupBy(col("bucket"), col("batch"))
+        .agg(count(lit(1)).as("sz"), max(col("n_tok")).as("mx"),
+          sum(col("n_tok")).cast(LongType).as("sm"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("sz")).cast(LongType).as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum(col("sm")).cast(LongType).as("sum_tokens"),
+          sum(col("mx") * col("sz") - col("sm")).cast(LongType).as("padding_waste"))
+        .select(col("bucket"), col("n_docs"), col("n_batches"),
+          col("sum_tokens"), col("padding_waste"),
+          expr("(padding_waste * 1000000) DIV (sum_tokens + padding_waste)")
+            .as("waste_micro"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- q186 (round 15): DATA-CONSTRAINED REPEAT-EPOCH planning
+    // (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    // Models") — when the compute budget exceeds the unique corpus,
+    // the mixture question becomes "how many EPOCHS of each source?":
+    // budget B = 3× total tokens, allocated uniformly per source (the
+    // rebalancing that upweights small high-value sources), epochs
+    // capped at 4 (the paper's ~4-epoch usefulness cliff; beyond it
+    // repeated data adds ~nothing). Per source: unique tokens, target
+    // allocation, integer-micro epochs, effective (repeated) tokens,
+    // the cap flag, and the shortfall a production allocator would
+    // redistribute iteratively (one-pass allocation is the
+    // deterministic core; the leftover column makes the residual
+    // visible rather than hiding the cap's bite). 100 TB shape: ONE
+    // source-keyed aggregate (#sources rows — dictionary-sized at any
+    // corpus), the corpus total on the audited 1-row broadcast, all
+    // arithmetic integer. ----
+    QueryDef("q186_repeat_epochs", repeatEpochsOracle) { (s, dir) =>
+      val tok = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"),
+          size(split(lower(col("text")), " ")).cast(LongType).as("n_tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).cast(LongType).as("tokens"))
+      val tot = tok.agg(sum(col("tokens")).cast(LongType).as("total"),
+        count(lit(1)).as("ns"))
+      tok.crossJoin(broadcast(tot))
+        .select(col("source"), col("tokens"),
+          expr("(total * 3) DIV ns").as("target_tokens"),
+          expr("least(4000000, ((total * 3) DIV ns) * 1000000 DIV tokens)")
+            .as("epochs_micro"))
+        .select(col("source"), col("tokens"), col("target_tokens"),
+          col("epochs_micro"),
+          expr("(tokens * epochs_micro) DIV 1000000").as("effective_tokens"),
+          expr("CAST(epochs_micro = 4000000 AS INT)").as("capped"),
+          expr("greatest(target_tokens - (tokens * epochs_micro) DIV 1000000, 0)")
+            .as("shortfall"))
+        .orderBy(col("source"))
     }
   )
 
@@ -264,6 +357,63 @@ object Curation {
        |        '$PhonePat', '<PHONE>', 'g')) AS redacted_md5
        |FROM pii
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of q186: same uniform per-source allocation, same
+    * 4-epoch cap in integer micros, same shortfall arithmetic. */
+  private def repeatEpochsOracle: String =
+    s"""WITH tok AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens
+       |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(sum(tokens) AS BIGINT) AS total, count(*) AS ns FROM tok),
+       |a AS (
+       |  SELECT tok.source, tok.tokens,
+       |    (tot.total * 3) // tot.ns AS target_tokens,
+       |    least(4000000, ((tot.total * 3) // tot.ns) * 1000000 // tok.tokens)
+       |      AS epochs_micro
+       |  FROM tok, tot)
+       |SELECT source, tokens, target_tokens, epochs_micro,
+       |  (tokens * epochs_micro) // 1000000 AS effective_tokens,
+       |  CAST(epochs_micro = 4000000 AS INT) AS capped,
+       |  greatest(target_tokens - (tokens * epochs_micro) // 1000000, 0)
+       |    AS shortfall
+       |FROM a
+       |ORDER BY source""".stripMargin
+
+  /** DuckDB mirror of q185: same length buckets, same per-bucket and
+    * global batch counts, same hash assignment, same waste arithmetic. */
+  private def lengthBatchingOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+       |    ('0x' || substr(md5('lb:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents WHERE text IS NOT NULL),
+       |bkt AS (SELECT doc_id, n_tok, h, n_tok // $LenBucketW AS bucket FROM d),
+       |bc AS (
+       |  SELECT bucket, greatest(count(*) // $LenBatch, 1) AS nb
+       |  FROM bkt GROUP BY bucket),
+       |ba AS (
+       |  SELECT bkt.bucket, bkt.h % bc.nb AS batch, bkt.n_tok
+       |  FROM bkt JOIN bc USING (bucket)),
+       |gn AS (SELECT greatest(count(*) // $LenBatch, 1) AS nb FROM d),
+       |ga AS (
+       |  SELECT CAST(-1 AS BIGINT) AS bucket, d.h % gn.nb AS batch, d.n_tok
+       |  FROM d, gn),
+       |u AS (SELECT * FROM ba UNION ALL SELECT * FROM ga),
+       |pb AS (
+       |  SELECT bucket, batch, count(*) AS sz, max(n_tok) AS mx,
+       |    CAST(sum(n_tok) AS BIGINT) AS sm
+       |  FROM u GROUP BY bucket, batch)
+       |SELECT bucket,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs,
+       |  count(*) AS n_batches,
+       |  CAST(sum(sm) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(mx * sz - sm) AS BIGINT) AS padding_waste,
+       |  (CAST(sum(mx * sz - sm) AS BIGINT) * 1000000) //
+       |    (CAST(sum(sm) AS BIGINT) + CAST(sum(mx * sz - sm) AS BIGINT)) AS waste_micro
+       |FROM pb GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
 
   /** DuckDB mirror of q183: same salted 60-bit hash, same mod-ceil(N/32)
     * batch assignment, same closed-form pair/collision counts. */

@@ -1278,8 +1278,106 @@ object Streaming {
           sum(col("n_words")).cast(LongType).as("n_words"),
           sum(col("n_tokens_bpe")).cast(LongType).as("n_tokens_bpe"))
         .orderBy(col("lang"))
+    },
+
+    // ---- q187 (round 15): MANIFEST MAINTENANCE AT INGEST — q182
+    // builds the shard-export manifest as a batch job; a live ingest
+    // keeps it CURRENT without rescanning the corpus: each micro-batch
+    // appends a tiny per-shard DELTA row set (the Iceberg/Delta
+    // manifest-log convention — append deltas, compact on read), and
+    // the standing manifest is the merge-on-read aggregate over the
+    // log. Counts are additive; membership rides an ORDER-FREE
+    // additive checksum Σ (h mod 2^16)·(doc_id mod 2^16) (each term
+    // < 2^32, so even 10^9 docs stay under int64 — the overflow bound
+    // is the design), so a dropped doc, a double-processed batch, or a
+    // reassigned shard breaks the final equality against the ORACLE
+    // computed batch-side from the same table. 100 TB shape: per-batch
+    // cost tracks the BATCH (scan + one 16-row append); the corpus is
+    // never rescanned; compaction folds #batches × 16 tiny rows. ----
+    QueryDef.noBench("q187_manifest_at_ingest", manifestIngestOracle) { (s, dir) =>
+      val url = s"memory://q187-${UUID.randomUUID()}"
+      val deltaDir = java.nio.file.Files.createTempDirectory("graft-manifest-log").toString
+      val feedSchema = StructType(Seq(
+        StructField("doc_id", IntegerType, nullable = false),
+        StructField("text", StringType, nullable = false)))
+      val q = s.readStream.format("nats").schema(feedSchema)
+        .option("url", url).option("subject", "docs_manifest")
+        .option("codec", "json")
+        .option("batchSize", "200")
+        .option("flushTimeoutMs", "100")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+            .cast(LongType)
+          batch
+            .select(col("doc_id"), col("text"), h.as("h"))
+            .select(pmod(col("h"), lit(16L)).as("shard"),
+              size(split(lower(col("text")), " ")).cast(LongType).as("n_tok"),
+              length(col("text")).cast(LongType).as("n_chr"),
+              ((col("h") % 65536) * (col("doc_id") % 65536)).as("cs"))
+            .groupBy(col("shard"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_tok")).cast(LongType).as("n_tokens"),
+              sum(col("n_chr")).cast(LongType).as("n_chars"),
+              sum(col("cs")).cast(LongType).as("checksum"))
+            .write.mode("append").parquet(deltaDir)
+        }
+        .start()
+      try {
+        NatsDemo.awaitSubscriber(url, "docs_manifest")
+        val pub = graft.Tables.load(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id").cast(IntegerType).as("doc_id"), col("text"))
+        val nDocs = pub.count()
+        pub.write.format("nats").mode("append")
+          .option("url", url).option("subject", "docs_manifest")
+          .option("codec", "json").save()
+        // q160/q179 drain rule: poll the manifest log's doc total to the
+        // known count with a deadline.
+        // (first() on a 1-row aggregate of the tiny manifest log — the
+        // harness's drain poll, not operator data flow)
+        def done(): Long =
+          try s.read.parquet(deltaDir).agg(sum(col("n_docs"))).first().getLong(0)
+          catch { case _: Exception => 0L }
+        q.processAllAvailable()
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (done() < nDocs && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          q.processAllAvailable()
+        }
+        require(done() == nDocs,
+          s"q187 drain timed out: ${done()} of $nDocs docs in the manifest log")
+      } finally q.stop()
+      // Merge-on-read compaction: the standing manifest is the additive
+      // fold of the delta log.
+      s.read.parquet(deltaDir)
+        .groupBy(col("shard"))
+        .agg(sum(col("n_docs")).cast(LongType).as("n_docs"),
+          sum(col("n_tokens")).cast(LongType).as("n_tokens"),
+          sum(col("n_chars")).cast(LongType).as("n_chars"),
+          sum(col("checksum")).cast(LongType).as("checksum"))
+        .orderBy(col("shard"))
     }
   )
+
+  /** DuckDB mirror of q187: the same shard assignment, counts, and
+    * additive membership checksum computed batch-side directly from the
+    * documents table — any ingest drop/double-process/reassignment
+    * breaks the equality. */
+  private def manifestIngestOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT h % 16 AS shard,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(sum((h % 65536) * (doc_id % 65536)) AS BIGINT) AS checksum
+      |FROM d GROUP BY 1
+      |ORDER BY shard""".stripMargin
 
   /** DuckDB mirror of q179: the real generated chain, rolled up per
     * language — the ingest loop must reproduce the batch tokenization

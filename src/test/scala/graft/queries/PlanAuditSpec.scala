@@ -98,7 +98,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q183 cross-joins its ONE-row batch-count aggregate (ceil(N/32))
     // into the vector stream — the q133 corpus-total shape; everything
     // downstream is closed-form arithmetic on (batch, label) counts.
-    "q183_contrastive_batches")
+    "q183_contrastive_batches",
+    // q185's global control leg cross-joins the 1-row corpus batch
+    // count (the bucketed leg's #buckets-row dictionary rides a
+    // broadcast HASH join on the bucket key); q186 cross-joins its
+    // 1-row (total, #sources) aggregate into the #sources-row table.
+    "q185_length_batching", "q186_repeat_epochs")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.

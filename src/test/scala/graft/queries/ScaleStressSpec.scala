@@ -369,7 +369,16 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (non-overlapping spans by block construction — no sequential
     // dependency); the span index is #blocks-sized; reassembly is the
     // irreducible doc-keyed groupBy; output rows = #docs
-    "q184_span_corruption")
+    "q184_span_corruption",
+    // q185 (round 15): length+hash scan-local; per-bucket batch counts
+    // are a #buckets-row broadcast dictionary; ONE keyed batch-stats
+    // agg; 10x docs → 10x batches within the same buckets (the zqN
+    // suffix shifts lengths but keeps the bucket structure), output
+    // rows ~constant (#buckets + control)
+    "q185_length_batching",
+    // q186 (round 15): ONE #sources-row aggregate + the 1-row total —
+    // output pinned at #sources rows at any corpus size
+    "q186_repeat_epochs")
     // (q127 is NOT here: its confusion-matrix output is bounded by
     // #labels^2 and legitimately SHRINKS when the boosted-copy geometry
     // concentrates predictions, so the harness's rows-non-decreasing
