@@ -34,6 +34,11 @@ object Curation {
   // q183: contrastive batch size (the in-batch-negatives granularity).
   private final val BatchSize = 32
 
+  // q188: k-anonymity threshold and the quasi-identifier length-bucket
+  // width (chars).
+  private final val KAnonK = 5
+  private final val KAnonBucketW = 100
+
   // q185: length-bucket width (tokens) and batch size for the padding
   // study. Bucket = n_tok DIV 8 — fine enough that the fixture's ~40-70
   // token docs spread over several buckets.
@@ -328,6 +333,60 @@ object Curation {
           expr("greatest(target_tokens - (tokens * epochs_micro) DIV 1000000, 0)")
             .as("shortfall"))
         .orderBy(col("source"))
+    },
+
+    // ---- q188 (round 15): K-ANONYMITY GENERALIZATION — the FIX
+    // operator for q163's check (q163 reports which quasi-identifier
+    // groups are re-identifiable; a release pipeline must then COARSEN
+    // the metadata until none are): the classic Samarati full-domain
+    // lattice walk over (lang, source, len-bucket) — L0 keeps all
+    // three, L1 drops the length bucket, L2 drops source, L3 is fully
+    // suppressed — choosing the LOWEST level whose every group has
+    // ≥ k=5 members (on this corpus: L0 min=1, L1 min=1, L2 min=64 →
+    // publish at L2), and emitting the published groups with '*' for
+    // generalized attributes. Deterministic: the lattice order is
+    // fixed, the decision is a pure function of the level minima.
+    // 100 TB shape: the corpus is scanned ONCE into the L0 dictionary
+    // (≤ |langs|·|sources|·|buckets| rows); every higher level
+    // aggregates L0, never the corpus; the four level minima ride ONE
+    // audited 1-row broadcast; output is the chosen level's
+    // dictionary-sized group table. ----
+    QueryDef("q188_kanon_generalize", kanonGeneralizeOracle) { (s, dir) =>
+      val l0 = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("lang"), col("source"),
+          expr(s"n_chars DIV $KAnonBucketW").as("b"))
+        .groupBy(col("lang"), col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .persist() // the ONE corpus-derived dictionary; feeds every level
+      val l1 = l0.groupBy(col("lang"), col("source"))
+        .agg(sum(col("c")).cast(LongType).as("c")).persist()
+      val l2 = l0.groupBy(col("lang"))
+        .agg(sum(col("c")).cast(LongType).as("c")).persist()
+      val mins = l0.agg(min(col("c")).as("m0")).crossJoin(
+          l1.agg(min(col("c")).as("m1"))).crossJoin(
+          l2.agg(min(col("c")).as("m2")))
+        .select(
+          when(col("m0") >= KAnonK, lit(0))
+            .when(col("m1") >= KAnonK, lit(1))
+            .when(col("m2") >= KAnonK, lit(2))
+            .otherwise(lit(3)).as("lvl"))
+      val pick = broadcast(mins)
+      val leg0 = l0.crossJoin(pick).filter(col("lvl") === 0)
+        .select(col("lvl"), col("lang").as("lang_g"), col("source").as("source_g"),
+          col("b").cast(StringType).as("bucket_g"), col("c").cast(LongType).as("n_docs"))
+      val leg1 = l1.crossJoin(pick).filter(col("lvl") === 1)
+        .select(col("lvl"), col("lang").as("lang_g"), col("source").as("source_g"),
+          lit("*").as("bucket_g"), col("c").as("n_docs"))
+      val leg2 = l2.crossJoin(pick).filter(col("lvl") === 2)
+        .select(col("lvl"), col("lang").as("lang_g"), lit("*").as("source_g"),
+          lit("*").as("bucket_g"), col("c").as("n_docs"))
+      val leg3 = l0.agg(sum(col("c")).cast(LongType).as("n_docs")).crossJoin(pick)
+        .filter(col("lvl") === 3)
+        .select(col("lvl"), lit("*").as("lang_g"), lit("*").as("source_g"),
+          lit("*").as("bucket_g"), col("n_docs"))
+      leg0.unionByName(leg1).unionByName(leg2).unionByName(leg3)
+        .orderBy(col("lang_g"), col("source_g"), col("bucket_g"))
     }
   )
 
@@ -357,6 +416,32 @@ object Curation {
        |        '$PhonePat', '<PHONE>', 'g')) AS redacted_md5
        |FROM pii
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of q188: same lattice, same level minima, same
+    * lowest-publishable-level pick, same '*' generalization. */
+  private def kanonGeneralizeOracle: String =
+    s"""WITH l0 AS (
+       |  SELECT lang, source, n_chars // $KAnonBucketW AS b, count(*) AS c
+       |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2, 3),
+       |l1 AS (SELECT lang, source, CAST(sum(c) AS BIGINT) AS c FROM l0 GROUP BY 1, 2),
+       |l2 AS (SELECT lang, CAST(sum(c) AS BIGINT) AS c FROM l0 GROUP BY 1),
+       |pick AS (
+       |  SELECT CASE WHEN (SELECT min(c) FROM l0) >= $KAnonK THEN 0
+       |              WHEN (SELECT min(c) FROM l1) >= $KAnonK THEN 1
+       |              WHEN (SELECT min(c) FROM l2) >= $KAnonK THEN 2
+       |              ELSE 3 END AS lvl),
+       |legs AS (
+       |  SELECT 0 AS lvl, lang AS lang_g, source AS source_g,
+       |    CAST(b AS VARCHAR) AS bucket_g, CAST(c AS BIGINT) AS n_docs FROM l0
+       |  UNION ALL
+       |  SELECT 1, lang, source, '*', c FROM l1
+       |  UNION ALL
+       |  SELECT 2, lang, '*', '*', c FROM l2
+       |  UNION ALL
+       |  SELECT 3, '*', '*', '*', CAST(sum(c) AS BIGINT) FROM l0)
+       |SELECT legs.lvl, lang_g, source_g, bucket_g, n_docs
+       |FROM legs, pick WHERE legs.lvl = pick.lvl
+       |ORDER BY lang_g, source_g, bucket_g""".stripMargin
 
   /** DuckDB mirror of q186: same uniform per-source allocation, same
     * 4-epoch cap in integer micros, same shortfall arithmetic. */

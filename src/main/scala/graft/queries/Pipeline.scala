@@ -126,6 +126,9 @@ object Pipeline {
   // literal = compile-time constant, immune to object-init order.
   private final val SpanK = 8
 
+  // q189 exact-Jaccard match threshold (integer micros): tau = 0.5.
+  private final val JaccTauMicro = 500000
+
   // q99 posting-list cap (top-K documents by tf retained per term).
   private val POSTK = 3
 
@@ -2543,6 +2546,105 @@ object Pipeline {
           (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
           coalesce(col("rebuilt_md5"), md5(lit(""))).as("rebuilt_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q189 (round 15): cross-METHOD near-dup selection harness —
+    // q172 tunes one family's (bands × rows) dial; a pipeline first
+    // has to pick the FAMILY: MinHash-LSH (q41's 6×2 bands), SimHash
+    // pigeonhole (q44's 4×8-bit chunks, hamming ≤ 3 verified), and
+    // rare-shingle Jaccard (q45's df ≤ 4 inverted index, ≥ 3 shared)
+    // each emit the pair set they would deduplicate, and every pool
+    // pair is graded by EXACT word-3-gram Jaccard (integer micros,
+    // match at ≥ 0.5) — affordable precisely because only the pooled
+    // candidates pay it (recall is vs pool matches, the q172
+    // convention: exact corpus-wide truth would be the all-pairs join
+    // these methods exist to avoid). The output is the method-
+    // selection table: candidates / matched / precision / recall per
+    // family on identical data. 100 TB shape: every candidate
+    // generator is a banded/bucketed equi self-join over a persisted
+    // sketch frame (never all-pairs); the exact-Jaccard grade joins
+    // the pool (pairs, not corpus) against the persisted gram sets;
+    // the 1-row pool total rides an audited broadcast. ----
+    QueryDef("q189_dedup_method_sweep", dedupMethodSweepOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      // Ground-truth side: distinct 60-bit word-3-gram hashes per doc.
+      val sh = T(s, dir, "documents")
+        .select(col("doc_id"), explode(expr("graft_shingle_hashes(text)")).as("g"))
+        .distinct()
+        .persist() // feeds df filter, both intersection sides, sizes
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      // Family 1: MinHash 6x2 banded candidates (q41's layout).
+      val sig = T(s, dir, "documents")
+        .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
+        .filter(col("sig").isNotNull)
+      val mhBands = sig.select(col("doc_id"),
+        expr(bands.zipWithIndex.map { case ((x, y), j) =>
+          s"$j, concat(sig[$x], '_', sig[$y])"
+        }.mkString(s"stack(${bands.size}, ", ", ", ") as (band, key)")))
+        .persist()
+      val mhPairs = mhBands.as("a").join(mhBands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .withColumn("config", lit("minhash_6x2"))
+      // Family 2: SimHash pigeonhole candidates, hamming <= 3 verified.
+      val chunks = T(s, dir, "documents")
+        .select(col("doc_id"), expr("graft_simhash32(text)").as("shv"))
+        .select(col("doc_id"), col("shv"),
+          expr((0 until SIMCHUNKS).map(j =>
+            s"$j, shiftright(shv, ${CHUNKBITS * j}) % ${1 << CHUNKBITS}")
+            .mkString(s"stack($SIMCHUNKS, ", ", ", ") as (ck, cv)")))
+        .persist()
+      val shPairs = chunks.as("a").join(chunks.as("b"),
+          col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.shv ^ b.shv)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= HAMMING_MAX)
+        .select(col("doc_a"), col("doc_b"))
+        .withColumn("config", lit("simhash_h3"))
+      // Family 3: rare-shingle inverted-index pairs, >= 3 shared.
+      val rare = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 4).select(col("g"))
+      val rs = sh.join(rare, Seq("g")).persist()
+      val ngPairs = rs.as("a").join(rs.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter") >= 3)
+        .select(col("doc_a"), col("doc_b"))
+        .withColumn("config", lit("ngram_rare"))
+      val pairs = mhPairs.unionByName(shPairs).unionByName(ngPairs).persist()
+      // Exact-Jaccard grade over the pooled pairs only.
+      val pool = pairs.select(col("doc_a"), col("doc_b")).distinct()
+      val inter = pool
+        .join(sh.select(col("doc_id").as("doc_a"), col("g")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val graded = pool
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("inter"), lit(0L)).as("i"), col("na"), col("nb"))
+        .withColumn("is_match",
+          (expr("(i * 1000000) DIV (na + nb - i)") >= JaccTauMicro).cast(IntegerType))
+        .persist()
+      val truthTotal = graded.agg(sum(col("is_match")).cast(LongType).as("pool_matches"))
+      pairs.join(graded.select(col("doc_a"), col("doc_b"), col("is_match")),
+          Seq("doc_a", "doc_b"))
+        .groupBy(col("config"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(col("is_match")).cast(LongType).as("n_matched"))
+        .crossJoin(broadcast(truthTotal))
+        .select(col("config"), col("n_candidates"), col("n_matched"),
+          col("pool_matches"),
+          expr("(n_matched * 1000000) DIV n_candidates").as("precision_micro"),
+          expr("(n_matched * 1000000) DIV pool_matches").as("recall_micro"))
+        .orderBy(col("config"))
     }
   )
 
@@ -2582,6 +2684,97 @@ object Pipeline {
        |  COALESCE(agg.rebuilt_md5, md5('')) AS rebuilt_md5
        |FROM w LEFT JOIN agg USING (doc_id)
        |ORDER BY w.doc_id""".stripMargin
+
+  /** DuckDB mirror of q189: the q41 minhash/band CTEs, the q44
+    * simhash/pigeonhole CTEs, and the q45 rare-shingle CTEs composed
+    * over one corpus, graded by the same exact integer-micro Jaccard. */
+  private def dedupMethodSweepOracle: String = {
+    val minCols = (0 until K).map(i =>
+      s"min((hp * ${hashA(i)} + ${hashB(i)}) % $P) AS m$i").mkString(",\n        ")
+    val bandSelects = bands.zipWithIndex.map { case ((x, y), j) =>
+      s"SELECT doc_id, $j AS band, m$x || '_' || m$y AS key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    val bitSums = (0 until SIMBITS).map(i =>
+      s"sum((hb >> $i) & 1) AS bs$i").mkString(",\n        ")
+    val simBits = (0 until SIMBITS).map(i =>
+      s"(CASE WHEN bs$i * 2 > n THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val chunkSelects = (0 until SIMCHUNKS).map(j =>
+      s"SELECT doc_id, sh AS shv, $j AS ck, (sh >> ${CHUNKBITS * j}) & ${(1 << CHUNKBITS) - 1} AS cv FROM sim")
+      .mkString("\n  UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |sh3 AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
+       |  WHERE len(ws) >= 3),
+       |g AS (
+       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS g
+       |  FROM sh3),
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY doc_id),
+       |hmh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS hp FROM sh3),
+       |mh AS (
+       |  SELECT doc_id,
+       |        $minCols
+       |  FROM hmh GROUP BY doc_id),
+       |bands_mh AS (
+       |  $bandSelects),
+       |cand_mh AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands_mh a JOIN bands_mh b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |toks AS (
+       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hb
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)),
+       |bits AS (
+       |  SELECT doc_id, count(*) AS n,
+       |        $bitSums
+       |  FROM toks GROUP BY doc_id),
+       |sim AS (
+       |  SELECT doc_id, $simBits AS sh FROM bits),
+       |chunks AS (
+       |  $chunkSelects),
+       |cand_sh AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM chunks a JOIN chunks b
+       |    ON a.ck = b.ck AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.shv, b.shv)) <= $HAMMING_MAX),
+       |rare AS (SELECT g FROM g GROUP BY g HAVING count(*) <= 4),
+       |rsh AS (SELECT g.doc_id, g.g FROM g JOIN rare USING (g)),
+       |cand_ng AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rsh a JOIN rsh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |pairs AS (
+       |  SELECT 'minhash_6x2' AS config, doc_a, doc_b FROM cand_mh
+       |  UNION ALL SELECT 'simhash_h3', doc_a, doc_b FROM cand_sh
+       |  UNION ALL SELECT 'ngram_rare', doc_a, doc_b FROM cand_ng),
+       |pool AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS i
+       |  FROM pool p
+       |  JOIN g ga ON ga.doc_id = p.doc_a
+       |  JOIN g gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+       |  GROUP BY 1, 2),
+       |graded AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CASE WHEN (COALESCE(i.i, 0) * 1000000)
+       |              // (sa.nsh + sb.nsh - COALESCE(i.i, 0)) >= $JaccTauMicro
+       |         THEN 1 ELSE 0 END AS is_match
+       |  FROM pool p
+       |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |  JOIN sizes sa ON sa.doc_id = p.doc_a
+       |  JOIN sizes sb ON sb.doc_id = p.doc_b),
+       |tot AS (SELECT CAST(SUM(is_match) AS BIGINT) AS pool_matches FROM graded)
+       |SELECT config, COUNT(*) AS n_candidates,
+       |  CAST(SUM(is_match) AS BIGINT) AS n_matched,
+       |  pool_matches,
+       |  (CAST(SUM(is_match) AS BIGINT) * 1000000) // COUNT(*) AS precision_micro,
+       |  (CAST(SUM(is_match) AS BIGINT) * 1000000) // pool_matches AS recall_micro
+       |FROM pairs JOIN graded USING (doc_a, doc_b), tot
+       |GROUP BY config, pool_matches
+       |ORDER BY config""".stripMargin
+  }
 
   /** DuckDB mirror of q157: same hashed buckets, add-1 weights and
     * prior rounded once to micros, same miss-weight fill, argmax ties

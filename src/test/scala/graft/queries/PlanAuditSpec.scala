@@ -103,7 +103,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // count (the bucketed leg's #buckets-row dictionary rides a
     // broadcast HASH join on the bucket key); q186 cross-joins its
     // 1-row (total, #sources) aggregate into the #sources-row table.
-    "q185_length_batching", "q186_repeat_epochs")
+    "q185_length_batching", "q186_repeat_epochs",
+    // q188 cross-joins its 1-row level-minima decision into the four
+    // dictionary-sized level legs (the lattice pick is one scalar).
+    "q188_kanon_generalize",
+    // q189 cross-joins its 1-row pool-matches total into the 3-row
+    // per-method stats — q172's audited shape across method families.
+    "q189_dedup_method_sweep")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
@@ -219,7 +225,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         // q184's marked word stream feeds the span index, the input
         // stream, and the target stream; its span index feeds sentinel
         // rows in both streams plus the per-doc span stats.
-        "q184_span_corruption" -> 5)) {
+        "q184_span_corruption" -> 5,
+        // q189's distinct-gram frame feeds the df filter, both
+        // exact-intersection sides, and the per-doc sizes; each sketch
+        // frame (bands/chunks/rare postings) feeds both sides of its
+        // own self-join.
+        "q189_dedup_method_sweep" -> 6)) {
       val plan = Registry.byName(q).build(spark, sfDir)
         .queryExecution.executedPlan.toString
       val imts = plan.split("\n").count(_.contains("InMemoryTableScan"))

@@ -378,7 +378,19 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q185_length_batching",
     // q186 (round 15): ONE #sources-row aggregate + the 1-row total —
     // output pinned at #sources rows at any corpus size
-    "q186_repeat_epochs")
+    "q186_repeat_epochs",
+    // q189 (round 15): all three candidate generators are banded/
+    // bucketed equi self-joins over persisted sketch frames; the
+    // bijective copy renames keep every family's candidates
+    // within-copy (the q41/q44/q45 argument applied jointly), the
+    // exact-Jaccard grade touches pool pairs only; output stays 3 rows
+    "q189_dedup_method_sweep")
+    // (q188 is NOT in the generic family for the q163/q127 reason, in
+    // the opposite direction: at 10x the group counts clear k=5 one
+    // level EARLIER (L2 → L1), so the published table legitimately
+    // JUMPS from 5 rows to the ~100-group L1 dictionary — past the
+    // generic 15x explosion cap. Its dedicated test below pins exactly
+    // that level shift plus the unchanged plan shape.)
     // (q127 is NOT here: its confusion-matrix output is bounded by
     // #labels^2 and legitimately SHRINKS when the boosted-copy geometry
     // concentrates predictions, so the harness's rows-non-decreasing
@@ -457,6 +469,27 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       info(f"$name: 1x ${t1}%.2fs -> 10x ${t10}%.2fs (ratio ${ratio}%.1fx, rows $rows1 -> $rows10)")
       assert(ratio < 30.0, f"superlinear blow-up: ${ratio}%.1fx for 10x data")
     }
+  }
+
+  test("q188_kanon_generalize: 10x corpus publishes one lattice level FINER, same plan shape, ~linear") {
+    // More data is what k-anonymity predicts it is: at 1x the level
+    // minima force generalization to L2 (5 lang-only groups); at 10x
+    // every quasi-identifier copy multiplies its group count by 10, so
+    // even the finest level clears k=5 and the walk publishes the full
+    // L0 dictionary (297 groups — the metadata lives on all 10 copies
+    // verbatim). The plan is level-static (all four legs + the scalar
+    // pick), so its shape must not change.
+    val warm = run("q188_kanon_generalize", base)
+    assert(warm._3 >= 0)
+    val (t1, plan1, rows1) = run("q188_kanon_generalize", base)
+    val (t10, plan10, rows10) = run("q188_kanon_generalize", scaledDir)
+    assert(plan10 === plan1, s"plan shape changed at 10x:\n 1x: $plan1\n10x: $plan10")
+    assert(rows1 === 5L, s"1x should publish at L2 (5 lang groups), got $rows1 rows")
+    assert(rows10 > 15L * rows1 && rows10 <= 400L,
+      s"10x should publish a finer-level dictionary, got $rows10 rows")
+    val ratio = t10 / t1
+    info(f"q188: 1x ${t1}%.2fs -> 10x ${t10}%.2fs (ratio ${ratio}%.1fx, rows $rows1 -> $rows10)")
+    assert(ratio < 30.0, f"superlinear blow-up: ${ratio}%.1fx for 10x data")
   }
 
   test("BPE training (the write-once model build) scales ~linearly in the corpus") {
