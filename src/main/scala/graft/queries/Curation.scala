@@ -23,9 +23,50 @@ object Curation {
   // classes, bounded quantifiers, \b word boundaries — no lookaround,
   // no backrefs). Declared as compile-time constants (final val
   // literals) so the oracle strings interpolate safely at object init.
-  private final val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private final val SsnPat = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
-  private final val PhonePat = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private[queries] final val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[queries] final val SsnPat = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  private[queries] final val PhonePat = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** The deterministic doc_id-keyed PII injection (q181's derived
+    * corpus), shared with q190's ingest-side feed so the streaming
+    * redactor sees the identical payloads the oracle recomputes. */
+  private[queries] def piiInjectedText: org.apache.spark.sql.Column = {
+    val idStr = col("doc_id").cast(StringType)
+    concat(
+      col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" contact user"), idStr, lit("@ex-mail.org for access")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit(" call 555-310-"), lpad(idStr, 4, "0")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit(" ssn 219-09-"), lpad(idStr, 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 12 === 1,
+        concat(lit(" or user"), idStr, lit("@alt-mail.net")))
+        .otherwise(lit("")))
+  }
+
+  /** q181/q190's redaction chain (email → SSN → phone; patterns are
+    * disjoint by construction, so the order cannot create or destroy
+    * matches). */
+  private[queries] def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPat, "<EMAIL>"),
+        SsnPat, "<SSN>"),
+      PhonePat, "<PHONE>")
+
+  /** The injection as oracle SQL over (doc_id, text) — interpolated into
+    * both q181's and q190's DuckDB mirrors. */
+  private[queries] final val PiiInjectSql: String =
+    """text ||
+      |    CASE
+      |      WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@ex-mail.org for access'
+      |      WHEN doc_id % 4 = 1 THEN ' call 555-310-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+      |      WHEN doc_id % 4 = 2 THEN ' ssn 219-09-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 12 = 1 THEN ' or user' || CAST(doc_id AS VARCHAR) || '@alt-mail.net'
+      |      ELSE '' END""".stripMargin
 
   // q182: 16 export shards — the WebDataset/tfrecord convention of a
   // fixed shard count per corpus snapshot.
@@ -65,24 +106,8 @@ object Curation {
     // shape PII scrubbing must have, because it runs over EVERY byte
     // of the corpus. ----
     QueryDef("q181_pii_redaction", piiRedactionOracle) { (s, dir) =>
-      val idStr = col("doc_id").cast(StringType)
-      val pii = concat(
-        col("text"),
-        when(col("doc_id") % 4 === 0,
-          concat(lit(" contact user"), idStr, lit("@ex-mail.org for access")))
-          .when(col("doc_id") % 4 === 1,
-            concat(lit(" call 555-310-"), lpad(idStr, 4, "0")))
-          .when(col("doc_id") % 4 === 2,
-            concat(lit(" ssn 219-09-"), lpad(idStr, 4, "0")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 12 === 1,
-          concat(lit(" or user"), idStr, lit("@alt-mail.net")))
-          .otherwise(lit("")))
-      val redacted = regexp_replace(
-        regexp_replace(
-          regexp_replace(pii, EmailPat, "<EMAIL>"),
-          SsnPat, "<SSN>"),
-        PhonePat, "<PHONE>")
+      val pii = piiInjectedText
+      val redacted = redactPii(pii)
       T(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
@@ -396,14 +421,7 @@ object Curation {
   private def piiRedactionOracle: String =
     s"""WITH pii AS (
        |  SELECT doc_id,
-       |    text ||
-       |    CASE
-       |      WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@ex-mail.org for access'
-       |      WHEN doc_id % 4 = 1 THEN ' call 555-310-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
-       |      WHEN doc_id % 4 = 2 THEN ' ssn 219-09-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
-       |      ELSE '' END ||
-       |    CASE WHEN doc_id % 12 = 1 THEN ' or user' || CAST(doc_id AS VARCHAR) || '@alt-mail.net'
-       |      ELSE '' END AS t
+       |    $PiiInjectSql AS t
        |  FROM documents WHERE text IS NOT NULL)
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(t, '$EmailPat')) AS BIGINT) AS n_email,

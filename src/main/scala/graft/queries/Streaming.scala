@@ -1359,6 +1359,151 @@ object Streaming {
           sum(col("n_chars")).cast(LongType).as("n_chars"),
           sum(col("checksum")).cast(LongType).as("checksum"))
         .orderBy(col("shard"))
+    },
+
+    // ---- q190 (round 15): PII REDACTION AT INGEST — the governance
+    // rewrite (q181) moved to where production actually runs it: ahead
+    // of the first write, so raw PII never lands in the lake. The feed
+    // carries q181's injected corpus (the SHARED injection helper —
+    // feed and oracle cannot drift); each micro-batch counts and
+    // redacts with the same scan-local regexp chain and appends
+    // per-doc results; the final per-language rollup pins every
+    // redacted BYTE via an order-free additive checksum over the
+    // per-doc redaction digests (h60(md5) mod 1e9+7, summed) — a
+    // missed match, a dropped doc, or a double-processed batch breaks
+    // the equality against the batch-side oracle. 100 TB shape:
+    // per-batch cost tracks the batch (three codegen regexp passes per
+    // row, zero joins); the corpus is never rescanned. ----
+    QueryDef.noBench("q190_redact_at_ingest", redactIngestOracle) { (s, dir) =>
+      val url = s"memory://q190-${UUID.randomUUID()}"
+      val outDir = java.nio.file.Files.createTempDirectory("graft-redact-ingest").toString
+      val feedSchema = StructType(Seq(
+        StructField("doc_id", IntegerType, nullable = false),
+        StructField("lang", StringType, nullable = false),
+        StructField("text", StringType, nullable = false)))
+      val q = s.readStream.format("nats").schema(feedSchema)
+        .option("url", url).option("subject", "docs_pii")
+        .option("codec", "json")
+        .option("batchSize", "200")
+        .option("flushTimeoutMs", "100")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          batch
+            .select(col("doc_id"), col("lang"),
+              regexp_count(col("text"), lit(Curation.EmailPat)).cast(LongType).as("n_email"),
+              regexp_count(col("text"), lit(Curation.SsnPat)).cast(LongType).as("n_ssn"),
+              regexp_count(col("text"), lit(Curation.PhonePat)).cast(LongType).as("n_phone"),
+              md5(Curation.redactPii(col("text"))).as("rm"))
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      try {
+        NatsDemo.awaitSubscriber(url, "docs_pii")
+        val pub = graft.Tables.load(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id").cast(IntegerType).as("doc_id"), col("lang"),
+            Curation.piiInjectedText.as("text"))
+        val nDocs = pub.count()
+        pub.write.format("nats").mode("append")
+          .option("url", url).option("subject", "docs_pii")
+          .option("codec", "json").save()
+        def done(): Long =
+          try s.read.parquet(outDir).count() catch { case _: Exception => 0L }
+        q.processAllAvailable()
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (done() < nDocs && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          q.processAllAvailable()
+        }
+        require(done() == nDocs,
+          s"q190 drain timed out: ${done()} of $nDocs docs redacted")
+      } finally q.stop()
+      s.read.parquet(outDir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).cast(LongType).as("n_email"),
+          sum(col("n_ssn")).cast(LongType).as("n_ssn"),
+          sum(col("n_phone")).cast(LongType).as("n_phone"),
+          sum(pmod(conv(substring(col("rm"), 1, 15), 16, 10).cast(LongType),
+            lit(1000000007L))).cast(LongType).as("content_checksum"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- q191 (round 15): TOMBSTONE DELETES AT INGEST — q161 audits
+    // deletion propagation batch-side; production right-to-be-forgotten
+    // arrives as a STREAM of tombstones, and the lake answers with
+    // merge-on-read position deletes (the Iceberg/Delta convention:
+    // append doc_id tombstones to a delete log, serve corpus ⟕̸ log,
+    // compact later — never a synchronous corpus rewrite per request):
+    // each micro-batch appends its tombstone rows; the final SERVING
+    // view anti-joins the standing corpus against the accumulated log
+    // and pins the surviving SET per language (counts, surviving
+    // tokens, and the order-free additive membership checksum), so a
+    // lost tombstone, a double-delete, or an over-delete breaks the
+    // equality against the batch-side oracle (deletion cohort:
+    // doc_id mod 7 = 3). 100 TB shape: per-batch cost is the tombstone
+    // append (rows ~ deletion requests, not corpus); the serving
+    // anti-join broadcasts the delete log (requests are always tiny
+    // relative to the lake) — exactly the Iceberg position-delete read
+    // path. ----
+    QueryDef.noBench("q191_delete_at_ingest", deleteIngestOracle) { (s, dir) =>
+      val url = s"memory://q191-${UUID.randomUUID()}"
+      val tombDir = java.nio.file.Files.createTempDirectory("graft-tombstones").toString
+      val feedSchema = StructType(Seq(
+        StructField("doc_id", IntegerType, nullable = false)))
+      val q = s.readStream.format("nats").schema(feedSchema)
+        .option("url", url).option("subject", "doc_tombstones")
+        .option("batchSize", "20")
+        .option("flushTimeoutMs", "100")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          batch.select(col("doc_id")).write.mode("append").parquet(tombDir)
+        }
+        .start()
+      try {
+        NatsDemo.awaitSubscriber(url, "doc_tombstones")
+        val pub = graft.Tables.load(s, dir, "documents")
+          .filter(col("text").isNotNull && col("doc_id") % 7 === 3)
+          .select(col("doc_id").cast(IntegerType).as("doc_id"))
+        val nTombs = pub.count()
+        pub.write.format("nats").mode("append")
+          .option("url", url).option("subject", "doc_tombstones").save()
+        def done(): Long =
+          try s.read.parquet(tombDir).count() catch { case _: Exception => 0L }
+        q.processAllAvailable()
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (done() < nTombs && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          q.processAllAvailable()
+        }
+        require(done() == nTombs,
+          s"q191 drain timed out: ${done()} of $nTombs tombstones logged")
+      } finally q.stop()
+      val corpus = graft.Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          size(split(lower(col("text")), " ")).cast(LongType).as("n_tok"))
+      val tombs = s.read.parquet(tombDir)
+        .select(col("doc_id").cast(org.apache.spark.sql.types.LongType).as("doc_id"))
+        .distinct()
+      val serving = corpus.join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      val servStats = serving.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_serving"),
+          sum(col("n_tok")).cast(LongType).as("n_serving_tokens"),
+          sum(pmod(conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+            .cast(LongType), lit(1000000007L))).cast(LongType).as("serving_checksum"))
+      corpus.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+        .join(servStats, Seq("lang"), "left")
+        .select(col("lang"), col("n_total"),
+          (col("n_total") - coalesce(col("n_serving"), lit(0L))).as("n_deleted"),
+          coalesce(col("n_serving"), lit(0L)).as("n_serving"),
+          coalesce(col("n_serving_tokens"), lit(0L)).as("n_serving_tokens"),
+          coalesce(col("serving_checksum"), lit(0L)).as("serving_checksum"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -1378,6 +1523,57 @@ object Streaming {
       |  CAST(sum((h % 65536) * (doc_id % 65536)) AS BIGINT) AS checksum
       |FROM d GROUP BY 1
       |ORDER BY shard""".stripMargin
+
+  /** DuckDB mirror of q191: same deletion cohort, same serving
+    * anti-join, same additive membership checksum per language. */
+  private def deleteIngestOracle: String =
+    """WITH c AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |serv AS (SELECT * FROM c WHERE doc_id % 7 <> 3),
+      |ss AS (
+      |  SELECT lang, count(*) AS n_serving,
+      |    CAST(sum(n_tok) AS BIGINT) AS n_serving_tokens,
+      |    CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |         % 1000000007) AS BIGINT) AS serving_checksum
+      |  FROM serv GROUP BY lang)
+      |SELECT c.lang, count(*) AS n_total,
+      |  count(*) - COALESCE(min(ss.n_serving), 0) AS n_deleted,
+      |  COALESCE(min(ss.n_serving), 0) AS n_serving,
+      |  COALESCE(min(ss.n_serving_tokens), 0) AS n_serving_tokens,
+      |  COALESCE(min(ss.serving_checksum), 0) AS serving_checksum
+      |FROM c LEFT JOIN ss ON c.lang = ss.lang
+      |GROUP BY c.lang
+      |ORDER BY c.lang""".stripMargin
+
+  /** DuckDB mirror of q190: q181's injection + pattern chain (the
+    * shared constants) rolled up per language with the additive
+    * redaction-content checksum. */
+  private def redactIngestOracle: String =
+    s"""WITH pii AS (
+       |  SELECT doc_id, lang,
+       |    ${Curation.PiiInjectSql} AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(t, '${Curation.EmailPat}')) AS BIGINT) AS n_email,
+       |    CAST(len(regexp_extract_all(t, '${Curation.SsnPat}')) AS BIGINT) AS n_ssn,
+       |    CAST(len(regexp_extract_all(t, '${Curation.PhonePat}')) AS BIGINT) AS n_phone,
+       |    md5(regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(t, '${Curation.EmailPat}', '<EMAIL>', 'g'),
+       |            '${Curation.SsnPat}', '<SSN>', 'g'),
+       |          '${Curation.PhonePat}', '<PHONE>', 'g')) AS rm
+       |  FROM pii)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_email) AS BIGINT) AS n_email,
+       |  CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
+       |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       |  CAST(sum(('0x' || substr(rm, 1, 15))::BIGINT % 1000000007) AS BIGINT)
+       |    AS content_checksum
+       |FROM r GROUP BY lang
+       |ORDER BY lang""".stripMargin
 
   /** DuckDB mirror of q179: the real generated chain, rolled up per
     * language — the ingest loop must reproduce the batch tokenization
