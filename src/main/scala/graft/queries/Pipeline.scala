@@ -2645,6 +2645,47 @@ object Pipeline {
           expr("(n_matched * 1000000) DIV n_candidates").as("precision_micro"),
           expr("(n_matched * 1000000) DIV pool_matches").as("recall_micro"))
         .orderBy(col("config"))
+    },
+
+    // ---- q192 (round 15): PACKED-SEQUENCE ATTENTION BOUNDARIES —
+    // the metadata q173's packing is not trainable WITHOUT: packing
+    // concatenates documents into 2048-token chunks, and a trainer
+    // that lets attention flow across the internal document joins
+    // corrupts every sequence (the block-diagonal attention-mask /
+    // position-id-reset requirement). From the stored-model per-doc
+    // token counts alone (doc-level arithmetic — the token stream is
+    // NEVER exploded here), each doc's [start, end) span is
+    // intersected with the chunks it crosses; per (source, chunk):
+    // segment count, packed tokens (cross-checks q173's n_tokens),
+    // max segment length, and an order-sensitive boundary checksum
+    // Σ (local_start+1)·doc_id — a shifted boundary, a lost segment,
+    // or a wrong chunk split hash-fails. ORACLE: the generated BPE
+    // chain's perdoc CTE + the same window/intersection arithmetic.
+    // 100 TB shape: ONE doc-level window per source (doc-COUNT rows,
+    // not token count); chunk spans explode to ~(n_tok/2048 + 1) rows
+    // per doc; the report aggregate is chunk-keyed. ----
+    QueryDef("q192_pack_boundaries", packBoundariesOracle) { (s, dir) =>
+      val perDoc = bpeDocTokens(s, dir).filter(col("n_tokens_bpe") > 0)
+      val offs = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(perDoc.select(col("doc_id"), col("n_tokens_bpe").as("nt")), Seq("doc_id"))
+        .withColumn("start_off",
+          sum(col("nt")).over(Window.partitionBy(col("source"))
+            .orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("nt"))
+      val segs = offs
+        .select(col("source"), col("doc_id"), col("start_off"), col("nt"),
+          explode(sequence(expr("start_off DIV 2048"),
+            expr("(start_off + nt - 1) DIV 2048"))).as("chunk"))
+        .withColumn("ls", greatest(lit(0L), col("start_off") - col("chunk") * 2048))
+        .withColumn("le",
+          least(lit(2048L), col("start_off") + col("nt") - col("chunk") * 2048))
+      segs.groupBy(col("source"), col("chunk"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("le") - col("ls")).cast(LongType).as("n_tokens"),
+          max(col("le") - col("ls")).cast(LongType).as("max_seg_len"),
+          sum((col("ls") + 1) * col("doc_id")).cast(LongType).as("boundary_checksum"))
+        .orderBy(col("source"), col("chunk"))
     }
   )
 
@@ -2684,6 +2725,30 @@ object Pipeline {
        |  COALESCE(agg.rebuilt_md5, md5('')) AS rebuilt_md5
        |FROM w LEFT JOIN agg USING (doc_id)
        |ORDER BY w.doc_id""".stripMargin
+
+  /** DuckDB mirror of q192: the generated chain's perdoc CTE + the same
+    * per-source offset window and chunk-intersection arithmetic. */
+  private def packBoundariesOracle: String =
+    bpeOracleCtes(BpeMerges) + bpeOracleDocCtes +
+      """,
+        |off AS (
+        |  SELECT d.source, p.doc_id, p.n_tokens_bpe AS nt,
+        |    CAST(sum(p.n_tokens_bpe) OVER (PARTITION BY d.source ORDER BY p.doc_id
+        |      ROWS UNBOUNDED PRECEDING) - p.n_tokens_bpe AS BIGINT) AS start_off
+        |  FROM perdoc p JOIN documents d USING (doc_id)
+        |  WHERE p.n_tokens_bpe > 0),
+        |segs AS (
+        |  SELECT source, doc_id, start_off, nt, CAST(c AS BIGINT) AS chunk,
+        |    greatest(0, start_off - c * 2048) AS ls,
+        |    least(2048, start_off + nt - c * 2048) AS le
+        |  FROM off, unnest(generate_series(start_off // 2048,
+        |    (start_off + nt - 1) // 2048)) AS u(c))
+        |SELECT source, chunk, count(*) AS n_segments,
+        |  CAST(sum(le - ls) AS BIGINT) AS n_tokens,
+        |  CAST(max(le - ls) AS BIGINT) AS max_seg_len,
+        |  CAST(sum((ls + 1) * doc_id) AS BIGINT) AS boundary_checksum
+        |FROM segs GROUP BY source, chunk
+        |ORDER BY source, chunk""".stripMargin
 
   /** DuckDB mirror of q189: the q41 minhash/band CTEs, the q44
     * simhash/pigeonhole CTEs, and the q45 rare-shingle CTEs composed

@@ -186,6 +186,20 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(_.getLong(4) >= 0L), "negative padding waste")
   }
 
+  test("q192/q173 coherence: boundary segments cover exactly the packed tokens of every chunk") {
+    // The attention-boundary table and the packed-id table are two views
+    // of ONE packing; their per-(source, chunk) token totals must agree
+    // or a trainer would mask a different stream than it loads.
+    val b = Registry.byName("q192_pack_boundaries").build(spark, sfDir)
+      .select(col("source"), col("chunk"), col("n_tokens").as("bt"))
+    val p = Registry.byName("q173_bpe_ids").build(spark, sfDir)
+      .select(col("source"), col("chunk"), col("n_tokens").as("pt"))
+    val diff = b.join(p, Seq("source", "chunk"), "full_outer")
+      .filter(col("bt").isNull || col("pt").isNull || col("bt") =!= col("pt"))
+      .count()
+    assert(diff === 0L, "boundary table and packed-id table disagree on chunk contents")
+  }
+
   test("q186: effective tokens never exceed 4 epochs of the source; cap flag is consistent") {
     val out = Registry.byName("q186_repeat_epochs").build(spark, sfDir).collect()
     out.foreach { r =>

@@ -384,7 +384,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bijective copy renames keep every family's candidates
     // within-copy (the q41/q44/q45 argument applied jointly), the
     // exact-Jaccard grade touches pool pairs only; output stays 3 rows
-    "q189_dedup_method_sweep")
+    "q189_dedup_method_sweep",
+    // q192 (round 15): doc-level arithmetic only (the token stream is
+    // never exploded); one doc-count window per source; chunks (the
+    // output) grow ~linearly with total tokens — the q173 shape at
+    // boundary granularity
+    "q192_pack_boundaries")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
@@ -425,7 +430,8 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     * lifecycle, not query scaling). Training's own 10x behavior is
     * pinned separately below. */
   private val bpeStoredModel = Set("q150_bpe_train", "q151_bpe_tokenize",
-    "q156_bpe_pack", "q162_bpe_fertility", "q173_bpe_ids")
+    "q156_bpe_pack", "q162_bpe_fertility", "q173_bpe_ids",
+    "q192_pack_boundaries")
   private val uniStoredModel = Set("q175_unigram_train", "q176_unigram_tokenize",
     "q178_tokenizer_ablation")
 
