@@ -2737,6 +2737,64 @@ object Analytics {
         .agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") < 10)
         .orderBy(col("source"), col("lang"), col("len_bucket"))
+    },
+
+    // ---- q194 (round 15): K-CORE DECOMPOSITION (k=3) of the trade
+    // graph — the graph family's density layer (q76 components, q128
+    // rank, q153 triangles; k-core answers "which nodes survive in a
+    // mutually-dense sub-network", the community-backbone question):
+    // iterative peeling — drop every node with degree < 3 among
+    // survivors, repeat to fixpoint. Spark runs the loop with
+    // per-round localCheckpoint lineage cuts (the q76/q125 iterative
+    // pattern) and EARLY-EXITS at the fixpoint; the ORACLE unrolls 25
+    // peel rounds as generated chained CTEs (25 ≥ #nations bounds the
+    // fixpoint for ANY graph on these nodes; post-convergence rounds
+    // are no-ops, so early-exit and fixed-unroll agree exactly — the
+    // q150 generated-iteration technique applied to graph algorithms).
+    // Output per node: full-graph degree + core membership. 100 TB
+    // shape: the corpus-sized fact join runs ONCE (shared
+    // tradeNationPairs); every peel round touches the ≤ #nodes²-row
+    // edge frame only; rounds are edge-frame-sized jobs, never corpus
+    // rescans. ----
+    QueryDef("q194_kcore", kcoreOracle) { (s, dir) =>
+      val pairs = tradeNationPairs(s, dir)
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .select(least(col("c_nationkey"), col("s_nationkey")).as("u"),
+          greatest(col("c_nationkey"), col("s_nationkey")).as("v"), col("w"))
+        .groupBy(col("u"), col("v")).agg(sum(col("w")).cast(LongType).as("w"))
+      val tot = pairs.agg(count(lit(1)).as("np"), sum(col("w")).as("sw"))
+      var edges = pairs.crossJoin(broadcast(tot))
+        .filter(col("w") * col("np") > col("sw"))
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val degAll = edges.select(col("u").as("node"))
+        .unionByName(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .persist()
+      var rounds = 0
+      var done = false
+      while (!done && rounds < 25) {
+        val deg = edges.select(col("u").as("node"))
+          .unionByName(edges.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+        val bad = deg.filter(col("dg") < 3).select(col("node"))
+        if (bad.isEmpty) done = true
+        else edges = edges
+          .join(broadcast(bad.select(col("node").as("u"))), Seq("u"), "left_anti")
+          .join(broadcast(bad.select(col("node").as("v"))), Seq("v"), "left_anti")
+          .localCheckpoint()
+        rounds += 1
+      }
+      val core = edges.select(col("u").as("node"))
+        .unionByName(edges.select(col("v").as("node")))
+        .distinct()
+        .withColumn("inc", lit(1))
+      val nation = T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      degAll.join(broadcast(nation), col("node") === col("n_nationkey"))
+        .join(core, Seq("node"), "left")
+        .select(col("n_name"), col("degree"),
+          coalesce(col("inc"), lit(0)).as("in_3core"))
+        .orderBy(col("n_name"))
     }
   )
 
@@ -2769,6 +2827,48 @@ object Analytics {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** DuckDB mirror of q194: q153's edge CTEs + 25 peel rounds unrolled
+    * as generated chained MATERIALIZED CTEs (25 ≥ #nations bounds the
+    * fixpoint; converged rounds no-op, so Spark's early-exit and the
+    * fixed unroll agree exactly). */
+  private def kcoreOracle: String = {
+    val rounds = (1 to 25).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*) AS dg FROM (
+         |    SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) x$i
+         |  GROUP BY node),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT node FROM d$i WHERE dg >= 3)
+         |    AND v IN (SELECT node FROM d$i WHERE dg >= 3))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT LEAST(c.c_nationkey, s.s_nationkey) AS u,
+       |         GREATEST(c.c_nationkey, s.s_nationkey) AS v, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT COUNT(*) AS np, SUM(w) AS sw FROM p),
+       |e0 AS MATERIALIZED (SELECT u, v FROM p, tot WHERE w * tot.np > tot.sw),
+       |$rounds,
+       |deg AS (
+       |  SELECT node, COUNT(*) AS degree FROM (
+       |    SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0) dd
+       |  GROUP BY node),
+       |core AS (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT u AS node FROM e25 UNION ALL SELECT v AS node FROM e25) cc)
+       |SELECT n.n_name, d.degree,
+       |  CASE WHEN core.node IS NOT NULL THEN 1 ELSE 0 END AS in_3core
+       |FROM deg d
+       |JOIN nation n ON n.n_nationkey = d.node
+       |LEFT JOIN core ON core.node = d.node
+       |ORDER BY n.n_name""".stripMargin
   }
 
   /** DuckDB mirror of q100: the shared [[kmeansAssignCte]] assignment,

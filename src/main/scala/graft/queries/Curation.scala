@@ -80,6 +80,10 @@ object Curation {
   private final val KAnonK = 5
   private final val KAnonBucketW = 100
 
+  // q193: curriculum stage thresholds (distinct-token-ratio micros) —
+  // epoch 1 cleanest slice, epoch 2 widens, epoch 3 everything.
+  private val CurriculumStages: Seq[Long] = Seq(800000L, 650000L, 0L)
+
   // q185: length-bucket width (tokens) and batch size for the padding
   // study. Bucket = n_tok DIV 8 — fine enough that the fixture's ~40-70
   // token docs spread over several buckets.
@@ -412,6 +416,52 @@ object Curation {
           lit("*").as("bucket_g"), col("n_docs"))
       leg0.unionByName(leg1).unionByName(leg2).unionByName(leg3)
         .orderBy(col("lang_g"), col("source_g"), col("bucket_g"))
+    },
+
+    // ---- q193 (round 15): QUALITY-STAGED CURRICULUM SCHEDULE — the
+    // schedule table a staged training run consumes (start on the
+    // cleanest slice, widen each epoch — the curriculum-learning data
+    // op): epoch 1 trains on docs with distinct-token ratio ≥ 0.80,
+    // epoch 2 widens to ≥ 0.65, epoch 3 takes everything; each epoch's
+    // set is shuffled by its OWN salt (q159's epoch re-keying) into 16
+    // shards. One row per epoch pins the stage: doc/token counts (the
+    // nesting e1 ⊆ e2 ⊆ e3 is visible as monotone counts), an
+    // order-free membership checksum, and an ORDER checksum
+    // Σ pos·doc_id summed across shards (order-sensitive within each
+    // shard, the q159 rule) — so a drifting score, a wrong stage cut,
+    // or a broken permutation all hash-fail. 100 TB shape: scoring is
+    // scan-local (one pass, persisted for the three stage filters);
+    // each epoch's window sorts corpus/16 rows per shard (the q159
+    // seekable-shards argument); output is 3 rows. ----
+    QueryDef("q193_curriculum_schedule", curriculumOracle) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("ws", split(lower(col("text")), " "))
+        .select(col("doc_id"),
+          size(col("ws")).cast(LongType).as("n_tok"),
+          expr("CAST(round(CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws) * 1000000, 0) AS BIGINT)")
+            .as("score_micro"))
+        .persist() // one scoring pass feeds all three stage filters
+      val epochs = CurriculumStages.zipWithIndex.map { case (thresh, i) =>
+        val e = i + 1
+        val hkey = conv(substring(md5(concat(lit(s"e$e:"),
+          col("doc_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+        val stage = scored.filter(col("score_micro") >= thresh)
+          .select(col("doc_id"), col("n_tok"), hkey.as("hkey"))
+          .withColumn("shard", pmod(col("hkey"), lit(16L)))
+        val w = Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))
+        stage.withColumn("pos", row_number().over(w).cast(LongType))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast(LongType).as("n_tokens"),
+            sum(pmod(conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+              .cast(LongType), lit(1000000007L))).cast(LongType).as("member_checksum"),
+            sum(col("pos") * col("doc_id")).cast(LongType).as("order_checksum"))
+          .select(lit(e).as("epoch"), lit(thresh).as("min_score_micro"),
+            col("n_docs"), col("n_tokens"), col("member_checksum"),
+            col("order_checksum"))
+      }
+      epochs.reduce(_ unionByName _).orderBy(col("epoch"))
     }
   )
 
@@ -434,6 +484,41 @@ object Curation {
        |        '$PhonePat', '<PHONE>', 'g')) AS redacted_md5
        |FROM pii
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of q193: same score, same stage cuts, same epoch
+    * salts, same shard windows and checksums — generated per epoch. */
+  private def curriculumOracle: String = {
+    val legs = CurriculumStages.zipWithIndex.map { case (t, i) =>
+      val e = i + 1
+      s"""ep$e AS (
+         |  SELECT doc_id, n_tok,
+         |    ('0x' || substr(md5('e$e:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
+         |  FROM d WHERE score_micro >= $t),
+         |r$e AS (
+         |  SELECT doc_id, n_tok,
+         |    ROW_NUMBER() OVER (PARTITION BY hkey % 16 ORDER BY hkey, doc_id) AS pos
+         |  FROM ep$e),
+         |a$e AS (
+         |  SELECT $e AS epoch, CAST($t AS BIGINT) AS min_score_micro,
+         |    count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |         % 1000000007) AS BIGINT) AS member_checksum,
+         |    CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+         |  FROM r$e)""".stripMargin
+    }
+    val union = (1 to CurriculumStages.size)
+      .map(e => s"SELECT * FROM a$e").mkString("\nUNION ALL ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+       |    CAST(round(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+       |         / len(string_split(lower(text), ' ')) * 1000000, 0) AS BIGINT) AS score_micro
+       |  FROM documents WHERE text IS NOT NULL),
+       |${legs.mkString(",\n")}
+       |$union
+       |ORDER BY epoch""".stripMargin
+  }
 
   /** DuckDB mirror of q188: same lattice, same level minima, same
     * lowest-publishable-level pick, same '*' generalization. */

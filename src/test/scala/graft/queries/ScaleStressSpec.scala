@@ -389,7 +389,17 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // never exploded); one doc-count window per source; chunks (the
     // output) grow ~linearly with total tokens — the q173 shape at
     // boundary granularity
-    "q192_pack_boundaries")
+    "q192_pack_boundaries",
+    // q193 (round 15): one scoring pass (persisted) feeds the three
+    // stage filters; each epoch window sorts corpus/16 rows per shard;
+    // output stays 3 rows at any corpus
+    "q193_curriculum_schedule",
+    // q194 (round 15): matched lineitem/orders offsets grow every
+    // trade pair's weight exactly 10x, so the above-mean edge set —
+    // and with it the peeled 3-core — is INVARIANT (q153's argument);
+    // runtime tracks the one corpus-sized fact join; every peel round
+    // touches the <= #nodes^2 edge frame only
+    "q194_kcore")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
