@@ -462,6 +462,54 @@ object Curation {
             col("order_checksum"))
       }
       epochs.reduce(_ unionByName _).orderBy(col("epoch"))
+    },
+
+    // ---- q195 (round 15): CORPUS SNAPSHOT DIFF — the release-to-
+    // release changelog every versioned dataset ships (what entered,
+    // what left, what changed — the reproducibility contract behind
+    // "trained on corpus vX"): two snapshots are derived
+    // deterministically from the fixture (v1 = the previous release:
+    // docs with doc_id%11=5 not yet collected, docs with doc_id%13=7
+    // then-truncated to their first half; v2 = the current release:
+    // docs with doc_id%19=2 since removed), diffed by doc_id with
+    // content digests deciding changed-vs-unchanged. Per source:
+    // sizes, added/removed/changed/unchanged counts, and an additive
+    // membership checksum of the ADDED set (the audit trail a
+    // downstream consumer re-verifies). 100 TB shape: both views are
+    // scan-local derivations of ONE persisted base scan; the diff is
+    // one doc-keyed full-outer self-join; the report is a
+    // #sources-row aggregate. ----
+    QueryDef("q195_snapshot_diff", snapshotDiffOracle) { (s, dir) =>
+      val base = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"),
+          split(lower(col("text")), " ").as("ws"))
+        .persist() // one corpus scan feeds both snapshot derivations
+      val v1 = base.filter(col("doc_id") % 11 =!= 5)
+        .select(col("doc_id"), col("source"),
+          md5(when(col("doc_id") % 13 === 7,
+            array_join(slice(col("ws"), lit(1),
+              (size(col("ws")) / 2).cast(IntegerType)), " "))
+            .otherwise(col("text"))).as("d1"))
+      val v2 = base.filter(col("doc_id") % 19 =!= 2)
+        .select(col("doc_id"), col("source").as("source2"), md5(col("text")).as("d2"))
+      val j = v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("source"), col("source2")).as("source"),
+          col("d1"), col("d2"), col("doc_id"))
+      j.groupBy(col("source"))
+        .agg(
+          sum(when(col("d1").isNotNull, 1L).otherwise(0L)).as("n_v1"),
+          sum(when(col("d2").isNotNull, 1L).otherwise(0L)).as("n_v2"),
+          sum(when(col("d1").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("d2").isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("d1").isNotNull && col("d2").isNotNull
+            && col("d1") =!= col("d2"), 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("d1") === col("d2"), 1L).otherwise(0L)).as("n_unchanged"),
+          sum(when(col("d1").isNull,
+            pmod(conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+              .cast(LongType), lit(1000000007L))).otherwise(lit(0L)))
+            .cast(LongType).as("added_checksum"))
+        .orderBy(col("source"))
     }
   )
 
@@ -484,6 +532,40 @@ object Curation {
        |        '$PhonePat', '<PHONE>', 'g')) AS redacted_md5
        |FROM pii
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of q195: same derived snapshots, same digest-based
+    * change detection, same added-set checksum. */
+  private def snapshotDiffOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, text, string_split(lower(text), ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |v1 AS (
+      |  SELECT doc_id, source,
+      |    md5(CASE WHEN doc_id % 13 = 7
+      |        THEN array_to_string(ws[1 : len(ws) // 2], ' ')
+      |        ELSE text END) AS d1
+      |  FROM base WHERE doc_id % 11 <> 5),
+      |v2 AS (
+      |  SELECT doc_id, source AS source2, md5(text) AS d2
+      |  FROM base WHERE doc_id % 19 <> 2),
+      |j AS (
+      |  SELECT COALESCE(v1.source, v2.source2) AS source, d1, d2,
+      |    COALESCE(v1.doc_id, v2.doc_id) AS doc_id
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      |SELECT source,
+      |  CAST(sum(CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+      |  CAST(sum(CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+      |  CAST(sum(CASE WHEN d1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(sum(CASE WHEN d2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(sum(CASE WHEN d1 IS NOT NULL AND d2 IS NOT NULL AND d1 <> d2
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(sum(CASE WHEN d1 = d2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+      |  CAST(sum(CASE WHEN d1 IS NULL
+      |      THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |           % 1000000007
+      |      ELSE 0 END) AS BIGINT) AS added_checksum
+      |FROM j GROUP BY source
+      |ORDER BY source""".stripMargin
 
   /** DuckDB mirror of q193: same score, same stage cuts, same epoch
     * salts, same shard windows and checksums — generated per epoch. */

@@ -2686,6 +2686,61 @@ object Pipeline {
           max(col("le") - col("ls")).cast(LongType).as("max_seg_len"),
           sum((col("ls") + 1) * col("doc_id")).cast(LongType).as("boundary_checksum"))
         .orderBy(col("source"), col("chunk"))
+    },
+
+    // ---- q196 (round 15): TOKENIZER VOCAB PRUNING — the model-
+    // lifecycle op (tokenizer distillation / embedding-matrix diet):
+    // merges whose MERGED symbol carries < 1% of the corpus's final
+    // tokens are dropped (fixture usage spans 0.7-2.0%, so the cut
+    // genuinely bites: 9 of 24 merges survive), every word is re-tokenized under the pruned
+    // rule list, and the per-language fertility cost is measured.
+    // Deliberately NAIVE usage-based pruning — a dropped intermediate
+    // merge also breaks every later merge that consumed its output,
+    // and the cost table makes that chain-break tax visible instead of
+    // hiding it (the honest version of the experiment). Usage rides
+    // the stored vocab (token explode × stored freq — vocab-sized, no
+    // corpus rescan); re-tokenization is the q177 fold with the PRUNED
+    // broadcast rule array over distinct words; the report joins the
+    // corpus once. ORACLE: the generated chain + a usage CTE
+    // (replace-count over the final tokenizations) + 24 CONDITIONAL
+    // re-apply rounds, each a no-op when its rank was pruned. 100 TB
+    // shape: usage/prune/re-tokenize are all vocab-sized; the merge
+    // array broadcasts; ONE corpus join for the report. ----
+    QueryDef("q196_vocab_prune", vocabPruneOracle) { (s, dir) =>
+      val (mTbl, vTbl) = ensureBpeModel(s, dir)
+      val tokUse = s.table(vTbl)
+        .select(col("freq"), explode(col("toks")).as("token"))
+        .groupBy(col("token")).agg(sum(col("freq")).cast(LongType).as("used"))
+      val tot = s.table(vTbl)
+        .agg(sum(col("freq") * size(col("toks"))).cast(LongType).as("total"))
+      val keptArr = s.table(mTbl)
+        .withColumn("token", concat(col("l"), col("r")))
+        .join(tokUse, Seq("token"), "left")
+        .crossJoin(broadcast(tot))
+        .filter(coalesce(col("used"), lit(0L)) * 100 >= col("total"))
+        .agg(sort_array(collect_list(struct(col("rank"), col("l"), col("r"))))
+          .as("ms"))
+        .select(lit(1).as("k"), col("ms"))
+      val pruned = s.table(vTbl)
+        .withColumn("syms", split(col("w"), ""))
+        .withColumn("k", lit(1))
+        .join(broadcast(keptArr), Seq("k"), "left")
+        .select(col("w"), size(col("toks")).as("nt_full"),
+          size(expr(bpeApplySql)).as("nt_pruned"),
+          size(col("ms")).as("n_kept"))
+      val words = T(s, dir, "documents")
+        .select(col("lang"), explode(bpeWordsCol(s)).as("w"))
+        .filter(length(col("w")) > 0)
+      words.join(pruned, Seq("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("nt_full")).cast(LongType).as("n_tokens_full"),
+          sum(col("nt_pruned")).cast(LongType).as("n_tokens_pruned"),
+          max(col("n_kept")).cast(LongType).as("n_merges_kept"))
+        .select(col("lang"), col("n_words"), col("n_tokens_full"),
+          col("n_tokens_pruned"), col("n_merges_kept"),
+          expr("(n_tokens_pruned * 1000000) DIV n_tokens_full").as("cost_micro"))
+        .orderBy(col("lang"))
     }
   )
 
@@ -2749,6 +2804,69 @@ object Pipeline {
         |  CAST(sum((ls + 1) * doc_id) AS BIGINT) AS boundary_checksum
         |FROM segs GROUP BY source, chunk
         |ORDER BY source, chunk""".stripMargin
+
+  /** DuckDB mirror of q196: the generated chain, a usage CTE (replace-
+    * count over the final tokenizations × stored freq), and 24
+    * CONDITIONAL re-apply rounds — each round's replace runs only when
+    * its rank survived the usage threshold. */
+  private def vocabPruneOracle: String = {
+    val mlist = (1 to BpeMerges)
+      .map(k => s"SELECT rank, l || r AS m FROM b$k")
+      .mkString("\n  UNION ALL ")
+    val prounds = (1 to BpeMerges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT CASE WHEN (SELECT kept FROM keptm WHERE rank = $k) = 1
+         |    THEN coalesce(replace(s,
+         |        (SELECT '|' || l || '||' || r || '|' FROM b$k),
+         |        (SELECT '|' || l || r || '|' FROM b$k)), s)
+         |    ELSE s END AS s, freq
+         |  FROM p${k - 1})""".stripMargin
+    }.mkString(",\n")
+    bpeOracleCtes(BpeMerges) +
+      s""",
+         |mlist AS (
+         |  $mlist),
+         |tot AS (
+         |  SELECT CAST(SUM(freq * (len(s) - len(replace(s, '|', ''))) / 2) AS BIGINT)
+         |    AS total
+         |  FROM v$BpeMerges),
+         |usage AS (
+         |  SELECT ml.rank,
+         |    CAST(SUM(v.freq * (len(v.s) - len(replace(v.s, '|' || ml.m || '|', '')))
+         |         / (len(ml.m) + 2)) AS BIGINT) AS used
+         |  FROM mlist ml, v$BpeMerges v
+         |  GROUP BY ml.rank),
+         |keptm AS (
+         |  SELECT rank,
+         |    CASE WHEN used * 100 >= (SELECT total FROM tot) THEN 1 ELSE 0 END AS kept
+         |  FROM usage),
+         |p0 AS (SELECT s, freq FROM v0),
+         |$prounds,
+         |wtok AS MATERIALIZED (
+         |  SELECT translate(s, '|', '') AS w,
+         |    CAST((len(s) - len(replace(s, '|', ''))) / 2 AS BIGINT) AS n_tok
+         |  FROM v$BpeMerges),
+         |ptok AS MATERIALIZED (
+         |  SELECT translate(s, '|', '') AS w,
+         |    CAST((len(s) - len(replace(s, '|', ''))) / 2 AS BIGINT) AS n_tok
+         |  FROM p$BpeMerges),
+         |cw AS (
+         |  SELECT lang, w FROM (
+         |    SELECT lang, unnest($bpeOracleWords) AS w
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE len(w) > 0)
+         |SELECT cw.lang, COUNT(*) AS n_words,
+         |  CAST(SUM(wt.n_tok) AS BIGINT) AS n_tokens_full,
+         |  CAST(SUM(pt.n_tok) AS BIGINT) AS n_tokens_pruned,
+         |  (SELECT CAST(SUM(kept) AS BIGINT) FROM keptm) AS n_merges_kept,
+         |  (CAST(SUM(pt.n_tok) AS BIGINT) * 1000000)
+         |    // CAST(SUM(wt.n_tok) AS BIGINT) AS cost_micro
+         |FROM cw
+         |JOIN wtok wt ON wt.w = cw.w
+         |JOIN ptok pt ON pt.w = cw.w
+         |GROUP BY cw.lang
+         |ORDER BY cw.lang""".stripMargin
+  }
 
   /** DuckDB mirror of q189: the q41 minhash/band CTEs, the q44
     * simhash/pigeonhole CTEs, and the q45 rare-shingle CTEs composed

@@ -109,7 +109,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q188_kanon_generalize",
     // q189 cross-joins its 1-row pool-matches total into the 3-row
     // per-method stats — q172's audited shape across method families.
-    "q189_dedup_method_sweep")
+    "q189_dedup_method_sweep",
+    // q196 cross-joins its 1-row corpus-token total into the 24-row
+    // merge table, and folds the pruned rule list as the same 1-row
+    // broadcast array as q151/q177.
+    "q196_vocab_prune")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.

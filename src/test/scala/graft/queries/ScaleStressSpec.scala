@@ -399,7 +399,16 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and with it the peeled 3-core — is INVARIANT (q153's argument);
     // runtime tracks the one corpus-sized fact join; every peel round
     // touches the <= #nodes^2 edge frame only
-    "q194_kcore")
+    "q194_kcore",
+    // q195 (round 15): both snapshots are scan-local derivations of
+    // one persisted base; the diff is one doc-keyed self-join; the
+    // offset copy doc_ids spread over the same %11/%13/%19 cohorts;
+    // output stays #sources rows
+    "q195_snapshot_diff",
+    // q196 (round 15): usage/prune/re-tokenize are all vocab-sized
+    // probes of the stored model; one corpus join for the report;
+    // output stays #langs rows
+    "q196_vocab_prune")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
@@ -441,7 +450,7 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     * pinned separately below. */
   private val bpeStoredModel = Set("q150_bpe_train", "q151_bpe_tokenize",
     "q156_bpe_pack", "q162_bpe_fertility", "q173_bpe_ids",
-    "q192_pack_boundaries")
+    "q192_pack_boundaries", "q196_vocab_prune")
   private val uniStoredModel = Set("q175_unigram_train", "q176_unigram_tokenize",
     "q178_tokenizer_ablation")
 
