@@ -2741,6 +2741,48 @@ object Pipeline {
           col("n_tokens_pruned"), col("n_merges_kept"),
           expr("(n_tokens_pruned * 1000000) DIV n_tokens_full").as("cost_micro"))
         .orderBy(col("lang"))
+    },
+
+    // ---- q197 (round 15): FRAME-FINGERPRINT VIDEO DEDUP — the
+    // multimodal family's dedup layer (q49 decodes, q60 samples
+    // frames; production then DEDUPS re-uploads by indexing frame
+    // fingerprints): every video's sampled frames (the q60
+    // decode→resize→sample batch pass, real iterator-to-iterator
+    // executor plumbing) land in a frame-hash inverted index, and
+    // pairs sharing ≥ 2 sampled frames are duplicates. The corpus
+    // PLANTS re-uploads (every doc_id%10=9 video carries its
+    // predecessor's payload — the same derived-media convention as
+    // q49/q174); with the STUB frame hash (md5-keyed, the documented
+    // environment seam) exactly the re-encoded copies collide, so the
+    // planted positives are the ground truth, and swapping in a real
+    // perceptual hash changes ONE function while this operator's
+    // index/join shape — the part that must scale — stays. 100 TB
+    // shape: decode/sample are partition-local batch passes; the ONE
+    // shuffle keys on the 60-bit frame hash (the inverted index both
+    // self-join sides read from cache); pair aggregation is
+    // pair-keyed; never all-pairs. ----
+    QueryDef("q197_frame_dedup", frameDedupOracle) { (s, dir) =>
+      val base = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+        .persist() // feeds both sides of the predecessor alias join
+      val m = base
+        .join(base.select((col("doc_id") + 1).as("doc_id"), col("text").as("ptext")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(when(col("doc_id") % 10 === 9, col("ptext")), col("text")).as("pt"))
+      val media = m.select(col("doc_id"),
+        encode(col("pt"), "UTF-8").as("payload"), lit("mp4").as("format"))
+      val fr = graft.pipeline.Multimodal.sampleFramesDf(media, 128, 2)
+        .select(col("doc_id"), col("frame_hash"))
+        .persist() // the frame inverted index; feeds both self-join sides
+      fr.as("a").join(fr.as("b"),
+          col("a.frame_hash") === col("b.frame_hash")
+            && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 
@@ -2804,6 +2846,33 @@ object Pipeline {
         |  CAST(sum((ls + 1) * doc_id) AS BIGINT) AS boundary_checksum
         |FROM segs GROUP BY source, chunk
         |ORDER BY source, chunk""".stripMargin
+
+  /** DuckDB mirror of q197: replays the payload aliasing, the stub
+    * frame-count arithmetic (1 + h1 mod 7, every-2nd sampled) and the
+    * md5-keyed frame hash, then the same shared-frame pair rule. */
+  private def frameDedupOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |m AS (
+      |  SELECT b.doc_id,
+      |    COALESCE(CASE WHEN b.doc_id % 10 = 9 THEN p.text END, b.text) AS pt
+      |  FROM base b LEFT JOIN base p ON p.doc_id = b.doc_id - 1),
+      |f AS (
+      |  SELECT doc_id, md5(pt) AS ph,
+      |    ('0x' || substr(md5(pt), 1, 8))::BIGINT AS h1
+      |  FROM m),
+      |n AS (SELECT doc_id, ph, 1 + h1 % 7 AS nf FROM f),
+      |fr AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(ph || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS fh
+      |  FROM n, unnest(generate_series(1, nf, 2)) AS u(i)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |  FROM fr a JOIN fr b ON a.fh = b.fh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+      |FROM pairs
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** DuckDB mirror of q196: the generated chain, a usage CTE (replace-
     * count over the final tokenizations × stored freq), and 24

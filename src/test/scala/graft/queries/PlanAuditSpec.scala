@@ -175,7 +175,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the cached derived frame, not recompute the corpus scan + kernel.
     // (q76 shares the pattern but its returned plan is a checkpointed
     // leaf — the loop runs at build time — so it can't be asserted here.)
-    for (q <- Seq("q41_near_dup", "q44_simhash", "q54_embedding_near_dup")) {
+    // q197's frame inverted index shares the shape: the mapPartitions
+    // decode/sample pass is the expensive producer, and both pair-join
+    // sides must read its cache.
+    for (q <- Seq("q41_near_dup", "q44_simhash", "q54_embedding_near_dup",
+        "q197_frame_dedup")) {
       val plan = Registry.byName(q).build(spark, sfDir)
         .queryExecution.executedPlan.toString
       val imts = plan.split("\n").count(_.contains("InMemoryTableScan"))

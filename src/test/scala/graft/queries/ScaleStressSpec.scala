@@ -408,7 +408,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q196 (round 15): usage/prune/re-tokenize are all vocab-sized
     // probes of the stored model; one corpus join for the report;
     // output stays #langs rows
-    "q196_vocab_prune")
+    "q196_vocab_prune",
+    // q197 (round 15): decode/sample are partition-local; the frame
+    // index join is hash-keyed; the copy-renamed texts keep payloads
+    // (and so the planted re-upload pairs) within-copy — output grows
+    // ~10x linearly
+    "q197_frame_dedup")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
