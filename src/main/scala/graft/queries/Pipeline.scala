@@ -2783,6 +2783,48 @@ object Pipeline {
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- q198 (round 15): COLLOCATION MINING (pointwise mutual
+    // information) — the corpus-linguistics table behind tokenizer
+    // seeding, stop-phrase lists, and multi-word-expression detection
+    // (q103 models bigram TRANSITIONS for perplexity; PMI asks the
+    // inverse question — which adjacent pairs co-occur far above
+    // chance): pmi = ln(c_xy·N / (c_x·c_y)) over adjacent-pair and
+    // unigram counts, support-filtered at c_xy ≥ 5, rounded ONCE to
+    // integer micros (the q96 rule — ln of a quotient of exact
+    // integers), top-40 by (pmi, pair). 100 TB shape: pair extraction
+    // is scan-local (one transform over the word array, no
+    // self-join); the bigram and unigram aggregates are the two
+    // keyed shuffles; unigram counts are vocab-sized broadcasts back
+    // onto the bigram table; N rides the audited 1-row broadcast;
+    // the top-40 is a TakeOrdered over the support-filtered
+    // vocab²-bounded table. ----
+    QueryDef("q198_collocations", collocationsOracle) { (s, dir) =>
+      val base = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(split(lower(col("text")), " ").as("ws"))
+        .persist() // feeds the bigram AND unigram extractions
+      val bigrams = base.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> " +
+            "struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2))"))
+          .as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      val uni = base.select(explode(col("ws")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = base
+        .agg(sum(greatest(size(col("ws")) - 1, lit(0))).cast(LongType).as("n"))
+      bigrams.filter(col("c_xy") >= 5)
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_x"))), Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_y"))), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          expr("cast(round(ln((c_xy * n) / cast(c_x * c_y as double)) * 1000000, 0) as bigint)")
+            .as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+        .limit(40)
     }
   )
 
@@ -2846,6 +2888,34 @@ object Pipeline {
         |  CAST(sum((ls + 1) * doc_id) AS BIGINT) AS boundary_checksum
         |FROM segs GROUP BY source, chunk
         |ORDER BY source, chunk""".stripMargin
+
+  /** DuckDB mirror of q198: same adjacent-pair extraction, same
+    * support filter, same once-rounded integer-micro PMI, same
+    * (pmi, pair) top-40. */
+  private def collocationsOracle: String =
+    """WITH w AS (
+      |  SELECT string_split(lower(text), ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |big AS (
+      |  SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS c_xy
+      |  FROM w, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+      |  WHERE len(ws) >= 2
+      |  GROUP BY 1, 2),
+      |uni AS (
+      |  SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM w)
+      |  GROUP BY w),
+      |tot AS (
+      |  SELECT CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) AS n FROM w)
+      |SELECT b.w1, b.w2, b.c_xy,
+      |  CAST(round(ln((b.c_xy * tot.n) / CAST(ux.c * uy.c AS DOUBLE)) * 1000000, 0)
+      |       AS BIGINT) AS pmi_micro
+      |FROM big b
+      |JOIN uni ux ON ux.w = b.w1
+      |JOIN uni uy ON uy.w = b.w2
+      |CROSS JOIN tot
+      |WHERE b.c_xy >= 5
+      |ORDER BY pmi_micro DESC, b.w1, b.w2
+      |LIMIT 40""".stripMargin
 
   /** DuckDB mirror of q197: replays the payload aliasing, the stub
     * frame-count arithmetic (1 + h1 mod 7, every-2nd sampled) and the

@@ -113,7 +113,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q196 cross-joins its 1-row corpus-token total into the 24-row
     // merge table, and folds the pruned rule list as the same 1-row
     // broadcast array as q151/q177.
-    "q196_vocab_prune")
+    "q196_vocab_prune",
+    // q198 cross-joins its 1-row bigram total into the support-filtered
+    // collocation table — the q96/q133 corpus-stats shape.
+    "q198_collocations")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.

@@ -413,7 +413,11 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // index join is hash-keyed; the copy-renamed texts keep payloads
     // (and so the planted re-upload pairs) within-copy — output grows
     // ~10x linearly
-    "q197_frame_dedup")
+    "q197_frame_dedup",
+    // q198 (round 15): pair extraction scan-local; two keyed
+    // aggregates grow 10x in rows AND keys (disjoint copy alphabets);
+    // unigram joins broadcast; output pinned at 40 rows
+    "q198_collocations")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
