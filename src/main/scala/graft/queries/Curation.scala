@@ -30,10 +30,16 @@ object Curation {
   /** The deterministic doc_id-keyed PII injection (q181's derived
     * corpus), shared with q190's ingest-side feed so the streaming
     * redactor sees the identical payloads the oracle recomputes. */
-  private[queries] def piiInjectedText: org.apache.spark.sql.Column = {
+  private[queries] def piiInjectedText: org.apache.spark.sql.Column =
+    piiInjectedOn(col("text"))
+
+  /** Same injection over an arbitrary text column (q200 injects into the
+    * markup-extracted body instead of the raw text). */
+  private[queries] def piiInjectedOn(
+      textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val idStr = col("doc_id").cast(StringType)
     concat(
-      col("text"),
+      textCol,
       when(col("doc_id") % 4 === 0,
         concat(lit(" contact user"), idStr, lit("@ex-mail.org for access")))
         .when(col("doc_id") % 4 === 1,
@@ -55,6 +61,10 @@ object Curation {
         regexp_replace(c, EmailPat, "<EMAIL>"),
         SsnPat, "<SSN>"),
       PhonePat, "<PHONE>")
+
+  /** The injection as oracle SQL over an arbitrary text expression. */
+  private[queries] def piiInjectSqlOn(textExpr: String): String =
+    PiiInjectSql.replace("text ||", s"$textExpr ||")
 
   /** The injection as oracle SQL over (doc_id, text) — interpolated into
     * both q181's and q190's DuckDB mirrors. */
@@ -510,6 +520,58 @@ object Curation {
               .cast(LongType), lit(1000000007L))).otherwise(lit(0L)))
             .cast(LongType).as("added_checksum"))
         .orderBy(col("source"))
+    },
+
+    // ---- q199 (round 15): PER-SOURCE DATA CARD — the one-page
+    // artifact that SHIPS with a dataset release (Datasheets for
+    // Datasets / model-card practice, public): per source, the facts
+    // a consumer checks before training — volume (docs/tokens/mean
+    // length), quality (mean distinct-token ratio in integer micros),
+    // exact-duplicate exposure (docs whose full-text digest appears
+    // more than once CORPUS-wide — cross-source copies count, which
+    // is why the dup profile is a corpus question, not a per-source
+    // one), and language composition (modal lang + its share, argmax
+    // via struct-max with the deterministic tie rule). Composes the
+    // repo's primitive metrics into the governance summary table —
+    // every number integer or once-rounded, so the card itself is
+    // hash-gated like any operator. 100 TB shape: ONE corpus scan
+    // (persisted) feeds the digest dedup, the lang mode, and the
+    // per-source rollup; the dup set is a digest-keyed aggregate
+    // whose >1 survivors are broadcast back; output #sources rows. ----
+    QueryDef("q199_data_card", dataCardOracle) { (s, dir) =>
+      val base = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("ws", split(lower(col("text")), " "))
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(col("ws")).cast(LongType).as("n_tok"),
+          expr("CAST(round(CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws) * 1000000, 0) AS BIGINT)")
+            .as("score_micro"),
+          md5(col("text")).as("dg"))
+        .persist() // one corpus scan feeds dup set, lang mode, rollup
+      val dupDigests = base.groupBy(col("dg"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("dg"))
+      val flagged = base.join(broadcast(dupDigests).withColumn("isdup", lit(1L)),
+        Seq("dg"), "left")
+      val langMode = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("lc"))
+        .groupBy(col("source"))
+        .agg(max(struct(col("lc"), col("lang"))).as("m"))
+        .select(col("source"), col("m.lang").as("top_lang"),
+          col("m.lc").as("top_lang_docs"))
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast(LongType).as("n_tokens"),
+          sum(col("score_micro")).as("sq"),
+          sum(coalesce(col("isdup"), lit(0L))).cast(LongType).as("dup_docs"))
+        .join(langMode, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens DIV n_docs").as("avg_tokens"),
+          expr("sq DIV n_docs").as("mean_quality_micro"),
+          col("dup_docs"),
+          expr("(dup_docs * 1000000) DIV n_docs").as("dup_rate_micro"),
+          col("top_lang"),
+          expr("(top_lang_docs * 1000000) DIV n_docs").as("top_lang_share_micro"))
+        .orderBy(col("source"))
     }
   )
 
@@ -532,6 +594,41 @@ object Curation {
        |        '$PhonePat', '<PHONE>', 'g')) AS redacted_md5
        |FROM pii
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of q199: same corpus-wide digest dup set, same
+    * struct-max lang argmax, same integer-micro card arithmetic. */
+  private def dataCardOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, lang,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+      |    CAST(round(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+      |         / len(string_split(lower(text), ' ')) * 1000000, 0) AS BIGINT) AS score_micro,
+      |    md5(text) AS dg
+      |  FROM documents WHERE text IS NOT NULL),
+      |dups AS (SELECT dg FROM base GROUP BY dg HAVING count(*) > 1),
+      |flagged AS (
+      |  SELECT base.*, CASE WHEN dups.dg IS NOT NULL THEN 1 ELSE 0 END AS isdup
+      |  FROM base LEFT JOIN dups ON base.dg = dups.dg),
+      |lm AS (
+      |  SELECT source, max(struct_pack(lc := lc, lang := lang)) AS m FROM (
+      |    SELECT source, lang, CAST(count(*) AS BIGINT) AS lc
+      |    FROM base GROUP BY 1, 2)
+      |  GROUP BY source),
+      |agg AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(sum(score_micro) AS BIGINT) AS sq,
+      |    CAST(sum(isdup) AS BIGINT) AS dup_docs
+      |  FROM flagged GROUP BY source)
+      |SELECT a.source, a.n_docs, a.n_tokens,
+      |  a.n_tokens // a.n_docs AS avg_tokens,
+      |  a.sq // a.n_docs AS mean_quality_micro,
+      |  a.dup_docs,
+      |  (a.dup_docs * 1000000) // a.n_docs AS dup_rate_micro,
+      |  lm.m.lang AS top_lang,
+      |  (lm.m.lc * 1000000) // a.n_docs AS top_lang_share_micro
+      |FROM agg a JOIN lm ON lm.source = a.source
+      |ORDER BY a.source""".stripMargin
 
   /** DuckDB mirror of q195: same derived snapshots, same digest-based
     * change detection, same added-set checksum. */

@@ -2825,6 +2825,59 @@ object Pipeline {
             .as("pmi_micro"))
         .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
         .limit(40)
+    },
+
+    // ---- q200 (round 15): CRAWL → TRAINING SHARDS, end to end — the
+    // round's capstone funnel (q149 chains four curation stages; this
+    // chains the ROUND'S new layers into the full release path): raw
+    // markup (q174's derived crawl) → `graft_html_text` extraction →
+    // PII injection + redaction (q181's shared helpers, so governance
+    // provably ran inside the funnel) → quality gate (≥ 20 words,
+    // distinct-token ratio ≥ 0.45) → exact dedup (digest keep-first)
+    // → q182's 16-shard export manifest, whose per-shard digest now
+    // covers doc_id AND the final content digest of every surviving
+    // document — ONE hash pins SIX stages: a drifting tag stripper, a
+    // missed redaction, a wrong gate cut, a lost duplicate, or a
+    // reshuffled shard all fail the same check. 100 TB shape: stages
+    // 1–4 are perfectly scan-local codegen (kernel + regexp chains +
+    // ratio arithmetic); dedup is one digest-keyed window; the
+    // manifest is the one export shuffle — the same end-to-end shape
+    // a production release run has. ----
+    QueryDef("q200_crawl_to_shards", crawlToShardsOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val extracted = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("html", expr(htmlCaseSql))
+        .select(col("doc_id"), expr("graft_html_text(html)").as("b0"))
+      val redacted = extracted
+        .select(col("doc_id"),
+          Curation.redactPii(Curation.piiInjectedOn(col("b0"))).as("t"))
+      val gated = redacted
+        .withColumn("ws", split(col("t"), " "))
+        .filter(size(col("ws")) >= 20 &&
+          expr("CAST(round(CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws) * 1000000, 0) AS BIGINT)") >= 450000)
+      val wKeep = Window.partitionBy(md5(col("t"))).orderBy(col("doc_id"))
+      val kept = gated
+        .withColumn("rn", row_number().over(wKeep)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("t"),
+          size(col("ws")).cast(LongType).as("n_tok"),
+          length(col("t")).cast(LongType).as("n_chr"))
+      val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType)
+      kept
+        .select(col("doc_id"), col("n_tok"), col("n_chr"), h.as("h"),
+          concat(col("doc_id").cast(StringType), lit(":"), md5(col("t"))).as("entry"))
+        .withColumn("shard", pmod(col("h"), lit(16L)))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast(LongType).as("n_tokens"),
+          sum(col("n_chr")).cast(LongType).as("n_chars"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(struct(col("h"), col("doc_id"), col("entry")))),
+              x => x.getField("entry")),
+            ",")).as("manifest_md5"))
+        .orderBy(col("shard"))
     }
   )
 
@@ -2888,6 +2941,57 @@ object Pipeline {
         |  CAST(sum((ls + 1) * doc_id) AS BIGINT) AS boundary_checksum
         |FROM segs GROUP BY source, chunk
         |ORDER BY source, chunk""".stripMargin
+
+  /** DuckDB mirror of q200: q174's regex extraction chain + q181's
+    * injection/redaction (shared constants) + the gate + digest
+    * keep-first + q182's manifest, composed into ONE query. */
+  private def crawlToShardsOracle: String =
+    s"""WITH h0 AS (
+       |  SELECT doc_id, $htmlCaseSql AS html
+       |  FROM documents WHERE text IS NOT NULL),
+       |x AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(
+       |      replace(replace(replace(replace(replace(replace(
+       |        regexp_replace(regexp_replace(regexp_replace(html,
+       |          '(?is)<script[^>]*>.*?</script>', '', 'g'),
+       |          '(?is)<style[^>]*>.*?</style>', '', 'g'),
+       |          '<[^>]*>', ' ', 'g'),
+       |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+       |      '[ \\t\\r\\n]+', ' ', 'g')) AS b0
+       |  FROM h0),
+       |r AS (
+       |  SELECT doc_id,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          ${Curation.piiInjectSqlOn("b0")},
+       |          '${Curation.EmailPat}', '<EMAIL>', 'g'),
+       |        '${Curation.SsnPat}', '<SSN>', 'g'),
+       |      '${Curation.PhonePat}', '<PHONE>', 'g') AS t
+       |  FROM x),
+       |g AS (
+       |  SELECT doc_id, t, string_split(t, ' ') AS ws FROM r
+       |  WHERE len(string_split(t, ' ')) >= 20 AND
+       |    CAST(round(CAST(len(list_distinct(string_split(t, ' '))) AS DOUBLE)
+       |         / len(string_split(t, ' ')) * 1000000, 0) AS BIGINT) >= 450000),
+       |k AS (
+       |  SELECT doc_id, t, CAST(len(ws) AS BIGINT) AS n_tok,
+       |    CAST(length(t) AS BIGINT) AS n_chr,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+       |  FROM g),
+       |e AS (
+       |  SELECT doc_id, n_tok, n_chr,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+       |    CAST(doc_id AS VARCHAR) || ':' || md5(t) AS entry
+       |  FROM k WHERE rn = 1)
+       |SELECT h % 16 AS shard, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chr) AS BIGINT) AS n_chars,
+       |  md5(string_agg(entry, ',' ORDER BY h, doc_id)) AS manifest_md5
+       |FROM e GROUP BY 1
+       |ORDER BY shard""".stripMargin
 
   /** DuckDB mirror of q198: same adjacent-pair extraction, same
     * support filter, same once-rounded integer-micro PMI, same

@@ -417,7 +417,16 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q198 (round 15): pair extraction scan-local; two keyed
     // aggregates grow 10x in rows AND keys (disjoint copy alphabets);
     // unigram joins broadcast; output pinned at 40 rows
-    "q198_collocations")
+    "q198_collocations",
+    // q199 (round 15): one persisted corpus scan feeds the digest
+    // dedup, the lang mode, and the rollup; the dup set is a
+    // digest-keyed aggregate broadcast back; output stays #sources
+    // rows at any corpus
+    "q199_data_card",
+    // q200 (round 15): extraction/redaction/gate are scan-local
+    // codegen; dedup one digest-keyed window; the manifest is the one
+    // export shuffle; output stays 16 shard rows at any corpus
+    "q200_crawl_to_shards")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
