@@ -2673,7 +2673,7 @@ object Analytics {
          |    unnest(generate_series(0, n_chunks - 1)) AS u(ci)),
          |postings AS (
          |  SELECT DISTINCT doc_id, w FROM (
-         |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+         |    SELECT doc_id, ${Pipeline.wordFeatOracleSql} AS w
          |    FROM documents WHERE text IS NOT NULL)
          |  WHERE len(w) > 0),
          |a AS (
@@ -2696,7 +2696,7 @@ object Analytics {
         .select(col("doc_id"), explode(sequence(lit(0L), col("n_chunks") - 1)).as("ci"))
         .select(col("doc_id"))
       val postings = docs.filter(col("text").isNotNull)
-        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+        .select(col("doc_id"), explode(Pipeline.wordFeatCol(s)).as("w"))
         .filter(length(col("w")) > 0)
         .select(col("doc_id"), col("w")).distinct()
         .select(col("doc_id"))
@@ -2778,10 +2778,14 @@ object Analytics {
           .unionByName(edges.select(col("v").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("dg"))
         val bad = deg.filter(col("dg") < 3).select(col("node"))
+        // UNHINTED anti-joins (r15 VERDICT #3): at "nodes = hosts"
+        // scale the early peel sets are a large fraction of all nodes —
+        // not broadcast-sized. AQE broadcasts on its own when the peel
+        // set is actually small (as here, ≤ #nations rows).
         if (bad.isEmpty) done = true
         else edges = edges
-          .join(broadcast(bad.select(col("node").as("u"))), Seq("u"), "left_anti")
-          .join(broadcast(bad.select(col("node").as("v"))), Seq("v"), "left_anti")
+          .join(bad.select(col("node").as("u")), Seq("u"), "left_anti")
+          .join(bad.select(col("node").as("v")), Seq("v"), "left_anti")
           .localCheckpoint()
         rounds += 1
       }

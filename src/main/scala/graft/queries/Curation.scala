@@ -537,7 +537,11 @@ object Curation {
     // hash-gated like any operator. 100 TB shape: ONE corpus scan
     // (persisted) feeds the digest dedup, the lang mode, and the
     // per-source rollup; the dup set is a digest-keyed aggregate
-    // whose >1 survivors are broadcast back; output #sources rows. ----
+    // joined back UNHINTED on the 16-byte digest key — on a real
+    // crawl duplicates are routinely 20-50% of documents, so a
+    // broadcast hint here would driver-materialize gigabytes; AQE
+    // picks broadcast on its own when the set is actually small
+    // (r15 VERDICT #2). Output #sources rows. ----
     QueryDef("q199_data_card", dataCardOracle) { (s, dir) =>
       val base = T(s, dir, "documents")
         .filter(col("text").isNotNull)
@@ -550,7 +554,7 @@ object Curation {
         .persist() // one corpus scan feeds dup set, lang mode, rollup
       val dupDigests = base.groupBy(col("dg"))
         .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("dg"))
-      val flagged = base.join(broadcast(dupDigests).withColumn("isdup", lit(1L)),
+      val flagged = base.join(dupDigests.withColumn("isdup", lit(1L)),
         Seq("dg"), "left")
       val langMode = base.groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("lc"))

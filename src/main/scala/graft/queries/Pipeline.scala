@@ -1820,7 +1820,7 @@ object Pipeline {
       val words = T(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"), col("lang"),
-          explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+          explode(wordFeatCol(s)).as("w"))
         .filter(length(col("w")) > 0)
         .select(col("doc_id"), col("lang"),
           pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType),
@@ -1884,7 +1884,7 @@ object Pipeline {
       val isEval = col("doc_id") % 5 === 0
       val words = d.filter(col("text").isNotNull)
         .select(col("doc_id"), col("lang"),
-          explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+          explode(wordFeatCol(s)).as("w"))
         .filter(length(col("w")) > 0)
         .select(col("doc_id"), col("lang"),
           pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType),
@@ -1950,7 +1950,7 @@ object Pipeline {
       val words = T(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("lang"),
-          explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+          explode(wordFeatCol(s)).as("w"))
         .filter(length(col("w")) > 0)
       val tf = words.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("tf"))
       val f = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
@@ -3206,11 +3206,11 @@ object Pipeline {
     * prior rounded once to micros, same miss-weight fill, argmax ties
     * to the larger class (the struct-max order). */
   private def nbClassifierOracle: String =
-    """WITH words AS (
+    s"""WITH words AS (
       |  SELECT doc_id, lang,
       |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 4096 AS b
       |  FROM (SELECT doc_id, lang,
-      |          unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+      |          $wordFeatOracleSql AS w
       |        FROM documents WHERE text IS NOT NULL)
       |  WHERE len(w) > 0),
       |train AS (SELECT * FROM words WHERE doc_id % 5 <> 0),
@@ -3257,9 +3257,9 @@ object Pipeline {
   /** DuckDB mirror of q158: same integer-micro ln(1 + A/f) weight
     * (rounded before the tf multiply), same rank tie-break. */
   private def ctfidfOracle: String =
-    """WITH words AS (
+    s"""WITH words AS (
       |  SELECT lang, w FROM (
-      |    SELECT lang, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+      |    SELECT lang, $wordFeatOracleSql AS w
       |    FROM documents WHERE text IS NOT NULL)
       |  WHERE len(w) > 0),
       |tf AS (SELECT lang, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
@@ -3352,6 +3352,25 @@ object Pipeline {
     * of contributing zero tokens (the r14 a-z0-9-only gap). */
   private[graft] def bpeWordsCol(s: SparkSession): Column =
     split(bpeTextCol(s), "[^\\p{L}\\p{N}]+")
+
+  /** Unicode word features for the hashed-feature family (q155 DSIR,
+    * q157 NB classifier, q158 c-TF-IDF, q161 postings): NFC-normalized
+    * lowercase text split on [^\p{L}\p{N}]+ — the BPE family's rule
+    * (r14 #2) applied corpus-wide, so non-Latin scripts carry features
+    * instead of hashing to nothing (the r15 ASCII-only split made
+    * domain selection and classification vacuous for exactly the
+    * under-represented scripts these operators exist to serve). */
+  private[graft] def wordFeatCol(s: SparkSession): Column = {
+    graft.functions.GraftFunctions.register(s)
+    split(expr("graft_nfc(lower(text))"), "[^\\p{L}\\p{N}]+")
+  }
+
+  /** DuckDB twin of wordFeatCol's explode: RE2 accepts the same
+    * \p{L}\p{N} property classes and nfc_normalize matches graft_nfc
+    * (agreement spot-validated on Hangul/umlauts by q141), so the two
+    * engines tokenize multilingual text identically. */
+  private[graft] def wordFeatOracleSql: String =
+    """unnest(string_split_regex(nfc_normalize(lower(text)), '[^\p{L}\p{N}]+'))"""
 
   /** Corpus -> corpus-weighted word histogram (the one corpus-sized step
     * of the BPE family; everything downstream is vocab-sized). */
@@ -3857,11 +3876,11 @@ object Pipeline {
     * md5 rule mod 1024), same add-1-smoothed log-ratio rounded once to
     * integer micro-units, same order-free integer per-doc sum. */
   private def dsirOracle: String =
-    """WITH words AS (
+    s"""WITH words AS (
       |  SELECT doc_id, lang,
       |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS b
       |  FROM (SELECT doc_id, lang,
-      |          unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+      |          $wordFeatOracleSql AS w
       |        FROM documents WHERE text IS NOT NULL)
       |  WHERE len(w) > 0),
       |tgt AS (SELECT b, COUNT(*) AS ct FROM words WHERE doc_id % 20 = 0 GROUP BY b),

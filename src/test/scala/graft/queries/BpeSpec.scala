@@ -237,4 +237,40 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).toSeq
     assert(a === b)
   }
+
+  // ---- r16: the unicode word-feature rule (wordFeatCol) shared by the
+  // hashed-feature family q155/q157/q158/q161 — the r15 VERDICT #1 fix.
+  // Under the old [^a-z0-9]+ split, every document below tokenized to
+  // zero features (domain selection / classification were vacuous for
+  // non-Latin scripts); the \p{L}\p{N} rule must carry real features.
+
+  test("wordFeatCol: non-Latin documents carry features, NFC-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nfdCafe = "café bar"          // 'e' + combining acute
+    val nfcCafe = "café bar"                // precomposed
+    val rows = Seq(
+      (1L, "中文文本 处理"),          // Chinese
+      (2L, "русский текст"), // Russian
+      (3L, "ελληνικά"),  // Greek
+      (4L, "한국어 문서"),                 // Hangul
+      (5L, nfdCafe),
+      (6L, nfcCafe))
+      .toDF("doc_id", "text")
+    val feats = rows
+      .select(col("doc_id"), explode(Pipeline.wordFeatCol(spark)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), collect_list(col("w")).as("ws"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[String](2).toSet))
+      .toMap
+    // Every script yields at least one feature (the r15 defect yielded 0).
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(feats(id)._1 >= 1, s"doc $id carries no features")
+    }
+    // NFC canonicalization: decomposed and precomposed text produce the
+    // SAME feature set, so hashed buckets agree across input encodings.
+    assert(feats(5L)._2 === feats(6L)._2)
+    assert(feats(5L)._2.contains("café"))
+  }
 }

@@ -416,6 +416,66 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"dim was broadcast — salted shuffle profile not exercised:\n$plan")
   }
 
+  test("no broadcast() hint wraps a corpus-derived frame (r15 VERDICT #2/#3 class pin)") {
+    // A broadcast() hint is a claim: "this frame is CONSTANT-BOUNDED —
+    // its size does not grow with the corpus" (1-row totals, dictionary
+    // tables, sketch models, ≤#nations dims). r15 shipped two hints that
+    // broke the claim (q199's duplicate-digest set, q194's peel sets —
+    // both corpus-fraction-sized at the 100 TB target). This audit makes
+    // the class unrepresentable: every broadcast(<ident>) site in the
+    // query sources must be allowlisted here, with the reviewer asserting
+    // the bound when adding it. Names are per-file so a new site cannot
+    // silently ride an old justification from another file.
+    val allowed: Map[String, Set[String]] = Map(
+      "Analytics.scala" -> Set(
+        // 1-row corpus totals / audited stats
+        "tot", "total", "stats", "st", "t", "m", "m1", "md", "c0",
+        // sketch models (bloom bitmap, CMS map, centroids, LUT, markov
+        // model, lang profile) — kilobytes by construction
+        "bloomMap", "cms", "model", "lut", "q", "b", "df",
+        // dimension tables (≤#nations / ≤#customers-dict rows)
+        "nation", "cust", "supp", "nodes", "deg", "offsets",
+        // request-sized sets (deletion cohort, SCD2 affected keys,
+        // orphan FK sample, dup-cluster reps, event-window bounds)
+        "del", "affected", "orphans", "dups", "cb"),
+      "Curation.scala" -> Set(
+        // 1-row batch counts / lattice minima; #buckets dictionary
+        "tot", "nb", "gN", "mins", "bCounts"),
+      "Pipeline.scala" -> Set(
+        // 1-row totals and corpus stats
+        "tot", "totS", "totT", "totals", "dTot", "n", "sw", "truthTotal",
+        "stats", "quota", "cuts", "prior",
+        // query vectors / eval probes / benchmark sets (request-sized)
+        "q", "qb", "probe", "bench", "benchSet", "benchHashes", "ids",
+        "leaky", "grams", "best", "plan",
+        // models: centroids, codebooks, merge arrays, vocab, dictionaries
+        "cent", "dict", "df", "keptArr", "mergesArr", "prof", "ratio",
+        "uni", "vocab", "wts"),
+      "Relational.scala" -> Set("n", "p", "r"), // TPC-H dims
+      "Streaming.scala" -> Set("mergesArr", "nation", "tombs"),
+      "Unigram.scala" -> Set("m", "st")) // piece/score models
+    val srcDirs = Seq(
+      new java.io.File("src/main/scala/graft/queries"),
+      new java.io.File("src/main/scala/graft/pipeline"))
+    val hintRe = "broadcast\\(([A-Za-z0-9_]+)".r
+    val offenders = for {
+      d <- srcDirs if d.isDirectory
+      f <- d.listFiles.toSeq if f.getName.endsWith(".scala")
+      src = scala.io.Source.fromFile(f, "UTF-8")
+      line <- try src.getLines().zipWithIndex.toList finally src.close()
+      if !line._1.trim.startsWith("//") && !line._1.trim.startsWith("*")
+      m <- hintRe.findAllMatchIn(line._1)
+      ident = m.group(1)
+      if !allowed.getOrElse(f.getName, Set.empty)(ident)
+    } yield s"${f.getName}:${line._2 + 1} broadcast($ident…)"
+    assert(offenders.isEmpty,
+      s"unreviewed broadcast() hints (add to the allowlist ONLY with a " +
+        s"constant-size argument):\n${offenders.mkString("\n")}")
+    // Direct regression pins for the two r15 findings: the de-hinted
+    // frames must never re-acquire a hint under their old names.
+    assert(!allowed("Curation.scala")("dupDigests") && !allowed("Analytics.scala")("bad"))
+  }
+
   test("co-located join: inputs pre-partitioned on the join key add no join-time shuffle") {
     import org.apache.spark.sql.functions.col
     // The pre-partitioning/bucketing pattern for repeated fact joins at
