@@ -137,7 +137,7 @@ object Curation {
     // the LAYOUT): each doc lands in shard h60(doc_id) mod 16, docs
     // within a shard are ordered by (hash, doc_id) — the same
     // content-free salted order q159 established — and the manifest
-    // row per shard carries doc/token/char counts, the running byte
+    // row per shard carries doc/token/byte counts, the running byte
     // offset of the shard in the concatenated export, and an
     // ORDER-SENSITIVE membership digest (md5 over the ordered doc_id
     // list), so a dropped doc, a reassigned doc, or a reordering
@@ -154,14 +154,19 @@ object Curation {
       val docs = T(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"), col("text"), h.as("h"), (h % Shards).as("shard"))
+      // n_bytes is the UTF-8 octet length (r15 ADVICE: length() counts
+      // code points, so the running offsets of any non-ASCII corpus
+      // would not match a real concatenated byte export; the export
+      // format is exact concatenation of document bytes, offsets in
+      // the manifest).
       val perShard = docs
         .select(col("shard"), col("h"), col("doc_id"),
           size(split(lower(col("text")), " ")).cast(LongType).as("n_tok"),
-          length(col("text")).cast(LongType).as("n_chr"))
+          expr("octet_length(text)").cast(LongType).as("n_byt"))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("n_tokens"),
-          sum(col("n_chr")).as("n_chars"),
+          sum(col("n_byt")).as("n_bytes"),
           md5(array_join(
             transform(
               array_sort(collect_list(struct(col("h"), col("doc_id")))),
@@ -172,8 +177,8 @@ object Curation {
       val w = Window.orderBy(col("shard"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
       perShard
-        .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_chars"),
-          coalesce(sum(col("n_chars")).over(w), lit(0L)).as("byte_offset"),
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bytes"),
+          coalesce(sum(col("n_bytes")).over(w), lit(0L)).as("byte_offset"),
           col("manifest_md5"))
         .orderBy(col("shard"))
     },
@@ -263,15 +268,19 @@ object Curation {
         .agg(md5(array_join(
           transform(array_sort(collect_list(struct(col("k"), col("w")))),
             x => x.getField("w")), " ")).as("input_md5"))
+      // Target stream key is the STRUCT (span_k, pos) — sentinels sort
+      // first within their span at pos 0 (r15 ADVICE: the former packed
+      // span_k*1e6+pos integer silently misordered docs with >= 1e6
+      // token positions; the struct key has no document-length bound).
       val targetRows = words.filter(col("masked"))
         .join(spans.select(col("doc_id"), col("block"), col("span_k")),
           Seq("doc_id", "block"))
-        .select(col("doc_id"), (col("span_k") * 1000000 + col("pos")).as("k"), col("w"))
-        .unionByName(spans.select(col("doc_id"), (col("span_k") * 1000000).as("k"),
-          sentinel.as("w")))
+        .select(col("doc_id"), col("span_k").as("k1"), col("pos").as("k2"), col("w"))
+        .unionByName(spans.select(col("doc_id"), col("span_k").as("k1"),
+          lit(0L).as("k2"), sentinel.as("w")))
       val targetAgg = targetRows.groupBy(col("doc_id"))
         .agg(md5(array_join(
-          transform(array_sort(collect_list(struct(col("k"), col("w")))),
+          transform(array_sort(collect_list(struct(col("k1"), col("k2"), col("w")))),
             x => x.getField("w")), " ")).as("target_md5"))
       val spanStats = spans.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"), sum(col("n_in_span")).cast(LongType).as("n_masked"))
@@ -363,8 +372,12 @@ object Curation {
       tok.crossJoin(broadcast(tot))
         .select(col("source"), col("tokens"),
           expr("(total * 3) DIV ns").as("target_tokens"),
-          expr("least(4000000, ((total * 3) DIV ns) * 1000000 DIV tokens)")
-            .as("epochs_micro"))
+          // Zero-guarded (r15 ADVICE): a source whose docs are all
+          // empty has tokens = 0 — Spark DIV yields NULL, DuckDB //
+          // errors; both engines now agree on 0 epochs.
+          when(col("tokens") > 0,
+            expr("least(4000000, ((total * 3) DIV ns) * 1000000 DIV tokens)"))
+            .otherwise(lit(0L)).as("epochs_micro"))
         .select(col("source"), col("tokens"), col("target_tokens"),
           col("epochs_micro"),
           expr("(tokens * epochs_micro) DIV 1000000").as("effective_tokens"),
@@ -741,8 +754,9 @@ object Curation {
        |a AS (
        |  SELECT tok.source, tok.tokens,
        |    (tot.total * 3) // tot.ns AS target_tokens,
-       |    least(4000000, ((tot.total * 3) // tot.ns) * 1000000 // tok.tokens)
-       |      AS epochs_micro
+       |    CASE WHEN tok.tokens > 0 THEN
+       |      least(4000000, ((tot.total * 3) // tot.ns) * 1000000 // tok.tokens)
+       |      ELSE 0 END AS epochs_micro
        |  FROM tok, tot)
        |SELECT source, tokens, target_tokens, epochs_micro,
        |  (tokens * epochs_micro) // 1000000 AS effective_tokens,
@@ -844,14 +858,14 @@ object Curation {
        |  SELECT doc_id, md5(string_agg(wd, ' ' ORDER BY k)) AS input_md5
        |  FROM input_rows GROUP BY doc_id),
        |target_rows AS (
-       |  SELECT m.doc_id, s.span_k * 1000000 + m.pos AS k, m.wd
+       |  SELECT m.doc_id, s.span_k AS k1, m.pos AS k2, m.wd
        |  FROM marked m JOIN spans s ON m.doc_id = s.doc_id AND m.block = s.block
        |  WHERE m.masked
        |  UNION ALL
-       |  SELECT doc_id, span_k * 1000000 AS k,
+       |  SELECT doc_id, span_k AS k1, CAST(0 AS BIGINT) AS k2,
        |    '<extra_id_' || CAST(span_k AS VARCHAR) || '>' AS wd FROM spans),
        |target_agg AS (
-       |  SELECT doc_id, md5(string_agg(wd, ' ' ORDER BY k)) AS target_md5
+       |  SELECT doc_id, md5(string_agg(wd, ' ' ORDER BY k1, k2)) AS target_md5
        |  FROM target_rows GROUP BY doc_id),
        |span_stats AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
@@ -879,16 +893,16 @@ object Curation {
        |s AS (
        |  SELECT doc_id, h, h % $Shards AS shard,
        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
-       |    CAST(length(text) AS BIGINT) AS n_chr
+       |    CAST(strlen(text) AS BIGINT) AS n_byt
        |  FROM d),
        |m AS (
        |  SELECT shard, count(*) AS n_docs,
        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-       |    CAST(sum(n_chr) AS BIGINT) AS n_chars,
+       |    CAST(sum(n_byt) AS BIGINT) AS n_bytes,
        |    md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id)) AS manifest_md5
        |  FROM s GROUP BY shard)
-       |SELECT shard, n_docs, n_tokens, n_chars,
-       |  COALESCE(CAST(sum(n_chars) OVER (ORDER BY shard
+       |SELECT shard, n_docs, n_tokens, n_bytes,
+       |  COALESCE(CAST(sum(n_bytes) OVER (ORDER BY shard
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS byte_offset,
        |  manifest_md5
        |FROM m

@@ -2056,7 +2056,13 @@ object Pipeline {
         .select(col("config"), col("n_candidates"), col("n_matched"),
           col("pool_matches"),
           expr("(n_matched * 1000000) DIV n_candidates").as("precision_micro"),
-          expr("(n_matched * 1000000) DIV pool_matches").as("recall_micro"))
+          // Zero-guarded (r15 ADVICE): a corpus where no pooled pair
+          // clears the Jaccard threshold has pool_matches = 0 — Spark
+          // DIV yields NULL, DuckDB // errors; both now agree on 0
+          // (q183's collision_micro convention).
+          when(col("pool_matches") > 0,
+            expr("(n_matched * 1000000) DIV pool_matches")).otherwise(lit(0L))
+            .as("recall_micro"))
         .orderBy(col("config"))
     },
 
@@ -2348,8 +2354,16 @@ object Pipeline {
           sum(coalesce(col("nch"), lit(0))).cast(LongType).as("n_chars"))
         .select(col("lang"), col("n_docs"), col("n_words"),
           col("n_tokens_bpe"), col("n_chars"),
-          expr("(n_tokens_bpe * 1000000) DIV n_words").as("fertility_micro"),
-          expr("(n_chars * 1000000) DIV n_tokens_bpe").as("chars_per_token_micro"))
+          // Zero-guarded (r15 ADVICE): a lang whose docs all tokenize
+          // empty reaches this projection with n_words = 0 through the
+          // left re-join — Spark's DIV would yield NULL where DuckDB's
+          // // errors; both engines now agree on 0.
+          when(col("n_words") > 0,
+            expr("(n_tokens_bpe * 1000000) DIV n_words")).otherwise(lit(0L))
+            .as("fertility_micro"),
+          when(col("n_tokens_bpe") > 0,
+            expr("(n_chars * 1000000) DIV n_tokens_bpe")).otherwise(lit(0L))
+            .as("chars_per_token_micro"))
         .orderBy(col("lang"))
     },
 
@@ -2478,8 +2492,15 @@ object Pipeline {
           sum(col("n_tok")).cast(LongType).as("n_tokens_bpe"))
         .select(col("lang"), col("n_words"), col("n_oov_words"),
           col("n_tokens_bpe"),
-          expr("(n_oov_words * 1000000) DIV n_words").as("oov_rate_micro"),
-          expr("(n_tokens_bpe * 1000000) DIV n_words").as("fertility_micro"))
+          // n_words >= 1 in every group by construction (inner join);
+          // guarded anyway so both engines agree on degenerate input
+          // (r15 ADVICE zero-guard rule).
+          when(col("n_words") > 0,
+            expr("(n_oov_words * 1000000) DIV n_words")).otherwise(lit(0L))
+            .as("oov_rate_micro"),
+          when(col("n_words") > 0,
+            expr("(n_tokens_bpe * 1000000) DIV n_words")).otherwise(lit(0L))
+            .as("fertility_micro"))
         .orderBy(col("lang"))
     },
 
@@ -2643,7 +2664,13 @@ object Pipeline {
         .select(col("config"), col("n_candidates"), col("n_matched"),
           col("pool_matches"),
           expr("(n_matched * 1000000) DIV n_candidates").as("precision_micro"),
-          expr("(n_matched * 1000000) DIV pool_matches").as("recall_micro"))
+          // Zero-guarded (r15 ADVICE): a corpus where no pooled pair
+          // clears the Jaccard threshold has pool_matches = 0 — Spark
+          // DIV yields NULL, DuckDB // errors; both now agree on 0
+          // (q183's collision_micro convention).
+          when(col("pool_matches") > 0,
+            expr("(n_matched * 1000000) DIV pool_matches")).otherwise(lit(0L))
+            .as("recall_micro"))
         .orderBy(col("config"))
     },
 
@@ -2739,7 +2766,11 @@ object Pipeline {
           max(col("n_kept")).cast(LongType).as("n_merges_kept"))
         .select(col("lang"), col("n_words"), col("n_tokens_full"),
           col("n_tokens_pruned"), col("n_merges_kept"),
-          expr("(n_tokens_pruned * 1000000) DIV n_tokens_full").as("cost_micro"))
+          // n_tokens_full >= 1 per group (inner join, >=1 token/word);
+          // guarded for cross-engine agreement on degenerate input.
+          when(col("n_tokens_full") > 0,
+            expr("(n_tokens_pruned * 1000000) DIV n_tokens_full")).otherwise(lit(0L))
+            .as("cost_micro"))
         .orderBy(col("lang"))
     },
 
@@ -3102,8 +3133,9 @@ object Pipeline {
          |  CAST(SUM(wt.n_tok) AS BIGINT) AS n_tokens_full,
          |  CAST(SUM(pt.n_tok) AS BIGINT) AS n_tokens_pruned,
          |  (SELECT CAST(SUM(kept) AS BIGINT) FROM keptm) AS n_merges_kept,
-         |  (CAST(SUM(pt.n_tok) AS BIGINT) * 1000000)
-         |    // CAST(SUM(wt.n_tok) AS BIGINT) AS cost_micro
+         |  CASE WHEN CAST(SUM(wt.n_tok) AS BIGINT) > 0 THEN
+         |    (CAST(SUM(pt.n_tok) AS BIGINT) * 1000000)
+         |      // CAST(SUM(wt.n_tok) AS BIGINT) ELSE 0 END AS cost_micro
          |FROM cw
          |JOIN wtok wt ON wt.w = cw.w
          |JOIN ptok pt ON pt.w = cw.w
@@ -3196,7 +3228,9 @@ object Pipeline {
        |  CAST(SUM(is_match) AS BIGINT) AS n_matched,
        |  pool_matches,
        |  (CAST(SUM(is_match) AS BIGINT) * 1000000) // COUNT(*) AS precision_micro,
-       |  (CAST(SUM(is_match) AS BIGINT) * 1000000) // pool_matches AS recall_micro
+       |  CASE WHEN pool_matches > 0 THEN
+       |    (CAST(SUM(is_match) AS BIGINT) * 1000000) // pool_matches
+       |    ELSE 0 END AS recall_micro
        |FROM pairs JOIN graded USING (doc_a, doc_b), tot
        |GROUP BY config, pool_matches
        |ORDER BY config""".stripMargin
@@ -3712,10 +3746,12 @@ object Pipeline {
         |  CAST(SUM(nw) AS BIGINT) AS n_words,
         |  CAST(SUM(nt) AS BIGINT) AS n_tokens_bpe,
         |  CAST(SUM(nch) AS BIGINT) AS n_chars,
-        |  (CAST(SUM(nt) AS BIGINT) * 1000000) // CAST(SUM(nw) AS BIGINT)
-        |    AS fertility_micro,
-        |  (CAST(SUM(nch) AS BIGINT) * 1000000) // CAST(SUM(nt) AS BIGINT)
-        |    AS chars_per_token_micro
+        |  CASE WHEN CAST(SUM(nw) AS BIGINT) > 0 THEN
+        |    (CAST(SUM(nt) AS BIGINT) * 1000000) // CAST(SUM(nw) AS BIGINT)
+        |    ELSE 0 END AS fertility_micro,
+        |  CASE WHEN CAST(SUM(nt) AS BIGINT) > 0 THEN
+        |    (CAST(SUM(nch) AS BIGINT) * 1000000) // CAST(SUM(nt) AS BIGINT)
+        |    ELSE 0 END AS chars_per_token_micro
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
   private def bpePackOracle: String =
@@ -3867,8 +3903,12 @@ object Pipeline {
          |SELECT lang, COUNT(*) AS n_words,
          |  CAST(SUM(oov) AS BIGINT) AS n_oov_words,
          |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens_bpe,
-         |  (CAST(SUM(oov) AS BIGINT) * 1000000) // COUNT(*) AS oov_rate_micro,
-         |  (CAST(SUM(n_tok) AS BIGINT) * 1000000) // COUNT(*) AS fertility_micro
+         |  CASE WHEN COUNT(*) > 0 THEN
+         |    (CAST(SUM(oov) AS BIGINT) * 1000000) // COUNT(*) ELSE 0 END
+         |    AS oov_rate_micro,
+         |  CASE WHEN COUNT(*) > 0 THEN
+         |    (CAST(SUM(n_tok) AS BIGINT) * 1000000) // COUNT(*) ELSE 0 END
+         |    AS fertility_micro
          |FROM f GROUP BY lang ORDER BY lang""".stripMargin
   }
 
@@ -4802,7 +4842,9 @@ object Pipeline {
        |  CAST(SUM(is_match) AS BIGINT) AS n_matched,
        |  pool_matches,
        |  (CAST(SUM(is_match) AS BIGINT) * 1000000) // COUNT(*) AS precision_micro,
-       |  (CAST(SUM(is_match) AS BIGINT) * 1000000) // pool_matches AS recall_micro
+       |  CASE WHEN pool_matches > 0 THEN
+       |    (CAST(SUM(is_match) AS BIGINT) * 1000000) // pool_matches
+       |    ELSE 0 END AS recall_micro
        |FROM pairs JOIN pool USING (doc_a, doc_b), tot
        |GROUP BY config, pool_matches
        |ORDER BY config""".stripMargin

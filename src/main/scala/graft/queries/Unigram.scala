@@ -267,9 +267,18 @@ object Unigram {
           sum(col("nu")).cast(LongType).as("n_tokens_uni"))
         .select(col("lang"), col("n_words"), col("n_tokens_bpe"),
           col("n_tokens_uni"),
-          expr("(n_tokens_bpe * 1000000) DIV n_words").as("bpe_fertility_micro"),
-          expr("(n_tokens_uni * 1000000) DIV n_words").as("uni_fertility_micro"),
-          expr("(n_tokens_uni * 1000000) DIV n_tokens_bpe").as("uni_vs_bpe_micro"))
+          // Divisors are >= 1 per group by construction (inner joins,
+          // >= 1 token/word); guarded anyway so both engines agree on
+          // degenerate corpora (r15 ADVICE zero-guard rule).
+          when(col("n_words") > 0,
+            expr("(n_tokens_bpe * 1000000) DIV n_words")).otherwise(lit(0L))
+            .as("bpe_fertility_micro"),
+          when(col("n_words") > 0,
+            expr("(n_tokens_uni * 1000000) DIV n_words")).otherwise(lit(0L))
+            .as("uni_fertility_micro"),
+          when(col("n_tokens_bpe") > 0,
+            expr("(n_tokens_uni * 1000000) DIV n_tokens_bpe")).otherwise(lit(0L))
+            .as("uni_vs_bpe_micro"))
         .orderBy(col("lang"))
     }
   )
@@ -398,12 +407,15 @@ object Unigram {
          |SELECT lang, CAST(SUM(nw) AS BIGINT) AS n_words,
          |  CAST(SUM(nb) AS BIGINT) AS n_tokens_bpe,
          |  CAST(SUM(nu) AS BIGINT) AS n_tokens_uni,
-         |  (CAST(SUM(nb) AS BIGINT) * 1000000) // CAST(SUM(nw) AS BIGINT)
-         |    AS bpe_fertility_micro,
-         |  (CAST(SUM(nu) AS BIGINT) * 1000000) // CAST(SUM(nw) AS BIGINT)
-         |    AS uni_fertility_micro,
-         |  (CAST(SUM(nu) AS BIGINT) * 1000000) // CAST(SUM(nb) AS BIGINT)
-         |    AS uni_vs_bpe_micro
+         |  CASE WHEN CAST(SUM(nw) AS BIGINT) > 0 THEN
+         |    (CAST(SUM(nb) AS BIGINT) * 1000000) // CAST(SUM(nw) AS BIGINT)
+         |    ELSE 0 END AS bpe_fertility_micro,
+         |  CASE WHEN CAST(SUM(nw) AS BIGINT) > 0 THEN
+         |    (CAST(SUM(nu) AS BIGINT) * 1000000) // CAST(SUM(nw) AS BIGINT)
+         |    ELSE 0 END AS uni_fertility_micro,
+         |  CASE WHEN CAST(SUM(nb) AS BIGINT) > 0 THEN
+         |    (CAST(SUM(nu) AS BIGINT) * 1000000) // CAST(SUM(nb) AS BIGINT)
+         |    ELSE 0 END AS uni_vs_bpe_micro
          |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
   private def uniTrainOracle: String =
