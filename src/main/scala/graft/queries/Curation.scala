@@ -589,8 +589,162 @@ object Curation {
           col("top_lang"),
           expr("(top_lang_docs * 1000000) DIV n_docs").as("top_lang_share_micro"))
         .orderBy(col("source"))
+    },
+
+    // ---- q201 (round 16): MATERIALIZED SHARD EXPORT — the files
+    // q182's manifest describes (r15 VERDICT "What's missing" #3: a
+    // real pipeline mounts shards, not manifests). ensureShardExport
+    // WRITES the corpus once as parquet partitioned by shard — each
+    // shard produced by ONE task in (h, doc_id) order with an explicit
+    // ord column, so the stream a trainer mounts is re-derivable
+    // without relying on read order — and this query READS THE FILES
+    // BACK, re-deriving every per-shard stat and the membership digest
+    // from the written rows, then reconciles against a manifest
+    // computed fresh from the SOURCE table (q182's exact rule). A
+    // dropped doc, a reordered row, or a corrupted text roundtrip
+    // makes file_md5 diverge from manifest_md5 and the oracle's
+    // is_match=1 pin hash-fails. 100 TB shape: the write is the ONE
+    // irreducible export shuffle (hash-keyed, skew-free by md5);
+    // reconciliation is two shard-keyed aggregates joined on #shards
+    // rows; shard count scales with the corpus (16 is the fixture's
+    // convention). ----
+    QueryDef("q201_export_shards", exportShardsOracle) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val root = ensureShardExport(s, dir)
+      val fileSide = s.read.parquet(root)
+        .select(col("shard").cast(LongType).as("shard"), col("ord"),
+          col("doc_id"), col("text"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("octet_length(text)")).cast(LongType).as("n_bytes"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("ord"), col("doc_id")))),
+              x => x.getField("doc_id").cast(StringType)),
+            ",")).as("file_md5"))
+      val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType)
+      val manifest = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", (col("h") % Shards).cast(LongType))
+        .groupBy(col("shard"))
+        .agg(md5(array_join(
+          transform(array_sort(collect_list(struct(col("h"), col("doc_id")))),
+            x => x.getField("doc_id").cast(StringType)),
+          ",")).as("manifest_md5"))
+      val w = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      fileSide.join(manifest, Seq("shard"))
+        .select(col("shard"), col("n_docs"), col("n_bytes"),
+          coalesce(sum(col("n_bytes")).over(w), lit(0L)).as("byte_offset"),
+          col("file_md5"), col("manifest_md5"),
+          (col("file_md5") === col("manifest_md5")).cast(IntegerType).as("is_match"))
+        .orderBy(col("shard"))
+    },
+
+    // ---- q202 (round 16): MATERIALIZED CRAWL EXPORT — q200's capstone
+    // ships BYTES: ensureCrawlExport writes the curated keep set
+    // (extract → redact → gate → dedup, the exact q200 chain via the
+    // shared Pipeline.crawlKeptDocs) as shard-partitioned parquet, and
+    // this query reads the files back, re-deriving doc entries
+    // (doc_id:md5(text)) AND token counts from the WRITTEN text — so
+    // the check covers the full text roundtrip, not just ids — then
+    // reconciles against the manifest recomputed from the source
+    // chain. The oracle re-runs q200's CTE chain and pins
+    // file_md5 = manifest_md5 and is_match = 1. 100 TB shape:
+    // identical to q201 — one export shuffle, shard-keyed
+    // reconciliation aggregates. ----
+    QueryDef("q202_crawl_export", crawlExportOracle) { (s, dir) =>
+      val root = ensureCrawlExport(s, dir)
+      val fileSide = s.read.parquet(root)
+        .select(col("shard").cast(LongType).as("shard"), col("ord"),
+          col("doc_id"), col("t"))
+        .select(col("shard"), col("ord"), col("doc_id"),
+          size(split(col("t"), " ")).cast(LongType).as("n_tok"),
+          concat(col("doc_id").cast(StringType), lit(":"), md5(col("t"))).as("entry"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast(LongType).as("n_tokens"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("ord"), col("entry")))),
+              x => x.getField("entry")),
+            ",")).as("file_md5"))
+      val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType)
+      val manifest = Pipeline.crawlKeptDocs(s, dir)
+        .select(col("doc_id"), h.as("h"),
+          concat(col("doc_id").cast(StringType), lit(":"), md5(col("t"))).as("entry"))
+        .withColumn("shard", (col("h") % Shards).cast(LongType))
+        .groupBy(col("shard"))
+        .agg(md5(array_join(
+          transform(array_sort(collect_list(struct(col("h"), col("doc_id"), col("entry")))),
+            x => x.getField("entry")),
+          ",")).as("manifest_md5"))
+      fileSide.join(manifest, Seq("shard"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          col("file_md5"), col("manifest_md5"),
+          (col("file_md5") === col("manifest_md5")).cast(IntegerType).as("is_match"))
+        .orderBy(col("shard"))
     }
   )
+
+  // Write-once memo for the materialized exports (the ensureBpeModel
+  // convention: per-session memo + on-disk _SUCCESS check; dirKey keeps
+  // sanitized paths from colliding across raw dirs).
+  private val exportDirs = scala.collection.mutable.Set.empty[String]
+
+  /** Write the raw-corpus shard export ONCE per (session, dir): parquet
+    * partitioned by shard = h60(doc_id) mod Shards, each shard wholly
+    * inside one task (repartition on the shard key) and rows in
+    * (h, doc_id) order with an explicit per-shard ord column. Returns
+    * the export root q201 reads back. */
+  private[graft] def ensureShardExport(s: SparkSession, dir: String): String =
+    synchronized {
+      import org.apache.spark.sql.expressions.Window
+      val root = graft.BuildPaths.scratch(s"shard_export/${graft.BuildPaths.dirKey(dir)}")
+      val memoKey = s"raw|$dir"
+      if (!(exportDirs.contains(memoKey) &&
+            new java.io.File(root, "_SUCCESS").exists)) {
+        val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType)
+        val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        T(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"), h.as("h"))
+          .withColumn("shard", (col("h") % Shards).cast(LongType))
+          .withColumn("ord", row_number().over(w).cast(LongType))
+          .repartition(col("shard"))
+          .sortWithinPartitions(col("ord"))
+          .write.mode("overwrite").partitionBy("shard").parquet(root)
+        exportDirs.add(memoKey)
+      }
+      root
+    }
+
+  /** Write q200's curated keep set ONCE per (session, dir) as the same
+    * shard-partitioned layout (redacted text included — the export is
+    * what a trainer would actually mount). Returns the root q202 reads. */
+  private[graft] def ensureCrawlExport(s: SparkSession, dir: String): String =
+    synchronized {
+      import org.apache.spark.sql.expressions.Window
+      val root = graft.BuildPaths.scratch(s"crawl_export/${graft.BuildPaths.dirKey(dir)}")
+      val memoKey = s"crawl|$dir"
+      if (!(exportDirs.contains(memoKey) &&
+            new java.io.File(root, "_SUCCESS").exists)) {
+        val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType)
+        val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        Pipeline.crawlKeptDocs(s, dir)
+          .select(col("doc_id"), col("t"), h.as("h"))
+          .withColumn("shard", (col("h") % Shards).cast(LongType))
+          .withColumn("ord", row_number().over(w).cast(LongType))
+          .repartition(col("shard"))
+          .sortWithinPartitions(col("ord"))
+          .write.mode("overwrite").partitionBy("shard").parquet(root)
+        exportDirs.add(memoKey)
+      }
+      root
+    }
 
   /** DuckDB mirror of q181: identical injection, identical pattern
     * chain, identical replacement order (the 'g' flag matches Spark's
@@ -907,4 +1061,42 @@ object Curation {
        |  manifest_md5
        |FROM m
        |ORDER BY shard""".stripMargin
+
+  /** DuckDB mirror of q201: the q182 manifest rule, with the
+    * reconciliation PIN — the oracle cannot read the written files, so
+    * it asserts what a correct export must re-derive: file_md5 equals
+    * the manifest digest and is_match = 1. A wrong write on the Spark
+    * side breaks the hash compare. */
+  private def exportShardsOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+       |    CAST(strlen(text) AS BIGINT) AS n_byt
+       |  FROM documents WHERE text IS NOT NULL),
+       |m AS (
+       |  SELECT h % $Shards AS shard, count(*) AS n_docs,
+       |    CAST(sum(n_byt) AS BIGINT) AS n_bytes,
+       |    md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id)) AS manifest_md5
+       |  FROM d GROUP BY 1)
+       |SELECT shard, n_docs, n_bytes,
+       |  COALESCE(CAST(sum(n_bytes) OVER (ORDER BY shard
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS byte_offset,
+       |  manifest_md5 AS file_md5, manifest_md5, 1 AS is_match
+       |FROM m
+       |ORDER BY shard""".stripMargin
+
+  /** DuckDB mirror of q202: q200's shared keep-set CTE chain, with the
+    * same reconciliation pin (file_md5 = manifest digest, is_match=1);
+    * n_tokens re-derived like the Spark side re-derives it from the
+    * written text. */
+  private def crawlExportOracle: String =
+    Pipeline.crawlKeptOracleCtes +
+      """
+        |SELECT h % 16 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(entry, ',' ORDER BY h, doc_id)) AS file_md5,
+        |  md5(string_agg(entry, ',' ORDER BY h, doc_id)) AS manifest_md5,
+        |  1 AS is_match
+        |FROM e GROUP BY 1
+        |ORDER BY shard""".stripMargin
 }

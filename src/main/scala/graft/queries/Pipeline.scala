@@ -2875,24 +2875,7 @@ object Pipeline {
     // manifest is the one export shuffle — the same end-to-end shape
     // a production release run has. ----
     QueryDef("q200_crawl_to_shards", crawlToShardsOracle) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val extracted = T(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .withColumn("html", expr(htmlCaseSql))
-        .select(col("doc_id"), expr("graft_html_text(html)").as("b0"))
-      val redacted = extracted
-        .select(col("doc_id"),
-          Curation.redactPii(Curation.piiInjectedOn(col("b0"))).as("t"))
-      val gated = redacted
-        .withColumn("ws", split(col("t"), " "))
-        .filter(size(col("ws")) >= 20 &&
-          expr("CAST(round(CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws) * 1000000, 0) AS BIGINT)") >= 450000)
-      val wKeep = Window.partitionBy(md5(col("t"))).orderBy(col("doc_id"))
-      val kept = gated
-        .withColumn("rn", row_number().over(wKeep)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("t"),
-          size(col("ws")).cast(LongType).as("n_tok"),
-          length(col("t")).cast(LongType).as("n_chr"))
+      val kept = crawlKeptDocs(s, dir)
       val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
         .cast(LongType)
       kept
@@ -2911,6 +2894,32 @@ object Pipeline {
         .orderBy(col("shard"))
     }
   )
+
+  /** q200's curated keep set — HTML extract → PII redact → quality
+    * gate → digest keep-first dedup — shared by the manifest capstone
+    * (q200) and the MATERIALIZED crawl export (q202's
+    * `Curation.ensureCrawlExport`, which writes these rows as real
+    * shard files). Returns (doc_id, t, n_tok, n_chr). */
+  private[graft] def crawlKeptDocs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val extracted = T(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .withColumn("html", expr(htmlCaseSql))
+      .select(col("doc_id"), expr("graft_html_text(html)").as("b0"))
+    val redacted = extracted
+      .select(col("doc_id"),
+        Curation.redactPii(Curation.piiInjectedOn(col("b0"))).as("t"))
+    val gated = redacted
+      .withColumn("ws", split(col("t"), " "))
+      .filter(size(col("ws")) >= 20 &&
+        expr("CAST(round(CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws) * 1000000, 0) AS BIGINT)") >= 450000)
+    val wKeep = Window.partitionBy(md5(col("t"))).orderBy(col("doc_id"))
+    gated
+      .withColumn("rn", row_number().over(wKeep)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("t"),
+        size(col("ws")).cast(LongType).as("n_tok"),
+        length(col("t")).cast(LongType).as("n_chr"))
+  }
 
   /** DuckDB mirror of q180: same 60-bit gram hash, same lexicographic
     * struct-min canonical pick, same span arithmetic, same ordered
@@ -2977,6 +2986,20 @@ object Pipeline {
     * injection/redaction (shared constants) + the gate + digest
     * keep-first + q182's manifest, composed into ONE query. */
   private def crawlToShardsOracle: String =
+    crawlKeptOracleCtes +
+      """
+        |SELECT h % 16 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chr) AS BIGINT) AS n_chars,
+        |  md5(string_agg(entry, ',' ORDER BY h, doc_id)) AS manifest_md5
+        |FROM e GROUP BY 1
+        |ORDER BY shard""".stripMargin
+
+  /** The q200 keep-set CTE chain through `e` (doc_id, n_tok, n_chr, h,
+    * entry) — shared with q202's export-reconciliation oracle so the
+    * manifest the files are checked against cannot drift from the
+    * capstone's. */
+  private[graft] def crawlKeptOracleCtes: String =
     s"""WITH h0 AS (
        |  SELECT doc_id, $htmlCaseSql AS html
        |  FROM documents WHERE text IS NOT NULL),
@@ -3016,13 +3039,7 @@ object Pipeline {
        |  SELECT doc_id, n_tok, n_chr,
        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
        |    CAST(doc_id AS VARCHAR) || ':' || md5(t) AS entry
-       |  FROM k WHERE rn = 1)
-       |SELECT h % 16 AS shard, count(*) AS n_docs,
-       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-       |  CAST(sum(n_chr) AS BIGINT) AS n_chars,
-       |  md5(string_agg(entry, ',' ORDER BY h, doc_id)) AS manifest_md5
-       |FROM e GROUP BY 1
-       |ORDER BY shard""".stripMargin
+       |  FROM k WHERE rn = 1)""".stripMargin
 
   /** DuckDB mirror of q198: same adjacent-pair extraction, same
     * support filter, same once-rounded integer-micro PMI, same

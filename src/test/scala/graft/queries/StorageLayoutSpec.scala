@@ -244,4 +244,39 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corpusScans === 2, // probe join side + left-join doc spine
       s"expected the corpus probe + doc spine only ($corpusScans documents scans):\n$tokPlan")
   }
+
+  test("q201/q202: shard exports are REAL files — one parquet file per shard, write-once, digests re-derive from disk") {
+    // r15 VERDICT "What's missing" #3: manifests were computed but no
+    // operator wrote shard bytes. The export contract: every shard is
+    // one directory with exactly ONE file (one task per shard — the
+    // seekable unit a trainer mounts), the write is memoized per
+    // (JVM, dir), and the reconciliation queries re-derive each shard's
+    // digest from the rows READ BACK OFF DISK, matching the manifest.
+    val root = Curation.ensureShardExport(spark, sfDir)
+    assert(Curation.ensureShardExport(spark, sfDir) === root) // no-op rewrite
+    val dirs = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(dirs.length === 16, s"expected 16 shard dirs under $root, saw ${dirs.length}")
+    for (d <- dirs) {
+      val parts = d.listFiles().filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(parts.length === 1,
+        s"${d.getName}: expected exactly ONE part file (one task per shard), saw ${parts.length}")
+      assert(parts.head.length > 0, s"${d.getName}: empty shard file")
+    }
+    val rows = Registry.byName("q201_export_shards").build(spark, sfDir).collect()
+    assert(rows.length === 16)
+    assert(rows.forall(_.getAs[Int]("is_match") === 1),
+      "on-disk shard digest diverged from the source-derived manifest")
+
+    val croot = Curation.ensureCrawlExport(spark, sfDir)
+    val cdirs = new java.io.File(croot).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(cdirs.nonEmpty)
+    assert(cdirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) === 1),
+      "crawl export: expected one file per shard")
+    val crows = Registry.byName("q202_crawl_export").build(spark, sfDir).collect()
+    assert(crows.nonEmpty && crows.forall(_.getAs[Int]("is_match") === 1),
+      "crawl export digest diverged from the q200 manifest chain")
+  }
 }
