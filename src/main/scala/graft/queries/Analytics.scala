@@ -7,6 +7,57 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 
+/** K-means constants + the two-round Lloyd oracle CTE, shared by the
+  * Analytics cluster family (q93/q100/q121/q127) AND Pipeline's q189
+  * cross-method dedup sweep. A separate, dependency-FREE holder on
+  * purpose: Pipeline.defs builds its oracle strings at object init, and
+  * referencing `Analytics` there would trigger Analytics's own init
+  * mid-Pipeline-init (the cross-object val-order trap documented at
+  * Pipeline's MinHash block). This object has no fields that touch any
+  * other query object, so either side can force it first, safely. */
+private[graft] object KmeansShared {
+
+  /** q100/q189 within-cell near-dup cosine threshold. Fixture
+    * embeddings are random (max pairwise cosine ~0.51), so 0.3 surfaces
+    * the most-similar tail — ~300 of ~15k within-cell pairs at sf0.01;
+    * a real corpus would use ~0.9. */
+  val SemCos = 0.3
+
+  /** DuckDB mirror of the two-round Lloyd kernel: CTE chain `c0 … a2`,
+    * a2 = (vec_id, cid). */
+  val assignCte: String =
+    """c0 AS (
+      |  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+      |  FROM embeddings WHERE vec_id < 8),
+      |p1 AS (
+      |  SELECT e.vec_id, c.cid,
+      |         unnest(e.embedding)::DOUBLE AS x, unnest(c.ce) AS y
+      |  FROM embeddings e, c0 c),
+      |d1 AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM p1 GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |dims AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |         unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings),
+      |m1 AS (
+      |  SELECT a1.cid, dims.pos, round(AVG(dims.x), 6) AS y
+      |  FROM a1 JOIN dims ON a1.vec_id = dims.vec_id
+      |  GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT dims.vec_id, m1.cid, SUM((dims.x - m1.y) * (dims.x - m1.y)) AS d
+      |  FROM dims JOIN m1 ON dims.pos = m1.pos
+      |  GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM d2) WHERE rn = 1)""".stripMargin
+}
+
 /** Round-5 batch-analytics and data-governance extensions.
   *
   * Two themes, both 100 TB-shaped:
@@ -306,10 +357,11 @@ object Analytics {
     comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
 
-  // q100 within-cell near-dup threshold. Fixture embeddings are random
-  // (max pairwise cosine ~0.51), so 0.3 surfaces the most-similar tail —
-  // ~300 of ~15k within-cell pairs at sf0.01; a real corpus would use ~0.9.
-  private val SEMDEDUP_COS = 0.3
+  // q100 within-cell near-dup threshold (held in the dependency-free
+  // KmeansShared so Pipeline's q189 sweep grades by the same τ without
+  // its object init ever triggering this object's — the cross-object
+  // val-init trap documented at Pipeline's MinHash block).
+  private val SEMDEDUP_COS = KmeansShared.SemCos
 
   /** Shared two-round Lloyd kernel (q93 cluster profile, q100 semantic
     * dedup — one definition so the two queries cannot drift):
@@ -325,7 +377,7 @@ object Analytics {
     * bit-identical inputs in both engines; ties break to the lowest
     * centroid id (strict < in the fold ≡ ROW_NUMBER ORDER BY d, cid).
     */
-  private object Kmeans {
+  private[graft] object Kmeans {
     // Squared L2 between a row vector and one centroid: one sequential
     // left-to-right fold per pair — the identical IEEE operation order
     // in both engines (QueryDef determinism contract).
@@ -387,38 +439,9 @@ object Analytics {
 
   /** DuckDB mirror of the two-round Lloyd kernel: CTE chain `c0 … a2`,
     * a2 = (vec_id, cid). Shared by q93 and q100 (same no-drift rule as
-    * [[minhashBandsCte]]). */
-  private val kmeansAssignCte: String =
-    """c0 AS (
-      |  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
-      |  FROM embeddings WHERE vec_id < 8),
-      |p1 AS (
-      |  SELECT e.vec_id, c.cid,
-      |         unnest(e.embedding)::DOUBLE AS x, unnest(c.ce) AS y
-      |  FROM embeddings e, c0 c),
-      |d1 AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM p1 GROUP BY 1, 2),
-      |a1 AS (
-      |  SELECT vec_id, cid FROM (
-      |    SELECT vec_id, cid,
-      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-      |    FROM d1) WHERE rn = 1),
-      |dims AS (
-      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-      |         unnest(embedding)::DOUBLE AS x
-      |  FROM embeddings),
-      |m1 AS (
-      |  SELECT a1.cid, dims.pos, round(AVG(dims.x), 6) AS y
-      |  FROM a1 JOIN dims ON a1.vec_id = dims.vec_id
-      |  GROUP BY 1, 2),
-      |d2 AS (
-      |  SELECT dims.vec_id, m1.cid, SUM((dims.x - m1.y) * (dims.x - m1.y)) AS d
-      |  FROM dims JOIN m1 ON dims.pos = m1.pos
-      |  GROUP BY 1, 2),
-      |a2 AS (
-      |  SELECT vec_id, cid FROM (
-      |    SELECT vec_id, cid,
-      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-      |    FROM d2) WHERE rn = 1)""".stripMargin
+    * [[minhashBandsCte]]) — and, via [[KmeansShared]], by q189's
+    * cross-method sweep in Pipeline. */
+  private val kmeansAssignCte: String = KmeansShared.assignCte
 
   // ---- q109 product-quantization constants (shared with the oracle
   // generator — declared BEFORE `defs`, Scala val-init order). DIM=64

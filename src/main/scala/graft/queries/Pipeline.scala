@@ -2569,23 +2569,26 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
-    // ---- q189 (round 15): cross-METHOD near-dup selection harness —
-    // q172 tunes one family's (bands × rows) dial; a pipeline first
-    // has to pick the FAMILY: MinHash-LSH (q41's 6×2 bands), SimHash
-    // pigeonhole (q44's 4×8-bit chunks, hamming ≤ 3 verified), and
-    // rare-shingle Jaccard (q45's df ≤ 4 inverted index, ≥ 3 shared)
-    // each emit the pair set they would deduplicate, and every pool
-    // pair is graded by EXACT word-3-gram Jaccard (integer micros,
-    // match at ≥ 0.5) — affordable precisely because only the pooled
-    // candidates pay it (recall is vs pool matches, the q172
-    // convention: exact corpus-wide truth would be the all-pairs join
-    // these methods exist to avoid). The output is the method-
-    // selection table: candidates / matched / precision / recall per
-    // family on identical data. 100 TB shape: every candidate
-    // generator is a banded/bucketed equi self-join over a persisted
-    // sketch frame (never all-pairs); the exact-Jaccard grade joins
-    // the pool (pairs, not corpus) against the persisted gram sets;
-    // the 1-row pool total rides an audited broadcast. ----
+    // ---- q189 (round 15; round 16 adds families 4-5): cross-METHOD
+    // near-dup selection harness — q172 tunes one family's (bands ×
+    // rows) dial; a pipeline first has to pick the FAMILY. FIVE
+    // families, every dedup family the repo owns: MinHash-LSH (q41's
+    // 6×2 bands), SimHash pigeonhole (q44's 4×8-bit chunks, hamming
+    // ≤ 3 verified), rare-shingle Jaccard (q45's df ≤ 4 inverted
+    // index, ≥ 3 shared) over documents — graded by EXACT word-3-gram
+    // Jaccard (integer micros, ≥ 0.5) — plus q54's sign-LSH buckets
+    // and q100's semantic (k-means cell-scoped) candidates over
+    // embeddings — graded by exact cosine at the shared q100 τ, with
+    // the q74 round-before-compare rule. Each modality's recall is vs
+    // ITS pooled candidates (the q172 convention: exact corpus-wide
+    // truth would be the all-pairs join these methods exist to
+    // avoid). The output is the method-selection table: candidates /
+    // matched / precision / recall per family on identical data.
+    // 100 TB shape: every candidate generator is a banded/bucketed/
+    // cell-scoped equi self-join over a persisted sketch frame (never
+    // all-pairs); grading joins each pool (pairs, not corpus) against
+    // persisted gram sets / embeddings; the two 1-row pool totals
+    // ride audited broadcasts. ----
     QueryDef("q189_dedup_method_sweep", dedupMethodSweepOracle) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       // Ground-truth side: distinct 60-bit word-3-gram hashes per doc.
@@ -2655,18 +2658,62 @@ object Pipeline {
           (expr("(i * 1000000) DIV (na + nb - i)") >= JaccTauMicro).cast(IntegerType))
         .persist()
       val truthTotal = graded.agg(sum(col("is_match")).cast(LongType).as("pool_matches"))
-      pairs.join(graded.select(col("doc_a"), col("doc_b"), col("is_match")),
+      val textStats = pairs
+        .join(graded.select(col("doc_a"), col("doc_b"), col("is_match")),
           Seq("doc_a", "doc_b"))
         .groupBy(col("config"))
         .agg(count(lit(1)).as("n_candidates"),
           sum(col("is_match")).cast(LongType).as("n_matched"))
         .crossJoin(broadcast(truthTotal))
+      // Families 4-5 (round 16, r15 VERDICT #4): the EMBEDDING-space
+      // dedup methods — q54's sign-LSH buckets and q100's semantic
+      // (k-means cell-scoped) candidates — graded by exact cosine at
+      // the q100 τ with the q74 rule (round(cos, 6) before compare, so
+      // both engines decide identically). Their pool/truth is cosine
+      // over the POOLED embedding pairs only — same affordability
+      // argument as the text families' pooled Jaccard.
+      val emb = T(s, dir, "embeddings")
+      val ebuckets = emb.select(col("vec_id"),
+        posexplode(expr("graft_lsh_buckets(embedding)")).as(Seq("t", "bk")))
+        .persist() // feeds both sides of the bucket self-join
+      val lshPairs = ebuckets.as("a").join(ebuckets.as("b"),
+          col("a.t") === col("b.t") && col("a.bk") === col("b.bk")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .distinct()
+        .withColumn("config", lit("sign_lsh"))
+      val ev = emb.select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val members = Analytics.Kmeans.twoRoundAssign(ev)
+        .select(col("cluster_id"), col("vec_id"))
+        .persist() // feeds both sides of the cell-scoped pair join
+      val semPairs = members.as("a").join(members.as("b"),
+          col("a.cluster_id") === col("b.cluster_id")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .withColumn("config", lit("semantic_cell"))
+      val epairs = lshPairs.unionByName(semPairs).persist()
+      val epool = epairs.select(col("va"), col("vb")).distinct()
+      val egraded = epool
+        .join(emb.select(col("vec_id").as("va"), col("embedding").as("emb_a")), "va")
+        .join(emb.select(col("vec_id").as("vb"), col("embedding").as("emb_b")), "vb")
+        .select(col("va"), col("vb"),
+          (round(expr("cosine_similarity(emb_a, emb_b)"), 6) >= KmeansShared.SemCos)
+            .cast(IntegerType).as("is_match"))
+        .persist() // feeds the 1-row truth total AND the per-config stats
+      val etot = egraded.agg(sum(col("is_match")).cast(LongType).as("pool_matches"))
+      val embStats = epairs.join(egraded, Seq("va", "vb"))
+        .groupBy(col("config"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(col("is_match")).cast(LongType).as("n_matched"))
+        .crossJoin(broadcast(etot))
+      textStats.unionByName(embStats)
         .select(col("config"), col("n_candidates"), col("n_matched"),
           col("pool_matches"),
           expr("(n_matched * 1000000) DIV n_candidates").as("precision_micro"),
           // Zero-guarded (r15 ADVICE): a corpus where no pooled pair
-          // clears the Jaccard threshold has pool_matches = 0 — Spark
-          // DIV yields NULL, DuckDB // errors; both now agree on 0
+          // clears the threshold has pool_matches = 0 — Spark DIV
+          // yields NULL, DuckDB // errors; both now agree on 0
           // (q183's collision_micro convention).
           when(col("pool_matches") > 0,
             expr("(n_matched * 1000000) DIV pool_matches")).otherwise(lit(0L))
@@ -3240,16 +3287,69 @@ object Pipeline {
        |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
        |  JOIN sizes sa ON sa.doc_id = p.doc_a
        |  JOIN sizes sb ON sb.doc_id = p.doc_b),
-       |tot AS (SELECT CAST(SUM(is_match) AS BIGINT) AS pool_matches FROM graded)
-       |SELECT config, COUNT(*) AS n_candidates,
-       |  CAST(SUM(is_match) AS BIGINT) AS n_matched,
-       |  pool_matches,
-       |  (CAST(SUM(is_match) AS BIGINT) * 1000000) // COUNT(*) AS precision_micro,
-       |  CASE WHEN pool_matches > 0 THEN
-       |    (CAST(SUM(is_match) AS BIGINT) * 1000000) // pool_matches
-       |    ELSE 0 END AS recall_micro
-       |FROM pairs JOIN graded USING (doc_a, doc_b), tot
-       |GROUP BY config, pool_matches
+       |tot AS (SELECT CAST(SUM(is_match) AS BIGINT) AS pool_matches FROM graded),
+       |exi AS (
+       |  SELECT vec_id, d, CAST(floor(embedding[d]::DOUBLE * 32768) AS BIGINT) AS xi
+       |  FROM embeddings, unnest(generate_series(1, $DIM)) AS u(d)),
+       |egrid AS (
+       |  SELECT t, p, d,
+       |    1 - 2 * (('0x' || substr(md5(t || '_' || p || '_' || d), 1, 15))::BIGINT % 2) AS sg
+       |  FROM unnest(generate_series(0, ${TABLES - 1})) AS a(t),
+       |       unnest(generate_series(0, ${PLANES - 1})) AS b(p),
+       |       unnest(generate_series(1, $DIM)) AS c(d)),
+       |eproj AS (
+       |  SELECT vec_id, t, p, sum(xi * sg) AS pr
+       |  FROM exi JOIN egrid USING (d) GROUP BY vec_id, t, p),
+       |ebucket AS (
+       |  SELECT vec_id, t, sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS bk
+       |  FROM eproj GROUP BY vec_id, t),
+       |cand_lsh AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM ebucket a JOIN ebucket b
+       |    ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id),
+       |${KmeansShared.assignCte},
+       |cand_sem AS (
+       |  SELECT aa.vec_id AS va, ab.vec_id AS vb
+       |  FROM a2 aa JOIN a2 ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id),
+       |epairs AS (
+       |  SELECT 'sign_lsh' AS config, va, vb FROM cand_lsh
+       |  UNION ALL SELECT 'semantic_cell', va, vb FROM cand_sem),
+       |epool AS (SELECT DISTINCT va, vb FROM epairs),
+       |ep2 AS (
+       |  SELECT p.va, p.vb,
+       |    unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+       |  FROM epool p
+       |  JOIN embeddings ea ON p.va = ea.vec_id
+       |  JOIN embeddings eb ON p.vb = eb.vec_id),
+       |es2 AS (
+       |  SELECT va, vb, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+       |  FROM ep2 GROUP BY 1, 2),
+       |egraded AS (
+       |  SELECT va, vb,
+       |    CASE WHEN round(dot / (sqrt(na) * sqrt(nb)), 6) >= ${KmeansShared.SemCos}
+       |         THEN 1 ELSE 0 END AS is_match
+       |  FROM es2),
+       |etot AS (SELECT CAST(SUM(is_match) AS BIGINT) AS pool_matches FROM egraded)
+       |SELECT * FROM (
+       |  SELECT config, COUNT(*) AS n_candidates,
+       |    CAST(SUM(is_match) AS BIGINT) AS n_matched,
+       |    pool_matches,
+       |    (CAST(SUM(is_match) AS BIGINT) * 1000000) // COUNT(*) AS precision_micro,
+       |    CASE WHEN pool_matches > 0 THEN
+       |      (CAST(SUM(is_match) AS BIGINT) * 1000000) // pool_matches
+       |      ELSE 0 END AS recall_micro
+       |  FROM pairs JOIN graded USING (doc_a, doc_b), tot
+       |  GROUP BY config, pool_matches
+       |  UNION ALL
+       |  SELECT config, COUNT(*) AS n_candidates,
+       |    CAST(SUM(is_match) AS BIGINT) AS n_matched,
+       |    pool_matches,
+       |    (CAST(SUM(is_match) AS BIGINT) * 1000000) // COUNT(*) AS precision_micro,
+       |    CASE WHEN pool_matches > 0 THEN
+       |      (CAST(SUM(is_match) AS BIGINT) * 1000000) // pool_matches
+       |      ELSE 0 END AS recall_micro
+       |  FROM epairs JOIN egraded USING (va, vb), etot
+       |  GROUP BY config, pool_matches)
        |ORDER BY config""".stripMargin
   }
 

@@ -107,8 +107,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q188 cross-joins its 1-row level-minima decision into the four
     // dictionary-sized level legs (the lattice pick is one scalar).
     "q188_kanon_generalize",
-    // q189 cross-joins its 1-row pool-matches total into the 3-row
-    // per-method stats — q172's audited shape across method families.
+    // q189 cross-joins its TWO 1-row pool-matches totals (text pool,
+    // embedding pool) into the 5-row per-method stats — q172's audited
+    // shape across method families; its semantic family rides q93's
+    // ONE-row centroid broadcast (the shared Lloyd kernel).
     "q189_dedup_method_sweep",
     // q196 cross-joins its 1-row corpus-token total into the 24-row
     // merge table, and folds the pruned rule list as the same 1-row
@@ -444,6 +446,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Pipeline.scala" -> Set(
         // 1-row totals and corpus stats
         "tot", "totS", "totT", "totals", "dTot", "n", "sw", "truthTotal",
+        "etot", // q189's 1-row embedding-pool truth total (r16)
         "stats", "quota", "cuts", "prior",
         // query vectors / eval probes / benchmark sets (request-sized)
         "q", "qb", "probe", "bench", "benchSet", "benchHashes", "ids",
