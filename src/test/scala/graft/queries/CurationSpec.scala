@@ -35,6 +35,21 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
 
+  private def docsWithSource(): Seq[(Long, String, String)] =
+    graft.Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  // ---- shared plain-JDK hash helpers (no Spark, no repo kernels) ----
+
+  private def md5Hex(sv: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def h60(sv: String): Long =
+    java.lang.Long.parseLong(md5Hex(sv).substring(0, 15), 16)
+
   // ---- q180: independent in-memory substring dedup ----
 
   test("q180: Spark output equals an independent in-memory implementation") {
@@ -209,5 +224,260 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(effective <= 4L * tokens)
       assert((capped == 1) === (epochs == 4000000L), "cap flag inconsistent")
     }
+  }
+
+  // ---- q189: independent in-memory recomputation of the 5-family
+  // method-selection table (r15 VERDICT #6: the sweep's precision/
+  // recall arithmetic was proven only against the oracle it shares CTE
+  // logic with; this recomputes every family — candidates, pools,
+  // gradings, integer-micro stats — from raw fixture rows with plain
+  // Scala collections and JDK md5, no Spark, no repo kernels). The
+  // public rule constants are restated here on purpose: a drifting
+  // constant on the engine side must FAIL this test, not follow it. ----
+
+  test("q189: 5-family sweep equals an independent in-memory recomputation") {
+    val P = 2147483647L
+    val MINHASH_K = 12
+    val JACC_TAU = 500000L
+    val SEM_COS = 0.3
+    val (dim, tables, planes) = (64, 8, 6)
+
+    def toks(t: String): Vector[String] = t.toLowerCase.split(" ", -1).toVector
+
+    // text side: distinct word-3-gram 60-bit hashes per doc
+    val corpus = docs()
+    val grams: Map[Long, Set[Long]] = corpus.map { case (id, t) =>
+      val ws = toks(t)
+      id -> (0 to ws.length - 3).map(i => h60(s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")).toSet
+    }.toMap
+
+    // family 1: MinHash 6x2 banded buckets
+    val sigs: Map[Long, Array[Long]] = corpus.flatMap { case (id, t) =>
+      val ws = toks(t)
+      if (ws.length < 3) None
+      else {
+        val mins = Array.fill(MINHASH_K)(Long.MaxValue)
+        for (i <- 0 to ws.length - 3) {
+          val hp = h60(s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}") % P
+          for (k <- 0 until MINHASH_K) {
+            val v = (hp * (2L * k + 3) + (5L * k + 1)) % P
+            if (v < mins(k)) mins(k) = v
+          }
+        }
+        Some(id -> mins)
+      }
+    }.toMap
+    // (.toSeq after every groupBy below: flatMapping a Map that yields
+    // tuples rebuilds a MAP and silently dedups by first element)
+    val mhPairs: Set[(Long, Long)] = (for {
+      j <- 0 until MINHASH_K / 2
+      (_, ids) <- sigs.toSeq.groupBy { case (_, sg) => (sg(2 * j), sg(2 * j + 1)) }.toSeq
+      a <- ids.map(_._1); b <- ids.map(_._1) if a < b
+    } yield (a, b)).toSet
+
+    // family 2: SimHash pigeonhole, hamming <= 3 verified
+    val sim: Map[Long, Long] = corpus.map { case (id, t) =>
+      val ws = toks(t) // every occurrence votes, empty tokens included
+      val n = ws.length
+      val ones = Array.fill(32)(0)
+      ws.foreach { w =>
+        val h = h60(w)
+        for (i <- 0 until 32) if (((h >> i) & 1L) == 1L) ones(i) += 1
+      }
+      id -> (0 until 32).map(i => if (2 * ones(i) > n) 1L << i else 0L).sum
+    }.toMap
+    val shPairs: Set[(Long, Long)] = (for {
+      j <- 0 until 4
+      (_, ids) <- sim.toSeq.groupBy { case (_, sh) => (sh >> (8 * j)) & 255L }.toSeq
+      a <- ids.map(_._1); b <- ids.map(_._1)
+      if a < b && java.lang.Long.bitCount(sim(a) ^ sim(b)) <= 3
+    } yield (a, b)).toSet
+
+    // family 3: rare-shingle inverted index, >= 3 shared
+    val df = grams.toSeq.flatMap(_._2).groupBy(identity).map { case (g, o) => g -> o.size }
+    val rare: Set[Long] = df.collect { case (g, c) if c <= 4 => g }.toSet
+    val ngPairs: Set[(Long, Long)] = (for {
+      (g, _) <- df.toSeq if rare(g)
+      ids = grams.collect { case (id, gs) if gs(g) => id }.toSeq
+      a <- ids; b <- ids if a < b
+    } yield (a, b)).groupBy(identity).filter(_._2.size >= 3).keySet.toSet
+
+    // text grading: exact Jaccard over the pooled pairs
+    val textPool = mhPairs ++ shPairs ++ ngPairs
+    val textMatch: Map[(Long, Long), Boolean] = textPool.map { case (a, b) =>
+      val (ga, gb) = (grams(a), grams(b))
+      val i = (ga & gb).size.toLong
+      (a, b) -> ((i * 1000000L) / (ga.size + gb.size - i) >= JACC_TAU)
+    }.toMap
+    val textTruth = textMatch.count(_._2).toLong
+
+    // embedding side
+    val vecs: Seq[(Long, Array[Double])] =
+      graft.Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+
+    // family 4: sign-LSH buckets (floor(x * 32768) fixed-point, md5 sign
+    // grid per (table, plane, dim) — the public rule the oracle states)
+    val sgGrid = Array.tabulate(tables, planes, dim)((t, p, d0) =>
+      1L - 2L * (h60(s"${t}_${p}_${d0 + 1}") % 2))
+    val lshBk: Map[Long, Seq[(Int, Long)]] = vecs.map { case (id, v) =>
+      val xi = v.map(x => math.floor(x * 32768).toLong)
+      id -> (0 until tables).map { t =>
+        var bk = 0L
+        for (p <- 0 until planes) {
+          var pr = 0L
+          for (d0 <- 0 until dim) pr += xi(d0) * sgGrid(t)(p)(d0)
+          if (pr > 0) bk += 1L << p
+        }
+        (t, bk)
+      }
+    }.toMap
+    val lshPairs: Set[(Long, Long)] = (for {
+      t <- 0 until tables
+      (_, ids) <- lshBk.toSeq.flatMap { case (id, bks) => bks.collect { case (`t`, bk) => (bk, id) } }
+        .groupBy(_._1).toSeq
+      a <- ids.map(_._2); b <- ids.map(_._2) if a < b
+    } yield (a, b)).toSet
+
+    // family 5: two-round Lloyd cells (seeds vec_id < 8, round(avg, 6)
+    // between rounds, ties to the lowest centroid id)
+    def d2(v: Array[Double], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    def assign(cents: Seq[(Long, Array[Double])], v: Array[Double]): Long =
+      cents.map { case (cid, c) => (d2(v, c), cid) }.minBy(identity)._2
+    val seeds = vecs.filter(_._1 < 8).map { case (id, v) => (id, v) }.sortBy(_._1)
+    val a1 = vecs.map { case (id, v) => (id, v, assign(seeds, v)) }
+    val m1 = a1.groupBy(_._3).toSeq.map { case (cid, members) =>
+      val c = Array.tabulate(dim) { d =>
+        val xs = members.map(_._2(d))
+        BigDecimal(xs.sum / xs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      (cid, c)
+    }.sortBy(_._1)
+    val cells = vecs.map { case (id, v) => (id, assign(m1, v)) }
+    val semPairs: Set[(Long, Long)] = (for {
+      (_, ids) <- cells.groupBy(_._2).toSeq
+      a <- ids.map(_._1); b <- ids.map(_._1) if a < b
+    } yield (a, b)).toSet
+
+    // embedding grading: exact cosine (sequential fold order, round 6)
+    val byId = vecs.toMap
+    val embPool = lshPairs ++ semPairs
+    val embMatch: Map[(Long, Long), Boolean] = embPool.map { case (a, b) =>
+      val (va, vb) = (byId(a), byId(b))
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until dim) { dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i) }
+      val cos = BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b) -> (cos >= SEM_COS)
+    }.toMap
+    val embTruth = embMatch.count(_._2).toLong
+
+    def stats(name: String, cand: Set[(Long, Long)],
+        graded: Map[(Long, Long), Boolean], truth: Long) = {
+      val matched = cand.count(graded(_)).toLong
+      val n = cand.size.toLong
+      (name, n, matched, truth, matched * 1000000L / n,
+        if (truth > 0) matched * 1000000L / truth else 0L)
+    }
+    val expected = Seq(
+      stats("minhash_6x2", mhPairs, textMatch, textTruth),
+      stats("ngram_rare", ngPairs, textMatch, textTruth),
+      stats("semantic_cell", semPairs, embMatch, embTruth),
+      stats("sign_lsh", lshPairs, embMatch, embTruth),
+      stats("simhash_h3", shPairs, textMatch, textTruth))
+
+    val got = Registry.byName("q189_dedup_method_sweep").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.map(_._1) === expected.map(_._1), "config row set differs")
+    got.zip(expected).foreach { case (g, e) => assert(g === e, s"family ${e._1}") }
+    // non-vacuous: every family proposes candidates and some truth exists
+    assert(expected.forall(_._2 > 0) && textTruth > 0 && embTruth > 0)
+  }
+
+  // ---- q200: independent in-memory recomputation of the six-stage
+  // crawl→shards funnel (r15 VERDICT #6): derive HTML, strip markup,
+  // inject + redact PII, gate on length/quality, keep-first dedup,
+  // shard + digest — all with plain JDK string ops. ----
+
+  test("q200: crawl-to-shards manifest equals an independent in-memory recomputation") {
+    def lpad4(sv: String): String =
+      if (sv.length >= 4) sv.substring(0, 4) else ("0" * (4 - sv.length)) + sv
+    def htmlOf(id: Long, source: String, text: String): String = {
+      val sb = new StringBuilder
+      sb ++= s"<html><head><title>$source #$id</title>"
+      if (id % 7 == 0) sb ++= "<style type=\"text/css\">p { color: red }</style>"
+      sb ++= "</head><body>"
+      if (id % 5 == 0) sb ++= "<script>var x = 1 < 2; alert(\"&amp;\");</script>"
+      sb ++= s"<h1 class=\"t\">$source</h1><p>"
+      sb ++= text.replace(" the ", " &amp;the&nbsp;")
+      sb ++= "</p>"
+      if (id % 11 == 0) sb ++= "<p>broken <unclosed"
+      if (id % 13 == 0) sb ++= "<script>no close"
+      if (id % 19 == 0) sb ++= "<style>x<script>y</style>z</script>w"
+      sb ++= "</body></html>"
+      sb.toString
+    }
+    def stripHtml(html: String): String =
+      html.replaceAll("(?is)<script[^>]*>.*?</script>", "")
+        .replaceAll("(?is)<style[^>]*>.*?</style>", "")
+        .replaceAll("<[^>]*>", " ")
+        .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+        .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+        .replaceAll("[ \\t\\r\\n]+", " ").trim
+    def injectPii(id: Long, t: String): String = {
+      val s1 = (id % 4) match {
+        case 0 => s" contact user$id@ex-mail.org for access"
+        case 1 => s" call 555-310-${lpad4(id.toString)}"
+        case 2 => s" ssn 219-09-${lpad4(id.toString)}"
+        case _ => ""
+      }
+      val s2 = if (id % 12 == 1) s" or user$id@alt-mail.net" else ""
+      t + s1 + s2
+    }
+    def redact(t: String): String =
+      t.replaceAll(Curation.EmailPat, "<EMAIL>")
+        .replaceAll(Curation.SsnPat, "<SSN>")
+        .replaceAll(Curation.PhonePat, "<PHONE>")
+
+    val kept = docsWithSource()
+      .map { case (id, src, text) =>
+        (id, redact(injectPii(id, stripHtml(htmlOf(id, src, text)))))
+      }
+      .filter { case (id, t) =>
+        val ws = t.split(" ", -1)
+        val micro = BigDecimal(ws.distinct.length.toDouble / ws.length * 1000000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        ws.length >= 20 && micro >= 450000
+      }
+      .groupBy { case (_, t) => md5Hex(t) }
+      .map { case (_, grp) => grp.minBy(_._1) }.toSeq // keep-first by doc_id
+    val expected = kept
+      .map { case (id, t) =>
+        val h = h60(id.toString)
+        (h % 16, h, id, t.split(" ", -1).length.toLong, t.length.toLong,
+          s"$id:${md5Hex(t)}")
+      }
+      .groupBy(_._1).toSeq
+      .map { case (shard, rows) =>
+        val ordered = rows.sortBy(r => (r._2, r._3))
+        (shard, rows.size.toLong, rows.map(_._4).sum, rows.map(_._5).sum,
+          md5Hex(ordered.map(_._6).mkString(",")))
+      }
+      .sortBy(_._1)
+    val got = Registry.byName("q200_crawl_to_shards").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got === expected)
+    assert(expected.map(_._2).sum > 0, "empty funnel — vacuous fixture")
   }
 }

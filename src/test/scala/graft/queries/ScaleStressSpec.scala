@@ -426,7 +426,15 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q200 (round 15): extraction/redaction/gate are scan-local
     // codegen; dedup one digest-keyed window; the manifest is the one
     // export shuffle; output stays 16 shard rows at any corpus
-    "q200_crawl_to_shards")
+    "q200_crawl_to_shards",
+    // q201/q202 (round 16): write-once export probes — the timed run
+    // reads the shard files back and reconciles two shard-keyed
+    // aggregates; 10x docs spread over the same 16 shards (md5
+    // uniform, no skew key) and output stays 16 rows; the export
+    // WRITE is the one hash-keyed shuffle, pre-warmed below like the
+    // stored tokenizer models (its own scale shape is the q182/q200
+    // manifest shuffle already pinned above)
+    "q201_export_shards", "q202_crawl_export")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
@@ -481,6 +489,14 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (name == "q177_bpe_transfer") {
         Pipeline.ensureBpeEnModel(spark, base)
         Pipeline.ensureBpeEnModel(spark, scaledDir)
+      }
+      if (name == "q201_export_shards") {
+        Curation.ensureShardExport(spark, base)
+        Curation.ensureShardExport(spark, scaledDir)
+      }
+      if (name == "q202_crawl_export") {
+        Curation.ensureCrawlExport(spark, base)
+        Curation.ensureCrawlExport(spark, scaledDir)
       }
       if (uniStoredModel(name)) {
         Unigram.ensureUnigramModel(spark, base)
