@@ -3450,8 +3450,15 @@ object Pipeline {
   /** Merge count learned by q150 / applied by q151. 24 is deep enough to
     * grow multi-character subwords on the fixture vocabulary while
     * keeping the training loop's job count bench-friendly. */
-  private[graft] final val BpeMerges = 24 // compile-time constant: `defs` builds
-  // the generated oracles during object init, BEFORE later vals assign
+  // Compile-time constant: `defs` builds the generated oracles during
+  // object init, BEFORE later vals assign. Raised 24 → 64 in round 16
+  // (r15 VERDICT #7) after measuring the DuckDB chained-CTE oracle at
+  // sf0.01: 24 rounds 0.4 s, 64 rounds 1.5 s, 128 rounds 5.4 s — the
+  // generated chain bounds fine, so the whole family (train + every
+  // consumer + every oracle, all parameterized on this constant) moves
+  // to the larger model together. Spark-side training cost is a
+  // write-once charge (ensureBpeModel) paid in Bench's untimed warm-up.
+  private[graft] final val BpeMerges = 64
 
   /** Transliteration alphabet for the zh corpus slice: a..p -> U+4E00..
     * U+4E0F, q -> U+20BB7 (a 4-byte supplementary char, deliberately —

@@ -126,15 +126,15 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     corpus.flatMap { case (_, lang, t) => refWords(lang, t) }
       .groupMapReduce(identity)(_ => 1L)(_ + _)
 
-  private lazy val ref = refTrain(refHist, 24)
+  private lazy val ref = refTrain(refHist, Pipeline.BpeMerges)
 
-  test("q150: distributed merge table EXACTLY equals the independent reference (all 24 ranks)") {
+  test("q150: distributed merge table EXACTLY equals the independent reference (all ranks)") {
     val got = Registry.byName("q150_bpe_train").build(spark, sfDir)
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       .toSeq
     val want = ref._1.map { case (rank, l, r, cnt) => (rank, l, r, l + r, cnt) }
-    assert(got.size === 24, s"expected 24 merge rules, got ${got.size}")
+    assert(got.size === Pipeline.BpeMerges, s"expected ${Pipeline.BpeMerges} merge rules, got ${got.size}")
     assert(got === want)
   }
 
@@ -205,7 +205,7 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
       corpus.filter(_._2 == "en")
         .flatMap { case (_, lang, t) => refWords(lang, t) }
         .groupMapReduce(identity)(_ => 1L)(_ + _)
-    val (merges, _) = refTrain(enHist, 24)
+    val (merges, _) = refTrain(enHist, Pipeline.BpeMerges)
     def tok(w: String): Int = {
       var syms = refSyms(w)
       merges.foreach { case (_, l, r, _) => syms = refMergePass(syms, l, r) }

@@ -560,7 +560,7 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     def train(dir: String): Double = {
       spark.sqlContext.clearCache()
       val t0 = System.nanoTime()
-      Pipeline.bpeTrain(Pipeline.bpeWordHist(spark, dir), 24)
+      Pipeline.bpeTrain(Pipeline.bpeWordHist(spark, dir), Pipeline.BpeMerges)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
