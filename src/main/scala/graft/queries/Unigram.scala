@@ -27,9 +27,13 @@ import org.apache.spark.sql.types._
   *     per-word job); DuckDB unrolls the identical DP as a recursive
   *     CTE with the same 4-slot window and the same
   *     (−score, n, −j) sort-key tie-break.
-  *   - M-STEP: piece counts from the segmentation (add-1 re-score);
-  *     one full EM cycle (seed → E1 → M1 → E2) trains the shipped
-  *     model, mirroring BPE's 24 fixed rounds.
+  *   - M-STEP: piece counts from the segmentation (add-1 re-score).
+  *   - PRUNE-AND-RETRAIN (round 16, r15 VERDICT #8 — SentencePiece's
+  *     inventory prune between EM cycles): multi-char pieces whose E2
+  *     usage fell below UniPruneMin are dropped (single chars always
+  *     survive — coverage), the survivors re-scored (M2), the corpus
+  *     re-Viterbi'd (E3). The SHIPPED model is M2/E3; the full chain
+  *     is seed → E1 → M1 → E2 → prune → M2 → E3.
   *
   * Like the BPE model (VERDICT r14 #1, applied from day one here), the
   * trained artifact is WRITE-ONCE per (JVM, source dir): a piece table
@@ -56,6 +60,11 @@ object Unigram {
     graft.Tables.load(s, dir, name)
 
   private final val SeedTopN = 200
+
+  // Inventory-prune floor (round 16): a multi-char piece must be used at
+  // least this often in E2 to survive into the second EM cycle. final
+  // val literal — interpolated into the generated oracle at object init.
+  private final val UniPruneMin = 2
 
   // ---- Spark-side Viterbi: one fold per word, 4-slot DP window ----
 
@@ -138,10 +147,10 @@ object Unigram {
   private val uniModelDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** The hard-EM training chain (seed → E1 → M1 → E2): returns
-    * (M1 scores (piece, cnt, s), E2 segmented vocab (w, freq, n_tok,
-    * toks)). Exposed to ScaleStressSpec, which times it fresh on the 1x
-    * and 10x corpora. */
+  /** The hard-EM training chain (seed → E1 → M1 → E2 → prune → M2 →
+    * E3): returns (M2 scores (piece, cnt, s), E3 segmented vocab
+    * (w, freq, n_tok, toks)). Exposed to ScaleStressSpec, which times
+    * it fresh on the 1x and 10x corpora. */
   private[graft] def trainModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val hist = Pipeline.bpeWordHist(s, dir).localCheckpoint()
     // substring candidates, corpus-weighted (vocab-sized explode)
@@ -163,10 +172,23 @@ object Unigram {
       .join(c1, Seq("piece"), "left")
       .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     val m1 = scored(v1).localCheckpoint()
-    val seg2 = uniViterbi(hist, m1)
+    val seg2 = uniViterbi(hist, m1).localCheckpoint()
+    // Second cycle (round 16): prune the inventory on E2 usage —
+    // multi-char pieces below UniPruneMin drop out, singles always
+    // survive — then re-score and re-Viterbi. All piece-sized work.
+    val c2 = pieceCounts(seg2)
+    val v2 = c2
+      .filter(length(col("piece")) === 1 || col("cnt") >= UniPruneMin)
+      .select(col("piece"))
+      .union(singles.select(col("piece")))
+      .distinct()
+      .join(c2, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val m2 = scored(v2).localCheckpoint()
+    val seg3 = uniViterbi(hist, m2)
       .select(col("w"), col("freq"), col("n").cast(LongType).as("n_tok"),
         col("toks"))
-    (m1, seg2)
+    (m2, seg3)
   }
 
   /** Returns the dir-qualified (piecesTable, vocabTable) names. */
@@ -178,18 +200,18 @@ object Unigram {
       if (!(uniModelDirs.contains(dir) &&
             s.catalog.tableExists(pTbl) && s.catalog.tableExists(vTbl))) {
         val root = graft.BuildPaths.scratch(s"uni_model/$dirKey")
-        val (m1, seg2) = trainModel(s, dir)
-        seg2
+        val (m2, seg3) = trainModel(s, dir)
+        seg3
           .write.mode("overwrite")
           .bucketBy(8, "w").sortBy("w")
           .option("path", s"$root/$vTbl")
           .format("parquet").saveAsTable(vTbl)
-        // piece table off the WRITTEN vocab (E2 counts + the M1 scores
+        // piece table off the WRITTEN vocab (E3 counts + the M2 scores
         // the shipped model actually segments with)
-        val c2 = pieceCounts(
+        val c3 = pieceCounts(
           s.table(vTbl).select(col("freq"), col("toks")))
-        m1.select(col("piece"), col("s").as("score_micro"))
-          .join(c2, Seq("piece"), "left")
+        m2.select(col("piece"), col("s").as("score_micro"))
+          .join(c3, Seq("piece"), "left")
           .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"),
             col("score_micro"))
           .write.mode("overwrite")
@@ -378,6 +400,24 @@ object Unigram {
        |  SELECT t.p AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
        |  FROM (SELECT freq, unnest(string_split(substr(toks, 2, len(toks) - 2), '||')) AS p
        |        FROM seg2) t
+       |  GROUP BY t.p),
+       |pv2 AS (
+       |  SELECT u.piece, coalesce(c2.cnt, 0) AS cnt
+       |  FROM (SELECT piece FROM c2 WHERE len(piece) = 1 OR cnt >= $UniPruneMin
+       |        UNION
+       |        SELECT piece FROM pcnt WHERE len(piece) = 1) u
+       |  LEFT JOIN c2 ON c2.piece = u.piece),
+       |st2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, COUNT(*) AS v FROM pv2),
+       |m2 AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST(round(ln(cnt + 1) * 1000000, 0) AS BIGINT)
+       |      - (SELECT CAST(round(ln(t + v) * 1000000, 0) AS BIGINT) FROM st2) AS s
+       |  FROM pv2),
+       |${dpCte("seg3", "hist", "m2")},
+       |c3 AS (
+       |  SELECT t.p AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, unnest(string_split(substr(toks, 2, len(toks) - 2), '||')) AS p
+       |        FROM seg3) t
        |  GROUP BY t.p)""".stripMargin
 
   /** DuckDB mirror of q178: BOTH tokenizer chains composed in one
@@ -394,7 +434,7 @@ object Unigram {
          |  SELECT d.doc_id, CAST(SUM(sg.n) AS BIGINT) AS n_tokens_uni
          |  FROM (SELECT doc_id, unnest(${Pipeline.bpeOracleWords}) AS w
          |        FROM documents WHERE text IS NOT NULL) d
-         |  JOIN seg2 sg ON sg.w = d.w
+         |  JOIN seg3 sg ON sg.w = d.w
          |  WHERE len(d.w) > 0
          |  GROUP BY d.doc_id),
          |f AS (
@@ -421,11 +461,11 @@ object Unigram {
   private def uniTrainOracle: String =
     uniOracleCtes +
       """
-        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY c2.cnt DESC, c2.piece) AS BIGINT)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY c3.cnt DESC, c3.piece) AS BIGINT)
         |    AS rank,
-        |  c2.piece AS piece, c2.cnt AS cnt, CAST(m1.s AS BIGINT) AS score_micro
-        |FROM c2 JOIN m1 ON m1.piece = c2.piece
-        |ORDER BY c2.cnt DESC, c2.piece LIMIT 40""".stripMargin
+        |  c3.piece AS piece, c3.cnt AS cnt, CAST(m2.s AS BIGINT) AS score_micro
+        |FROM c3 JOIN m2 ON m2.piece = c3.piece
+        |ORDER BY c3.cnt DESC, c3.piece LIMIT 40""".stripMargin
 
   private def uniTokenizeOracle: String =
     uniOracleCtes +
@@ -434,7 +474,7 @@ object Unigram {
          |  SELECT d.doc_id, COUNT(*) AS n_words, CAST(SUM(sg.n) AS BIGINT) AS n_tokens_uni
          |  FROM (SELECT doc_id, unnest(${Pipeline.bpeOracleWords}) AS w
          |        FROM documents WHERE text IS NOT NULL) d
-         |  JOIN seg2 sg ON sg.w = d.w
+         |  JOIN seg3 sg ON sg.w = d.w
          |  WHERE len(d.w) > 0
          |  GROUP BY d.doc_id)
          |SELECT doc.doc_id, coalesce(p.n_words, 0) AS n_words,

@@ -89,9 +89,9 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private case class RefModel(
-      m1: Map[String, Long],          // piece -> M1 integer-micro score
-      seg2: Map[String, (Int, List[String])], // word -> (ntok, pieces)
-      c2: Map[String, Long])          // piece -> E2 corpus-weighted count
+      m2: Map[String, Long],          // piece -> shipped (M2) integer-micro score
+      seg3: Map[String, (Int, List[String])], // word -> (ntok, pieces), E3
+      c3: Map[String, Long])          // piece -> E3 corpus-weighted count
 
   private lazy val corpus: Seq[(Long, String, String)] =
     graft.Tables.load(spark, sfDir, "documents")
@@ -128,7 +128,20 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c2 = scala.collection.mutable.Map.empty[String, Long]
     for ((w, f) <- hist; p <- seg2(w)._3)
       c2.updateWith(p)(o => Some(o.getOrElse(0L) + f))
-    RefModel(m1, seg2.view.mapValues(v => (v._2, v._3)).toMap, c2.toMap)
+    // round 16: prune-and-retrain — multi-char pieces used < 2 times in
+    // E2 drop out (singles always survive), re-score, re-Viterbi. The
+    // prune floor is restated here as a rule constant on purpose: a
+    // drifting engine-side threshold must FAIL this pin, not follow it.
+    val v2 = (c2.collect { case (p, c)
+        if p.codePointCount(0, p.length) == 1 || c >= 2L => p }.toSet
+      ++ singles.map(_._1))
+      .map(p => p -> c2.getOrElse(p, 0L)).toMap
+    val m2 = score(v2)
+    val seg3 = hist.keys.map(w => w -> viterbi(cps(w), m2)).toMap
+    val c3 = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- hist; p <- seg3(w)._3)
+      c3.updateWith(p)(o => Some(o.getOrElse(0L) + f))
+    RefModel(m2, seg3.view.mapValues(v => (v._2, v._3)).toMap, c3.toMap)
   }
 
   test("q175: distributed top-40 piece table EXACTLY equals the independent reference") {
@@ -136,9 +149,9 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .toSeq
-    val want = ref.c2.toSeq.sortBy { case (p, c) => (-c, p) }.take(40)
+    val want = ref.c3.toSeq.sortBy { case (p, c) => (-c, p) }.take(40)
       .zipWithIndex
-      .map { case ((p, c), i) => (i + 1L, p, c, ref.m1(p)) }
+      .map { case ((p, c), i) => (i + 1L, p, c, ref.m2(p)) }
     assert(got.size === 40)
     assert(got === want)
   }
@@ -148,7 +161,7 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     corpus.foreach { case (docId, lang, text) =>
       val ws = refWords(lang, text)
-      val want = (ws.size.toLong, ws.map(w => ref.seg2(w)._1.toLong).sum)
+      val want = (ws.size.toLong, ws.map(w => ref.seg3(w)._1.toLong).sum)
       assert(got(docId) === want, s"doc $docId: got ${got(docId)}, want $want")
       val (nw, nt) = got(docId)
       assert(nt >= nw, s"doc $docId: fewer tokens than words")
@@ -162,12 +175,12 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     // For a sample of fixture words, enumerate ALL segmentations into
     // model pieces (exponential — keep words short) and assert the DP's
     // (score, −ntok) is the lexicographic maximum.
-    val m1 = ref.m1
+    val m2 = ref.m2
     def allSegs(w: Vector[String]): Seq[(Long, Int)] = {
       if (w.isEmpty) Seq((0L, 0))
       else (1 to math.min(4, w.length)).flatMap { j =>
         val piece = w.take(j).mkString
-        m1.get(piece) match {
+        m2.get(piece) match {
           case Some(s) => allSegs(w.drop(j)).map { case (ts, tn) => (s + ts, tn + 1) }
           case None => Seq.empty
         }
@@ -177,7 +190,7 @@ class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
       .distinct.filter(w => w.codePointCount(0, w.length) <= 10).take(60)
     assert(words.nonEmpty)
     words.foreach { w =>
-      val v = viterbi(cps(w), m1)
+      val v = viterbi(cps(w), m2)
       val best = allSegs(cps(w)).maxBy { case (s, n) => (s, -n) }
       assert((v._1, v._2) === best,
         s"word '$w': viterbi (${v._1}, ${v._2}) vs exhaustive $best")
