@@ -2702,7 +2702,11 @@ object Pipeline {
             .cast(IntegerType).as("is_match"))
         .persist() // feeds the 1-row truth total AND the per-config stats
       val etot = egraded.agg(sum(col("is_match")).cast(LongType).as("pool_matches"))
-      val embStats = epairs.join(egraded, Seq("va", "vb"))
+      // merge hint: the pair-keyed stats join is pool × pool — both
+      // sides grow with the corpus, so at scale it is a co-partitioned
+      // sort-merge join; pinning it keeps the 1x/10x plan shapes
+      // identical for the scale-stress comparison (the q158 rule).
+      val embStats = epairs.join(egraded.hint("merge"), Seq("va", "vb"))
         .groupBy(col("config"))
         .agg(count(lit(1)).as("n_candidates"),
           sum(col("is_match")).cast(LongType).as("n_matched"))
