@@ -100,6 +100,14 @@ object Curation {
   private final val LenBucketW = 8
   private final val LenBatch = 16
 
+  // q203: the deterministic range-read probe — a trainer resuming from
+  // a checkpoint fetches a SLICE of specific shards, never the corpus.
+  // Shards listed as one SQL fragment (single source for both engines);
+  // ord window is inclusive. Declared before `defs` (val-init order).
+  private final val RangeShardsSql = "3, 7, 11"
+  private final val RangeOrdLo = 5
+  private final val RangeOrdHi = 24
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q181 (round 15): PII REDACTION — the rewrite half of
@@ -361,23 +369,7 @@ object Curation {
     // corpus), the corpus total on the audited 1-row broadcast, all
     // arithmetic integer. ----
     QueryDef("q186_repeat_epochs", repeatEpochsOracle) { (s, dir) =>
-      val tok = T(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("source"),
-          size(split(lower(col("text")), " ")).cast(LongType).as("n_tok"))
-        .groupBy(col("source"))
-        .agg(sum(col("n_tok")).cast(LongType).as("tokens"))
-      val tot = tok.agg(sum(col("tokens")).cast(LongType).as("total"),
-        count(lit(1)).as("ns"))
-      tok.crossJoin(broadcast(tot))
-        .select(col("source"), col("tokens"),
-          expr("(total * 3) DIV ns").as("target_tokens"),
-          // Zero-guarded (r15 ADVICE): a source whose docs are all
-          // empty has tokens = 0 — Spark DIV yields NULL, DuckDB //
-          // errors; both engines now agree on 0 epochs.
-          when(col("tokens") > 0,
-            expr("least(4000000, ((total * 3) DIV ns) * 1000000 DIV tokens)"))
-            .otherwise(lit(0L)).as("epochs_micro"))
+      repeatEpochPlan(s, dir)
         .select(col("source"), col("tokens"), col("target_tokens"),
           col("epochs_micro"),
           expr("(tokens * epochs_micro) DIV 1000000").as("effective_tokens"),
@@ -685,8 +677,101 @@ object Curation {
           col("file_md5"), col("manifest_md5"),
           (col("file_md5") === col("manifest_md5")).cast(IntegerType).as("is_match"))
         .orderBy(col("shard"))
+    },
+
+    // ---- q203 (round 16): EXPORT RANGE READ — the SERVE half of the
+    // export story (q201 writes and verifies; a trainer then MOUNTS a
+    // slice: "give me docs 5..24 of shards 3/7/11", the checkpoint-
+    // resume access pattern). Reads ONLY the probed shard directories —
+    // the filter on the partition column prunes at LISTING time
+    // (PartitionFilters, StorageLayoutSpec-asserted), and the ord
+    // column makes the slice addressable without relying on file
+    // order. The oracle re-derives the same slice from the source
+    // table by rank, so a mis-written ord, a reshuffled shard, or a
+    // wrong partition layout hash-fails. 100 TB shape: touches
+    // 3/#shards of the export and nothing else — O(slice), not
+    // O(corpus); this is the property the whole export layout exists
+    // to buy. ----
+    QueryDef("q203_export_range_read", exportRangeReadOracle) { (s, dir) =>
+      val root = ensureShardExport(s, dir)
+      s.read.parquet(root)
+        .filter(col("shard").isin(3, 7, 11) &&
+          col("ord").between(RangeOrdLo, RangeOrdHi))
+        .select(col("shard").cast(LongType).as("shard"), col("ord"),
+          col("doc_id"), col("text"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("ord")).as("ord_lo"), max(col("ord")).as("ord_hi"),
+          sum(expr("octet_length(text)")).cast(LongType).as("n_bytes"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("ord"), col("doc_id")))),
+              x => x.getField("doc_id").cast(StringType)),
+            ",")).as("slice_md5"))
+        .orderBy(col("shard"))
+    },
+
+    // ---- q204 (round 16): EPOCH-SAMPLE MATERIALIZATION — q186
+    // computes the repeat-epoch PLAN (epochs per source under a 3×
+    // budget, capped at 4); this materializes ONE epoch under it: each
+    // doc's multiplicity = floor(epochs) plus one extra copy iff its
+    // salted hash falls under the fractional part — deterministic
+    // Bernoulli via hash threshold, the q159 salting convention. Both
+    // engines share the plan helper/CTE, so the sampler provably
+    // consumes the plan the report states. Output per source: the
+    // plan's epochs, doc/sampled-doc/sampled-token counts and an
+    // order-free membership checksum weighted by multiplicity.
+    // 100 TB shape: the plan is a #sources-row broadcast dictionary;
+    // every doc decides its multiplicity SCAN-LOCALLY (no shuffle, no
+    // sort, no RNG state); one source-keyed partial agg; output
+    // #sources rows. ----
+    QueryDef("q204_epoch_sample", epochSampleOracle) { (s, dir) =>
+      val plan = repeatEpochPlan(s, dir)
+        .select(col("source"), col("epochs_micro"))
+      T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          size(split(lower(col("text")), " ")).cast(LongType).as("n_tok"))
+        .join(broadcast(plan), Seq("source"))
+        .withColumn("mult",
+          expr("epochs_micro DIV 1000000") +
+            (pmod(conv(substring(md5(concat(lit("ep:"),
+              col("doc_id").cast(StringType))), 1, 15), 16, 10).cast(LongType),
+              lit(1000000L)) < expr("epochs_micro % 1000000")).cast(LongType))
+        .groupBy(col("source"), col("epochs_micro"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("mult")).cast(LongType).as("n_docs_sampled"),
+          sum(col("mult") * col("n_tok")).cast(LongType).as("n_tokens_sampled"),
+          sum(col("mult") *
+            pmod(conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+              .cast(LongType), lit(1000000007L)))
+            .cast(LongType).as("sample_checksum"))
+        .orderBy(col("source"))
     }
   )
+
+  /** q186's repeat-epoch allocation — (source, tokens, target_tokens,
+    * epochs_micro) — shared by the plan report (q186) and the epoch
+    * MATERIALIZATION (q204), so the sampler provably consumes the same
+    * plan the report states. */
+  private def repeatEpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val tok = T(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        size(split(lower(col("text")), " ")).cast(LongType).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).cast(LongType).as("tokens"))
+    val tot = tok.agg(sum(col("tokens")).cast(LongType).as("total"),
+      count(lit(1)).as("ns"))
+    tok.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        expr("(total * 3) DIV ns").as("target_tokens"),
+        // Zero-guarded (r15 ADVICE): a source whose docs are all
+        // empty has tokens = 0 — Spark DIV yields NULL, DuckDB //
+        // errors; both engines now agree on 0 epochs.
+        when(col("tokens") > 0,
+          expr("least(4000000, ((total * 3) DIV ns) * 1000000 DIV tokens)"))
+          .otherwise(lit(0L)).as("epochs_micro"))
+  }
 
   // Write-once memo for the materialized exports (the ensureBpeModel
   // convention: per-session memo + on-disk _SUCCESS check; dirKey keeps
@@ -1084,6 +1169,61 @@ object Curation {
        |  manifest_md5 AS file_md5, manifest_md5, 1 AS is_match
        |FROM m
        |ORDER BY shard""".stripMargin
+
+  /** DuckDB mirror of q203: the slice re-derived from the SOURCE table
+    * by the export's (h, doc_id) rank — what the written ord column
+    * must equal for the range read to serve the right docs. */
+  private def exportRangeReadOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+       |    CAST(strlen(text) AS BIGINT) AS n_byt
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (
+       |  SELECT doc_id, h, h % $Shards AS shard, n_byt,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY h % $Shards
+       |      ORDER BY h, doc_id) AS BIGINT) AS ord
+       |  FROM d)
+       |SELECT shard, count(*) AS n_docs,
+       |  min(ord) AS ord_lo, max(ord) AS ord_hi,
+       |  CAST(sum(n_byt) AS BIGINT) AS n_bytes,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY ord)) AS slice_md5
+       |FROM r
+       |WHERE shard IN ($RangeShardsSql) AND ord BETWEEN $RangeOrdLo AND $RangeOrdHi
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
+  /** DuckDB mirror of q204: q186's allocation CTEs + the same
+    * hash-threshold multiplicity, multiplicity-weighted aggregates. */
+  private def epochSampleOracle: String =
+    s"""WITH tok AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens
+       |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(sum(tokens) AS BIGINT) AS total, count(*) AS ns FROM tok),
+       |a AS (
+       |  SELECT tok.source,
+       |    CASE WHEN tok.tokens > 0 THEN
+       |      least(4000000, ((tot.total * 3) // tot.ns) * 1000000 // tok.tokens)
+       |      ELSE 0 END AS epochs_micro
+       |  FROM tok, tot),
+       |d AS (
+       |  SELECT doc.source, doc.doc_id,
+       |    CAST(len(string_split(lower(doc.text), ' ')) AS BIGINT) AS n_tok,
+       |    a.epochs_micro,
+       |    a.epochs_micro // 1000000
+       |      + CASE WHEN ('0x' || substr(md5('ep:' || CAST(doc.doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |               % 1000000 < a.epochs_micro % 1000000 THEN 1 ELSE 0 END AS mult
+       |  FROM documents doc JOIN a ON a.source = doc.source
+       |  WHERE doc.text IS NOT NULL)
+       |SELECT source, epochs_micro, count(*) AS n_docs,
+       |  CAST(sum(mult) AS BIGINT) AS n_docs_sampled,
+       |  CAST(sum(mult * n_tok) AS BIGINT) AS n_tokens_sampled,
+       |  CAST(sum(mult * (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |       % 1000000007)) AS BIGINT) AS sample_checksum
+       |FROM d GROUP BY source, epochs_micro
+       |ORDER BY source""".stripMargin
 
   /** DuckDB mirror of q202: q200's shared keep-set CTE chain, with the
     * same reconciliation pin (file_md5 = manifest digest, is_match=1);

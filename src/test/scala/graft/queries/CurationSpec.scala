@@ -226,6 +226,24 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q204: multiplicities are floor(epochs) or +1, sampled totals bounded by the plan") {
+    val plan = Registry.byName("q186_repeat_epochs").build(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val out = Registry.byName("q204_epoch_sample").build(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (src, epochs, nDocs, nSampled) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val base = epochs / 1000000L
+      assert(epochs === plan(src)._1, s"$src: sampler used a different plan")
+      // every doc contributes base or base+1 copies
+      assert(nSampled >= base * nDocs && nSampled <= (base + 1) * nDocs,
+        s"$src: sampled docs $nSampled outside [$base, ${base + 1}] x $nDocs")
+      // the 4-epoch cap holds in the materialized sample too
+      assert(nSampled <= 4L * nDocs, s"$src: sample exceeds the 4-epoch cap")
+    }
+  }
+
   // ---- q189: independent in-memory recomputation of the 5-family
   // method-selection table (r15 VERDICT #6: the sweep's precision/
   // recall arithmetic was proven only against the oracle it shares CTE

@@ -442,7 +442,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         "del", "affected", "orphans", "dups", "cb"),
       "Curation.scala" -> Set(
         // 1-row batch counts / lattice minima; #buckets dictionary
-        "tot", "nb", "gN", "mins", "bCounts"),
+        "tot", "nb", "gN", "mins", "bCounts",
+        // q204: the #sources-row repeat-epoch plan dictionary (r16)
+        "plan"),
       "Pipeline.scala" -> Set(
         // 1-row totals and corpus stats
         "tot", "totS", "totT", "totals", "dTot", "n", "sw", "truthTotal",

@@ -434,7 +434,14 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // WRITE is the one hash-keyed shuffle, pre-warmed below like the
     // stored tokenizer models (its own scale shape is the q182/q200
     // manifest shuffle already pinned above)
-    "q201_export_shards", "q202_crawl_export")
+    "q201_export_shards", "q202_crawl_export",
+    // q203 (round 16): the range read touches ONLY the probed shard
+    // directories (partition-pruned listing) and a fixed ord window —
+    // O(slice): output stays 3 rows and the scan stays 3 directories
+    // at any corpus size. q204: the plan is a #sources-row broadcast
+    // dictionary and every doc decides its multiplicity scan-locally —
+    // one source-keyed agg, output #sources rows at any corpus.
+    "q203_export_range_read", "q204_epoch_sample")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
@@ -490,7 +497,7 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         Pipeline.ensureBpeEnModel(spark, base)
         Pipeline.ensureBpeEnModel(spark, scaledDir)
       }
-      if (name == "q201_export_shards") {
+      if (name == "q201_export_shards" || name == "q203_export_range_read") {
         Curation.ensureShardExport(spark, base)
         Curation.ensureShardExport(spark, scaledDir)
       }

@@ -279,4 +279,22 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(crows.nonEmpty && crows.forall(_.getAs[Int]("is_match") === 1),
       "crawl export digest diverged from the q200 manifest chain")
   }
+
+  test("q203: the range read prunes shard directories at listing time — only the probed shards are scanned") {
+    // The export's SERVE contract: a trainer fetching a slice of shards
+    // 3/7/11 must list exactly those directories (PartitionFilters on
+    // the shard column), never scan-and-filter the corpus — at 100 TB
+    // this is the difference between O(slice) and O(export).
+    Curation.ensureShardExport(spark, sfDir)
+    val plan = Registry.byName("q203_export_range_read").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"q203: no partition filter on the shard column:\n$plan")
+    val pf = plan.split("\n").find(_.contains("PartitionFilters")).get
+    assert(pf.contains("shard"),
+      s"q203: PartitionFilters does not prune on shard:\n$pf")
+    // the data filter on ord pushes to parquet alongside
+    assert(plan.contains("PushedFilters") && plan.contains("ord"),
+      s"q203: ord range not pushed to the parquet scan:\n$plan")
+  }
 }
