@@ -2943,6 +2943,52 @@ object Pipeline {
               x => x.getField("entry")),
             ",")).as("manifest_md5"))
         .orderBy(col("shard"))
+    },
+
+    // ---- q205 (round 16): SFT LOSS MASKING — the objective-
+    // construction step for instruction tuning (q184 builds the T5
+    // denoising pair; causal SFT instead trains on the SAME token
+    // stream with the PROMPT positions masked out of the loss): the
+    // deterministic prompt/completion split takes the first
+    // ceil(n_words/3) word positions as the prompt, every BPE token id
+    // under them is loss-masked (the -100 convention), and the doc row
+    // pins both streams with order-sensitive integer checksums —
+    // Σ (tok_idx+1)·id over ALL tokens (the input) and over completion
+    // tokens only (the labels). A shifted boundary, a dropped token,
+    // or a wrong id mapping hash-fails; input = prompt ⊕ labels by
+    // construction (checksum additivity, CurationSpec-pinned). 100 TB
+    // shape: rides the STORED vocab (one corpus word join, vocab-sized
+    // id dictionary broadcast); one doc-keyed window for tok_idx + one
+    // doc-keyed agg; output #docs rows. ----
+    QueryDef("q205_sft_mask", sftMaskOracle) { (s, dir) =>
+      val (_, vTbl) = ensureBpeModel(s, dir)
+      val ids = s.table(vTbl)
+        .select(explode(col("toks")).as("token")).distinct()
+        .withColumn("id",
+          row_number().over(Window.orderBy(col("token"))).cast(LongType))
+      val lens = T(s, dir, "documents")
+        .select(col("doc_id"), size(bpeWordsCol(s)).as("nw"))
+      bpeCorpusWords(s, dir)
+        .join(s.table(vTbl).select(col("w"), col("toks")), Seq("w"))
+        .select(col("doc_id"), col("wp"), posexplode(col("toks")))
+        .toDF("doc_id", "wp", "tp", "token")
+        .join(broadcast(ids), Seq("token"))
+        .withColumn("tok_idx",
+          (row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("wp"), col("tp"))) - 1).cast(LongType))
+        .join(lens, Seq("doc_id"))
+        // wp is 0-based here (wp < cut); the oracle's wp is 1-based
+        // (wp <= cut) — both select the identical first-cut-words prefix.
+        .withColumn("is_prompt",
+          (col("wp") < expr("(nw + 2) DIV 3")).cast(IntegerType))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("is_prompt")).cast(LongType).as("n_prompt_tokens"),
+          sum(lit(1) - col("is_prompt")).cast(LongType).as("n_trainable_tokens"),
+          sum((col("tok_idx") + 1) * col("id")).cast(LongType).as("input_checksum"),
+          sum(when(col("is_prompt") === 0, (col("tok_idx") + 1) * col("id"))
+            .otherwise(lit(0L))).cast(LongType).as("label_checksum"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -3945,6 +3991,43 @@ object Pipeline {
          |  CAST(SUM((pic + 1) * id) AS BIGINT) AS id_checksum,
          |  CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
          |FROM pk GROUP BY source, chunk ORDER BY source, chunk""".stripMargin
+
+  /** DuckDB mirror of q205: the generated chain's token stream with the
+    * same 1-based-wp prompt cut, the same (tok_idx+1)·id checksums. */
+  private def sftMaskOracle: String =
+    bpeOracleCtes(BpeMerges) +
+      s""",
+         |wtoks AS MATERIALIZED (
+         |  SELECT translate(s, '|', '') AS w,
+         |    string_split(substr(s, 2, len(s) - 2), '||') AS toks
+         |  FROM v$BpeMerges),
+         |ids AS (
+         |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS id
+         |  FROM (SELECT DISTINCT unnest(toks) AS token FROM wtoks)),
+         |dwords AS (
+         |  SELECT d.doc_id, u.i AS wp, d.ws[u.i] AS w, len(d.ws) AS nw
+         |  FROM (SELECT doc_id, $bpeOracleWords AS ws
+         |        FROM documents WHERE text IS NOT NULL) d,
+         |       unnest(generate_series(1, len(d.ws))) AS u(i)
+         |  WHERE len(d.ws[u.i]) > 0),
+         |dtoks AS (
+         |  SELECT dw.doc_id, dw.wp, dw.nw, v.j AS tp, wt.toks[v.j] AS token
+         |  FROM dwords dw JOIN wtoks wt USING (w),
+         |       unnest(generate_series(1, len(wt.toks))) AS v(j)),
+         |sq AS (
+         |  SELECT dt.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY dt.doc_id ORDER BY dt.wp, dt.tp) - 1
+         |      AS tok_idx,
+         |    CASE WHEN dt.wp <= (dt.nw + 2) // 3 THEN 1 ELSE 0 END AS is_prompt,
+         |    i.id
+         |  FROM dtoks dt JOIN ids i USING (token))
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(is_prompt) AS BIGINT) AS n_prompt_tokens,
+         |  CAST(SUM(1 - is_prompt) AS BIGINT) AS n_trainable_tokens,
+         |  CAST(SUM((tok_idx + 1) * id) AS BIGINT) AS input_checksum,
+         |  CAST(SUM(CASE WHEN is_prompt = 0 THEN (tok_idx + 1) * id ELSE 0 END)
+         |       AS BIGINT) AS label_checksum
+         |FROM sq GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The derived markup: plain SQL shared verbatim by both engines
     * (q174). Branches on doc_id so every extraction code path appears in

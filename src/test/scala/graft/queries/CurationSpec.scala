@@ -244,6 +244,24 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q205: mask conservation — prompt and trainable tokens partition every document") {
+    val out = Registry.byName("q205_sft_mask").build(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    var bothSides = 0
+    out.foreach { r =>
+      val (nTok, nPrompt, nTrain, inSum, lblSum) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nPrompt + nTrain === nTok, s"doc ${r.getLong(0)}: mask does not partition")
+      assert(nPrompt >= 1, s"doc ${r.getLong(0)}: empty prompt (cut rule broken)")
+      // labels are a sub-sum of the input checksum; equal only when
+      // nothing is masked (never: the prompt is nonempty)
+      assert(lblSum < inSum, s"doc ${r.getLong(0)}: label checksum not a strict sub-sum")
+      if (nTrain === 0L) assert(lblSum === 0L)
+      if (nPrompt > 0 && nTrain > 0) bothSides += 1
+    }
+    assert(bothSides > 0, "no document carries both prompt and completion — vacuous split")
+  }
+
   // ---- q189: independent in-memory recomputation of the 5-family
   // method-selection table (r15 VERDICT #6: the sweep's precision/
   // recall arithmetic was proven only against the oracle it shares CTE

@@ -441,7 +441,11 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // at any corpus size. q204: the plan is a #sources-row broadcast
     // dictionary and every doc decides its multiplicity scan-locally —
     // one source-keyed agg, output #sources rows at any corpus.
-    "q203_export_range_read", "q204_epoch_sample")
+    "q203_export_range_read", "q204_epoch_sample",
+    // q205 (round 16): rides the stored vocab (warmed below) — one
+    // corpus word join + the vocab-sized id broadcast + one doc-keyed
+    // window/agg; output rows = #docs, the 10x-linear case
+    "q205_sft_mask")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
@@ -483,7 +487,7 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     * pinned separately below. */
   private val bpeStoredModel = Set("q150_bpe_train", "q151_bpe_tokenize",
     "q156_bpe_pack", "q162_bpe_fertility", "q173_bpe_ids",
-    "q192_pack_boundaries", "q196_vocab_prune")
+    "q192_pack_boundaries", "q196_vocab_prune", "q205_sft_mask")
   private val uniStoredModel = Set("q175_unigram_train", "q176_unigram_tokenize",
     "q178_tokenizer_ablation")
 
