@@ -746,6 +746,61 @@ object Curation {
               .cast(LongType), lit(1000000007L)))
             .cast(LongType).as("sample_checksum"))
         .orderBy(col("source"))
+    },
+
+    // ---- q206 (round 16): SNAPSHOT DISTRIBUTION DRIFT — the release
+    // gate q195's changelog cannot answer: counts say WHAT changed,
+    // not whether the new release still LOOKS like the old one. Per
+    // source, the mean per-token log-likelihood ratio of v1 under
+    // v1-vs-v2 hashed-unigram models (add-1 smoothed over 1024
+    // buckets — the KL-style drift score, q155's DSIR machinery
+    // pointed at release gating): r(b) = ln((c1+1)(T2+1024) /
+    // ((c2+1)(T1+1024))) rounded ONCE to integer micros (the ln of a
+    // ratio of exact integer products — both engines divide the same
+    // doubles), drift = Σ_b c1(b)·r(b), mean = drift DIV T1. The
+    // snapshots are q195's exact derivations, so the changelog and
+    // the drift gate audit the SAME release pair. 100 TB shape:
+    // feature hashing scan-local; both models are (source × 1024)-row
+    // dictionaries; totals ride #sources-row broadcasts; output
+    // #sources rows. ----
+    QueryDef("q206_snapshot_drift", snapshotDriftScoreOracle) { (s, dir) =>
+      val base = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"),
+          split(lower(col("text")), " ").as("ws"))
+      val v1t = base.filter(col("doc_id") % 11 =!= 5)
+        .select(col("source"),
+          when(col("doc_id") % 13 === 7,
+            array_join(slice(col("ws"), lit(1),
+              (size(col("ws")) / 2).cast(IntegerType)), " "))
+            .otherwise(col("text")).as("t"))
+      val v2t = base.filter(col("doc_id") % 19 =!= 2)
+        .select(col("source"), col("text").as("t"))
+      def buckets(df: DataFrame, cn: String): DataFrame = df
+        .select(col("source"), explode(Pipeline.wordFeatColOn(s, col("t"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("source"),
+          pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType),
+            lit(1024L)).as("b"))
+        .groupBy(col("source"), col("b")).agg(count(lit(1)).as(cn))
+      val c1 = buckets(v1t, "c1")
+      val c2 = buckets(v2t, "c2")
+      val t1 = c1.groupBy(col("source")).agg(sum(col("c1")).cast(LongType).as("t1"))
+      val t2 = c2.groupBy(col("source")).agg(sum(col("c2")).cast(LongType).as("t2"))
+      c1.join(c2, Seq("source", "b"), "full_outer")
+        .na.fill(0L, Seq("c1", "c2"))
+        .join(broadcast(t1), Seq("source"))
+        .join(broadcast(t2), Seq("source"))
+        .select(col("source"), col("t1"), col("t2"), col("c1"),
+          expr("cast(round(ln(((c1 + 1) * (t2 + 1024)) / cast((c2 + 1) * (t1 + 1024) as double)) " +
+            "* 1000000, 0) as bigint)").as("r_micro"))
+        .groupBy(col("source"), col("t1"), col("t2"))
+        .agg(sum(col("c1") * col("r_micro")).cast(LongType).as("drift_sum_micro"))
+        .select(col("source"), col("t1").as("t1_tokens"), col("t2").as("t2_tokens"),
+          col("drift_sum_micro"),
+          when(col("t1") > 0, expr("drift_sum_micro DIV t1")).otherwise(lit(0L))
+            .as("mean_drift_micro"))
+        .orderBy(col("source"))
     }
   )
 
@@ -1223,6 +1278,50 @@ object Curation {
        |  CAST(sum(mult * (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
        |       % 1000000007)) AS BIGINT) AS sample_checksum
        |FROM d GROUP BY source, epochs_micro
+       |ORDER BY source""".stripMargin
+
+  /** DuckDB mirror of q206: q195's exact snapshot derivations, the same
+    * 1024-bucket hashed-unigram models, the same once-rounded integer-
+    * micro log-ratio and c1-weighted order-free sum. */
+  private def snapshotDriftScoreOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, text, string_split(lower(text), ' ') AS ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |v1 AS (
+       |  SELECT source,
+       |    CASE WHEN doc_id % 13 = 7
+       |        THEN array_to_string(ws[1 : len(ws) // 2], ' ')
+       |        ELSE text END AS t
+       |  FROM base WHERE doc_id % 11 <> 5),
+       |v2 AS (SELECT source, text AS t FROM base WHERE doc_id % 19 <> 2),
+       |w1 AS (
+       |  SELECT source, ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS b
+       |  FROM (SELECT source, ${Pipeline.wordFeatOracleSqlOn("t")} AS w FROM v1)
+       |  WHERE len(w) > 0),
+       |w2 AS (
+       |  SELECT source, ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS b
+       |  FROM (SELECT source, ${Pipeline.wordFeatOracleSqlOn("t")} AS w FROM v2)
+       |  WHERE len(w) > 0),
+       |cc1 AS (SELECT source, b, COUNT(*) AS c1 FROM w1 GROUP BY 1, 2),
+       |cc2 AS (SELECT source, b, COUNT(*) AS c2 FROM w2 GROUP BY 1, 2),
+       |tt1 AS (SELECT source, CAST(SUM(c1) AS BIGINT) AS t1 FROM cc1 GROUP BY source),
+       |tt2 AS (SELECT source, CAST(SUM(c2) AS BIGINT) AS t2 FROM cc2 GROUP BY source),
+       |j AS (
+       |  SELECT COALESCE(cc1.source, cc2.source) AS source,
+       |    COALESCE(cc1.c1, 0) AS c1, COALESCE(cc2.c2, 0) AS c2
+       |  FROM cc1 FULL OUTER JOIN cc2
+       |    ON cc1.source = cc2.source AND cc1.b = cc2.b),
+       |r AS (
+       |  SELECT j.source, tt1.t1, tt2.t2, j.c1,
+       |    CAST(round(ln(((j.c1 + 1) * (tt2.t2 + 1024))
+       |         / CAST((j.c2 + 1) * (tt1.t1 + 1024) AS DOUBLE)) * 1000000, 0)
+       |      AS BIGINT) AS r_micro
+       |  FROM j JOIN tt1 USING (source) JOIN tt2 USING (source))
+       |SELECT source, t1 AS t1_tokens, t2 AS t2_tokens,
+       |  CAST(SUM(c1 * r_micro) AS BIGINT) AS drift_sum_micro,
+       |  CASE WHEN t1 > 0 THEN CAST(SUM(c1 * r_micro) AS BIGINT) // t1
+       |    ELSE 0 END AS mean_drift_micro
+       |FROM r GROUP BY source, t1, t2
        |ORDER BY source""".stripMargin
 
   /** DuckDB mirror of q202: q200's shared keep-set CTE chain, with the

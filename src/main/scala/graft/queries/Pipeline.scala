@@ -3568,17 +3568,25 @@ object Pipeline {
     * instead of hashing to nothing (the r15 ASCII-only split made
     * domain selection and classification vacuous for exactly the
     * under-represented scripts these operators exist to serve). */
-  private[graft] def wordFeatCol(s: SparkSession): Column = {
+  private[graft] def wordFeatCol(s: SparkSession): Column =
+    wordFeatColOn(s, col("text"))
+
+  /** Same rule over an arbitrary text column (q206 features the DERIVED
+    * snapshot text, not the raw column). */
+  private[graft] def wordFeatColOn(s: SparkSession, c: Column): Column = {
     graft.functions.GraftFunctions.register(s)
-    split(expr("graft_nfc(lower(text))"), "[^\\p{L}\\p{N}]+")
+    split(call_function("graft_nfc", lower(c)), "[^\\p{L}\\p{N}]+")
   }
 
   /** DuckDB twin of wordFeatCol's explode: RE2 accepts the same
     * \p{L}\p{N} property classes and nfc_normalize matches graft_nfc
     * (agreement spot-validated on Hangul/umlauts by q141), so the two
     * engines tokenize multilingual text identically. */
-  private[graft] def wordFeatOracleSql: String =
-    """unnest(string_split_regex(nfc_normalize(lower(text)), '[^\p{L}\p{N}]+'))"""
+  private[graft] def wordFeatOracleSql: String = wordFeatOracleSqlOn("text")
+
+  /** The twin over an arbitrary SQL text expression. */
+  private[graft] def wordFeatOracleSqlOn(e: String): String =
+    s"""unnest(string_split_regex(nfc_normalize(lower($e)), '[^\\p{L}\\p{N}]+'))"""
 
   /** Corpus -> corpus-weighted word histogram (the one corpus-sized step
     * of the BPE family; everything downstream is vocab-sized). */

@@ -104,6 +104,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // broadcast HASH join on the bucket key); q186 cross-joins its
     // 1-row (total, #sources) aggregate into the #sources-row table.
     "q185_length_batching", "q186_repeat_epochs",
+    // q204 materializes q186's plan and so inherits its 1-row
+    // (total, #sources) cross join via the shared allocation helper.
+    "q204_epoch_sample",
     // q188 cross-joins its 1-row level-minima decision into the four
     // dictionary-sized level legs (the lattice pick is one scalar).
     "q188_kanon_generalize",
@@ -443,8 +446,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Curation.scala" -> Set(
         // 1-row batch counts / lattice minima; #buckets dictionary
         "tot", "nb", "gN", "mins", "bCounts",
-        // q204: the #sources-row repeat-epoch plan dictionary (r16)
-        "plan"),
+        // q204: the #sources-row repeat-epoch plan dictionary (r16);
+        // q206: the two #sources-row snapshot token totals (r16)
+        "plan", "t1", "t2"),
       "Pipeline.scala" -> Set(
         // 1-row totals and corpus stats
         "tot", "totS", "totT", "totals", "dTot", "n", "sw", "truthTotal",

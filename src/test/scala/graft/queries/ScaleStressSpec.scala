@@ -445,7 +445,11 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q205 (round 16): rides the stored vocab (warmed below) — one
     // corpus word join + the vocab-sized id broadcast + one doc-keyed
     // window/agg; output rows = #docs, the 10x-linear case
-    "q205_sft_mask")
+    "q205_sft_mask",
+    // q206 (round 16): both snapshot feature models are (#sources x
+    // 1024)-row dictionaries at any corpus; hashing is scan-local and
+    // the totals ride #sources-row broadcasts — output #sources rows
+    "q206_snapshot_drift")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
