@@ -1504,8 +1504,155 @@ object Streaming {
           coalesce(col("n_serving_tokens"), lit(0L)).as("n_serving_tokens"),
           coalesce(col("serving_checksum"), lit(0L)).as("serving_checksum"))
         .orderBy(col("lang"))
+    },
+
+    // ---- q207 (round 16): DISTRIBUTION DRIFT AT INGEST — q206's
+    // release gate moved to where production actually watches it: the
+    // live feed. A STATIC GLOBAL reference model (the doc_id%20
+    // benchmark split's 1024-bucket hashed-unigram counts — q155's
+    // convention; GLOBAL because the fixture assigns source =
+    // src(doc_id % 20), so a per-source %20 reference would be
+    // vacuous — and because "which incoming source drifts from the
+    // reference corpus" is the production question anyway) stands
+    // still while each micro-batch of the incoming corpus appends its
+    // own (source, bucket) counts to a delta log — counts are
+    // ADDITIVE, so the standing monitor (fold the log, score each
+    // source against the reference with q206's once-rounded
+    // integer-micro log-ratio) is EXACTLY the batch computation, and
+    // the oracle recomputes it from the table: at-least-once
+    // reprocessing, a dropped batch, or a drifting bucket rule all
+    // break the hash. 100 TB shape: per-batch cost tracks the batch
+    // (scan-local hashing, one (source, b) partial agg — no corpus
+    // rescan ever); the reference is a ≤1024-row dictionary, the
+    // incoming model (#sources × 1024) rows; totals ride #sources-row
+    // / 1-row broadcasts. ----
+    QueryDef.noBench("q207_drift_at_ingest", driftIngestOracle) { (s, dir) =>
+      val url = s"memory://q207-${UUID.randomUUID()}"
+      val deltaDir = java.nio.file.Files.createTempDirectory("graft-drift-log").toString
+      val feedSchema = StructType(Seq(
+        StructField("doc_id", IntegerType, nullable = false),
+        StructField("source", StringType, nullable = false),
+        StructField("text", StringType, nullable = false)))
+      // The session is a PARAMETER: foreachBatch plans resolve against
+      // the micro-batch's own (cloned) session, where graft_nfc must be
+      // registered separately from the outer one.
+      def bucketsOf(sess: org.apache.spark.sql.SparkSession,
+          df: DataFrame, cn: String): DataFrame = df
+        .select(col("source"),
+          explode(Pipeline.wordFeatColOn(sess, col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("source"),
+          pmod(conv(substring(md5(col("w")), 1, 15), 16, 10)
+            .cast(org.apache.spark.sql.types.LongType), lit(1024L)).as("b"))
+        .groupBy(col("source"), col("b")).agg(count(lit(1)).as(cn))
+      val q = s.readStream.format("nats").schema(feedSchema)
+        .option("url", url).option("subject", "docs_drift")
+        .option("codec", "json")
+        .option("batchSize", "200")
+        .option("flushTimeoutMs", "100")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          bucketsOf(batch.sparkSession, batch.toDF(), "c")
+            .write.mode("append").parquet(deltaDir)
+        }
+        .start()
+      val pub = graft.Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 20 =!= 0)
+        .select(col("doc_id").cast(IntegerType).as("doc_id"),
+          col("source"), col("text"))
+      try {
+        NatsDemo.awaitSubscriber(url, "docs_drift")
+        // expected token total, known before publish — the drain target
+        val expTokens = pub
+          .select(explode(Pipeline.wordFeatColOn(s, col("text"))).as("w"))
+          .filter(length(col("w")) > 0).count()
+        pub.write.format("nats").mode("append")
+          .option("url", url).option("subject", "docs_drift")
+          .option("codec", "json").save()
+        // (first() on a 1-row aggregate of the tiny delta log — the
+        // harness's drain poll, not operator data flow)
+        def done(): Long =
+          try s.read.parquet(deltaDir).agg(sum(col("c"))).first().getLong(0)
+          catch { case _: Exception => 0L }
+        q.processAllAvailable()
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (done() < expTokens && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          q.processAllAvailable()
+        }
+        require(done() == expTokens,
+          s"q207 drain timed out: ${done()} of $expTokens tokens in the drift log")
+      } finally q.stop()
+      // Standing monitor: additive fold of the delta log, each source
+      // scored against the GLOBAL reference — q206's arithmetic.
+      // (Buckets the incoming side never uses contribute zero to the
+      // cin-weighted sum, so the join is a plain LEFT join on b.)
+      val cin = s.read.parquet(deltaDir)
+        .groupBy(col("source"), col("b"))
+        .agg(sum(col("c")).cast(org.apache.spark.sql.types.LongType).as("cin"))
+      val tin = cin.groupBy(col("source"))
+        .agg(sum(col("cin")).cast(org.apache.spark.sql.types.LongType).as("tin"))
+      val ref = bucketsOf(s,
+        graft.Tables.load(s, dir, "documents")
+          .filter(col("text").isNotNull && col("doc_id") % 20 === 0)
+          .select(col("source"), col("text")), "c0")
+        .groupBy(col("b"))
+        .agg(sum(col("c0")).cast(org.apache.spark.sql.types.LongType).as("cref"))
+      val tref = ref.agg(sum(col("cref"))
+        .cast(org.apache.spark.sql.types.LongType).as("tref"))
+      cin.join(ref, Seq("b"), "left")
+        .na.fill(0L, Seq("cref"))
+        .join(broadcast(tin), Seq("source"))
+        .crossJoin(broadcast(tref))
+        .select(col("source"), col("tin"), col("tref"), col("cin"),
+          expr("cast(round(ln(((cin + 1) * (tref + 1024)) / cast((cref + 1) * (tin + 1024) as double)) " +
+            "* 1000000, 0) as bigint)").as("r_micro"))
+        .groupBy(col("source"), col("tin"), col("tref"))
+        .agg(sum(col("cin") * col("r_micro"))
+          .cast(org.apache.spark.sql.types.LongType).as("drift_sum_micro"))
+        .select(col("source"), col("tin").as("in_tokens"),
+          col("tref").as("ref_tokens"), col("drift_sum_micro"),
+          when(col("tin") > 0, expr("drift_sum_micro DIV tin")).otherwise(lit(0L))
+            .as("mean_drift_micro"))
+        .orderBy(col("source"))
     }
   )
+
+  /** DuckDB mirror of q207: the identical drift arithmetic computed
+    * batch-side from the table — the incoming model from the %20 != 0
+    * stream, the static reference from the %20 benchmark split. */
+  private def driftIngestOracle: String =
+    s"""WITH win AS (
+       |  SELECT source, ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS b
+       |  FROM (SELECT source, ${Pipeline.wordFeatOracleSql} AS w
+       |        FROM documents WHERE text IS NOT NULL AND doc_id % 20 <> 0)
+       |  WHERE len(w) > 0),
+       |wref AS (
+       |  SELECT source, ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS b
+       |  FROM (SELECT source, ${Pipeline.wordFeatOracleSql} AS w
+       |        FROM documents WHERE text IS NOT NULL AND doc_id % 20 = 0)
+       |  WHERE len(w) > 0),
+       |ci AS (SELECT source, b, COUNT(*) AS cin FROM win GROUP BY 1, 2),
+       |cr AS (SELECT b, COUNT(*) AS cref FROM wref GROUP BY 1),
+       |ti AS (SELECT source, CAST(SUM(cin) AS BIGINT) AS tin FROM ci GROUP BY source),
+       |tr AS (SELECT CAST(SUM(cref) AS BIGINT) AS tref FROM cr),
+       |j AS (
+       |  SELECT ci.source, ci.cin, COALESCE(cr.cref, 0) AS cref
+       |  FROM ci LEFT JOIN cr USING (b)),
+       |r AS (
+       |  SELECT j.source, ti.tin, tr.tref, j.cin,
+       |    CAST(round(ln(((j.cin + 1) * (tr.tref + 1024))
+       |         / CAST((j.cref + 1) * (ti.tin + 1024) AS DOUBLE)) * 1000000, 0)
+       |      AS BIGINT) AS r_micro
+       |  FROM j JOIN ti USING (source), tr)
+       |SELECT source, tin AS in_tokens, tref AS ref_tokens,
+       |  CAST(SUM(cin * r_micro) AS BIGINT) AS drift_sum_micro,
+       |  CASE WHEN tin > 0 THEN CAST(SUM(cin * r_micro) AS BIGINT) // tin
+       |    ELSE 0 END AS mean_drift_micro
+       |FROM r GROUP BY source, tin, tref
+       |ORDER BY source""".stripMargin
 
   /** DuckDB mirror of q187: the same shard assignment, counts, and
     * additive membership checksum computed batch-side directly from the

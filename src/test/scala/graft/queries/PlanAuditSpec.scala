@@ -133,7 +133,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q106_stream_timers", "q108_stream_initial_state", "q111_stream_index_maintain",
     "q118_state_store_read", "q119_stream_outer_join", "q120_idempotent_sink",
     "q147_nats_tls_e2e", "q152_availablenow_backfill",
-    "q154_stream_dedup_ingest")
+    "q154_stream_dedup_ingest", "q179_tokenize_at_ingest",
+    "q187_manifest_at_ingest", "q190_redact_at_ingest",
+    "q191_delete_at_ingest", "q207_drift_at_ingest")
+  // (q179/q187/q190/q191/q207 run their own publisher+drain inside
+  // build() — auditing them here would re-run the whole stream per
+  // audit test; their standing folds are audited by the gate + their
+  // own drain invariants instead.)
 
   test("registry names are unique and well-formed (duplicates would silently shadow in SparkEntry.queries)") {
     val names = Registry.all.map(_.name)
@@ -461,7 +467,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         "cent", "dict", "df", "keptArr", "mergesArr", "prof", "ratio",
         "uni", "vocab", "wts"),
       "Relational.scala" -> Set("n", "p", "r"), // TPC-H dims
-      "Streaming.scala" -> Set("mergesArr", "nation", "tombs"),
+      "Streaming.scala" -> Set("mergesArr", "nation", "tombs",
+        // q207's #sources-row token totals (r16)
+        "tin", "tref"),
       "Unigram.scala" -> Set("m", "st")) // piece/score models
     val srcDirs = Seq(
       new java.io.File("src/main/scala/graft/queries"),
