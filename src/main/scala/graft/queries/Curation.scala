@@ -801,6 +801,62 @@ object Curation {
           when(col("t1") > 0, expr("drift_sum_micro DIV t1")).otherwise(lit(0L))
             .as("mean_drift_micro"))
         .orderBy(col("source"))
+    },
+
+    // ---- q208 (round 16): EPOCH-ORDER DECORRELATION — the dataloader
+    // hygiene check behind q159's per-epoch re-shuffle: if two epochs'
+    // training orders CORRELATE, the second epoch replays the first's
+    // curriculum instead of re-sampling it (the failure mode of a
+    // forgotten per-epoch salt — rho would be ~1e6, and this table
+    // makes it a number). Each epoch's GLOBAL position = shard-offset
+    // prefix + within-shard rank under q159's exact convention (salt
+    // 'eN:', 64 shards, (hkey, doc_id) order — shards consumed in
+    // order ARE the training sequence); per epoch pair: Spearman's
+    // rho = 1 − 6·Σd²/(n(n²−1)) with Σd² exact integer and the ONE
+    // division performed on identical exact-integer doubles in both
+    // engines, rounded once to micros. Expected ≈ 0 on independent
+    // salts. 100 TB shape: per epoch ONE shard-partitioned rank window
+    // + a 64-row offset prefix (the q173/q182 pattern — no global
+    // sort); the pair joins are doc-keyed; output 3 rows. (Σd² rides
+    // int64 up to ~corpus 2e5 docs; beyond that a production run
+    // computes the identical statistic per shard and averages —
+    // documented, not needed at fixture scale.) ----
+    QueryDef("q208_epoch_decorrelation", epochDecorrelationOracle) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      def epochPos(e: Int): DataFrame = {
+        val ranked = T(s, dir, "documents")
+          .select(col("doc_id"),
+            expr(s"cast(conv(substring(md5(concat('e$e:', doc_id)), 1, 15), 16, 10) as bigint)")
+              .as("hkey"))
+          .withColumn("shard", pmod(col("hkey"), lit(64L)))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id")))
+            .cast(LongType))
+        val offs = ranked.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+          .withColumn("off",
+            coalesce(sum(col("n")).over(Window.orderBy(col("shard"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)),
+              lit(0L)))
+          .select(col("shard"), col("off"))
+        ranked.join(broadcast(offs), Seq("shard"))
+          .select(col("doc_id"), (col("off") + col("rk")).as("pos"))
+      }
+      val Seq(g1, g2, g3) = Seq(1, 2, 3).map(epochPos)
+      def pairRho(label: String, a: DataFrame, b: DataFrame): DataFrame =
+        a.select(col("doc_id"), col("pos").as("pa"))
+          .join(b.select(col("doc_id"), col("pos").as("pb")), Seq("doc_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("pa") - col("pb")) * (col("pa") - col("pb")))
+              .cast(LongType).as("sum_d2"))
+          .select(lit(label).as("pair"), col("n_docs"), col("sum_d2"),
+            when(col("n_docs") > 1,
+              lit(1000000L) - expr(
+                "cast(round((6 * sum_d2) / cast(n_docs * (n_docs * n_docs - 1) as double) * 1000000, 0) as bigint)"))
+              .otherwise(lit(1000000L)).as("rho_micro"))
+      pairRho("1_2", g1, g2)
+        .unionByName(pairRho("1_3", g1, g3))
+        .unionByName(pairRho("2_3", g2, g3))
+        .orderBy(col("pair"))
     }
   )
 
@@ -1323,6 +1379,47 @@ object Curation {
        |    ELSE 0 END AS mean_drift_micro
        |FROM r GROUP BY source, t1, t2
        |ORDER BY source""".stripMargin
+
+  /** DuckDB mirror of q208: the same global-position derivation per
+    * epoch (correlated shard-prefix subquery instead of the window —
+    * identical values), the same exact-integer Spearman. */
+  private def epochDecorrelationOracle: String = {
+    def epoch(e: Int): String =
+      s"""h$e AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5('e$e:' || doc_id), 1, 15))::BIGINT AS hkey
+         |  FROM documents),
+         |p$e AS (
+         |  SELECT doc_id, hkey % 64 AS shard,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY hkey % 64
+         |      ORDER BY hkey, doc_id) AS BIGINT) AS rk
+         |  FROM h$e),
+         |o$e AS (SELECT shard, COUNT(*) AS n FROM p$e GROUP BY shard),
+         |g$e AS (
+         |  SELECT p.doc_id,
+         |    CAST((SELECT COALESCE(SUM(o.n), 0) FROM o$e o WHERE o.shard < p.shard)
+         |      + p.rk AS BIGINT) AS pos
+         |  FROM p$e p)""".stripMargin
+    s"""WITH ${epoch(1)},
+       |${epoch(2)},
+       |${epoch(3)},
+       |pr AS (
+       |  SELECT '1_2' AS pair, g1.pos - g2.pos AS dd
+       |  FROM g1 JOIN g2 USING (doc_id)
+       |  UNION ALL
+       |  SELECT '1_3', g1.pos - g3.pos FROM g1 JOIN g3 USING (doc_id)
+       |  UNION ALL
+       |  SELECT '2_3', g2.pos - g3.pos FROM g2 JOIN g3 USING (doc_id))
+       |SELECT pair, COUNT(*) AS n_docs,
+       |  CAST(SUM(dd * dd) AS BIGINT) AS sum_d2,
+       |  CASE WHEN COUNT(*) > 1 THEN
+       |    1000000 - CAST(round((6 * CAST(SUM(dd * dd) AS BIGINT))
+       |      / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE) * 1000000, 0)
+       |      AS BIGINT)
+       |    ELSE 1000000 END AS rho_micro
+       |FROM pr GROUP BY pair
+       |ORDER BY pair""".stripMargin
+  }
 
   /** DuckDB mirror of q202: q200's shared keep-set CTE chain, with the
     * same reconciliation pin (file_md5 = manifest digest, is_match=1);

@@ -453,8 +453,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         // 1-row batch counts / lattice minima; #buckets dictionary
         "tot", "nb", "gN", "mins", "bCounts",
         // q204: the #sources-row repeat-epoch plan dictionary (r16);
-        // q206: the two #sources-row snapshot token totals (r16)
-        "plan", "t1", "t2"),
+        // q206: the two #sources-row snapshot token totals (r16);
+        // q208: the 64-row shard-offset prefix dictionary (r16)
+        "plan", "t1", "t2", "offs"),
       "Pipeline.scala" -> Set(
         // 1-row totals and corpus stats
         "tot", "totS", "totT", "totals", "dTot", "n", "sw", "truthTotal",

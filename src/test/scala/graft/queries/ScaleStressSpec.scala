@@ -449,7 +449,11 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q206 (round 16): both snapshot feature models are (#sources x
     // 1024)-row dictionaries at any corpus; hashing is scan-local and
     // the totals ride #sources-row broadcasts — output #sources rows
-    "q206_snapshot_drift")
+    "q206_snapshot_drift",
+    // q208 (round 16): per epoch one shard-partitioned rank window +
+    // a 64-row offset prefix; pair joins doc-keyed; output 3 rows at
+    // any corpus
+    "q208_epoch_decorrelation")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
