@@ -857,6 +857,53 @@ object Curation {
         .unionByName(pairRho("1_3", g1, g3))
         .unionByName(pairRho("2_3", g2, g3))
         .orderBy(col("pair"))
+    },
+
+    // ---- q209 (round 16): INCREMENTAL EXPORT APPEND — the lakehouse
+    // lifecycle step q201 lacks (a real corpus grows AFTER the first
+    // export; rewriting 100 TB per batch is not an option): the BASE
+    // export holds docs with doc_id%10 != 7, a LATE batch appends the
+    // %10 == 7 docs as per-shard DELTA files — no base rewrite — and
+    // this query reads BOTH layers back, merges each shard by the
+    // export's (h, doc_id) order across layers, and proves the merged
+    // membership digest equals the FULL-rebuild manifest recomputed
+    // from the source (the q165 SCD2 equivalence statement applied to
+    // the export: append+merge ≡ rebuild, pinned by hash). 100 TB
+    // shape: the append shuffles ONLY the batch; the base is never
+    // rewritten or rescanned at write time; reconciliation is
+    // shard-keyed aggregates over both layers. ----
+    QueryDef("q209_export_append", exportAppendOracle) { (s, dir) =>
+      val (baseRoot, deltaRoot) = ensureIncrementalExport(s, dir)
+      def layer(root: String, tag: String): DataFrame =
+        s.read.parquet(root)
+          .select(col("shard").cast(LongType).as("shard"),
+            col("h"), col("doc_id"), lit(tag).as("layer"))
+      val both = layer(baseRoot, "base").unionByName(layer(deltaRoot, "delta"))
+      val fileSide = both.groupBy(col("shard"))
+        .agg(sum(when(col("layer") === "base", 1L).otherwise(0L))
+            .cast(LongType).as("n_docs_base"),
+          sum(when(col("layer") === "delta", 1L).otherwise(0L))
+            .cast(LongType).as("n_docs_delta"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("h"), col("doc_id")))),
+              x => x.getField("doc_id").cast(StringType)),
+            ",")).as("merged_md5"))
+      val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType)
+      val manifest = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", (col("h") % Shards).cast(LongType))
+        .groupBy(col("shard"))
+        .agg(md5(array_join(
+          transform(array_sort(collect_list(struct(col("h"), col("doc_id")))),
+            x => x.getField("doc_id").cast(StringType)),
+          ",")).as("manifest_md5"))
+      fileSide.join(manifest, Seq("shard"))
+        .select(col("shard"), col("n_docs_base"), col("n_docs_delta"),
+          col("merged_md5"), col("manifest_md5"),
+          (col("merged_md5") === col("manifest_md5")).cast(IntegerType).as("is_match"))
+        .orderBy(col("shard"))
     }
   )
 
@@ -915,6 +962,45 @@ object Curation {
         exportDirs.add(memoKey)
       }
       root
+    }
+
+  /** Write one export layer: parquet partitioned by shard, each shard
+    * wholly inside one task, rows in (h, doc_id) order with an explicit
+    * per-shard ord column (the q201 physical contract). */
+  private def writeShardLayer(df: DataFrame, root: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    df.withColumn("ord", row_number().over(w).cast(LongType))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("ord"))
+      .write.mode("overwrite").partitionBy("shard").parquet(root)
+  }
+
+  /** Write the TWO-layer incremental export ONCE per (session, dir):
+    * the base layer (doc_id % 10 != 7) and the late-batch delta layer
+    * (% 10 == 7) — the append shuffles only the batch, the base is
+    * never rewritten. Returns (baseRoot, deltaRoot) for q209. */
+  private[graft] def ensureIncrementalExport(
+      s: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val key = graft.BuildPaths.dirKey(dir)
+      val baseRoot = graft.BuildPaths.scratch(s"incr_export/$key/base")
+      val deltaRoot = graft.BuildPaths.scratch(s"incr_export/$key/delta")
+      val memoKey = s"incr|$dir"
+      if (!(exportDirs.contains(memoKey) &&
+            new java.io.File(baseRoot, "_SUCCESS").exists &&
+            new java.io.File(deltaRoot, "_SUCCESS").exists)) {
+        val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType)
+        val docs = T(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"), h.as("h"))
+          .withColumn("shard", (col("h") % Shards).cast(LongType))
+        writeShardLayer(docs.filter(col("doc_id") % 10 =!= 7), baseRoot)
+        writeShardLayer(docs.filter(col("doc_id") % 10 === 7), deltaRoot)
+        exportDirs.add(memoKey)
+      }
+      (baseRoot, deltaRoot)
     }
 
   /** Write q200's curated keep set ONCE per (session, dir) as the same
@@ -1379,6 +1465,27 @@ object Curation {
        |    ELSE 0 END AS mean_drift_micro
        |FROM r GROUP BY source, t1, t2
        |ORDER BY source""".stripMargin
+
+  /** DuckDB mirror of q209: base/delta counts by the %10 batch rule and
+    * the reconciliation pin — the merged (h, doc_id)-ordered digest of
+    * the two layers must equal the full-rebuild manifest, so both
+    * columns derive from the same expression and is_match = 1. */
+  private def exportAppendOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (SELECT doc_id, h, h % $Shards AS shard FROM d)
+       |SELECT shard,
+       |  CAST(SUM(CASE WHEN doc_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_base,
+       |  CAST(SUM(CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_delta,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id)) AS merged_md5,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id)) AS manifest_md5,
+       |  1 AS is_match
+       |FROM r GROUP BY shard
+       |ORDER BY shard""".stripMargin
 
   /** DuckDB mirror of q208: the same global-position derivation per
     * epoch (correlated shard-prefix subquery instead of the window —

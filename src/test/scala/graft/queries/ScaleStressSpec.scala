@@ -453,7 +453,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q208 (round 16): per epoch one shard-partitioned rank window +
     // a 64-row offset prefix; pair joins doc-keyed; output 3 rows at
     // any corpus
-    "q208_epoch_decorrelation")
+    "q208_epoch_decorrelation",
+    // q209 (round 16): reconciliation over the two pre-warmed export
+    // layers — shard-keyed aggregates, output 16 rows at any corpus
+    "q209_export_append")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
@@ -512,6 +515,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (name == "q201_export_shards" || name == "q203_export_range_read") {
         Curation.ensureShardExport(spark, base)
         Curation.ensureShardExport(spark, scaledDir)
+      }
+      if (name == "q209_export_append") {
+        Curation.ensureIncrementalExport(spark, base)
+        Curation.ensureIncrementalExport(spark, scaledDir)
       }
       if (name == "q202_crawl_export") {
         Curation.ensureCrawlExport(spark, base)
