@@ -904,6 +904,52 @@ object Curation {
           col("merged_md5"), col("manifest_md5"),
           (col("merged_md5") === col("manifest_md5")).cast(IntegerType).as("is_match"))
         .orderBy(col("shard"))
+    },
+
+    // ---- q210 (round 16): EXPORT COMPACTION — the other half of the
+    // append lifecycle (q209 accumulates per-shard delta files; a
+    // compaction job periodically folds them back so range reads stay
+    // one-file-per-shard): ensureCompactedExport reads BOTH layers and
+    // rewrites each shard as a single layer in full (h, doc_id) order
+    // with ord REASSIGNED 1..n — the q203 seekability contract
+    // restored. This query reads the compacted files back and pins
+    // (a) the membership digest still equals the full-rebuild
+    // manifest (compaction loses nothing) and (b) ord is contiguous
+    // per shard — min 1, max = count (the property a resume-by-offset
+    // fetch depends on). 100 TB shape: compaction is per-shard work
+    // (each task folds one shard's base+delta — the layers are
+    // already co-partitioned by construction); reconciliation is
+    // shard-keyed aggregates; output #shards rows. ----
+    QueryDef("q210_export_compact", exportCompactOracle) { (s, dir) =>
+      val root = ensureCompactedExport(s, dir)
+      val fileSide = s.read.parquet(root)
+        .select(col("shard").cast(LongType).as("shard"), col("ord"),
+          col("h"), col("doc_id"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("ord")).as("ord_min"), max(col("ord")).as("ord_max"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("ord"), col("doc_id")))),
+              x => x.getField("doc_id").cast(StringType)),
+            ",")).as("compacted_md5"))
+      val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType)
+      val manifest = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", (col("h") % Shards).cast(LongType))
+        .groupBy(col("shard"))
+        .agg(md5(array_join(
+          transform(array_sort(collect_list(struct(col("h"), col("doc_id")))),
+            x => x.getField("doc_id").cast(StringType)),
+          ",")).as("manifest_md5"))
+      fileSide.join(manifest, Seq("shard"))
+        .select(col("shard"), col("n_docs"),
+          (col("ord_min") === 1L && col("ord_max") === col("n_docs"))
+            .cast(IntegerType).as("ord_contiguous"),
+          col("compacted_md5"), col("manifest_md5"),
+          (col("compacted_md5") === col("manifest_md5")).cast(IntegerType).as("is_match"))
+        .orderBy(col("shard"))
     }
   )
 
@@ -1001,6 +1047,28 @@ object Curation {
         exportDirs.add(memoKey)
       }
       (baseRoot, deltaRoot)
+    }
+
+  /** Compact q209's two layers back into ONE export layer per shard —
+    * full (h, doc_id) order, ord reassigned 1..n (the writeShardLayer
+    * contract re-applied to the union). Write-once; returns the
+    * compacted root q210 reads. */
+  private[graft] def ensureCompactedExport(s: SparkSession, dir: String): String =
+    synchronized {
+      val (baseRoot, deltaRoot) = ensureIncrementalExport(s, dir)
+      val root = graft.BuildPaths.scratch(
+        s"incr_export/${graft.BuildPaths.dirKey(dir)}/compacted")
+      val memoKey = s"compact|$dir"
+      if (!(exportDirs.contains(memoKey) &&
+            new java.io.File(root, "_SUCCESS").exists)) {
+        val both = s.read.parquet(baseRoot)
+          .unionByName(s.read.parquet(deltaRoot))
+          .select(col("doc_id"), col("text"), col("h"),
+            col("shard").cast(LongType).as("shard"))
+        writeShardLayer(both, root)
+        exportDirs.add(memoKey)
+      }
+      root
     }
 
   /** Write q200's curated keep set ONCE per (session, dir) as the same
@@ -1482,6 +1550,22 @@ object Curation {
        |  CAST(SUM(CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_docs_delta,
        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id)) AS merged_md5,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id)) AS manifest_md5,
+       |  1 AS is_match
+       |FROM r GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
+  /** DuckDB mirror of q210: the full-rebuild manifest rule with the
+    * compaction pins — digest preserved, ord contiguous. */
+  private def exportCompactOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (SELECT doc_id, h, h % $Shards AS shard FROM d)
+       |SELECT shard, count(*) AS n_docs,
+       |  1 AS ord_contiguous,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id)) AS compacted_md5,
        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id)) AS manifest_md5,
        |  1 AS is_match
        |FROM r GROUP BY shard

@@ -456,7 +456,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q208_epoch_decorrelation",
     // q209 (round 16): reconciliation over the two pre-warmed export
     // layers — shard-keyed aggregates, output 16 rows at any corpus
-    "q209_export_append")
+    "q209_export_append",
+    // q210 (round 16): compaction reconciliation over the pre-warmed
+    // compacted layer — shard-keyed aggregates, output 16 rows
+    "q210_export_compact")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
@@ -519,6 +522,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (name == "q209_export_append") {
         Curation.ensureIncrementalExport(spark, base)
         Curation.ensureIncrementalExport(spark, scaledDir)
+      }
+      if (name == "q210_export_compact") {
+        Curation.ensureCompactedExport(spark, base)
+        Curation.ensureCompactedExport(spark, scaledDir)
       }
       if (name == "q202_crawl_export") {
         Curation.ensureCrawlExport(spark, base)
