@@ -108,6 +108,19 @@ object Curation {
   private final val RangeOrdLo = 5
   private final val RangeOrdHi = 24
 
+  // q211: export block (zone-map) index — BrinBlock docs per block maps
+  // to "one parquet row group" in a production export; the probe rule
+  // picks a deterministic ~4% of doc_ids as point lookups.
+  private final val BrinBlock = 8
+  private final val ProbeMod = 23
+  private final val ProbeRes = 5
+
+  // q214: preference-pair construction — groups are (source, token-
+  // length band of PrefBucketW), a pair ships only when the quality
+  // margin clears PrefMarginMin micros (5 pp of distinct-token ratio).
+  private final val PrefBucketW = 16
+  private final val PrefMarginMin = 50000L
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q181 (round 15): PII REDACTION — the rewrite half of
@@ -950,6 +963,142 @@ object Curation {
           col("compacted_md5"), col("manifest_md5"),
           (col("compacted_md5") === col("manifest_md5")).cast(IntegerType).as("is_match"))
         .orderBy(col("shard"))
+    },
+
+    // ---- q211 (round 16): EXPORT BLOCK INDEX — the zone-map layer a
+    // serve tier puts OVER the export so a point lookup touches one
+    // block, not one shard (q203 prunes to the shard directory; at
+    // 100 TB a shard is still ~6 TB — the lookup must then prune to a
+    // row group): from the compacted export, a (shard, block) index of
+    // [h_lo, h_hi] fences (block = (ord-1) DIV BrinBlock — rows are in
+    // h order, so block h-ranges are disjoint up to hash ties); each
+    // probe doc_id resolves candidate blocks by fence containment and
+    // the query pins that the probe's TRUE block is always among the
+    // candidates (is_covered = 1 — the property that makes the index
+    // safe to serve from) with the candidate count reported honestly.
+    // 100 TB shape: the index is corpus/BrinBlock rows built once per
+    // compaction; a probe reads the index (shard-equi join + fence
+    // filter) and ONE block — never the corpus; the truth join here is
+    // the audit only. ----
+    QueryDef("q211_export_block_index", exportBlockIndexOracle) { (s, dir) =>
+      val root = ensureCompactedExport(s, dir)
+      val rows = s.read.parquet(root)
+        .select(col("shard").cast(LongType).as("shard"), col("ord"),
+          col("h"), col("doc_id"))
+      val index = rows
+        .withColumn("block", expr(s"(ord - 1) DIV $BrinBlock"))
+        .groupBy(col("shard"), col("block"))
+        .agg(min(col("h")).as("h_lo"), max(col("h")).as("h_hi"))
+      val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType)
+      val probes = T(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % ProbeMod === ProbeRes)
+        .select(col("doc_id"), h.as("ph"))
+        .withColumn("shard", (col("ph") % Shards).cast(LongType))
+      val truth = rows
+        .select(col("doc_id"),
+          expr(s"(ord - 1) DIV $BrinBlock").as("true_block"))
+      probes.join(truth, Seq("doc_id"))
+        .join(index, Seq("shard"))
+        .filter(col("ph") >= col("h_lo") && col("ph") <= col("h_hi"))
+        .groupBy(col("doc_id"), col("shard"), col("true_block"))
+        .agg(count(lit(1)).as("n_cand_blocks"),
+          max((col("block") === col("true_block")).cast(IntegerType))
+            .as("is_covered"))
+        .select(col("doc_id"), col("shard"), col("true_block"),
+          col("n_cand_blocks"), col("is_covered"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q212 (round 16): EXPORT DECONTAMINATION AUDIT — q57 scrubs
+    // the LOGICAL corpus; a release auditor must re-check the SHIPPED
+    // BYTES (the artifact a trainer mounts — a stale export, a bad
+    // compaction, or a post-scrub append would all pass a logical-only
+    // check): the compacted export files are re-read, the shipped text
+    // is re-shingled with the same graft_shingle_hashes kernel, and
+    // train-side docs sharing any 3-gram with the eval split
+    // (doc_id % 50 = 0, the q57 rule) are flagged per shard with an
+    // order-pinned membership digest. 100 TB shape: shingling is
+    // scan-local over the export read; the eval-fingerprint set is an
+    // UNHINTED semi join (eval suites are bounded in production, but
+    // this derivation is corpus-proportional — AQE decides, the q199
+    // de-hinting rule); per-shard aggregates are the only shuffle. ----
+    QueryDef("q212_export_decontam_audit", exportDecontamAuditOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val root = ensureCompactedExport(s, dir)
+      val exp = s.read.parquet(root)
+        .select(col("shard").cast(LongType).as("shard"), col("doc_id"),
+          col("text"))
+      val bench = T(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 50 === 0)
+        .select(explode(expr("graft_shingle_hashes(text)")).as("h"))
+        .distinct()
+      val flagged = exp.filter(col("doc_id") % 50 =!= 0)
+        .select(col("shard"), col("doc_id"),
+          explode(expr("graft_shingle_hashes(text)")).as("h"))
+        .join(bench, Seq("h"), "left_semi")
+        .select(col("shard"), col("doc_id")).distinct()
+      val per = exp.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") % 50 === 0, 1L).otherwise(0L))
+            .cast(LongType).as("n_eval_docs"))
+      val fl = flagged.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_flagged"),
+          md5(array_join(
+            transform(array_sort(collect_list(col("doc_id"))),
+              x => x.cast(StringType)),
+            ",")).as("flagged_md5"))
+      per.join(fl, Seq("shard"), "left")
+        .select(col("shard"), col("n_docs"), col("n_eval_docs"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+          coalesce(col("flagged_md5"), lit("")).as("flagged_md5"))
+        .orderBy(col("shard"))
+    },
+
+    // ---- q214 (round 16): PREFERENCE-PAIR CONSTRUCTION — the data op
+    // behind preference tuning (DPO/RLHF reward modeling needs
+    // (chosen, rejected) pairs; absent human labels, pipelines mine
+    // them from a quality signal over COMPARABLE responses): docs are
+    // grouped into (source, token-length band) cells — same register,
+    // same length, so the quality gap is the only axis — and each cell
+    // with >= 2 docs ships its best-vs-worst pair by distinct-token
+    // ratio (q193's exact-integer score), kept only when the margin
+    // clears PrefMarginMin (a pair the scorer can't separate teaches
+    // nothing). Tie rule pins determinism: chosen = (score DESC,
+    // doc_id ASC), rejected = (score ASC, doc_id DESC) — disjoint
+    // whenever the cell has 2+ docs. 100 TB shape: scoring is
+    // scan-local; ONE hash shuffle on (source, bucket) feeds both
+    // window ranks (same partitioning, two sort orders); output is
+    // #cells rows. ----
+    QueryDef("q214_preference_pairs", preferencePairsOracle) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("ws", split(lower(col("text")), " "))
+        .select(col("source"), col("doc_id"),
+          expr(s"size(ws) DIV $PrefBucketW").cast(LongType).as("bucket"),
+          expr("CAST(round(CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws) * 1000000, 0) AS BIGINT)")
+            .as("score_micro"))
+      val w = Window.partitionBy(col("source"), col("bucket"))
+      val ranked = scored
+        .withColumn("rk_top",
+          row_number().over(w.orderBy(desc("score_micro"), col("doc_id"))))
+        .withColumn("rk_bot",
+          row_number().over(w.orderBy(col("score_micro"), desc("doc_id"))))
+        .withColumn("n_group", count(lit(1)).over(w))
+      val top = ranked.filter(col("rk_top") === 1)
+        .select(col("source"), col("bucket"),
+          col("doc_id").as("chosen_id"), col("score_micro").as("cs"),
+          col("n_group"))
+      val bot = ranked.filter(col("rk_bot") === 1)
+        .select(col("source"), col("bucket"),
+          col("doc_id").as("rejected_id"), col("score_micro").as("rs"))
+      top.join(bot, Seq("source", "bucket"))
+        .filter(col("n_group") >= 2 && col("cs") - col("rs") >= PrefMarginMin)
+        .select(col("source"), col("bucket"), col("chosen_id"),
+          col("rejected_id"), (col("cs") - col("rs")).as("margin_micro"),
+          col("n_group"))
+        .orderBy(col("source"), col("bucket"))
     }
   )
 
@@ -1611,6 +1760,99 @@ object Curation {
        |FROM pr GROUP BY pair
        |ORDER BY pair""".stripMargin
   }
+
+  /** DuckDB mirror of q211: the same manifest-rule derivation of
+    * (shard, ord), the same block fences, the same fence-containment
+    * probe resolution and coverage pin. */
+  private def exportBlockIndexOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (
+       |  SELECT doc_id, h, h % $Shards AS shard,
+       |    ROW_NUMBER() OVER (PARTITION BY h % $Shards ORDER BY h, doc_id) AS ord
+       |  FROM d),
+       |ix AS (
+       |  SELECT shard, (ord - 1) // $BrinBlock AS block,
+       |    MIN(h) AS h_lo, MAX(h) AS h_hi
+       |  FROM r GROUP BY shard, (ord - 1) // $BrinBlock),
+       |p AS (
+       |  SELECT doc_id, h AS ph, shard, (ord - 1) // $BrinBlock AS true_block
+       |  FROM r WHERE doc_id % $ProbeMod = $ProbeRes)
+       |SELECT p.doc_id, p.shard, CAST(p.true_block AS BIGINT) AS true_block,
+       |  COUNT(*) AS n_cand_blocks,
+       |  CAST(MAX(CASE WHEN ix.block = p.true_block THEN 1 ELSE 0 END)
+       |    AS INTEGER) AS is_covered
+       |FROM p JOIN ix ON p.shard = ix.shard AND p.ph BETWEEN ix.h_lo AND ix.h_hi
+       |GROUP BY p.doc_id, p.shard, p.true_block
+       |ORDER BY p.doc_id""".stripMargin
+
+  /** DuckDB mirror of q212: the manifest shard rule + q57's shingle
+    * fingerprints (same 3-word md5-60 hashes, same %50 eval split),
+    * flagged membership digest ordered by doc_id. */
+  private def exportDecontamAuditOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $Shards
+       |      AS shard
+       |  FROM documents WHERE text IS NOT NULL),
+       |words AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |sh AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS h
+       |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
+       |  WHERE len(ws) >= 3),
+       |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+       |flag AS (
+       |  SELECT DISTINCT doc_id FROM sh
+       |  WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM bench)),
+       |per AS (
+       |  SELECT shard, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_eval_docs
+       |  FROM d GROUP BY shard),
+       |ff AS (
+       |  SELECT d.shard, COUNT(*) AS n_flagged,
+       |    md5(string_agg(CAST(d.doc_id AS VARCHAR), ',' ORDER BY d.doc_id))
+       |      AS flagged_md5
+       |  FROM d JOIN flag USING (doc_id) GROUP BY d.shard)
+       |SELECT per.shard, per.n_docs, per.n_eval_docs,
+       |  COALESCE(ff.n_flagged, 0) AS n_flagged,
+       |  COALESCE(ff.flagged_md5, '') AS flagged_md5
+       |FROM per LEFT JOIN ff USING (shard)
+       |ORDER BY per.shard""".stripMargin
+
+  /** DuckDB mirror of q214: same score, same cells, same tie rules,
+    * same margin gate. */
+  private def preferencePairsOracle: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(lower(text), ' ')) // $PrefBucketW AS BIGINT)
+       |      AS bucket,
+       |    CAST(round(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+       |         / len(string_split(lower(text), ' ')) * 1000000, 0) AS BIGINT)
+       |      AS score_micro
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (
+       |  SELECT source, doc_id, bucket, score_micro,
+       |    ROW_NUMBER() OVER (PARTITION BY source, bucket
+       |      ORDER BY score_micro DESC, doc_id) AS rk_top,
+       |    ROW_NUMBER() OVER (PARTITION BY source, bucket
+       |      ORDER BY score_micro, doc_id DESC) AS rk_bot,
+       |    COUNT(*) OVER (PARTITION BY source, bucket) AS n_group
+       |  FROM d),
+       |t AS (SELECT source, bucket, doc_id AS chosen_id, score_micro AS cs,
+       |        n_group FROM r WHERE rk_top = 1),
+       |b AS (SELECT source, bucket, doc_id AS rejected_id, score_micro AS rs
+       |      FROM r WHERE rk_bot = 1)
+       |SELECT t.source, t.bucket, t.chosen_id, b.rejected_id,
+       |  t.cs - b.rs AS margin_micro, t.n_group
+       |FROM t JOIN b USING (source, bucket)
+       |WHERE t.n_group >= 2 AND t.cs - b.rs >= $PrefMarginMin
+       |ORDER BY t.source, t.bucket""".stripMargin
 
   /** DuckDB mirror of q202: q200's shared keep-set CTE chain, with the
     * same reconciliation pin (file_md5 = manifest digest, is_match=1);

@@ -2989,6 +2989,51 @@ object Pipeline {
           sum(when(col("is_prompt") === 0, (col("tok_idx") + 1) * col("id"))
             .otherwise(lit(0L))).cast(LongType).as("label_checksum"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q213 (round 16): DETOKENIZATION ROUND-TRIP — the lifecycle
+    // pin the tokenizer family still lacked (q151 encodes, q173 packs,
+    // q205 masks; nothing yet PROVES decode(encode(corpus)) == corpus
+    // — the property that makes a stored tokenizer safe to ship, and
+    // exactly what a corrupted vocab artifact, a drifted apply rule,
+    // or a lossy pre-tokenization would break): every corpus word is
+    // re-joined to the STORED vocab artifact, its pieces concatenated
+    // back (BPE merges only ever concatenate adjacent symbols, so the
+    // reassembly must be byte-identical), and per source the query
+    // ships word/lossless counts plus an order-pinned digest of the
+    // DETOKENIZED corpus against the same digest of the source words —
+    // is_match = 1 or the artifact is unshippable. 100 TB shape: ONE
+    // vocab equi-join (vocab-sized build side) + per-doc digests
+    // (bounded by doc length, the q98/q170 rule) + per-source
+    // digest-of-digests; no corpus-sized sort, no driver state. ----
+    QueryDef("q213_detok_roundtrip", detokRoundtripOracle) { (s, dir) =>
+      val (_, vTbl) = ensureBpeModel(s, dir)
+      val words = bpeCorpusWords(s, dir)
+        .join(s.table(vTbl).select(col("w"), col("toks")), Seq("w"))
+        .select(col("source"), col("doc_id"), col("wp"), col("w"),
+          array_join(col("toks"), "").as("rw"))
+      val perDoc = words.groupBy(col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("nw"),
+          sum((col("rw") === col("w")).cast(LongType)).cast(LongType).as("nl"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("wp"), col("rw")))),
+              x => x.getField("rw")), " ")).as("rmd5"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("wp"), col("w")))),
+              x => x.getField("w")), " ")).as("smd5"))
+      perDoc.groupBy(col("source"))
+        .agg(sum(col("nw")).cast(LongType).as("n_words"),
+          sum(col("nl")).cast(LongType).as("n_lossless"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("rmd5")))),
+              x => x.getField("rmd5")), ",")).as("detok_md5"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("smd5")))),
+              x => x.getField("smd5")), ",")).as("source_md5"))
+        .select(col("source"), col("n_words"), col("n_lossless"),
+          col("detok_md5"), col("source_md5"),
+          (col("detok_md5") === col("source_md5")).cast(IntegerType).as("is_match"))
+        .orderBy(col("source"))
     }
   )
 
@@ -3999,6 +4044,42 @@ object Pipeline {
          |  CAST(SUM((pic + 1) * id) AS BIGINT) AS id_checksum,
          |  CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
          |FROM pk GROUP BY source, chunk ORDER BY source, chunk""".stripMargin
+
+  /** DuckDB mirror of q213: the generated chain's final vocab, the same
+    * piece reassembly (array_to_string over the stored toks), the same
+    * per-doc-then-per-source digest-of-digests. */
+  private def detokRoundtripOracle: String =
+    bpeOracleCtes(BpeMerges) +
+      s""",
+         |wtoks AS MATERIALIZED (
+         |  SELECT translate(s, '|', '') AS w,
+         |    string_split(substr(s, 2, len(s) - 2), '||') AS toks
+         |  FROM v$BpeMerges),
+         |dwords AS (
+         |  SELECT d.source, d.doc_id, u.i AS wp, d.ws[u.i] AS w
+         |  FROM (SELECT source, doc_id, $bpeOracleWords AS ws
+         |        FROM documents WHERE text IS NOT NULL) d,
+         |       unnest(generate_series(1, len(d.ws))) AS u(i)
+         |  WHERE len(d.ws[u.i]) > 0),
+         |j AS (
+         |  SELECT dw.source, dw.doc_id, dw.wp, dw.w,
+         |    array_to_string(wt.toks, '') AS rw
+         |  FROM dwords dw JOIN wtoks wt USING (w)),
+         |pd AS (
+         |  SELECT source, doc_id, COUNT(*) AS nw,
+         |    CAST(SUM(CASE WHEN rw = w THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         |    md5(string_agg(rw, ' ' ORDER BY wp)) AS rmd5,
+         |    md5(string_agg(w, ' ' ORDER BY wp)) AS smd5
+         |  FROM j GROUP BY source, doc_id)
+         |SELECT source,
+         |  CAST(SUM(nw) AS BIGINT) AS n_words,
+         |  CAST(SUM(nl) AS BIGINT) AS n_lossless,
+         |  md5(string_agg(rmd5, ',' ORDER BY doc_id)) AS detok_md5,
+         |  md5(string_agg(smd5, ',' ORDER BY doc_id)) AS source_md5,
+         |  CAST(CASE WHEN md5(string_agg(rmd5, ',' ORDER BY doc_id))
+         |         = md5(string_agg(smd5, ',' ORDER BY doc_id))
+         |    THEN 1 ELSE 0 END AS INTEGER) AS is_match
+         |FROM pd GROUP BY source ORDER BY source""".stripMargin
 
   /** DuckDB mirror of q205: the generated chain's token stream with the
     * same 1-based-wp prompt cut, the same (tok_idx+1)·id checksums. */
