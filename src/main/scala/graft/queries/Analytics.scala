@@ -290,6 +290,57 @@ object Analytics {
        |  SELECT id AS doc_id, MIN(r) AS cluster_id
        |  FROM reach GROUP BY id)""".stripMargin
 
+  /** DuckDB mirror of q215: the q76 recursive cluster walk, cluster
+    * sizes, and the same 1e6 DIV |cluster| weight over the corpus. */
+  private def dedupWeightingOracle: String =
+    s"""WITH RECURSIVE $dupClusterCte,
+       |csz AS (SELECT cluster_id, COUNT(*) AS csz FROM comp GROUP BY cluster_id),
+       |w AS (
+       |  SELECT d.source, COALESCE(cs.csz, 1) AS csz
+       |  FROM documents d
+       |  LEFT JOIN comp USING (doc_id)
+       |  LEFT JOIN csz cs USING (cluster_id)
+       |  WHERE d.text IS NOT NULL)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN csz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+       |  CAST(SUM(1000000 // csz) AS BIGINT) AS weight_sum_micro,
+       |  CAST(SUM(1000000 // csz) AS BIGINT) // COUNT(*) AS mean_weight_micro
+       |FROM w GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** DuckDB mirror of q216: identical double-precision expression
+    * sequence (cast-to-double elements, max-abs scale, round-half-away
+    * codes, per-element error rounded to integer 1e-12 units before the
+    * order-free integer sum). */
+  private def sq8QuantizeOracle: String =
+    """WITH t AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, label, v,
+      |    list_max(list_transform(v, y -> abs(y))) AS scale
+      |  FROM t),
+      |q AS (
+      |  SELECT vec_id, label, v, scale,
+      |    CASE WHEN scale > 0
+      |      THEN list_transform(v, y -> CAST(round(y / scale * 127, 0) AS BIGINT))
+      |      ELSE list_transform(v, y -> CAST(0 AS BIGINT)) END AS codes
+      |  FROM sc)
+      |SELECT vec_id, label,
+      |  CAST(len(v) AS BIGINT) AS n_dims,
+      |  CAST(round(scale * 1e6, 0) AS BIGINT) AS scale_micro,
+      |  CAST(list_sum(list_transform(generate_series(1, len(codes)),
+      |    i -> codes[i] * i)) AS BIGINT) AS code_checksum,
+      |  CAST(list_sum(list_transform(generate_series(1, len(v)),
+      |    i -> CAST(round((v[i] - codes[i] * scale / 127)
+      |         * (v[i] - codes[i] * scale / 127) * 1e12, 0) AS BIGINT)))
+      |    AS BIGINT) AS sse_micro12,
+      |  CAST(len(v) * 4 AS BIGINT) AS bytes_fp32,
+      |  CAST(len(v) + 8 AS BIGINT) AS bytes_sq8
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+
   /** q76's distributed min-label propagation, factored so q125's
     * canonical-keep reuses the IDENTICAL cluster assignment (the
     * q93/q100 no-drift rule): returns (doc_id, cluster_id) for every
@@ -2822,6 +2873,77 @@ object Analytics {
         .select(col("n_name"), col("degree"),
           coalesce(col("inc"), lit(0)).as("in_3core"))
         .orderBy(col("n_name"))
+    },
+
+    // ---- q215 (round 16): DEDUP-AWARE TRAINING WEIGHTS — the softer
+    // alternative to keep-one dedup (q125 DROPS all but the canonical;
+    // recent pipelines instead DOWN-WEIGHT so each duplicate cluster
+    // contributes one document's worth of loss — repeated boilerplate
+    // stops dominating gradients without discarding unique suffixes):
+    // every doc gets weight 1e6 DIV |cluster| micros (non-clustered
+    // docs weigh exactly 1e6), clusters from the SAME min-label
+    // propagation q76/q125 ship (the no-drift rule — weighting and
+    // dedup must agree on what a duplicate is). Per source: doc count,
+    // clustered count, and the exact weighted corpus mass. 100 TB
+    // shape: the cluster frame is near-dup nodes only (tiny), its size
+    // table a keyed agg; the corpus side is one scan + two UNHINTED
+    // keyed left joins (AQE broadcasts the tiny sides on its own — the
+    // q199 de-hinting rule); one final per-source agg. ----
+    QueryDef("q215_dedup_weighting", dedupWeightingOracle) { (s, dir) =>
+      val comp = dupClusterAssign(s, dir)
+      val csize = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+      T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"), col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .join(csize, Seq("cluster_id"), "left")
+        .select(col("source"),
+          coalesce(col("csz"), lit(1L)).as("csz"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("csz") >= 2, 1L).otherwise(0L)).cast(LongType)
+            .as("n_clustered"),
+          sum(expr("1000000 DIV csz")).cast(LongType).as("weight_sum_micro"))
+        .select(col("source"), col("n_docs"), col("n_clustered"),
+          col("weight_sum_micro"),
+          expr("weight_sum_micro DIV n_docs").as("mean_weight_micro"))
+        .orderBy(col("source"))
+    },
+
+    // ---- q216 (round 16): INT8 SCALAR QUANTIZATION (SQ8) — the
+    // embedding-storage op every 100 TB vector corpus runs before
+    // anything else touches it (fp32 → int8 is 4× less disk and
+    // memory-bandwidth for ANN serving; PQ (q109) compresses harder
+    // but lossier — SQ8 is the standard first rung): per vector, a
+    // max-abs scale, codes q_i = round(x_i / scale * 127), and the
+    // EXACT per-vector reconstruction error — each element's squared
+    // error is rounded to integer 1e-12 units FIRST, so the sum is
+    // order-free integer arithmetic (no float association drift at any
+    // parallelism), plus an index-weighted code checksum pinning every
+    // code byte. Output is the quantization TABLE (vec_id rows) with
+    // the fp32/int8 byte ledger. 100 TB shape: perfectly scan-local —
+    // one pass, zero shuffles before the presentation sort; exactly
+    // how a quantizing rewrite job must look. ----
+    QueryDef("q216_sq8_quantize", sq8QuantizeOracle) { (s, dir) =>
+      T(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        .withColumn("scale", expr("array_max(transform(v, y -> abs(y)))"))
+        .withColumn("codes", expr(
+          "CASE WHEN scale > 0 THEN transform(v, y -> CAST(round(y / scale * 127, 0) AS BIGINT)) " +
+            "ELSE transform(v, y -> CAST(0 AS BIGINT)) END"))
+        .select(col("vec_id"), col("label"),
+          size(col("v")).cast(LongType).as("n_dims"),
+          expr("CAST(round(scale * 1e6, 0) AS BIGINT)").as("scale_micro"),
+          expr("aggregate(zip_with(codes, sequence(1, size(codes)), " +
+            "(q, i) -> q * CAST(i AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b)")
+            .as("code_checksum"),
+          expr("aggregate(zip_with(v, codes, (y, q) -> " +
+            "CAST(round((y - q * scale / 127) * (y - q * scale / 127) * 1e12, 0) AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (a, b) -> a + b)").as("sse_micro12"),
+          (size(col("v")) * 4).cast(LongType).as("bytes_fp32"),
+          (size(col("v")) + 8).cast(LongType).as("bytes_sq8"))
+        .orderBy(col("vec_id"))
     }
   )
 
