@@ -80,7 +80,7 @@ object Curation {
 
   // q182: 16 export shards — the WebDataset/tfrecord convention of a
   // fixed shard count per corpus snapshot.
-  private final val Shards = 16
+  private[queries] final val Shards = 16
 
   // q183: contrastive batch size (the in-batch-negatives granularity).
   private final val BatchSize = 32
@@ -891,32 +891,8 @@ object Curation {
         s.read.parquet(root)
           .select(col("shard").cast(LongType).as("shard"),
             col("h"), col("doc_id"), lit(tag).as("layer"))
-      val both = layer(baseRoot, "base").unionByName(layer(deltaRoot, "delta"))
-      val fileSide = both.groupBy(col("shard"))
-        .agg(sum(when(col("layer") === "base", 1L).otherwise(0L))
-            .cast(LongType).as("n_docs_base"),
-          sum(when(col("layer") === "delta", 1L).otherwise(0L))
-            .cast(LongType).as("n_docs_delta"),
-          md5(array_join(
-            transform(array_sort(collect_list(struct(col("h"), col("doc_id")))),
-              x => x.getField("doc_id").cast(StringType)),
-            ",")).as("merged_md5"))
-      val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
-        .cast(LongType)
-      val manifest = T(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), h.as("h"))
-        .withColumn("shard", (col("h") % Shards).cast(LongType))
-        .groupBy(col("shard"))
-        .agg(md5(array_join(
-          transform(array_sort(collect_list(struct(col("h"), col("doc_id")))),
-            x => x.getField("doc_id").cast(StringType)),
-          ",")).as("manifest_md5"))
-      fileSide.join(manifest, Seq("shard"))
-        .select(col("shard"), col("n_docs_base"), col("n_docs_delta"),
-          col("merged_md5"), col("manifest_md5"),
-          (col("merged_md5") === col("manifest_md5")).cast(IntegerType).as("is_match"))
-        .orderBy(col("shard"))
+      appendReconcile(s, dir,
+        layer(baseRoot, "base").unionByName(layer(deltaRoot, "delta")))
     },
 
     // ---- q210 (round 16): EXPORT COMPACTION — the other half of the
@@ -1124,6 +1100,40 @@ object Curation {
         when(col("tokens") > 0,
           expr("least(4000000, ((total * 3) DIV ns) * 1000000 DIV tokens)"))
           .otherwise(lit(0L)).as("epochs_micro"))
+  }
+
+  /** q209's reconciliation, shared with q217 (the same append≡rebuild
+    * statement when the delta layer arrives as a STREAM): `both` is the
+    * layered export read — (shard, h, doc_id, layer) — and the result
+    * pins the merged per-shard membership digest against the
+    * full-rebuild manifest recomputed from the source. */
+  private[queries] def appendReconcile(
+      s: SparkSession, dir: String, both: DataFrame): DataFrame = {
+    val fileSide = both.groupBy(col("shard"))
+      .agg(sum(when(col("layer") === "base", 1L).otherwise(0L))
+          .cast(LongType).as("n_docs_base"),
+        sum(when(col("layer") === "delta", 1L).otherwise(0L))
+          .cast(LongType).as("n_docs_delta"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("h"), col("doc_id")))),
+            x => x.getField("doc_id").cast(StringType)),
+          ",")).as("merged_md5"))
+    val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType)
+    val manifest = T(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", (col("h") % Shards).cast(LongType))
+      .groupBy(col("shard"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("h"), col("doc_id")))),
+          x => x.getField("doc_id").cast(StringType)),
+        ",")).as("manifest_md5"))
+    fileSide.join(manifest, Seq("shard"))
+      .select(col("shard"), col("n_docs_base"), col("n_docs_delta"),
+        col("merged_md5"), col("manifest_md5"),
+        (col("merged_md5") === col("manifest_md5")).cast(IntegerType).as("is_match"))
+      .orderBy(col("shard"))
   }
 
   // Write-once memo for the materialized exports (the ensureBpeModel
@@ -1687,7 +1697,7 @@ object Curation {
     * the reconciliation pin — the merged (h, doc_id)-ordered digest of
     * the two layers must equal the full-rebuild manifest, so both
     * columns derive from the same expression and is_match = 1. */
-  private def exportAppendOracle: String =
+  private[queries] def exportAppendOracle: String =
     s"""WITH d AS (
        |  SELECT doc_id,
        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h

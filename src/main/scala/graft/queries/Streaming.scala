@@ -1617,6 +1617,85 @@ object Streaming {
           when(col("tin") > 0, expr("drift_sum_micro DIV tin")).otherwise(lit(0L))
             .as("mean_drift_micro"))
         .orderBy(col("source"))
+    },
+
+    // ---- q217 (round 16): EXPORT APPEND AT INGEST — q209's
+    // append≡rebuild equivalence with the delta arriving as a STREAM
+    // (production growth is a feed, not a nightly batch): late docs
+    // (the q209 cohort, doc_id % 10 = 7) land over the bus in
+    // micro-batches, and each foreachBatch writes ONLY its batch as
+    // per-shard delta files next to the untouched base — the Iceberg
+    // fast-append shape (one appended layer per commit, base never
+    // rewritten or rescanned at write time). The final reconciliation
+    // reads base + accumulated deltas (delta rows DISTINCTed — the
+    // merge-on-read idempotency rule, so at-least-once delivery cannot
+    // corrupt the digest) and pins the merged per-shard membership
+    // digest against the full-rebuild manifest via the SAME
+    // appendReconcile/oracle pair as q209 — a dropped batch, a
+    // double-applied batch, or a mis-sharded append hash-fails. 100 TB
+    // shape: per-commit cost tracks the batch; reconciliation is
+    // shard-keyed aggregates over the layered read. ----
+    QueryDef.noBench("q217_export_append_at_ingest",
+        graft.queries.Curation.exportAppendOracle) { (s, dir) =>
+      val (baseRoot, _) = graft.queries.Curation.ensureIncrementalExport(s, dir)
+      val url = s"memory://q217-${UUID.randomUUID()}"
+      val deltaDir =
+        java.nio.file.Files.createTempDirectory("graft-export-ingest").toString
+      val feedSchema = StructType(Seq(
+        StructField("doc_id", IntegerType, nullable = false),
+        StructField("text", StringType, nullable = false)))
+      val q = s.readStream.format("nats").schema(feedSchema)
+        .option("url", url).option("subject", "docs_append")
+        .option("codec", "json")
+        .option("batchSize", "20")
+        .option("flushTimeoutMs", "100")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+            .cast(org.apache.spark.sql.types.LongType)
+          batch
+            .select(col("doc_id").cast(org.apache.spark.sql.types.LongType)
+              .as("doc_id"), col("text"))
+            .withColumn("h", h)
+            .withColumn("shard",
+              (col("h") % graft.queries.Curation.Shards)
+                .cast(org.apache.spark.sql.types.LongType))
+            .repartition(col("shard"))
+            .write.mode("append").partitionBy("shard").parquet(deltaDir)
+        }
+        .start()
+      try {
+        NatsDemo.awaitSubscriber(url, "docs_append")
+        val pub = graft.Tables.load(s, dir, "documents")
+          .filter(col("text").isNotNull && col("doc_id") % 10 === 7)
+          .select(col("doc_id").cast(IntegerType).as("doc_id"), col("text"))
+        val nDocs = pub.count()
+        pub.write.format("nats").mode("append")
+          .option("url", url).option("subject", "docs_append")
+          .option("codec", "json").save()
+        def done(): Long =
+          try s.read.parquet(deltaDir).select(col("doc_id")).distinct().count()
+          catch { case _: Exception => 0L }
+        q.processAllAvailable()
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (done() < nDocs && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          q.processAllAvailable()
+        }
+        require(done() == nDocs,
+          s"q217 drain timed out: ${done()} of $nDocs late docs appended")
+      } finally q.stop()
+      val base = s.read.parquet(baseRoot)
+        .select(col("shard").cast(org.apache.spark.sql.types.LongType).as("shard"),
+          col("h"), col("doc_id"), lit("base").as("layer"))
+      val delta = s.read.parquet(deltaDir)
+        .select(col("shard").cast(org.apache.spark.sql.types.LongType).as("shard"),
+          col("h"), col("doc_id"))
+        .distinct()
+        .withColumn("layer", lit("delta"))
+      graft.queries.Curation.appendReconcile(s, dir, base.unionByName(delta))
     }
   )
 
