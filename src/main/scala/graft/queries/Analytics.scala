@@ -290,6 +290,25 @@ object Analytics {
        |  SELECT id AS doc_id, MIN(r) AS cluster_id
        |  FROM reach GROUP BY id)""".stripMargin
 
+  // q219: salt fan-out for the skew-join demonstration.
+  private[queries] final val SkewSalts = 8
+
+  /** DuckDB mirror of q219: the UNSALTED join — salting must be
+    * invisible in the result. */
+  private def saltedSkewJoinOracle: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 < 5 THEN 0 ELSE doc_id % 100 END AS k,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |dim AS (SELECT DISTINCT k FROM f)
+      |SELECT 'seg' || CAST(f.k AS VARCHAR) AS seg,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(f.n_tok) AS BIGINT) AS n_tokens
+      |FROM f JOIN dim USING (k)
+      |GROUP BY f.k
+      |ORDER BY seg""".stripMargin
+
   /** DuckDB mirror of q215: the q76 recursive cluster walk, cluster
     * sizes, and the same 1e6 DIV |cluster| weight over the corpus. */
   private def dedupWeightingOracle: String =
@@ -2944,6 +2963,43 @@ object Analytics {
           (size(col("v")) * 4).cast(LongType).as("bytes_fp32"),
           (size(col("v")) + 8).cast(LongType).as("bytes_sq8"))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- q219 (round 16): SALTED SKEW JOIN — the manual hot-key
+    // technique the 100 TB playbook needs when AQE can't help (AQE
+    // splits skewed SORT-MERGE partitions, but an aggregation key or
+    // stream-state key that is 50% one value still serializes on one
+    // task): the derived fact key is deliberately skewed (half the
+    // corpus shares k=0), the fact side gets a deterministic salt in
+    // 0..7 (md5-keyed — reproducible, unlike a RNG), the dim side
+    // replicates ×8, and the join runs on (k, salt) — the hot key's
+    // rows now land on 8 tasks instead of 1. The ORACLE is the
+    // UNSALTED join: salting must be invisible in the result (the
+    // exact-equality statement that makes the technique safe), and
+    // AnalyticsSpec pins that the salt really splits the hot key 8
+    // ways. 100 TB shape: dim replication costs ×8 of a tiny frame;
+    // the hot partition shrinks ×8 — the trade that turns a straggler
+    // into 8 even tasks. ----
+    QueryDef("q219_salted_skew_join", saltedSkewJoinOracle) { (s, dir) =>
+      val fact = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 < 5, lit(0L))
+            .otherwise(col("doc_id") % 100).as("k"),
+          size(split(lower(col("text")), " ")).cast(LongType).as("n_tok"))
+      val dim = fact.select(col("k")).distinct()
+        .withColumn("seg", concat(lit("seg"), col("k")))
+      val salted = fact.withColumn("salt",
+        pmod(conv(substring(md5(concat(lit("salt:"),
+          col("doc_id").cast(StringType))), 1, 15), 16, 10).cast(LongType),
+          lit(SkewSalts.toLong)))
+      val dimR = dim.withColumn("salt",
+        explode(expr(s"sequence(0L, ${SkewSalts - 1}L)")))
+      salted.join(dimR, Seq("k", "salt"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast(LongType).as("n_tokens"))
+        .orderBy(col("seg"))
     }
   )
 

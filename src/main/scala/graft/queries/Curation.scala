@@ -986,6 +986,54 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q218 (round 16): BLOCK-INDEX MAINTENANCE UNDER APPEND — the
+    // q211 zone map must survive q209's growth WITHOUT a rebuild (at
+    // 100 TB re-indexing the base per append would cost what the
+    // fast-append saved): the index is ADDITIVE — each layer carries
+    // its own (layer, shard, block) fences over its own ord order, an
+    // append just adds the delta layer's fences — and a probe now
+    // resolves candidates across BOTH layers' fences. The query pins
+    // that every probe (base-cohort and delta-cohort alike) still
+    // finds its true (layer, block) among the candidates, with the
+    // cross-layer candidate count reported honestly (delta fences
+    // overlap base fences in h-space, so lookups typically touch one
+    // block per layer — the known merge-on-read read amplification
+    // that q210's compaction exists to fold back). 100 TB shape: index
+    // stays corpus/8 rows total across layers; append adds only the
+    // batch's fences; probes read fences + one block per layer. ----
+    QueryDef("q218_index_maintenance", indexMaintenanceOracle) { (s, dir) =>
+      val (baseRoot, deltaRoot) = ensureIncrementalExport(s, dir)
+      def layer(root: String, tag: String): DataFrame =
+        s.read.parquet(root)
+          .select(col("shard").cast(LongType).as("shard"), col("ord"),
+            col("h"), col("doc_id"), lit(tag).as("layer"))
+      val rows = layer(baseRoot, "base").unionByName(layer(deltaRoot, "delta"))
+      val index = rows
+        .withColumn("block", expr(s"(ord - 1) DIV $BrinBlock"))
+        .groupBy(col("layer"), col("shard"), col("block"))
+        .agg(min(col("h")).as("h_lo"), max(col("h")).as("h_hi"))
+      val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType)
+      val probes = T(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % ProbeMod === ProbeRes)
+        .select(col("doc_id"), h.as("ph"))
+        .withColumn("shard", (col("ph") % Shards).cast(LongType))
+      val truth = rows.select(col("doc_id"),
+        col("layer").as("true_layer"),
+        expr(s"(ord - 1) DIV $BrinBlock").as("true_block"))
+      probes.join(truth, Seq("doc_id"))
+        .join(index, Seq("shard"))
+        .filter(col("ph") >= col("h_lo") && col("ph") <= col("h_hi"))
+        .groupBy(col("doc_id"), col("shard"), col("true_layer"), col("true_block"))
+        .agg(count(lit(1)).as("n_cand_blocks"),
+          max((col("layer") === col("true_layer") &&
+            col("block") === col("true_block")).cast(IntegerType))
+            .as("is_covered"))
+        .select(col("doc_id"), col("shard"), col("true_layer"),
+          col("true_block"), col("n_cand_blocks"), col("is_covered"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q212 (round 16): EXPORT DECONTAMINATION AUDIT — q57 scrubs
     // the LOGICAL corpus; a release auditor must re-check the SHIPPED
     // BYTES (the artifact a trainer mounts — a stale export, a bad
@@ -1796,6 +1844,37 @@ object Curation {
        |    AS INTEGER) AS is_covered
        |FROM p JOIN ix ON p.shard = ix.shard AND p.ph BETWEEN ix.h_lo AND ix.h_hi
        |GROUP BY p.doc_id, p.shard, p.true_block
+       |ORDER BY p.doc_id""".stripMargin
+
+  /** DuckDB mirror of q218: the two layers' per-layer (h, doc_id) rank
+    * orders by the %10 batch rule, per-layer fences, cross-layer probe
+    * resolution, same coverage pin. */
+  private def indexMaintenanceOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+       |    CASE WHEN doc_id % 10 = 7 THEN 'delta' ELSE 'base' END AS layer
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (
+       |  SELECT doc_id, h, layer, h % $Shards AS shard,
+       |    ROW_NUMBER() OVER (PARTITION BY layer, h % $Shards
+       |      ORDER BY h, doc_id) AS ord
+       |  FROM d),
+       |ix AS (
+       |  SELECT layer, shard, (ord - 1) // $BrinBlock AS block,
+       |    MIN(h) AS h_lo, MAX(h) AS h_hi
+       |  FROM r GROUP BY layer, shard, (ord - 1) // $BrinBlock),
+       |p AS (
+       |  SELECT doc_id, h AS ph, shard, layer AS true_layer,
+       |    (ord - 1) // $BrinBlock AS true_block
+       |  FROM r WHERE doc_id % $ProbeMod = $ProbeRes)
+       |SELECT p.doc_id, p.shard, p.true_layer,
+       |  CAST(p.true_block AS BIGINT) AS true_block,
+       |  COUNT(*) AS n_cand_blocks,
+       |  CAST(MAX(CASE WHEN ix.layer = p.true_layer AND ix.block = p.true_block
+       |    THEN 1 ELSE 0 END) AS INTEGER) AS is_covered
+       |FROM p JOIN ix ON p.shard = ix.shard AND p.ph BETWEEN ix.h_lo AND ix.h_hi
+       |GROUP BY p.doc_id, p.shard, p.true_layer, p.true_block
        |ORDER BY p.doc_id""".stripMargin
 
   /** DuckDB mirror of q212: the manifest shard rule + q57's shingle

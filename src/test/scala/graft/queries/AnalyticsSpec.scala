@@ -970,4 +970,44 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("q219: the salt splits the hot key across all 8 salt values and never changes the join result") {
+    import org.apache.spark.sql.functions._
+    // the same derived skew key + salt rule as the operator
+    val fact = graft.Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 < 5, lit(0L))
+          .otherwise(col("doc_id") % 100).as("k"),
+        pmod(conv(substring(md5(concat(lit("salt:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"), lit(8L))
+          .as("salt"))
+    val hot = fact.filter(col("k") === 0L)
+      .groupBy(col("salt")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hotTotal = hot.values.sum
+    assert(hotTotal > 100, "hot key too small for the skew demonstration")
+    assert(hot.keySet === (0L to 7L).toSet,
+      s"hot key landed on only ${hot.keySet.size} of 8 salts")
+    // each salted slice carries a fair share: no slice above 2x uniform
+    hot.values.foreach(n =>
+      assert(n <= 2 * hotTotal / 8 + 8, s"salt slice $n of $hotTotal — salt is not splitting"))
+    // salting is invisible in the result: equals the plain unsalted join
+    val salted = run("q219_salted_skew_join").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val plainDim = fact.select(col("k")).distinct()
+      .withColumn("seg", concat(lit("seg"), col("k")))
+    val toks = graft.Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 < 5, lit(0L))
+          .otherwise(col("doc_id") % 100).as("k"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
+    val plain = toks.join(plainDim, Seq("k"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("n_tokens"))
+      .orderBy(col("seg")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(salted === plain)
+  }
 }

@@ -516,4 +516,204 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
     assert(expected.map(_._2).sum > 0, "empty funnel — vacuous fixture")
   }
+
+  // ---- q211: independent in-memory block index + probe resolution ----
+
+  test("q211: block index equals an independent in-memory implementation; every probe covered") {
+    val ids = docs().map(_._1)
+    val withH = ids.map(id => (id, h60(id.toString)))
+    val byShard = withH.groupBy { case (_, h) => h % 16 }
+    // (shard, block) -> fences; doc -> (shard, trueBlock)
+    val fences = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    val truth = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for ((shard, rows) <- byShard) {
+      val ordered = rows.sortBy { case (id, h) => (h, id) }
+      for (((id, h), i) <- ordered.zipWithIndex) {
+        val block = i.toLong / 8
+        truth(id) = (shard, block)
+        val (lo, hi) = fences.getOrElse((shard, block), (Long.MaxValue, Long.MinValue))
+        fences((shard, block)) = (math.min(lo, h), math.max(hi, h))
+      }
+    }
+    val expected = withH.filter { case (id, _) => id % 23 == 5 }
+      .map { case (id, h) =>
+        val (shard, tb) = truth(id)
+        val cands = fences.toSeq.collect {
+          case ((s, b), (lo, hi)) if s == shard && h >= lo && h <= hi => b
+        }
+        (id, shard, tb, cands.size.toLong, if (cands.contains(tb)) 1 else 0)
+      }.sortBy(_._1)
+    val got = Registry.byName("q211_export_block_index").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    assert(got === expected)
+    assert(expected.nonEmpty && expected.forall(_._5 == 1),
+      "a probe's true block escaped its candidate fences")
+  }
+
+  // ---- q218: independent in-memory two-layer index maintenance ----
+
+  test("q218: layered block index equals an independent in-memory implementation; appends never lose a probe") {
+    val ids = docs().map(_._1)
+    val withH = ids.map(id => (id, h60(id.toString),
+      if (id % 10 == 7) "delta" else "base"))
+    val fences = scala.collection.mutable.Map.empty[(String, Long, Long), (Long, Long)]
+    val truth = scala.collection.mutable.Map.empty[Long, (Long, String, Long)]
+    for (((layer, shard), rows) <- withH.groupBy { case (_, h, l) => (l, h % 16) }) {
+      val ordered = rows.sortBy { case (id, h, _) => (h, id) }
+      for (((id, h, _), i) <- ordered.zipWithIndex) {
+        val block = i.toLong / 8
+        truth(id) = (shard, layer, block)
+        val (lo, hi) = fences.getOrElse((layer, shard, block), (Long.MaxValue, Long.MinValue))
+        fences((layer, shard, block)) = (math.min(lo, h), math.max(hi, h))
+      }
+    }
+    val expected = withH.filter { case (id, _, _) => id % 23 == 5 }
+      .map { case (id, h, _) =>
+        val (shard, tl, tb) = truth(id)
+        val cands = fences.toSeq.collect {
+          case ((l, s, b), (lo, hi)) if s == shard && h >= lo && h <= hi => (l, b)
+        }
+        (id, shard, tl, tb, cands.size.toLong,
+          if (cands.contains((tl, tb))) 1 else 0)
+      }.sortBy(_._1)
+    val got = Registry.byName("q218_index_maintenance").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toSeq
+    assert(got === expected)
+    assert(expected.nonEmpty && expected.forall(_._6 == 1),
+      "an appended layer lost a probe — the additive index is unsound")
+    assert(expected.exists(_._3 == "delta"),
+      "no delta-cohort probe — the append path went untested")
+  }
+
+  // ---- q212: independent in-memory contamination audit ----
+
+  test("q212: flagged set equals an independent in-memory re-shingling; eval docs never flagged") {
+    val corpus = docs()
+    def shingles(t: String): Set[Long] = {
+      val ws = t.toLowerCase.split(" ", -1)
+      if (ws.length < 3) Set.empty
+      else (0 to ws.length - 3).map(i => h60(s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")).toSet
+    }
+    val bench = corpus.filter(_._1 % 50 == 0).flatMap(d => shingles(d._2)).toSet
+    val flagged = corpus.filter(_._1 % 50 != 0)
+      .filter(d => shingles(d._2).exists(bench)).map(_._1).toSet
+    val expected = corpus.map(_._1).groupBy(id => h60(id.toString) % 16).toSeq
+      .map { case (shard, idsIn) =>
+        val fl = idsIn.filter(flagged).sorted
+        (shard, idsIn.size.toLong, idsIn.count(_ % 50 == 0).toLong,
+          fl.size.toLong, if (fl.isEmpty) "" else md5Hex(fl.mkString(",")))
+      }.sortBy(_._1)
+    val got = Registry.byName("q212_export_decontam_audit").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got === expected)
+    assert(flagged.forall(_ % 50 != 0), "an eval doc was flagged as contaminated train data")
+  }
+
+  // ---- q213: lossless round-trip is TOTAL, word counts independently recomputed ----
+
+  test("q213: every word round-trips losslessly; word totals match a plain-JDK tokenizer") {
+    val got = Registry.byName("q213_detok_roundtrip").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (src, nWords, nLossless, isMatch) =>
+      assert(nWords === nLossless, s"source $src: lossy reassembly")
+      assert(isMatch === 1, s"source $src: detok digest mismatch")
+    }
+    // independent word totals: plain-JDK NFC + unicode-word split (the
+    // wordFeatCol rule, reimplemented without Spark or the repo kernel)
+    val expected = docsWithSource().groupBy(_._2).map { case (src, ds) =>
+      src -> ds.map { case (_, _, t) =>
+        java.text.Normalizer.normalize(t.toLowerCase, java.text.Normalizer.Form.NFC)
+          .split("[^\\p{L}\\p{N}]+").count(_.nonEmpty).toLong
+      }.sum
+    }
+    got.foreach { case (src, nWords, _, _) =>
+      assert(nWords === expected(src), s"source $src word total drift")
+    }
+  }
+
+  // ---- q214: independent in-memory preference-pair miner ----
+
+  test("q214: preference pairs equal an independent in-memory miner") {
+    val cells = docsWithSource().map { case (id, src, t) =>
+      val ws = t.toLowerCase.split(" ", -1)
+      val score = BigDecimal(ws.distinct.length.toDouble / ws.length * 1000000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (src, ws.length.toLong / 16, id, score)
+    }.groupBy(c => (c._1, c._2))
+    val expected = cells.toSeq.flatMap { case ((src, bucket), ds) =>
+      if (ds.size < 2) None
+      else {
+        val chosen = ds.minBy(d => (-d._4, d._3))
+        val rejected = ds.minBy(d => (d._4, -d._3))
+        val margin = chosen._4 - rejected._4
+        if (margin >= 50000L)
+          Some((src, bucket, chosen._3, rejected._3, margin, ds.size.toLong))
+        else None
+      }
+    }.sortBy(e => (e._1, e._2))
+    val got = Registry.byName("q214_preference_pairs").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    assert(expected.nonEmpty, "no pair cleared the margin — vacuous fixture")
+    expected.foreach { case (_, _, c, rej, m, _) =>
+      assert(c != rej && m > 0, "degenerate pair")
+    }
+  }
+
+  // ---- q215: weight conservation against the q76 cluster assignment ----
+
+  test("q215: weighted mass equals the cluster-size ledger derived from q76") {
+    val w = Registry.byName("q215_dedup_weighting").build(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = w.map(_._1).sum
+    val nClustered = w.map(_._2).sum
+    val weightSum = w.map(_._3).sum
+    val clusterSizes = Registry.byName("q76_dup_clusters").build(spark, sfDir)
+      .collect().map(_.getLong(1)).groupBy(identity).map(_._2.length.toLong)
+    // every clustered doc contributes 1e6 DIV |cluster|; the rest exactly 1e6
+    val expectedSum = clusterSizes.map(sz => sz * (1000000L / sz)).sum +
+      (nDocs - nClustered) * 1000000L
+    assert(nClustered === clusterSizes.sum, "clustered-doc count drift vs q76")
+    assert(weightSum === expectedSum, "weighted corpus mass drift vs q76 ledger")
+    assert(weightSum < nDocs * 1000000L, "no down-weighting happened — vacuous fixture")
+  }
+
+  // ---- q216: independent in-memory SQ8 quantizer ----
+
+  test("q216: quantization table equals an independent in-memory quantizer") {
+    def hu(d: Double): Long =
+      BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](2).map(_.toDouble)
+        val scale = v.map(math.abs).max
+        val codes =
+          if (scale > 0) v.map(y => hu(y / scale * 127)) else v.map(_ => 0L)
+        val sse = v.zip(codes).map { case (y, q) =>
+          val e = y - q * scale / 127
+          hu(e * e * 1e12)
+        }.sum
+        (r.getLong(0), r.getInt(1), v.length.toLong, hu(scale * 1e6),
+          codes.zipWithIndex.map { case (q, i) => q * (i + 1) }.sum,
+          sse, v.length.toLong * 4, v.length.toLong + 8)
+      }.sortBy(_._1).toSeq
+    val got = Registry.byName("q216_sq8_quantize").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got === expected)
+    assert(expected.exists(_._6 > 0), "zero reconstruction error everywhere — vacuous")
+  }
 }

@@ -459,7 +459,40 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q209_export_append",
     // q210 (round 16): compaction reconciliation over the pre-warmed
     // compacted layer — shard-keyed aggregates, output 16 rows
-    "q210_export_compact")
+    "q210_export_compact",
+    // q211 (round 16): the block index is corpus/8 rows off the
+    // pre-warmed compacted layer; probe resolution is a shard-equi
+    // join + fence filter; probes (~1/23 of docs) grow ~10x linearly
+    "q211_export_block_index",
+    // q212 (round 16): shingling is scan-local over the export read;
+    // the eval semi join is keyed (within-copy alphabets keep the
+    // contamination structure per copy); output stays 16 shard rows
+    "q212_export_decontam_audit",
+    // q213 (round 16): rides the stored vocab (warmed below) — one
+    // vocab equi-join + per-doc digests + per-source digest-of-digests;
+    // output stays #sources rows
+    "q213_detok_roundtrip",
+    // q214 (round 16): scoring scan-local; ONE (source, bucket) hash
+    // shuffle feeds both window ranks; the bijective rename preserves
+    // distinct-token ratios so cells and margins are copy-invariant —
+    // output stays #cells rows
+    "q214_preference_pairs",
+    // q215 (round 16): the cluster frame stays near-dup nodes only
+    // (bijection keeps similarity within copies); corpus side is one
+    // scan + two keyed left joins; output stays #sources rows
+    "q215_dedup_weighting",
+    // q216 (round 16): perfectly scan-local (per-vector quantization,
+    // integer error ledger); output rows = #vectors, the 10x-linear
+    // case
+    "q216_sq8_quantize",
+    // q218 (round 16): the two-layer index over the pre-warmed
+    // incremental export — fences stay corpus/8 rows across layers;
+    // probe resolution shard-equi + fence filter; probes grow ~10x
+    "q218_index_maintenance",
+    // q219 (round 16): scoring/salting scan-local; dim replication x8
+    // of a <=100-key frame; ONE keyed join + one agg; output stays
+    // #keys rows at any corpus
+    "q219_salted_skew_join")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
@@ -501,7 +534,8 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     * pinned separately below. */
   private val bpeStoredModel = Set("q150_bpe_train", "q151_bpe_tokenize",
     "q156_bpe_pack", "q162_bpe_fertility", "q173_bpe_ids",
-    "q192_pack_boundaries", "q196_vocab_prune", "q205_sft_mask")
+    "q192_pack_boundaries", "q196_vocab_prune", "q205_sft_mask",
+    "q213_detok_roundtrip")
   private val uniStoredModel = Set("q175_unigram_train", "q176_unigram_tokenize",
     "q178_tokenizer_ablation")
 
@@ -519,11 +553,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         Curation.ensureShardExport(spark, base)
         Curation.ensureShardExport(spark, scaledDir)
       }
-      if (name == "q209_export_append") {
+      if (name == "q209_export_append" || name == "q218_index_maintenance") {
         Curation.ensureIncrementalExport(spark, base)
         Curation.ensureIncrementalExport(spark, scaledDir)
       }
-      if (name == "q210_export_compact") {
+      if (name == "q210_export_compact" || name == "q211_export_block_index" ||
+          name == "q212_export_decontam_audit") {
         Curation.ensureCompactedExport(spark, base)
         Curation.ensureCompactedExport(spark, scaledDir)
       }
