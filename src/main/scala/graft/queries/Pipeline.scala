@@ -992,6 +992,55 @@ object Pipeline {
           expr(s"(n_hit * 1000000) DIV $ANN_RECALL_K").as("recall_micro"))
     },
 
+    // ---- q220 (round 16): ANN OVER SQ8 CODES — the payoff question
+    // for q216's quantization (nobody compresses embeddings for fun;
+    // the int8 table exists so SEARCH runs on 4× less memory
+    // bandwidth): candidate top-K by cosine over the int8 codes —
+    // whose dot products are EXACT integer arithmetic (the per-vector
+    // scales cancel in cosine up to quantization error, so codes rank
+    // like vectors) — evaluated q138-style against the exact fp32
+    // brute-force top-K (the q42 registry operator invoked verbatim),
+    // recall@K in integer micros, honestly reported. 100 TB shape:
+    // the quantized leg is the q42 scan shape (ONE broadcast query
+    // row, scan-local integer folds, TakeOrdered partial heaps) at a
+    // quarter of the bytes; the eval joins two ≤K-row frames. ----
+    QueryDef("q220_sq8_ann", sq8AnnOracle) { (s, dir) =>
+      def codesOf(df: DataFrame): DataFrame = df
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        .withColumn("scale", expr("array_max(transform(v, y -> abs(y)))"))
+        .withColumn("codes", expr(
+          "CASE WHEN scale > 0 THEN transform(v, y -> CAST(round(y / scale * 127, 0) AS BIGINT)) " +
+            "ELSE transform(v, y -> CAST(0 AS BIGINT)) END"))
+        .select(col("vec_id"), col("codes"))
+      val e = T(s, dir, "embeddings")
+      val qc = codesOf(e.filter(col("vec_id") === 0))
+        .select(col("codes").as("qc"))
+      val isum = (arr: String) =>
+        s"aggregate($arr, CAST(0 AS BIGINT), (x, y) -> x + y)"
+      val sq8 = codesOf(e.filter(col("vec_id") =!= 0)).crossJoin(broadcast(qc))
+        .select(col("vec_id"),
+          expr(isum("zip_with(codes, qc, (a, b) -> a * b)")).as("dotc"),
+          expr(isum("zip_with(codes, codes, (a, b) -> a * b)")).as("nac"),
+          expr(isum("zip_with(qc, qc, (a, b) -> a * b)")).as("nbc"))
+        .select(col("vec_id"),
+          round(col("dotc").cast(DoubleType) /
+            (sqrt(col("nac").cast(DoubleType)) * sqrt(col("nbc").cast(DoubleType))),
+            6).as("cos_q"))
+        .orderBy(col("cos_q").desc, col("vec_id")).limit(ANN_RECALL_K)
+        .select(col("vec_id")).persist()
+      val exact = Registry.byName("q42_topk_cosine").build(s, dir)
+        .orderBy(col("cos_r").desc, col("vec_id")).limit(ANN_RECALL_K)
+        .select(col("vec_id")).persist()
+      val ne = exact.agg(count(lit(1)).as("n_exact"))
+      val ns = sq8.agg(count(lit(1)).as("n_sq8"))
+      val hit = exact.join(sq8, "vec_id").agg(count(lit(1)).as("n_hit"))
+      ne.crossJoin(ns).crossJoin(hit)
+        .select(lit(ANN_RECALL_K.toLong).as("k"), col("n_exact"),
+          col("n_sq8"), col("n_hit"),
+          expr(s"(n_hit * 1000000) DIV $ANN_RECALL_K").as("recall_micro"))
+    },
+
     // ---- line-level exact dedup with document reconstruction (the
     // C4/RefinedWeb line-dedup op — doc-level q40 keeps or drops whole
     // documents; this deduplicates WITHIN them): segment each document
@@ -4677,6 +4726,53 @@ object Pipeline {
        |  (SELECT COUNT(*) FROM pl) AS n_prefix,
        |  (SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) AS n_hit,
        |  CAST(((SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) * 1000000) // $ANN_RECALL_K AS BIGINT)
+       |    AS recall_micro""".stripMargin
+
+  /** DuckDB mirror of q220: q216's quantization rule, exact-integer
+    * code dot products, the same rounded cosine ranking, and q143's
+    * full-width exact leg — recall accounting identical to q138. */
+  private def sq8AnnOracle: String =
+    s"""WITH t AS (
+       |  SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT vec_id, v, list_max(list_transform(v, y -> abs(y))) AS scale
+       |  FROM t),
+       |cd AS (
+       |  SELECT vec_id,
+       |    CASE WHEN scale > 0
+       |      THEN list_transform(v, y -> CAST(round(y / scale * 127, 0) AS BIGINT))
+       |      ELSE list_transform(v, y -> CAST(0 AS BIGINT)) END AS codes
+       |  FROM sc),
+       |qv AS (SELECT codes AS qc FROM cd WHERE vec_id = 0),
+       |ip AS (
+       |  SELECT c.vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, len(c.codes)),
+       |      i -> c.codes[i] * q.qc[i])) AS BIGINT) AS dotc,
+       |    CAST(list_sum(list_transform(generate_series(1, len(c.codes)),
+       |      i -> c.codes[i] * c.codes[i])) AS BIGINT) AS nac,
+       |    CAST(list_sum(list_transform(generate_series(1, len(q.qc)),
+       |      i -> q.qc[i] * q.qc[i])) AS BIGINT) AS nbc
+       |  FROM cd c, qv q WHERE c.vec_id <> 0),
+       |sl AS (
+       |  SELECT vec_id FROM ip
+       |  ORDER BY round(CAST(dotc AS DOUBLE)
+       |    / (sqrt(CAST(nac AS DOUBLE)) * sqrt(CAST(nbc AS DOUBLE))), 6) DESC,
+       |    vec_id
+       |  LIMIT $ANN_RECALL_K),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |pf AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
+       |       FROM embeddings e, q WHERE e.vec_id <> 0),
+       |cf AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+       |       FROM pf GROUP BY vec_id),
+       |fl AS (SELECT vec_id FROM cf
+       |       ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id
+       |       LIMIT $ANN_RECALL_K)
+       |SELECT CAST($ANN_RECALL_K AS BIGINT) AS k,
+       |  (SELECT COUNT(*) FROM fl) AS n_exact,
+       |  (SELECT COUNT(*) FROM sl) AS n_sq8,
+       |  (SELECT COUNT(*) FROM fl JOIN sl USING (vec_id)) AS n_hit,
+       |  CAST(((SELECT COUNT(*) FROM fl JOIN sl USING (vec_id)) * 1000000) // $ANN_RECALL_K AS BIGINT)
        |    AS recall_micro""".stripMargin
 
   /** DuckDB mirror of q132: q96's scoring CTEs, per-leg top-RRF_LEG_K

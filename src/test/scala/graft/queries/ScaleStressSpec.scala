@@ -492,7 +492,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q219 (round 16): scoring/salting scan-local; dim replication x8
     // of a <=100-key frame; ONE keyed join + one agg; output stays
     // #keys rows at any corpus
-    "q219_salted_skew_join")
+    "q219_salted_skew_join",
+    // q220 (round 16): both legs are the q42 scan shape (broadcast
+    // query row, scan-local folds, TakeOrdered heaps) — the quantized
+    // leg at a quarter of the bytes; eval joins two <=K-row frames;
+    // output 1 row at any corpus
+    "q220_sq8_ann")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
