@@ -121,6 +121,11 @@ object Curation {
   private final val PrefBucketW = 16
   private final val PrefMarginMin = 50000L
 
+  // q223: the resume window — global epoch-2 positions (inclusive) a
+  // restarted trainer re-fetches.
+  private final val ResumeLo = 101
+  private final val ResumeHi = 140
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q181 (round 15): PII REDACTION — the rewrite half of
@@ -941,6 +946,82 @@ object Curation {
         .orderBy(col("shard"))
     },
 
+    // ---- q222 (round 16): MIXTURE ANNEALING SCHEDULE — the two-phase
+    // data curriculum production runs actually use (early training
+    // wants DIVERSITY: sample sources by token mass; the annealing
+    // phase near the end upweights QUALITY — the mid-training recipe):
+    // phase 1 weights each source by exact token count, phase 2 by its
+    // quality mass (per-doc tokens × distinct-token-ratio micro — the
+    // q193 scorer, so curriculum and anneal grade quality identically),
+    // both normalized to integer micros against 1-row totals, with the
+    // signed per-source shift reported. 100 TB shape: scoring is
+    // scan-local, ONE source-keyed aggregation feeds both phases, the
+    // totals ride audited 1-row broadcasts; output 2×#sources rows. ----
+    QueryDef("q222_mixture_anneal", mixtureAnnealOracle) { (s, dir) =>
+      val perSource = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("ws", split(lower(col("text")), " "))
+        .select(col("source"),
+          size(col("ws")).cast(LongType).as("n_tok"),
+          expr("CAST(round(CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws) * 1000000, 0) AS BIGINT)")
+            .as("score_micro"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).cast(LongType).as("tokens"),
+          sum(col("n_tok") * col("score_micro")).cast(LongType).as("mass"))
+      val tot = perSource.agg(sum(col("tokens")).cast(LongType).as("t_tok"),
+        sum(col("mass")).cast(LongType).as("t_mass"))
+      perSource.crossJoin(broadcast(tot))
+        .select(col("source"), col("tokens"), col("mass"),
+          expr("(tokens * 1000000) DIV t_tok").as("w1_micro"),
+          expr("(mass * 1000000) DIV t_mass").as("w2_micro"))
+        .select(col("source"), col("tokens"), col("mass"),
+          col("w1_micro"), col("w2_micro"),
+          (col("w2_micro") - col("w1_micro")).as("shift_micro"))
+        .orderBy(col("source"))
+    },
+
+    // ---- q223 (round 16): EXACT DATALOADER RESUME — the serving twin
+    // of q159/q208 (a preempted trainer restarts at global step S and
+    // must see EXACTLY the docs it would have seen — silent overlap
+    // repeats data, silent gaps skip it): global positions come from
+    // the q208 derivation (64-row shard-offset prefix + within-shard
+    // rank over the epoch-2 salt — no global sort anywhere), the
+    // resume window [RESUME_LO, RESUME_HI] filters to one slice, and
+    // the output pins the slice's size, bounds, and order-sensitive
+    // membership digest. 100 TB shape: the offset dictionary is 64
+    // rows, the rank window is shard-partitioned, the window filter
+    // prunes before the presentation sort — O(slice) output with no
+    // corpus-wide ordering step. ----
+    QueryDef("q223_dataloader_resume", dataloaderResumeOracle) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hkey = conv(substring(md5(concat(lit("e2:"),
+        col("doc_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+      val ranked = T(s, dir, "documents")
+        .select(col("doc_id"), hkey.as("hkey"))
+        .withColumn("shard", pmod(col("hkey"), lit(64L)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id")))
+          .cast(LongType))
+      val offs = ranked.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("off", sum(col("n")).over(
+          Window.orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n"))
+        .select(col("shard"), col("off"))
+      ranked.join(broadcast(offs), Seq("shard"))
+        .select(col("doc_id"), (col("off") + col("rk")).as("pos"))
+        .filter(col("pos").between(ResumeLo, ResumeHi))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("pos")).as("pos_lo"), max(col("pos")).as("pos_hi"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+              x => x.getField("doc_id").cast(StringType)),
+            ",")).as("slice_md5"))
+        .select(lit(ResumeLo.toLong).as("resume_lo"),
+          lit(ResumeHi.toLong).as("resume_hi"),
+          col("n_docs"), col("pos_lo"), col("pos_hi"), col("slice_md5"))
+    },
+
     // ---- q211 (round 16): EXPORT BLOCK INDEX — the zone-map layer a
     // serve tier puts OVER the export so a point lookup touches one
     // block, not one shard (q203 prunes to the shard directory; at
@@ -1076,6 +1157,36 @@ object Curation {
         .select(col("shard"), col("n_docs"), col("n_eval_docs"),
           coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
           coalesce(col("flagged_md5"), lit("")).as("flagged_md5"))
+        .orderBy(col("shard"))
+    },
+
+    // ---- q221 (round 16): PII AUDIT OF THE SHIPPED EXPORT — q212's
+    // shipped-bytes principle applied to governance (q181 redacts the
+    // logical corpus, q202 ships the redacted crawl export; a release
+    // auditor must prove the FILES a trainer mounts carry zero
+    // residual PII — a stale export or a write from a pre-redaction
+    // frame would pass every logical check): the crawl-export shards
+    // are re-read and re-scanned with the same three patterns;
+    // residual counts must be zero per shard, and the placeholder
+    // count is the POSITIVE control (redaction visibly ran — an
+    // all-zeros report over an accidentally-empty export proves
+    // nothing). 100 TB shape: three codegen regexp passes over the
+    // export read, one shard-keyed agg — scan-local like q181, which
+    // is the only acceptable shape for a every-byte governance scan. ----
+    QueryDef("q221_export_pii_audit", exportPiiAuditOracle) { (s, dir) =>
+      val root = ensureCrawlExport(s, dir)
+      s.read.parquet(root)
+        .select(col("shard").cast(LongType).as("shard"), col("t"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(regexp_count(col("t"), lit(EmailPat))).cast(LongType)
+            .as("n_email_residual"),
+          sum(regexp_count(col("t"), lit(SsnPat))).cast(LongType)
+            .as("n_ssn_residual"),
+          sum(regexp_count(col("t"), lit(PhonePat))).cast(LongType)
+            .as("n_phone_residual"),
+          sum(regexp_count(col("t"), lit("<EMAIL>|<SSN>|<PHONE>")))
+            .cast(LongType).as("n_placeholders"))
         .orderBy(col("shard"))
     },
 
@@ -1819,6 +1930,59 @@ object Curation {
        |ORDER BY pair""".stripMargin
   }
 
+  /** DuckDB mirror of q222: identical per-source token/quality masses,
+    * identical integer-micro normalization against the same totals. */
+  private def mixtureAnnealOracle: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+      |    CAST(round(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+      |         / len(string_split(lower(text), ' ')) * 1000000, 0) AS BIGINT)
+      |      AS score_micro
+      |  FROM documents WHERE text IS NOT NULL),
+      |p AS (
+      |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tokens,
+      |    CAST(SUM(n_tok * score_micro) AS BIGINT) AS mass
+      |  FROM d GROUP BY source),
+      |t AS (
+      |  SELECT CAST(SUM(tokens) AS BIGINT) AS t_tok,
+      |    CAST(SUM(mass) AS BIGINT) AS t_mass
+      |  FROM p)
+      |SELECT source, tokens, mass,
+      |  (tokens * 1000000) // t_tok AS w1_micro,
+      |  (mass * 1000000) // t_mass AS w2_micro,
+      |  (mass * 1000000) // t_mass - (tokens * 1000000) // t_tok AS shift_micro
+      |FROM p, t
+      |ORDER BY source""".stripMargin
+
+  /** DuckDB mirror of q223: q208's epoch-2 global-position derivation
+    * (correlated shard-prefix subquery — identical values), the same
+    * inclusive window and order-pinned slice digest. */
+  private def dataloaderResumeOracle: String =
+    s"""WITH h2 AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('e2:' || doc_id), 1, 15))::BIGINT AS hkey
+       |  FROM documents),
+       |p2 AS (
+       |  SELECT doc_id, hkey % 64 AS shard,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY hkey % 64
+       |      ORDER BY hkey, doc_id) AS BIGINT) AS rk
+       |  FROM h2),
+       |o2 AS (SELECT shard, COUNT(*) AS n FROM p2 GROUP BY shard),
+       |g2 AS (
+       |  SELECT p.doc_id,
+       |    CAST((SELECT COALESCE(SUM(o.n), 0) FROM o2 o WHERE o.shard < p.shard)
+       |      + p.rk AS BIGINT) AS pos
+       |  FROM p2 p),
+       |s AS (SELECT doc_id, pos FROM g2 WHERE pos BETWEEN $ResumeLo AND $ResumeHi)
+       |SELECT CAST($ResumeLo AS BIGINT) AS resume_lo,
+       |  CAST($ResumeHi AS BIGINT) AS resume_hi,
+       |  COUNT(*) AS n_docs,
+       |  CAST(MIN(pos) AS BIGINT) AS pos_lo,
+       |  CAST(MAX(pos) AS BIGINT) AS pos_hi,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS slice_md5
+       |FROM s""".stripMargin
+
   /** DuckDB mirror of q211: the same manifest-rule derivation of
     * (shard, ord), the same block fences, the same fence-containment
     * probe resolution and coverage pin. */
@@ -1913,6 +2077,29 @@ object Curation {
        |  COALESCE(ff.flagged_md5, '') AS flagged_md5
        |FROM per LEFT JOIN ff USING (shard)
        |ORDER BY per.shard""".stripMargin
+
+  /** DuckDB mirror of q221: q200's kept-doc CTE chain (redacted text
+    * included), the manifest shard rule, the same residual/placeholder
+    * pattern counts. */
+  private def exportPiiAuditOracle: String =
+    Pipeline.crawlKeptOracleCtes +
+      s""",
+         |f AS (
+         |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % $Shards AS shard,
+         |    t
+         |  FROM k WHERE rn = 1)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(regexp_extract_all(t, '$EmailPat'))) AS BIGINT)
+         |    AS n_email_residual,
+         |  CAST(SUM(len(regexp_extract_all(t, '$SsnPat'))) AS BIGINT)
+         |    AS n_ssn_residual,
+         |  CAST(SUM(len(regexp_extract_all(t, '$PhonePat'))) AS BIGINT)
+         |    AS n_phone_residual,
+         |  CAST(SUM(len(regexp_extract_all(t, '<EMAIL>|<SSN>|<PHONE>'))) AS BIGINT)
+         |    AS n_placeholders
+         |FROM f GROUP BY shard
+         |ORDER BY shard""".stripMargin
 
   /** DuckDB mirror of q214: same score, same cells, same tie rules,
     * same margin gate. */

@@ -497,7 +497,17 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // query row, scan-local folds, TakeOrdered heaps) — the quantized
     // leg at a quarter of the bytes; eval joins two <=K-row frames;
     // output 1 row at any corpus
-    "q220_sq8_ann")
+    "q220_sq8_ann",
+    // q221 (round 16): three codegen regexp passes over the pre-warmed
+    // crawl export read + one shard-keyed agg; output stays 16 rows
+    "q221_export_pii_audit",
+    // q222 (round 16): scoring scan-local, ONE source-keyed agg feeds
+    // both phases, totals on 1-row broadcasts; output #sources rows
+    "q222_mixture_anneal",
+    // q223 (round 16): 64-row offset dictionary + shard-partitioned
+    // rank window + window filter — O(slice); output 1 row at any
+    // corpus (the fixed resume window holds a constant slice)
+    "q223_dataloader_resume")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
@@ -567,7 +577,7 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         Curation.ensureCompactedExport(spark, base)
         Curation.ensureCompactedExport(spark, scaledDir)
       }
-      if (name == "q202_crawl_export") {
+      if (name == "q202_crawl_export" || name == "q221_export_pii_audit") {
         Curation.ensureCrawlExport(spark, base)
         Curation.ensureCrawlExport(spark, scaledDir)
       }
