@@ -1115,6 +1115,60 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q224 (round 16): DELETE PROPAGATION TO THE EXPORT — the
+    // right-to-be-forgotten reaching the SHIPPED artifact (q161 audits
+    // the logical corpus, q191 tombstones at ingest; a regulator asks
+    // about the FILES): the q191 deletion cohort (doc_id % 7 = 3) is
+    // applied to the compacted export as merge-on-read position
+    // deletes — an UNHINTED anti-join of the export read against the
+    // tombstone set (corpus-derived here, so no broadcast hint — the
+    // q199 rule; production deletion requests are tiny and AQE
+    // broadcasts them on its own) — and the per-shard serving digest
+    // is pinned against a manifest recomputed from the source MINUS
+    // the cohort: an unpropagated delete, an over-delete, or a stale
+    // export hash-fails. This closes the export lifecycle: append
+    // (q209/q217), compact (q210), index (q211/q218), serve
+    // (q203/q223), audit (q212/q221), delete (here). 100 TB shape:
+    // one export scan + one keyed anti-join + shard-keyed aggregates;
+    // the base is never rewritten (deletes stay positional until the
+    // next q210 compaction folds them in). ----
+    QueryDef("q224_export_delete", exportDeleteOracle) { (s, dir) =>
+      val root = ensureCompactedExport(s, dir)
+      val rows = s.read.parquet(root)
+        .select(col("shard").cast(LongType).as("shard"), col("h"),
+          col("doc_id"))
+      val tombs = T(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 7 === 3)
+        .select(col("doc_id"))
+      val perShard = rows.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_total"))
+      val serving = rows.join(tombs, Seq("doc_id"), "left_anti")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_serving"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("h"), col("doc_id")))),
+              x => x.getField("doc_id").cast(StringType)),
+            ",")).as("serving_md5"))
+      val hh = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType)
+      val manifest = T(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), hh.as("h"))
+        .withColumn("shard", (col("h") % Shards).cast(LongType))
+        .groupBy(col("shard"))
+        .agg(md5(array_join(
+          transform(array_sort(collect_list(struct(col("h"), col("doc_id")))),
+            x => x.getField("doc_id").cast(StringType)),
+          ",")).as("manifest_md5"))
+      perShard.join(serving, Seq("shard")).join(manifest, Seq("shard"))
+        .select(col("shard"), col("n_total"),
+          (col("n_total") - col("n_serving")).as("n_deleted"),
+          col("n_serving"), col("serving_md5"), col("manifest_md5"),
+          (col("serving_md5") === col("manifest_md5")).cast(IntegerType)
+            .as("is_match"))
+        .orderBy(col("shard"))
+    },
+
     // ---- q212 (round 16): EXPORT DECONTAMINATION AUDIT — q57 scrubs
     // the LOGICAL corpus; a release auditor must re-check the SHIPPED
     // BYTES (the artifact a trainer mounts — a stale export, a bad
@@ -1982,6 +2036,29 @@ object Curation {
        |  CAST(MAX(pos) AS BIGINT) AS pos_hi,
        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS slice_md5
        |FROM s""".stripMargin
+
+  /** DuckDB mirror of q224: the manifest rule split by the deletion
+    * cohort — totals from all docs, serving digest from the kept set,
+    * both digest columns from the same expression so is_match = 1. */
+  private def exportDeleteOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (SELECT doc_id, h, h % $Shards AS shard FROM d)
+       |SELECT shard,
+       |  COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_deleted,
+       |  CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_serving,
+       |  md5(string_agg(CASE WHEN doc_id % 7 <> 3 THEN CAST(doc_id AS VARCHAR) END,
+       |    ',' ORDER BY h, doc_id)) AS serving_md5,
+       |  md5(string_agg(CASE WHEN doc_id % 7 <> 3 THEN CAST(doc_id AS VARCHAR) END,
+       |    ',' ORDER BY h, doc_id)) AS manifest_md5,
+       |  1 AS is_match
+       |FROM r GROUP BY shard
+       |ORDER BY shard""".stripMargin
 
   /** DuckDB mirror of q211: the same manifest-rule derivation of
     * (shard, ord), the same block fences, the same fence-containment

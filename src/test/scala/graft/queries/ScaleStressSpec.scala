@@ -507,7 +507,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q223 (round 16): 64-row offset dictionary + shard-partitioned
     // rank window + window filter — O(slice); output 1 row at any
     // corpus (the fixed resume window holds a constant slice)
-    "q223_dataloader_resume")
+    "q223_dataloader_resume",
+    // q224 (round 16): one pre-warmed export scan + one keyed
+    // anti-join + shard-keyed aggregates; output stays 16 rows
+    "q224_export_delete")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
@@ -573,7 +576,7 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         Curation.ensureIncrementalExport(spark, scaledDir)
       }
       if (name == "q210_export_compact" || name == "q211_export_block_index" ||
-          name == "q212_export_decontam_audit") {
+          name == "q212_export_decontam_audit" || name == "q224_export_delete") {
         Curation.ensureCompactedExport(spark, base)
         Curation.ensureCompactedExport(spark, scaledDir)
       }
