@@ -121,7 +121,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q196_vocab_prune",
     // q198 cross-joins its 1-row bigram total into the support-filtered
     // collocation table — the q96/q133 corpus-stats shape.
-    "q198_collocations")
+    "q198_collocations",
+    // q220 rides q42's ONE query-vector broadcast in the exact leg,
+    // broadcasts its own ONE-row quantized query codes in the sq8 leg,
+    // and cross-joins its three 1-row eval counters — the q138/q143
+    // shape.
+    "q220_sq8_ann",
+    // q222 cross-joins its 1-row (token, mass) totals into the
+    // #sources-row schedule — the q133/q142 corpus-stats shape.
+    "q222_mixture_anneal")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
@@ -135,7 +143,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q147_nats_tls_e2e", "q152_availablenow_backfill",
     "q154_stream_dedup_ingest", "q179_tokenize_at_ingest",
     "q187_manifest_at_ingest", "q190_redact_at_ingest",
-    "q191_delete_at_ingest", "q207_drift_at_ingest")
+    "q191_delete_at_ingest", "q207_drift_at_ingest",
+    "q217_export_append_at_ingest")
   // (q179/q187/q190/q191/q207 run their own publisher+drain inside
   // build() — auditing them here would re-run the whole stream per
   // audit test; their standing folds are audited by the gate + their
@@ -462,7 +471,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         "etot", // q189's 1-row embedding-pool truth total (r16)
         "stats", "quota", "cuts", "prior",
         // query vectors / eval probes / benchmark sets (request-sized)
-        "q", "qb", "probe", "bench", "benchSet", "benchHashes", "ids",
+        "q", "qb", "qc", // q220's ONE-row quantized query codes (r16)
+        "probe", "bench", "benchSet", "benchHashes", "ids",
         "leaky", "grams", "best", "plan",
         // models: centroids, codebooks, merge arrays, vocab, dictionaries
         "cent", "dict", "df", "keptArr", "mergesArr", "prof", "ratio",
