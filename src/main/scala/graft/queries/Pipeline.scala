@@ -1041,6 +1041,63 @@ object Pipeline {
           expr(s"(n_hit * 1000000) DIV $ANN_RECALL_K").as("recall_micro"))
     },
 
+    // ---- q225 (round 16): INSPECTION SAMPLE — the human-QA appendix
+    // every data card ships (reviewers eyeball a handful of docs per
+    // source; the sample must be DETERMINISTIC so two auditors argue
+    // about the same rows, and UNBIASED so nobody cherry-picks): per
+    // source, the top-3 docs by a salted hash order ("qa:" + doc_id —
+    // content-free, reproducible, uncorrelated with every other salt
+    // in the repo), each row carrying its token count and text digest
+    // so the reviewed bytes are pinned. 100 TB shape: ONE source-keyed
+    // rank window that the optimizer executes as a per-partition
+    // top-k (WindowGroupLimit — no full sort of any source's corpus);
+    // output 3×#sources rows. ----
+    QueryDef("q225_inspection_sample", inspectionSampleOracle) { (s, dir) =>
+      val hkey = conv(substring(md5(concat(lit("qa:"),
+        col("doc_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("hkey"), col("doc_id"))
+      T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          size(split(lower(col("text")), " ")).cast(LongType).as("n_tok"),
+          md5(col("text")).as("text_md5"), hkey.as("hkey"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk"), col("doc_id"), col("n_tok"),
+          col("text_md5"))
+        .orderBy(col("source"), col("rk"))
+    },
+
+    // ---- q226 (round 16): DUPLICATE FLOW MATRIX — governance insight
+    // on top of the near-dup machinery (operators q41/q76 find and
+    // resolve duplicates; a corpus owner also needs to know WHERE they
+    // flow — which sources mirror which, the scraper-ecology question
+    // behind robots policies and source weighting): q41's candidate
+    // pairs (the registry operator invoked verbatim, the q138
+    // convention) are mapped to source pairs via two keyed joins
+    // against the doc→source dictionary, canonicalized
+    // (least, greatest) so the matrix is upper-triangular, with the
+    // within-source diagonal flagged. 100 TB shape: the pair frame is
+    // q41's audited banded join output (never all-pairs); two keyed
+    // equi joins; the matrix is ≤ #sources² rows. ----
+    QueryDef("q226_dup_flow_matrix", dupFlowOracle) { (s, dir) =>
+      val pairs = Registry.byName("q41_near_dup").build(s, dir)
+      val src = T(s, dir, "documents").select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("src_a"), col("src_b"), col("n_pairs"),
+          (col("src_a") === col("src_b")).cast(IntegerType).as("within_source"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // ---- line-level exact dedup with document reconstruction (the
     // C4/RefinedWeb line-dedup op — doc-level q40 keeps or drops whole
     // documents; this deduplicates WITHIN them): segment each document
@@ -4727,6 +4784,40 @@ object Pipeline {
        |  (SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) AS n_hit,
        |  CAST(((SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) * 1000000) // $ANN_RECALL_K AS BIGINT)
        |    AS recall_micro""".stripMargin
+
+  /** DuckDB mirror of q225: same salted order, same per-source top-3. */
+  private def inspectionSampleOracle: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+      |    md5(text) AS text_md5,
+      |    ('0x' || substr(md5('qa:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS hkey
+      |  FROM documents WHERE text IS NOT NULL),
+      |r AS (
+      |  SELECT source, doc_id, n_tok, text_md5,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY hkey, doc_id) AS BIGINT) AS rk
+      |  FROM d)
+      |SELECT source, rk, doc_id, n_tok, text_md5
+      |FROM r WHERE rk <= 3
+      |ORDER BY source, rk""".stripMargin
+
+  /** DuckDB mirror of q226: q41's full oracle as a subquery, the same
+    * two dictionary joins and canonicalized source pairs. */
+  private def dupFlowOracle: String =
+    s"""WITH prs AS (SELECT * FROM ($minhashOracle)),
+       |src AS (SELECT doc_id, source FROM documents)
+       |SELECT least(a.source, b.source) AS src_a,
+       |  greatest(a.source, b.source) AS src_b,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(CASE WHEN least(a.source, b.source) = greatest(a.source, b.source)
+       |    THEN 1 ELSE 0 END AS INTEGER) AS within_source
+       |FROM prs
+       |JOIN src a ON prs.doc_a = a.doc_id
+       |JOIN src b ON prs.doc_b = b.doc_id
+       |GROUP BY least(a.source, b.source), greatest(a.source, b.source)
+       |ORDER BY src_a, src_b""".stripMargin
 
   /** DuckDB mirror of q220: q216's quantization rule, exact-integer
     * code dot products, the same rounded cosine ranking, and q143's

@@ -510,7 +510,14 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q223_dataloader_resume",
     // q224 (round 16): one pre-warmed export scan + one keyed
     // anti-join + shard-keyed aggregates; output stays 16 rows
-    "q224_export_delete")
+    "q224_export_delete",
+    // q225 (round 16): ONE source-keyed rank window executed as a
+    // per-partition top-k (WindowGroupLimit); output stays 3x#sources
+    "q225_inspection_sample",
+    // q226 (round 16): rides q41's banded candidate join (within-copy
+    // pairs only — the bijective rename); two keyed dictionary joins;
+    // output stays <= #sources^2 rows while pair counts grow ~10x
+    "q226_dup_flow_matrix")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
