@@ -1041,6 +1041,82 @@ object Pipeline {
           expr(s"(n_hit * 1000000) DIV $ANN_RECALL_K").as("recall_micro"))
     },
 
+    // ---- q227 (round 16): GRADIENT-ACCUMULATION SCHEDULE — the last
+    // accounting step between packed bins and an optimizer (a trainer
+    // at global batch 4×2048 consumes q156's chunks four at a time;
+    // the schedule must state how many optimizer steps each source
+    // contributes, which steps are FULL — constant token mass, the
+    // property LR schedules assume — and how many tail chunks the
+    // final partial step holds): q156's pack table (the registry
+    // operator verbatim, the q138 convention) grouped into steps of 4
+    // chunks per source, with full-step token bounds reported
+    // honestly (chunks straddle document boundaries, so full-step
+    // masses vary around 4×2048 — the report QUANTIFIES that instead
+    // of asserting it away). 100 TB shape: rides q156's audited plan;
+    // the schedule itself is two keyed aggregations over the
+    // #chunks-row pack table; output #sources rows. ----
+    QueryDef("q227_grad_accum", gradAccumOracle) { (s, dir) =>
+      val steps = Registry.byName("q156_bpe_pack").build(s, dir)
+        .withColumn("step", expr("chunk DIV 4"))
+        .groupBy(col("source"), col("step"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).cast(LongType).as("step_tokens"))
+      steps.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_steps"),
+          sum(when(col("n_chunks") === 4, 1L).otherwise(0L)).cast(LongType)
+            .as("n_full_steps"),
+          sum(when(col("n_chunks") =!= 4, col("n_chunks")).otherwise(lit(0L)))
+            .cast(LongType).as("tail_chunks"),
+          coalesce(min(when(col("n_chunks") === 4, col("step_tokens"))), lit(0L))
+            .as("full_tokens_min"),
+          coalesce(max(when(col("n_chunks") === 4, col("step_tokens"))), lit(0L))
+            .as("full_tokens_max"),
+          sum(col("step_tokens")).cast(LongType).as("total_tokens"))
+        .orderBy(col("source"))
+    },
+
+    // ---- q228 (round 16): MERGE-COUNT ABLATION — the vocab-size
+    // engineering question the stored-model family can now answer
+    // cheaply (how much fertility does each doubling of the merge
+    // count buy?): the FIRST k merges of the stored 64-round model
+    // (k = 16/32/64 — a BPE model's merge list is prefix-closed, so
+    // the k-merge model IS the stored model's prefix) re-applied to
+    // the corpus word histogram via the shared fold, reporting corpus
+    // fertility and emitted-vocab size per k. The oracle reads the
+    // SAME numbers off the generated chain's intermediate rounds
+    // (v16/v32/v64), so the stored artifact's prefixes are pinned
+    // against an independently-derived training history. 100 TB
+    // shape: every leg is vocab-sized work over the one corpus-sized
+    // histogram (the q150 invariant); merge prefixes ride the q151
+    // 1-row broadcast array. ----
+    QueryDef("q228_merge_ablation", mergeAblationOracle) { (s, dir) =>
+      val (mTbl, _) = ensureBpeModel(s, dir)
+      val hist = bpeWordHist(s, dir).persist()
+      val legs = Seq(16, 32, 64).map { k =>
+        val mergesArr = s.table(mTbl).filter(col("rank") <= k)
+          .agg(sort_array(collect_list(struct(col("rank"), col("l"), col("r"))))
+            .as("ms"))
+          .select(lit(1).as("kk"), col("ms"))
+        val applied = hist
+          .withColumn("syms", split(col("w"), ""))
+          .withColumn("kk", lit(1))
+          .join(broadcast(mergesArr), Seq("kk"))
+          .select(col("freq"), expr(bpeApplySql).as("toks"))
+          .persist()
+        val stats = applied.agg(
+          sum(col("freq")).cast(LongType).as("n_words"),
+          sum(col("freq") * size(col("toks"))).cast(LongType).as("n_tokens"))
+        val vocab = applied.select(explode(col("toks")).as("t"))
+          .agg(countDistinct(col("t")).as("vocab_size"))
+        stats.crossJoin(vocab)
+          .select(lit(k.toLong).as("n_merges"), col("n_words"),
+            col("n_tokens"),
+            expr("(n_tokens * 1000000) DIV n_words").as("fertility_micro"),
+            col("vocab_size"))
+      }
+      legs.reduce(_ unionByName _).orderBy(col("n_merges"))
+    },
+
     // ---- q225 (round 16): INSPECTION SAMPLE — the human-QA appendix
     // every data card ships (reviewers eyeball a handful of docs per
     // source; the sample must be DETERMINISTIC so two auditors argue
@@ -4784,6 +4860,49 @@ object Pipeline {
        |  (SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) AS n_hit,
        |  CAST(((SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) * 1000000) // $ANN_RECALL_K AS BIGINT)
        |    AS recall_micro""".stripMargin
+
+  /** DuckDB mirror of q227: q156's full oracle as a subquery, the same
+    * 4-chunk step grouping and per-source schedule accounting. */
+  private def gradAccumOracle: String =
+    s"""WITH pk AS (SELECT * FROM ($bpePackOracle)),
+       |st AS (
+       |  SELECT source, chunk // 4 AS step, COUNT(*) AS n_chunks,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS step_tokens
+       |  FROM pk GROUP BY source, chunk // 4)
+       |SELECT source, COUNT(*) AS n_steps,
+       |  CAST(SUM(CASE WHEN n_chunks = 4 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_full_steps,
+       |  CAST(SUM(CASE WHEN n_chunks <> 4 THEN n_chunks ELSE 0 END) AS BIGINT)
+       |    AS tail_chunks,
+       |  COALESCE(MIN(CASE WHEN n_chunks = 4 THEN step_tokens END), 0)
+       |    AS full_tokens_min,
+       |  COALESCE(MAX(CASE WHEN n_chunks = 4 THEN step_tokens END), 0)
+       |    AS full_tokens_max,
+       |  CAST(SUM(step_tokens) AS BIGINT) AS total_tokens
+       |FROM st GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** DuckDB mirror of q228: the generated chain's INTERMEDIATE rounds
+    * (v16/v32/v64) — token counts read off the double-pipe encoding
+    * (pipes/2), vocab as the distinct emitted tokens — so the stored
+    * model's merge prefixes are pinned against an independently-derived
+    * training history. */
+  private def mergeAblationOracle: String = {
+    val legs = Seq(16, 32, 64).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS n_merges,
+         |  (SELECT CAST(SUM(freq) AS BIGINT) FROM v$k) AS n_words,
+         |  (SELECT CAST(SUM(freq * (len(s) - len(replace(s, '|', ''))) // 2) AS BIGINT)
+         |     FROM v$k) AS n_tokens,
+         |  (SELECT CAST(SUM(freq * (len(s) - len(replace(s, '|', ''))) // 2) AS BIGINT)
+         |     FROM v$k) * 1000000
+         |    // (SELECT CAST(SUM(freq) AS BIGINT) FROM v$k) AS fertility_micro,
+         |  (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) FROM (
+         |     SELECT unnest(string_split(substr(s, 2, len(s) - 2), '||')) AS t
+         |     FROM v$k)) AS vocab_size""".stripMargin
+    }
+    bpeOracleCtes(BpeMerges) + "\n" +
+      legs.mkString("\nUNION ALL\n") + "\nORDER BY n_merges"
+  }
 
   /** DuckDB mirror of q225: same salted order, same per-source top-3. */
   private def inspectionSampleOracle: String =

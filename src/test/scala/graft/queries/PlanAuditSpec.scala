@@ -129,7 +129,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q220_sq8_ann",
     // q222 cross-joins its 1-row (token, mass) totals into the
     // #sources-row schedule — the q133/q142 corpus-stats shape.
-    "q222_mixture_anneal")
+    "q222_mixture_anneal",
+    // q227 rides q156's audited plan and so inherits q151's 1-row
+    // ranked-merge-array broadcast through the shared tokenization.
+    "q227_grad_accum",
+    // q228 folds three merge-PREFIX arrays (1-row broadcasts, the
+    // q151/q177 shape) over the vocab-sized histogram and cross-joins
+    // its 1-row stats with the 1-row vocab count per leg.
+    "q228_merge_ablation")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.

@@ -517,7 +517,14 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q226 (round 16): rides q41's banded candidate join (within-copy
     // pairs only — the bijective rename); two keyed dictionary joins;
     // output stays <= #sources^2 rows while pair counts grow ~10x
-    "q226_dup_flow_matrix")
+    "q226_dup_flow_matrix",
+    // q227 (round 16): rides q156's audited pack plan (stored model
+    // warmed below); the schedule is two keyed aggs over the
+    // #chunks-row pack table; output stays #sources rows
+    "q227_grad_accum",
+    // q228 (round 16): three vocab-sized prefix folds over the one
+    // corpus-sized histogram (the q150 invariant); output 3 rows
+    "q228_merge_ablation")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
@@ -560,7 +567,7 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val bpeStoredModel = Set("q150_bpe_train", "q151_bpe_tokenize",
     "q156_bpe_pack", "q162_bpe_fertility", "q173_bpe_ids",
     "q192_pack_boundaries", "q196_vocab_prune", "q205_sft_mask",
-    "q213_detok_roundtrip")
+    "q213_detok_roundtrip", "q227_grad_accum", "q228_merge_ablation")
   private val uniStoredModel = Set("q175_unigram_train", "q176_unigram_tokenize",
     "q178_tokenizer_ablation")
 
