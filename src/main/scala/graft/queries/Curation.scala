@@ -1115,6 +1115,60 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q230 (round 16): CONSISTENT SAMPLING UNDER GROWTH — the
+    // sampling-rule property that decides whether a 100 TB eval/debug
+    // sample is reusable after the corpus grows (a hash-THRESHOLD rule
+    // — keep doc iff h("smp:"+id) % 100 < 10 — is per-doc and
+    // append-stable: yesterday's sample is a SUBSET of today's; a
+    // FROZEN-BUDGET rank rule — the top K = ceil(|v1|/10) by the same
+    // hash, K fixed when the sample was first drawn — churns, because
+    // new docs entering the top-K push old members out): both rules
+    // run on the v1 corpus (the q209 base cohort, doc_id % 10 != 7)
+    // and the grown v2 corpus (all docs), and the report QUANTIFIES
+    // the difference — hash overlap == hash v1-size (stable, pinned),
+    // rank churn measured. 100 TB shape: membership is scan-local for
+    // the hash rule (the point — no coordination, no global state);
+    // the rank legs need a GLOBAL rank — exactly the disqualifier
+    // this query exists to demonstrate (fine on the fixture, a
+    // corpus-wide sort at scale); the report is six 1-row counts. ----
+    QueryDef("q230_consistent_sampling", consistentSamplingOracle) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = conv(substring(md5(concat(lit("smp:"),
+        col("doc_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+      def corpus(v2: Boolean): DataFrame = T(s, dir, "documents")
+        .filter(col("text").isNotNull &&
+          (if (v2) lit(true) else col("doc_id") % 10 =!= 7))
+        .select(col("doc_id"), h.as("hkey"))
+      def hashSample(df: DataFrame): DataFrame =
+        df.filter(col("hkey") % 100 < 10).select(col("doc_id"))
+      val (v1, v2) = (corpus(v2 = false).persist(), corpus(v2 = true).persist())
+      // The rank budget K is FROZEN at ceil(|v1|/10) — the sample size
+      // fixed when first drawn — for BOTH runs; that is what churns.
+      val kBudget = v1.agg(count(lit(1)).as("nv1"))
+      def rankSample(df: DataFrame): DataFrame =
+        df.crossJoin(broadcast(kBudget))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("hkey"), col("doc_id"))).cast(LongType))
+          .filter(col("rk") <= expr("(nv1 + 9) DIV 10"))
+          .select(col("doc_id"))
+      val (h1, h2) = (hashSample(v1).persist(), hashSample(v2).persist())
+      val (r1, r2) = (rankSample(v1).persist(), rankSample(v2).persist())
+      def n(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+      val hOv = h1.join(h2, "doc_id").agg(count(lit(1)).as("hash_overlap"))
+      val rOv = r1.join(r2, "doc_id").agg(count(lit(1)).as("rank_overlap"))
+      n(v1, "n_v1").crossJoin(n(v2, "n_v2"))
+        .crossJoin(n(h1, "hash_s1")).crossJoin(n(h2, "hash_s2"))
+        .crossJoin(hOv)
+        .crossJoin(n(r1, "rank_s1")).crossJoin(n(r2, "rank_s2"))
+        .crossJoin(rOv)
+        .select(col("n_v1"), col("n_v2"),
+          col("hash_s1"), col("hash_s2"), col("hash_overlap"),
+          (col("hash_overlap") === col("hash_s1")).cast(IntegerType)
+            .as("hash_stable"),
+          col("rank_s1"), col("rank_s2"), col("rank_overlap"),
+          (col("rank_s1") - col("rank_overlap")).as("rank_churn"))
+    },
+
     // ---- q224 (round 16): DELETE PROPAGATION TO THE EXPORT — the
     // right-to-be-forgotten reaching the SHIPPED artifact (q161 audits
     // the logical corpus, q191 tombstones at ingest; a regulator asks
@@ -2036,6 +2090,42 @@ object Curation {
        |  CAST(MAX(pos) AS BIGINT) AS pos_hi,
        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS slice_md5
        |FROM s""".stripMargin
+
+  /** DuckDB mirror of q230: same salted hash, same threshold and rank
+    * rules over the same v1/v2 cohorts, same overlap accounting. */
+  private def consistentSamplingOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS hkey
+      |  FROM documents WHERE text IS NOT NULL),
+      |v1 AS (SELECT * FROM d WHERE doc_id % 10 <> 7),
+      |v2 AS (SELECT * FROM d),
+      |h1 AS (SELECT doc_id FROM v1 WHERE hkey % 100 < 10),
+      |h2 AS (SELECT doc_id FROM v2 WHERE hkey % 100 < 10),
+      |kb AS (SELECT ((COUNT(*) + 9) // 10) AS k FROM v1),
+      |r1 AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hkey, doc_id) AS rk
+      |    FROM v1) WHERE rk <= (SELECT k FROM kb)),
+      |r2 AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hkey, doc_id) AS rk
+      |    FROM v2) WHERE rk <= (SELECT k FROM kb))
+      |SELECT
+      |  (SELECT COUNT(*) FROM v1) AS n_v1,
+      |  (SELECT COUNT(*) FROM v2) AS n_v2,
+      |  (SELECT COUNT(*) FROM h1) AS hash_s1,
+      |  (SELECT COUNT(*) FROM h2) AS hash_s2,
+      |  (SELECT COUNT(*) FROM h1 JOIN h2 USING (doc_id)) AS hash_overlap,
+      |  CAST(CASE WHEN (SELECT COUNT(*) FROM h1 JOIN h2 USING (doc_id))
+      |      = (SELECT COUNT(*) FROM h1) THEN 1 ELSE 0 END AS INTEGER)
+      |    AS hash_stable,
+      |  (SELECT COUNT(*) FROM r1) AS rank_s1,
+      |  (SELECT COUNT(*) FROM r2) AS rank_s2,
+      |  (SELECT COUNT(*) FROM r1 JOIN r2 USING (doc_id)) AS rank_overlap,
+      |  (SELECT COUNT(*) FROM r1)
+      |    - (SELECT COUNT(*) FROM r1 JOIN r2 USING (doc_id)) AS rank_churn""".stripMargin
 
   /** DuckDB mirror of q224: the manifest rule split by the deletion
     * cohort — totals from all docs, serving digest from the kept set,

@@ -1041,6 +1041,35 @@ object Pipeline {
           expr(s"(n_hit * 1000000) DIV $ANN_RECALL_K").as("recall_micro"))
     },
 
+    // ---- q229 (round 16): LSH PARAMETER PLANNER — the theory table
+    // behind every banding choice in the repo (q41/q76 run one (b, r)
+    // config; q172 measures three empirically; an engineer sizing an
+    // index at 100 TB first asks the CLOSED FORM: collision
+    // probability 1-(1-s^r)^b over similarity s): the S-curves for
+    // (32,2)/(16,4)/(8,8) over a 64-element signature, at s = 0.1..0.9.
+    // Cross-engine float determinism by construction: b and r are
+    // powers of two, so every power is an explicit SQUARING CHAIN
+    // (interpolated from ONE Scala-generated expression into both
+    // engines — no libm pow, whose last-ulp behavior differs across
+    // implementations), rounded once to micro. 100 TB note: the
+    // planner costs nothing (27 closed-form rows) and predicts q172's
+    // measured sweep — theory and measurement ship side by side. ----
+    QueryDef("q229_lsh_planner", lshPlannerOracle) { (s, dir) =>
+      val cfg = s.range(1).select(explode(expr(
+        "array(struct(CAST(32 AS BIGINT) AS n_bands, CAST(2 AS BIGINT) AS n_rows), " +
+          "struct(CAST(16 AS BIGINT) AS n_bands, CAST(4 AS BIGINT) AS n_rows), " +
+          "struct(CAST(8 AS BIGINT) AS n_bands, CAST(8 AS BIGINT) AS n_rows))")).as("c"))
+        .select(col("c.n_bands").as("n_bands"), col("c.n_rows").as("n_rows"))
+      val sims = s.range(1).select(explode(expr("sequence(1, 9)")).as("i"))
+        .select(col("i"), expr("CAST(i AS DOUBLE) / 10").as("sim"))
+      cfg.crossJoin(sims)
+        .select(col("n_bands"), col("n_rows"),
+          (col("i") * 100000L).as("s_micro"),
+          expr(s"CAST(round(($LshPlannerCase) * 1000000, 0) AS BIGINT)")
+            .as("p_micro"))
+        .orderBy(col("n_bands").desc, col("s_micro"))
+    },
+
     // ---- q227 (round 16): GRADIENT-ACCUMULATION SCHEDULE — the last
     // accounting step between packed bins and an optimizer (a trainer
     // at global batch 4×2048 consumes q156's chunks four at a time;
@@ -4860,6 +4889,38 @@ object Pipeline {
        |  (SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) AS n_hit,
        |  CAST(((SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) * 1000000) // $ANN_RECALL_K AS BIGINT)
        |    AS recall_micro""".stripMargin
+
+  /** q229's collision-probability CASE over (n_rows, sim) — ONE
+    * Scala-generated squaring-chain expression interpolated into both
+    * engines, so the float op sequence is identical by construction
+    * (no libm pow anywhere). */
+  // def, not val: referenced from the oracle during `defs` object init
+  // (the q150 init-order trap — a later val would interpolate empty).
+  private[queries] def LshPlannerCase: String = {
+    def sq(e: String, k: Int): String =
+      if (k == 0) e else sq(s"($e * $e)", k - 1)
+    // p(b = 2^kb, r = 2^kr) = 1 - (1 - sim^r)^b, all powers as squarings
+    def p(kb: Int, kr: Int): String = s"1 - ${sq(s"(1 - ${sq("sim", kr)})", kb)}"
+    s"CASE WHEN n_rows = 2 THEN ${p(5, 1)} " +
+      s"WHEN n_rows = 4 THEN ${p(4, 2)} " +
+      s"ELSE ${p(3, 3)} END"
+  }
+
+  /** DuckDB mirror of q229: same configs, same sim grid, the SAME
+    * interpolated squaring-chain CASE. */
+  private def lshPlannerOracle: String =
+    s"""WITH cfg AS (
+       |  SELECT CAST(n_bands AS BIGINT) AS n_bands,
+       |    CAST(n_rows AS BIGINT) AS n_rows
+       |  FROM (VALUES (32, 2), (16, 4), (8, 8)) AS t(n_bands, n_rows)),
+       |sims AS (
+       |  SELECT i, CAST(i AS DOUBLE) / 10 AS sim
+       |  FROM unnest(generate_series(1, 9)) AS u(i))
+       |SELECT n_bands, n_rows,
+       |  CAST(i * 100000 AS BIGINT) AS s_micro,
+       |  CAST(round(($LshPlannerCase) * 1000000, 0) AS BIGINT) AS p_micro
+       |FROM cfg, sims
+       |ORDER BY n_bands DESC, s_micro""".stripMargin
 
   /** DuckDB mirror of q227: q156's full oracle as a subquery, the same
     * 4-chunk step grouping and per-source schedule accounting. */

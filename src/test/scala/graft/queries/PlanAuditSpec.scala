@@ -136,7 +136,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q228 folds three merge-PREFIX arrays (1-row broadcasts, the
     // q151/q177 shape) over the vocab-sized histogram and cross-joins
     // its 1-row stats with the 1-row vocab count per leg.
-    "q228_merge_ablation")
+    "q228_merge_ablation",
+    // q229 is closed-form: a 3-row config frame crossed with a 9-row
+    // similarity grid — 27 rows total, corpus-independent.
+    "q229_lsh_planner",
+    // q230 broadcasts its 1-row frozen budget into both rank legs and
+    // cross-joins its eight 1-row report counters — the q138 shape.
+    "q230_consistent_sampling")
 
   // Streaming/e2e demo entries drive their own publishers — audited by
   // their own specs, not plannable as cold batch plans here.
@@ -470,8 +476,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         "tot", "nb", "gN", "mins", "bCounts",
         // q204: the #sources-row repeat-epoch plan dictionary (r16);
         // q206: the two #sources-row snapshot token totals (r16);
-        // q208: the 64-row shard-offset prefix dictionary (r16)
-        "plan", "t1", "t2", "offs"),
+        // q208: the 64-row shard-offset prefix dictionary (r16);
+        // q230: the 1-row frozen rank budget (r16)
+        "plan", "t1", "t2", "offs", "kBudget"),
       "Pipeline.scala" -> Set(
         // 1-row totals and corpus stats
         "tot", "totS", "totT", "totals", "dTot", "n", "sw", "truthTotal",

@@ -524,7 +524,13 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q227_grad_accum",
     // q228 (round 16): three vocab-sized prefix folds over the one
     // corpus-sized histogram (the q150 invariant); output 3 rows
-    "q228_merge_ablation")
+    "q228_merge_ablation",
+    // q229 (round 16): closed-form 27-row table, corpus-independent
+    "q229_lsh_planner",
+    // q230 (round 16): hash membership scan-local; the rank legs'
+    // global window is the documented anti-pattern under test (still
+    // ~linear — one sort of the corpus); output 1 row
+    "q230_consistent_sampling")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
