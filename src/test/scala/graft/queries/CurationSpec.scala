@@ -688,6 +688,144 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(weightSum < nDocs * 1000000L, "no down-weighting happened — vacuous fixture")
   }
 
+  // ---- q225: independent in-memory inspection sample ----
+
+  test("q225: the per-source sample equals an independent in-memory draw") {
+    val expected = docsWithSource().map { case (id, src, t) =>
+      (src, id, t.toLowerCase.split(" ", -1).length.toLong, md5Hex(t),
+        h60(s"qa:$id"))
+    }.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy(d => (d._5, d._2)).take(3).zipWithIndex.map {
+        case ((_, id, nTok, md, _), i) => (src, (i + 1).toLong, id, nTok, md)
+      }
+    }.sortBy(e => (e._1, e._2))
+    val got = Registry.byName("q225_inspection_sample").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got === expected)
+    assert(expected.size === expected.map(_._1).distinct.size * 3,
+      "a source drew fewer than 3 sample docs — fixture too thin")
+  }
+
+  // ---- q227: schedule coherence against the q156 pack table ----
+
+  test("q227: the schedule re-derives from q156's pack table and conserves tokens") {
+    val pack = Registry.byName("q156_bpe_pack").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val expected = pack.groupBy(p => (p._1, p._2 / 4)).toSeq
+      .map { case ((src, _), chunks) =>
+        (src, chunks.size.toLong, chunks.map(_._3).sum) }
+      .groupBy(_._1).toSeq
+      .map { case (src, steps) =>
+        val full = steps.filter(_._2 == 4)
+        (src, steps.size.toLong, full.size.toLong,
+          steps.filter(_._2 != 4).map(_._2).sum,
+          if (full.isEmpty) 0L else full.map(_._3).min,
+          if (full.isEmpty) 0L else full.map(_._3).max,
+          steps.map(_._3).sum)
+      }.sortBy(_._1)
+    val got = Registry.byName("q227_grad_accum").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+    // token conservation: the schedule holds exactly the packed corpus
+    assert(got.map(_._7).sum === pack.map(_._3).sum)
+  }
+
+  // ---- q228: ablation curve invariants ----
+
+  test("q228: merge prefixes monotonically trade vocab for fertility over a constant corpus") {
+    val rows = Registry.byName("q228_merge_ablation").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(16L, 32L, 64L))
+    assert(rows.map(_._2).distinct.length === 1, "word total must not depend on k")
+    assert(rows.sliding(2).forall { case Array(a, b) => b._3 < a._3 },
+      "more merges must strictly shrink the token stream on this corpus")
+    assert(rows.sliding(2).forall { case Array(a, b) => b._5 > a._5 },
+      "more merges must strictly grow the emitted vocab on this corpus")
+    rows.foreach { r =>
+      assert(r._4 === r._3 * 1000000L / r._2, "fertility arithmetic drift") }
+  }
+
+  // ---- q229: independent plain-Scala S-curve recompute ----
+
+  test("q229: the planner table equals a plain-Scala squaring-chain recompute") {
+    def pow2(x: Double, k: Int): Double =
+      (0 until k).foldLeft(x)((a, _) => a * a)
+    val expected = for {
+      (b, r, kb, kr) <- Seq((32L, 2L, 5, 1), (16L, 4L, 4, 2), (8L, 8L, 3, 3))
+      i <- 1 to 9
+    } yield {
+      val sim = i.toDouble / 10
+      val p = 1 - pow2(1 - pow2(sim, kr), kb)
+      (b, r, i * 100000L,
+        BigDecimal(p * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val got = Registry.byName("q229_lsh_planner").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected.sortBy(e => (-e._1, e._3)))
+    // the S-curve property: strictly increasing in s within each config
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.sortBy(_._3).map(_._4).sliding(2).forall {
+        case Seq(a, b) => b >= a })
+    }
+  }
+
+  // ---- q230: independent in-memory sampling-rule recompute ----
+
+  test("q230: sampling stability report equals an independent in-memory recompute") {
+    val all = docs().map(_._1)
+    val v1 = all.filter(_ % 10 != 7)
+    def hkey(id: Long) = h60(s"smp:$id")
+    val h1 = v1.filter(hkey(_) % 100 < 10).toSet
+    val h2 = all.filter(hkey(_) % 100 < 10).toSet
+    val k = (v1.size + 9) / 10
+    val r1 = v1.sortBy(id => (hkey(id), id)).take(k).toSet
+    val r2 = all.sortBy(id => (hkey(id), id)).take(k).toSet
+    val expected = (v1.size.toLong, all.size.toLong,
+      h1.size.toLong, h2.size.toLong, (h1 & h2).size.toLong,
+      if ((h1 & h2).size == h1.size) 1 else 0,
+      r1.size.toLong, r2.size.toLong, (r1 & r2).size.toLong,
+      (r1.size - (r1 & r2).size).toLong)
+    val got = Registry.byName("q230_consistent_sampling").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9))).head
+    assert(got === expected)
+    assert(got._6 === 1, "hash-threshold sampling must be append-stable")
+    assert((h1 -- h2).isEmpty, "a v1 hash-sampled doc vanished from v2's sample")
+  }
+
+  // ---- q226: flow-matrix conservation against q41's pair set ----
+
+  test("q226: the flow matrix conserves q41's pairs and canonicalizes correctly") {
+    val srcOf = docsWithSource().map(d => d._1 -> d._2).toMap
+    val pairs = Registry.byName("q41_near_dup").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }
+      .groupBy(identity).toSeq
+      .map { case ((sa, sb), g) =>
+        (sa, sb, g.length.toLong, if (sa == sb) 1 else 0) }
+      .sortBy(e => (e._1, e._2))
+    val got = Registry.byName("q226_dup_flow_matrix").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(got === expected)
+    assert(got.map(_._3).sum === pairs.length.toLong,
+      "the matrix must conserve every q41 pair exactly once")
+    got.foreach { case (sa, sb, _, _) => assert(sa <= sb, "not upper-triangular") }
+  }
+
   // ---- q216: independent in-memory SQ8 quantizer ----
 
   test("q216: quantization table equals an independent in-memory quantizer") {
