@@ -309,6 +309,24 @@ object Analytics {
       |GROUP BY f.k
       |ORDER BY seg""".stripMargin
 
+  /** DuckDB mirror of q233: the q76 recursive cluster walk as the dup
+    * set, the same fixed quality bands, the same cross-tab. */
+  private def qualityDupOracle: String =
+    s"""WITH RECURSIVE $dupClusterCte,
+       |dup AS (SELECT DISTINCT doc_id FROM comp),
+       |d AS (
+       |  SELECT doc_id,
+       |    CAST(round(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+       |         / len(string_split(lower(text), ' ')) * 1000000, 0) AS BIGINT)
+       |      // 100000 AS band,
+       |    CASE WHEN doc_id IN (SELECT doc_id FROM dup) THEN 1 ELSE 0 END AS is_dup
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT band, COUNT(*) AS n_docs,
+       |  CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+       |  (CAST(SUM(is_dup) AS BIGINT) * 1000000) // COUNT(*) AS dup_rate_micro
+       |FROM d GROUP BY band
+       |ORDER BY band""".stripMargin
+
   /** DuckDB mirror of q215: the q76 recursive cluster walk, cluster
     * sizes, and the same 1e6 DIV |cluster| weight over the corpus. */
   private def dedupWeightingOracle: String =
@@ -3000,6 +3018,38 @@ object Analytics {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).cast(LongType).as("n_tokens"))
         .orderBy(col("seg"))
+    },
+
+    // ---- q233 (round 16): QUALITY × DUPLICATION INTERACTION — the
+    // cross-tab behind the folk claim that duplicates skew low-quality
+    // (if true, dedup doubles as a quality filter and budgets shift;
+    // if false, the two filters are independent and both must run):
+    // every doc gets a FIXED quality band (score_micro DIV 100000 —
+    // scan-local, deliberately NOT a global ntile, which would need a
+    // corpus-wide sort) and its q76 near-dup membership; the table
+    // reports per (band, is_dup) counts and each band's duplication
+    // rate in micros — the same clusters the dedup family ships, so
+    // the interaction is measured against the operators' own
+    // definition of a duplicate. 100 TB shape: scoring scan-local;
+    // the cluster frame is near-dup nodes only, joined keyed and
+    // UNHINTED; output ≤ 11 bands × 2 rows. ----
+    QueryDef("q233_quality_dup_interaction", qualityDupOracle) { (s, dir) =>
+      val comp = dupClusterAssign(s, dir).select(col("doc_id")).distinct()
+        .withColumn("is_dup", lit(1))
+      T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("ws", split(lower(col("text")), " "))
+        .select(col("doc_id"),
+          expr("CAST(round(CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws) * 1000000, 0) AS BIGINT) DIV 100000")
+            .as("band"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("band"), coalesce(col("is_dup"), lit(0)).as("is_dup"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_dup")).cast(LongType).as("n_dup"))
+        .select(col("band"), col("n_docs"), col("n_dup"),
+          expr("(n_dup * 1000000) DIV n_docs").as("dup_rate_micro"))
+        .orderBy(col("band"))
     }
   )
 

@@ -1041,6 +1041,88 @@ object Pipeline {
           expr(s"(n_hit * 1000000) DIV $ANN_RECALL_K").as("recall_micro"))
     },
 
+    // ---- q231 (round 16): ZIPF HEAD/TAIL PROFILE — the corpus-shape
+    // report that decides tokenizer and filter budgets (how much of
+    // the token stream is the top-100 head? how long is the hapax
+    // tail? — the numbers behind vocab sizing, stopword lists, and
+    // the intuition that web corpora are ~half boilerplate head):
+    // per source, exact token/type counts, hapax count, top-100 head
+    // mass, and the type-token ratio, all integer micros. 100 TB
+    // shape: ONE (source, word) aggregate (the irreducible shuffle),
+    // then a source-keyed rank window whose head cut runs as a
+    // per-partition top-k, and a source-keyed rollup; output #sources
+    // rows. ----
+    QueryDef("q231_zipf_profile", zipfProfileOracle) { (s, dir) =>
+      val freqs = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("freq"))
+        .persist() // feeds the rollup AND the head-rank window
+      val base = freqs.groupBy(col("source"))
+        .agg(sum(col("freq")).cast(LongType).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("freq") === 1, 1L).otherwise(0L)).cast(LongType)
+            .as("n_hapax"))
+      val head = freqs
+        .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("freq").desc, col("w"))))
+        .filter(col("rk") <= 100)
+        .groupBy(col("source"))
+        .agg(sum(col("freq")).cast(LongType).as("head_mass"))
+      base.join(head, Seq("source"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          expr("(head_mass * 1000000) DIV n_tokens").as("head100_micro"),
+          expr("(n_hapax * 1000000) DIV n_types").as("hapax_micro"),
+          expr("(n_types * 1000000) DIV n_tokens").as("ttr_micro"))
+        .orderBy(col("source"))
+    },
+
+    // ---- q232 (round 16): VOCABULARY NOVELTY UNDER GROWTH — the
+    // freshness lens q206's distribution drift can't see (a batch can
+    // match the corpus distribution perfectly while carrying zero new
+    // vocabulary, or shift wildly while reusing old words; curators
+    // track BOTH): the late batch (the q209 delta cohort) scored
+    // against the standing corpus vocabulary — per source, the
+    // batch's token mass, its novel types (words the v1 corpus never
+    // saw, a keyed anti join against the v1 type set), and the novel
+    // token mass in integer micros. Fixture honesty: source =
+    // src(doc_id % 20), so the % 10 = 7 cohort spans exactly
+    // {src7, src17} — the report covers the sources the batch
+    // actually touches (2 rows here), and the fixture's shared
+    // vocabulary yields novelty 0, which the oracle pins as the TRUE
+    // zero rather than asserting a planted number. 100 TB shape: two
+    // (source-local)
+    // word aggregates + ONE type-keyed anti join (batch types vs the
+    // corpus vocabulary — both type-sized, not corpus-sized); output
+    // #sources rows. ----
+    QueryDef("q232_growth_novelty", growthNoveltyOracle) { (s, dir) =>
+      def words(cond: Column): DataFrame = T(s, dir, "documents")
+        .filter(col("text").isNotNull && cond)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val v1Types = words(col("doc_id") % 10 =!= 7)
+        .select(col("w")).distinct()
+      val delta = words(col("doc_id") % 10 === 7)
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("freq"))
+      val novel = delta.join(v1Types, Seq("w"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("novel_types"),
+          sum(col("freq")).cast(LongType).as("novel_mass"))
+      delta.groupBy(col("source"))
+        .agg(sum(col("freq")).cast(LongType).as("delta_tokens"),
+          count(lit(1)).as("delta_types"))
+        .join(novel, Seq("source"), "left")
+        .select(col("source"), col("delta_tokens"), col("delta_types"),
+          coalesce(col("novel_types"), lit(0L)).as("novel_types"),
+          coalesce(col("novel_mass"), lit(0L)).as("novel_mass"),
+          expr("(coalesce(novel_mass, 0) * 1000000) DIV delta_tokens")
+            .as("novelty_micro"))
+        .orderBy(col("source"))
+    },
+
     // ---- q229 (round 16): LSH PARAMETER PLANNER — the theory table
     // behind every banding choice in the repo (q41/q76 run one (b, r)
     // config; q172 measures three empirically; an engineer sizing an
@@ -4889,6 +4971,61 @@ object Pipeline {
        |  (SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) AS n_hit,
        |  CAST(((SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) * 1000000) // $ANN_RECALL_K AS BIGINT)
        |    AS recall_micro""".stripMargin
+
+  /** DuckDB mirror of q231: same per-source word frequencies, same
+    * (freq DESC, w) head rank, same integer-micro ratios. */
+  private def zipfProfileOracle: String =
+    """WITH f AS (
+      |  SELECT source, w, COUNT(*) AS freq FROM (
+      |    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents WHERE text IS NOT NULL)
+      |  WHERE len(w) > 0 GROUP BY source, w),
+      |b AS (
+      |  SELECT source, CAST(SUM(freq) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_types,
+      |    CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |  FROM f GROUP BY source),
+      |h AS (
+      |  SELECT source, CAST(SUM(freq) AS BIGINT) AS head_mass FROM (
+      |    SELECT source, freq,
+      |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY freq DESC, w) AS rk
+      |    FROM f)
+      |  WHERE rk <= 100 GROUP BY source)
+      |SELECT b.source, b.n_tokens, b.n_types, b.n_hapax,
+      |  (h.head_mass * 1000000) // b.n_tokens AS head100_micro,
+      |  (b.n_hapax * 1000000) // b.n_types AS hapax_micro,
+      |  (b.n_types * 1000000) // b.n_tokens AS ttr_micro
+      |FROM b JOIN h USING (source)
+      |ORDER BY source""".stripMargin
+
+  /** DuckDB mirror of q232: same cohorts, same corpus-vocabulary anti
+    * join, same micro ratios. */
+  private def growthNoveltyOracle: String =
+    """WITH w1 AS (
+      |  SELECT DISTINCT w FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents WHERE text IS NOT NULL AND doc_id % 10 <> 7)
+      |  WHERE len(w) > 0),
+      |dl AS (
+      |  SELECT source, w, COUNT(*) AS freq FROM (
+      |    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 7)
+      |  WHERE len(w) > 0 GROUP BY source, w),
+      |nv AS (
+      |  SELECT source, COUNT(*) AS novel_types,
+      |    CAST(SUM(freq) AS BIGINT) AS novel_mass
+      |  FROM dl WHERE w NOT IN (SELECT w FROM w1)
+      |  GROUP BY source),
+      |t AS (
+      |  SELECT source, CAST(SUM(freq) AS BIGINT) AS delta_tokens,
+      |    COUNT(*) AS delta_types
+      |  FROM dl GROUP BY source)
+      |SELECT t.source, t.delta_tokens, t.delta_types,
+      |  COALESCE(nv.novel_types, 0) AS novel_types,
+      |  COALESCE(nv.novel_mass, 0) AS novel_mass,
+      |  (COALESCE(nv.novel_mass, 0) * 1000000) // t.delta_tokens AS novelty_micro
+      |FROM t LEFT JOIN nv USING (source)
+      |ORDER BY t.source""".stripMargin
 
   /** q229's collision-probability CASE over (n_rows, sim) — ONE
     * Scala-generated squaring-chain expression interpolated into both

@@ -530,7 +530,18 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q230 (round 16): hash membership scan-local; the rank legs'
     // global window is the documented anti-pattern under test (still
     // ~linear — one sort of the corpus); output 1 row
-    "q230_consistent_sampling")
+    "q230_consistent_sampling",
+    // q231 (round 16): ONE (source, word) aggregate + a per-partition
+    // head top-k + source rollup; output #sources rows (renamed-copy
+    // types grow the key space linearly, the co-partitioned case)
+    "q231_zipf_profile",
+    // q232 (round 16): two word aggregates + ONE type-keyed anti join
+    // (both type-sized); output = sources the delta cohort touches
+    "q232_growth_novelty",
+    // q233 (round 16): scoring scan-local (fixed bands, deliberately
+    // no global ntile); cluster frame near-dup nodes only; output
+    // <= 11x2 rows
+    "q233_quality_dup_interaction")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
