@@ -1041,6 +1041,76 @@ object Pipeline {
           expr(s"(n_hit * 1000000) DIV $ANN_RECALL_K").as("recall_micro"))
     },
 
+    // ---- q234 (round 16): FILTER-THRESHOLD SENSITIVITY — the curve a
+    // curator reads before committing to a quality gate (q149/q200
+    // fix ONE threshold; budget planning needs to know how keep-rate
+    // and token mass respond around it — a cliff means the gate is
+    // brittle, a plateau means it's cheap to tighten): the
+    // distinct-token-ratio gate swept at 350k/450k/550k micros, each
+    // row reporting kept docs, kept tokens, and both as micro shares
+    // of the corpus. 100 TB shape: ONE scoring scan feeds all three
+    // thresholds (the sweep is a conditional aggregation, not three
+    // passes); totals ride the audited 1-row broadcast; output 3
+    // rows. ----
+    QueryDef("q234_threshold_sweep", thresholdSweepOracle) { (s, dir) =>
+      val scored = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("ws", split(lower(col("text")), " "))
+        .select(
+          size(col("ws")).cast(LongType).as("n_tok"),
+          expr("CAST(round(CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws) * 1000000, 0) AS BIGINT)")
+            .as("score_micro"))
+      // ONE aggregation pass computes every threshold's conditional
+      // sums; the 1-row result explodes into the 3-row sweep.
+      val ths = Seq(350000L, 450000L, 550000L)
+      val aggCols =
+        Seq(count(lit(1)).as("n_all"),
+          sum(col("n_tok")).cast(LongType).as("tok_all")) ++
+          ths.flatMap { th =>
+            Seq(sum(when(col("score_micro") >= th, 1L).otherwise(0L))
+                .cast(LongType).as(s"k$th"),
+              sum(when(col("score_micro") >= th, col("n_tok")).otherwise(lit(0L)))
+                .cast(LongType).as(s"t$th"))
+          }
+      scored.agg(aggCols.head, aggCols.tail: _*)
+        .select(col("n_all"), col("tok_all"),
+          explode(expr(ths.map(th =>
+            s"struct(CAST($th AS BIGINT) AS threshold_micro, k$th AS n_kept, t$th AS tok_kept)")
+            .mkString("array(", ", ", ")"))).as("leg"))
+        .select(col("leg.threshold_micro").as("threshold_micro"),
+          col("leg.n_kept").as("n_kept"), col("leg.tok_kept").as("tok_kept"),
+          expr("(leg.n_kept * 1000000) DIV n_all").as("keep_micro"),
+          expr("(leg.tok_kept * 1000000) DIV tok_all").as("token_keep_micro"))
+        .orderBy(col("threshold_micro"))
+    },
+
+    // ---- q235 (round 16): WORD BURSTINESS — the corpus-linguistics
+    // diagnostic separating topical words from function words (a
+    // bursty word concentrates its occurrences in few documents —
+    // topical; a uniform word spreads — grammatical; quality filters
+    // and keyword extractors both lean on this): for the top-20
+    // corpus words by total count, exact integer occurrence totals,
+    // document frequency, the max per-doc count, and mean occurrences
+    // per containing doc in micros. 100 TB shape: ONE (word, doc)
+    // aggregate, a word rollup, and a top-20 TakeOrdered — the q96
+    // corpus-stats shape; output 20 rows. ----
+    QueryDef("q235_burstiness", burstinessOracle) { (s, dir) =>
+      val wd = T(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      wd.groupBy(col("w"))
+        .agg(sum(col("c")).cast(LongType).as("total"),
+          count(lit(1)).as("df"),
+          max(col("c")).cast(LongType).as("max_in_doc"))
+        .select(col("w"), col("total"), col("df"), col("max_in_doc"),
+          expr("(total * 1000000) DIV df").as("mean_per_doc_micro"))
+        .orderBy(col("total").desc, col("w"))
+        .limit(20)
+    },
+
     // ---- q231 (round 16): ZIPF HEAD/TAIL PROFILE — the corpus-shape
     // report that decides tokenizer and filter budgets (how much of
     // the token stream is the top-100 head? how long is the hapax
@@ -4971,6 +5041,47 @@ object Pipeline {
        |  (SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) AS n_hit,
        |  CAST(((SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) * 1000000) // $ANN_RECALL_K AS BIGINT)
        |    AS recall_micro""".stripMargin
+
+  /** DuckDB mirror of q234: same score, same three conditional sums,
+    * same micro shares. */
+  private def thresholdSweepOracle: String = {
+    val legs = Seq(350000L, 450000L, 550000L).map { th =>
+      s"""SELECT CAST($th AS BIGINT) AS threshold_micro,
+         |  CAST(SUM(CASE WHEN score_micro >= $th THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN score_micro >= $th THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tok_kept,
+         |  CAST(SUM(CASE WHEN score_micro >= $th THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // COUNT(*) AS keep_micro,
+         |  CAST(SUM(CASE WHEN score_micro >= $th THEN n_tok ELSE 0 END) AS BIGINT)
+         |    * 1000000 // CAST(SUM(n_tok) AS BIGINT) AS token_keep_micro
+         |FROM d""".stripMargin
+    }
+    """WITH d AS (
+      |  SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+      |    CAST(round(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+      |         / len(string_split(lower(text), ' ')) * 1000000, 0) AS BIGINT)
+      |      AS score_micro
+      |  FROM documents WHERE text IS NOT NULL)
+      |""".stripMargin +
+      legs.mkString("\nUNION ALL\n") + "\nORDER BY threshold_micro"
+  }
+
+  /** DuckDB mirror of q235: same (word, doc) counts, same rollup, the
+    * same (total DESC, w) top-20. */
+  private def burstinessOracle: String =
+    """WITH wd AS (
+      |  SELECT w, doc_id, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents WHERE text IS NOT NULL)
+      |  WHERE len(w) > 0 GROUP BY w, doc_id)
+      |SELECT w, CAST(SUM(c) AS BIGINT) AS total,
+      |  COUNT(*) AS df,
+      |  CAST(MAX(c) AS BIGINT) AS max_in_doc,
+      |  (CAST(SUM(c) AS BIGINT) * 1000000) // COUNT(*) AS mean_per_doc_micro
+      |FROM wd GROUP BY w
+      |ORDER BY total DESC, w
+      |LIMIT 20""".stripMargin
 
   /** DuckDB mirror of q231: same per-source word frequencies, same
     * (freq DESC, w) head rank, same integer-micro ratios. */

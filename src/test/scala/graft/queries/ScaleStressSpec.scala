@@ -541,7 +541,13 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q233 (round 16): scoring scan-local (fixed bands, deliberately
     // no global ntile); cluster frame near-dup nodes only; output
     // <= 11x2 rows
-    "q233_quality_dup_interaction")
+    "q233_quality_dup_interaction",
+    // q234 (round 16): ONE conditional-aggregation pass over the
+    // scoring scan; output 3 rows at any corpus
+    "q234_threshold_sweep",
+    // q235 (round 16): one (word, doc) aggregate + word rollup +
+    // top-20 TakeOrdered (the q96 corpus-stats shape); output 20 rows
+    "q235_burstiness")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
