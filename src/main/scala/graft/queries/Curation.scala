@@ -1169,6 +1169,41 @@ object Curation {
           (col("rank_s1") - col("rank_overlap")).as("rank_churn"))
     },
 
+    // ---- q236 (round 16): SCHEMA EVOLUTION UNDER APPEND — the
+    // lakehouse fact q209's lifecycle still hadn't exercised (real
+    // feeds GROW COLUMNS: one day the crawler starts shipping a lang
+    // tag; the standing base cannot be rewritten, and every reader
+    // must see one unified schema): the delta layer is written WITH
+    // the new lang column, the base without, and the merged-schema
+    // read (mergeSchema=true) must back-fill base rows with NULL —
+    // this query pins, per shard, total/legacy/evolved row counts,
+    // the evolved layer's tag cardinality, and that legacy rows are
+    // EXACTLY the pre-evolution cohort (a reader silently dropping
+    // either layer, or inventing non-null back-fill, hash-fails).
+    // 100 TB shape: schema merge is a footer-level operation (file
+    // schemas union at planning, not a data rewrite); the audit is
+    // one layered read + a shard-keyed aggregate. ----
+    QueryDef("q236_schema_evolution", schemaEvolutionOracle) { (s, dir) =>
+      val root = ensureEvolvedExport(s, dir)
+      s.read.option("mergeSchema", "true").parquet(root)
+        .select(col("shard").cast(LongType).as("shard"), col("doc_id"),
+          col("lang"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).cast(LongType)
+            .as("n_legacy"),
+          sum(when(col("lang").isNotNull, 1L).otherwise(0L)).cast(LongType)
+            .as("n_evolved"),
+          countDistinct(col("lang")).as("n_langs"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("lang").isNull, col("doc_id")))),
+              x => x.cast(StringType)),
+            ",")).as("legacy_md5"))
+        .orderBy(col("shard"))
+    },
+
     // ---- q224 (round 16): DELETE PROPAGATION TO THE EXPORT — the
     // right-to-be-forgotten reaching the SHIPPED artifact (q161 audits
     // the logical corpus, q191 tombstones at ingest; a regulator asks
@@ -1473,6 +1508,36 @@ object Curation {
         exportDirs.add(memoKey)
       }
       (baseRoot, deltaRoot)
+    }
+
+  /** Write the SCHEMA-EVOLVED two-layer export ONCE per (session, dir):
+    * the base layer (pre-evolution cohort, doc_id % 10 != 7) WITHOUT
+    * the lang column, the delta layer (% 10 == 7) WITH it — the
+    * grown-a-column append q236 audits through a merged-schema read. */
+  private[graft] def ensureEvolvedExport(s: SparkSession, dir: String): String =
+    synchronized {
+      val key = graft.BuildPaths.dirKey(dir)
+      val root = graft.BuildPaths.scratch(s"evolved_export/$key")
+      val memoKey = s"evolved|$dir"
+      if (!(exportDirs.contains(memoKey) &&
+            new java.io.File(s"$root/layer=base", "_SUCCESS").exists &&
+            new java.io.File(s"$root/layer=delta", "_SUCCESS").exists)) {
+        val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType)
+        val docs = T(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"), col("lang"), h.as("h"))
+          .withColumn("shard", (col("h") % Shards).cast(LongType))
+        // Hive-style layer= directories: one root, one partition axis
+        // per commit generation — the layout a merged-schema read
+        // discovers as a single table.
+        writeShardLayer(docs.filter(col("doc_id") % 10 =!= 7).drop("lang"),
+          s"$root/layer=base")
+        writeShardLayer(docs.filter(col("doc_id") % 10 === 7),
+          s"$root/layer=delta")
+        exportDirs.add(memoKey)
+      }
+      root
     }
 
   /** Compact q209's two layers back into ONE export layer per shard —
@@ -2126,6 +2191,27 @@ object Curation {
       |  (SELECT COUNT(*) FROM r1 JOIN r2 USING (doc_id)) AS rank_overlap,
       |  (SELECT COUNT(*) FROM r1)
       |    - (SELECT COUNT(*) FROM r1 JOIN r2 USING (doc_id)) AS rank_churn""".stripMargin
+
+  /** DuckDB mirror of q236: the manifest shard rule split by the
+    * evolution cohort — legacy rows are exactly the pre-evolution
+    * cohort, evolved tag cardinality from the source lang column. */
+  private def schemaEvolutionOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      % $Shards AS shard
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT shard, COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN doc_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_legacy,
+       |  CAST(SUM(CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_evolved,
+       |  CAST(COUNT(DISTINCT CASE WHEN doc_id % 10 = 7 THEN lang END) AS BIGINT)
+       |    AS n_langs,
+       |  md5(string_agg(CASE WHEN doc_id % 10 <> 7 THEN CAST(doc_id AS VARCHAR) END,
+       |    ',' ORDER BY doc_id)) AS legacy_md5
+       |FROM d GROUP BY shard
+       |ORDER BY shard""".stripMargin
 
   /** DuckDB mirror of q224: the manifest rule split by the deletion
     * cohort — totals from all docs, serving digest from the kept set,

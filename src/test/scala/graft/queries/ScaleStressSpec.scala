@@ -547,7 +547,11 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q234_threshold_sweep",
     // q235 (round 16): one (word, doc) aggregate + word rollup +
     // top-20 TakeOrdered (the q96 corpus-stats shape); output 20 rows
-    "q235_burstiness")
+    "q235_burstiness",
+    // q236 (round 16): schema merge is a footer-level planning
+    // operation over the pre-warmed layered export; one layered read
+    // + shard-keyed agg; output stays 16 rows
+    "q236_schema_evolution")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
@@ -611,6 +615,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (name == "q209_export_append" || name == "q218_index_maintenance") {
         Curation.ensureIncrementalExport(spark, base)
         Curation.ensureIncrementalExport(spark, scaledDir)
+      }
+      if (name == "q236_schema_evolution") {
+        Curation.ensureEvolvedExport(spark, base)
+        Curation.ensureEvolvedExport(spark, scaledDir)
       }
       if (name == "q210_export_compact" || name == "q211_export_block_index" ||
           name == "q212_export_decontam_audit" || name == "q224_export_delete") {
