@@ -826,6 +826,115 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (sa, sb, _, _) => assert(sa <= sb, "not upper-triangular") }
   }
 
+  // ---- fifth wave: independent in-memory recomputes ----
+
+  test("q231: the Zipf profile equals an independent in-memory recompute") {
+    val freqs = docsWithSource()
+      .flatMap { case (_, src, t) =>
+        t.toLowerCase.split(" ", -1).filter(_.nonEmpty).map(w => (src, w)) }
+      .groupBy(identity).map { case ((src, w), g) => (src, w, g.length.toLong) }
+    val expected = freqs.groupBy(_._1).toSeq.map { case (src, ws) =>
+      val nTok = ws.map(_._3).sum
+      val nTyp = ws.size.toLong
+      val hapax = ws.count(_._3 == 1).toLong
+      val head = ws.toSeq.sortBy(w => (-w._3, w._2)).take(100).map(_._3).sum
+      (src, nTok, nTyp, hapax, head * 1000000 / nTok,
+        hapax * 1000000 / nTyp, nTyp * 1000000 / nTok)
+    }.sortBy(_._1)
+    val got = Registry.byName("q231_zipf_profile").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+  }
+
+  test("q232: growth novelty equals an independent in-memory recompute") {
+    val ds = docsWithSource()
+    def words(t: String) = t.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+    val v1Types = ds.filter(_._1 % 10 != 7).flatMap(d => words(d._3)).toSet
+    val expected = ds.filter(_._1 % 10 == 7)
+      .flatMap { case (_, src, t) => words(t).map(w => (src, w)) }
+      .groupBy(_._1).toSeq.map { case (src, ws) =>
+        val byW = ws.groupBy(_._2).map { case (w, g) => (w, g.length.toLong) }
+        val novel = byW.filter { case (w, _) => !v1Types(w) }
+        val dTok = byW.values.sum
+        (src, dTok, byW.size.toLong, novel.size.toLong, novel.values.sum,
+          novel.values.sum * 1000000 / dTok)
+      }.sortBy(_._1)
+    val got = Registry.byName("q232_growth_novelty").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
+
+  test("q233: the cross-tab conserves docs and agrees with q76's dup set") {
+    val dup = Registry.byName("q76_dup_clusters").build(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val expected = docs().map { case (id, t) =>
+      val ws = t.toLowerCase.split(" ", -1)
+      val score = BigDecimal(ws.distinct.length.toDouble / ws.length * 1000000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (score / 100000, if (dup(id)) 1L else 0L)
+    }.groupBy(_._1).toSeq.map { case (band, g) =>
+      val nDup = g.map(_._2).sum
+      (band, g.size.toLong, nDup, nDup * 1000000 / g.size)
+    }.sortBy(_._1)
+    val got = Registry.byName("q233_quality_dup_interaction").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.map(_._2).sum === docs().size.toLong, "cross-tab lost docs")
+    assert(got.map(_._3).sum === dup.size.toLong, "cross-tab lost duplicates")
+  }
+
+  test("q234: the sweep equals an in-memory recompute and keep-rate is monotone in the threshold") {
+    val scored = docs().map { case (_, t) =>
+      val ws = t.toLowerCase.split(" ", -1)
+      (ws.length.toLong,
+        BigDecimal(ws.distinct.length.toDouble / ws.length * 1000000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val (nAll, tokAll) = (scored.size.toLong, scored.map(_._1).sum)
+    val expected = Seq(350000L, 450000L, 550000L).map { th =>
+      val kept = scored.filter(_._2 >= th)
+      (th, kept.size.toLong, kept.map(_._1).sum,
+        kept.size.toLong * 1000000 / nAll, kept.map(_._1).sum * 1000000 / tokAll)
+    }
+    val got = Registry.byName("q234_threshold_sweep").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    assert(got.map(_._2).sliding(2).forall { case Seq(a, b) => b <= a },
+      "keep count must be non-increasing in the threshold")
+  }
+
+  test("q235: the burstiness table equals an independent in-memory recompute") {
+    val expected = docs()
+      .flatMap { case (id, t) =>
+        t.toLowerCase.split(" ", -1).filter(_.nonEmpty).map(w => (w, id)) }
+      .groupBy(identity).map { case ((w, id), g) => (w, id, g.length.toLong) }
+      .groupBy(_._1).toSeq.map { case (w, g) =>
+        val total = g.map(_._3).sum
+        (w, total, g.size.toLong, g.map(_._3).max, total * 1000000 / g.size)
+      }.sortBy(e => (-e._2, e._1)).take(20)
+    val got = Registry.byName("q235_burstiness").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("q236: merged-schema legacy rows are exactly the pre-evolution cohort") {
+    val byShard = docs().map(_._1).groupBy(id => h60(id.toString) % 16)
+    val expected = byShard.toSeq.map { case (shard, ids) =>
+      val legacy = ids.filter(_ % 10 != 7).sorted
+      (shard, ids.size.toLong, legacy.size.toLong,
+        (ids.size - legacy.size).toLong, md5Hex(legacy.mkString(",")))
+    }.sortBy(_._1)
+    val got = Registry.byName("q236_schema_evolution").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(5))).toSeq
+    assert(got === expected)
+  }
+
   // ---- q216: independent in-memory SQ8 quantizer ----
 
   test("q216: quantization table equals an independent in-memory quantizer") {
