@@ -972,8 +972,13 @@ object Curation {
         sum(col("mass")).cast(LongType).as("t_mass"))
       perSource.crossJoin(broadcast(tot))
         .select(col("source"), col("tokens"), col("mass"),
-          expr("(tokens * 1000000) DIV t_tok").as("w1_micro"),
-          expr("(mass * 1000000) DIV t_mass").as("w2_micro"))
+          // Zero-guarded (the r15 ADVICE divisor class): an all-empty
+          // corpus has t_tok = t_mass = 0 — Spark DIV yields NULL,
+          // DuckDB // errors; both engines now agree on 0.
+          when(col("t_tok") > 0, expr("(tokens * 1000000) DIV t_tok"))
+            .otherwise(lit(0L)).as("w1_micro"),
+          when(col("t_mass") > 0, expr("(mass * 1000000) DIV t_mass"))
+            .otherwise(lit(0L)).as("w2_micro"))
         .select(col("source"), col("tokens"), col("mass"),
           col("w1_micro"), col("w2_micro"),
           (col("w2_micro") - col("w1_micro")).as("shift_micro"))
@@ -2122,9 +2127,13 @@ object Curation {
       |    CAST(SUM(mass) AS BIGINT) AS t_mass
       |  FROM p)
       |SELECT source, tokens, mass,
-      |  (tokens * 1000000) // t_tok AS w1_micro,
-      |  (mass * 1000000) // t_mass AS w2_micro,
-      |  (mass * 1000000) // t_mass - (tokens * 1000000) // t_tok AS shift_micro
+      |  CASE WHEN t_tok > 0 THEN (tokens * 1000000) // t_tok ELSE 0 END
+      |    AS w1_micro,
+      |  CASE WHEN t_mass > 0 THEN (mass * 1000000) // t_mass ELSE 0 END
+      |    AS w2_micro,
+      |  CASE WHEN t_mass > 0 THEN (mass * 1000000) // t_mass ELSE 0 END
+      |    - CASE WHEN t_tok > 0 THEN (tokens * 1000000) // t_tok ELSE 0 END
+      |    AS shift_micro
       |FROM p, t
       |ORDER BY source""".stripMargin
 

@@ -1080,7 +1080,11 @@ object Pipeline {
         .select(col("leg.threshold_micro").as("threshold_micro"),
           col("leg.n_kept").as("n_kept"), col("leg.tok_kept").as("tok_kept"),
           expr("(leg.n_kept * 1000000) DIV n_all").as("keep_micro"),
-          expr("(leg.tok_kept * 1000000) DIV tok_all").as("token_keep_micro"))
+          // Zero-guarded (the r15 ADVICE divisor class): a corpus of
+          // empty texts has tok_all = 0 — the engines must agree on 0.
+          when(col("tok_all") > 0,
+            expr("(leg.tok_kept * 1000000) DIV tok_all"))
+            .otherwise(lit(0L)).as("token_keep_micro"))
         .orderBy(col("threshold_micro"))
     },
 
@@ -5053,8 +5057,10 @@ object Pipeline {
          |    AS tok_kept,
          |  CAST(SUM(CASE WHEN score_micro >= $th THEN 1 ELSE 0 END) AS BIGINT)
          |    * 1000000 // COUNT(*) AS keep_micro,
-         |  CAST(SUM(CASE WHEN score_micro >= $th THEN n_tok ELSE 0 END) AS BIGINT)
-         |    * 1000000 // CAST(SUM(n_tok) AS BIGINT) AS token_keep_micro
+         |  CASE WHEN CAST(SUM(n_tok) AS BIGINT) > 0 THEN
+         |    CAST(SUM(CASE WHEN score_micro >= $th THEN n_tok ELSE 0 END) AS BIGINT)
+         |      * 1000000 // CAST(SUM(n_tok) AS BIGINT)
+         |    ELSE 0 END AS token_keep_micro
          |FROM d""".stripMargin
     }
     """WITH d AS (
