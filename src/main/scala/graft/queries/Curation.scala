@@ -1039,9 +1039,12 @@ object Curation {
     // candidates (is_covered = 1 — the property that makes the index
     // safe to serve from) with the candidate count reported honestly.
     // 100 TB shape: the index is corpus/BrinBlock rows built once per
-    // compaction; a probe reads the index (shard-equi join + fence
-    // filter) and ONE block — never the corpus; the truth join here is
-    // the audit only. ----
+    // compaction; a serve tier answers a probe by BINARY-SEARCHING the
+    // shard's sorted fence array (O(log blocks)) and reading ONE block
+    // — never the corpus. The shard-equi join + fence filter HERE is
+    // the exhaustive AUDIT of that same containment relation (it
+    // enumerates each shard's probe×block pairs — fine for an audit
+    // run, not the per-lookup read path). ----
     QueryDef("q211_export_block_index", exportBlockIndexOracle) { (s, dir) =>
       val root = ensureCompactedExport(s, dir)
       val rows = s.read.parquet(root)
@@ -1086,7 +1089,9 @@ object Curation {
     // block per layer — the known merge-on-read read amplification
     // that q210's compaction exists to fold back). 100 TB shape: index
     // stays corpus/8 rows total across layers; append adds only the
-    // batch's fences; probes read fences + one block per layer. ----
+    // batch's fences; a serve-tier lookup binary-searches each layer's
+    // sorted fences and reads one block per layer — the join here is
+    // q211's exhaustive audit formulation over both layers. ----
     QueryDef("q218_index_maintenance", indexMaintenanceOracle) { (s, dir) =>
       val (baseRoot, deltaRoot) = ensureIncrementalExport(s, dir)
       def layer(root: String, tag: String): DataFrame =
