@@ -1179,6 +1179,33 @@ object Curation {
           (col("rank_s1") - col("rank_overlap")).as("rank_churn"))
     },
 
+    // ---- q237 (round 16): PACKED TENSOR EXPORT — the artifact a
+    // trainer ACTUALLY mounts (q201/q202 ship text shards; the last
+    // hop of tokenized pretraining data is fixed-length token-ID
+    // arrays — "the .bin file"): the stored-vocab token stream
+    // (bpeTokenStream, the exact frame q173's checksums pin — the
+    // no-drift rule) is materialized write-once as parquet rows of
+    // (source, chunk, ids[2048-or-tail]), partitioned by source; this
+    // query reads the FILES back, re-explodes every array with its
+    // index, and re-derives q173's per-chunk token counts and
+    // position-weighted id checksums — the oracle IS q173's, so a
+    // dropped id, a reordered array, or a mis-chunked file hash-fails
+    // against the same ground truth as the logical stream. 100 TB
+    // shape: the write is one (source, chunk) shuffle of id structs;
+    // the audit is scan + posexplode + keyed agg; files are
+    // sequentially mountable by (source, chunk). ----
+    QueryDef("q237_packed_export", Pipeline.bpeIdsOracle) { (s, dir) =>
+      val root = ensurePackedExport(s, dir)
+      s.read.parquet(root)
+        .select(col("source"), col("chunk"), posexplode(col("ids")))
+        .toDF("source", "chunk", "pic", "id")
+        .groupBy(col("source"), col("chunk"))
+        .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+          sum((col("pic") + 1) * col("id")).cast(LongType).as("id_checksum"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("source"), col("chunk"))
+    },
+
     // ---- q236 (round 16): SCHEMA EVOLUTION UNDER APPEND — the
     // lakehouse fact q209's lifecycle still hadn't exercised (real
     // feeds GROW COLUMNS: one day the crawler starts shipping a lang
@@ -1518,6 +1545,30 @@ object Curation {
         exportDirs.add(memoKey)
       }
       (baseRoot, deltaRoot)
+    }
+
+  /** Write the PACKED token-id export ONCE per (session, dir): one row
+    * per (source, chunk) carrying the fixed-length id array in exact
+    * in-chunk order (groups bounded by the 2048-token chunk size — the
+    * q98/q170 bounded-collect rule), parquet partitioned by source.
+    * Returns the root q237 reads back. */
+  private[graft] def ensurePackedExport(s: SparkSession, dir: String): String =
+    synchronized {
+      val root = graft.BuildPaths.scratch(
+        s"packed_export/${graft.BuildPaths.dirKey(dir)}")
+      val memoKey = s"packed|$dir"
+      if (!(exportDirs.contains(memoKey) &&
+            new java.io.File(root, "_SUCCESS").exists)) {
+        Pipeline.bpeTokenStream(s, dir)
+          .groupBy(col("source"), col("chunk"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pic"), col("id")))),
+            x => x.getField("id")).as("ids"))
+          .repartition(col("source"))
+          .write.mode("overwrite").partitionBy("source").parquet(root)
+        exportDirs.add(memoKey)
+      }
+      root
     }
 
   /** Write the SCHEMA-EVOLVED two-layer export ONCE per (session, dir):

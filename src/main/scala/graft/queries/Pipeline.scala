@@ -2751,31 +2751,7 @@ object Pipeline {
     // cross-doc coordination is the per-source running offset over the
     // doc-LENGTH frame (bytes per doc), the q156 packing window. ----
     QueryDef("q173_bpe_ids", bpeIdsOracle) { (s, dir) =>
-      val (_, vTbl) = ensureBpeModel(s, dir)
-      val ids = s.table(vTbl)
-        .select(explode(col("toks")).as("token")).distinct()
-        .withColumn("id",
-          row_number().over(Window.orderBy(col("token"))).cast(LongType))
-      val toks = bpeCorpusWords(s, dir)
-        .join(s.table(vTbl).select(col("w"), col("toks")), Seq("w"))
-        .select(col("source"), col("doc_id"), col("wp"), posexplode(col("toks")))
-        .toDF("source", "doc_id", "wp", "tp", "token")
-        .join(broadcast(ids), Seq("token"))
-        .withColumn("tok_idx",
-          (row_number().over(Window.partitionBy(col("doc_id"))
-            .orderBy(col("wp"), col("tp"))) - 1).cast(LongType))
-      val offs = toks.groupBy(col("source"), col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"))
-        .withColumn("start_off",
-          sum(col("n_tok")).over(Window.partitionBy(col("source"))
-            .orderBy(col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            - col("n_tok"))
-        .select(col("doc_id"), col("start_off"))
-      toks.join(offs, Seq("doc_id"))
-        .withColumn("pos", col("start_off") + col("tok_idx"))
-        .withColumn("chunk", expr("pos DIV 2048"))
-        .withColumn("pic", col("pos") % 2048)
+      bpeTokenStream(s, dir)
         .groupBy(col("source"), col("chunk"))
         .agg(count(lit(1)).cast(LongType).as("n_tokens"),
           sum((col("pic") + 1) * col("id")).cast(LongType).as("id_checksum"),
@@ -4156,6 +4132,40 @@ object Pipeline {
     * the stored vocab (no training in the consumer plan — the model is
     * read in place; StorageLayoutSpec asserts the plan shape). One
     * corpus join on the word key, vocab-sized everything else. */
+  /** The packed stored-vocab token-id stream — (source, doc_id, chunk,
+    * pic, id) with pic the position inside its fixed 2048-token chunk —
+    * shared by q173 (the logical checksums) and q237's materialized
+    * tensor export (the no-drift rule: the files ship exactly the
+    * stream the checksums pin). */
+  private[graft] def bpeTokenStream(s: SparkSession, dir: String): DataFrame = {
+    val (_, vTbl) = ensureBpeModel(s, dir)
+    val ids = s.table(vTbl)
+      .select(explode(col("toks")).as("token")).distinct()
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("token"))).cast(LongType))
+    val toks = bpeCorpusWords(s, dir)
+      .join(s.table(vTbl).select(col("w"), col("toks")), Seq("w"))
+      .select(col("source"), col("doc_id"), col("wp"), posexplode(col("toks")))
+      .toDF("source", "doc_id", "wp", "tp", "token")
+      .join(broadcast(ids), Seq("token"))
+      .withColumn("tok_idx",
+        (row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("wp"), col("tp"))) - 1).cast(LongType))
+    val offs = toks.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"))
+      .withColumn("start_off",
+        sum(col("n_tok")).over(Window.partitionBy(col("source"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("n_tok"))
+      .select(col("doc_id"), col("start_off"))
+    toks.join(offs, Seq("doc_id"))
+      .withColumn("pos", col("start_off") + col("tok_idx"))
+      .withColumn("chunk", expr("pos DIV 2048"))
+      .withColumn("pic", col("pos") % 2048)
+      .select(col("source"), col("doc_id"), col("chunk"), col("pic"), col("id"))
+  }
+
   private def bpeDocTokens(s: SparkSession, dir: String): DataFrame = {
     val (_, vTbl) = ensureBpeModel(s, dir)
     val vocab = s.table(vTbl).select(col("w"), size(col("toks")).as("n_tok"))
@@ -4369,7 +4379,7 @@ object Pipeline {
     * ordered tokens — ids fall out of a dense rank over the distinct
     * token strings), same doc-local (word-pos, token-pos) ordering, same
     * per-source running offsets, same order-sensitive digest. */
-  private def bpeIdsOracle: String =
+  private[queries] def bpeIdsOracle: String =
     bpeOracleCtes(BpeMerges) +
       s""",
          |wtoks AS MATERIALIZED (

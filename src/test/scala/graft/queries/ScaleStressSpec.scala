@@ -551,7 +551,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q236 (round 16): schema merge is a footer-level planning
     // operation over the pre-warmed layered export; one layered read
     // + shard-keyed agg; output stays 16 rows
-    "q236_schema_evolution")
+    "q236_schema_evolution",
+    // q237 (round 16): scan + posexplode + keyed agg over the
+    // pre-warmed packed files; chunks (and so rows) grow ~10x linearly
+    "q237_packed_export")
     // (q188 is NOT in the generic family for the q163/q127 reason, in
     // the opposite direction: at 10x the group counts clear k=5 one
     // level EARLIER (L2 → L1), so the published table legitimately
@@ -619,6 +622,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (name == "q236_schema_evolution") {
         Curation.ensureEvolvedExport(spark, base)
         Curation.ensureEvolvedExport(spark, scaledDir)
+      }
+      if (name == "q237_packed_export") {
+        Pipeline.ensureBpeModel(spark, base)
+        Pipeline.ensureBpeModel(spark, scaledDir)
+        Curation.ensurePackedExport(spark, base)
+        Curation.ensurePackedExport(spark, scaledDir)
       }
       if (name == "q210_export_compact" || name == "q211_export_block_index" ||
           name == "q212_export_decontam_audit" || name == "q224_export_delete") {
