@@ -205,22 +205,34 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(imts >= 2, s"expected both join sides to read the cached index:\n$plan")
   }
 
-  test("sketch self-joins (q41/q44/q54) build their signature frame once") {
-    // Same property as q45: the scan-local sketch (minhash bands, simhash
-    // chunks, LSH buckets) feeds BOTH sides of a self-join; each must read
-    // the cached derived frame, not recompute the corpus scan + kernel.
-    // (q76 shares the pattern but its returned plan is a checkpointed
-    // leaf — the loop runs at build time — so it can't be asserted here.)
-    // q197's frame inverted index shares the shape: the mapPartitions
-    // decode/sample pass is the expensive producer, and both pair-join
-    // sides must read its cache.
-    for (q <- Seq("q41_near_dup", "q44_simhash", "q54_embedding_near_dup",
-        "q197_frame_dedup")) {
+  test("sketch self-joins (q41/q44/q54) read the STORED artifact on both sides — no kernel recompute") {
+    // Round 17 (VERDICT r16 #1): the scan-local sketch (minhash bands,
+    // simhash chunks, LSH buckets) is a write-once SketchStore table;
+    // both self-join sides must be FileScans of the stored artifact —
+    // never a documents/embeddings re-scan + kernel recompute. (q76
+    // shares the pattern but its returned plan is a checkpointed leaf —
+    // the loop runs at build time — so it can't be asserted here.)
+    for ((q, short) <- Seq("q41_near_dup" -> "bands", "q44_simhash" -> "simchunks",
+        "q54_embedding_near_dup" -> "lshbkt")) {
+      val tbl = SketchStore.tableNames(sfDir)(short)
       val plan = Registry.byName(q).build(spark, sfDir)
         .queryExecution.executedPlan.toString
-      val imts = plan.split("\n").count(_.contains("InMemoryTableScan"))
-      assert(imts >= 2, s"$q: expected both join sides to read the cached sketch frame:\n$plan")
+      val scans = plan.split("\n").count(_.contains(tbl))
+      assert(scans >= 2,
+        s"$q: expected both join sides to scan the stored $tbl artifact, saw $scans:\n$plan")
+      assert(!plan.contains("graft_minhash_sig") && !plan.contains("graft_simhash32")
+        && !plan.contains("graft_lsh_buckets"),
+        s"$q: sketch kernel appears in the consumer plan — artifact not read in place:\n$plan")
     }
+  }
+
+  test("q197's frame inverted index is built once: both pair-join sides scan the cache") {
+    // The mapPartitions decode/sample pass is the expensive producer,
+    // and both pair-join sides must read its cache.
+    val plan = Registry.byName("q197_frame_dedup").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val imts = plan.split("\n").count(_.contains("InMemoryTableScan"))
+    assert(imts >= 2, s"q197: expected both join sides to read the cached frame:\n$plan")
   }
 
   test("multi-consumer scans are persisted: q85 tokens feed 3 consumers, q88 events feed 2, all from cache") {
@@ -323,17 +335,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q99: expected <=3 unique keyed exchanges (tf fill, window w, stats w), saw ${exchanges.length}:\n$plan")
   }
 
-  test("q107: per-anchor top-3 is a map-side WindowGroupLimit; bucket frame feeds both join sides from cache") {
-    // The kNN-join at scale: candidates come from the persisted LSH
-    // bucket frame (both self-join sides read the cache) and the
+  test("q107: per-anchor top-3 is a map-side WindowGroupLimit; bucket frame feeds both join sides from the stored artifact") {
+    // The kNN-join at scale: candidates come from the STORED LSH bucket
+    // artifact (both self-join sides scan it in place) and the
     // row_number<=3 cap must ship at most 3 rows per anchor per map task.
     val plan = Registry.byName("q107_hard_negatives").build(spark, sfDir)
       .queryExecution.executedPlan.toString
     val wgl = plan.split("\n").filter(_.contains("WindowGroupLimit"))
     assert(wgl.length >= 2 && wgl.exists(_.contains("Partial")),
       s"q107: expected partial+final WindowGroupLimit:\n$plan")
-    assert(plan.split("\n").count(_.contains("InMemoryTableScan")) >= 2,
-      s"q107: both candidate-join sides must read the cached bucket frame:\n$plan")
+    val tbl = SketchStore.tableNames(sfDir)("lshbkt")
+    assert(plan.split("\n").count(_.contains(tbl)) >= 2,
+      s"q107: both candidate-join sides must scan the stored $tbl artifact:\n$plan")
   }
 
   test("q121/q123: per-group caps are map-side WindowGroupLimits; q123's held-out probe is a broadcast hash semi-join") {

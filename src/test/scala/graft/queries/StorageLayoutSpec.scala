@@ -280,6 +280,61 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       "crawl export digest diverged from the q200 manifest chain")
   }
 
+  test("sketch frames are write-once artifacts: generators and the q189 sweep read the SAME stored table (VERDICT r16 #1)") {
+    // The q110 design comment's "stored bucketed table maintained across
+    // crawls", made real: each near-dup family's signature/bucket frame
+    // is one SketchStore artifact, and every consumer's physical plan
+    // must scan THAT table — the generator (q41/q44/q45/q54) and the
+    // cross-method sweep (q189) provably grade identical frames, and
+    // the corpus-scan + kernel cost is paid once per corpus, not per
+    // query. Layout: bucketed+sorted on the join key, one file per
+    // bucket (the co-located-SMJ-at-scale contract, q65's rule).
+    val names = SketchStore.tableNames(sfDir)
+    def plan(q: String): String =
+      Registry.byName(q).build(spark, sfDir).queryExecution.executedPlan.toString
+    // Tier 1 — the sketch FRAMES: every per-family generator must scan
+    // its stored frame artifact (no corpus re-scan, no kernel recompute).
+    for ((q, short) <- Seq(
+        "q41_near_dup" -> "bands", "q44_simhash" -> "simchunks",
+        "q45_ngram_jaccard" -> "shingles", "q54_embedding_near_dup" -> "lshbkt",
+        "q110_incremental_near_dup" -> "bands",
+        "q100_semantic_dedup" -> "kmembers")) {
+      assert(plan(q).contains(names(short)),
+        s"$q does not scan the stored ${names(short)} artifact")
+    }
+    // Tier 2 — the candidate PAIRS: the q189 sweep reads the standing
+    // pair artifacts (one per family) plus the stored per-doc gram sets.
+    val sweep = plan("q189_dedup_method_sweep")
+    for (short <- Seq("mhpairs", "simpairs", "rarepairs", "lshpairs",
+        "sempairs", "docsets")) {
+      assert(sweep.contains(names(short)),
+        s"q189 does not scan the stored ${names(short)} artifact")
+    }
+    // No-drift pin: the stored pair artifacts must EQUAL the generator
+    // output pair sets (q189's oracle recomputes them from raw text in
+    // DuckDB too — this is the in-repo half of that pin).
+    val q41Pairs = Registry.byName("q41_near_dup").build(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhStored = SketchStore.mhPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mhStored === q41Pairs,
+      "stored mhpairs artifact diverged from q41's generator output")
+    val q44Pairs = Registry.byName("q44_simhash").build(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simStored = SketchStore.simPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simStored === q44Pairs,
+      "stored simpairs artifact diverged from q44's generator output")
+    // One file per bucket: the write repartitions on the bucket columns.
+    val root = graft.BuildPaths.scratch(
+      s"sketch_store/${graft.BuildPaths.dirKey(sfDir)}")
+    for (tbl <- names.values) {
+      val files = new java.io.File(s"$root/$tbl").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length <= 8, s"$tbl: expected <= 8 bucket files, saw ${files.length}")
+    }
+  }
+
   test("q203: the range read prunes shard directories at listing time — only the probed shards are scanned") {
     // The export's SERVE contract: a trainer fetching a slice of shards
     // 3/7/11 must list exactly those directories (PartitionFilters on
