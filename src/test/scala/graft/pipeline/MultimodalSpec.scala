@@ -130,6 +130,52 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("doc_id", "format", "byte_len", "width", "height", "n_frames"))
   }
 
+  test("decodeAudioInfo parses REAL WAV bytes: rate, channels, bits, frame count (round 17)") {
+    val samples = Array.tabulate(1234)(i => (i * 37) % 4001 - 2000)
+    val wav = Multimodal.wavBytes(samples, 8000)
+    assert(Multimodal.decodeAudioInfo(wav) ===
+      Some(Multimodal.AudioInfo(8000, 1, 16, 1234L)))
+    assert(Multimodal.decodeAudioInfo("not audio".getBytes("UTF-8")) === None)
+    // an image is not audio: the parser rejects, never mislabels
+    assert(Multimodal.decodeAudioInfo(realImage(8, 8, "png")) === None)
+  }
+
+  test("decodePcm16 round-trips every sample losslessly through the RIFF container") {
+    val samples = Array.tabulate(1000)(i => ((i * 7919 + 31) % 65536) - 32768)
+    val decoded = Multimodal.decodePcm16(Multimodal.wavBytes(samples, 16000))
+    assert(decoded.isDefined)
+    assert(decoded.get.toSeq === samples.toSeq) // full 16-bit range, exact
+    assert(Multimodal.decodePcm16("junk".getBytes("UTF-8")) === None)
+  }
+
+  test("isqrt is the exact floor integer sqrt at and around perfect squares") {
+    for (x <- Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L, 999999L, 1000000L, 1000001L,
+        4000000L, (1L << 40) - 1, 1L << 40)) {
+      val r = Multimodal.isqrt(x)
+      assert(r * r <= x && (r + 1) * (r + 1) > x, s"isqrt($x) = $r")
+    }
+  }
+
+  test("audioWindows: real WAV decode -> fixed windows -> exact integer RMS, zero rows for undecodable") {
+    import spark.implicits._
+    // doc 1: constant amplitude 100 -> rms exactly 100 in every window;
+    // doc 2: 250 samples = 2 full + 1 partial window; doc 3: not audio.
+    val m1 = Multimodal.Media(1L, Multimodal.wavBytes(Array.fill(800)(100), 8000), "wav")
+    val m2 = Multimodal.Media(2L, Multimodal.wavBytes(Array.tabulate(250)(i => i - 125), 8000), "wav")
+    val m3 = Multimodal.Media(3L, "definitely not a wav".getBytes("UTF-8"), "wav")
+    val out = Multimodal.audioWindows(Seq(m1, m2, m3).toDS(), 100)
+      .collect().sortBy(w => (w.doc_id, w.window_idx))
+    val d1 = out.filter(_.doc_id == 1L)
+    assert(d1.length === 8 && d1.forall(w => w.n_samples == 100 && w.rms == 100L))
+    val d2 = out.filter(_.doc_id == 2L)
+    assert(d2.length === 3)
+    assert(d2.map(_.n_samples).toSeq === Seq(100, 100, 50))
+    // exact check of one window against plain-Scala arithmetic
+    val w0 = (0 until 100).map(i => (i - 125).toLong).map(v => v * v).sum
+    assert(d2(0).sum_sq === w0 && d2(0).rms === Multimodal.isqrt(w0 / 100))
+    assert(out.count(_.doc_id == 3L) === 0) // keep-flowing: no rows, no crash
+  }
+
   test("binaryFile ingestion: real image files on disk -> binary scan -> REAL decoded dimensions") {
     // How a 100 TB multimodal corpus actually lands: raw files in object
     // storage, read with Spark's binaryFile source (path + content + length,
