@@ -5151,6 +5151,19 @@ object Pipeline {
       |FROM t LEFT JOIN nv USING (source)
       |ORDER BY t.source""".stripMargin
 
+  /** The q229 squaring chain, generic over the carrier so the SQL
+    * string generator and the Scala evaluator are ONE recursion by
+    * construction (the law properties in QueryLawProps exercise the
+    * Double instance; the engines run the String instance — same op
+    * sequence, no libm pow anywhere). */
+  private def sqChain[T](e: T, k: Int)(mul: (T, T) => T): T =
+    if (k == 0) e else sqChain(mul(e, e), k - 1)(mul)
+
+  /** Scala evaluation of p(b = 2^kb, r = 2^kr)(sim) = 1 - (1 - sim^r)^b
+    * with the identical squaring op order as [[LshPlannerCase]]. */
+  private[graft] def lshCollisionP(kb: Int, kr: Int, sim: Double): Double =
+    1.0 - sqChain(1.0 - sqChain(sim, kr)(_ * _), kb)(_ * _)
+
   /** q229's collision-probability CASE over (n_rows, sim) — ONE
     * Scala-generated squaring-chain expression interpolated into both
     * engines, so the float op sequence is identical by construction
@@ -5158,8 +5171,7 @@ object Pipeline {
   // def, not val: referenced from the oracle during `defs` object init
   // (the q150 init-order trap — a later val would interpolate empty).
   private[queries] def LshPlannerCase: String = {
-    def sq(e: String, k: Int): String =
-      if (k == 0) e else sq(s"($e * $e)", k - 1)
+    def sq(e: String, k: Int): String = sqChain(e, k)((a, b) => s"($a * $b)")
     // p(b = 2^kb, r = 2^kr) = 1 - (1 - sim^r)^b, all powers as squarings
     def p(kb: Int, kr: Int): String = s"1 - ${sq(s"(1 - ${sq("sim", kr)})", kb)}"
     s"CASE WHEN n_rows = 2 THEN ${p(5, 1)} " +
