@@ -32,6 +32,12 @@ object Sketches {
   val hashB: Array[Long] = Array.tabulate(K)(i => 5L * i + 1)
 
   val SIMBITS: Int = 32
+  /** SimHash pigeonhole geometry + verify radius, shared by the q44
+    * generator (Pipeline), the stored pair artifact (SketchStore), and
+    * both of their oracle mirrors — one constant set so the artifact
+    * and the generator cannot drift (ADVICE r17). */
+  val SIMCHUNKS: Int = 4
+  val HAMMING_MAX: Int = 3
 
   val TABLES: Int = 8 // sign-LSH hash tables
   val PLANES: Int = 6 // sign bits per table

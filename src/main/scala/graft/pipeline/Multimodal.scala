@@ -207,9 +207,10 @@ object Multimodal {
     * its double sqrt). */
   def isqrt(x: Long): Long = {
     require(x >= 0)
-    var r = math.sqrt(x.toDouble).toLong
+    val Max = 3037000499L // isqrt(Long.MaxValue); (Max+1)^2 overflows Long
+    var r = math.sqrt(x.toDouble).toLong.min(Max).max(0L)
     while (r > 0 && r * r > x) r -= 1
-    while ((r + 1) * (r + 1) <= x) r += 1
+    while (r < Max && (r + 1) * (r + 1) <= x) r += 1
     r
   }
 

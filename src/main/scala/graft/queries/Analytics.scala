@@ -385,18 +385,20 @@ object Analytics {
     * each round is a keyed join + keyed min-agg over the (tiny: near-dup
     * nodes only) frame, localCheckpoint-truncated lineage, LOUD failure
     * if the safety bound is hit with labels still moving. */
-  private def dupClusterAssign(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    // Round 17: the band frame is the stored SketchStore artifact q41
-    // reads (VERDICT r16 #1) — the cluster edges derive from the SAME
-    // index the candidate generator and the q189 sweep grade.
-    val bandRows = SketchStore.bands(s, dir).select(col("doc_id"), col("band"), col("key"))
-    val a = bandRows.as("a"); val b = bandRows.as("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+  private def dupClusterAssign(s: SparkSession, dir: String): DataFrame =
+    // Round 18: the converged assignment itself is a stored SketchStore
+    // artifact (VERDICT r17 #8) — q76/q125/q215/q233 all read ONE
+    // materialized (doc_id, cluster_id) table instead of each re-running
+    // the propagation loop. The build (SketchStore.dupClusters) runs
+    // [[dupClusterPropagate]] over the stored q41 pair artifact, so the
+    // edges still derive from the same standing band index the candidate
+    // generator and the q189 sweep grade.
+    SketchStore.dupClusters(s, dir)
+
+  /** The propagation loop itself, parameterized on the (doc_a, doc_b)
+    * near-dup pair frame — called once per corpus by the
+    * SketchStore.dupClusters artifact build. */
+  private[queries] def dupClusterPropagate(s: SparkSession, pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").persist()
     var comp = edges.select(col("src").as("id")).distinct()

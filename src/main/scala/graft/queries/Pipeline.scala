@@ -87,9 +87,9 @@ object Pipeline {
   // hamming<=3 pairs share a chunk). 16 bits is too coarse for this
   // corpus — 28k candidate pairs at sf0.01 vs 1.3k at 32 bits.
   private val SIMBITS = graft.functions.Sketches.SIMBITS
-  private val SIMCHUNKS = 4
+  private val SIMCHUNKS = graft.functions.Sketches.SIMCHUNKS
   private val CHUNKBITS = SIMBITS / SIMCHUNKS
-  private val HAMMING_MAX = 3
+  private val HAMMING_MAX = graft.functions.Sketches.HAMMING_MAX
 
   // ---- q96 BM25 constants (standard Robertson parameters). K1P1 is a
   // literal, NOT computed as K1+1.0: 1.2+1.0 lands exactly between two

@@ -40,32 +40,62 @@ object SketchStore {
   // frame and the DuckDB mirrors cannot drift).
   private val K = graft.functions.Sketches.K
   private val bandPairs: Seq[(Int, Int)] = (0 until K / 2).map(j => (2 * j, 2 * j + 1))
-  private val SIMCHUNKS = 4
+  private val SIMCHUNKS = graft.functions.Sketches.SIMCHUNKS
   private val CHUNKBITS = graft.functions.Sketches.SIMBITS / SIMCHUNKS
 
   private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Content fingerprint of the source tables the sketches derive from
+    * (documents + embeddings parquet size/mtime). Folded into every
+    * artifact's table name AND path, so regenerating the fixture under
+    * the same dir within one JVM session invalidates all sketch/pair
+    * consumers by construction instead of silently serving stale
+    * artifacts (ADVICE r17). */
+  private def sourceFingerprint(dir: String): String = {
+    val sig = Seq("documents.parquet", "embeddings.parquet").map { n =>
+      val f = new java.io.File(dir, n)
+      s"$n:${f.length}:${f.lastModified}"
+    }.mkString("|")
+    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
+  }
 
   /** Write-once memo (the ensureBpeModel double-check: JVM memo AND
-    * catalog existence — a fresh session in the same JVM rebuilds). The
+    * catalog existence — a fresh session in the same JVM registers the
+    * already-written path instead of rebuilding over a file a sibling
+    * session may be reading; ADVICE r17). Locking is per artifact key,
+    * not global, so unrelated artifact builds don't serialize. The
     * `repartition` on the bucket columns uses the same murmur hash as
     * the bucket layout, so each of the [[BucketN]] tasks writes exactly
     * one file per bucket — one file per bucket total. */
   private def ensureTable(
       s: SparkSession, dir: String, short: String, bucketCols: Seq[String])(
-      build: => DataFrame): String = synchronized {
+      build: => DataFrame): String = {
     val dirKey = graft.BuildPaths.dirKey(dir)
-    val tbl = s"graft_sk_${short}_$dirKey"
-    val memoKey = s"$short|$dir"
-    if (!(done.contains(memoKey) && s.catalog.tableExists(tbl))) {
-      val root = graft.BuildPaths.scratch(s"sketch_store/$dirKey")
-      build
-        .repartition(BucketN, bucketCols.map(col): _*)
-        .write.mode("overwrite")
-        .bucketBy(BucketN, bucketCols.head, bucketCols.tail: _*)
-        .sortBy(bucketCols.head, bucketCols.tail: _*)
-        .option("path", s"$root/$tbl")
-        .format("parquet").saveAsTable(tbl)
-      done.add(memoKey)
+    val tbl = s"graft_sk_${short}_${dirKey}_${sourceFingerprint(dir)}"
+    val lock = locks.computeIfAbsent(tbl, _ => new Object)
+    lock.synchronized {
+      if (!s.catalog.tableExists(tbl)) {
+        val path = s"${graft.BuildPaths.scratch(s"sketch_store/$dirKey")}/$tbl"
+        if (done.contains(tbl) && new java.io.File(path, "_SUCCESS").exists()) {
+          // Another session in this JVM already wrote the artifact:
+          // register the existing bucketed layout, don't overwrite it.
+          val cols = bucketCols.mkString(", ")
+          s.sql(
+            s"""CREATE TABLE $tbl (${s.read.parquet(path).schema.toDDL})
+               |USING parquet CLUSTERED BY ($cols) SORTED BY ($cols)
+               |INTO $BucketN BUCKETS LOCATION '$path'""".stripMargin)
+        } else {
+          build
+            .repartition(BucketN, bucketCols.map(col): _*)
+            .write.mode("overwrite")
+            .bucketBy(BucketN, bucketCols.head, bucketCols.tail: _*)
+            .sortBy(bucketCols.head, bucketCols.tail: _*)
+            .option("path", path)
+            .format("parquet").saveAsTable(tbl)
+          done.add(tbl)
+        }
+      }
     }
     tbl
   }
@@ -179,7 +209,7 @@ object SketchStore {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           expr("bit_count(a.sh ^ b.sh)").as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 3)
+        .filter(col("hamming") <= graft.functions.Sketches.HAMMING_MAX)
         .select(col("doc_a"), col("doc_b"))
     }
     s.table(tbl)
@@ -229,6 +259,21 @@ object SketchStore {
     s.table(tbl)
   }
 
+  /** Converged min-label duplicate-cluster assignment `(doc_id,
+    * cluster_id)` over the stored q41 pair artifact — the q76 family's
+    * shared frame (q76/q125/q215/q233 all consume it; VERDICT r17 #8).
+    * The iterative propagation runs ONCE per corpus at artifact build;
+    * consumers read a bucketed table keyed on doc_id (their join key
+    * back to documents). The q76/q125 DuckDB oracles still recompute
+    * reachability from raw text via a recursive CTE, so a stale or
+    * drifted assignment is a hash FAIL. */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureTable(s, dir, "dupclusters", Seq("doc_id")) {
+      Analytics.dupClusterPropagate(s, mhPairs(s, dir))
+    }
+    s.table(tbl)
+  }
+
   /** Per-doc sorted distinct-gram SET `(doc_id, gs, nsh)` — the grading
     * side of exact Jaccard as one array per doc (set intersection goes
     * scan-local per pair instead of pair x gram shuffles). */
@@ -245,17 +290,9 @@ object SketchStore {
     * consumer plans (artifact identity, not just row equality). */
   private[graft] def tableNames(dir: String): Map[String, String] = {
     val k = graft.BuildPaths.dirKey(dir)
-    Map(
-      "bands" -> s"graft_sk_bands_$k",
-      "simchunks" -> s"graft_sk_simchunks_$k",
-      "shingles" -> s"graft_sk_shingles_$k",
-      "lshbkt" -> s"graft_sk_lshbkt_$k",
-      "kmembers" -> s"graft_sk_kmembers_$k",
-      "mhpairs" -> s"graft_sk_mhpairs_$k",
-      "simpairs" -> s"graft_sk_simpairs_$k",
-      "rarepairs" -> s"graft_sk_rarepairs_$k",
-      "lshpairs" -> s"graft_sk_lshpairs_$k",
-      "sempairs" -> s"graft_sk_sempairs_$k",
-      "docsets" -> s"graft_sk_docsets_$k")
+    val fp = sourceFingerprint(dir)
+    Seq("bands", "simchunks", "shingles", "lshbkt", "kmembers", "mhpairs",
+      "simpairs", "rarepairs", "lshpairs", "sempairs", "docsets", "dupclusters")
+      .map(short => short -> s"graft_sk_${short}_${k}_$fp").toMap
   }
 }

@@ -302,6 +302,17 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(plan(q).contains(names(short)),
         s"$q does not scan the stored ${names(short)} artifact")
     }
+    // Tier 3 — the converged CLUSTER ASSIGNMENT (VERDICT r17 #8): the
+    // q76 family (q76/q125/q215/q233) reads ONE stored (doc_id,
+    // cluster_id) table; the propagation loop runs once at artifact
+    // build, not once per consumer. The q76/q125 oracles recompute
+    // reachability from raw text (recursive CTE), so a drifted artifact
+    // is a hash FAIL — this is the plan-identity half of that pin.
+    for (q <- Seq("q76_dup_clusters", "q125_canonical_keep",
+        "q215_dedup_weighting", "q233_quality_dup_interaction")) {
+      assert(plan(q).contains(names("dupclusters")),
+        s"$q does not scan the stored ${names("dupclusters")} artifact")
+    }
     // Tier 2 — the candidate PAIRS: the q189 sweep reads the standing
     // pair artifacts (one per family) plus the stored per-doc gram sets.
     val sweep = plan("q189_dedup_method_sweep")
