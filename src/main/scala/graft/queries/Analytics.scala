@@ -899,7 +899,7 @@ object Analytics {
     QueryDef(
       "q148_chunk_retrieval",
       {
-        val inList = Pipeline.BM25_TERMS.map(t => s"'$t'").mkString(", ")
+        val inList = PipelineRetrieval.BM25_TERMS.map(t => s"'$t'").mkString(", ")
         s"""WITH w AS (
            |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
            |n AS (
@@ -921,8 +921,8 @@ object Analytics {
            |contrib AS (
            |  SELECT tf.doc_id, tf.chunk_id,
            |    CAST(round(ln((stats.n_chunks - df.df + 0.5) / (df.df + 0.5) + 1.0)
-           |      * (tf.tf * ${Pipeline.BM25_K1P1})
-           |      / (tf.tf + ${Pipeline.BM25_K1} * (1.0 - ${Pipeline.BM25_B} + ${Pipeline.BM25_B} * tf.dl / stats.avgdl))
+           |      * (tf.tf * ${PipelineRetrieval.BM25_K1P1})
+           |      / (tf.tf + ${PipelineRetrieval.BM25_K1} * (1.0 - ${PipelineRetrieval.BM25_B} + ${PipelineRetrieval.BM25_B} * tf.dl / stats.avgdl))
            |      * 1000000.0, 0) AS BIGINT) AS c
            |  FROM tf JOIN df USING (w), stats)
            |SELECT doc_id, chunk_id, COUNT(*) AS n_terms,
@@ -949,15 +949,15 @@ object Analytics {
       val tf = chunks
         .select(col("doc_id"), col("chunk_id"), size(col("toks")).as("dl"),
           explode(col("toks")).as("w"))
-        .filter(col("w").isin(Pipeline.BM25_TERMS: _*))
+        .filter(col("w").isin(PipelineRetrieval.BM25_TERMS: _*))
         .groupBy(col("doc_id"), col("chunk_id"), col("dl"), col("w"))
         .agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val idf = log((col("n_chunks") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
       val norm = col("tf") +
-        lit(Pipeline.BM25_K1) * (lit(1.0) - lit(Pipeline.BM25_B) +
-          lit(Pipeline.BM25_B) * col("dl") / col("avgdl"))
-      val contrib = idf * (col("tf") * lit(Pipeline.BM25_K1P1)) / norm
+        lit(PipelineRetrieval.BM25_K1) * (lit(1.0) - lit(PipelineRetrieval.BM25_B) +
+          lit(PipelineRetrieval.BM25_B) * col("dl") / col("avgdl"))
+      val contrib = idf * (col("tf") * lit(PipelineRetrieval.BM25_K1P1)) / norm
       tf.join(broadcast(df), "w")
         .crossJoin(broadcast(stats))
         .select(col("doc_id"), col("chunk_id"),

@@ -1194,7 +1194,7 @@ object Curation {
     // shape: the write is one (source, chunk) shuffle of id structs;
     // the audit is scan + posexplode + keyed agg; files are
     // sequentially mountable by (source, chunk). ----
-    QueryDef("q237_packed_export", Pipeline.bpeIdsOracle) { (s, dir) =>
+    QueryDef("q237_packed_export", PipelineTokenizer.bpeIdsOracle) { (s, dir) =>
       val root = ensurePackedExport(s, dir)
       s.read.parquet(root)
         .select(col("source"), col("chunk"), posexplode(col("ids")))
@@ -1559,7 +1559,7 @@ object Curation {
       val memoKey = s"packed|$dir"
       if (!(exportDirs.contains(memoKey) &&
             new java.io.File(root, "_SUCCESS").exists)) {
-        Pipeline.bpeTokenStream(s, dir)
+        PipelineTokenizer.bpeTokenStream(s, dir)
           .groupBy(col("source"), col("chunk"))
           .agg(transform(
             array_sort(collect_list(struct(col("pic"), col("id")))),

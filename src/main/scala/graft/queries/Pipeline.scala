@@ -28,19 +28,6 @@ object Pipeline {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  // ---- shared MinHash family: k=12 permutations over a 60-bit md5 base
-  // hash reduced mod the Mersenne prime 2^31-1; 6 bands x 2 rows.
-  // (a_i * h + b_i) stays < 2^46 — no int64 overflow in either engine.
-  // Constants live in graft.functions.Sketches (the native kernels) and
-  // are referenced here by the oracle generators, so the Spark side and
-  // the DuckDB side cannot drift. (Declared BEFORE `defs` — val-init
-  // order: a later declaration would interpolate as 0 into the oracles.)
-  private val P = graft.functions.Sketches.P
-  private val K = graft.functions.Sketches.K
-  private val hashA: Array[Long] = graft.functions.Sketches.hashA
-  private val hashB: Array[Long] = graft.functions.Sketches.hashB
-  private val bands: Seq[(Int, Int)] = (0 until K / 2).map(j => (2 * j, 2 * j + 1))
-
   // ---- q46 constants: shared between the Spark grid and the oracle.
   // (Declared BEFORE `defs`: the oracle strings interpolate them at object
   // init, and a later declaration would read as 0 — Scala val-init order.)
@@ -57,92 +44,22 @@ object Pipeline {
   private val PLANES = graft.functions.Sketches.PLANES
   private val DIM = graft.functions.Sketches.DIM
 
-  // q54 threshold: this corpus' max pairwise cosine is ~0.40 (random
-  // vectors), so 0.3 surfaces the most-similar tail without emptying the
-  // result; real near-dup corpora would use ~0.9.
-  private val NEARDUP_COS = 0.3
-
-  // q55 IVF parameters: 16 coarse cells (centroids = vectors 1..16 — a
-  // deterministic seed choice both engines share; a production build
-  // would k-means these), probe the 4 cells nearest the query.
-  private val NCELLS = 16
-  private val NPROBE = 4
-
-  // ---- q42/q53 shared oracle: the native Expression (q53) pins the same
-  // IEEE operation sequence as the fold form (q42), so one oracle covers
-  // both — and any divergence between them fails the gate.
-  private val cosineTopkOracle =
-    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-      |p AS (SELECT e.vec_id, e.label,
-      |        unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
-      |      FROM embeddings e, q),
-      |s AS (SELECT vec_id, label, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
-      |      FROM p GROUP BY vec_id, label)
-      |SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r
-      |FROM s WHERE vec_id <> 0
-      |ORDER BY cos_r DESC, vec_id
-      |LIMIT 20""".stripMargin
-
-  // ---- q44 constants: 32-bit simhash, 4 chunks of 8 bits (pigeonhole:
-  // hamming<=3 pairs share a chunk). 16 bits is too coarse for this
-  // corpus — 28k candidate pairs at sf0.01 vs 1.3k at 32 bits.
-  private val SIMBITS = graft.functions.Sketches.SIMBITS
-  private val SIMCHUNKS = graft.functions.Sketches.SIMCHUNKS
-  private val CHUNKBITS = SIMBITS / SIMCHUNKS
-  private val HAMMING_MAX = graft.functions.Sketches.HAMMING_MAX
-
-  // ---- q96 BM25 constants (standard Robertson parameters). K1P1 is a
-  // literal, NOT computed as K1+1.0: 1.2+1.0 lands exactly between two
-  // doubles, so the computed sum and the parsed literal "2.2" the oracle
-  // would see could differ by one ulp. Both engines parse the same string.
-  private[queries] val BM25_K1 = 1.2
-  private[queries] val BM25_B = 0.75
-  private[queries] val BM25_K1P1 = 2.2
-  private[queries] val BM25_TERMS = Seq("hash", "join", "stream")
-
-  // q132 RRF constants: the standard fusion constant k=60 (Cormack &
-  // Clarke's reciprocal-rank-fusion paper value), each leg truncated to
-  // its top-50 before fusion, final top-20. RRF is chosen over score
-  // fusion deliberately: ranks are integers, so the fused score
-  // 1000000 DIV (60 + rank) is ln()-free int64 arithmetic — cross-engine
-  // bit-exact with no score normalization to disagree on.
-  private val RRF_K = 60
-  private val RRF_LEG_K = 50
-  private val RRF_TOPK = 20
-
-  // q138: recall@K cut of the ANN-vs-brute-force eval (q46 emits 10).
-  private val ANN_RECALL_K = 10
-
   // q98/q124 "line" width in words (shared with the graft_line_hashes
   // kernel so the SQL and native formulations cannot drift). 5 on the
   // word-soup fixture yields real cross-document duplicates (320 of
   // 5,638 segments at sf0.01); real corpora would segment on newlines.
-  private val LineWords = graft.functions.Sketches.LINE_WORDS
-
-  // q180 span width: word-8-grams, the smallest span the Lee-et-al
-  // suffix-array dedup family treats as "verbatim duplication" worth
-  // excising (50 BPE tokens in the paper; 8 words at this fixture's
-  // ~55-word docs keeps the same spirit at fixture scale). final val
-  // literal = compile-time constant, immune to object-init order.
-  private final val SpanK = 8
-
-  // q189 exact-Jaccard match threshold (integer micros): tau = 0.5.
-  private final val JaccTauMicro = 500000
+  private[queries] val LineWords = graft.functions.Sketches.LINE_WORDS
 
   // q99 posting-list cap (top-K documents by tf retained per term).
-  private val POSTK = 3
+  private[queries] val POSTK = 3
 
   // q142 sampling budget: total docs the smoothed multinomial allocates.
   private val MixBudget = 100000L
 
-  // q143 matryoshka prefix width (leading dims used for cheap candidate
-  // generation; the fixture stores 64-dim vectors).
-  private val MrlPrefixDims = 16
-
   // q124 boilerplate rule: a line is boilerplate within a source when it
   // appears in >= this many distinct documents of that source. Real
   // corpora tune per site; 3 is what the word-soup fixture supports.
-  private val BoilerMinDocs = 3
+  private[queries] val BoilerMinDocs = 3
 
   /** Profile size for q126's per-language trigram table (Cavnar–Trenkle
     * used 300; 100 keeps the broadcast tiny and the fixture saturated).
@@ -165,7 +82,7 @@ object Pipeline {
     * #langs-row vocab table broadcasts. bg feeds four consumers ->
     * persisted (one corpus scan, q85/q88/q99 rule).
     */
-  private def bigramCePerDoc(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def bigramCePerDoc(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val bg = T(s, dir, "documents")
       .filter(col("text").isNotNull)
@@ -210,62 +127,6 @@ object Pipeline {
         .orderBy(col("event_id"))
     },
 
-    // ---- near-dup candidates via MinHash-LSH: scan-local signature
-    // (graft_minhash_sig, one pass per document — no token explode, no
-    // shuffle before the band join) -> band buckets -> bucket join. The
-    // only joins are on band keys; candidate count is output, never
-    // all-pairs. ----
-    QueryDef("q41_near_dup", minhashOracle) { (s, dir) =>
-      // Round 17 (VERDICT r16 #1): the band frame is a write-once STORED
-      // bucketed artifact (SketchStore.bands — the ensureBpeModel
-      // pattern), shared verbatim with q110's incremental probe and
-      // q189's method sweep. Both self-join sides read it IN PLACE — no
-      // per-query corpus scan, no minhash recompute, and at scale the
-      // (band, key) bucketing makes the self-join a co-located SMJ.
-      //
-      // Cache-lifetime policy (applies to EVERY .persist() in the query
-      // builders, here and in Analytics.scala): caches live for the
-      // session ON PURPOSE. The query functions return un-materialized
-      // DataFrames, so unpersisting inside the builder would evict
-      // before the caller's action runs; and bench's min-of-3 timing
-      // plus spec re-runs rely on warm reuse. CacheManager dedupes by
-      // canonicalized plan, so re-building the same query adds nothing;
-      // distinct (query, dir) combinations add one small derived frame
-      // each — bounded by the handful of dirs a session reads. Callers
-      // that need the memory back call spark.catalog.clearCache().
-      val bandRows = SketchStore.bands(s, dir).select(col("doc_id"), col("band"), col("key"))
-      val a = bandRows.as("a"); val b = bandRows.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-
-    // ---- similarity search: brute-force cosine top-k against one query
-    // vector (the exactness baseline; the LSH-bucketed variant is the
-    // scale pre-filter). Single scan, per-row fold, one TakeOrdered; the
-    // plan's BroadcastNestedLoopJoin has a 1-ROW build side (the query
-    // vector) — this is an N x 1 broadcast, not an all-pairs join. ----
-    QueryDef("q42_topk_cosine", cosineTopkOracle) { (s, dir) =>
-      val e = T(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      val dbl = (c: Column) => transform(c, x => x.cast(DoubleType))
-      val withQ = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-        .select(col("vec_id"), col("label"),
-          dbl(col("embedding")).as("ed"), dbl(col("qe")).as("qd"))
-      val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
-      withQ
-        .select(col("vec_id"), col("label"),
-          fold(zip_with(col("ed"), col("qd"), (x, y) => x * y)).as("dot"),
-          fold(zip_with(col("ed"), col("ed"), (x, y) => x * y)).as("na"),
-          fold(zip_with(col("qd"), col("qd"), (x, y) => x * y)).as("nb"))
-        .select(col("vec_id"), col("label"),
-          round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cos_r"))
-        .orderBy(col("cos_r").desc, col("vec_id"))
-        .limit(20)
-    },
-
     // ---- text analysis: language-ID heuristic (stopword markers),
     // quality ratios, and a BPE-ish regex token count, aggregated per
     // (labelled lang, predicted lang). All per-doc work is ONE scan-local
@@ -297,96 +158,6 @@ object Pipeline {
           (sum(col("n_stop")).cast(DoubleType) / sum(col("n_tok"))).as("stop_ratio"),
           (sum(col("n_chars")).cast(DoubleType) / sum(col("n_tok"))).as("chars_per_tok"))
         .orderBy(col("lang"), col("lang_pred"))
-    },
-
-    // ---- SimHash near-dup: 32-bit signatures computed scan-local in one
-    // pass (graft_simhash32 — replaces explode + a 33-aggregate shuffled
-    // groupBy); candidates via the pigeonhole trick (4 chunks of 8 bits —
-    // hamming<=3 pairs must share a chunk), then exact hamming filter.
-    // Equi-join on chunk buckets, never all-pairs. ----
-    QueryDef("q44_simhash", simhashOracle) { (s, dir) =>
-      // Stored chunk frame (round 17, see q41): both self-join sides
-      // read the bucketed artifact in place.
-      val chunks = SketchStore.simChunks(s, dir)
-      val a = chunks.as("a"); val b = chunks.as("b")
-      a.join(b, col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv")
-          && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("bit_count(a.sh ^ b.sh)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= HAMMING_MAX)
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-
-    // ---- n-gram Jaccard: exact similarity over rare shingles (document
-    // frequency <= 4 — stop-shingle removal bounds the inverted-index
-    // join to sum_s C(df_s,2), 5.4k pairs at sf0.1 vs 1.27M unfiltered).
-    // Shingles are 60-bit hashes from the scan-local kernel — the
-    // inverted index shuffles and joins 8-byte longs, not ~30-char
-    // strings; both engines hash identically so Jaccard counts agree
-    // (collision odds at 60 bits: ~N²/2^61, negligible). ----
-    QueryDef("q45_ngram_jaccard", jaccardOracle) { (s, dir) =>
-      // Stored distinct-shingle frame (round 17, see q41) — the same
-      // artifact q189's exact-Jaccard truth reads.
-      val sh = SketchStore.shingles(s, dir).select(col("doc_id"), col("g").as("s"))
-      val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 4).select(col("s"))
-      // Per-doc rare-shingle count rides along as a window column, and the
-      // pair aggregation groups by it (nsh is functionally dependent on
-      // doc_id) — no separate `sizes` frame. The inverted index is
-      // persisted: it is the small derived structure (rare shingles only,
-      // 8-byte keys), and without the cache Spark recomputes the full
-      // corpus scan + shingle explode on BOTH sides of the self-join
-      // (alias ids differ, so no exchange reuse). PlanAuditSpec pins this:
-      // both join sides must be InMemoryTableScans.
-      val wN = Window.partitionBy(col("doc_id"))
-      val rs = sh.join(rare, "s").withColumn("nsh", count(lit(1)).over(wN))
-        .persist()
-      val a = rs.as("a"); val b = rs.as("b")
-      a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.nsh").as("na"), col("b.nsh").as("nb"))
-        .agg(count(lit(1)).as("inter"))
-        .filter(col("inter") >= 3)
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
-          round(col("inter").cast(DoubleType) /
-            (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-
-    // ---- ANN via random-hyperplane LSH: 4 tables x 8 sign-bit planes
-    // (md5-derived +-1 hyperplanes over integer-quantized components —
-    // all-integer bucket keys, so both engines agree bit-for-bit), then
-    // exact cosine top-10 among same-bucket candidates only. The scale
-    // path for q42's brute-force baseline: candidates ~ N/2^8 per table. ----
-    QueryDef("q46_ann_lsh", annLshOracle) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val emb = T(s, dir, "embeddings")
-      // Scan-local bucket keys (graft_lsh_buckets) — now read from the
-      // stored bucket artifact (round 17, see q41): the same grid
-      // q54/q107/q189 probe.
-      val buckets = SketchStore.lshBuckets(s, dir).select(col("vec_id"), col("t"), col("bk"))
-      val qb = buckets.filter(col("vec_id") === 0)
-        .select(col("t").as("qt"), col("bk").as("qbk"))
-      val cand = buckets.filter(col("vec_id") =!= 0)
-        .join(broadcast(qb), col("t") === col("qt") && col("bk") === col("qbk"))
-        .select(col("vec_id")).distinct()
-      // exact cosine among candidates only (same formula as q42)
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      val dbl = (c: Column) => transform(c, x => x.cast(DoubleType))
-      val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
-      emb.join(cand, "vec_id")
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), col("label"),
-          dbl(col("embedding")).as("ed"), dbl(col("qe")).as("qd"))
-        .select(col("vec_id"), col("label"),
-          fold(zip_with(col("ed"), col("qd"), (x, y) => x * y)).as("dot"),
-          fold(zip_with(col("ed"), col("ed"), (x, y) => x * y)).as("na"),
-          fold(zip_with(col("qd"), col("qd"), (x, y) => x * y)).as("nb"))
-        .select(col("vec_id"), col("label"),
-          round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cos_r"))
-        .orderBy(col("cos_r").desc, col("vec_id"))
-        .limit(10)
     },
 
     // ---- dataset splitting: deterministic hash-bucket train/val/test
@@ -647,95 +418,6 @@ object Pipeline {
         .orderBy(col("format"))
     },
 
-    // ---- embedding-cosine near-dup: PAIRWISE near-duplicate detection
-    // over vectors — candidates restricted to pairs sharing an LSH bucket
-    // in any table (the q46 grid), then exact cosine >= threshold via the
-    // native expression. The pairwise complement of q46's single-query
-    // search; bucket equi-join keeps candidates ~ N^2/2^bits per table,
-    // never all-pairs. ----
-    QueryDef("q54_embedding_near_dup", embeddingNearDupOracle) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val emb = T(s, dir, "embeddings")
-      // Stored LSH bucket frame (round 17, see q41): both self-join
-      // sides read the bucketed artifact in place.
-      val buckets = SketchStore.lshBuckets(s, dir).select(col("vec_id"), col("t"), col("bk"))
-      val a = buckets.as("a"); val b = buckets.as("b")
-      val cand = a.join(b, col("a.t") === col("b.t") && col("a.bk") === col("b.bk")
-          && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-        .distinct()
-      val ea = emb.select(col("vec_id").as("va"), col("embedding").as("emb_a"))
-      val eb = emb.select(col("vec_id").as("vb"), col("embedding").as("emb_b"))
-      cand.join(ea, "va").join(eb, "vb")
-        .select(col("va"), col("vb"),
-          round(expr("cosine_similarity(emb_a, emb_b)"), 6).as("cos_r"))
-        .filter(col("cos_r") >= NEARDUP_COS)
-        .orderBy(col("va"), col("vb"))
-    },
-
-    // ---- IVF-style ANN: the coarse-quantization scale path next to
-    // q46's LSH tables. Assignment: every vector joins the 16 BROADCAST
-    // centroids (N x 16, map-side — the one deliberate small
-    // nested-loop in this query) and takes the argmax-cosine cell; the
-    // query probes its NPROBE nearest cells; exact cosine runs over
-    // candidates only. At 100 TB the assignment is a map-only pass and
-    // the search touches ~NPROBE/NCELLS of the corpus. Determinism:
-    // argmax ranks on round(cos, 6) with centroid id as tie-break, and
-    // the native cosine is bit-identical to the oracle's fold. ----
-    QueryDef("q55_ivf_ann", ivfAnnOracle) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val emb = T(s, dir, "embeddings")
-      val cent = emb.filter(col("vec_id").between(1, NCELLS))
-        .select(col("vec_id").as("c"), col("embedding").as("ce"))
-      val wArg = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c"))
-      val cells = emb.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("c"),
-          round(expr("cosine_similarity(embedding, ce)"), 6).as("cos_c"))
-        .withColumn("rk", row_number().over(wArg))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("c").as("cell"))
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      val probe = cent.crossJoin(broadcast(q))
-        .select(col("c"), round(expr("cosine_similarity(ce, qe)"), 6).as("cos_q"))
-        .orderBy(col("cos_q").desc, col("c"))
-        .limit(NPROBE)
-        .select(col("c"))
-      val cand = cells.join(broadcast(probe), cells("cell") === probe("c"))
-        .select(col("vec_id"))
-      emb.join(cand, "vec_id")
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), col("label"),
-          round(expr("cosine_similarity(embedding, qe)"), 6).as("cos_r"))
-        .orderBy(col("cos_r").desc, col("vec_id"))
-        .limit(10)
-    },
-
-    // ---- tf-idf: the classic corpus-weighted term scoring — tf per
-    // (doc, term), df per term, idf = ln(N/df), top-3 terms per doc.
-    // Two shuffles (both key-partitioned aggregations) plus one window;
-    // the corpus size N is a 1-row broadcast. ----
-    QueryDef("q56_tfidf", tfidfOracle) { (s, dir) =>
-      val docs = T(s, dir, "documents")
-      val words = docs.select(col("doc_id"),
-        explode(split(lower(col("text")), " ")).as("w"))
-      // Two consumers (the df roll-up + the scoring join): persist, so the
-      // tokenize+explode+groupBy chain runs once (q85/q88/q99 rule).
-      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")).persist()
-      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val n = docs.select(count(lit(1)).as("n_docs"))
-      val wTop = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("w"))
-      tf.join(df, "w")
-        .crossJoin(broadcast(n))
-        .withColumn("tfidf",
-          round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
-        .withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") <= 3)
-        .select(col("doc_id"), col("rk"), col("w").as("term"),
-          col("tf"), col("df"), col("tfidf"))
-        .orderBy(col("doc_id"), col("rk"))
-    },
-
     // ---- benchmark decontamination: flag training documents sharing any
     // word-3-gram with a held-out "benchmark" set (here: doc_id % 50 = 0,
     // a stand-in for an eval suite). Shingles are the scan-local 60-bit
@@ -783,34 +465,6 @@ object Pipeline {
           round(avg(lit(1.0) - col("uniq").cast(DoubleType) / col("total")), 6)
             .as("avg_dup_ratio"))
         .orderBy(col("lang"))
-    },
-
-    // ---- behavioral similarity via GROUP-level MinHash: each user's
-    // event set (event_type + floored value buckets) is aggregated into a
-    // K-permutation signature by the custom TypedImperativeAggregate
-    // graft_minhash_agg — ONE long[K] buffer per group with map-side
-    // partial aggregation, so the shuffle carries one signature per
-    // (partition, user), never the items. Band join then surfaces
-    // users with similar behavior; never all-pairs. ----
-    QueryDef("q59_user_minhash", userMinhashOracle) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val items = T(s, dir, "events")
-        .select(col("user_id"),
-          (conv(substring(md5(concat(col("event_type"), lit("_"),
-            floor(col("value")).cast(LongType))), 1, 15), 16, 10)
-            .cast(LongType) % P).as("hp"))
-      val sig = items.groupBy(col("user_id"))
-        .agg(expr("graft_minhash_agg(hp)").as("sig"))
-      val bandRows = sig.select(col("user_id"),
-        expr(bands.zipWithIndex.map { case ((x, y), j) =>
-          s"$j, concat(sig[$x], '_', sig[$y])"
-        }.mkString(s"stack(${bands.size}, ", ", ", ") as (band, key)")))
-      val a = bandRows.as("a"); val b = bandRows.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.user_id") < col("b.user_id"))
-        .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
-        .distinct()
-        .orderBy(col("user_a"), col("user_b"))
     },
 
     // ---- multimodal stage 2: decode -> aspect-preserving resize (max dim
@@ -872,194 +526,6 @@ object Pipeline {
           max(col("rms")).as("max_rms"),
           sum(col("rms")).cast(LongType).as("sum_rms"))
         .orderBy(col("lang"))
-    },
-
-    // ---- q42 via the native Catalyst cosine_similarity Expression
-    // (graft.functions.CosineSimilarity, whole-stage-codegen'd): same
-    // oracle as q42 — the two implementations must agree bit-for-bit.
-    // The bench delta between q42 and q53 measures what the fused
-    // expression saves over the higher-order-function fold. ----
-    QueryDef("q53_topk_cosine_native", cosineTopkOracle) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val e = T(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-        .select(col("vec_id"), col("label"),
-          round(expr("cosine_similarity(embedding, qe)"), 6).as("cos_r"))
-        .orderBy(col("cos_r").desc, col("vec_id"))
-        .limit(20)
-    },
-
-    // ---- BM25 top-k retrieval (the Lucene/Robertson scoring function):
-    // the data-curation retrieval workhorse behind benchmark
-    // decontamination and quality-based selection. idf =
-    // ln(1 + (N - df + 0.5)/(df + 0.5)), k1=1.2, b=0.75. 100 TB shape:
-    // document length rides the same scan as the tokens (no dl self-join),
-    // the ONLY keyed shuffle carries query-term postings (the isin filter
-    // prunes the exploded stream scan-side, so the corpus' non-matching
-    // tokens never leave the map task), per-term df and corpus stats are
-    // 1-row broadcasts, and the top-k is a TakeOrderedAndProject.
-    // Determinism: each per-(doc,term) contribution is rounded to integer
-    // micro-units and the per-doc sum is integer addition (order-free),
-    // so the cross-engine hash is exact despite ln(). ----
-    QueryDef("q96_bm25", bm25Oracle) { (s, dir) =>
-      bm25MicroPerDoc(s, dir)
-        .select(col("doc_id"), col("n_terms"), col("bm25_micro"),
-          round(col("bm25_micro") / lit(1e6), 6).as("bm25"))
-        .orderBy(col("bm25_micro").desc, col("doc_id"))
-        .limit(20)
-    },
-
-    // ---- hybrid retrieval via reciprocal-rank fusion (the standard
-    // sparse+dense production shape: BM25 and embedding-cosine each
-    // nominate a top-50 list, RRF merges them): score = sum over legs of
-    // 1000000 DIV (RRF_K + rank), docs missing from a leg contribute 0.
-    // 100 TB shape: each leg ends in a TakeOrderedAndProject (distributed
-    // per-partition heaps, never a global sort of the corpus); ranks are
-    // then assigned by a window over the <=50 surviving rows (a single
-    // tiny partition BY CONSTRUCTION — the limit runs first), and the
-    // fusion join touches <=100 rows total. The BM25 leg reuses q96's
-    // scoring kernel verbatim (bm25MicroPerDoc — the q93/q100 no-drift
-    // rule); the dense leg is q53's native cosine Expression. ----
-    QueryDef("q132_rrf_hybrid", rrfHybridOracle) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val wS = Window.orderBy(col("bm25_micro").desc, col("doc_id"))
-      val sparse = bm25MicroPerDoc(s, dir)
-        .orderBy(col("bm25_micro").desc, col("doc_id")).limit(RRF_LEG_K)
-        .select(col("doc_id"), row_number().over(wS).cast(LongType).as("rank_s"))
-      val e = T(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      val wD = Window.orderBy(col("cos_r").desc, col("doc_id"))
-      val dense = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-        .select(col("vec_id").as("doc_id"),
-          round(expr("cosine_similarity(embedding, qe)"), 6).as("cos_r"))
-        .orderBy(col("cos_r").desc, col("doc_id")).limit(RRF_LEG_K)
-        .select(col("doc_id"), row_number().over(wD).cast(LongType).as("rank_d"))
-      sparse.join(dense, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"), col("rank_s"), col("rank_d"),
-          (coalesce(expr(s"1000000 DIV ($RRF_K + rank_s)"), lit(0L)) +
-            coalesce(expr(s"1000000 DIV ($RRF_K + rank_d)"), lit(0L))).as("rrf_micro"))
-        .orderBy(col("rrf_micro").desc, col("doc_id"))
-        .limit(RRF_TOPK)
-    },
-
-    // ---- ANN quality evaluation: recall@10 of the LSH index (q46)
-    // against the brute-force ground truth (q42) — the eval harness
-    // every production ANN deployment runs before trusting an index.
-    // Both legs are the registry's own operators invoked verbatim
-    // (Registry.byName at build time — any change to either propagates
-    // here automatically), and the oracle splices both queries' oracle
-    // SQL as subqueries, so all three stay in lockstep. 100 TB shape:
-    // each leg is its own audited plan; the eval itself joins two
-    // <=20-row frames (persisted — neither leg's pipeline replays for
-    // its second consumer) and emits ONE row. ----
-    QueryDef("q138_ann_recall", annRecallOracle) { (s, dir) =>
-      val gt = Registry.byName("q42_topk_cosine").build(s, dir)
-        .orderBy(col("cos_r").desc, col("vec_id")).limit(ANN_RECALL_K)
-        .select(col("vec_id")).persist()
-      val ann = Registry.byName("q46_ann_lsh").build(s, dir)
-        .select(col("vec_id")).persist()
-      val g = gt.agg(count(lit(1)).as("n_gt"))
-      val a = ann.agg(count(lit(1)).as("n_ann"))
-      val hit = gt.join(ann, "vec_id").agg(count(lit(1)).as("n_hit"))
-      g.crossJoin(a).crossJoin(hit)
-        .select(lit(ANN_RECALL_K.toLong).as("k"), col("n_gt"), col("n_ann"), col("n_hit"),
-          expr(s"(n_hit * 1000000) DIV $ANN_RECALL_K").as("recall_micro"))
-    },
-
-    // ---- q143: matryoshka (MRL) prefix-dimension retrieval eval — the
-    // modern two-stage ANN economics question: MRL-trained embeddings
-    // put most signal in the leading dimensions, so production searches
-    // candidate-generate at a PREFIX (here 16 of 64 dims: 4× less
-    // distance compute and memory bandwidth) and re-rank at full width.
-    // This is q138's eval harness pointed at that tradeoff: top-K by
-    // full-width cosine (ground truth) vs top-K by prefix-width cosine,
-    // recall@K in integer micros. Honest on the fixture: random vectors
-    // are NOT MRL-trained, so the measured recall is the uninformative-
-    // prefix floor — the harness proves the accounting, the number
-    // grades the embedding. 100 TB shape: both legs are the q42 shape —
-    // ONE broadcast query row, scan-local fold, TakeOrdered per-
-    // partition heaps; the prefix leg folds a slice of the same column
-    // (no second corpus copy); eval joins two <= K-row frames. ----
-    QueryDef("q143_matryoshka_eval", matryoshkaOracle) { (s, dir) =>
-      val dbl = (c: Column) => transform(c, x => x.cast(DoubleType))
-      val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
-      def topk(width: Option[Int]): DataFrame = {
-        val e = T(s, dir, "embeddings")
-        val cut = (c: Column) => width.map(d => slice(c, 1, d)).getOrElse(c)
-        val q = e.filter(col("vec_id") === 0)
-          .select(cut(col("embedding")).as("qe"))
-        e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-          .select(col("vec_id"), dbl(cut(col("embedding"))).as("ed"), dbl(col("qe")).as("qd"))
-          .select(col("vec_id"),
-            fold(zip_with(col("ed"), col("qd"), (x, y) => x * y)).as("dot"),
-            fold(zip_with(col("ed"), col("ed"), (x, y) => x * y)).as("na"),
-            fold(zip_with(col("qd"), col("qd"), (x, y) => x * y)).as("nb"))
-          .select(col("vec_id"),
-            round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cos_r"))
-          .orderBy(col("cos_r").desc, col("vec_id"))
-          .limit(ANN_RECALL_K)
-          .select(col("vec_id"))
-      }
-      val full = topk(None).persist()
-      val pre = topk(Some(MrlPrefixDims)).persist()
-      val nf = full.agg(count(lit(1)).as("n_full"))
-      val np = pre.agg(count(lit(1)).as("n_prefix"))
-      val hit = full.join(pre, "vec_id").agg(count(lit(1)).as("n_hit"))
-      nf.crossJoin(np).crossJoin(hit)
-        .select(lit(ANN_RECALL_K.toLong).as("k"),
-          lit(MrlPrefixDims.toLong).as("prefix_dims"),
-          col("n_full"), col("n_prefix"), col("n_hit"),
-          expr(s"(n_hit * 1000000) DIV $ANN_RECALL_K").as("recall_micro"))
-    },
-
-    // ---- q220 (round 16): ANN OVER SQ8 CODES — the payoff question
-    // for q216's quantization (nobody compresses embeddings for fun;
-    // the int8 table exists so SEARCH runs on 4× less memory
-    // bandwidth): candidate top-K by cosine over the int8 codes —
-    // whose dot products are EXACT integer arithmetic (the per-vector
-    // scales cancel in cosine up to quantization error, so codes rank
-    // like vectors) — evaluated q138-style against the exact fp32
-    // brute-force top-K (the q42 registry operator invoked verbatim),
-    // recall@K in integer micros, honestly reported. 100 TB shape:
-    // the quantized leg is the q42 scan shape (ONE broadcast query
-    // row, scan-local integer folds, TakeOrdered partial heaps) at a
-    // quarter of the bytes; the eval joins two ≤K-row frames. ----
-    QueryDef("q220_sq8_ann", sq8AnnOracle) { (s, dir) =>
-      def codesOf(df: DataFrame): DataFrame = df
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-        .withColumn("scale", expr("array_max(transform(v, y -> abs(y)))"))
-        .withColumn("codes", expr(
-          "CASE WHEN scale > 0 THEN transform(v, y -> CAST(round(y / scale * 127, 0) AS BIGINT)) " +
-            "ELSE transform(v, y -> CAST(0 AS BIGINT)) END"))
-        .select(col("vec_id"), col("codes"))
-      val e = T(s, dir, "embeddings")
-      val qc = codesOf(e.filter(col("vec_id") === 0))
-        .select(col("codes").as("qc"))
-      val isum = (arr: String) =>
-        s"aggregate($arr, CAST(0 AS BIGINT), (x, y) -> x + y)"
-      val sq8 = codesOf(e.filter(col("vec_id") =!= 0)).crossJoin(broadcast(qc))
-        .select(col("vec_id"),
-          expr(isum("zip_with(codes, qc, (a, b) -> a * b)")).as("dotc"),
-          expr(isum("zip_with(codes, codes, (a, b) -> a * b)")).as("nac"),
-          expr(isum("zip_with(qc, qc, (a, b) -> a * b)")).as("nbc"))
-        .select(col("vec_id"),
-          round(col("dotc").cast(DoubleType) /
-            (sqrt(col("nac").cast(DoubleType)) * sqrt(col("nbc").cast(DoubleType))),
-            6).as("cos_q"))
-        .orderBy(col("cos_q").desc, col("vec_id")).limit(ANN_RECALL_K)
-        .select(col("vec_id")).persist()
-      val exact = Registry.byName("q42_topk_cosine").build(s, dir)
-        .orderBy(col("cos_r").desc, col("vec_id")).limit(ANN_RECALL_K)
-        .select(col("vec_id")).persist()
-      val ne = exact.agg(count(lit(1)).as("n_exact"))
-      val ns = sq8.agg(count(lit(1)).as("n_sq8"))
-      val hit = exact.join(sq8, "vec_id").agg(count(lit(1)).as("n_hit"))
-      ne.crossJoin(ns).crossJoin(hit)
-        .select(lit(ANN_RECALL_K.toLong).as("k"), col("n_exact"),
-          col("n_sq8"), col("n_hit"),
-          expr(s"(n_hit * 1000000) DIV $ANN_RECALL_K").as("recall_micro"))
     },
 
     // ---- q234 (round 16): FILTER-THRESHOLD SENSITIVITY — the curve a
@@ -1218,111 +684,6 @@ object Pipeline {
         .orderBy(col("source"))
     },
 
-    // ---- q229 (round 16): LSH PARAMETER PLANNER — the theory table
-    // behind every banding choice in the repo (q41/q76 run one (b, r)
-    // config; q172 measures three empirically; an engineer sizing an
-    // index at 100 TB first asks the CLOSED FORM: collision
-    // probability 1-(1-s^r)^b over similarity s): the S-curves for
-    // (32,2)/(16,4)/(8,8) over a 64-element signature, at s = 0.1..0.9.
-    // Cross-engine float determinism by construction: b and r are
-    // powers of two, so every power is an explicit SQUARING CHAIN
-    // (interpolated from ONE Scala-generated expression into both
-    // engines — no libm pow, whose last-ulp behavior differs across
-    // implementations), rounded once to micro. 100 TB note: the
-    // planner costs nothing (27 closed-form rows) and predicts q172's
-    // measured sweep — theory and measurement ship side by side. ----
-    QueryDef("q229_lsh_planner", lshPlannerOracle) { (s, dir) =>
-      val cfg = s.range(1).select(explode(expr(
-        "array(struct(CAST(32 AS BIGINT) AS n_bands, CAST(2 AS BIGINT) AS n_rows), " +
-          "struct(CAST(16 AS BIGINT) AS n_bands, CAST(4 AS BIGINT) AS n_rows), " +
-          "struct(CAST(8 AS BIGINT) AS n_bands, CAST(8 AS BIGINT) AS n_rows))")).as("c"))
-        .select(col("c.n_bands").as("n_bands"), col("c.n_rows").as("n_rows"))
-      val sims = s.range(1).select(explode(expr("sequence(1, 9)")).as("i"))
-        .select(col("i"), expr("CAST(i AS DOUBLE) / 10").as("sim"))
-      cfg.crossJoin(sims)
-        .select(col("n_bands"), col("n_rows"),
-          (col("i") * 100000L).as("s_micro"),
-          expr(s"CAST(round(($LshPlannerCase) * 1000000, 0) AS BIGINT)")
-            .as("p_micro"))
-        .orderBy(col("n_bands").desc, col("s_micro"))
-    },
-
-    // ---- q227 (round 16): GRADIENT-ACCUMULATION SCHEDULE — the last
-    // accounting step between packed bins and an optimizer (a trainer
-    // at global batch 4×2048 consumes q156's chunks four at a time;
-    // the schedule must state how many optimizer steps each source
-    // contributes, which steps are FULL — constant token mass, the
-    // property LR schedules assume — and how many tail chunks the
-    // final partial step holds): q156's pack table (the registry
-    // operator verbatim, the q138 convention) grouped into steps of 4
-    // chunks per source, with full-step token bounds reported
-    // honestly (chunks straddle document boundaries, so full-step
-    // masses vary around 4×2048 — the report QUANTIFIES that instead
-    // of asserting it away). 100 TB shape: rides q156's audited plan;
-    // the schedule itself is two keyed aggregations over the
-    // #chunks-row pack table; output #sources rows. ----
-    QueryDef("q227_grad_accum", gradAccumOracle) { (s, dir) =>
-      val steps = Registry.byName("q156_bpe_pack").build(s, dir)
-        .withColumn("step", expr("chunk DIV 4"))
-        .groupBy(col("source"), col("step"))
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(col("n_tokens")).cast(LongType).as("step_tokens"))
-      steps.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_steps"),
-          sum(when(col("n_chunks") === 4, 1L).otherwise(0L)).cast(LongType)
-            .as("n_full_steps"),
-          sum(when(col("n_chunks") =!= 4, col("n_chunks")).otherwise(lit(0L)))
-            .cast(LongType).as("tail_chunks"),
-          coalesce(min(when(col("n_chunks") === 4, col("step_tokens"))), lit(0L))
-            .as("full_tokens_min"),
-          coalesce(max(when(col("n_chunks") === 4, col("step_tokens"))), lit(0L))
-            .as("full_tokens_max"),
-          sum(col("step_tokens")).cast(LongType).as("total_tokens"))
-        .orderBy(col("source"))
-    },
-
-    // ---- q228 (round 16): MERGE-COUNT ABLATION — the vocab-size
-    // engineering question the stored-model family can now answer
-    // cheaply (how much fertility does each doubling of the merge
-    // count buy?): the FIRST k merges of the stored 64-round model
-    // (k = 16/32/64 — a BPE model's merge list is prefix-closed, so
-    // the k-merge model IS the stored model's prefix) re-applied to
-    // the corpus word histogram via the shared fold, reporting corpus
-    // fertility and emitted-vocab size per k. The oracle reads the
-    // SAME numbers off the generated chain's intermediate rounds
-    // (v16/v32/v64), so the stored artifact's prefixes are pinned
-    // against an independently-derived training history. 100 TB
-    // shape: every leg is vocab-sized work over the one corpus-sized
-    // histogram (the q150 invariant); merge prefixes ride the q151
-    // 1-row broadcast array. ----
-    QueryDef("q228_merge_ablation", mergeAblationOracle) { (s, dir) =>
-      val (mTbl, _) = ensureBpeModel(s, dir)
-      val hist = bpeWordHist(s, dir).persist()
-      val legs = Seq(16, 32, 64).map { k =>
-        val mergesArr = s.table(mTbl).filter(col("rank") <= k)
-          .agg(sort_array(collect_list(struct(col("rank"), col("l"), col("r"))))
-            .as("ms"))
-          .select(lit(1).as("kk"), col("ms"))
-        val applied = hist
-          .withColumn("syms", split(col("w"), ""))
-          .withColumn("kk", lit(1))
-          .join(broadcast(mergesArr), Seq("kk"))
-          .select(col("freq"), expr(bpeApplySql).as("toks"))
-          .persist()
-        val stats = applied.agg(
-          sum(col("freq")).cast(LongType).as("n_words"),
-          sum(col("freq") * size(col("toks"))).cast(LongType).as("n_tokens"))
-        val vocab = applied.select(explode(col("toks")).as("t"))
-          .agg(countDistinct(col("t")).as("vocab_size"))
-        stats.crossJoin(vocab)
-          .select(lit(k.toLong).as("n_merges"), col("n_words"),
-            col("n_tokens"),
-            expr("(n_tokens * 1000000) DIV n_words").as("fertility_micro"),
-            col("vocab_size"))
-      }
-      legs.reduce(_ unionByName _).orderBy(col("n_merges"))
-    },
-
     // ---- q225 (round 16): INSPECTION SAMPLE — the human-QA appendix
     // every data card ships (reviewers eyeball a handful of docs per
     // source; the sample must be DETERMINISTIC so two auditors argue
@@ -1349,111 +710,6 @@ object Pipeline {
         .select(col("source"), col("rk"), col("doc_id"), col("n_tok"),
           col("text_md5"))
         .orderBy(col("source"), col("rk"))
-    },
-
-    // ---- q226 (round 16): DUPLICATE FLOW MATRIX — governance insight
-    // on top of the near-dup machinery (operators q41/q76 find and
-    // resolve duplicates; a corpus owner also needs to know WHERE they
-    // flow — which sources mirror which, the scraper-ecology question
-    // behind robots policies and source weighting): q41's candidate
-    // pairs (the registry operator invoked verbatim, the q138
-    // convention) are mapped to source pairs via two keyed joins
-    // against the doc→source dictionary, canonicalized
-    // (least, greatest) so the matrix is upper-triangular, with the
-    // within-source diagonal flagged. 100 TB shape: the pair frame is
-    // q41's audited banded join output (never all-pairs); two keyed
-    // equi joins; the matrix is ≤ #sources² rows. ----
-    QueryDef("q226_dup_flow_matrix", dupFlowOracle) { (s, dir) =>
-      val pairs = Registry.byName("q41_near_dup").build(s, dir)
-      val src = T(s, dir, "documents").select(col("doc_id"), col("source"))
-      pairs
-        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
-          Seq("doc_a"))
-        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
-          Seq("doc_b"))
-        .select(least(col("sa"), col("sb")).as("src_a"),
-          greatest(col("sa"), col("sb")).as("src_b"))
-        .groupBy(col("src_a"), col("src_b"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .select(col("src_a"), col("src_b"), col("n_pairs"),
-          (col("src_a") === col("src_b")).cast(IntegerType).as("within_source"))
-        .orderBy(col("src_a"), col("src_b"))
-    },
-
-    // ---- line-level exact dedup with document reconstruction (the
-    // C4/RefinedWeb line-dedup op — doc-level q40 keeps or drops whole
-    // documents; this deduplicates WITHIN them): segment each document
-    // into fixed 5-word "lines" (the boundary rule is a parameter — real
-    // corpora split on newlines), keep each line's corpus-wide FIRST
-    // occurrence (ordered by doc_id, seg_idx: deterministic, not
-    // dropDuplicates), and rebuild every document from its surviving
-    // lines in order. 100 TB shape: two keyed shuffles over segment
-    // data — the 60-bit segment hash (the dedup) and doc_id (the
-    // reassembly) — plus a slim (doc_id, n_segs) join that re-attaches
-    // fully-duplicate documents (they survive with n_kept=0, md5('')).
-    // The rebuilt text is proven, not assumed: its md5 is part of the
-    // hash-checked output. ----
-    QueryDef("q98_line_dedup", lineDedupOracle) { (s, dir) =>
-      val ws = split(lower(col("text")), " ")
-      // Two consumers (segment explode + the n_segs re-attach join):
-      // persist, one corpus scan + tokenize — not two (q85/q88/q99 rule).
-      // Null-text guard matches q96/q99 (and the oracle): without it,
-      // size(NULL ws) diverges from DuckDB's zero-segment expansion.
-      val base = T(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), ws.as("ws"))
-        .withColumn("n_segs", ceil(size(col("ws")) / lit(LineWords.toDouble)).cast(LongType))
-        .persist()
-      val segs = base
-        .select(col("doc_id"), col("ws"),
-          explode(sequence(lit(0L), col("n_segs") - 1)).as("seg_idx"))
-        .select(col("doc_id"), col("seg_idx"),
-          array_join(
-            slice(col("ws"), (col("seg_idx") * LineWords + 1).cast(IntegerType), lit(LineWords)),
-            " ").as("seg"))
-        .withColumn("h", conv(substring(md5(col("seg")), 1, 15), 16, 10).cast(LongType))
-      val wFirst = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("seg_idx"))
-      val kept = segs.withColumn("rn", row_number().over(wFirst)).filter(col("rn") === 1)
-      val rebuilt = kept.groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_kept"),
-          md5(array_join(
-            transform(
-              array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
-              x => x.getField("seg")),
-            " ")).as("rebuilt_md5"))
-      base.select(col("doc_id"), col("n_segs"))
-        .join(rebuilt, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_segs"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("rebuilt_md5"), md5(lit(""))).as("rebuilt_md5"))
-        .orderBy(col("doc_id"))
-    },
-
-    // ---- capped inverted-index build (the index half of retrieval —
-    // q96 SCORES with corpus stats, this BUILDS the posting lists):
-    // per-term postings capped at the top-POSTK documents by tf, the
-    // q89 WindowGroupLimit trick applied to index construction — each
-    // map task ships only its POSTK best postings per term, so a
-    // stopword's posting list costs O(POSTK·tasks), never O(corpus).
-    // Per-term stats (df, total_tf) aggregate the UNCAPPED tf frame,
-    // which is persisted (two consumers — one corpus scan, not two);
-    // stats and postings are both keyed on the term, so the final join
-    // reuses the shared hashpartitioning(w): no third exchange. ----
-    QueryDef("q99_inverted_index", invertedIndexOracle) { (s, dir) =>
-      val tf = T(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("tf"))
-        .persist()
-      val stats = tf.groupBy(col("w"))
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
-      val wTop = Window.partitionBy(col("w")).orderBy(col("tf").desc, col("doc_id"))
-      val postings = tf.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= POSTK)
-      postings.join(stats, "w")
-        .select(col("w").as("term"), col("df"), col("total_tf"),
-          col("rk"), col("doc_id"), col("tf"))
-        .orderBy(col("term"), col("rk"))
     },
 
     // ---- duplicated-span detection (ExactSubstr made tractable): strided
@@ -1504,80 +760,6 @@ object Pipeline {
         .select(col("lang"), col("rk"), col("doc_id"),
           round(col("ce_raw"), 6).as("ce"), col("n_bigrams"))
         .orderBy(col("lang"), col("rk"))
-    },
-
-    // ---- hard-negative mining (contrastive-training data op): for every
-    // anchor vector, the top-3 most-similar vectors with a DIFFERENT
-    // label — the "looks close, means different" pairs an embedding
-    // model trains against. Candidates come from the q46/q54 sign-LSH
-    // bucket join (never all-pairs; the label-mismatch predicate prunes
-    // in the join itself), exact cosine runs over candidates only, and
-    // the per-anchor top-3 is a row_number<=k filter Spark turns into a
-    // partial WindowGroupLimit — each map task ships at most 3 rows per
-    // anchor. The kNN-join at 100 TB: bucket join + capped window, both
-    // keyed shuffles on compact ids. ----
-    QueryDef("q107_hard_negatives", hardNegativesOracle) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val emb = T(s, dir, "embeddings")
-      // Stored LSH bucket frame with labels (round 17, see q41): both
-      // self-join sides read the bucketed artifact in place.
-      val buckets = SketchStore.lshBuckets(s, dir)
-      val a = buckets.as("a"); val b = buckets.as("b")
-      val cand = a.join(b, col("a.t") === col("b.t") && col("a.bk") === col("b.bk")
-          && col("a.vec_id") =!= col("b.vec_id")
-          && col("a.label") =!= col("b.label"))
-        .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("neighbor"))
-        .distinct()
-      val ea = emb.select(col("vec_id").as("anchor"), col("embedding").as("emb_a"))
-      val eb = emb.select(col("vec_id").as("neighbor"), col("label").as("neg_label"),
-        col("embedding").as("emb_b"))
-      val wA = Window.partitionBy(col("anchor")).orderBy(col("cos_r").desc, col("neighbor"))
-      cand.join(ea, "anchor").join(eb, "neighbor")
-        .select(col("anchor"), col("neighbor"), col("neg_label"),
-          round(expr("cosine_similarity(emb_a, emb_b)"), 6).as("cos_r"))
-        .withColumn("rk", row_number().over(wA))
-        .filter(col("rk") <= 3)
-        .select(col("anchor"), col("rk"), col("neighbor"), col("neg_label"), col("cos_r"))
-        .orderBy(col("anchor"), col("rk"))
-    },
-
-    // ---- incremental near-dup triage (the append-only crawl-batch
-    // shape — q78's incremental idea lifted from exact hashes to
-    // MinHash-LSH): a new batch (doc_id % 10 = 0) checks its band keys
-    // against the EXISTING corpus's band index and against itself; the
-    // corpus is never re-clustered and never self-joins. At 100 TB the
-    // corpus band index is a stored bucketed table maintained across
-    // crawls — only the (small) batch is new work per ingest, so the
-    // join cost tracks the batch, not the corpus. Output: per-language
-    // batch triage (dup-vs-corpus / dup-within-batch / clean). ----
-    QueryDef("q110_incremental_near_dup", incrementalNearDupOracle) { (s, dir) =>
-      // Round 17: the standing band index this query's design comment
-      // promised is now REAL — the stored bucketed artifact
-      // (SketchStore.bands) that q41/q189 also read. The corpus/batch
-      // split filters the stored table; each probe is a keyed join
-      // against the bucketed layout.
-      val bandRows = SketchStore.bands(s, dir)
-      val corpus = bandRows.filter(col("doc_id") % 10 =!= 0)
-      val batch = bandRows.filter(col("doc_id") % 10 === 0)
-      val vsCorpus = batch.as("n").join(corpus.as("o"),
-          col("n.band") === col("o.band") && col("n.key") === col("o.key"))
-        .select(col("n.doc_id").as("doc_id"), col("n.lang").as("lang")).distinct()
-      // within-batch: flagged iff an EARLIER batch doc shares a bucket
-      // (the kept-first rule — the first occurrence stays clean)
-      val withinBatch = batch.as("a").join(batch.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key")
-            && col("a.doc_id") > col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_id"), col("a.lang").as("lang")).distinct()
-      batch.select(col("doc_id"), col("lang")).distinct()
-        .join(vsCorpus.withColumn("vs_corpus", lit(1)), Seq("doc_id", "lang"), "left")
-        .join(withinBatch.withColumn("in_batch", lit(1)), Seq("doc_id", "lang"), "left")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_batch"),
-          sum(coalesce(col("vs_corpus"), lit(0))).as("n_dup_vs_corpus"),
-          sum(coalesce(col("in_batch"), lit(0))).as("n_dup_in_batch"),
-          sum(when(coalesce(col("vs_corpus"), lit(0)) === 0
-            && coalesce(col("in_batch"), lit(0)) === 0, 1).otherwise(0)).as("n_clean"))
-        .orderBy(col("lang"))
     },
 
     // ---- leakage-safe dataset split: q34 hashes doc_id, which puts
@@ -2091,95 +1273,6 @@ object Pipeline {
         .orderBy(col("stage"))
     },
 
-    // ---- BPE tokenizer TRAINING (round 14): learn the first 24 merge
-    // rules from the corpus, distributed. The scale move is the FIRST
-    // step: one corpus-sized explode+groupBy collapses 100 TB of text to
-    // its word HISTOGRAM (vocab-sized — ~10M rows for web-scale English,
-    // kilobytes here), and every training round after that runs on the
-    // histogram, corpus-size-independent. Per round: adjacent symbol
-    // pairs are counted corpus-weighted (freq), the argmax pair (ties
-    // broken lexicographically — deterministic) becomes merge rule r,
-    // and the rule is applied to the vocab via a constant-key broadcast
-    // LEFT join (1-row build side -> BroadcastHashJoin, never a
-    // cartesian; an exhausted pair vocabulary degrades to a no-op join
-    // instead of wiping the frame). Both per-round frames are
-    // localCheckpoint'ed — vocab-sized, eager, cuts the 24-round lineage
-    // exactly like q76's propagation loop. No .collect(): the argmax
-    // stays a 1-row DataFrame end to end. ORACLE-PAIRED: the iterative
-    // loop unrolls into 24 generated chained MATERIALIZED CTE rounds
-    // (pair-count + argmax + one replace() pass per round) — see
-    // bpeOracleCtes for why replace() on the double-pipe token encoding
-    // is provably the same greedy left-to-right pass as bpeFoldSql.
-    // BpeSpec additionally pins the FULL merge table exactly against an
-    // independent in-memory reference implementation, plus determinism
-    // across runs. ----
-    QueryDef("q150_bpe_train", bpeTrainOracle) { (s, dir) =>
-      // Trains AND persists on first touch (ensureBpeModel); the query
-      // itself reads the stored 24-row merge table — the shape a model
-      // registry consumer sees. The r14 defect (every family member
-      // re-training in-query, ~7 redundant corpus scans/run) dies here.
-      val (mTbl, _) = ensureBpeModel(s, dir)
-      s.table(mTbl)
-        .select(col("rank"), col("l"), col("r"),
-          concat(col("l"), col("r")).as("merged"), col("cnt"))
-        .orderBy(col("rank"))
-    },
-
-    // ---- BPE tokenizer APPLICATION (round 14; stored-model probe since
-    // round 15): tokenize every document under the q150 model and report
-    // subword token counts — the honest token-budget unit (q34/q116's
-    // budgets count whitespace words; BPE counts are what an LLM
-    // actually consumes). The consumer PLAN contains no training: it
-    // probes the write-once tokenized-vocab table (each DISTINCT word
-    // tokenized once at model-build time; ~10M rows at web scale, read
-    // in place) with one corpus re-join on the word key — never
-    // per-document work on the merge rules. Empty-text docs keep
-    // n_words = 0 via the left re-join. ORACLE-PAIRED: DuckDB derives
-    // the same 24 rules via the unrolled CTE chain, then counts each
-    // word's tokens straight off the double-pipe encoding
-    // (n_tok = pipes/2) and replays the same corpus re-join. BpeSpec
-    // additionally pins per-doc counts exactly against the independent
-    // reference tokenizer, multilingual corpus included. ----
-    QueryDef("q151_bpe_tokenize", bpeTokenizeOracle) { (s, dir) =>
-      val perDoc = bpeDocTokens(s, dir)
-      T(s, dir, "documents").select(col("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_words"), lit(0L)).as("n_words"),
-          coalesce(col("n_tokens_bpe"), lit(0L)).as("n_tokens_bpe"))
-        .orderBy(col("doc_id"))
-    },
-
-    // ---- q156 (round 14): sequence packing in SUBWORD tokens — q36
-    // re-expressed in the budget unit an LLM actually consumes. Same
-    // greedy source-ordered packing shape as q36 (per-source running
-    // offset, 2048-token context chunks), but the per-doc length is the
-    // BPE token count from the q150-trained merge table instead of the
-    // whitespace word count. The window is PARTITIONED by source (never
-    // global); the per-doc BPE counts probe the same stored vocab as
-    // q151 (no training in the plan — round 15). Oracle derives the
-    // rules via the unrolled CTE chain and replays the identical
-    // packing window. 100 TB
-    // shape: tokenization cost = vocab + one corpus join; packing is one
-    // source-keyed window over (doc_id, n_tok) pairs — bytes per doc, and
-    // a production packer shards the stream (source, day) to bound
-    // partitions; no global sort anywhere (final ORDER BY is the
-    // chunk-count frame). ----
-    QueryDef("q156_bpe_pack", bpePackOracle) { (s, dir) =>
-      val perDoc = bpeDocTokens(s, dir)
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      T(s, dir, "documents").select(col("source"), col("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("source"), col("doc_id"),
-          coalesce(col("n_tokens_bpe"), lit(0L)).as("n_tok"))
-        .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
-        .withColumn("chunk", floor(col("start_off") / 2048))
-        .groupBy(col("source"), col("chunk"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast(LongType).as("n_tokens"))
-        .orderBy(col("source"), col("chunk"))
-    },
-
     // ---- q155: DSIR-style importance resampling (round 14; Data
     // Selection via Importance Resampling, Xie et al. 2023 — public
     // method): pick the source documents that look most like a TARGET
@@ -2384,68 +1477,6 @@ object Pipeline {
           max(when(col("pos") === 1, col("doc_id"))).as("first_doc"),
           sum(col("pos") * col("doc_id")).cast(LongType).as("order_checksum"))
         .orderBy(col("shard"))
-    },
-
-    // ---- q172 (round 14): LSH band-configuration sweep — the tuning
-    // harness behind every MinHash dedup deployment: bands×rows trades
-    // recall for candidate volume (P[candidate] = 1-(1-s^r)^b), and at
-    // 100 TB choosing wrong means either missed dupes or a quadratic
-    // candidate explosion. From the SAME 12-permutation signature
-    // (q41's kernel), three layouts — 6×2 (q41's), 4×3, 3×4 — each
-    // generate candidates by banded self-join; every pool pair's
-    // signature agreement (matching components / 12, the unbiased
-    // Jaccard estimator) grades them: precision = matched/candidates,
-    // recall vs the UNION candidate pool's matches (the standard
-    // at-scale proxy — exact ground truth would be the all-pairs join
-    // LSH exists to avoid, and the oracle replays the same pool
-    // definition). 100 TB shape: signatures scan-local; every
-    // candidate join is banded (never all-pairs); agreement joins are
-    // doc-keyed; the three 1-row totals ride audited broadcasts;
-    // output = 3 rows. ----
-    QueryDef("q172_lsh_band_sweep", lshBandSweepOracle) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val sig = T(s, dir, "documents")
-        .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sig"))
-        .filter(col("sig").isNotNull)
-        .persist() // feeds 3 band derivations + 2 agreement probes
-      def candidates(name: String, layout: Seq[Seq[Int]]): DataFrame = {
-        val br = sig.select(col("doc_id"),
-          expr(layout.zipWithIndex.map { case (ids, j) =>
-            s"$j, concat(${ids.map(i => s"sig[$i]").mkString(", '_', ")})"
-          }.mkString(s"stack(${layout.size}, ", ", ", ") as (band, key)")))
-        val a = br.as("a"); val b = br.as("b")
-        a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
-            && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-          .withColumn("config", lit(name))
-      }
-      val pairs = sweepLayouts.map { case (n, l) => candidates(n, l) }
-        .reduce(_ unionByName _).persist()
-      val pool = pairs.select(col("doc_a"), col("doc_b")).distinct()
-        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
-        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))").as("agree"))
-        .withColumn("is_match", (col("agree") >= 6).cast(IntegerType))
-        .persist()
-      val truthTotal = pool.agg(sum(col("is_match")).cast(LongType).as("pool_matches"))
-      pairs.join(pool, Seq("doc_a", "doc_b"))
-        .groupBy(col("config"))
-        .agg(count(lit(1)).as("n_candidates"),
-          sum(col("is_match")).cast(LongType).as("n_matched"))
-        .crossJoin(broadcast(truthTotal))
-        .select(col("config"), col("n_candidates"), col("n_matched"),
-          col("pool_matches"),
-          expr("(n_matched * 1000000) DIV n_candidates").as("precision_micro"),
-          // Zero-guarded (r15 ADVICE): a corpus where no pooled pair
-          // clears the Jaccard threshold has pool_matches = 0 — Spark
-          // DIV yields NULL, DuckDB // errors; both now agree on 0
-          // (q183's collision_micro convention).
-          when(col("pool_matches") > 0,
-            expr("(n_matched * 1000000) DIV pool_matches")).otherwise(lit(0L))
-            .as("recall_micro"))
-        .orderBy(col("config"))
     },
 
     // ---- q169 (round 14): greedy QUOTA-FILL selection — the mixture
@@ -2707,73 +1738,6 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
-    // ---- q162 (round 14): tokenizer fertility — the standard
-    // multilingual tokenizer eval (tokens-per-word and chars-per-token
-    // by language): a vocabulary trained on a skewed language mix
-    // "taxes" under-represented languages with more subwords per word,
-    // inflating their effective sequence lengths and training cost.
-    // MEANINGFUL since round 15: the fixture text is pure ASCII, so the
-    // metric is computed over the derived multilingual corpus
-    // (bpeCaseSql — CJK/accented/Hangul scripts per lang) with unicode
-    // word splitting; the per-lang ratios genuinely diverge (zh ~4.4
-    // tok/word vs en ~3.2 at sf0.01) instead of measuring nothing for
-    // exactly the scripts the metric exists to protect (VERDICT r14
-    // #2). n_chars counts the NFC text's codepoints, both engines.
-    // Reuses q151's per-doc BPE counts (stored-vocab probe); ratios
-    // are integer-micro DIV on the per-language sums (identical
-    // truncation both engines — all values positive). 100 TB shape:
-    // rides the vocab-sized tokenization + one corpus join; the report
-    // is one #langs-row aggregate off the doc-level frame. ----
-    QueryDef("q162_bpe_fertility", bpeFertilityOracle) { (s, dir) =>
-      val perDoc = bpeDocTokens(s, dir)
-      T(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), length(bpeTextCol(s)).as("nch"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(coalesce(col("n_words"), lit(0L))).cast(LongType).as("n_words"),
-          sum(coalesce(col("n_tokens_bpe"), lit(0L))).cast(LongType).as("n_tokens_bpe"),
-          sum(coalesce(col("nch"), lit(0))).cast(LongType).as("n_chars"))
-        .select(col("lang"), col("n_docs"), col("n_words"),
-          col("n_tokens_bpe"), col("n_chars"),
-          // Zero-guarded (r15 ADVICE): a lang whose docs all tokenize
-          // empty reaches this projection with n_words = 0 through the
-          // left re-join — Spark's DIV would yield NULL where DuckDB's
-          // // errors; both engines now agree on 0.
-          when(col("n_words") > 0,
-            expr("(n_tokens_bpe * 1000000) DIV n_words")).otherwise(lit(0L))
-            .as("fertility_micro"),
-          when(col("n_tokens_bpe") > 0,
-            expr("(n_chars * 1000000) DIV n_tokens_bpe")).otherwise(lit(0L))
-            .as("chars_per_token_micro"))
-        .orderBy(col("lang"))
-    },
-
-    // ---- q173 (round 15): the TRAINING-READY corpus — q151 counted
-    // subword tokens and q156 packed counts, but neither emitted what a
-    // trainer actually loads: token-ID sequences. This materializes the
-    // packed 2048-token context chunks as ID streams and pins them with
-    // an ORDER-SENSITIVE integer digest (Σ (pos_in_chunk+1)·id — the
-    // q170 reassembly rule: any reordering, drop, or duplicate shifts
-    // the checksum). IDs are the dense rank of the subword string over
-    // the final vocab's distinct tokens (binary UTF-8 order — both
-    // engines compare strings bytewise), assigned once from the STORED
-    // model; merge-rank lookups are what a tokenizer service ships.
-    // 100 TB shape: the ID dictionary is subword-vocab-sized (~100k) —
-    // its one single-partition window is a dictionary build, not a data
-    // path, and it broadcasts to the corpus join; the token stream is
-    // one corpus-sized explode with doc-local window indexes; the only
-    // cross-doc coordination is the per-source running offset over the
-    // doc-LENGTH frame (bytes per doc), the q156 packing window. ----
-    QueryDef("q173_bpe_ids", bpeIdsOracle) { (s, dir) =>
-      bpeTokenStream(s, dir)
-        .groupBy(col("source"), col("chunk"))
-        .agg(count(lit(1)).cast(LongType).as("n_tokens"),
-          sum((col("pic") + 1) * col("id")).cast(LongType).as("id_checksum"),
-          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
-        .orderBy(col("source"), col("chunk"))
-    },
-
     // ---- q174 (round 15): HTML/markup -> text extraction — the step
     // BEFORE every text operator on real web crawl (C4/RefinedWeb start
     // from fetched markup; the fixture is already-clean text, so the
@@ -2803,376 +1767,6 @@ object Pipeline {
         .select(col("doc_id"), col("title"),
           length(col("body")).as("n_chars"), md5(col("body")).as("body_md5"))
         .orderBy(col("doc_id"))
-    },
-
-    // ---- q177 (round 15): FROZEN-MODEL transfer application with OOV
-    // fallback — the production tokenizer contract: a model trained on
-    // one distribution (here: the English slice, the classic
-    // English-centric-tokenizer setup) is FROZEN and applied to
-    // everything, including words its vocab cache has never seen. Known
-    // words probe the stored en-model vocab; OOV words (most of
-    // zh/de/es/fr under this model) are DISTINCT'd first and tokenized
-    // once by folding the frozen merge list — never merges × corpus,
-    // and exactly what the model does to them (BPE degrades gracefully:
-    // unseen scripts fall back toward per-character tokens, which is
-    // the transfer tax this query measures). Output per lang: word/OOV/
-    // token counts + integer-micro OOV rate and fertility — the
-    // quantified "English tokenizer taxes other scripts" table next to
-    // q162's matched-model fertility. ORACLE: the generated CTE chain
-    // trained on the lang='en' slice, plus a second generated chain
-    // applying the SAME b_k rules to the distinct OOV words. 100 TB
-    // shape: model broadcast; OOV fold per DISTINCT word; one corpus
-    // join; #langs-row aggregate. ----
-    QueryDef("q177_bpe_transfer", bpeTransferOracle) { (s, dir) =>
-      val (mTbl, vTbl) = ensureBpeEnModel(s, dir)
-      val mergesArr = s.table(mTbl)
-        .agg(sort_array(collect_list(struct(col("rank"), col("l"), col("r"))))
-          .as("ms"))
-        .select(lit(1).as("k"), col("ms"))
-      val known = s.table(vTbl)
-        .select(col("w"), size(col("toks")).as("n_tok"), lit(0L).as("oov"))
-      val words = T(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), explode(bpeWordsCol(s)).as("w"))
-        .filter(length(col("w")) > 0)
-      val oov = words.select(col("w")).distinct()
-        .join(known.select(col("w")), Seq("w"), "left_anti")
-        .withColumn("syms", split(col("w"), ""))
-        .withColumn("k", lit(1))
-        .join(broadcast(mergesArr), Seq("k"), "left")
-        .select(col("w"),
-          size(expr(s"aggregate(ms, syms, (cur, m) -> ${bpeFoldSql("cur", "m.l", "m.r")})"))
-            .as("n_tok"),
-          lit(1L).as("oov"))
-      words.join(known.unionByName(oov), Seq("w"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(col("oov")).cast(LongType).as("n_oov_words"),
-          sum(col("n_tok")).cast(LongType).as("n_tokens_bpe"))
-        .select(col("lang"), col("n_words"), col("n_oov_words"),
-          col("n_tokens_bpe"),
-          // n_words >= 1 in every group by construction (inner join);
-          // guarded anyway so both engines agree on degenerate input
-          // (r15 ADVICE zero-guard rule).
-          when(col("n_words") > 0,
-            expr("(n_oov_words * 1000000) DIV n_words")).otherwise(lit(0L))
-            .as("oov_rate_micro"),
-          when(col("n_words") > 0,
-            expr("(n_tokens_bpe * 1000000) DIV n_words")).otherwise(lit(0L))
-            .as("fertility_micro"))
-        .orderBy(col("lang"))
-    },
-
-    // ---- q180 (round 15): cross-document EXACT SUBSTRING dedup (Lee
-    // et al. 2021, "Deduplicating Training Data Makes Language Models
-    // Better") — the span-level sibling of q40 (doc-level) and q98
-    // (fixed-segment line-level): any word-8-gram occurring >= 2 times
-    // in the corpus (across docs OR repeated within one) keeps only
-    // its canonical occurrence (min (doc_id, pos) — lexicographic
-    // struct min, identical both engines); every OTHER occurrence's
-    // 8-token span is excised and the doc rebuilt from the surviving
-    // positions with q164's accounting + ordered-reassembly md5, so
-    // any off-by-one in the span arithmetic hash-fails. Unlike q141
-    // (segment-frequency boilerplate, alignment-sensitive) the match
-    // is position-free: a quoted passage is cut wherever it reappears,
-    // at any offset. 100 TB shape: the gram explode is scan-local; the
-    // ONE corpus-sized shuffle keys on the 60-bit gram hash (the
-    // irreducible Lee-et-al shuffle — the dup groupBy and the
-    // occurrence join SHARE it via the persisted occ frame); span
-    // coverage distinct and reassembly are doc-keyed; nothing is ever
-    // all-pairs. ----
-    QueryDef("q180_substring_dedup", substringDedupOracle) { (s, dir) =>
-      val d = T(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-        .persist() // feeds gram explode + word spine + output spine
-      // Docs shorter than SpanK words have no grams in either engine
-      // (DuckDB's generate_series(1, n-7) is empty at n < 8; Spark's
-      // sequence would count DOWN — the filter keeps parity).
-      val occ = d
-        .filter(size(col("ws")) >= SpanK)
-        .select(col("doc_id"), col("ws"),
-          explode(sequence(lit(1), size(col("ws")) - (SpanK - 1))).as("pos"))
-        .select(col("doc_id"), col("pos"),
-          conv(substring(
-              md5(array_join(slice(col("ws"), col("pos"), lit(SpanK)), " ")),
-              1, 15), 16, 10).cast(LongType).as("h"))
-        .persist() // feeds the dup groupBy AND the join back (q85 rule)
-      val dup = occ.groupBy(col("h"))
-        .agg(count(lit(1)).as("c"),
-          min(struct(col("doc_id"), col("pos"))).as("keep"))
-        .filter(col("c") >= 2)
-        .select(col("h"), col("keep.doc_id").as("kd"), col("keep.pos").as("kp"))
-      val covered = occ.join(dup, Seq("h"))
-        .filter(!(col("doc_id") === col("kd") && col("pos") === col("kp")))
-        .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + (SpanK - 1))).as("pos"))
-        .distinct()
-      val words = d
-        .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "w")))
-        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
-      val reb = words.join(covered, Seq("doc_id", "pos"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          md5(array_join(
-            transform(
-              array_sort(collect_list(struct(col("pos"), col("w")))),
-              x => x.getField("w")),
-            " ")).as("rebuilt_md5"))
-      d.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_words"))
-        .join(reb, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_words"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
-          coalesce(col("rebuilt_md5"), md5(lit(""))).as("rebuilt_md5"))
-        .orderBy(col("doc_id"))
-    },
-
-    // ---- q189 (round 15; round 16 adds families 4-5): cross-METHOD
-    // near-dup selection harness — q172 tunes one family's (bands ×
-    // rows) dial; a pipeline first has to pick the FAMILY. FIVE
-    // families, every dedup family the repo owns: MinHash-LSH (q41's
-    // 6×2 bands), SimHash pigeonhole (q44's 4×8-bit chunks, hamming
-    // ≤ 3 verified), rare-shingle Jaccard (q45's df ≤ 4 inverted
-    // index, ≥ 3 shared) over documents — graded by EXACT word-3-gram
-    // Jaccard (integer micros, ≥ 0.5) — plus q54's sign-LSH buckets
-    // and q100's semantic (k-means cell-scoped) candidates over
-    // embeddings — graded by exact cosine at the shared q100 τ, with
-    // the q74 round-before-compare rule. Each modality's recall is vs
-    // ITS pooled candidates (the q172 convention: exact corpus-wide
-    // truth would be the all-pairs join these methods exist to
-    // avoid). The output is the method-selection table: candidates /
-    // matched / precision / recall per family on identical data.
-    // 100 TB shape: every candidate generator is a banded/bucketed/
-    // cell-scoped equi self-join over a persisted sketch frame (never
-    // all-pairs); grading joins each pool (pairs, not corpus) against
-    // persisted gram sets / embeddings; the two 1-row pool totals
-    // ride audited broadcasts. ----
-    QueryDef("q189_dedup_method_sweep", dedupMethodSweepOracle) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      // Round 17 (VERDICT r16 #1): the sweep is now the INCREMENTAL
-      // consumer of the standing dedup index — it reads the write-once
-      // SketchStore PAIR artifacts (each materialized once from the
-      // same stored sketch frames the per-family generators join) and
-      // pays only for grading: pool joins against the stored per-doc
-      // gram sets / the broadcast-sized embeddings, scan-local set /
-      // cosine arithmetic per pair, dictionary-sized rollups. The
-      // generators (q41/q44/q45/q54/q100) still price their candidate
-      // joins inline; and this query's oracle recomputes ALL five
-      // families from raw text/embeddings in DuckDB, so a stale or
-      // drifted pair artifact is a hash FAIL, never a silent win.
-      val mhPairs = SketchStore.mhPairs(s, dir).withColumn("config", lit("minhash_6x2"))
-      val shPairs = SketchStore.simPairs(s, dir).withColumn("config", lit("simhash_h3"))
-      val ngPairs = SketchStore.rarePairs(s, dir).withColumn("config", lit("ngram_rare"))
-      val pairs = mhPairs.unionByName(shPairs).unionByName(ngPairs).persist()
-      // Exact-Jaccard grade over the pooled pairs only: each doc's
-      // distinct-shingle SET rides as one sorted array (the stored
-      // docsets artifact), the pool joins twice on doc id, and |A∩B|
-      // is one scan-local array_intersect per pair — no pair x gram
-      // shuffle anywhere in the grading.
-      val docSets = SketchStore.docGramSets(s, dir)
-      val pool = pairs.select(col("doc_a"), col("doc_b")).distinct()
-      val graded = pool
-        .join(docSets.select(col("doc_id").as("doc_a"),
-          col("gs").as("gsa"), col("nsh").as("na")), Seq("doc_a"))
-        .join(docSets.select(col("doc_id").as("doc_b"),
-          col("gs").as("gsb"), col("nsh").as("nb")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("gsa"), col("gsb"))).cast(LongType).as("i"),
-          col("na"), col("nb"))
-        .withColumn("is_match",
-          (expr("(i * 1000000) DIV (na + nb - i)") >= JaccTauMicro).cast(IntegerType))
-        .persist()
-      val truthTotal = graded.agg(sum(col("is_match")).cast(LongType).as("pool_matches"))
-      val textStats = pairs
-        .join(graded.select(col("doc_a"), col("doc_b"), col("is_match")),
-          Seq("doc_a", "doc_b"))
-        .groupBy(col("config"))
-        .agg(count(lit(1)).as("n_candidates"),
-          sum(col("is_match")).cast(LongType).as("n_matched"))
-        .crossJoin(broadcast(truthTotal))
-      // Families 4-5 (round 16, r15 VERDICT #4): the EMBEDDING-space
-      // dedup methods — q54's sign-LSH buckets and q100's semantic
-      // (k-means cell-scoped) candidates — graded by exact cosine at
-      // the q100 τ with the q74 rule (round(cos, 6) before compare, so
-      // both engines decide identically). Their pool/truth is cosine
-      // over the POOLED embedding pairs only — same affordability
-      // argument as the text families' pooled Jaccard.
-      val emb = T(s, dir, "embeddings")
-      val lshPairs = SketchStore.lshPairs(s, dir).withColumn("config", lit("sign_lsh"))
-      val semPairs = SketchStore.semPairs(s, dir).withColumn("config", lit("semantic_cell"))
-      val epairs = lshPairs.unionByName(semPairs).persist()
-      val epool = epairs.select(col("va"), col("vb")).distinct()
-      val egraded = epool
-        .join(emb.select(col("vec_id").as("va"), col("embedding").as("emb_a")), "va")
-        .join(emb.select(col("vec_id").as("vb"), col("embedding").as("emb_b")), "vb")
-        .select(col("va"), col("vb"),
-          (round(expr("cosine_similarity(emb_a, emb_b)"), 6) >= KmeansShared.SemCos)
-            .cast(IntegerType).as("is_match"))
-        .persist() // feeds the 1-row truth total AND the per-config stats
-      val etot = egraded.agg(sum(col("is_match")).cast(LongType).as("pool_matches"))
-      // merge hint: the pair-keyed stats join is pool × pool — both
-      // sides grow with the corpus, so at scale it is a co-partitioned
-      // sort-merge join; pinning it keeps the 1x/10x plan shapes
-      // identical for the scale-stress comparison (the q158 rule).
-      val embStats = epairs.join(egraded.hint("merge"), Seq("va", "vb"))
-        .groupBy(col("config"))
-        .agg(count(lit(1)).as("n_candidates"),
-          sum(col("is_match")).cast(LongType).as("n_matched"))
-        .crossJoin(broadcast(etot))
-      textStats.unionByName(embStats)
-        .select(col("config"), col("n_candidates"), col("n_matched"),
-          col("pool_matches"),
-          expr("(n_matched * 1000000) DIV n_candidates").as("precision_micro"),
-          // Zero-guarded (r15 ADVICE): a corpus where no pooled pair
-          // clears the threshold has pool_matches = 0 — Spark DIV
-          // yields NULL, DuckDB // errors; both now agree on 0
-          // (q183's collision_micro convention).
-          when(col("pool_matches") > 0,
-            expr("(n_matched * 1000000) DIV pool_matches")).otherwise(lit(0L))
-            .as("recall_micro"))
-        .orderBy(col("config"))
-    },
-
-    // ---- q192 (round 15): PACKED-SEQUENCE ATTENTION BOUNDARIES —
-    // the metadata q173's packing is not trainable WITHOUT: packing
-    // concatenates documents into 2048-token chunks, and a trainer
-    // that lets attention flow across the internal document joins
-    // corrupts every sequence (the block-diagonal attention-mask /
-    // position-id-reset requirement). From the stored-model per-doc
-    // token counts alone (doc-level arithmetic — the token stream is
-    // NEVER exploded here), each doc's [start, end) span is
-    // intersected with the chunks it crosses; per (source, chunk):
-    // segment count, packed tokens (cross-checks q173's n_tokens),
-    // max segment length, and an order-sensitive boundary checksum
-    // Σ (local_start+1)·doc_id — a shifted boundary, a lost segment,
-    // or a wrong chunk split hash-fails. ORACLE: the generated BPE
-    // chain's perdoc CTE + the same window/intersection arithmetic.
-    // 100 TB shape: ONE doc-level window per source (doc-COUNT rows,
-    // not token count); chunk spans explode to ~(n_tok/2048 + 1) rows
-    // per doc; the report aggregate is chunk-keyed. ----
-    QueryDef("q192_pack_boundaries", packBoundariesOracle) { (s, dir) =>
-      val perDoc = bpeDocTokens(s, dir).filter(col("n_tokens_bpe") > 0)
-      val offs = T(s, dir, "documents")
-        .select(col("doc_id"), col("source"))
-        .join(perDoc.select(col("doc_id"), col("n_tokens_bpe").as("nt")), Seq("doc_id"))
-        .withColumn("start_off",
-          sum(col("nt")).over(Window.partitionBy(col("source"))
-            .orderBy(col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("nt"))
-      val segs = offs
-        .select(col("source"), col("doc_id"), col("start_off"), col("nt"),
-          explode(sequence(expr("start_off DIV 2048"),
-            expr("(start_off + nt - 1) DIV 2048"))).as("chunk"))
-        .withColumn("ls", greatest(lit(0L), col("start_off") - col("chunk") * 2048))
-        .withColumn("le",
-          least(lit(2048L), col("start_off") + col("nt") - col("chunk") * 2048))
-      segs.groupBy(col("source"), col("chunk"))
-        .agg(count(lit(1)).as("n_segments"),
-          sum(col("le") - col("ls")).cast(LongType).as("n_tokens"),
-          max(col("le") - col("ls")).cast(LongType).as("max_seg_len"),
-          sum((col("ls") + 1) * col("doc_id")).cast(LongType).as("boundary_checksum"))
-        .orderBy(col("source"), col("chunk"))
-    },
-
-    // ---- q196 (round 15): TOKENIZER VOCAB PRUNING — the model-
-    // lifecycle op (tokenizer distillation / embedding-matrix diet):
-    // merges whose MERGED symbol carries < 1% of the corpus's final
-    // tokens are dropped (fixture usage spans 0.7-2.0%, so the cut
-    // genuinely bites: 9 of 24 merges survive), every word is re-tokenized under the pruned
-    // rule list, and the per-language fertility cost is measured.
-    // Deliberately NAIVE usage-based pruning — a dropped intermediate
-    // merge also breaks every later merge that consumed its output,
-    // and the cost table makes that chain-break tax visible instead of
-    // hiding it (the honest version of the experiment). Usage rides
-    // the stored vocab (token explode × stored freq — vocab-sized, no
-    // corpus rescan); re-tokenization is the q177 fold with the PRUNED
-    // broadcast rule array over distinct words; the report joins the
-    // corpus once. ORACLE: the generated chain + a usage CTE
-    // (replace-count over the final tokenizations) + 24 CONDITIONAL
-    // re-apply rounds, each a no-op when its rank was pruned. 100 TB
-    // shape: usage/prune/re-tokenize are all vocab-sized; the merge
-    // array broadcasts; ONE corpus join for the report. ----
-    QueryDef("q196_vocab_prune", vocabPruneOracle) { (s, dir) =>
-      val (mTbl, vTbl) = ensureBpeModel(s, dir)
-      val tokUse = s.table(vTbl)
-        .select(col("freq"), explode(col("toks")).as("token"))
-        .groupBy(col("token")).agg(sum(col("freq")).cast(LongType).as("used"))
-      val tot = s.table(vTbl)
-        .agg(sum(col("freq") * size(col("toks"))).cast(LongType).as("total"))
-      val keptArr = s.table(mTbl)
-        .withColumn("token", concat(col("l"), col("r")))
-        .join(tokUse, Seq("token"), "left")
-        .crossJoin(broadcast(tot))
-        .filter(coalesce(col("used"), lit(0L)) * 100 >= col("total"))
-        .agg(sort_array(collect_list(struct(col("rank"), col("l"), col("r"))))
-          .as("ms"))
-        .select(lit(1).as("k"), col("ms"))
-      val pruned = s.table(vTbl)
-        .withColumn("syms", split(col("w"), ""))
-        .withColumn("k", lit(1))
-        .join(broadcast(keptArr), Seq("k"), "left")
-        .select(col("w"), size(col("toks")).as("nt_full"),
-          size(expr(bpeApplySql)).as("nt_pruned"),
-          size(col("ms")).as("n_kept"))
-      val words = T(s, dir, "documents")
-        .select(col("lang"), explode(bpeWordsCol(s)).as("w"))
-        .filter(length(col("w")) > 0)
-      words.join(pruned, Seq("w"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(col("nt_full")).cast(LongType).as("n_tokens_full"),
-          sum(col("nt_pruned")).cast(LongType).as("n_tokens_pruned"),
-          max(col("n_kept")).cast(LongType).as("n_merges_kept"))
-        .select(col("lang"), col("n_words"), col("n_tokens_full"),
-          col("n_tokens_pruned"), col("n_merges_kept"),
-          // n_tokens_full >= 1 per group (inner join, >=1 token/word);
-          // guarded for cross-engine agreement on degenerate input.
-          when(col("n_tokens_full") > 0,
-            expr("(n_tokens_pruned * 1000000) DIV n_tokens_full")).otherwise(lit(0L))
-            .as("cost_micro"))
-        .orderBy(col("lang"))
-    },
-
-    // ---- q197 (round 15): FRAME-FINGERPRINT VIDEO DEDUP — the
-    // multimodal family's dedup layer (q49 decodes, q60 samples
-    // frames; production then DEDUPS re-uploads by indexing frame
-    // fingerprints): every video's sampled frames (the q60
-    // decode→resize→sample batch pass, real iterator-to-iterator
-    // executor plumbing) land in a frame-hash inverted index, and
-    // pairs sharing ≥ 2 sampled frames are duplicates. The corpus
-    // PLANTS re-uploads (every doc_id%10=9 video carries its
-    // predecessor's payload — the same derived-media convention as
-    // q49/q174); with the STUB frame hash (md5-keyed, the documented
-    // environment seam) exactly the re-encoded copies collide, so the
-    // planted positives are the ground truth, and swapping in a real
-    // perceptual hash changes ONE function while this operator's
-    // index/join shape — the part that must scale — stays. 100 TB
-    // shape: decode/sample are partition-local batch passes; the ONE
-    // shuffle keys on the 60-bit frame hash (the inverted index both
-    // self-join sides read from cache); pair aggregation is
-    // pair-keyed; never all-pairs. ----
-    QueryDef("q197_frame_dedup", frameDedupOracle) { (s, dir) =>
-      val base = T(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("text"))
-        .persist() // feeds both sides of the predecessor alias join
-      val m = base
-        .join(base.select((col("doc_id") + 1).as("doc_id"), col("text").as("ptext")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(when(col("doc_id") % 10 === 9, col("ptext")), col("text")).as("pt"))
-      val media = m.select(col("doc_id"),
-        encode(col("pt"), "UTF-8").as("payload"), lit("mp4").as("format"))
-      val fr = graft.pipeline.Multimodal.sampleFramesDf(media, 128, 2)
-        .select(col("doc_id"), col("frame_hash"))
-        .persist() // the frame inverted index; feeds both self-join sides
-      fr.as("a").join(fr.as("b"),
-          col("a.frame_hash") === col("b.frame_hash")
-            && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-        .orderBy(col("doc_a"), col("doc_b"))
     },
 
     // ---- q198 (round 15): COLLOCATION MINING (pointwise mutual
@@ -3253,96 +1847,6 @@ object Pipeline {
         .orderBy(col("shard"))
     },
 
-    // ---- q205 (round 16): SFT LOSS MASKING — the objective-
-    // construction step for instruction tuning (q184 builds the T5
-    // denoising pair; causal SFT instead trains on the SAME token
-    // stream with the PROMPT positions masked out of the loss): the
-    // deterministic prompt/completion split takes the first
-    // ceil(n_words/3) word positions as the prompt, every BPE token id
-    // under them is loss-masked (the -100 convention), and the doc row
-    // pins both streams with order-sensitive integer checksums —
-    // Σ (tok_idx+1)·id over ALL tokens (the input) and over completion
-    // tokens only (the labels). A shifted boundary, a dropped token,
-    // or a wrong id mapping hash-fails; input = prompt ⊕ labels by
-    // construction (checksum additivity, CurationSpec-pinned). 100 TB
-    // shape: rides the STORED vocab (one corpus word join, vocab-sized
-    // id dictionary broadcast); one doc-keyed window for tok_idx + one
-    // doc-keyed agg; output #docs rows. ----
-    QueryDef("q205_sft_mask", sftMaskOracle) { (s, dir) =>
-      val (_, vTbl) = ensureBpeModel(s, dir)
-      val ids = s.table(vTbl)
-        .select(explode(col("toks")).as("token")).distinct()
-        .withColumn("id",
-          row_number().over(Window.orderBy(col("token"))).cast(LongType))
-      val lens = T(s, dir, "documents")
-        .select(col("doc_id"), size(bpeWordsCol(s)).as("nw"))
-      bpeCorpusWords(s, dir)
-        .join(s.table(vTbl).select(col("w"), col("toks")), Seq("w"))
-        .select(col("doc_id"), col("wp"), posexplode(col("toks")))
-        .toDF("doc_id", "wp", "tp", "token")
-        .join(broadcast(ids), Seq("token"))
-        .withColumn("tok_idx",
-          (row_number().over(Window.partitionBy(col("doc_id"))
-            .orderBy(col("wp"), col("tp"))) - 1).cast(LongType))
-        .join(lens, Seq("doc_id"))
-        // wp is 0-based here (wp < cut); the oracle's wp is 1-based
-        // (wp <= cut) — both select the identical first-cut-words prefix.
-        .withColumn("is_prompt",
-          (col("wp") < expr("(nw + 2) DIV 3")).cast(IntegerType))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("is_prompt")).cast(LongType).as("n_prompt_tokens"),
-          sum(lit(1) - col("is_prompt")).cast(LongType).as("n_trainable_tokens"),
-          sum((col("tok_idx") + 1) * col("id")).cast(LongType).as("input_checksum"),
-          sum(when(col("is_prompt") === 0, (col("tok_idx") + 1) * col("id"))
-            .otherwise(lit(0L))).cast(LongType).as("label_checksum"))
-        .orderBy(col("doc_id"))
-    },
-
-    // ---- q213 (round 16): DETOKENIZATION ROUND-TRIP — the lifecycle
-    // pin the tokenizer family still lacked (q151 encodes, q173 packs,
-    // q205 masks; nothing yet PROVES decode(encode(corpus)) == corpus
-    // — the property that makes a stored tokenizer safe to ship, and
-    // exactly what a corrupted vocab artifact, a drifted apply rule,
-    // or a lossy pre-tokenization would break): every corpus word is
-    // re-joined to the STORED vocab artifact, its pieces concatenated
-    // back (BPE merges only ever concatenate adjacent symbols, so the
-    // reassembly must be byte-identical), and per source the query
-    // ships word/lossless counts plus an order-pinned digest of the
-    // DETOKENIZED corpus against the same digest of the source words —
-    // is_match = 1 or the artifact is unshippable. 100 TB shape: ONE
-    // vocab equi-join (vocab-sized build side) + per-doc digests
-    // (bounded by doc length, the q98/q170 rule) + per-source
-    // digest-of-digests; no corpus-sized sort, no driver state. ----
-    QueryDef("q213_detok_roundtrip", detokRoundtripOracle) { (s, dir) =>
-      val (_, vTbl) = ensureBpeModel(s, dir)
-      val words = bpeCorpusWords(s, dir)
-        .join(s.table(vTbl).select(col("w"), col("toks")), Seq("w"))
-        .select(col("source"), col("doc_id"), col("wp"), col("w"),
-          array_join(col("toks"), "").as("rw"))
-      val perDoc = words.groupBy(col("source"), col("doc_id"))
-        .agg(count(lit(1)).as("nw"),
-          sum((col("rw") === col("w")).cast(LongType)).cast(LongType).as("nl"),
-          md5(array_join(
-            transform(array_sort(collect_list(struct(col("wp"), col("rw")))),
-              x => x.getField("rw")), " ")).as("rmd5"),
-          md5(array_join(
-            transform(array_sort(collect_list(struct(col("wp"), col("w")))),
-              x => x.getField("w")), " ")).as("smd5"))
-      perDoc.groupBy(col("source"))
-        .agg(sum(col("nw")).cast(LongType).as("n_words"),
-          sum(col("nl")).cast(LongType).as("n_lossless"),
-          md5(array_join(
-            transform(array_sort(collect_list(struct(col("doc_id"), col("rmd5")))),
-              x => x.getField("rmd5")), ",")).as("detok_md5"),
-          md5(array_join(
-            transform(array_sort(collect_list(struct(col("doc_id"), col("smd5")))),
-              x => x.getField("smd5")), ",")).as("source_md5"))
-        .select(col("source"), col("n_words"), col("n_lossless"),
-          col("detok_md5"), col("source_md5"),
-          (col("detok_md5") === col("source_md5")).cast(IntegerType).as("is_match"))
-        .orderBy(col("source"))
-    }
   )
 
   /** q200's curated keep set — HTML extract → PII redact → quality
@@ -3402,67 +1906,6 @@ object Pipeline {
       |  MAX(rms) AS max_rms,
       |  CAST(SUM(rms) AS BIGINT) AS sum_rms
       |FROM q GROUP BY lang ORDER BY lang""".stripMargin
-
-  /** DuckDB mirror of q180: same 60-bit gram hash, same lexicographic
-    * struct-min canonical pick, same span arithmetic, same ordered
-    * reassembly digest. */
-  private def substringDedupOracle: String =
-    s"""WITH w AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS ws
-       |  FROM documents WHERE text IS NOT NULL),
-       |occ AS (
-       |  SELECT doc_id, CAST(i AS INT) AS pos,
-       |    ('0x' || substr(md5(array_to_string(ws[i : i + ${SpanK - 1}], ' ')), 1, 15))::BIGINT AS h
-       |  FROM w, unnest(generate_series(1, len(ws) - ${SpanK - 1})) AS u(i)),
-       |dup AS (
-       |  SELECT h, min(struct_pack(d := doc_id, p := pos)) AS keep
-       |  FROM occ GROUP BY h HAVING count(*) >= 2),
-       |cov AS (
-       |  SELECT DISTINCT o.doc_id, o.pos + off AS cp
-       |  FROM occ o JOIN dup USING (h),
-       |    unnest(generate_series(0, ${SpanK - 1})) AS u(off)
-       |  WHERE NOT (o.doc_id = dup.keep.d AND o.pos = dup.keep.p)),
-       |words AS (
-       |  SELECT doc_id, CAST(p AS INT) AS pos, ws[p] AS wd
-       |  FROM w, unnest(generate_series(1, len(ws))) AS u(p)),
-       |kept AS (
-       |  SELECT words.doc_id, words.pos, words.wd FROM words
-       |  LEFT JOIN cov ON words.doc_id = cov.doc_id AND words.pos = cov.cp
-       |  WHERE cov.cp IS NULL),
-       |agg AS (
-       |  SELECT doc_id, count(*) AS n_kept,
-       |    md5(string_agg(wd, ' ' ORDER BY pos)) AS rebuilt_md5
-       |  FROM kept GROUP BY doc_id)
-       |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
-       |  COALESCE(agg.n_kept, 0) AS n_kept,
-       |  CAST(len(w.ws) AS BIGINT) - COALESCE(agg.n_kept, 0) AS n_cut,
-       |  COALESCE(agg.rebuilt_md5, md5('')) AS rebuilt_md5
-       |FROM w LEFT JOIN agg USING (doc_id)
-       |ORDER BY w.doc_id""".stripMargin
-
-  /** DuckDB mirror of q192: the generated chain's perdoc CTE + the same
-    * per-source offset window and chunk-intersection arithmetic. */
-  private def packBoundariesOracle: String =
-    bpeOracleCtes(BpeMerges) + bpeOracleDocCtes +
-      """,
-        |off AS (
-        |  SELECT d.source, p.doc_id, p.n_tokens_bpe AS nt,
-        |    CAST(sum(p.n_tokens_bpe) OVER (PARTITION BY d.source ORDER BY p.doc_id
-        |      ROWS UNBOUNDED PRECEDING) - p.n_tokens_bpe AS BIGINT) AS start_off
-        |  FROM perdoc p JOIN documents d USING (doc_id)
-        |  WHERE p.n_tokens_bpe > 0),
-        |segs AS (
-        |  SELECT source, doc_id, start_off, nt, CAST(c AS BIGINT) AS chunk,
-        |    greatest(0, start_off - c * 2048) AS ls,
-        |    least(2048, start_off + nt - c * 2048) AS le
-        |  FROM off, unnest(generate_series(start_off // 2048,
-        |    (start_off + nt - 1) // 2048)) AS u(c))
-        |SELECT source, chunk, count(*) AS n_segments,
-        |  CAST(sum(le - ls) AS BIGINT) AS n_tokens,
-        |  CAST(max(le - ls) AS BIGINT) AS max_seg_len,
-        |  CAST(sum((ls + 1) * doc_id) AS BIGINT) AS boundary_checksum
-        |FROM segs GROUP BY source, chunk
-        |ORDER BY source, chunk""".stripMargin
 
   /** DuckDB mirror of q200: q174's regex extraction chain + q181's
     * injection/redaction (shared constants) + the gate + digest
@@ -3550,243 +1993,6 @@ object Pipeline {
       |WHERE b.c_xy >= 5
       |ORDER BY pmi_micro DESC, b.w1, b.w2
       |LIMIT 40""".stripMargin
-
-  /** DuckDB mirror of q197: replays the payload aliasing, the stub
-    * frame-count arithmetic (1 + h1 mod 7, every-2nd sampled) and the
-    * md5-keyed frame hash, then the same shared-frame pair rule. */
-  private def frameDedupOracle: String =
-    """WITH base AS (
-      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-      |m AS (
-      |  SELECT b.doc_id,
-      |    COALESCE(CASE WHEN b.doc_id % 10 = 9 THEN p.text END, b.text) AS pt
-      |  FROM base b LEFT JOIN base p ON p.doc_id = b.doc_id - 1),
-      |f AS (
-      |  SELECT doc_id, md5(pt) AS ph,
-      |    ('0x' || substr(md5(pt), 1, 8))::BIGINT AS h1
-      |  FROM m),
-      |n AS (SELECT doc_id, ph, 1 + h1 % 7 AS nf FROM f),
-      |fr AS (
-      |  SELECT doc_id,
-      |    ('0x' || substr(md5(ph || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS fh
-      |  FROM n, unnest(generate_series(1, nf, 2)) AS u(i)),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-      |  FROM fr a JOIN fr b ON a.fh = b.fh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2 HAVING count(*) >= 2)
-      |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
-      |FROM pairs
-      |ORDER BY doc_a, doc_b""".stripMargin
-
-  /** DuckDB mirror of q196: the generated chain, a usage CTE (replace-
-    * count over the final tokenizations × stored freq), and 24
-    * CONDITIONAL re-apply rounds — each round's replace runs only when
-    * its rank survived the usage threshold. */
-  private def vocabPruneOracle: String = {
-    val mlist = (1 to BpeMerges)
-      .map(k => s"SELECT rank, l || r AS m FROM b$k")
-      .mkString("\n  UNION ALL ")
-    val prounds = (1 to BpeMerges).map { k =>
-      s"""p$k AS MATERIALIZED (
-         |  SELECT CASE WHEN (SELECT kept FROM keptm WHERE rank = $k) = 1
-         |    THEN coalesce(replace(s,
-         |        (SELECT '|' || l || '||' || r || '|' FROM b$k),
-         |        (SELECT '|' || l || r || '|' FROM b$k)), s)
-         |    ELSE s END AS s, freq
-         |  FROM p${k - 1})""".stripMargin
-    }.mkString(",\n")
-    bpeOracleCtes(BpeMerges) +
-      s""",
-         |mlist AS (
-         |  $mlist),
-         |tot AS (
-         |  SELECT CAST(SUM(freq * (len(s) - len(replace(s, '|', ''))) / 2) AS BIGINT)
-         |    AS total
-         |  FROM v$BpeMerges),
-         |usage AS (
-         |  SELECT ml.rank,
-         |    CAST(SUM(v.freq * (len(v.s) - len(replace(v.s, '|' || ml.m || '|', '')))
-         |         / (len(ml.m) + 2)) AS BIGINT) AS used
-         |  FROM mlist ml, v$BpeMerges v
-         |  GROUP BY ml.rank),
-         |keptm AS (
-         |  SELECT rank,
-         |    CASE WHEN used * 100 >= (SELECT total FROM tot) THEN 1 ELSE 0 END AS kept
-         |  FROM usage),
-         |p0 AS (SELECT s, freq FROM v0),
-         |$prounds,
-         |wtok AS MATERIALIZED (
-         |  SELECT translate(s, '|', '') AS w,
-         |    CAST((len(s) - len(replace(s, '|', ''))) / 2 AS BIGINT) AS n_tok
-         |  FROM v$BpeMerges),
-         |ptok AS MATERIALIZED (
-         |  SELECT translate(s, '|', '') AS w,
-         |    CAST((len(s) - len(replace(s, '|', ''))) / 2 AS BIGINT) AS n_tok
-         |  FROM p$BpeMerges),
-         |cw AS (
-         |  SELECT lang, w FROM (
-         |    SELECT lang, unnest($bpeOracleWords) AS w
-         |    FROM documents WHERE text IS NOT NULL)
-         |  WHERE len(w) > 0)
-         |SELECT cw.lang, COUNT(*) AS n_words,
-         |  CAST(SUM(wt.n_tok) AS BIGINT) AS n_tokens_full,
-         |  CAST(SUM(pt.n_tok) AS BIGINT) AS n_tokens_pruned,
-         |  (SELECT CAST(SUM(kept) AS BIGINT) FROM keptm) AS n_merges_kept,
-         |  CASE WHEN CAST(SUM(wt.n_tok) AS BIGINT) > 0 THEN
-         |    (CAST(SUM(pt.n_tok) AS BIGINT) * 1000000)
-         |      // CAST(SUM(wt.n_tok) AS BIGINT) ELSE 0 END AS cost_micro
-         |FROM cw
-         |JOIN wtok wt ON wt.w = cw.w
-         |JOIN ptok pt ON pt.w = cw.w
-         |GROUP BY cw.lang
-         |ORDER BY cw.lang""".stripMargin
-  }
-
-  /** DuckDB mirror of q189: the q41 minhash/band CTEs, the q44
-    * simhash/pigeonhole CTEs, and the q45 rare-shingle CTEs composed
-    * over one corpus, graded by the same exact integer-micro Jaccard. */
-  private def dedupMethodSweepOracle: String = {
-    val minCols = (0 until K).map(i =>
-      s"min((hp * ${hashA(i)} + ${hashB(i)}) % $P) AS m$i").mkString(",\n        ")
-    val bandSelects = bands.zipWithIndex.map { case ((x, y), j) =>
-      s"SELECT doc_id, $j AS band, m$x || '_' || m$y AS key FROM mh"
-    }.mkString("\n  UNION ALL ")
-    val bitSums = (0 until SIMBITS).map(i =>
-      s"sum((hb >> $i) & 1) AS bs$i").mkString(",\n        ")
-    val simBits = (0 until SIMBITS).map(i =>
-      s"(CASE WHEN bs$i * 2 > n THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-    val chunkSelects = (0 until SIMCHUNKS).map(j =>
-      s"SELECT doc_id, sh AS shv, $j AS ck, (sh >> ${CHUNKBITS * j}) & ${(1 << CHUNKBITS) - 1} AS cv FROM sim")
-      .mkString("\n  UNION ALL ")
-    s"""WITH words AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-       |sh3 AS (
-       |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-       |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
-       |  WHERE len(ws) >= 3),
-       |g AS (
-       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS g
-       |  FROM sh3),
-       |sizes AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY doc_id),
-       |hmh AS (
-       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS hp FROM sh3),
-       |mh AS (
-       |  SELECT doc_id,
-       |        $minCols
-       |  FROM hmh GROUP BY doc_id),
-       |bands_mh AS (
-       |  $bandSelects),
-       |cand_mh AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands_mh a JOIN bands_mh b
-       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-       |toks AS (
-       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hb
-       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)),
-       |bits AS (
-       |  SELECT doc_id, count(*) AS n,
-       |        $bitSums
-       |  FROM toks GROUP BY doc_id),
-       |sim AS (
-       |  SELECT doc_id, $simBits AS sh FROM bits),
-       |chunks AS (
-       |  $chunkSelects),
-       |cand_sh AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM chunks a JOIN chunks b
-       |    ON a.ck = b.ck AND a.cv = b.cv AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.shv, b.shv)) <= $HAMMING_MAX),
-       |rare AS (SELECT g FROM g GROUP BY g HAVING count(*) <= 4),
-       |rsh AS (SELECT g.doc_id, g.g FROM g JOIN rare USING (g)),
-       |cand_ng AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM rsh a JOIN rsh b ON a.g = b.g AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2 HAVING count(*) >= 3),
-       |pairs AS (
-       |  SELECT 'minhash_6x2' AS config, doc_a, doc_b FROM cand_mh
-       |  UNION ALL SELECT 'simhash_h3', doc_a, doc_b FROM cand_sh
-       |  UNION ALL SELECT 'ngram_rare', doc_a, doc_b FROM cand_ng),
-       |pool AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
-       |inter AS (
-       |  SELECT p.doc_a, p.doc_b, count(*) AS i
-       |  FROM pool p
-       |  JOIN g ga ON ga.doc_id = p.doc_a
-       |  JOIN g gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
-       |  GROUP BY 1, 2),
-       |graded AS (
-       |  SELECT p.doc_a, p.doc_b,
-       |    CASE WHEN (COALESCE(i.i, 0) * 1000000)
-       |              // (sa.nsh + sb.nsh - COALESCE(i.i, 0)) >= $JaccTauMicro
-       |         THEN 1 ELSE 0 END AS is_match
-       |  FROM pool p
-       |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-       |  JOIN sizes sa ON sa.doc_id = p.doc_a
-       |  JOIN sizes sb ON sb.doc_id = p.doc_b),
-       |tot AS (SELECT CAST(SUM(is_match) AS BIGINT) AS pool_matches FROM graded),
-       |exi AS (
-       |  SELECT vec_id, d, CAST(floor(embedding[d]::DOUBLE * 32768) AS BIGINT) AS xi
-       |  FROM embeddings, unnest(generate_series(1, $DIM)) AS u(d)),
-       |egrid AS (
-       |  SELECT t, p, d,
-       |    1 - 2 * (('0x' || substr(md5(t || '_' || p || '_' || d), 1, 15))::BIGINT % 2) AS sg
-       |  FROM unnest(generate_series(0, ${TABLES - 1})) AS a(t),
-       |       unnest(generate_series(0, ${PLANES - 1})) AS b(p),
-       |       unnest(generate_series(1, $DIM)) AS c(d)),
-       |eproj AS (
-       |  SELECT vec_id, t, p, sum(xi * sg) AS pr
-       |  FROM exi JOIN egrid USING (d) GROUP BY vec_id, t, p),
-       |ebucket AS (
-       |  SELECT vec_id, t, sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS bk
-       |  FROM eproj GROUP BY vec_id, t),
-       |cand_lsh AS (
-       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-       |  FROM ebucket a JOIN ebucket b
-       |    ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id),
-       |${KmeansShared.assignCte},
-       |cand_sem AS (
-       |  SELECT aa.vec_id AS va, ab.vec_id AS vb
-       |  FROM a2 aa JOIN a2 ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id),
-       |epairs AS (
-       |  SELECT 'sign_lsh' AS config, va, vb FROM cand_lsh
-       |  UNION ALL SELECT 'semantic_cell', va, vb FROM cand_sem),
-       |epool AS (SELECT DISTINCT va, vb FROM epairs),
-       |ep2 AS (
-       |  SELECT p.va, p.vb,
-       |    unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
-       |  FROM epool p
-       |  JOIN embeddings ea ON p.va = ea.vec_id
-       |  JOIN embeddings eb ON p.vb = eb.vec_id),
-       |es2 AS (
-       |  SELECT va, vb, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
-       |  FROM ep2 GROUP BY 1, 2),
-       |egraded AS (
-       |  SELECT va, vb,
-       |    CASE WHEN round(dot / (sqrt(na) * sqrt(nb)), 6) >= ${KmeansShared.SemCos}
-       |         THEN 1 ELSE 0 END AS is_match
-       |  FROM es2),
-       |etot AS (SELECT CAST(SUM(is_match) AS BIGINT) AS pool_matches FROM egraded)
-       |SELECT * FROM (
-       |  SELECT config, COUNT(*) AS n_candidates,
-       |    CAST(SUM(is_match) AS BIGINT) AS n_matched,
-       |    pool_matches,
-       |    (CAST(SUM(is_match) AS BIGINT) * 1000000) // COUNT(*) AS precision_micro,
-       |    CASE WHEN pool_matches > 0 THEN
-       |      (CAST(SUM(is_match) AS BIGINT) * 1000000) // pool_matches
-       |      ELSE 0 END AS recall_micro
-       |  FROM pairs JOIN graded USING (doc_a, doc_b), tot
-       |  GROUP BY config, pool_matches
-       |  UNION ALL
-       |  SELECT config, COUNT(*) AS n_candidates,
-       |    CAST(SUM(is_match) AS BIGINT) AS n_matched,
-       |    pool_matches,
-       |    (CAST(SUM(is_match) AS BIGINT) * 1000000) // COUNT(*) AS precision_micro,
-       |    CASE WHEN pool_matches > 0 THEN
-       |      (CAST(SUM(is_match) AS BIGINT) * 1000000) // pool_matches
-       |      ELSE 0 END AS recall_micro
-       |  FROM epairs JOIN egraded USING (va, vb), etot
-       |  GROUP BY config, pool_matches)
-       |ORDER BY config""".stripMargin
-  }
 
   /** DuckDB mirror of q157: same hashed buckets, add-1 weights and
     * prior rounded once to micros, same miss-weight fill, argmax ties
@@ -3882,70 +2088,6 @@ object Pipeline {
 
   // ---- BPE shared pieces (q150/q151/q156/q162/q173) ----
 
-  /** Merge count learned by q150 / applied by q151. 24 is deep enough to
-    * grow multi-character subwords on the fixture vocabulary while
-    * keeping the training loop's job count bench-friendly. */
-  // Compile-time constant: `defs` builds the generated oracles during
-  // object init, BEFORE later vals assign. Raised 24 → 64 in round 16
-  // (r15 VERDICT #7) after measuring the DuckDB chained-CTE oracle at
-  // sf0.01: 24 rounds 0.4 s, 64 rounds 1.5 s, 128 rounds 5.4 s — the
-  // generated chain bounds fine, so the whole family (train + every
-  // consumer + every oracle, all parameterized on this constant) moves
-  // to the larger model together. Spark-side training cost is a
-  // write-once charge (ensureBpeModel) paid in Bench's untimed warm-up.
-  private[graft] final val BpeMerges = 64
-
-  /** Transliteration alphabet for the zh corpus slice: a..p -> U+4E00..
-    * U+4E0F, q -> U+20BB7 (a 4-byte supplementary char, deliberately —
-    * it pins surrogate-pair handling through the whole distributed path
-    * AND the oracle), r..z -> U+4E10..U+4E18. Compile-time literals:
-    * the generated oracles read these during object init. */
-  private final val BpeLatin = "abcdefghijklmnopqrstuvwxyz"
-  private final val BpeCjk = "一丁丂七丄丅丆万丈三上下丌不与丏𠮷丐丑丒专且丕世丗丘"
-  // NFD building blocks (explicit escapes so no editor/encoding pass can
-  // silently precompose them): combining diaeresis after a/o, decomposed
-  // Hangul jamo GA — NFC composes all three.
-  private final val BpeDeA = "a\u0308"
-  private final val BpeDeO = "o\u0308"
-  private final val BpeDeU = "\u1100\u1161"
-
-  /** The multilingual BPE corpus, derived deterministically from the
-    * fixture (whose text is pure lowercase ASCII — vacuous for a
-    * unicode tokenizer, VERDICT r14 #2): each lang's documents are
-    * transliterated into their script with the SAME scan-local
-    * translate/replace construction in both engines, so the oracle sees
-    * byte-identical text.
-    *   - zh: letters -> CJK ideographs (incl. one 4-byte char);
-    *   - de: 'a'/'o' -> NFD combining-diaeresis sequences, 'u' -> NFD
-    *     Hangul jamo (NFC composes them to ae/oe umlauts and a Hangul
-    *     syllable — exercising canonical composition end to end);
-    *   - es/fr: vowels/c -> precomposed accents;
-    *   - en: unchanged.
-    * Shared verbatim by Spark (wrapped in graft_nfc) and DuckDB
-    * (wrapped in nfc_normalize): plain SQL, no backslashes, so the two
-    * parsers cannot diverge on escaping. */
-  private[graft] def bpeCaseSql: String =
-    s"""CASE lang
-       |      WHEN 'zh' THEN translate(lower(text), '$BpeLatin', '$BpeCjk')
-       |      WHEN 'de' THEN replace(replace(replace(lower(text),
-       |        'a', '$BpeDeA'), 'o', '$BpeDeO'), 'u', '$BpeDeU')
-       |      WHEN 'es' THEN translate(lower(text), 'aeioun', 'áéíóúñ')
-       |      WHEN 'fr' THEN translate(lower(text), 'aec', 'àéç')
-       |      ELSE lower(text) END""".stripMargin
-
-  /** NFC-normalized derived corpus text (Spark side). */
-  private[graft] def bpeTextCol(s: SparkSession): Column = {
-    graft.functions.GraftFunctions.register(s)
-    expr(s"graft_nfc($bpeCaseSql)")
-  }
-
-  /** Unicode-word pre-tokenization: letters-or-digits runs of ANY
-    * script ([^\p{L}\p{N}]+ split — Java and RE2 agree on the property
-    * classes), after NFC. Non-Latin text tokenizes for real now instead
-    * of contributing zero tokens (the r14 a-z0-9-only gap). */
-  private[graft] def bpeWordsCol(s: SparkSession): Column =
-    split(bpeTextCol(s), "[^\\p{L}\\p{N}]+")
-
   /** Unicode word features for the hashed-feature family (q155 DSIR,
     * q157 NB classifier, q158 c-TF-IDF, q161 postings): NFC-normalized
     * lowercase text split on [^\p{L}\p{N}]+ — the BPE family's rule
@@ -3972,291 +2114,6 @@ object Pipeline {
   /** The twin over an arbitrary SQL text expression. */
   private[graft] def wordFeatOracleSqlOn(e: String): String =
     s"""unnest(string_split_regex(nfc_normalize(lower($e)), '[^\\p{L}\\p{N}]+'))"""
-
-  /** Corpus -> corpus-weighted word histogram (the one corpus-sized step
-    * of the BPE family; everything downstream is vocab-sized). */
-  private[graft] def bpeWordHist(
-      s: SparkSession, dir: String, docFilter: Column = lit(true)): DataFrame =
-    T(s, dir, "documents")
-      .filter(docFilter)
-      .select(explode(bpeWordsCol(s)).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-
-  /** Corpus -> (source, doc_id, word-position, word), the exploded form
-    * every consumer re-joins to the stored vocab. */
-  private[graft] def bpeCorpusWords(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
-      .select(col("source"), col("doc_id"), posexplode(bpeWordsCol(s)))
-      .toDF("source", "doc_id", "wp", "w")
-      .filter(length(col("w")) > 0)
-
-  /** Apply a ranked merge array `ms` to a char-split `syms` column —
-    * the frozen-model application expression shared by the vocab build,
-    * q177's OOV fallback, and q179's ingest-time fallback. */
-  private[graft] def bpeApplySql: String =
-    s"aggregate(ms, syms, (cur, m) -> ${bpeFoldSql("cur", "m.l", "m.r")})"
-
-  /** One left-to-right BPE merge pass as a SQL fold: every non-
-    * overlapping adjacent (l, r) in the symbol array becomes the
-    * concatenated symbol, scanning left to right (the classic algorithm's
-    * replacement order — "aaaa" with rule (a,a) gives [aa, aa]). Shared
-    * verbatim by training and application so the two cannot drift. */
-  private def bpeFoldSql(symsExpr: String, lExpr: String, rExpr: String): String =
-    s"""aggregate($symsExpr, cast(array() as array<string>), (acc, x) ->
-       |  case when size(acc) = 0 then array(x)
-       |       when element_at(acc, -1) = $lExpr and x = $rExpr
-       |         then concat(slice(acc, 1, size(acc) - 1), array(concat($lExpr, $rExpr)))
-       |       else concat(acc, array(x)) end)""".stripMargin
-
-  /** The q150 training loop: `nMerges` rounds of corpus-weighted pair
-    * count -> deterministic argmax -> vocab-wide rule application over
-    * the supplied word histogram. Returns the merge table
-    * (rank, l, r, cnt). */
-  private[graft] def bpeTrain(hist: DataFrame, nMerges: Int): DataFrame = {
-    var words = hist
-      .withColumn("syms", split(col("w"), ""))
-      .select(col("freq"), col("syms"))
-      .localCheckpoint() // eager: corpus lineage ends here, vocab-sized
-    var merges: DataFrame = null
-    for (rank <- 1 to nMerges) {
-      val best = words
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(element_at(syms, i) as l, element_at(syms, i + 1) as r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).cast(LongType).as("cnt"))
-        .orderBy(desc("cnt"), col("l"), col("r")).limit(1)
-        .select(lit(rank).as("rank"), col("l"), col("r"), col("cnt"))
-      // NOT checkpointed: the words checkpoint below materializes best_r
-      // inside its own job, and the final merge-table materialization
-      // recomputes each best_r as one aggregate over its CHECKPOINTED
-      // words_r — linear, vocab-sized. A per-round best checkpoint would
-      // double the job count (the dominant cost of a 24-round loop).
-      merges = if (merges == null) best else merges.union(best)
-      words = words
-        .withColumn("k", lit(1))
-        .join(broadcast(best.select(lit(1).as("k"), col("l"), col("r"))), Seq("k"), "left")
-        .withColumn("syms",
-          when(col("l").isNull, col("syms"))
-            .otherwise(expr(bpeFoldSql("syms", "l", "r"))))
-        .select(col("freq"), col("syms"))
-        .localCheckpoint()
-      // Per-round eager checkpointing is MEASURED, not cargo-culted:
-      // checkpointing every 6th round instead (lazy chains between)
-      // took isolated q150 at sf0.1 from 6.4-7.2 s to 15-16 s — each
-      // broadcast argmax re-plans the un-checkpointed chain, and
-      // Catalyst optimization of the deepening nested-fold expression
-      // tree dwarfs the saved checkpoint jobs. The ~6 s the family
-      // benches is a corpus-INDEPENDENT job floor (sf0.01 and sf0.1
-      // time identically): 24 rounds x (argmax broadcast + checkpoint)
-      // of vocab-sized work — at 100 TB the same ~50 jobs amortize over
-      // the one corpus-sized histogram shuffle.
-    }
-    merges
-  }
-
-  // The BPE model as a STORED artifact (VERDICT r14 #1): training is
-  // write-once per (JVM, source dir) — q150 trained the same 24 rules
-  // FOUR times per gate/bench run in r14 (q150/q151/q156/q162 each
-  // re-deriving it, ~7 redundant corpus-sized scans, 17% of the bench).
-  // Now one training run persists TWO tables and every consumer probes:
-  //   - graft_bpe_merges_<dir>: the 24-row merge table (rank, l, r, cnt)
-  //     — the model a tokenizer service ships;
-  //   - graft_bpe_vocab_<dir>: every distinct word with its full
-  //     tokenization (w, freq, toks), bucketed+sorted on w — at 100 TB
-  //     this is the ~10M-row cache that turns tokenization into one
-  //     corpus-side join against an in-place bucketed read (the
-  //     ensureBenchGramTable / ensureScd2Base pattern).
-  private val bpeModelDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** Returns the dir-qualified (mergesTable, vocabTable) names for the
-    * whole-corpus model. */
-  private[graft] def ensureBpeModel(s: SparkSession, dir: String): (String, String) =
-    ensureBpeModelTagged(s, dir, "", lit(true))
-
-  /** The ENGLISH-ONLY model (q177): trained on the lang='en' slice —
-    * the domain-shift artifact the transfer experiment applies to the
-    * whole multilingual corpus. */
-  private[graft] def ensureBpeEnModel(s: SparkSession, dir: String): (String, String) =
-    ensureBpeModelTagged(s, dir, "en_", col("lang") === "en")
-
-  private def ensureBpeModelTagged(
-      s: SparkSession, dir: String, tag: String, docFilter: Column): (String, String) =
-    synchronized {
-      val dirKey = graft.BuildPaths.dirKey(dir)
-      val memoKey = s"$tag|$dir"
-      val mTbl = s"graft_bpe_${tag}merges_$dirKey"
-      val vTbl = s"graft_bpe_${tag}vocab_$dirKey"
-      if (!(bpeModelDirs.contains(memoKey) &&
-            s.catalog.tableExists(mTbl) && s.catalog.tableExists(vTbl))) {
-        val root = graft.BuildPaths.scratch(s"bpe_model/$tag$dirKey")
-        // ONE corpus-sized histogram feeds both training and the vocab
-        // tokenization; the localCheckpoint inside bpeTrain materializes
-        // it vocab-sized before the 24 rounds run.
-        val hist = bpeWordHist(s, dir, docFilter)
-        bpeTrain(hist, BpeMerges)
-          .write.mode("overwrite")
-          .option("path", s"$root/$mTbl")
-          .format("parquet").saveAsTable(mTbl)
-        // Tokenize each DISTINCT word once: the ranked merge list rides
-        // ONE broadcast array row, folded over the char split by the
-        // same bpeFoldSql pass training uses — vocab-sized, never
-        // merges × corpus.
-        val mergesArr = s.table(mTbl)
-          .agg(sort_array(collect_list(struct(col("rank"), col("l"), col("r"))))
-            .as("ms"))
-          .select(lit(1).as("k"), col("ms"))
-        hist
-          .withColumn("syms", split(col("w"), ""))
-          .withColumn("k", lit(1))
-          .join(broadcast(mergesArr), Seq("k"), "left")
-          .select(col("w"), col("freq"),
-            expr(s"aggregate(ms, syms, (cur, m) -> ${bpeFoldSql("cur", "m.l", "m.r")})")
-              .as("toks"))
-          .write.mode("overwrite")
-          .bucketBy(8, "w").sortBy("w")
-          .option("path", s"$root/$vTbl")
-          .format("parquet").saveAsTable(vTbl)
-        bpeModelDirs.add(memoKey)
-      }
-      (mTbl, vTbl)
-    }
-
-  /** Shared by q151/q156/q162: per-doc subword token counts by PROBING
-    * the stored vocab (no training in the consumer plan — the model is
-    * read in place; StorageLayoutSpec asserts the plan shape). One
-    * corpus join on the word key, vocab-sized everything else. */
-  /** The packed stored-vocab token-id stream — (source, doc_id, chunk,
-    * pic, id) with pic the position inside its fixed 2048-token chunk —
-    * shared by q173 (the logical checksums) and q237's materialized
-    * tensor export (the no-drift rule: the files ship exactly the
-    * stream the checksums pin). */
-  private[graft] def bpeTokenStream(s: SparkSession, dir: String): DataFrame = {
-    val (_, vTbl) = ensureBpeModel(s, dir)
-    val ids = s.table(vTbl)
-      .select(explode(col("toks")).as("token")).distinct()
-      .withColumn("id",
-        row_number().over(Window.orderBy(col("token"))).cast(LongType))
-    val toks = bpeCorpusWords(s, dir)
-      .join(s.table(vTbl).select(col("w"), col("toks")), Seq("w"))
-      .select(col("source"), col("doc_id"), col("wp"), posexplode(col("toks")))
-      .toDF("source", "doc_id", "wp", "tp", "token")
-      .join(broadcast(ids), Seq("token"))
-      .withColumn("tok_idx",
-        (row_number().over(Window.partitionBy(col("doc_id"))
-          .orderBy(col("wp"), col("tp"))) - 1).cast(LongType))
-    val offs = toks.groupBy(col("source"), col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"))
-      .withColumn("start_off",
-        sum(col("n_tok")).over(Window.partitionBy(col("source"))
-          .orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          - col("n_tok"))
-      .select(col("doc_id"), col("start_off"))
-    toks.join(offs, Seq("doc_id"))
-      .withColumn("pos", col("start_off") + col("tok_idx"))
-      .withColumn("chunk", expr("pos DIV 2048"))
-      .withColumn("pic", col("pos") % 2048)
-      .select(col("source"), col("doc_id"), col("chunk"), col("pic"), col("id"))
-  }
-
-  private def bpeDocTokens(s: SparkSession, dir: String): DataFrame = {
-    val (_, vTbl) = ensureBpeModel(s, dir)
-    val vocab = s.table(vTbl).select(col("w"), size(col("toks")).as("n_tok"))
-    bpeCorpusWords(s, dir)
-      .join(vocab, Seq("w"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("n_tok")).cast(LongType).as("n_tokens_bpe"))
-  }
-
-  /** DuckDB mirror of bpeTrain, generated: the 24-round loop unrolled
-    * into chained MATERIALIZED CTEs (MATERIALIZED is load-bearing —
-    * each round references its predecessor 3×, so inlined CTEs would
-    * blow up 3^24). Each word's tokenization is carried as a
-    * DOUBLE-PIPE string ("|a||b||c|" = [a,b,c]): one merge pass is then
-    * exactly `replace(s, '|l||r|', '|lr|')`, because SQL replace scans
-    * the ORIGINAL string left to right non-overlapping — the same
-    * greedy pass as bpeFoldSql (a merged product can never re-match
-    * within its own pass: as the left of a new pair it would need
-    * l+r = l, impossible; as the right, the scan is already past it).
-    * Rounds after pair exhaustion no-op via the NULL scalar subquery +
-    * coalesce. Token count falls out as pipes/2. */
-  /** DuckDB-side derived corpus text / word split — the byte-identical
-    * twins of bpeTextCol/bpeWordsCol (same CASE fragment, nfc_normalize
-    * for graft_nfc, RE2 \p classes for Java's — parity of NFC, the
-    * property classes, per-codepoint '.'-matching and 4-byte chars was
-    * probe-verified cross-engine before this landed). */
-  private[graft] def bpeOracleText: String = s"nfc_normalize($bpeCaseSql)"
-  private[graft] def bpeOracleWords: String =
-    s"""string_split_regex($bpeOracleText, '[^\\p{L}\\p{N}]+')"""
-
-  private def bpeOracleCtes(n: Int, extraWhere: String = ""): String =
-    "WITH " + bpeOracleCtesBody(n, extraWhere)
-
-  /** The chain without the WITH prefix, for composition into combined
-    * oracles (q178 runs the BPE and unigram chains in ONE query). */
-  private[graft] def bpeOracleCtesBody(n: Int, extraWhere: String = ""): String = {
-    val v0 =
-      s"""v0 AS MATERIALIZED (
-         |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, freq FROM (
-         |    SELECT w, COUNT(*) AS freq FROM (
-         |      SELECT unnest($bpeOracleWords) AS w
-         |      FROM documents WHERE text IS NOT NULL$extraWhere)
-         |    WHERE len(w) > 0 GROUP BY w))""".stripMargin
-    val rounds = (1 to n).map { k =>
-      s"""b$k AS MATERIALIZED (
-         |  SELECT $k AS rank, l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-         |    SELECT t.toks[i] AS l, t.toks[i+1] AS r, t.freq
-         |    FROM (SELECT string_split(substr(s, 2, len(s) - 2), '||') AS toks, freq
-         |          FROM v${k - 1}) t,
-         |         unnest(generate_series(1, len(t.toks) - 1)) AS u(i)
-         |    WHERE len(t.toks) >= 2)
-         |  GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1),
-         |v$k AS MATERIALIZED (
-         |  SELECT coalesce(replace(s,
-         |      (SELECT '|' || l || '||' || r || '|' FROM b$k),
-         |      (SELECT '|' || l || r || '|' FROM b$k)), s) AS s, freq
-         |  FROM v${k - 1})""".stripMargin
-    }
-    (v0 +: rounds).mkString(",\n")
-  }
-
-  /** Per-doc subword counts in DuckDB (q151/q156's shared tail): token
-    * count per word straight off the double-pipe encoding, then the
-    * same corpus re-join as bpeDocTokens. */
-  private[graft] def bpeOracleDocCtes: String =
-    s""",
-       |wtok AS MATERIALIZED (
-       |  SELECT translate(s, '|', '') AS w,
-       |    CAST((len(s) - len(replace(s, '|', ''))) / 2 AS BIGINT) AS n_tok
-       |  FROM v$BpeMerges),
-       |perdoc AS (
-       |  SELECT d.doc_id, COUNT(*) AS n_words,
-       |    CAST(SUM(wt.n_tok) AS BIGINT) AS n_tokens_bpe
-       |  FROM (SELECT doc_id, unnest($bpeOracleWords) AS w
-       |        FROM documents WHERE text IS NOT NULL) d
-       |  JOIN wtok wt ON wt.w = d.w
-       |  WHERE len(d.w) > 0
-       |  GROUP BY d.doc_id)""".stripMargin
-
-  private def bpeTrainOracle: String = {
-    val union = (1 to BpeMerges)
-      .map(k => s"SELECT rank, l, r, l || r AS merged, cnt FROM b$k")
-      .mkString("\nUNION ALL ")
-    bpeOracleCtes(BpeMerges) + "\nSELECT * FROM (\n" + union + ")\nORDER BY rank"
-  }
-
-  private def bpeTokenizeOracle: String =
-    bpeOracleCtes(BpeMerges) + bpeOracleDocCtes +
-      """
-        |SELECT doc.doc_id, coalesce(p.n_words, 0) AS n_words,
-        |  coalesce(p.n_tokens_bpe, 0) AS n_tokens_bpe
-        |FROM documents doc LEFT JOIN perdoc p USING (doc_id)
-        |ORDER BY doc.doc_id""".stripMargin
 
   /** q168's gate with its Observation attached — the C4 rules of q47 as
     * a FILTER (q47 reports; this gates), with the audit counters
@@ -4332,173 +2189,13 @@ object Pipeline {
       |FROM train t LEFT JOIN reb r USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
-  /** DuckDB mirror of q162: the CTE-chain tokenization + the same
-    * per-language integer-micro ratios ("//" floors, Spark DIV
-    * truncates — identical on these all-positive sums). */
-  private def bpeFertilityOracle: String =
-    bpeOracleCtes(BpeMerges) + bpeOracleDocCtes +
-      s""",
-        |f AS (
-        |  SELECT d.lang, coalesce(p.n_words, 0) AS nw,
-        |    coalesce(p.n_tokens_bpe, 0) AS nt,
-        |    coalesce(len($bpeOracleText), 0) AS nch
-        |  FROM documents d LEFT JOIN perdoc p USING (doc_id))
-        |SELECT lang, COUNT(*) AS n_docs,
-        |  CAST(SUM(nw) AS BIGINT) AS n_words,
-        |  CAST(SUM(nt) AS BIGINT) AS n_tokens_bpe,
-        |  CAST(SUM(nch) AS BIGINT) AS n_chars,
-        |  CASE WHEN CAST(SUM(nw) AS BIGINT) > 0 THEN
-        |    (CAST(SUM(nt) AS BIGINT) * 1000000) // CAST(SUM(nw) AS BIGINT)
-        |    ELSE 0 END AS fertility_micro,
-        |  CASE WHEN CAST(SUM(nt) AS BIGINT) > 0 THEN
-        |    (CAST(SUM(nch) AS BIGINT) * 1000000) // CAST(SUM(nt) AS BIGINT)
-        |    ELSE 0 END AS chars_per_token_micro
-        |FROM f GROUP BY lang ORDER BY lang""".stripMargin
-
-  private def bpePackOracle: String =
-    bpeOracleCtes(BpeMerges) + bpeOracleDocCtes +
-      """,
-        |lens AS (
-        |  SELECT doc.source, doc.doc_id, coalesce(p.n_tokens_bpe, 0) AS n_tok
-        |  FROM documents doc LEFT JOIN perdoc p USING (doc_id)),
-        |offs AS (
-        |  SELECT source, doc_id, n_tok,
-        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-        |                     ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
-        |  FROM lens)
-        |SELECT source, CAST(start_off // 2048 AS BIGINT) AS chunk,
-        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-        |FROM offs GROUP BY source, CAST(start_off // 2048 AS BIGINT)
-        |ORDER BY source, chunk""".stripMargin
-
-  /** DuckDB mirror of q173: same CTE-chain tokenization carried to full
-    * token LISTS (the double-pipe encoding already holds each word's
-    * ordered tokens — ids fall out of a dense rank over the distinct
-    * token strings), same doc-local (word-pos, token-pos) ordering, same
-    * per-source running offsets, same order-sensitive digest. */
-  private[queries] def bpeIdsOracle: String =
-    bpeOracleCtes(BpeMerges) +
-      s""",
-         |wtoks AS MATERIALIZED (
-         |  SELECT translate(s, '|', '') AS w,
-         |    string_split(substr(s, 2, len(s) - 2), '||') AS toks
-         |  FROM v$BpeMerges),
-         |ids AS (
-         |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS id
-         |  FROM (SELECT DISTINCT unnest(toks) AS token FROM wtoks)),
-         |dwords AS (
-         |  SELECT d.source, d.doc_id, u.i AS wp, d.ws[u.i] AS w
-         |  FROM (SELECT source, doc_id, $bpeOracleWords AS ws
-         |        FROM documents WHERE text IS NOT NULL) d,
-         |       unnest(generate_series(1, len(d.ws))) AS u(i)
-         |  WHERE len(d.ws[u.i]) > 0),
-         |dtoks AS (
-         |  SELECT dw.source, dw.doc_id, dw.wp, v.j AS tp, wt.toks[v.j] AS token
-         |  FROM dwords dw JOIN wtoks wt USING (w),
-         |       unnest(generate_series(1, len(wt.toks))) AS v(j)),
-         |sq AS (
-         |  SELECT dt.source, dt.doc_id,
-         |    ROW_NUMBER() OVER (PARTITION BY dt.doc_id ORDER BY dt.wp, dt.tp) - 1
-         |      AS tok_idx,
-         |    i.id
-         |  FROM dtoks dt JOIN ids i USING (token)),
-         |dlen AS (
-         |  SELECT source, doc_id, COUNT(*) AS n_tok FROM sq GROUP BY source, doc_id),
-         |offs AS (
-         |  SELECT doc_id,
-         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-         |                     ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
-         |  FROM dlen),
-         |pk AS (
-         |  SELECT sq.source, (o.start_off + sq.tok_idx) // 2048 AS chunk,
-         |    (o.start_off + sq.tok_idx) % 2048 AS pic, sq.id
-         |  FROM sq JOIN offs o USING (doc_id))
-         |SELECT source, CAST(chunk AS BIGINT) AS chunk,
-         |  COUNT(*) AS n_tokens,
-         |  CAST(SUM((pic + 1) * id) AS BIGINT) AS id_checksum,
-         |  CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
-         |FROM pk GROUP BY source, chunk ORDER BY source, chunk""".stripMargin
-
-  /** DuckDB mirror of q213: the generated chain's final vocab, the same
-    * piece reassembly (array_to_string over the stored toks), the same
-    * per-doc-then-per-source digest-of-digests. */
-  private def detokRoundtripOracle: String =
-    bpeOracleCtes(BpeMerges) +
-      s""",
-         |wtoks AS MATERIALIZED (
-         |  SELECT translate(s, '|', '') AS w,
-         |    string_split(substr(s, 2, len(s) - 2), '||') AS toks
-         |  FROM v$BpeMerges),
-         |dwords AS (
-         |  SELECT d.source, d.doc_id, u.i AS wp, d.ws[u.i] AS w
-         |  FROM (SELECT source, doc_id, $bpeOracleWords AS ws
-         |        FROM documents WHERE text IS NOT NULL) d,
-         |       unnest(generate_series(1, len(d.ws))) AS u(i)
-         |  WHERE len(d.ws[u.i]) > 0),
-         |j AS (
-         |  SELECT dw.source, dw.doc_id, dw.wp, dw.w,
-         |    array_to_string(wt.toks, '') AS rw
-         |  FROM dwords dw JOIN wtoks wt USING (w)),
-         |pd AS (
-         |  SELECT source, doc_id, COUNT(*) AS nw,
-         |    CAST(SUM(CASE WHEN rw = w THEN 1 ELSE 0 END) AS BIGINT) AS nl,
-         |    md5(string_agg(rw, ' ' ORDER BY wp)) AS rmd5,
-         |    md5(string_agg(w, ' ' ORDER BY wp)) AS smd5
-         |  FROM j GROUP BY source, doc_id)
-         |SELECT source,
-         |  CAST(SUM(nw) AS BIGINT) AS n_words,
-         |  CAST(SUM(nl) AS BIGINT) AS n_lossless,
-         |  md5(string_agg(rmd5, ',' ORDER BY doc_id)) AS detok_md5,
-         |  md5(string_agg(smd5, ',' ORDER BY doc_id)) AS source_md5,
-         |  CAST(CASE WHEN md5(string_agg(rmd5, ',' ORDER BY doc_id))
-         |         = md5(string_agg(smd5, ',' ORDER BY doc_id))
-         |    THEN 1 ELSE 0 END AS INTEGER) AS is_match
-         |FROM pd GROUP BY source ORDER BY source""".stripMargin
-
-  /** DuckDB mirror of q205: the generated chain's token stream with the
-    * same 1-based-wp prompt cut, the same (tok_idx+1)·id checksums. */
-  private def sftMaskOracle: String =
-    bpeOracleCtes(BpeMerges) +
-      s""",
-         |wtoks AS MATERIALIZED (
-         |  SELECT translate(s, '|', '') AS w,
-         |    string_split(substr(s, 2, len(s) - 2), '||') AS toks
-         |  FROM v$BpeMerges),
-         |ids AS (
-         |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS id
-         |  FROM (SELECT DISTINCT unnest(toks) AS token FROM wtoks)),
-         |dwords AS (
-         |  SELECT d.doc_id, u.i AS wp, d.ws[u.i] AS w, len(d.ws) AS nw
-         |  FROM (SELECT doc_id, $bpeOracleWords AS ws
-         |        FROM documents WHERE text IS NOT NULL) d,
-         |       unnest(generate_series(1, len(d.ws))) AS u(i)
-         |  WHERE len(d.ws[u.i]) > 0),
-         |dtoks AS (
-         |  SELECT dw.doc_id, dw.wp, dw.nw, v.j AS tp, wt.toks[v.j] AS token
-         |  FROM dwords dw JOIN wtoks wt USING (w),
-         |       unnest(generate_series(1, len(wt.toks))) AS v(j)),
-         |sq AS (
-         |  SELECT dt.doc_id,
-         |    ROW_NUMBER() OVER (PARTITION BY dt.doc_id ORDER BY dt.wp, dt.tp) - 1
-         |      AS tok_idx,
-         |    CASE WHEN dt.wp <= (dt.nw + 2) // 3 THEN 1 ELSE 0 END AS is_prompt,
-         |    i.id
-         |  FROM dtoks dt JOIN ids i USING (token))
-         |SELECT doc_id, COUNT(*) AS n_tokens,
-         |  CAST(SUM(is_prompt) AS BIGINT) AS n_prompt_tokens,
-         |  CAST(SUM(1 - is_prompt) AS BIGINT) AS n_trainable_tokens,
-         |  CAST(SUM((tok_idx + 1) * id) AS BIGINT) AS input_checksum,
-         |  CAST(SUM(CASE WHEN is_prompt = 0 THEN (tok_idx + 1) * id ELSE 0 END)
-         |       AS BIGINT) AS label_checksum
-         |FROM sq GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
   /** The derived markup: plain SQL shared verbatim by both engines
     * (q174). Branches on doc_id so every extraction code path appears in
     * the corpus: %7 style block, %5 script with embedded '<' and an
     * entity, %11 unclosed tag, %13 unterminated script open (only its
     * open tag strips), %19 the style/script interleave that pins pass
     * order. */
-  private def htmlCaseSql: String =
+  private[queries] def htmlCaseSql: String =
     """'<html><head><title>' || source || ' #' || doc_id || '</title>' ||
       |      CASE WHEN doc_id % 7 = 0
       |        THEN '<style type="text/css">p { color: red }</style>' ELSE '' END ||
@@ -4534,57 +2231,6 @@ object Pipeline {
        |  FROM h)
        |SELECT doc_id, title, len(body) AS n_chars, md5(body) AS body_md5
        |FROM x ORDER BY doc_id""".stripMargin
-
-  /** DuckDB mirror of q177: the generated chain trained on the
-    * lang='en' slice, then a SECOND generated chain (u0..u24) applying
-    * the same b_k rules to each distinct OOV word — replace() reuses
-    * the scalar subqueries off the b_k tables, so the frozen model and
-    * its application cannot drift. */
-  private def bpeTransferOracle: String = {
-    val oovRounds = (1 to BpeMerges).map { k =>
-      s"""u$k AS MATERIALIZED (
-         |  SELECT w, coalesce(replace(s,
-         |      (SELECT '|' || l || '||' || r || '|' FROM b$k),
-         |      (SELECT '|' || l || r || '|' FROM b$k)), s) AS s
-         |  FROM u${k - 1})""".stripMargin
-    }.mkString(",\n")
-    bpeOracleCtes(BpeMerges, " AND lang = 'en'") +
-      s""",
-         |wtok AS MATERIALIZED (
-         |  SELECT translate(s, '|', '') AS w,
-         |    CAST((len(s) - len(replace(s, '|', ''))) / 2 AS BIGINT) AS n_tok
-         |  FROM v$BpeMerges),
-         |cw AS MATERIALIZED (
-         |  SELECT doc_id, lang, w FROM (
-         |    SELECT doc_id, lang, unnest($bpeOracleWords) AS w
-         |    FROM documents WHERE text IS NOT NULL)
-         |  WHERE len(w) > 0),
-         |u0 AS MATERIALIZED (
-         |  SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS s FROM (
-         |    SELECT DISTINCT cw.w FROM cw
-         |    LEFT JOIN wtok ON wtok.w = cw.w WHERE wtok.w IS NULL)),
-         |$oovRounds,
-         |oovtok AS (
-         |  SELECT w, CAST((len(s) - len(replace(s, '|', ''))) / 2 AS BIGINT) AS n_tok
-         |  FROM u$BpeMerges),
-         |f AS (
-         |  SELECT cw.lang,
-         |    coalesce(wt.n_tok, ot.n_tok) AS n_tok,
-         |    CASE WHEN wt.w IS NULL THEN 1 ELSE 0 END AS oov
-         |  FROM cw
-         |  LEFT JOIN wtok wt ON wt.w = cw.w
-         |  LEFT JOIN oovtok ot ON ot.w = cw.w)
-         |SELECT lang, COUNT(*) AS n_words,
-         |  CAST(SUM(oov) AS BIGINT) AS n_oov_words,
-         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens_bpe,
-         |  CASE WHEN COUNT(*) > 0 THEN
-         |    (CAST(SUM(oov) AS BIGINT) * 1000000) // COUNT(*) ELSE 0 END
-         |    AS oov_rate_micro,
-         |  CASE WHEN COUNT(*) > 0 THEN
-         |    (CAST(SUM(n_tok) AS BIGINT) * 1000000) // COUNT(*) ELSE 0 END
-         |    AS fertility_micro
-         |FROM f GROUP BY lang ORDER BY lang""".stripMargin
-  }
 
   /** DuckDB mirror of q155: same hashed-unigram buckets (shared 60-bit
     * md5 rule mod 1024), same add-1-smoothed log-ratio rounded once to
@@ -4703,356 +2349,6 @@ object Pipeline {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
-  /** DuckDB mirror of q44, generated from the same bit/chunk layout. */
-  private def simhashOracle: String = {
-    val bitSums = (0 until SIMBITS).map(i => s"sum((hb >> $i) & 1) AS bs$i").mkString(",\n        ")
-    val simBits = (0 until SIMBITS).map(i =>
-      s"(CASE WHEN bs$i * 2 > n THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-    val chunkSelects = (0 until SIMCHUNKS).map(j =>
-      s"SELECT doc_id, sh, $j AS ck, (sh >> ${CHUNKBITS * j}) & ${(1 << CHUNKBITS) - 1} AS cv FROM sim")
-      .mkString("\n  UNION ALL ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hb
-       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)),
-       |bits AS (
-       |  SELECT doc_id, count(*) AS n,
-       |        $bitSums
-       |  FROM toks GROUP BY doc_id),
-       |sim AS (
-       |  SELECT doc_id, $simBits AS sh FROM bits),
-       |chunks AS (
-       |  $chunkSelects)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  bit_count(xor(a.sh, b.sh)) AS hamming
-       |FROM chunks a JOIN chunks b
-       |  ON a.ck = b.ck AND a.cv = b.cv AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sh, b.sh)) <= $HAMMING_MAX
-       |ORDER BY doc_a, doc_b""".stripMargin
-  }
-
-  /** DuckDB mirror of q45 (rare-shingle exact Jaccard). Shingles are the
-    * same 60-bit md5 hashes the Spark side computes in
-    * Sketches.shingleHashes — both engines build the inverted index over
-    * identical longs. */
-  private def jaccardOracle: String =
-    """WITH words AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |    ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS s
-      |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
-      |  WHERE len(ws) >= 3),
-      |rare AS (
-      |  SELECT s FROM sh GROUP BY s HAVING count(*) <= 4),
-      |rsh AS (
-      |  SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-      |sizes AS (
-      |  SELECT doc_id, count(*) AS nsh FROM rsh GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2 HAVING count(*) >= 3)
-      |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
-      |  CAST(sa.nsh AS BIGINT) AS na, CAST(sb.nsh AS BIGINT) AS nb,
-      |  round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 6) AS jaccard
-      |FROM inter
-      |JOIN sizes sa ON doc_a = sa.doc_id
-      |JOIN sizes sb ON doc_b = sb.doc_id
-      |ORDER BY doc_a, doc_b""".stripMargin
-
-  /** DuckDB mirror of q46, generated from the same (tables, planes, dim)
-    * grid and md5 sign formula. */
-  private def annLshOracle: String =
-    s"""WITH xi AS (
-       |  SELECT vec_id, d, CAST(floor(embedding[d]::DOUBLE * 32768) AS BIGINT) AS xi
-       |  FROM embeddings, unnest(generate_series(1, $DIM)) AS u(d)),
-       |grid AS (
-       |  SELECT t, p, d,
-       |    1 - 2 * (('0x' || substr(md5(t || '_' || p || '_' || d), 1, 15))::BIGINT % 2) AS sg
-       |  FROM unnest(generate_series(0, ${TABLES - 1})) AS a(t),
-       |       unnest(generate_series(0, ${PLANES - 1})) AS b(p),
-       |       unnest(generate_series(1, $DIM)) AS c(d)),
-       |proj AS (
-       |  SELECT vec_id, t, p, sum(xi * sg) AS pr
-       |  FROM xi JOIN grid USING (d) GROUP BY vec_id, t, p),
-       |bucket AS (
-       |  SELECT vec_id, t, sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS bk
-       |  FROM proj GROUP BY vec_id, t),
-       |qb AS (SELECT t, bk FROM bucket WHERE vec_id = 0),
-       |cand AS (
-       |  SELECT DISTINCT b.vec_id FROM bucket b
-       |  JOIN qb ON b.t = qb.t AND b.bk = qb.bk
-       |  WHERE b.vec_id <> 0),
-       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |p2 AS (
-       |  SELECT e.vec_id, e.label,
-       |    unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
-       |  FROM embeddings e JOIN cand USING (vec_id), q),
-       |s2 AS (
-       |  SELECT vec_id, label, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
-       |  FROM p2 GROUP BY vec_id, label)
-       |SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r
-       |FROM s2
-       |ORDER BY cos_r DESC, vec_id
-       |LIMIT 10""".stripMargin
-
-  /** DuckDB mirror of q54: same LSH grid as q46, pairwise bucket join,
-    * exact cosine with the q42/q53 fold sequence, same threshold. */
-  private def embeddingNearDupOracle: String =
-    s"""WITH xi AS (
-       |  SELECT vec_id, d, CAST(floor(embedding[d]::DOUBLE * 32768) AS BIGINT) AS xi
-       |  FROM embeddings, unnest(generate_series(1, $DIM)) AS u(d)),
-       |grid AS (
-       |  SELECT t, p, d,
-       |    1 - 2 * (('0x' || substr(md5(t || '_' || p || '_' || d), 1, 15))::BIGINT % 2) AS sg
-       |  FROM unnest(generate_series(0, ${TABLES - 1})) AS a(t),
-       |       unnest(generate_series(0, ${PLANES - 1})) AS b(p),
-       |       unnest(generate_series(1, $DIM)) AS c(d)),
-       |proj AS (
-       |  SELECT vec_id, t, p, sum(xi * sg) AS pr
-       |  FROM xi JOIN grid USING (d) GROUP BY vec_id, t, p),
-       |bucket AS (
-       |  SELECT vec_id, t, sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS bk
-       |  FROM proj GROUP BY vec_id, t),
-       |cand AS (
-       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-       |  FROM bucket a JOIN bucket b
-       |    ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id),
-       |p2 AS (
-       |  SELECT c.va, c.vb,
-       |    unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
-       |  FROM cand c
-       |  JOIN embeddings ea ON c.va = ea.vec_id
-       |  JOIN embeddings eb ON c.vb = eb.vec_id),
-       |s2 AS (
-       |  SELECT va, vb, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
-       |  FROM p2 GROUP BY va, vb)
-       |SELECT va, vb, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r
-       |FROM s2
-       |WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= $NEARDUP_COS
-       |ORDER BY va, vb""".stripMargin
-
-  /** DuckDB mirror of q107: q54's LSH grid and bucket join with the
-    * label-mismatch predicate, exact fold cosine, rank on the ROUNDED
-    * cosine with neighbor id as tie-break (cross-engine-safe ordering). */
-  private def hardNegativesOracle: String =
-    s"""WITH xi AS (
-       |  SELECT vec_id, d, CAST(floor(embedding[d]::DOUBLE * 32768) AS BIGINT) AS xi
-       |  FROM embeddings, unnest(generate_series(1, $DIM)) AS u(d)),
-       |grid AS (
-       |  SELECT t, p, d,
-       |    1 - 2 * (('0x' || substr(md5(t || '_' || p || '_' || d), 1, 15))::BIGINT % 2) AS sg
-       |  FROM unnest(generate_series(0, ${TABLES - 1})) AS a(t),
-       |       unnest(generate_series(0, ${PLANES - 1})) AS b(p),
-       |       unnest(generate_series(1, $DIM)) AS c(d)),
-       |proj AS (
-       |  SELECT vec_id, t, p, sum(xi * sg) AS pr
-       |  FROM xi JOIN grid USING (d) GROUP BY vec_id, t, p),
-       |bucket AS (
-       |  SELECT vec_id, t, sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS bk
-       |  FROM proj GROUP BY vec_id, t),
-       |cand AS (
-       |  SELECT DISTINCT a.vec_id AS anchor, b.vec_id AS neighbor
-       |  FROM bucket a JOIN bucket b
-       |    ON a.t = b.t AND a.bk = b.bk AND a.vec_id <> b.vec_id
-       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
-       |  WHERE ea.label <> eb.label),
-       |p2 AS (
-       |  SELECT c.anchor, c.neighbor, eb.label AS neg_label,
-       |    unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
-       |  FROM cand c
-       |  JOIN embeddings ea ON c.anchor = ea.vec_id
-       |  JOIN embeddings eb ON c.neighbor = eb.vec_id),
-       |s2 AS (
-       |  SELECT anchor, neighbor, neg_label,
-       |    SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
-       |  FROM p2 GROUP BY anchor, neighbor, neg_label),
-       |scored AS (
-       |  SELECT anchor, neighbor, neg_label,
-       |    round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r
-       |  FROM s2),
-       |r AS (
-       |  SELECT anchor, neighbor, neg_label, cos_r,
-       |    ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cos_r DESC, neighbor) AS rk
-       |  FROM scored)
-       |SELECT anchor, rk, neighbor, neg_label, cos_r
-       |FROM r WHERE rk <= 3
-       |ORDER BY anchor, rk""".stripMargin
-
-  /** DuckDB mirror of q55: same centroid seeds, same round-then-rank
-    * argmax, same fold cosine as q42/q53 (bit-identical to the native
-    * expression). */
-  private def ivfAnnOracle: String =
-    s"""WITH cent AS (
-       |  SELECT vec_id AS c, embedding AS ce FROM embeddings
-       |  WHERE vec_id BETWEEN 1 AND $NCELLS),
-       |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
-       |pc AS (
-       |  SELECT v.vec_id, cent.c,
-       |    unnest(v.embedding)::DOUBLE AS x, unnest(cent.ce)::DOUBLE AS y
-       |  FROM v, cent),
-       |sc AS (
-       |  SELECT vec_id, c, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
-       |  FROM pc GROUP BY vec_id, c),
-       |rc AS (
-       |  SELECT vec_id, c, ROW_NUMBER() OVER (
-       |    PARTITION BY vec_id
-       |    ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, c) AS rk
-       |  FROM sc),
-       |cells AS (SELECT vec_id, c AS cell FROM rc WHERE rk = 1),
-       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |qp AS (
-       |  SELECT cent.c, unnest(cent.ce)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
-       |  FROM cent, q),
-       |sq AS (
-       |  SELECT c, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
-       |  FROM qp GROUP BY c),
-       |probe AS (
-       |  SELECT c FROM sq
-       |  ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, c LIMIT $NPROBE),
-       |cand AS (SELECT vec_id FROM cells JOIN probe ON cells.cell = probe.c),
-       |p2 AS (
-       |  SELECT e.vec_id, e.label,
-       |    unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
-       |  FROM embeddings e JOIN cand USING (vec_id), q),
-       |s2 AS (
-       |  SELECT vec_id, label, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
-       |  FROM p2 GROUP BY vec_id, label)
-       |SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r
-       |FROM s2
-       |ORDER BY cos_r DESC, vec_id
-       |LIMIT 10""".stripMargin
-
-  /** DuckDB mirror of q56 (tf-idf top-3 terms per document). */
-  private def tfidfOracle: String =
-    """WITH words AS (
-      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
-      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
-      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
-      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-      |scored AS (
-      |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
-      |    round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
-      |  FROM tf JOIN df USING (w), n),
-      |r AS (
-      |  SELECT doc_id, w, tf, df, tfidf,
-      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rk
-      |  FROM scored)
-      |SELECT doc_id, rk, w AS term, CAST(tf AS BIGINT) AS tf,
-      |  CAST(df AS BIGINT) AS df, tfidf
-      |FROM r WHERE rk <= 3
-      |ORDER BY doc_id, rk""".stripMargin
-
-  /** DuckDB mirror of q96 (BM25 top-20). The scoring expression is written
-    * with the same parenthesization as the Spark side so both engines run
-    * the identical IEEE operation tree; constants interpolate from the
-    * same vals. `CAST(SUM(c) AS BIGINT)`: DuckDB sums BIGINT into HUGEINT.
-    */
-  /** Shared BM25 per-document scoring frame — q96 ranks the corpus by it
-    * and q132's sparse leg reuses it; ONE kernel so the two cannot drift
-    * (the q93/q100 no-drift rule). Columns: (doc_id, n_terms,
-    * bm25_micro). Shape notes live on q96's QueryDef scaladoc. */
-  private def bm25MicroPerDoc(s: SparkSession, dir: String): DataFrame = {
-    // Two consumers (the postings explode + the corpus-stats agg):
-    // persist, one corpus scan + tokenize — not two (q85/q88/q99 rule).
-    val toks = T(s, dir, "documents")
-      .filter(col("text").isNotNull) // pin N = docs WITH text on both engines
-      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-      .persist()
-    val words = toks
-      .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("w"))
-      .filter(col("w").isin(BM25_TERMS: _*))
-    val tf = words.groupBy(col("doc_id"), col("dl"), col("w"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val stats = toks.agg(count(lit(1)).as("n_docs"), avg(size(col("ws"))).as("avgdl"))
-    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val norm = col("tf") +
-      lit(BM25_K1) * (lit(1.0) - lit(BM25_B) + lit(BM25_B) * col("dl") / col("avgdl"))
-    val contrib = idf * (col("tf") * lit(BM25_K1P1)) / norm
-    tf.join(broadcast(df), "w")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), round(contrib * lit(1e6), 0).cast(LongType).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("bm25_micro"))
-  }
-
-  /** Shared oracle CTE chain ending in `s` = per-doc (doc_id, n_terms,
-    * bm25_micro) — the DuckDB mirror of [[bm25MicroPerDoc]]; q96's and
-    * q132's oracles both splice it so the SQL cannot drift either. */
-  private def bm25CoreCtes: String = {
-    val inList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
-    s"""t AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS ws
-       |  FROM documents WHERE text IS NOT NULL),
-       |w AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM t),
-       |qt AS (SELECT doc_id, dl, w FROM w WHERE w IN ($inList)),
-       |tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM qt GROUP BY doc_id, dl, w),
-       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
-       |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(ws)) AS avgdl FROM t),
-       |contrib AS (
-       |  SELECT tf.doc_id,
-       |    CAST(round(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-       |      * (tf.tf * $BM25_K1P1)
-       |      / (tf.tf + $BM25_K1 * (1.0 - $BM25_B + $BM25_B * tf.dl / stats.avgdl))
-       |      * 1000000.0, 0) AS BIGINT) AS c
-       |  FROM tf JOIN df USING (w), stats),
-       |s AS (
-       |  SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS BIGINT) AS bm25_micro
-       |  FROM contrib GROUP BY doc_id)""".stripMargin
-  }
-
-  private def bm25Oracle: String =
-    s"""WITH $bm25CoreCtes
-       |SELECT doc_id, n_terms, bm25_micro, round(bm25_micro / 1000000.0, 6) AS bm25
-       |FROM s
-       |ORDER BY bm25_micro DESC, doc_id
-       |LIMIT 20""".stripMargin
-
-  /** DuckDB mirror of q138: both legs' oracle SQL spliced verbatim as
-    * subqueries (the no-drift rule applied to oracle text too),
-    * intersected on vec_id. */
-  private def annRecallOracle: String =
-    s"""WITH gt AS (
-       |  SELECT vec_id FROM ($cosineTopkOracle)
-       |  ORDER BY cos_r DESC, vec_id LIMIT $ANN_RECALL_K),
-       |ann AS (SELECT vec_id FROM ($annLshOracle))
-       |SELECT CAST($ANN_RECALL_K AS BIGINT) AS k,
-       |  (SELECT COUNT(*) FROM gt) AS n_gt,
-       |  (SELECT COUNT(*) FROM ann) AS n_ann,
-       |  (SELECT COUNT(*) FROM gt JOIN ann USING (vec_id)) AS n_hit,
-       |  ((SELECT COUNT(*) FROM gt JOIN ann USING (vec_id)) * 1000000) // $ANN_RECALL_K AS recall_micro""".stripMargin
-
-  /** DuckDB mirror of q143: the q42 cosine formulation at full width and
-    * at the leading MrlPrefixDims, same round-6/ties/limit rules, recall
-    * accounting in int64 (q138's shape). */
-  private def matryoshkaOracle: String =
-    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |pf AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
-       |       FROM embeddings e, q WHERE e.vec_id <> 0),
-       |cf AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
-       |       FROM pf GROUP BY vec_id),
-       |fl AS (SELECT vec_id FROM cf
-       |       ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id
-       |       LIMIT $ANN_RECALL_K),
-       |pp AS (SELECT e.vec_id,
-       |         unnest(e.embedding[1:$MrlPrefixDims])::DOUBLE AS x,
-       |         unnest(q.qe[1:$MrlPrefixDims])::DOUBLE AS y
-       |       FROM embeddings e, q WHERE e.vec_id <> 0),
-       |cp AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
-       |       FROM pp GROUP BY vec_id),
-       |pl AS (SELECT vec_id FROM cp
-       |       ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id
-       |       LIMIT $ANN_RECALL_K)
-       |SELECT CAST($ANN_RECALL_K AS BIGINT) AS k,
-       |  CAST($MrlPrefixDims AS BIGINT) AS prefix_dims,
-       |  (SELECT COUNT(*) FROM fl) AS n_full,
-       |  (SELECT COUNT(*) FROM pl) AS n_prefix,
-       |  (SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) AS n_hit,
-       |  CAST(((SELECT COUNT(*) FROM fl JOIN pl USING (vec_id)) * 1000000) // $ANN_RECALL_K AS BIGINT)
-       |    AS recall_micro""".stripMargin
-
   /** DuckDB mirror of q234: same score, same three conditional sums,
     * same micro shares. */
   private def thresholdSweepOracle: String = {
@@ -5151,93 +2447,6 @@ object Pipeline {
       |FROM t LEFT JOIN nv USING (source)
       |ORDER BY t.source""".stripMargin
 
-  /** The q229 squaring chain, generic over the carrier so the SQL
-    * string generator and the Scala evaluator are ONE recursion by
-    * construction (the law properties in QueryLawProps exercise the
-    * Double instance; the engines run the String instance — same op
-    * sequence, no libm pow anywhere). */
-  private def sqChain[T](e: T, k: Int)(mul: (T, T) => T): T =
-    if (k == 0) e else sqChain(mul(e, e), k - 1)(mul)
-
-  /** Scala evaluation of p(b = 2^kb, r = 2^kr)(sim) = 1 - (1 - sim^r)^b
-    * with the identical squaring op order as [[LshPlannerCase]]. */
-  private[graft] def lshCollisionP(kb: Int, kr: Int, sim: Double): Double =
-    1.0 - sqChain(1.0 - sqChain(sim, kr)(_ * _), kb)(_ * _)
-
-  /** q229's collision-probability CASE over (n_rows, sim) — ONE
-    * Scala-generated squaring-chain expression interpolated into both
-    * engines, so the float op sequence is identical by construction
-    * (no libm pow anywhere). */
-  // def, not val: referenced from the oracle during `defs` object init
-  // (the q150 init-order trap — a later val would interpolate empty).
-  private[queries] def LshPlannerCase: String = {
-    def sq(e: String, k: Int): String = sqChain(e, k)((a, b) => s"($a * $b)")
-    // p(b = 2^kb, r = 2^kr) = 1 - (1 - sim^r)^b, all powers as squarings
-    def p(kb: Int, kr: Int): String = s"1 - ${sq(s"(1 - ${sq("sim", kr)})", kb)}"
-    s"CASE WHEN n_rows = 2 THEN ${p(5, 1)} " +
-      s"WHEN n_rows = 4 THEN ${p(4, 2)} " +
-      s"ELSE ${p(3, 3)} END"
-  }
-
-  /** DuckDB mirror of q229: same configs, same sim grid, the SAME
-    * interpolated squaring-chain CASE. */
-  private def lshPlannerOracle: String =
-    s"""WITH cfg AS (
-       |  SELECT CAST(n_bands AS BIGINT) AS n_bands,
-       |    CAST(n_rows AS BIGINT) AS n_rows
-       |  FROM (VALUES (32, 2), (16, 4), (8, 8)) AS t(n_bands, n_rows)),
-       |sims AS (
-       |  SELECT i, CAST(i AS DOUBLE) / 10 AS sim
-       |  FROM unnest(generate_series(1, 9)) AS u(i))
-       |SELECT n_bands, n_rows,
-       |  CAST(i * 100000 AS BIGINT) AS s_micro,
-       |  CAST(round(($LshPlannerCase) * 1000000, 0) AS BIGINT) AS p_micro
-       |FROM cfg, sims
-       |ORDER BY n_bands DESC, s_micro""".stripMargin
-
-  /** DuckDB mirror of q227: q156's full oracle as a subquery, the same
-    * 4-chunk step grouping and per-source schedule accounting. */
-  private def gradAccumOracle: String =
-    s"""WITH pk AS (SELECT * FROM ($bpePackOracle)),
-       |st AS (
-       |  SELECT source, chunk // 4 AS step, COUNT(*) AS n_chunks,
-       |    CAST(SUM(n_tokens) AS BIGINT) AS step_tokens
-       |  FROM pk GROUP BY source, chunk // 4)
-       |SELECT source, COUNT(*) AS n_steps,
-       |  CAST(SUM(CASE WHEN n_chunks = 4 THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_full_steps,
-       |  CAST(SUM(CASE WHEN n_chunks <> 4 THEN n_chunks ELSE 0 END) AS BIGINT)
-       |    AS tail_chunks,
-       |  COALESCE(MIN(CASE WHEN n_chunks = 4 THEN step_tokens END), 0)
-       |    AS full_tokens_min,
-       |  COALESCE(MAX(CASE WHEN n_chunks = 4 THEN step_tokens END), 0)
-       |    AS full_tokens_max,
-       |  CAST(SUM(step_tokens) AS BIGINT) AS total_tokens
-       |FROM st GROUP BY source
-       |ORDER BY source""".stripMargin
-
-  /** DuckDB mirror of q228: the generated chain's INTERMEDIATE rounds
-    * (v16/v32/v64) — token counts read off the double-pipe encoding
-    * (pipes/2), vocab as the distinct emitted tokens — so the stored
-    * model's merge prefixes are pinned against an independently-derived
-    * training history. */
-  private def mergeAblationOracle: String = {
-    val legs = Seq(16, 32, 64).map { k =>
-      s"""SELECT CAST($k AS BIGINT) AS n_merges,
-         |  (SELECT CAST(SUM(freq) AS BIGINT) FROM v$k) AS n_words,
-         |  (SELECT CAST(SUM(freq * (len(s) - len(replace(s, '|', ''))) // 2) AS BIGINT)
-         |     FROM v$k) AS n_tokens,
-         |  (SELECT CAST(SUM(freq * (len(s) - len(replace(s, '|', ''))) // 2) AS BIGINT)
-         |     FROM v$k) * 1000000
-         |    // (SELECT CAST(SUM(freq) AS BIGINT) FROM v$k) AS fertility_micro,
-         |  (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) FROM (
-         |     SELECT unnest(string_split(substr(s, 2, len(s) - 2), '||')) AS t
-         |     FROM v$k)) AS vocab_size""".stripMargin
-    }
-    bpeOracleCtes(BpeMerges) + "\n" +
-      legs.mkString("\nUNION ALL\n") + "\nORDER BY n_merges"
-  }
-
   /** DuckDB mirror of q225: same salted order, same per-source top-3. */
   private def inspectionSampleOracle: String =
     """WITH d AS (
@@ -5255,96 +2464,6 @@ object Pipeline {
       |SELECT source, rk, doc_id, n_tok, text_md5
       |FROM r WHERE rk <= 3
       |ORDER BY source, rk""".stripMargin
-
-  /** DuckDB mirror of q226: q41's full oracle as a subquery, the same
-    * two dictionary joins and canonicalized source pairs. */
-  private def dupFlowOracle: String =
-    s"""WITH prs AS (SELECT * FROM ($minhashOracle)),
-       |src AS (SELECT doc_id, source FROM documents)
-       |SELECT least(a.source, b.source) AS src_a,
-       |  greatest(a.source, b.source) AS src_b,
-       |  COUNT(*) AS n_pairs,
-       |  CAST(CASE WHEN least(a.source, b.source) = greatest(a.source, b.source)
-       |    THEN 1 ELSE 0 END AS INTEGER) AS within_source
-       |FROM prs
-       |JOIN src a ON prs.doc_a = a.doc_id
-       |JOIN src b ON prs.doc_b = b.doc_id
-       |GROUP BY least(a.source, b.source), greatest(a.source, b.source)
-       |ORDER BY src_a, src_b""".stripMargin
-
-  /** DuckDB mirror of q220: q216's quantization rule, exact-integer
-    * code dot products, the same rounded cosine ranking, and q143's
-    * full-width exact leg — recall accounting identical to q138. */
-  private def sq8AnnOracle: String =
-    s"""WITH t AS (
-       |  SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |sc AS (
-       |  SELECT vec_id, v, list_max(list_transform(v, y -> abs(y))) AS scale
-       |  FROM t),
-       |cd AS (
-       |  SELECT vec_id,
-       |    CASE WHEN scale > 0
-       |      THEN list_transform(v, y -> CAST(round(y / scale * 127, 0) AS BIGINT))
-       |      ELSE list_transform(v, y -> CAST(0 AS BIGINT)) END AS codes
-       |  FROM sc),
-       |qv AS (SELECT codes AS qc FROM cd WHERE vec_id = 0),
-       |ip AS (
-       |  SELECT c.vec_id,
-       |    CAST(list_sum(list_transform(generate_series(1, len(c.codes)),
-       |      i -> c.codes[i] * q.qc[i])) AS BIGINT) AS dotc,
-       |    CAST(list_sum(list_transform(generate_series(1, len(c.codes)),
-       |      i -> c.codes[i] * c.codes[i])) AS BIGINT) AS nac,
-       |    CAST(list_sum(list_transform(generate_series(1, len(q.qc)),
-       |      i -> q.qc[i] * q.qc[i])) AS BIGINT) AS nbc
-       |  FROM cd c, qv q WHERE c.vec_id <> 0),
-       |sl AS (
-       |  SELECT vec_id FROM ip
-       |  ORDER BY round(CAST(dotc AS DOUBLE)
-       |    / (sqrt(CAST(nac AS DOUBLE)) * sqrt(CAST(nbc AS DOUBLE))), 6) DESC,
-       |    vec_id
-       |  LIMIT $ANN_RECALL_K),
-       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |pf AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
-       |       FROM embeddings e, q WHERE e.vec_id <> 0),
-       |cf AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
-       |       FROM pf GROUP BY vec_id),
-       |fl AS (SELECT vec_id FROM cf
-       |       ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id
-       |       LIMIT $ANN_RECALL_K)
-       |SELECT CAST($ANN_RECALL_K AS BIGINT) AS k,
-       |  (SELECT COUNT(*) FROM fl) AS n_exact,
-       |  (SELECT COUNT(*) FROM sl) AS n_sq8,
-       |  (SELECT COUNT(*) FROM fl JOIN sl USING (vec_id)) AS n_hit,
-       |  CAST(((SELECT COUNT(*) FROM fl JOIN sl USING (vec_id)) * 1000000) // $ANN_RECALL_K AS BIGINT)
-       |    AS recall_micro""".stripMargin
-
-  /** DuckDB mirror of q132: q96's scoring CTEs, per-leg top-RRF_LEG_K
-    * truncation, rank assignment, reciprocal-rank fusion in int64. */
-  private def rrfHybridOracle: String =
-    s"""WITH $bm25CoreCtes,
-       |sl AS (SELECT doc_id, bm25_micro FROM s
-       |       ORDER BY bm25_micro DESC, doc_id LIMIT $RRF_LEG_K),
-       |sr AS (SELECT doc_id,
-       |         CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rank_s
-       |       FROM sl),
-       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |p AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qe)::DOUBLE AS y
-       |      FROM embeddings e, q),
-       |cs AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
-       |       FROM p GROUP BY vec_id),
-       |dl AS (SELECT vec_id AS doc_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r
-       |       FROM cs WHERE vec_id <> 0 ORDER BY cos_r DESC, doc_id LIMIT $RRF_LEG_K),
-       |dr AS (SELECT doc_id,
-       |         CAST(row_number() OVER (ORDER BY cos_r DESC, doc_id) AS BIGINT) AS rank_d
-       |       FROM dl),
-       |f AS (SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id, rank_s, rank_d,
-       |        COALESCE(1000000 // ($RRF_K + rank_s), 0)
-       |          + COALESCE(1000000 // ($RRF_K + rank_d), 0) AS rrf_micro
-       |      FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id)
-       |SELECT doc_id, rank_s, rank_d, rrf_micro FROM f
-       |ORDER BY rrf_micro DESC, doc_id
-       |LIMIT $RRF_TOPK""".stripMargin
 
   /** DuckDB mirror of q124: q98's segmentation, doc frequency per
     * (source, line-hash), the same >= BoilerMinDocs rule and rollups. */
@@ -5383,38 +2502,6 @@ object Pipeline {
        |LEFT JOIN bc USING (source)
        |LEFT JOIN rem USING (source)
        |ORDER BY per.source""".stripMargin
-
-  /** DuckDB mirror of q98 (line-level dedup + reconstruction): same 5-word
-    * segmentation, same 60-bit md5 keep-first rule, rebuilt text via
-    * ORDER BY string_agg (Spark side: array_sort over (seg_idx, seg)).
-    */
-  private def lineDedupOracle: String =
-    s"""WITH w AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS ws
-       |  FROM documents WHERE text IS NOT NULL),
-       |n AS (
-       |  SELECT doc_id, ws, CAST(ceil(len(ws) / $LineWords.0) AS BIGINT) AS n_segs FROM w),
-       |segs AS (
-       |  SELECT doc_id, CAST(si AS BIGINT) AS seg_idx,
-       |    array_to_string(ws[si * $LineWords + 1 : si * $LineWords + $LineWords], ' ') AS seg
-       |  FROM n, unnest(generate_series(0, n_segs - 1)) AS u(si)),
-       |hashed AS (
-       |  SELECT doc_id, seg_idx, seg,
-       |    ('0x' || substr(md5(seg), 1, 15))::BIGINT AS h
-       |  FROM segs),
-       |r AS (
-       |  SELECT doc_id, seg_idx, seg,
-       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
-       |  FROM hashed),
-       |agg AS (
-       |  SELECT doc_id, COUNT(*) AS n_kept,
-       |    md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS rebuilt_md5
-       |  FROM r WHERE rn = 1 GROUP BY doc_id)
-       |SELECT n.doc_id, n.n_segs,
-       |  COALESCE(agg.n_kept, 0) AS n_kept,
-       |  COALESCE(agg.rebuilt_md5, md5('')) AS rebuilt_md5
-       |FROM n LEFT JOIN agg USING (doc_id)
-       |ORDER BY n.doc_id""".stripMargin
 
   /** DuckDB mirror of q141 (boilerplate removal rewrite): q98's
     * segmentation, dictionary = segments in >= 3 distinct docs
@@ -5463,26 +2550,6 @@ object Pipeline {
        |  weight_micro,
        |  CAST(($MixBudget * weight_micro) // (SELECT sum_wm FROM u) AS BIGINT) AS target_docs
        |FROM s ORDER BY lang""".stripMargin
-
-  /** DuckDB mirror of q99 (capped inverted index): same tokenization,
-    * same top-POSTK-by-(tf DESC, doc_id) posting cap, uncapped df/total_tf.
-    */
-  private def invertedIndexOracle: String =
-    s"""WITH words AS (
-       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-       |  FROM documents WHERE text IS NOT NULL),
-       |tf AS (SELECT w, doc_id, COUNT(*) AS tf FROM words GROUP BY w, doc_id),
-       |stats AS (
-       |  SELECT w, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
-       |  FROM tf GROUP BY w),
-       |p AS (
-       |  SELECT w, doc_id, tf,
-       |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY tf DESC, doc_id) AS rk
-       |  FROM tf)
-       |SELECT p.w AS term, stats.df, stats.total_tf, p.rk, p.doc_id, p.tf
-       |FROM p JOIN stats USING (w)
-       |WHERE p.rk <= $POSTK
-       |ORDER BY term, rk""".stripMargin
 
   /** DuckDB mirror of q57: same hashed shingles (Sketches.shingleHashes),
     * same benchmark split, membership via IN instead of the semi join. */
@@ -5660,31 +2727,6 @@ object Pipeline {
       |FROM per GROUP BY lang
       |ORDER BY lang""".stripMargin
 
-  /** DuckDB mirror of q59: the aggregate's semantics ARE K separate
-    * min((hp*a_k+b_k)%P) columns, which is exactly what the oracle
-    * computes — bit-identical by construction. */
-  private def userMinhashOracle: String = {
-    val minCols = (0 until K).map(i =>
-      s"min((hp * ${hashA(i)} + ${hashB(i)}) % $P) AS m$i").mkString(",\n        ")
-    val bandSelects = bands.zipWithIndex.map { case ((x, y), j) =>
-      s"SELECT user_id, $j AS band, m$x || '_' || m$y AS key FROM mh"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH items AS (
-       |  SELECT user_id,
-       |    ('0x' || substr(md5(event_type || '_' || CAST(floor(value) AS BIGINT)), 1, 15))::BIGINT % $P AS hp
-       |  FROM events),
-       |mh AS (
-       |  SELECT user_id,
-       |        $minCols
-       |  FROM items GROUP BY user_id),
-       |bands AS (
-       |  $bandSelects)
-       |SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.key = b.key AND a.user_id < b.user_id
-       |ORDER BY user_a, user_b""".stripMargin
-  }
-
   /** DuckDB mirror of q60: replays the decode/resize/sample stub
     * arithmetic (Multimodal.decodeStub / resizeStub / frameHash) in SQL. */
   private def framesOracle: String =
@@ -5722,146 +2764,6 @@ object Pipeline {
       |  bit_xor(frame_hash) AS frames_checksum
       |FROM fr GROUP BY format
       |ORDER BY format""".stripMargin
-
-  /** DuckDB mirror of q41, generated from the same hash-family constants
-    * so both engines are in lockstep by construction. */
-  /** q172's three band layouts over the shared 12-perm signature. A def
-    * (not a val): referenced during `defs` object init via the oracle
-    * generator (the BpeMerges lesson). Spark keys use index [i]
-    * (0-based element_at under the hood matches); oracle keys use the
-    * same component columns. */
-  private def sweepLayouts: Seq[(String, Seq[Seq[Int]])] = Seq(
-    "6x2" -> (0 until 6).map(j => Seq(2 * j, 2 * j + 1)),
-    "4x3" -> (0 until 4).map(j => Seq(3 * j, 3 * j + 1, 3 * j + 2)),
-    "3x4" -> (0 until 3).map(j => (0 until 4).map(4 * j + _)))
-
-  /** DuckDB mirror of q172: same signature CTE as q41's oracle, the
-    * three band layouts generated from the same sweepLayouts, agreement
-    * from the 12 m-columns, pool/precision/recall identical. */
-  private def lshBandSweepOracle: String = {
-    val minCols = (0 until K).map(i =>
-      s"min((hp * ${hashA(i)} + ${hashB(i)}) % $P) AS m$i").mkString(",\n        ")
-    def bandCtes(name: String, layout: Seq[Seq[Int]]): (String, String) = {
-      val sel = layout.zipWithIndex.map { case (ids, j) =>
-        s"SELECT doc_id, $j AS band, ${ids.map(i => s"m$i").mkString(" || '_' || ")} AS key FROM mh"
-      }.mkString("\n  UNION ALL ")
-      (s"""b_$name AS (
-          |  $sel),
-          |cand_$name AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM b_$name a JOIN b_$name b
-          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin,
-        s"SELECT '$name' AS config, doc_a, doc_b FROM cand_$name")
-    }
-    val parts = sweepLayouts.map { case (n, l) => bandCtes(n, l) }
-    val agree = (0 until K).map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH words AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-       |sh AS (
-       |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-       |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
-       |  WHERE len(ws) >= 3),
-       |h AS (
-       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS hp FROM sh),
-       |mh AS (
-       |  SELECT doc_id,
-       |        $minCols
-       |  FROM h GROUP BY doc_id),
-       |${parts.map(_._1).mkString(",\n")},
-       |pairs AS (
-       |  ${parts.map(_._2).mkString("\n  UNION ALL ")}),
-       |pool AS (
-       |  SELECT p.doc_a, p.doc_b,
-       |    CASE WHEN ($agree) >= 6 THEN 1 ELSE 0 END AS is_match
-       |  FROM (SELECT DISTINCT doc_a, doc_b FROM pairs) p
-       |  JOIN mh x ON x.doc_id = p.doc_a
-       |  JOIN mh y ON y.doc_id = p.doc_b),
-       |tot AS (SELECT CAST(SUM(is_match) AS BIGINT) AS pool_matches FROM pool)
-       |SELECT config, COUNT(*) AS n_candidates,
-       |  CAST(SUM(is_match) AS BIGINT) AS n_matched,
-       |  pool_matches,
-       |  (CAST(SUM(is_match) AS BIGINT) * 1000000) // COUNT(*) AS precision_micro,
-       |  CASE WHEN pool_matches > 0 THEN
-       |    (CAST(SUM(is_match) AS BIGINT) * 1000000) // pool_matches
-       |    ELSE 0 END AS recall_micro
-       |FROM pairs JOIN pool USING (doc_a, doc_b), tot
-       |GROUP BY config, pool_matches
-       |ORDER BY config""".stripMargin
-  }
-
-  private def minhashOracle: String = {
-    val minCols = (0 until K).map(i =>
-      s"min((hp * ${hashA(i)} + ${hashB(i)}) % $P) AS m$i").mkString(",\n        ")
-    val bandSelects = bands.zipWithIndex.map { case ((x, y), j) =>
-      s"SELECT doc_id, $j AS band, m$x || '_' || m$y AS key FROM mh"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH words AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-       |sh AS (
-       |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-       |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
-       |  WHERE len(ws) >= 3),
-       |h AS (
-       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS hp FROM sh),
-       |mh AS (
-       |  SELECT doc_id,
-       |        $minCols
-       |  FROM h GROUP BY doc_id),
-       |bands AS (
-       |  $bandSelects)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
-  }
-
-  /** DuckDB mirror of q110: q41's minhash/band CTEs with the lang column
-    * carried, corpus/batch split on doc_id % 10, same kept-first rule. */
-  private def incrementalNearDupOracle: String = {
-    val minCols = (0 until K).map(i =>
-      s"min((hp * ${hashA(i)} + ${hashB(i)}) % $P) AS m$i").mkString(",\n        ")
-    val bandSelects = bands.zipWithIndex.map { case ((x, y), j) =>
-      s"SELECT doc_id, lang, $j AS band, m$x || '_' || m$y AS key FROM mh"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH words AS (
-       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
-       |sh AS (
-       |  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-       |  FROM words, unnest(generate_series(1, len(ws)-2)) AS u(i)
-       |  WHERE len(ws) >= 3),
-       |h AS (
-       |  SELECT doc_id, lang, ('0x' || substr(md5(s), 1, 15))::BIGINT % $P AS hp FROM sh),
-       |mh AS (
-       |  SELECT doc_id, lang,
-       |        $minCols
-       |  FROM h GROUP BY doc_id, lang),
-       |bands AS (
-       |  $bandSelects),
-       |corpus AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
-       |batch AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
-       |vs_corpus AS (
-       |  SELECT DISTINCT n.doc_id, n.lang FROM batch n
-       |  JOIN corpus o ON n.band = o.band AND n.key = o.key),
-       |in_batch AS (
-       |  SELECT DISTINCT a.doc_id, a.lang FROM batch a
-       |  JOIN batch b ON a.band = b.band AND a.key = b.key AND a.doc_id > b.doc_id),
-       |bd AS (SELECT DISTINCT doc_id, lang FROM batch),
-       |flags AS (
-       |  SELECT bd.doc_id, bd.lang,
-       |    CASE WHEN vc.doc_id IS NULL THEN 0 ELSE 1 END AS vs_corpus,
-       |    CASE WHEN ib.doc_id IS NULL THEN 0 ELSE 1 END AS in_batch
-       |  FROM bd
-       |  LEFT JOIN vs_corpus vc ON bd.doc_id = vc.doc_id AND bd.lang = vc.lang
-       |  LEFT JOIN in_batch ib ON bd.doc_id = ib.doc_id AND bd.lang = ib.lang)
-       |SELECT lang, COUNT(*) AS n_batch,
-       |  CAST(SUM(vs_corpus) AS BIGINT) AS n_dup_vs_corpus,
-       |  CAST(SUM(in_batch) AS BIGINT) AS n_dup_in_batch,
-       |  CAST(SUM(CASE WHEN vs_corpus = 0 AND in_batch = 0 THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_clean
-       |FROM flags GROUP BY lang
-       |ORDER BY lang""".stripMargin
-  }
 
   /** DuckDB mirror of q115: same head fingerprint (q48's normalization),
     * same mod-10 split rule, same zero-leakage audit. */

@@ -6,7 +6,8 @@ package graft.queries
   */
 object Registry {
   val all: Seq[QueryDef] =
-    Relational.defs ++ Streaming.defs ++ Pipeline.defs ++ Analytics.defs ++
+    Relational.defs ++ Streaming.defs ++ Pipeline.defs ++ PipelineDedup.defs ++
+      PipelineRetrieval.defs ++ PipelineTokenizer.defs ++ Analytics.defs ++
       Unigram.defs ++ Curation.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(d => d.name -> d).toMap

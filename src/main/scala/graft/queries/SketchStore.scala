@@ -100,22 +100,80 @@ object SketchStore {
     tbl
   }
 
+  /** The banding transform (text → signature → [[bandPairs]] (band, key)
+    * rows per doc) shared by the batch artifact build ([[bands]]) and the
+    * streaming index-maintenance loop (q111/q154/q240's foreachBatch) —
+    * ONE code path, so a stream-maintained delta and the stored base
+    * artifact cannot drift (VERDICT r17 #3). Expects (doc_id, lang,
+    * text); rows with fewer than 3 tokens (null signature) are dropped. */
+  private[graft] def bandRowsOf(s: SparkSession, df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    df.select(col("doc_id"), col("lang"), expr("graft_minhash_sig(text)").as("sig"))
+      .filter(col("sig").isNotNull) // null = fewer than 3 tokens
+      .select(col("doc_id"), col("lang"),
+        expr(bandPairs.zipWithIndex.map { case ((x, y), j) =>
+          s"$j, concat(sig[$x], '_', sig[$y])"
+        }.mkString(s"stack(${bandPairs.size}, ", ", ", ") as (band, key)")))
+  }
+
   /** MinHash band rows `(doc_id, lang, band, key)` — q41's 6x2 banding
     * over the 12-permutation signature, bucketed on the band join key.
     * This IS the standing band index q110 probes per crawl batch. */
   def bands(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
     val tbl = ensureTable(s, dir, "bands", Seq("band", "key")) {
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), expr("graft_minhash_sig(text)").as("sig"))
-        .filter(col("sig").isNotNull) // null = fewer than 3 tokens
-        .select(col("doc_id"), col("lang"),
-          expr(bandPairs.zipWithIndex.map { case ((x, y), j) =>
-            s"$j, concat(sig[$x], '_', sig[$y])"
-          }.mkString(s"stack(${bandPairs.size}, ", ", ", ") as (band, key)")))
+      bandRowsOf(s, Tables.load(s, dir, "documents"))
     }
     s.table(tbl)
   }
+
+  private val BandDeltaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("key",
+      org.apache.spark.sql.types.StringType, nullable = true)))
+
+  /** Streaming DELTA layer of the standing band index (VERDICT r17 #3):
+    * same schema, bucketing and sketch_store root as the write-once
+    * `bands` base artifact, maintained by the ingest loops instead of a
+    * parallel ad-hoc parquet dir. An ingest entry RESETS its delta once
+    * at start (deterministic replay), appends per micro-batch via
+    * [[appendBandsDelta]], and triages against base ∪ delta — batch
+    * consumers (q41/q110/q189) keep reading the immutable base. */
+  def resetBandsDelta(s: SparkSession, dir: String): String = {
+    val dirKey = graft.BuildPaths.dirKey(dir)
+    val tbl = s"graft_sk_bandsdelta_${dirKey}_${sourceFingerprint(dir)}"
+    val lock = locks.computeIfAbsent(tbl, _ => new Object)
+    lock.synchronized {
+      val path = s"${graft.BuildPaths.scratch(s"sketch_store/$dirKey")}/$tbl"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], BandDeltaSchema)
+        .write.mode("overwrite")
+        .bucketBy(BucketN, "band", "key").sortBy("band", "key")
+        .option("path", path)
+        .format("parquet").saveAsTable(tbl)
+      done.remove(tbl)
+    }
+    tbl
+  }
+
+  /** Append one micro-batch of band rows (the [[bandRowsOf]] output) to a
+    * delta created by [[resetBandsDelta]] — same bucketed+sorted layout
+    * as the base artifact, so probes against base ∪ delta stay
+    * co-located joins on (band, key). */
+  def appendBandsDelta(batchBands: DataFrame, tbl: String): Unit =
+    batchBands
+      .select(col("doc_id").cast(org.apache.spark.sql.types.LongType).as("doc_id"),
+        col("lang").cast(org.apache.spark.sql.types.StringType).as("lang"),
+        col("band").cast(org.apache.spark.sql.types.IntegerType).as("band"),
+        col("key"))
+      .repartition(BucketN, col("band"), col("key"))
+      .write.mode("append")
+      .bucketBy(BucketN, "band", "key").sortBy("band", "key")
+      .format("parquet").saveAsTable(tbl)
 
   /** SimHash pigeonhole chunks `(doc_id, sh, ck, cv)` — q44's 4x8-bit
     * chunking of the 32-bit signature, bucketed on the chunk key. */

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 /** Unigram-LM (SentencePiece-style) tokenizer — BPE's sibling (q175
   * train / q176 apply; Kudo 2018, "Subword Regularization", public
   * method), hard-EM over the SAME derived multilingual corpus as the
-  * BPE family (Pipeline.bpeCaseSql + NFC + unicode-word split):
+  * BPE family (PipelineTokenizer.bpeCaseSql + NFC + unicode-word split):
   *
   *   - SEED: every substring of length 1..4 of every distinct word,
   *     corpus-weighted; the top-200 multi-char pieces by count plus ALL
@@ -152,7 +152,7 @@ object Unigram {
     * (w, freq, n_tok, toks)). Exposed to ScaleStressSpec, which times
     * it fresh on the 1x and 10x corpora. */
   private[graft] def trainModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val hist = Pipeline.bpeWordHist(s, dir).localCheckpoint()
+    val hist = PipelineTokenizer.bpeWordHist(s, dir).localCheckpoint()
     // substring candidates, corpus-weighted (vocab-sized explode)
     val subs = hist
       .select(explode(expr(
@@ -251,7 +251,7 @@ object Unigram {
     QueryDef("q176_unigram_tokenize", uniTokenizeOracle) { (s, dir) =>
       val (_, vTbl) = ensureUnigramModel(s, dir)
       val vocab = s.table(vTbl).select(col("w"), col("n_tok"))
-      val perDoc = Pipeline.bpeCorpusWords(s, dir)
+      val perDoc = PipelineTokenizer.bpeCorpusWords(s, dir)
         .join(vocab, Seq("w"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"),
@@ -274,11 +274,11 @@ object Unigram {
     // BPE CTE unroll AND the recursive-CTE unigram EM) into one
     // query — the two oracle generators were built to compose. ----
     QueryDef("q178_tokenizer_ablation", ablationOracle) { (s, dir) =>
-      val (_, bV) = Pipeline.ensureBpeModel(s, dir)
+      val (_, bV) = PipelineTokenizer.ensureBpeModel(s, dir)
       val (_, uV) = ensureUnigramModel(s, dir)
       val words = T(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          explode(Pipeline.bpeWordsCol(s)).as("w"))
+          explode(PipelineTokenizer.bpeWordsCol(s)).as("w"))
         .filter(length(col("w")) > 0)
       val bpe = s.table(bV).select(col("w"), size(col("toks")).as("nb"))
       val uni = s.table(uV).select(col("w"), col("n_tok").as("nu"))
@@ -356,7 +356,7 @@ object Unigram {
   private[graft] def uniOracleCtesBody: String =
     s"""hist AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-       |    SELECT unnest(${Pipeline.bpeOracleWords}) AS w
+       |    SELECT unnest(${PipelineTokenizer.bpeOracleWords}) AS w
        |    FROM documents WHERE text IS NOT NULL)
        |  WHERE len(w) > 0 GROUP BY w),
        |sub AS (
@@ -426,13 +426,13 @@ object Unigram {
     * construction; the final frame joins the two per-doc counts. */
   private def ablationOracle: String =
     "WITH RECURSIVE\n" +
-      Pipeline.bpeOracleCtesBody(Pipeline.BpeMerges) +
-      Pipeline.bpeOracleDocCtes + ",\n" +
+      PipelineTokenizer.bpeOracleCtesBody(PipelineTokenizer.BpeMerges) +
+      PipelineTokenizer.bpeOracleDocCtes + ",\n" +
       uniOracleCtesBody +
       s""",
          |perdoc_uni AS (
          |  SELECT d.doc_id, CAST(SUM(sg.n) AS BIGINT) AS n_tokens_uni
-         |  FROM (SELECT doc_id, unnest(${Pipeline.bpeOracleWords}) AS w
+         |  FROM (SELECT doc_id, unnest(${PipelineTokenizer.bpeOracleWords}) AS w
          |        FROM documents WHERE text IS NOT NULL) d
          |  JOIN seg3 sg ON sg.w = d.w
          |  WHERE len(d.w) > 0
@@ -472,7 +472,7 @@ object Unigram {
       s""",
          |perdoc AS (
          |  SELECT d.doc_id, COUNT(*) AS n_words, CAST(SUM(sg.n) AS BIGINT) AS n_tokens_uni
-         |  FROM (SELECT doc_id, unnest(${Pipeline.bpeOracleWords}) AS w
+         |  FROM (SELECT doc_id, unnest(${PipelineTokenizer.bpeOracleWords}) AS w
          |        FROM documents WHERE text IS NOT NULL) d
          |  JOIN seg3 sg ON sg.w = d.w
          |  WHERE len(d.w) > 0

@@ -384,7 +384,8 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // micro-batch 2, its bands collide with doc 1's (appended to the
     // standing index by micro-batch 1's foreachBatch), so it is flagged
     // dup — while batch-1 docs and the genuinely-new doc 4 stay clean.
-    val df = graft.queries.Registry.byName("q154_stream_dedup_ingest").build(spark, "")
+    val df = graft.queries.Registry.byName("q154_stream_dedup_ingest")
+      .build(spark, "/root/testdata/sf0.001")
     val rows = df.collect().map(r => (r.getInt(0), r.getBoolean(1))).toSeq
     assert(rows === Seq((1, false), (2, false), (3, true), (4, false)))
   }

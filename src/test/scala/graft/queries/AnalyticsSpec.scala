@@ -747,6 +747,43 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("recall_micro") === hit * 1000000L / 10L)
   }
 
+  test("q239: NN-Descent recall beats the LSH leg and matches a driver-side brute-force truth") {
+    // The capability claim behind the graph family: the descent recovers
+    // true neighbors the bucket grid misses. q138 honestly measures LSH
+    // at ~0.30 recall on the random fixture; the converged graph's
+    // node-0 neighborhood must STRICTLY beat it. Ground truth here is an
+    // independent driver-side brute force over the raw vectors (not the
+    // q42 operator both queries embed), so the eval accounting and the
+    // shared leg are checked from outside the registry.
+    val r = run("q239_nn_descent").collect().head
+    assert(r.getAs[Long]("k") === 10L)
+    assert(r.getAs[Long]("n_gt") === 10L && r.getAs[Long]("n_graph") === 10L)
+    val lsh = run("q138_ann_recall").collect().head
+    assert(r.getAs[Long]("recall_micro") > lsh.getAs[Long]("recall_micro"),
+      s"graph recall ${r.getAs[Long]("recall_micro")} does not beat LSH " +
+        s"${lsh.getAs[Long]("recall_micro")}")
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings").collect()
+      .map(row => row.getAs[Long]("vec_id") ->
+        row.getSeq[Float](row.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+    val q = vecs(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(v, q)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val gt = Registry.byName("q42_topk_cosine").build(spark, sfDir)
+      .orderBy(col("cos_r").desc, col("vec_id")).limit(10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(gt === truth, "q42's exact leg diverged from the driver-side brute force")
+    assert(r.getAs[Long]("recall_micro") === r.getAs[Long]("n_hit") * 1000000L / 10L)
+  }
+
   test("q130: profile matches an independently computed ground truth on the fixture") {
     val li = graft.Tables.load(spark, sfDir, "lineitem")
     val rows = run("q130_column_profile").collect()

@@ -126,7 +126,7 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     corpus.flatMap { case (_, lang, t) => refWords(lang, t) }
       .groupMapReduce(identity)(_ => 1L)(_ + _)
 
-  private lazy val ref = refTrain(refHist, Pipeline.BpeMerges)
+  private lazy val ref = refTrain(refHist, PipelineTokenizer.BpeMerges)
 
   test("q150: distributed merge table EXACTLY equals the independent reference (all ranks)") {
     val got = Registry.byName("q150_bpe_train").build(spark, sfDir)
@@ -134,7 +134,7 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       .toSeq
     val want = ref._1.map { case (rank, l, r, cnt) => (rank, l, r, l + r, cnt) }
-    assert(got.size === Pipeline.BpeMerges, s"expected ${Pipeline.BpeMerges} merge rules, got ${got.size}")
+    assert(got.size === PipelineTokenizer.BpeMerges, s"expected ${PipelineTokenizer.BpeMerges} merge rules, got ${got.size}")
     assert(got === want)
   }
 
@@ -205,7 +205,7 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
       corpus.filter(_._2 == "en")
         .flatMap { case (_, lang, t) => refWords(lang, t) }
         .groupMapReduce(identity)(_ => 1L)(_ + _)
-    val (merges, _) = refTrain(enHist, Pipeline.BpeMerges)
+    val (merges, _) = refTrain(enHist, PipelineTokenizer.BpeMerges)
     def tok(w: String): Int = {
       var syms = refSyms(w)
       merges.foreach { case (_, l, r, _) => syms = refMergePass(syms, l, r) }

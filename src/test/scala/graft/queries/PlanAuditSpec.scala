@@ -58,6 +58,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q143 rides q42's ONE query-vector broadcast in both legs and
     // cross-joins its three 1-row eval counters — the q138 shape.
     "q143_matryoshka_eval",
+    // q239 embeds q42 (query-vector broadcast) as its ground-truth leg
+    // and cross-joins its three 1-row eval counters — the q138 shape.
+    // The descent itself is keyed joins + WindowGroupLimit only.
+    "q239_nn_descent",
     // q148 cross-joins its ONE-row (n_chunks, avgdl) corpus stats —
     // q96's audited shape at chunk granularity.
     "q148_chunk_retrieval",
@@ -157,7 +161,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q154_stream_dedup_ingest", "q179_tokenize_at_ingest",
     "q187_manifest_at_ingest", "q190_redact_at_ingest",
     "q191_delete_at_ingest", "q207_drift_at_ingest",
-    "q217_export_append_at_ingest")
+    "q217_export_append_at_ingest", "q240_curation_at_ingest")
   // (q179/q187/q190/q191/q207 run their own publisher+drain inside
   // build() — auditing them here would re-run the whole stream per
   // audit test; their standing folds are audited by the gate + their
@@ -507,10 +511,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Relational.scala" -> Set("n", "p", "r"), // TPC-H dims
       "Streaming.scala" -> Set("mergesArr", "nation", "tombs",
         // q207's #sources-row token totals (r16)
-        "tin", "tref"),
+        "tin", "tref",
+        // q240's stored benchmark-gram probe (r18) — bounded by the
+        // benchmark suite size, the same frame q149 broadcasts
+        "grams"),
+      // round-18 family split (pure code motion): the same reviewed
+      // idents, re-keyed to their new homes
+      "PipelineDedup.scala" -> Set(
+        "etot", // q189's 1-row embedding-pool truth total (r16)
+        "truthTotal"), // q226's 1-row pair-conservation total
+      "PipelineRetrieval.scala" -> Set(
+        // query vectors / 1-row quantized query codes / corpus stats
+        "q", "qb", "qc", "n", "stats",
+        "cent", "df", // q55's NCELLS-row centroids, q56's DF dictionary
+        "probe"), // q99's 3-term query probe
+      "PipelineTokenizer.scala" -> Set(
+        // models: merge arrays, kept-vocab arrays, 1-row totals
+        "best", "ids", "keptArr", "mergesArr", "tot"),
       "Unigram.scala" -> Set("m", "st")) // piece/score models
     val srcDirs = Seq(
       new java.io.File("src/main/scala/graft/queries"),
+      new java.io.File("src/main/scala/graft/queries/pipeline"),
       new java.io.File("src/main/scala/graft/pipeline"))
     val hintRe = "broadcast\\(([A-Za-z0-9_]+)".r
     val offenders = for {

@@ -498,6 +498,11 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // leg at a quarter of the bytes; eval joins two <=K-row frames;
     // output 1 row at any corpus
     "q220_sq8_ann",
+    // q239 (round 18): graph state is bounded at n*G edges and every
+    // round is keyed joins + per-node top-G heaps; the 10x denser LSH
+    // buckets grow the SEED pair set quadratically within buckets but
+    // scoring stays scan-local per pair; eval output 1 row at any corpus
+    "q239_nn_descent",
     // q221 (round 16): three codegen regexp passes over the pre-warmed
     // crawl export read + one shard-keyed agg; output stays 16 rows
     "q221_export_pii_audit",
@@ -604,12 +609,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
   family.foreach { name =>
     test(s"$name: 10x corpus keeps the plan shape and scales ~linearly") {
       if (bpeStoredModel(name)) {
-        Pipeline.ensureBpeModel(spark, base)
-        Pipeline.ensureBpeModel(spark, scaledDir)
+        PipelineTokenizer.ensureBpeModel(spark, base)
+        PipelineTokenizer.ensureBpeModel(spark, scaledDir)
       }
       if (name == "q177_bpe_transfer") {
-        Pipeline.ensureBpeEnModel(spark, base)
-        Pipeline.ensureBpeEnModel(spark, scaledDir)
+        PipelineTokenizer.ensureBpeEnModel(spark, base)
+        PipelineTokenizer.ensureBpeEnModel(spark, scaledDir)
       }
       if (name == "q201_export_shards" || name == "q203_export_range_read") {
         Curation.ensureShardExport(spark, base)
@@ -624,8 +629,8 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         Curation.ensureEvolvedExport(spark, scaledDir)
       }
       if (name == "q237_packed_export") {
-        Pipeline.ensureBpeModel(spark, base)
-        Pipeline.ensureBpeModel(spark, scaledDir)
+        PipelineTokenizer.ensureBpeModel(spark, base)
+        PipelineTokenizer.ensureBpeModel(spark, scaledDir)
         Curation.ensurePackedExport(spark, base)
         Curation.ensurePackedExport(spark, scaledDir)
       }
@@ -642,8 +647,8 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         Unigram.ensureUnigramModel(spark, base)
         Unigram.ensureUnigramModel(spark, scaledDir)
         if (name == "q178_tokenizer_ablation") {
-          Pipeline.ensureBpeModel(spark, base)
-          Pipeline.ensureBpeModel(spark, scaledDir)
+          PipelineTokenizer.ensureBpeModel(spark, base)
+          PipelineTokenizer.ensureBpeModel(spark, scaledDir)
         }
       }
       val warm = run(name, base) // JVM/codegen warm-up, discarded
@@ -700,7 +705,7 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     def train(dir: String): Double = {
       spark.sqlContext.clearCache()
       val t0 = System.nanoTime()
-      Pipeline.bpeTrain(Pipeline.bpeWordHist(spark, dir), Pipeline.BpeMerges)
+      PipelineTokenizer.bpeTrain(PipelineTokenizer.bpeWordHist(spark, dir), PipelineTokenizer.BpeMerges)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

@@ -201,8 +201,8 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the bench). Now ensureBpeModel persists the merge table + the
     // tokenized vocab ONCE per (JVM, dir), and the consumer PLANS prove
     // it: no word-histogram aggregate, the model read in place.
-    val (m0, v0) = Pipeline.ensureBpeModel(spark, sfDir)
-    val (m1, v1) = Pipeline.ensureBpeModel(spark, sfDir) // no-op rewrite
+    val (m0, v0) = PipelineTokenizer.ensureBpeModel(spark, sfDir)
+    val (m1, v1) = PipelineTokenizer.ensureBpeModel(spark, sfDir) // no-op rewrite
     assert((m0, v0) === (m1, v1))
 
     // q150 reads ONLY the stored merge table — zero corpus scans.
