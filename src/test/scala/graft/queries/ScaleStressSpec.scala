@@ -516,6 +516,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q224 (round 16): one pre-warmed export scan + one keyed
     // anti-join + shard-keyed aggregates; output stays 16 rows
     "q224_export_delete",
+    // q241 (round 18): pointer resolve is one metadata read; the layer
+    // scan is partition-parallel parquet; output #shards rows always
+    "q241_export_snapshot_read",
+    // q242 (round 18): both reconciliation legs are the already-audited
+    // q199/q225 plans; the stored side is #sources + 3*#sources rows
+    "q242_data_card_artifact",
     // q225 (round 16): ONE source-keyed rank window executed as a
     // per-partition top-k (WindowGroupLimit); output stays 3x#sources
     "q225_inspection_sample",
@@ -638,6 +644,14 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
           name == "q212_export_decontam_audit" || name == "q224_export_delete") {
         Curation.ensureCompactedExport(spark, base)
         Curation.ensureCompactedExport(spark, scaledDir)
+      }
+      if (name == "q241_export_snapshot_read") {
+        Curation.ensureSnapshotExport(spark, base)
+        Curation.ensureSnapshotExport(spark, scaledDir)
+      }
+      if (name == "q242_data_card_artifact") {
+        Curation.ensureDataCard(spark, base)
+        Curation.ensureDataCard(spark, scaledDir)
       }
       if (name == "q202_crawl_export" || name == "q221_export_pii_audit") {
         Curation.ensureCrawlExport(spark, base)

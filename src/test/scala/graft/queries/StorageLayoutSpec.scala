@@ -346,6 +346,38 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q241/snapshot pointer: a reader mid-commit sees exactly one consistent snapshot — old or new, never mixed") {
+    // The atomic-commit contract (VERDICT r17 #4): commits write a
+    // COMPLETE new layer then swap the `_current` pointer; a reader
+    // resolves the pointer once and reads only that immutable layer.
+    val root = Curation.ensureSnapshotExport(spark, sfDir) // commits v1 then v2
+    assert(Curation.resolveSnapshot(root) === "v2")
+    def docsOf(layer: String): Set[Long] =
+      spark.read.parquet(s"$root/$layer").select("doc_id")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    val all = graft.Tables.load(spark, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id").collect().map(_.getAs[Long]("doc_id")).toSet
+    val baseCohort = all.filter(_ % 10 != 7)
+    // Each layer is EXACTLY one consistent snapshot of the source —
+    // never a partial or mixed set.
+    assert(docsOf("v1") === baseCohort, "v1 is not exactly the base cohort")
+    assert(docsOf("v2") === all, "v2 is not exactly the appended corpus")
+    // Interleave a read across a commit: a reader that resolved BEFORE
+    // the swap keeps reading its immutable layer; one resolving AFTER
+    // sees the new snapshot. Simulate by re-committing v1 -> v2.
+    Curation.commitPointer(root, "v1")
+    val resolvedBeforeSwap = Curation.resolveSnapshot(root)
+    Curation.commitPointer(root, "v2") // the "concurrent" append commit
+    assert(resolvedBeforeSwap === "v1" && Curation.resolveSnapshot(root) === "v2")
+    assert(docsOf(resolvedBeforeSwap) === baseCohort,
+      "the pre-swap reader's layer changed under it — snapshots must be immutable")
+    assert(docsOf(Curation.resolveSnapshot(root)) === all)
+    // The superseded layer survives the commit untouched (time travel):
+    // its _SUCCESS marker and file census are intact.
+    assert(new java.io.File(s"$root/v1", "_SUCCESS").exists)
+  }
+
   test("q203: the range read prunes shard directories at listing time — only the probed shards are scanned") {
     // The export's SERVE contract: a trainer fetching a slice of shards
     // 3/7/11 must list exactly those directories (PartitionFilters on
