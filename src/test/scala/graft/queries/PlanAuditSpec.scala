@@ -61,7 +61,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q239 embeds q42 (query-vector broadcast) as its ground-truth leg
     // and cross-joins its three 1-row eval counters — the q138 shape.
     // The descent itself is keyed joins + WindowGroupLimit only.
-    "q239_nn_descent",
+    // q243 broadcasts its FIXED 32-query eval panel (constant-size at
+    // any corpus) into the scan-local truth leg and cross-joins its two
+    // 1-row eval counters — the q138 shape over a panel.
+    "q239_nn_descent", "q243_graph_recall_sampled",
     // q148 cross-joins its ONE-row (n_chunks, avgdl) corpus stats —
     // q96's audited shape at chunk granularity.
     "q148_chunk_retrieval",
@@ -524,7 +527,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         // query vectors / 1-row quantized query codes / corpus stats
         "q", "qb", "qc", "n", "stats",
         "cent", "df", // q55's NCELLS-row centroids, q56's DF dictionary
-        "probe"), // q99's 3-term query probe
+        "probe", // q99's 3-term query probe
+        "qs"), // q243's FIXED 32-row eval panel (constant at any corpus)
       "PipelineTokenizer.scala" -> Set(
         // models: merge arrays, kept-vocab arrays, 1-row totals
         "best", "ids", "keptArr", "mergesArr", "tot"),

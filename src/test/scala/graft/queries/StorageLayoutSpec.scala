@@ -346,6 +346,55 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stream and batch share ONE band-index structure: the ingest delta matches the base artifact's layout, root, and transform") {
+    // VERDICT r17 #3's done-criterion: q111/q154's maintained index is
+    // the SketchStore band DELTA — not a parallel ad-hoc dir. Pin the
+    // three facts that make it the same standing structure the batch
+    // sweeps (q41/q110/q189) read:
+    //   1. same bucketed layout (bucketBy(8, band, key), sorted) as the
+    //      base artifact, in the same sketch_store root;
+    //   2. rows produced by the SAME transform (SketchStore.bandRowsOf)
+    //      the base build uses — recompute equality;
+    //   3. the base artifact itself is untouched by stream maintenance.
+    import org.apache.spark.sql.functions._
+    val baseBefore = SketchStore.bands(spark, sfDir).count()
+    // Run the ingest entry (4 toy docs through the bus); it resets and
+    // then appends the delta through the shared API.
+    Registry.byName("q111_stream_index_maintain").build(spark, sfDir).collect()
+    val names = SketchStore.tableNames(sfDir)
+    val deltaTbl = spark.catalog.listTables()
+      .filter(_.name.startsWith("graft_sk_bandsdelta_")).head().name
+    def bucketSpec(tbl: String): String =
+      spark.sql(s"DESCRIBE FORMATTED $tbl").collect()
+        .filter(r => Seq("Num Buckets", "Bucket Columns", "Sort Columns")
+          .contains(r.getString(0)))
+        .map(r => s"${r.getString(0)}=${r.getString(1)}").sorted.mkString("|")
+    assert(bucketSpec(deltaTbl) === bucketSpec(names("bands")),
+      "delta bucket layout diverged from the base band artifact")
+    def tableDir(tbl: String): java.io.File =
+      new java.io.File(new java.net.URI(
+        spark.sql(s"DESCRIBE FORMATTED $tbl").collect()
+          .find(_.getString(0) == "Location").get.getString(1)))
+    assert(tableDir(deltaTbl).getParentFile === tableDir(names("bands")).getParentFile,
+      "delta does not live in the sketch_store root next to the base artifact")
+    // Transform equality: the streamed rows equal a batch recompute of
+    // the same toy docs through the SHARED bandRowsOf code path.
+    val toyDocs = spark.createDataFrame(Seq(
+      (1L, "und", "alpha beta gamma delta"),
+      (2L, "und", "the quick brown fox"),
+      (3L, "und", "alpha beta gamma delta"),
+      (4L, "und", "slow green turtle pace")))
+      .toDF("doc_id", "lang", "text")
+    val expected = SketchStore.bandRowsOf(spark, toyDocs)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3))).toSet
+    val streamed = spark.table(deltaTbl)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getString(3))).toSet
+    assert(streamed === expected,
+      "stream-maintained delta rows diverged from the shared banding transform")
+    assert(SketchStore.bands(spark, sfDir).count() === baseBefore,
+      "stream maintenance mutated the write-once base artifact")
+  }
+
   test("q241/snapshot pointer: a reader mid-commit sees exactly one consistent snapshot — old or new, never mixed") {
     // The atomic-commit contract (VERDICT r17 #4): commits write a
     // COMPLETE new layer then swap the `_current` pointer; a reader
