@@ -332,6 +332,20 @@ object SketchStore {
     s.table(tbl)
   }
 
+  /** The converged NN-Descent K-NN graph `(u, w, cos_r)` (round 18) —
+    * the graph-ANN family's standing index, built ONCE per corpus by
+    * the q239 descent (seeded from [[lshPairs]], G=16, 2 rounds) and
+    * read by both its evals (q239 node-0 recall, q243 sampled
+    * whole-graph recall). Bucketed on the query-node key u. The q239/
+    * q243 oracles recompute the full descent from raw embeddings, so a
+    * stale graph is a hash FAIL. */
+  def nnGraph(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureTable(s, dir, "nngraph", Seq("u")) {
+      PipelineRetrieval.nnDescentGraph(s, dir)
+    }
+    s.table(tbl)
+  }
+
   /** Per-doc sorted distinct-gram SET `(doc_id, gs, nsh)` — the grading
     * side of exact Jaccard as one array per doc (set intersection goes
     * scan-local per pair instead of pair x gram shuffles). */
@@ -350,7 +364,8 @@ object SketchStore {
     val k = graft.BuildPaths.dirKey(dir)
     val fp = sourceFingerprint(dir)
     Seq("bands", "simchunks", "shingles", "lshbkt", "kmembers", "mhpairs",
-      "simpairs", "rarepairs", "lshpairs", "sempairs", "docsets", "dupclusters")
+      "simpairs", "rarepairs", "lshpairs", "sempairs", "docsets", "dupclusters",
+      "nngraph")
       .map(short => short -> s"graft_sk_${short}_${k}_$fp").toMap
   }
 }

@@ -302,6 +302,15 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(plan(q).contains(names(short)),
         s"$q does not scan the stored ${names(short)} artifact")
     }
+    // Tier 4 — the converged NN-DESCENT GRAPH (round 18): both graph-ANN
+    // evals read ONE stored (u, w, cos_r) table; the descent's iterative
+    // build runs once at artifact build. The q239/q243 oracles recompute
+    // the full descent from raw embeddings, so a drifted graph is a
+    // hash FAIL — this is the plan-identity half.
+    for (q <- Seq("q239_nn_descent", "q243_graph_recall_sampled")) {
+      assert(plan(q).contains(names("nngraph")),
+        s"$q does not scan the stored ${names("nngraph")} artifact")
+    }
     // Tier 3 — the converged CLUSTER ASSIGNMENT (VERDICT r17 #8): the
     // q76 family (q76/q125/q215/q233) reads ONE stored (doc_id,
     // cluster_id) table; the propagation loop runs once at artifact
