@@ -346,6 +346,18 @@ object SketchStore {
     s.table(tbl)
   }
 
+  /** The OLD-cohort NN-Descent graph (round 18, q244) — the standing
+    * index as it stood BEFORE the incremental batch arrived (seed pairs
+    * restricted to vectors outside the q244 new cohort; the 2-hop
+    * expansion is cohort-closed). The q244 maintenance pass absorbs the
+    * new batch against THIS artifact without rebuilding it. */
+  def nnGraphBase(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureTable(s, dir, "nngraphb", Seq("u")) {
+      PipelineRetrieval.nnDescentGraph(s, dir, oldOnly = true)
+    }
+    s.table(tbl)
+  }
+
   /** Per-doc sorted distinct-gram SET `(doc_id, gs, nsh)` — the grading
     * side of exact Jaccard as one array per doc (set intersection goes
     * scan-local per pair instead of pair x gram shuffles). */
@@ -365,7 +377,7 @@ object SketchStore {
     val fp = sourceFingerprint(dir)
     Seq("bands", "simchunks", "shingles", "lshbkt", "kmembers", "mhpairs",
       "simpairs", "rarepairs", "lshpairs", "sempairs", "docsets", "dupclusters",
-      "nngraph")
+      "nngraph", "nngraphb")
       .map(short => short -> s"graft_sk_${short}_${k}_$fp").toMap
   }
 }

