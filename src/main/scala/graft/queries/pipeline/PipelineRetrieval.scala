@@ -99,6 +99,24 @@ object PipelineRetrieval {
   // buckets per table) the cap almost never binds; at 10x it does, and
   // that is the point.
   private[queries] val NNDESC_PROBE_CAP = 16
+
+  // q245 (round 19) graph-SERVE parameters: the query half the graph
+  // family was missing — answering top-k for vectors that are NOT
+  // corpus nodes. SERVE_Q synthesized out-of-corpus queries (midpoints
+  // of deterministically-paired corpus vectors — generically not corpus
+  // points, yet with a well-defined exact truth both engines can
+  // compute); SERVE_ENTRIES fixed entry points (the HNSW/NSG
+  // navigating-node shape: a FIXED, corpus-independent panel stays
+  // broadcastable at any scale); SERVE_BEAM beam width (>= recall K so
+  // the final cut is never beam-truncated); SERVE_ROUNDS greedy
+  // expansion rounds through the stored graph.
+  private val SERVE_Q = 16
+
+  private val SERVE_ENTRIES = 32
+
+  private val SERVE_BEAM = 16
+
+  private val SERVE_ROUNDS = 3
   val defs: Seq[QueryDef] = Seq(
 
     // ---- similarity search: brute-force cosine top-k against one query
@@ -634,6 +652,93 @@ object PipelineRetrieval {
         expr(s"(sum_hits * 1000000) DIV ($ANN_RECALL_K * n_panel)")
           .as("mean_recall_micro"))
     },
+
+    // ---- q245 (round 19): GRAPH SERVE — the query half of the graph
+    // family (VERDICT r18 missing #1): q239/q243/q244 build, grade, and
+    // maintain the K-NN graph, but every eval took a corpus NODE as the
+    // query; a retrieval deployment answers "top-k for this NEW vector"
+    // thousands of times per second. This is that query shape: beam
+    // search (greedy best-first expansion, the HNSW/NSG serve
+    // algorithm) over the STORED NN-Descent graph. Queries: SERVE_Q
+    // out-of-corpus vectors synthesized as midpoints of
+    // deterministically-paired corpus vectors (h60 panel order — both
+    // engines derive identical queries, and exact truth is
+    // well-defined). Entry points: a FIXED SERVE_ENTRIES-node panel
+    // (corpus-independent size — broadcastable at any scale, the
+    // navigating-node convention). Each round: the beam's nodes expand
+    // through the stored graph (one keyed join per round against the
+    // bucketed artifact), neighbors are scored by exact cosine against
+    // the query, and the beam is cut back to the best SERVE_BEAM per
+    // query (a partial WindowGroupLimit; localCheckpoint truncates the
+    // iterative lineage — the q76/q239 rule). Graded by recall@10 vs
+    // per-query brute-force truth (the q243 harness). 100 TB shape: the
+    // corpus is touched ONLY by (a) the per-round keyed joins into the
+    // graph/vector artifacts — beam-sized, not corpus-sized — and (b)
+    // the truth leg, which is the EVAL harness, not the serve path; the
+    // serve path's work per query is O(rounds * beam * degree) scores
+    // regardless of corpus size. ----
+    QueryDef("q245_graph_serve", graphServeOracle) { (s, dir) =>
+      val vecs = vecsWithNorms(s, dir)
+      val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+      val h = (tag: String) => conv(substring(md5(concat(lit(tag),
+        col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+      // 2Q parents in 'sv:' h60 order, paired consecutively -> Q
+      // midpoint queries (out-of-corpus by construction).
+      val wOrd = Window.orderBy(col("hq"), col("vec_id"))
+      val parents = vecs.withColumn("hq", h("sv:"))
+        .orderBy(col("hq"), col("vec_id")).limit(2 * SERVE_Q)
+        .withColumn("rn", row_number().over(wOrd))
+      val pa = parents.filter(col("rn") % 2 === 1)
+        .select(expr("(rn + 1) DIV 2").as("qid"), col("v").as("va"))
+      val pb = parents.filter(col("rn") % 2 === 0)
+        .select(expr("rn DIV 2").as("qid"), col("v").as("vb"))
+      val queries = pa.join(pb, "qid")
+        .select(col("qid"),
+          zip_with(col("va"), col("vb"), (x, y) => (x + y) / lit(2.0)).as("qv"))
+        .withColumn("qn", sqrt(fold(zip_with(col("qv"), col("qv"), (x, y) => x * y))))
+        .persist()
+      val entries = vecs.withColumn("he", h("en:"))
+        .orderBy(col("he"), col("vec_id")).limit(SERVE_ENTRIES)
+        .select(col("vec_id").as("w"))
+      def score(cand: DataFrame): DataFrame = cand // (qid, w)
+        .join(vecs.select(col("vec_id").as("w"), col("v").as("vw"),
+          col("nrm").as("nw")), "w")
+        .join(broadcast(queries), "qid")
+        .select(col("qid"), col("w"),
+          round(fold(zip_with(col("vw"), col("qv"), (x, y) => x * y)) /
+            (col("nw") * col("qn")), 6).as("cos_r"))
+      val wBeam = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("w"))
+      def cut(df: DataFrame, k: Int): DataFrame =
+        df.withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= k).drop("rn")
+      var beam = cut(score(queries.select(col("qid")).crossJoin(broadcast(entries))),
+        SERVE_BEAM).localCheckpoint()
+      for (_ <- 1 to SERVE_ROUNDS) {
+        // Re-scored beam rows produce identical (qid, w, cos_r) rows —
+        // distinct is the merge (the q239 rule).
+        beam = cut(score(serveExpand(s, dir, beam)).union(beam).distinct(),
+          SERVE_BEAM).localCheckpoint()
+      }
+      val picks = cut(beam, ANN_RECALL_K).select(col("qid"), col("w").as("vec_id"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
+      val truth = vecs.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"),
+          round(fold(zip_with(col("v"), col("qv"), (x, y) => x * y)) /
+            (col("nrm") * col("qn")), 6).as("cos_r"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= ANN_RECALL_K)
+        .select(col("qid"), col("vec_id"))
+      val nq = queries.agg(count(lit(1)).as("n_queries"))
+      val hits = truth.join(picks, Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as("sum_hits"))
+      nq.crossJoin(hits)
+        .select(lit(ANN_RECALL_K.toLong).as("k"),
+          lit(SERVE_BEAM.toLong).as("beam"),
+          lit(SERVE_ROUNDS.toLong).as("rounds"),
+          lit(SERVE_ENTRIES.toLong).as("n_entries"),
+          col("n_queries"), col("sum_hits"),
+          expr(s"(sum_hits * 1000000) DIV ($ANN_RECALL_K * n_queries)")
+            .as("mean_recall_micro"))
+    },
   )
 
   /** One corpus scan with precomputed norms — the frame every
@@ -672,6 +777,18 @@ object PipelineRetrieval {
   // batch"; the base graph is the descent over everything else.
   private[queries] final val NNDESC_NEW_MOD = 10
   private[queries] final val NNDESC_NEW_REM = 3
+
+  /** One q245 beam-expansion step — the beam's nodes pull their
+    * neighbors from the STORED graph artifact via a keyed equi join
+    * (the serve path's only corpus-sized-structure touch). Factored so
+    * StorageLayoutSpec can pin the artifact scan: the registry entry
+    * checkpoints each round, which hides the join from its final plan. */
+  private[graft] def serveExpand(
+      s: SparkSession, dir: String, beam: DataFrame): DataFrame =
+    beam.select(col("qid"), col("w"))
+      .join(SketchStore.nnGraph(s, dir).select(col("u"), col("w").as("gw")),
+        col("w") === col("u"))
+      .select(col("qid"), col("gw").as("w")).distinct()
 
   /** The incremental graph-maintenance kernel (round 19) shared by q244
     * (batch absorb) and the streaming absorb entry: for a frame of NEW
@@ -939,6 +1056,82 @@ object PipelineRetrieval {
        |  (SELECT COUNT(*) FROM truth JOIN picks USING (u, vec_id)) AS sum_hits,
        |  ((SELECT COUNT(*) FROM truth JOIN picks USING (u, vec_id)) * 1000000)
        |    // ($ANN_RECALL_K * (SELECT COUNT(*) FROM panel)) AS mean_recall_micro""".stripMargin
+  }
+
+  /** DuckDB mirror of q245: the shared descent chain rebuilds the graph
+    * from raw embeddings (a stale stored graph hash-fails), the same
+    * h60-paired midpoint queries, the same fixed entry panel, and the
+    * beam rounds UNROLLED as materialized CTEs (the q194/q239
+    * technique), graded by the q243 recall accounting. */
+  private def graphServeOracle: String = {
+    val h60 = (tag: String) =>
+      s"('0x' || substr(md5('$tag' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+    val qdot = (e: String, q: String) =>
+      s"list_sum(list_transform(generate_series(1, $DIM), i -> $e.v[i] * $q.qv[i]))"
+    val beamCut = (src: String) =>
+      s"""SELECT qid, w, cos_r FROM (
+         |    SELECT qid, w, cos_r,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, w) AS rn
+         |    FROM ($src))
+         |  WHERE rn <= $SERVE_BEAM""".stripMargin
+    val rounds = (1 to SERVE_ROUNDS).map { j =>
+      s"""bn$j AS (
+         |  SELECT DISTINCT b.qid, g.w FROM bm${j - 1} b
+         |  JOIN g$NNDESC_ROUNDS g ON b.w = g.u),
+         |bsc$j AS MATERIALIZED (
+         |  SELECT c.qid, c.w,
+         |    round((${qdot("e", "q")}) / (e.nrm * q.qn), 6) AS cos_r
+         |  FROM bn$j c JOIN nrm e ON c.w = e.vec_id JOIN qp q ON c.qid = q.qid),
+         |bm$j AS MATERIALIZED (
+         |  ${beamCut(s"SELECT qid, w, cos_r FROM bsc$j UNION SELECT qid, w, cos_r FROM bm${j - 1}")})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${nnDescentCtes()},
+       |sp AS MATERIALIZED (
+       |  SELECT vec_id, v, rn FROM (
+       |    SELECT vec_id, v,
+       |      row_number() OVER (ORDER BY ${h60("sv:")}, vec_id) AS rn
+       |    FROM nrm) WHERE rn <= ${2 * SERVE_Q}),
+       |qp AS MATERIALIZED (
+       |  SELECT qid, qv,
+       |    sqrt(list_sum(list_transform(generate_series(1, $DIM),
+       |      i -> qv[i] * qv[i]))) AS qn
+       |  FROM (
+       |    SELECT (a.rn + 1) // 2 AS qid,
+       |      list_transform(generate_series(1, $DIM),
+       |        i -> (a.v[i] + b.v[i]) / 2) AS qv
+       |    FROM sp a JOIN sp b ON b.rn = a.rn + 1
+       |    WHERE a.rn % 2 = 1)),
+       |en AS MATERIALIZED (
+       |  SELECT vec_id AS w FROM (
+       |    SELECT vec_id,
+       |      row_number() OVER (ORDER BY ${h60("en:")}, vec_id) AS rn
+       |    FROM nrm) WHERE rn <= $SERVE_ENTRIES),
+       |bm0 AS MATERIALIZED (
+       |  ${beamCut(
+           s"""SELECT q.qid, e.w,
+              |      round((${qdot("n", "q")}) / (n.nrm * q.qn), 6) AS cos_r
+              |    FROM en e JOIN nrm n ON e.w = n.vec_id, qp q""".stripMargin)}),
+       |$rounds,
+       |pk AS (
+       |  SELECT qid, w AS vec_id FROM (
+       |    SELECT qid, w,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, w) AS rn
+       |    FROM bm$SERVE_ROUNDS) WHERE rn <= $ANN_RECALL_K),
+       |tr AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY round((${qdot("e", "q")}) / (e.nrm * q.qn), 6) DESC,
+       |          e.vec_id) AS rn
+       |    FROM nrm e, qp q) WHERE rn <= $ANN_RECALL_K)
+       |SELECT CAST($ANN_RECALL_K AS BIGINT) AS k,
+       |  CAST($SERVE_BEAM AS BIGINT) AS beam,
+       |  CAST($SERVE_ROUNDS AS BIGINT) AS rounds,
+       |  CAST($SERVE_ENTRIES AS BIGINT) AS n_entries,
+       |  (SELECT COUNT(*) FROM qp) AS n_queries,
+       |  (SELECT COUNT(*) FROM tr JOIN pk USING (qid, vec_id)) AS sum_hits,
+       |  ((SELECT COUNT(*) FROM tr JOIN pk USING (qid, vec_id)) * 1000000)
+       |    // ($ANN_RECALL_K * (SELECT COUNT(*) FROM qp)) AS mean_recall_micro""".stripMargin
   }
 
   /** DuckDB mirror of q46, generated from the same (tables, planes, dim)

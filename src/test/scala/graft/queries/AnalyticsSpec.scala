@@ -784,6 +784,26 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("recall_micro") === r.getAs[Long]("n_hit") * 1000000L / 10L)
   }
 
+  test("q245: graph serve answers OUT-OF-CORPUS queries above the LSH floor") {
+    // The serve half of the graph family (round 19): every prior graph
+    // eval took a corpus NODE as the query; q245 beam-searches the
+    // stored graph for 16 synthesized midpoint vectors that are NOT
+    // corpus points. Measured on the fixture: mean recall@10 = 0.975
+    // (156/160) — materially above q138's honest LSH floor (~0.30) and
+    // above an entries-only beam (~0.06, the no-expansion failure
+    // mode), so the floor pinned here discriminates both.
+    val r = run("q245_graph_serve").collect().head
+    assert(r.getAs[Long]("k") === 10L)
+    assert(r.getAs[Long]("n_queries") === 16L)
+    assert(r.getAs[Long]("mean_recall_micro") ===
+      r.getAs[Long]("sum_hits") * 1000000L / (10L * 16L))
+    val lsh = run("q138_ann_recall").collect().head.getAs[Long]("recall_micro")
+    assert(r.getAs[Long]("mean_recall_micro") > lsh,
+      s"serve recall ${r.getAs[Long]("mean_recall_micro")} does not beat LSH $lsh")
+    assert(r.getAs[Long]("mean_recall_micro") >= 800000L,
+      s"serve recall collapsed: ${r.getAs[Long]("mean_recall_micro")} (expected ~975000)")
+  }
+
   test("q130: profile matches an independently computed ground truth on the fixture") {
     val li = graft.Tables.load(spark, sfDir, "lineitem")
     val rows = run("q130_column_profile").collect()

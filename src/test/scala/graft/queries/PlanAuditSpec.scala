@@ -68,6 +68,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // accounting counters; candidate generation is bucket-keyed equi
     // joins + one base-graph hop.
     "q239_nn_descent", "q243_graph_recall_sampled", "q244_graph_index_maintain",
+    // q245 broadcasts its FIXED 16-query synthesized panel (constant at
+    // any corpus) into the seed cross (16x32 constant), the per-round
+    // scoring joins, and the scan-local truth leg; the beam expansion
+    // itself is a keyed equi join into the stored graph artifact.
+    "q245_graph_serve",
     // q148 cross-joins its ONE-row (n_chunks, avgdl) corpus stats —
     // q96's audited shape at chunk granularity.
     "q148_chunk_retrieval",
@@ -531,7 +536,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q", "qb", "qc", "n", "stats",
         "cent", "df", // q55's NCELLS-row centroids, q56's DF dictionary
         "probe", // q99's 3-term query probe
-        "qs"), // q243's FIXED 32-row eval panel (constant at any corpus)
+        "qs", // q243's FIXED 32-row eval panel (constant at any corpus)
+        // q245's FIXED 16-row synthesized query panel and 32-row entry
+        // panel (both constant-size at any corpus — the serve path's
+        // per-query state is O(beam), never corpus-sized)
+        "queries", "entries"),
       "PipelineTokenizer.scala" -> Set(
         // models: merge arrays, kept-vocab arrays, 1-row totals
         "best", "ids", "keptArr", "mergesArr", "tot"),

@@ -507,6 +507,11 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stored base graph; 10x denser buckets grow the candidate set but
     // scoring stays scan-local per pair; eval output 1 row
     "q244_graph_index_maintain",
+    // q245 (round 19): serve-path work per query is O(rounds x beam x
+    // degree) scores regardless of corpus size — fixed query/entry
+    // panels, beam-sized keyed joins into the stored graph; the only
+    // corpus-linear leg is the n x 16 exact-truth EVAL; output 1 row
+    "q245_graph_serve",
     // q221 (round 16): three codegen regexp passes over the pre-warmed
     // crawl export read + one shard-keyed agg; output stays 16 rows
     "q221_export_pii_audit",
@@ -652,6 +657,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (name == "q244_graph_index_maintain") {
         SketchStore.nnGraphBase(spark, base)
         SketchStore.nnGraphBase(spark, scaledDir)
+      }
+      if (name == "q245_graph_serve") {
+        SketchStore.nnGraph(spark, base)
+        SketchStore.nnGraph(spark, scaledDir)
       }
       if (name == "q239_nn_descent") {
         // The converged graph is a write-once stored artifact (the

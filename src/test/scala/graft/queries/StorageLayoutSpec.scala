@@ -311,6 +311,21 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(plan(q).contains(names("nngraph")),
         s"$q does not scan the stored ${names("nngraph")} artifact")
     }
+    // ...and the SERVE path (q245, round 19) answers out-of-corpus
+    // queries by walking the SAME stored graph — beam expansion is a
+    // keyed join into the artifact, never a descent re-run. The
+    // registry entry checkpoints each round (hiding the join from its
+    // final plan), so the artifact scan is pinned on the factored
+    // expansion step itself.
+    {
+      import org.apache.spark.sql.functions.lit
+      val beam1 = spark.range(1)
+        .select(lit(1L).as("qid"), lit(0L).as("w"), lit(0.5).as("cos_r"))
+      val expand = PipelineRetrieval.serveExpand(spark, sfDir, beam1)
+        .queryExecution.executedPlan.toString
+      assert(expand.contains(names("nngraph")),
+        "q245's beam expansion does not join the stored graph artifact")
+    }
     // ...and the incremental maintenance pass (q244) probes the stored
     // OLD-cohort base graph and the stored bucket artifact — the batch
     // is absorbed against standing indexes, never a rebuild.
