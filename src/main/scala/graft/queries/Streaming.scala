@@ -1851,6 +1851,88 @@ object Streaming {
               count(lit(1)).cast(LongType).as("n_units"))
             .select(lit("5_indexed").as("stage"), col("n_docs"), col("n_units")))
         .orderBy(col("stage"))
+    },
+
+    // ---- q246 (round 19): GRAPH-INDEX MAINTENANCE AT INGEST — q244's
+    // incremental absorb running inside the stream loop, completing the
+    // at-ingest set (bands q111/q154, manifest q187, drift q207,
+    // exports q217, curation q240, and now the ANN graph). New vectors
+    // arrive as bus events carrying their vec_id (the production shape:
+    // events point into the vector store; payloads don't ship 64-dim
+    // arrays), and each micro-batch runs the SHARED maintenance kernel
+    // (PipelineRetrieval.graphMaintainEdges — capped stored-bucket
+    // probe + one hop through the stored base graph + top-G cut) and
+    // appends its edges to a graph DELTA log. Arrival-order-free by
+    // construction: each vec_id is absorbed exactly once, candidates
+    // come from STANDING artifacts (not from batch peers), and the
+    // per-node top-G cut is local to the node — so the union of
+    // per-batch absorbs EQUALS the one-shot batch absorb regardless of
+    // batching, and the entry grades its delta with q244's own eval and
+    // ORACLE, verbatim (the q209/q217 convention: stream-maintained
+    // index == batch absorb, hash-proven). 100 TB shape: per-batch cost
+    // tracks the batch (capped probes), the corpus is never rescanned,
+    // and the delta log is bucketable exactly like the base graph. ----
+    QueryDef.noBench("q246_graph_absorb_at_ingest",
+      PipelineRetrieval.graphMaintainOracleShared) { (s, dir) =>
+      val url = s"memory://q246-${UUID.randomUUID()}"
+      val deltaLog = java.nio.file.Files.createTempDirectory("graft-graph-delta").toString
+      // Warm the standing artifacts up front (base graph + buckets) so
+      // the stream loop only probes — the q154 convention.
+      graft.queries.SketchStore.nnGraphBase(s, dir)
+      graft.queries.SketchStore.lshBuckets(s, dir)
+      val isNew = col("vec_id") % PipelineRetrieval.NNDESC_NEW_MOD ===
+        PipelineRetrieval.NNDESC_NEW_REM
+      // The strict payload codec is Int32/Float64/Utf8/Bool (reference
+      // parity, §1.2) — ids ship as int32 and widen back on arrival.
+      val cohort = Tables.load(s, dir, "embeddings")
+        .filter(isNew).select(col("vec_id").cast(IntegerType).as("vec_id"))
+      val nNew = cohort.count()
+      val feedSchema = StructType(Seq(
+        StructField("vec_id", IntegerType, nullable = false)))
+      val q = s.readStream.format("nats").schema(feedSchema)
+        .option("url", url).option("subject", "crawl_vectors")
+        .option("batchSize", "32")
+        .option("flushTimeoutMs", "100")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          val sess = batch.sparkSession
+          val ids = batch.select(col("vec_id").cast(LongType).as("vec_id")).distinct()
+          PipelineRetrieval.graphMaintainEdges(sess, dir, ids)
+            .write.mode("append").parquet(deltaLog)
+        }
+        .start()
+      try {
+        NatsDemo.awaitSubscriber(url, "crawl_vectors")
+        // Two publish rounds (distributed, through the NATS sink — the
+        // q240 shape) prove multi-batch absorb equals the batch pass:
+        // the eval cannot tell which batch indexed a node. The cohort
+        // (% 10 = 3) splits exactly into the % 20 = 3 and % 20 = 13
+        // halves.
+        def pub(half: DataFrame): Unit =
+          half.write.format("nats").mode("append")
+            .option("url", url).option("subject", "crawl_vectors").save()
+        pub(cohort.filter(col("vec_id") % 20 === 3))
+        q.processAllAvailable()
+        pub(cohort.filter(col("vec_id") % 20 === 13))
+        def indexed(): Long =
+          try s.read.parquet(deltaLog).select(col("u")).distinct().count()
+          catch { case _: Exception => 0L }
+        q.processAllAvailable()
+        // A trailing partial batch becomes an available offset only
+        // after flushTimeoutMs — drain until every cohort node is
+        // absorbed (the q160/q240 drain rule).
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (indexed() < nNew && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          q.processAllAvailable()
+        }
+        require(indexed() == nNew,
+          s"q246 drain timed out: ${indexed()} of $nNew vectors absorbed")
+      } finally q.stop()
+      PipelineRetrieval.graphMaintainStats(s, dir,
+        s.read.parquet(deltaLog).persist())
     }
   )
 

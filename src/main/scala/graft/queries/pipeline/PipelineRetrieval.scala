@@ -610,47 +610,10 @@ object PipelineRetrieval {
     // seed) + the maintenance step + the panel grading, all recomputed
     // from raw embeddings. ----
     QueryDef("q244_graph_index_maintain", graphMaintainOracle) { (s, dir) =>
-      val vecs = vecsWithNorms(s, dir)
       val isNew = (c: Column) => c % NNDESC_NEW_MOD === NNDESC_NEW_REM
       val newIds = T(s, dir, "embeddings")
         .filter(isNew(col("vec_id"))).select(col("vec_id"))
-      val newEdges = graphMaintainEdges(s, dir, newIds).persist()
-      val hq = conv(substring(md5(concat(lit("gr:"),
-        col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
-      val qs = vecs.filter(isNew(col("vec_id"))).withColumn("hq", hq)
-        .orderBy(col("hq"), col("vec_id")).limit(NNDESC_EVAL_Q)
-        .select(col("vec_id").as("u"), col("v").as("qv"), col("nrm").as("qn"))
-        .persist()
-      val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
-      val wTop = Window.partitionBy(col("u"))
-        .orderBy(col("cos_r").desc, col("vec_id"))
-      val truth = vecs.crossJoin(broadcast(qs.select(col("u"), col("qv"), col("qn"))))
-        .filter(col("vec_id") =!= col("u"))
-        .select(col("u"), col("vec_id"),
-          round(fold(zip_with(col("v"), col("qv"), (x, y) => x * y)) /
-            (col("nrm") * col("qn")), 6).as("cos_r"))
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= ANN_RECALL_K)
-        .select(col("u"), col("vec_id"))
-      val picks = newEdges
-        .join(broadcast(qs.select(col("u"))), Seq("u"))
-        .select(col("u"), col("w").as("vec_id"), col("cos_r"))
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= ANN_RECALL_K)
-        .select(col("u"), col("vec_id"))
-      val stats = vecs.filter(isNew(col("vec_id")))
-        .agg(count(lit(1)).as("n_new"))
-        .crossJoin(newEdges.agg(countDistinct(col("u")).as("n_indexed"),
-          count(lit(1)).as("n_edges")))
-        .crossJoin(qs.agg(count(lit(1)).as("n_panel")))
-        .crossJoin(truth.join(picks, Seq("u", "vec_id"))
-          .agg(count(lit(1)).as("sum_hits")))
-      stats.select(lit(ANN_RECALL_K.toLong).as("k"),
-        lit(NNDESC_G.toLong).as("degree"),
-        col("n_new"), col("n_indexed"), col("n_edges"), col("n_panel"),
-        col("sum_hits"),
-        expr(s"(sum_hits * 1000000) DIV ($ANN_RECALL_K * n_panel)")
-          .as("mean_recall_micro"))
+      graphMaintainStats(s, dir, graphMaintainEdges(s, dir, newIds).persist())
     },
 
     // ---- q245 (round 19): GRAPH SERVE — the query half of the graph
@@ -777,6 +740,60 @@ object PipelineRetrieval {
   // batch"; the base graph is the descent over everything else.
   private[queries] final val NNDESC_NEW_MOD = 10
   private[queries] final val NNDESC_NEW_REM = 3
+
+  /** The q244 accounting + panel grading over a frame of absorbed graph
+    * edges (u, w, cos_r) — factored (round 19) so the batch absorb
+    * (q244) and the streaming absorb (q246) grade their results with
+    * the IDENTICAL eval and therefore share ONE oracle (the q209/q217
+    * convention: the strongest pin for an at-ingest twin is the batch
+    * entry's own oracle, verbatim). Fixed NNDESC_EVAL_Q panel of NEW
+    * nodes, per-query exact truth over the whole corpus, recall@K in
+    * integer micros. */
+  private[queries] def graphMaintainStats(
+      s: SparkSession, dir: String, newEdges: DataFrame): DataFrame = {
+    val vecs = vecsWithNorms(s, dir)
+    val isNew = (c: Column) => c % NNDESC_NEW_MOD === NNDESC_NEW_REM
+    val hq = conv(substring(md5(concat(lit("gr:"),
+      col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+    val qs = vecs.filter(isNew(col("vec_id"))).withColumn("hq", hq)
+      .orderBy(col("hq"), col("vec_id")).limit(NNDESC_EVAL_Q)
+      .select(col("vec_id").as("u"), col("v").as("qv"), col("nrm").as("qn"))
+      .persist()
+    val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+    val wTop = Window.partitionBy(col("u"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    val truth = vecs.crossJoin(broadcast(qs.select(col("u"), col("qv"), col("qn"))))
+      .filter(col("vec_id") =!= col("u"))
+      .select(col("u"), col("vec_id"),
+        round(fold(zip_with(col("v"), col("qv"), (x, y) => x * y)) /
+          (col("nrm") * col("qn")), 6).as("cos_r"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= ANN_RECALL_K)
+      .select(col("u"), col("vec_id"))
+    val picks = newEdges
+      .join(broadcast(qs.select(col("u"))), Seq("u"))
+      .select(col("u"), col("w").as("vec_id"), col("cos_r"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= ANN_RECALL_K)
+      .select(col("u"), col("vec_id"))
+    val stats = vecs.filter(isNew(col("vec_id")))
+      .agg(count(lit(1)).as("n_new"))
+      .crossJoin(newEdges.agg(countDistinct(col("u")).as("n_indexed"),
+        count(lit(1)).as("n_edges")))
+      .crossJoin(qs.agg(count(lit(1)).as("n_panel")))
+      .crossJoin(truth.join(picks, Seq("u", "vec_id"))
+        .agg(count(lit(1)).as("sum_hits")))
+    stats.select(lit(ANN_RECALL_K.toLong).as("k"),
+      lit(NNDESC_G.toLong).as("degree"),
+      col("n_new"), col("n_indexed"), col("n_edges"), col("n_panel"),
+      col("sum_hits"),
+      expr(s"(sum_hits * 1000000) DIV ($ANN_RECALL_K * n_panel)")
+        .as("mean_recall_micro"))
+  }
+
+  /** The q244 oracle, exposed for the streaming absorb twin (q246) —
+    * shared verbatim, the q209/q217 convention. */
+  private[queries] def graphMaintainOracleShared: String = graphMaintainOracle
 
   /** One q245 beam-expansion step — the beam's nodes pull their
     * neighbors from the STORED graph artifact via a keyed equi join

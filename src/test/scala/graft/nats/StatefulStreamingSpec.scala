@@ -389,4 +389,22 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = df.collect().map(r => (r.getInt(0), r.getBoolean(1))).toSeq
     assert(rows === Seq((1, false), (2, false), (3, true), (4, false)))
   }
+
+  test("q246 QueryDef: stream-absorbed graph delta EQUALS the q244 batch absorb, row for row") {
+    // The at-ingest twin contract (the q209/q217 convention): q246
+    // shares q244's maintenance kernel, eval, and oracle — here the two
+    // entries' OUTPUT ROWS are pinned equal directly, so a drift
+    // between the streaming loop and the batch pass fails the suite
+    // even without the DuckDB gate. Arrival-order freedom is by
+    // construction (candidates come from standing artifacts, never
+    // batch peers; each vec_id absorbs once), so the two publish
+    // rounds' batching cannot show through.
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.queries.Registry.byName("q246_graph_absorb_at_ingest")
+      .build(spark, dir).collect().toSeq
+    val batch = graft.queries.Registry.byName("q244_graph_index_maintain")
+      .build(spark, dir).collect().toSeq
+    assert(stream === batch,
+      s"stream absorb diverged from batch absorb:\n stream: $stream\n batch: $batch")
+  }
 }
