@@ -43,59 +43,145 @@ object SketchStore {
   private val SIMCHUNKS = graft.functions.Sketches.SIMCHUNKS
   private val CHUNKBITS = graft.functions.Sketches.SIMBITS / SIMCHUNKS
 
-  private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Content fingerprint of the source tables the sketches derive from
-    * (documents + embeddings parquet size/mtime). Folded into every
-    * artifact's table name AND path, so regenerating the fixture under
-    * the same dir within one JVM session invalidates all sketch/pair
+  private val layerSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Content fingerprint of the source tables the sketches derive from.
+    * Folded into every artifact's table name AND path, so regenerating
+    * the fixture under the same dir invalidates all sketch/pair
     * consumers by construction instead of silently serving stale
-    * artifacts (ADVICE r17). */
+    * artifacts (ADVICE r17). Round 19 (ADVICE r18): a MISSING source
+    * table fails loudly (it used to fingerprint as 'n:0:0' and build
+    * empty artifacts), and beyond (size, mtime) the fingerprint folds
+    * in a CRC32 of each file's 64 KiB TAIL — the parquet footer, whose
+    * row-group stats/offsets change on any regeneration — so a rewrite
+    * that preserves byte length within the same mtime second still
+    * invalidates. Spark writes directories; for those the leaves are
+    * enumerated (sorted) and the last leaf's tail is CRC'd. */
   private def sourceFingerprint(dir: String): String = {
+    def leaves(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        f.listFiles().toSeq.sortBy(_.getName)
+          .flatMap(leaves).filter(_.getName.endsWith(".parquet"))
+      else Seq(f)
+    def tailCrc(f: java.io.File): String = {
+      val crc = new java.util.zip.CRC32()
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val tail = math.min(f.length, 65536L)
+        raf.seek(f.length - tail)
+        val buf = new Array[Byte](tail.toInt)
+        raf.readFully(buf)
+        crc.update(buf)
+      } finally raf.close()
+      java.lang.Long.toHexString(crc.getValue)
+    }
     val sig = Seq("documents.parquet", "embeddings.parquet").map { n =>
       val f = new java.io.File(dir, n)
-      s"$n:${f.length}:${f.lastModified}"
+      require(f.exists(),
+        s"SketchStore: source table '$n' missing under '$dir' — refusing " +
+          "to fingerprint (and silently build sketches over) a nonexistent corpus")
+      val ls = leaves(f)
+      require(ls.nonEmpty && ls.forall(_.length > 0),
+        s"SketchStore: source table '$n' under '$dir' has no non-empty parquet leaves")
+      val meta = ls.map(l => s"${l.getName}:${l.length}:${l.lastModified}").mkString(",")
+      s"$n:$meta:${tailCrc(ls.last)}"
     }.mkString("|")
     Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
   }
 
-  /** Write-once memo (the ensureBpeModel double-check: JVM memo AND
-    * catalog existence — a fresh session in the same JVM registers the
-    * already-written path instead of rebuilding over a file a sibling
-    * session may be reading; ADVICE r17). Locking is per artifact key,
-    * not global, so unrelated artifact builds don't serialize. The
+  /** Register `tbl` over an already-committed layer using the sidecar
+    * DDL captured at write time (ADVICE r18: re-inferring the schema
+    * from parquet made every column nullable — the re-registered table
+    * could drift from the saveAsTable original; the sidecar pins it). */
+  private def registerAt(
+      s: SparkSession, tbl: String, root: String, layer: String,
+      bucketCols: Seq[String]): Unit = {
+    val ddl = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_schema.ddl")), "UTF-8")
+    val cols = bucketCols.mkString(", ")
+    s.sql(
+      s"""CREATE TABLE $tbl ($ddl)
+         |USING parquet CLUSTERED BY ($cols) SORTED BY ($cols)
+         |INTO $BucketN BUCKETS LOCATION '$root/$layer'""".stripMargin)
+  }
+
+  /** Write one complete immutable layer under the artifact root, record
+    * the sidecar DDL, and atomically commit the pointer (the q241
+    * snapshot protocol, shared with Curation.commitPointer). The
     * `repartition` on the bucket columns uses the same murmur hash as
     * the bucket layout, so each of the [[BucketN]] tasks writes exactly
     * one file per bucket — one file per bucket total. */
+  private def writeLayer(
+      s: SparkSession, tbl: String, root: String, bucketCols: Seq[String],
+      df: DataFrame, stageTbl: String): Unit = {
+    val layer = s"layer-${layerSeq.incrementAndGet()}-${java.lang.Long.toHexString(System.nanoTime())}"
+    df.repartition(BucketN, bucketCols.map(col): _*)
+      .write.mode("overwrite")
+      .bucketBy(BucketN, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", s"$root/$layer")
+      .format("parquet").saveAsTable(stageTbl)
+    val ddlPath = java.nio.file.Paths.get(root, "_schema.ddl")
+    java.nio.file.Files.write(ddlPath, s.table(stageTbl).schema.toDDL.getBytes("UTF-8"))
+    Curation.commitPointer(root, layer)
+    if (stageTbl != tbl) {
+      // Stage-name write (a refresh): swap the catalog entry — both
+      // tables are EXTERNAL, so dropping touches metadata only.
+      s.sql(s"DROP TABLE IF EXISTS $stageTbl")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      registerAt(s, tbl, root, layer, bucketCols)
+    }
+  }
+
+  private def artifactRoot(dir: String, tbl: String): String =
+    s"${graft.BuildPaths.scratch(s"sketch_store/${graft.BuildPaths.dirKey(dir)}")}/$tbl"
+
+  /** Write-once, pointer-committed artifact build (round 19, VERDICT
+    * r18 #5): each artifact lives under its own root as immutable
+    * `layer-*` directories plus a `_current` pointer committed via
+    * temp-write + ATOMIC_MOVE (the q241 protocol). Builds land as a
+    * complete layer BEFORE the pointer moves, so a session resolving
+    * the artifact concurrently sees the old layer or the new one, never
+    * a partial write; superseded layers stay on disk (readers holding a
+    * resolved DataFrame keep reading immutable files). A fresh session
+    * in the same or a later JVM re-registers the committed layer from
+    * the sidecar DDL instead of rebuilding. Locking is per artifact
+    * key, not global, so unrelated artifact builds don't serialize. */
   private def ensureTable(
       s: SparkSession, dir: String, short: String, bucketCols: Seq[String])(
       build: => DataFrame): String = {
-    val dirKey = graft.BuildPaths.dirKey(dir)
-    val tbl = s"graft_sk_${short}_${dirKey}_${sourceFingerprint(dir)}"
+    val tbl = s"graft_sk_${short}_${graft.BuildPaths.dirKey(dir)}_${sourceFingerprint(dir)}"
     val lock = locks.computeIfAbsent(tbl, _ => new Object)
     lock.synchronized {
       if (!s.catalog.tableExists(tbl)) {
-        val path = s"${graft.BuildPaths.scratch(s"sketch_store/$dirKey")}/$tbl"
-        if (done.contains(tbl) && new java.io.File(path, "_SUCCESS").exists()) {
-          // Another session in this JVM already wrote the artifact:
-          // register the existing bucketed layout, don't overwrite it.
-          val cols = bucketCols.mkString(", ")
-          s.sql(
-            s"""CREATE TABLE $tbl (${s.read.parquet(path).schema.toDDL})
-               |USING parquet CLUSTERED BY ($cols) SORTED BY ($cols)
-               |INTO $BucketN BUCKETS LOCATION '$path'""".stripMargin)
-        } else {
-          build
-            .repartition(BucketN, bucketCols.map(col): _*)
-            .write.mode("overwrite")
-            .bucketBy(BucketN, bucketCols.head, bucketCols.tail: _*)
-            .sortBy(bucketCols.head, bucketCols.tail: _*)
-            .option("path", path)
-            .format("parquet").saveAsTable(tbl)
-          done.add(tbl)
-        }
+        val root = artifactRoot(dir, tbl)
+        val committed = new java.io.File(root, "_current").exists()
+        val layer = if (committed) Curation.resolveSnapshot(root) else ""
+        if (committed && new java.io.File(s"$root/$layer", "_SUCCESS").exists())
+          registerAt(s, tbl, root, layer, bucketCols)
+        else
+          writeLayer(s, tbl, root, bucketCols, build, tbl)
       }
+    }
+    tbl
+  }
+
+  /** Rebuild an existing artifact as a NEW immutable layer + atomic
+    * pointer flip (the compaction path, q248): concurrent readers that
+    * already resolved keep the old layer's immutable files; the catalog
+    * entry swaps to the new layer only after the pointer commit. */
+  private[graft] def refreshTable(
+      s: SparkSession, dir: String, short: String, bucketCols: Seq[String])(
+      build: => DataFrame): String = {
+    val tbl = s"graft_sk_${short}_${graft.BuildPaths.dirKey(dir)}_${sourceFingerprint(dir)}"
+    val lock = locks.computeIfAbsent(tbl, _ => new Object)
+    lock.synchronized {
+      val root = artifactRoot(dir, tbl)
+      val stage = tbl + "_stage"
+      s.sql(s"DROP TABLE IF EXISTS $stage")
+      writeLayer(s, tbl, root, bucketCols, build, stage)
     }
     tbl
   }
@@ -142,10 +228,19 @@ object SketchStore {
     * parallel ad-hoc parquet dir. An ingest entry RESETS its delta once
     * at start (deterministic replay), appends per micro-batch via
     * [[appendBandsDelta]], and triages against base ∪ delta — batch
-    * consumers (q41/q110/q189) keep reading the immutable base. */
+    * consumers (q41/q110/q189) keep reading the immutable base.
+    *
+    * Round 19 (ADVICE r18): the delta table name carries a
+    * PER-INVOCATION token (like the UUID bus subjects), so two ingest
+    * entries running concurrently in one JVM — or a future parallel
+    * harness — can never reset each other's live delta mid-stream. Each
+    * invocation's delta is dropped and recreated under its own name;
+    * superseded invocations' tiny tables (toy-doc band rows) are left
+    * to the JVM's catalog lifetime, the UUID-subject convention. */
   def resetBandsDelta(s: SparkSession, dir: String): String = {
     val dirKey = graft.BuildPaths.dirKey(dir)
-    val tbl = s"graft_sk_bandsdelta_${dirKey}_${sourceFingerprint(dir)}"
+    val tbl = s"graft_sk_bandsdelta_${dirKey}_${sourceFingerprint(dir)}" +
+      f"_i${layerSeq.incrementAndGet()}%06d" // zero-padded: name order = creation order
     val lock = locks.computeIfAbsent(tbl, _ => new Object)
     lock.synchronized {
       val path = s"${graft.BuildPaths.scratch(s"sketch_store/$dirKey")}/$tbl"
@@ -155,7 +250,6 @@ object SketchStore {
         .bucketBy(BucketN, "band", "key").sortBy("band", "key")
         .option("path", path)
         .format("parquet").saveAsTable(tbl)
-      done.remove(tbl)
     }
     tbl
   }

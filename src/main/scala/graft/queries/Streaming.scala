@@ -944,6 +944,22 @@ object Streaming {
       // so the pinned VALUES oracle is unchanged.
       val idxTbl = SketchStore.resetBandsDelta(s, dir)
       SketchStore.bands(s, dir) // ensure the base artifact exists up front
+      // ADVICE r18: the pinned VALUES oracle relies on the toy docs'
+      // band keys being ABSENT from the fixture corpus's base artifact —
+      // an empirical property of the texts, not a structural one. Assert
+      // it at build time: a regenerated fixture that happens to contain
+      // one of these 3-gram sets fails LOUDLY here instead of silently
+      // flipping a toy doc to dup and hash-failing downstream.
+      val toyDocs = s.createDataFrame(Seq(
+        (1L, "und", "alpha beta gamma delta"),
+        (2L, "und", "the quick brown fox"),
+        (3L, "und", "alpha beta gamma delta"),
+        (4L, "und", "slow green turtle pace"))).toDF("doc_id", "lang", "text")
+      val toyHits = SketchStore.bandRowsOf(s, toyDocs)
+        .join(SketchStore.bands(s, dir), Seq("band", "key"), "left_semi").count()
+      require(toyHits == 0L,
+        s"q154 fixture guard: $toyHits toy band keys collide with the base " +
+          "artifact — the pinned VALUES oracle no longer holds for this fixture")
       val q = s.readStream.format("nats").schema(schema)
         .option("url", url).option("subject", "crawl_docs")
         .option("batchSize", "2").load()

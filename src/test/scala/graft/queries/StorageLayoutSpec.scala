@@ -368,10 +368,13 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(simStored === q44Pairs,
       "stored simpairs artifact diverged from q44's generator output")
     // One file per bucket: the write repartitions on the bucket columns.
+    // Round 19: artifacts are pointer-committed layers — resolve the
+    // `_current` pointer (the q241 protocol) and audit THAT layer.
     val root = graft.BuildPaths.scratch(
       s"sketch_store/${graft.BuildPaths.dirKey(sfDir)}")
     for (tbl <- names.values) {
-      val files = new java.io.File(s"$root/$tbl").listFiles()
+      val layer = Curation.resolveSnapshot(s"$root/$tbl")
+      val files = new java.io.File(s"$root/$tbl/$layer").listFiles()
         .filter(_.getName.endsWith(".parquet"))
       assert(files.length <= 8, s"$tbl: expected <= 8 bucket files, saw ${files.length}")
     }
@@ -393,8 +396,11 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     // then appends the delta through the shared API.
     Registry.byName("q111_stream_index_maintain").build(spark, sfDir).collect()
     val names = SketchStore.tableNames(sfDir)
+    // Deltas are per-invocation tables (ADVICE r18) — the q111 run just
+    // above created the newest one; token order = name order.
     val deltaTbl = spark.catalog.listTables()
-      .filter(_.name.startsWith("graft_sk_bandsdelta_")).head().name
+      .filter(_.name.startsWith("graft_sk_bandsdelta_"))
+      .collect().map(_.name).max
     def bucketSpec(tbl: String): String =
       spark.sql(s"DESCRIBE FORMATTED $tbl").collect()
         .filter(r => Seq("Num Buckets", "Bucket Columns", "Sort Columns")
@@ -406,7 +412,11 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       new java.io.File(new java.net.URI(
         spark.sql(s"DESCRIBE FORMATTED $tbl").collect()
           .find(_.getString(0) == "Location").get.getString(1)))
-    assert(tableDir(deltaTbl).getParentFile === tableDir(names("bands")).getParentFile,
+    // The base artifact is a pointer-committed LAYER under its root
+    // (round 19), so the shared sketch_store root is the base table's
+    // grandparent; the (mutable, append-log) delta sits directly in it.
+    assert(tableDir(deltaTbl).getParentFile ===
+        tableDir(names("bands")).getParentFile.getParentFile,
       "delta does not live in the sketch_store root next to the base artifact")
     // Transform equality: the streamed rows equal a batch recompute of
     // the same toy docs through the SHARED bandRowsOf code path.
@@ -456,6 +466,69 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The superseded layer survives the commit untouched (time travel):
     // its _SUCCESS marker and file census are intact.
     assert(new java.io.File(s"$root/v1", "_SUCCESS").exists)
+  }
+
+  test("sketch artifacts are pointer-committed layers: a refresh swaps atomically, old layer immutable (VERDICT r18 #5)") {
+    // The q241 snapshot protocol applied to the sketch store (round 19):
+    // every artifact root holds immutable layer-* dirs plus a _current
+    // pointer committed via temp-write + ATOMIC_MOVE. A refresh writes a
+    // COMPLETE new layer, flips the pointer, and only then swaps the
+    // catalog entry — a probe interleaved across the refresh reads the
+    // old layer or the new one, never a mix. Here the refresh rebuilds
+    // the SAME content (so sibling tests in this JVM stay valid): the
+    // pin is the protocol — layer dir changes, old layer's files survive
+    // byte-for-byte readable, row content identical.
+    import graft.Tables
+    val tbl = SketchStore.tableNames(sfDir)("bands")
+    SketchStore.bands(spark, sfDir) // ensure v1
+    val root = graft.BuildPaths.scratch(
+      s"sketch_store/${graft.BuildPaths.dirKey(sfDir)}") + s"/$tbl"
+    val layer1 = Curation.resolveSnapshot(root)
+    val rows1 = spark.table(tbl).count()
+    // An interleaved reader that resolved BEFORE the refresh: it reads
+    // the v1 layer path directly (what a resolved scan holds at scale).
+    val preSwapReader = spark.read.parquet(s"$root/$layer1")
+    SketchStore.refreshTable(spark, sfDir, "bands", Seq("band", "key")) {
+      SketchStore.bandRowsOf(spark, Tables.load(spark, sfDir, "documents"))
+    }
+    val layer2 = Curation.resolveSnapshot(root)
+    assert(layer2 !== layer1, "refresh did not commit a new layer")
+    // old-or-new, never mixed: the pre-swap reader still sees exactly
+    // the old layer's rows; a post-swap resolve sees the new layer.
+    assert(preSwapReader.count() === rows1,
+      "the superseded layer changed under a pre-swap reader — layers must be immutable")
+    assert(new java.io.File(s"$root/$layer1", "_SUCCESS").exists,
+      "superseded layer lost its commit marker (time travel broken)")
+    assert(spark.table(tbl).count() === rows1,
+      "identity refresh changed row content")
+    val loc = spark.sql(s"DESCRIBE FORMATTED $tbl").collect()
+      .find(_.getString(0) == "Location").get.getString(1)
+    assert(loc.endsWith(layer2), s"catalog location $loc does not resolve the new layer $layer2")
+  }
+
+  test("cross-session re-registration reuses the sidecar DDL: schema, bucket spec, rows identical (ADVICE r18)") {
+    // The fresh-session branch of ensureTable: the table vanishes from
+    // the catalog (a new JVM, or here an explicit metadata drop — both
+    // tables are EXTERNAL, files untouched) and the next accessor must
+    // re-register the committed layer from the _schema.ddl sidecar
+    // captured at write time — NOT re-infer it from parquet, which
+    // would flip every column nullable (the r18 ADVICE drift).
+    def bucketSpec(tbl: String): String =
+      spark.sql(s"DESCRIBE FORMATTED $tbl").collect()
+        .filter(r => Seq("Num Buckets", "Bucket Columns", "Sort Columns")
+          .contains(r.getString(0)))
+        .map(r => s"${r.getString(0)}=${r.getString(1)}").sorted.mkString("|")
+    val tbl = SketchStore.tableNames(sfDir)("simchunks")
+    SketchStore.simChunks(spark, sfDir)
+    val schema1 = spark.table(tbl).schema
+    val spec1 = bucketSpec(tbl)
+    val rows1 = spark.table(tbl).count()
+    spark.sql(s"DROP TABLE $tbl") // metadata only: external table
+    SketchStore.simChunks(spark, sfDir) // exercises the re-register branch
+    assert(spark.table(tbl).schema === schema1,
+      s"re-registered schema drifted:\n was: $schema1\n now: ${spark.table(tbl).schema}")
+    assert(bucketSpec(tbl) === spec1, "re-registered bucket spec drifted")
+    assert(spark.table(tbl).count() === rows1)
   }
 
   test("q203: the range read prunes shard directories at listing time — only the probed shards are scanned") {
