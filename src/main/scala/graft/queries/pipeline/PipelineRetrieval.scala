@@ -73,6 +73,10 @@ object PipelineRetrieval {
   // generation; the fixture stores 64-dim vectors).
   private val MrlPrefixDims = 16
 
+  /** The converged graph's final CTE name in [[nnDescentCtes]] chains —
+    * exposed with the chain itself for q247's oracle. */
+  private[queries] def nnDescentFinalCte: String = s"g$NNDESC_ROUNDS"
+
   // q239 NN-Descent parameters: per-node out-degree G and descent rounds.
   // G bounds EVERY frame in the build (graph <= n*G edges, candidates
   // <= n*(2G)^2 per round) — the knob that makes graph construction
@@ -886,8 +890,10 @@ object PipelineRetrieval {
     * per-node top-G by row_number. Ends with g$NNDESC_ROUNDS = the
     * converged graph. `pairWhere` restricts the seed pair set (the q244
     * old-cohort base graph — cohort-closed because 2-hop expansion
-    * never leaves the seeded node set). Callers prepend `WITH `. */
-  private def nnDescentCtes(pairWhere: String = ""): String = {
+    * never leaves the seeded node set). Callers prepend `WITH `.
+    * private[queries]: q247's deletion-propagation oracle (Analytics)
+    * splices the same chain for its graph leg. */
+  private[queries] def nnDescentCtes(pairWhere: String = ""): String = {
     val dot = (a: String, b: String) =>
       s"list_sum(list_transform(generate_series(1, $DIM), i -> $a.v[i] * $b.v[i]))"
     val scoreSel = (src: String) =>

@@ -73,6 +73,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // scoring joins, and the scan-local truth leg; the beam expansion
     // itself is a keyed equi join into the stored graph artifact.
     "q245_graph_serve",
+    // q247 cross-joins its ELEVEN 1-row reconciliation counters (the
+    // q138 accounting shape); every data-bearing join is a keyed
+    // anti/semi join against the request-sized tombstone frame or the
+    // stored artifacts' own bucket keys.
+    "q247_sketch_delete_propagation",
     // q148 cross-joins its ONE-row (n_chunks, avgdl) corpus stats —
     // q96's audited shape at chunk granularity.
     "q148_chunk_retrieval",

@@ -512,6 +512,11 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // panels, beam-sized keyed joins into the stored graph; the only
     // corpus-linear leg is the n x 16 exact-truth EVAL; output 1 row
     "q245_graph_serve",
+    // q247 (round 19): merge-on-read deletion — keyed anti-joins against
+    // the request-sized tombstone frame over the stored artifacts; the
+    // fold re-propagates over the (near-dup-nodes-only) live pair
+    // frame; output 1 row at any corpus
+    "q247_sketch_delete_propagation",
     // q221 (round 16): three codegen regexp passes over the pre-warmed
     // crawl export read + one shard-keyed agg; output stays 16 rows
     "q221_export_pii_audit",
@@ -661,6 +666,13 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (name == "q245_graph_serve") {
         SketchStore.nnGraph(spark, base)
         SketchStore.nnGraph(spark, scaledDir)
+      }
+      if (name == "q247_sketch_delete_propagation") {
+        // Warm all four standing artifacts the deletion pass probes.
+        for (d <- Seq(base, scaledDir)) {
+          SketchStore.bands(spark, d); SketchStore.mhPairs(spark, d)
+          SketchStore.dupClusters(spark, d); SketchStore.nnGraph(spark, d)
+        }
       }
       if (name == "q239_nn_descent") {
         // The converged graph is a write-once stored artifact (the
