@@ -3117,8 +3117,62 @@ object Analytics {
         .crossJoin(drift.agg(count(lit(1)).as("n_cluster_drift")))
         .crossJoin(liveG.agg(count(lit(1)).as("n_edges_live")))
         .crossJoin(degraded.agg(count(lit(1)).as("n_nodes_degraded")))
+    },
+
+    // ---- q248 (round 19): BANDS-DELTA COMPACTION (VERDICT r18 missing
+    // #3) — the ingest loops (q111/q154/q240) append SketchStore band
+    // DELTAS forever; without a fold, merge-on-read probe amplification
+    // grows unboundedly with ingest time. This is the fold: the q210
+    // export-compaction pattern applied to the sketch store. The
+    // lifecycle (SketchStore.ensureCompactedBands, write-once per
+    // corpus) builds a base artifact missing the stream cohort
+    // (doc_id % 13 = 7), appends the cohort's band rows to a delta in
+    // two simulated micro-batches, records the merge-on-read probe (the
+    // q41 collision-pair count over base ∪ delta), FOLDS delta into a
+    // NEW immutable layer committed by the atomic pointer flip (q241
+    // protocol — readers mid-probe keep the superseded layer), records
+    // the same probe over the compacted layer alone, and truncates the
+    // consumed delta. The entry replays the recorded ledger and LIVE-
+    // diffs the compacted table against the standing full `bands`
+    // artifact (full outer join, 0 rows differ). The oracle recomputes
+    // every number from raw text — base/delta/compacted row counts from
+    // the banding transform, both probes as the pair count — so probe
+    // equality across the fold is hash-proven, not just asserted.
+    // 100 TB shape: the fold is one union + one bucketed write (the
+    // same layout, one file per bucket restored); probes are keyed
+    // self-joins on (band, key); the pointer flip is one metadata
+    // rename. ----
+    QueryDef("q248_bands_compaction", bandsCompactionOracle) { (s, dir) =>
+      val (tbl, logDir) = SketchStore.ensureCompactedBands(s, dir)
+      val log = s.read.parquet(logDir)
+      val comp = s.table(tbl).select(col("doc_id"), col("band"), col("key"))
+        .withColumn("in_c", lit(1))
+      val full = SketchStore.bands(s, dir)
+        .select(col("doc_id"), col("band"), col("key"))
+        .withColumn("in_f", lit(1))
+      val diff = comp.join(full, Seq("doc_id", "band", "key"), "full_outer")
+        .filter(col("in_c").isNull || col("in_f").isNull)
+      log.crossJoin(diff.agg(count(lit(1)).as("full_diff")))
+        .select(col("n_base"), col("n_delta"), col("n_compacted"),
+          col("probe_pre"), col("probe_post"), col("delta_after"),
+          col("full_diff"))
     }
   )
+
+  /** DuckDB mirror of q248: base/delta/compacted row counts from the
+    * banding transform over raw text, both probes recomputed as the q41
+    * collision-pair count (pre = post: base ∪ delta IS the full corpus
+    * banding), the consumed delta and the live diff pinned empty. */
+  private def bandsCompactionOracle: String =
+    s"""WITH $minhashPairsCte
+       |SELECT
+       |  (SELECT COUNT(*) FROM bands WHERE doc_id % 13 <> 7) AS n_base,
+       |  (SELECT COUNT(*) FROM bands WHERE doc_id % 13 = 7) AS n_delta,
+       |  (SELECT COUNT(*) FROM bands) AS n_compacted,
+       |  (SELECT COUNT(*) FROM pairs) AS probe_pre,
+       |  (SELECT COUNT(*) FROM pairs) AS probe_post,
+       |  CAST(0 AS BIGINT) AS delta_after,
+       |  CAST(0 AS BIGINT) AS full_diff""".stripMargin
 
   // q247 deletion cohort: doc_id/vec_id % 17 == 5 plays the
   // right-to-be-forgotten request batch.

@@ -254,6 +254,107 @@ object SketchStore {
     tbl
   }
 
+  private val compactDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Write-once COMPACTION lifecycle (q248, VERDICT r18 missing #3):
+    * the q210 export-compaction pattern applied to the sketch store.
+    * Simulates the standing state an ingest loop leaves behind — a
+    * base band artifact missing the stream cohort (doc_id % 13 = 7)
+    * plus a two-append delta — then FOLDS delta into base as a NEW
+    * immutable layer committed by the atomic pointer flip
+    * ([[refreshTable]]), and truncates the consumed delta. Probe
+    * equality (the q41 collision-pair count over base ∪ delta vs over
+    * the compacted layer) and the row ledger are recorded to a log
+    * parquet at fold time; the q248 entry replays the log against the
+    * DuckDB recomputation and additionally diffs the compacted table
+    * against the standing full `bands` artifact live. Runs ONCE per
+    * (corpus, JVM); a later JVM reuses the committed layer + log. */
+  private[graft] def ensureCompactedBands(s: SparkSession, dir: String): (String, String) = {
+    val dirKey = graft.BuildPaths.dirKey(dir)
+    val fp = sourceFingerprint(dir)
+    val key = s"bandsc_${dirKey}_$fp"
+    val tbl = s"graft_sk_bandsc_${dirKey}_$fp"
+    val logDir = s"${graft.BuildPaths.scratch(s"sketch_store/$dirKey")}/graft_sk_compactlog_${dirKey}_$fp"
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (!compactDone.contains(key)) {
+        if (new java.io.File(logDir, "_SUCCESS").exists()) {
+          // A previous JVM ran the lifecycle: re-register the committed
+          // (compacted) layer; the build thunk must never fire.
+          ensureTable(s, dir, "bandsc", Seq("band", "key")) {
+            throw new IllegalStateException(
+              s"bandsc pointer missing but compact log present at $logDir")
+          }
+        } else {
+          // Crash recovery: the LOG is the lifecycle's commit marker. A
+          // bandsc pointer without a log means a previous run died
+          // mid-lifecycle (e.g. after the fold, before the ledger) —
+          // wipe the partial artifact and start clean, or the
+          // already-folded layer would silently serve as the "base".
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val rootDir = new java.io.File(artifactRoot(dir, tbl))
+          if (rootDir.exists()) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(); ()
+            }
+            rm(rootDir)
+          }
+          val docs = Tables.load(s, dir, "documents")
+          ensureTable(s, dir, "bandsc", Seq("band", "key")) {
+            bandRowsOf(s, docs.filter(col("doc_id") % 13 =!= 7))
+          }
+          val deltaTbl = resetBandsDelta(s, dir)
+          // two appends = two simulated micro-batches of the cohort
+          appendBandsDelta(bandRowsOf(s, docs.filter(col("doc_id") % 26 === 7)), deltaTbl)
+          appendBandsDelta(bandRowsOf(s, docs.filter(col("doc_id") % 26 === 20)), deltaTbl)
+          def pairCount(b: DataFrame): Long = {
+            val x = b.select(col("doc_id"), col("band"), col("key"))
+            x.as("a").join(x.as("b"),
+                col("a.band") === col("b.band") && col("a.key") === col("b.key")
+                  && col("a.doc_id") < col("b.doc_id"))
+              .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+          }
+          val nBase = s.table(tbl).count()
+          val nDelta = s.table(deltaTbl).count()
+          // merge-on-read probe BEFORE the fold: base ∪ delta
+          val probePre = pairCount(s.table(tbl).unionByName(s.table(deltaTbl)))
+          // THE FOLD: delta into a new immutable layer + atomic pointer
+          // flip — readers mid-probe keep the superseded layer.
+          refreshTable(s, dir, "bandsc", Seq("band", "key")) {
+            s.table(tbl).unionByName(s.table(deltaTbl))
+          }
+          val probePost = pairCount(s.table(tbl))
+          val nComp = s.table(tbl).count()
+          truncateBandsDelta(s, dir, deltaTbl) // the fold consumed the delta
+          val deltaAfter = s.table(deltaTbl).count()
+          import s.implicits._
+          Seq((nBase, nDelta, nComp, probePre, probePost, deltaAfter))
+            .toDF("n_base", "n_delta", "n_compacted",
+              "probe_pre", "probe_post", "delta_after")
+            .coalesce(1).write.mode("overwrite").parquet(logDir)
+        }
+        compactDone.add(key)
+      }
+    }
+    (tbl, logDir)
+  }
+
+  /** Empty a consumed delta in place (TRUNCATE is disallowed on
+    * external tables): drop the catalog entry and recreate the same
+    * bucketed layout, empty, at the same path. */
+  private[graft] def truncateBandsDelta(
+      s: SparkSession, dir: String, tbl: String): Unit = {
+    val dirKey = graft.BuildPaths.dirKey(dir)
+    val path = s"${graft.BuildPaths.scratch(s"sketch_store/$dirKey")}/$tbl"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], BandDeltaSchema)
+      .write.mode("overwrite")
+      .bucketBy(BucketN, "band", "key").sortBy("band", "key")
+      .option("path", path)
+      .format("parquet").saveAsTable(tbl)
+  }
+
   /** Append one micro-batch of band rows (the [[bandRowsOf]] output) to a
     * delta created by [[resetBandsDelta]] — same bucketed+sorted layout
     * as the base artifact, so probes against base ∪ delta stay

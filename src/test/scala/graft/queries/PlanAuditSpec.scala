@@ -78,6 +78,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // anti/semi join against the request-sized tombstone frame or the
     // stored artifacts' own bucket keys.
     "q247_sketch_delete_propagation",
+    // q248 cross-joins its 6-column recorded ledger (1 row) with the
+    // 1-row live-diff counter; the diff itself is a keyed full-outer
+    // join on the band columns.
+    "q248_bands_compaction",
     // q148 cross-joins its ONE-row (n_chunks, avgdl) corpus stats —
     // q96's audited shape at chunk granularity.
     "q148_chunk_retrieval",

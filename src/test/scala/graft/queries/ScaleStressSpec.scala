@@ -517,6 +517,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fold re-propagates over the (near-dup-nodes-only) live pair
     // frame; output 1 row at any corpus
     "q247_sketch_delete_propagation",
+    // q248 (round 19): reads the pre-warmed compaction ledger + one
+    // keyed full-outer diff over the corpus-sized band frames; the fold
+    // itself runs once at lifecycle build (warmed below); output 1 row
+    "q248_bands_compaction",
     // q221 (round 16): three codegen regexp passes over the pre-warmed
     // crawl export read + one shard-keyed agg; output stays 16 rows
     "q221_export_pii_audit",
@@ -666,6 +670,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (name == "q245_graph_serve") {
         SketchStore.nnGraph(spark, base)
         SketchStore.nnGraph(spark, scaledDir)
+      }
+      if (name == "q248_bands_compaction") {
+        SketchStore.ensureCompactedBands(spark, base)
+        SketchStore.ensureCompactedBands(spark, scaledDir)
       }
       if (name == "q247_sketch_delete_propagation") {
         // Warm all four standing artifacts the deletion pass probes.
