@@ -532,9 +532,13 @@ object Analytics {
   // generator — declared BEFORE `defs`, Scala val-init order). DIM=64
   // splits into PQ_M×PQ_SUB; PQ_K codes per subvector come from the
   // deterministic seed rule (vec_ids 1..PQ_K), the q93/q55 convention.
-  private val PQ_M = 4    // subvectors per vector
-  private val PQ_SUB = 16 // dims per subvector
-  private val PQ_K = 16   // codes per subvector codebook
+  private[queries] val PQ_M = 4    // subvectors per vector
+  private[queries] val PQ_SUB = 16 // dims per subvector
+  private[queries] val PQ_K = 16   // codes per subvector codebook
+
+  /** q109's oracle, exposed for q249's IVF+PQ composition (the leg
+    * splice convention — one oracle text, no drift). */
+  private[queries] def pqAnnOracleShared: String = pqAnnOracle
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -706,6 +706,96 @@ object PipelineRetrieval {
           expr(s"(sum_hits * 1000000) DIV ($ANN_RECALL_K * n_queries)")
             .as("mean_recall_micro"))
     },
+
+    // ---- q249 (round 19): IVF+PQ COMPOSITION — one index, the FAISS
+    // IVFPQ shape (VERDICT r18 next #7): q55's coarse cells and q109's
+    // PQ codes existed separately; a production deployment composes
+    // them — route the query to its NPROBE nearest cells, then
+    // ADC-score ONLY the probed cells' vectors via the PQ lookup table
+    // (PQ_M table lookups per candidate, no full-dimension arithmetic),
+    // so search touches ~NPROBE/NCELLS of the corpus at a quarter of
+    // the bytes. Routing is q55's cell assignment verbatim; encode/LUT
+    // are q109's verbatim (the shared-kernel no-drift rule, in code
+    // shape and in oracle text: the exact leg and both single-method
+    // legs are the registry operators invoked verbatim, their oracles
+    // spliced as subqueries). The honest numbers on the random fixture:
+    // recall@10 of the composed index vs each method alone, next to
+    // n_cand — the cost axis (candidates ADC-scored, vs corpus for
+    // q109's flat PQ). 100 TB shape: assignment + encode are one
+    // broadcast-codebook scan each; the ADC join ships (vec_id, code)
+    // pairs for probed cells only; top-k is a TakeOrdered. ----
+    QueryDef("q249_ivfpq_ann", ivfpqOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val emb = T(s, dir, "embeddings")
+      // coarse routing — q55's cells, verbatim
+      val cent = emb.filter(col("vec_id").between(1, NCELLS))
+        .select(col("vec_id").as("c"), col("embedding").as("ce"))
+      val wArg = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c"))
+      val cells = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("c"),
+          round(expr("cosine_similarity(embedding, ce)"), 6).as("cos_c"))
+        .withColumn("rk", row_number().over(wArg))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("c").as("cell"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val probe = cent.crossJoin(broadcast(q))
+        .select(col("c"), round(expr("cosine_similarity(ce, qe)"), 6).as("cos_q"))
+        .orderBy(col("cos_q").desc, col("c")).limit(NPROBE)
+        .select(col("c"))
+      val cand = cells.join(broadcast(probe), cells("cell") === probe("c"))
+        .select(col("vec_id")).persist()
+      // PQ ADC within probed cells — q109's encode/LUT, verbatim
+      val pqM = Analytics.PQ_M; val pqSub = Analytics.PQ_SUB; val pqK = Analytics.PQ_K
+      def subv(df: DataFrame) = df
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        .select(col("vec_id"),
+          explode(expr(
+            s"transform(sequence(0, ${pqM - 1}), " +
+              s"m -> struct(m AS m, slice(v, m * $pqSub + 1, $pqSub) AS sub))")).as("ms"))
+        .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
+      val cb = subv(emb.filter(col("vec_id").between(1, pqK)))
+        .select(col("m"), col("vec_id").as("c"), col("sub").as("csub"))
+      val wEnc = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("c"))
+      val codes = subv(emb.join(cand, "vec_id"))
+        .join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("c"),
+          Analytics.Kmeans.dist2(col("sub"), col("csub")).as("d"))
+        .withColumn("rn", row_number().over(wEnc))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("c").as("code"))
+      val lut = subv(emb.filter(col("vec_id") === 0))
+        .join(broadcast(cb), "m")
+        .select(col("m"), col("c"),
+          Analytics.Kmeans.dist2(col("sub"), col("csub")).as("ld"))
+      val ivfpq = codes.join(broadcast(lut),
+          codes("m") === lut("m") && codes("code") === lut("c"))
+        .groupBy(codes("vec_id")).agg(round(sum(col("ld")), 6).as("adc_r"))
+        .orderBy(col("adc_r"), col("vec_id")).limit(ANN_RECALL_K)
+        .select(col("vec_id")).persist()
+      // legs + grading: all three registry operators invoked verbatim
+      val exact = Registry.byName("q42_topk_cosine").build(s, dir)
+        .orderBy(col("cos_r").desc, col("vec_id")).limit(ANN_RECALL_K)
+        .select(col("vec_id")).persist()
+      val ivf = Registry.byName("q55_ivf_ann").build(s, dir)
+        .select(col("vec_id")).persist()
+      val pq = Registry.byName("q109_pq_ann").build(s, dir)
+        .select(col("vec_id")).persist()
+      def hitsOf(leg: DataFrame, n: String): DataFrame =
+        exact.join(leg, "vec_id").agg(count(lit(1)).as(n))
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(hitsOf(ivfpq, "hits_ivfpq"))
+        .crossJoin(hitsOf(ivf, "hits_ivf"))
+        .crossJoin(hitsOf(pq, "hits_pq"))
+        .select(lit(ANN_RECALL_K.toLong).as("k"),
+          lit(NPROBE.toLong).as("nprobe"),
+          lit(pqM.toLong).as("m"),
+          col("n_cand"), col("hits_ivfpq"), col("hits_ivf"), col("hits_pq"),
+          expr(s"(hits_ivfpq * 1000000) DIV $ANN_RECALL_K").as("recall_ivfpq_micro"),
+          expr(s"(hits_ivf * 1000000) DIV $ANN_RECALL_K").as("recall_ivf_micro"),
+          expr(s"(hits_pq * 1000000) DIV $ANN_RECALL_K").as("recall_pq_micro"))
+    },
   )
 
   /** One corpus scan with precomputed norms — the frame every
@@ -1155,6 +1245,94 @@ object PipelineRetrieval {
        |  (SELECT COUNT(*) FROM tr JOIN pk USING (qid, vec_id)) AS sum_hits,
        |  ((SELECT COUNT(*) FROM tr JOIN pk USING (qid, vec_id)) * 1000000)
        |    // ($ANN_RECALL_K * (SELECT COUNT(*) FROM qp)) AS mean_recall_micro""".stripMargin
+  }
+
+  /** DuckDB mirror of q249: q55's routing CTEs + q109's encode/LUT
+    * restricted to the probed cells, composed ADC top-K; the exact, IVF
+    * and flat-PQ legs are the three operators' own oracles spliced as
+    * subqueries (the q138 convention — one oracle text per leg, no
+    * drift). */
+  private def ivfpqOracle: String = {
+    val pqM = Analytics.PQ_M; val pqSub = Analytics.PQ_SUB; val pqK = Analytics.PQ_K
+    s"""WITH i_cent AS (
+       |  SELECT vec_id AS c, embedding AS ce FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND $NCELLS),
+       |i_v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+       |i_pc AS (
+       |  SELECT i_v.vec_id, i_cent.c,
+       |    unnest(i_v.embedding)::DOUBLE AS x, unnest(i_cent.ce)::DOUBLE AS y
+       |  FROM i_v, i_cent),
+       |i_sc0 AS (
+       |  SELECT vec_id, c, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+       |  FROM i_pc GROUP BY vec_id, c),
+       |i_rc AS (
+       |  SELECT vec_id, c, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id
+       |    ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, c) AS rk
+       |  FROM i_sc0),
+       |i_cells AS (SELECT vec_id, c AS cell FROM i_rc WHERE rk = 1),
+       |i_q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |i_qp AS (
+       |  SELECT i_cent.c, unnest(i_cent.ce)::DOUBLE AS x, unnest(i_q.qe)::DOUBLE AS y
+       |  FROM i_cent, i_q),
+       |i_sq AS (
+       |  SELECT c, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+       |  FROM i_qp GROUP BY c),
+       |i_probe AS (
+       |  SELECT c FROM i_sq
+       |  ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, c LIMIT $NPROBE),
+       |i_cand AS MATERIALIZED (
+       |  SELECT vec_id FROM i_cells JOIN i_probe ON i_cells.cell = i_probe.c),
+       |i_e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v2
+       |  FROM embeddings),
+       |i_subv AS (
+       |  SELECT vec_id, m, v2[m * $pqSub + 1 : m * $pqSub + $pqSub] AS sub
+       |  FROM i_e, unnest(generate_series(0, ${pqM - 1})) AS u(m)),
+       |i_cb AS (
+       |  SELECT m, vec_id AS c, sub AS csub FROM i_subv
+       |  WHERE vec_id BETWEEN 1 AND $pqK),
+       |i_pe AS (
+       |  SELECT s.vec_id, s.m, i_cb.c,
+       |    unnest(s.sub) AS x, unnest(i_cb.csub) AS y
+       |  FROM i_subv s JOIN i_cb USING (m) JOIN i_cand USING (vec_id)),
+       |i_de AS (
+       |  SELECT vec_id, m, c, SUM((x - y) * (x - y)) AS d
+       |  FROM i_pe GROUP BY 1, 2, 3),
+       |i_enc AS (
+       |  SELECT vec_id, m, c AS code FROM (
+       |    SELECT vec_id, m, c,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+       |    FROM i_de) WHERE rn = 1),
+       |i_pqq AS (
+       |  SELECT q2.m, i_cb.c, unnest(q2.sub) AS x, unnest(i_cb.csub) AS y
+       |  FROM i_subv q2 JOIN i_cb USING (m) WHERE q2.vec_id = 0),
+       |i_lut AS (SELECT m, c, SUM((x - y) * (x - y)) AS ld FROM i_pqq GROUP BY 1, 2),
+       |i_ivfpq AS MATERIALIZED (
+       |  SELECT vec_id FROM (
+       |    SELECT i_enc.vec_id, round(SUM(i_lut.ld), 6) AS adc_r
+       |    FROM i_enc JOIN i_lut ON i_enc.m = i_lut.m AND i_enc.code = i_lut.c
+       |    GROUP BY 1
+       |    ORDER BY adc_r, i_enc.vec_id
+       |    LIMIT $ANN_RECALL_K)),
+       |i_ex AS MATERIALIZED (
+       |  SELECT vec_id FROM ($cosineTopkOracle)
+       |  ORDER BY cos_r DESC, vec_id LIMIT $ANN_RECALL_K),
+       |i_ivf AS MATERIALIZED (SELECT vec_id FROM ($ivfAnnOracle)),
+       |i_pqleg AS MATERIALIZED (SELECT vec_id FROM (${Analytics.pqAnnOracleShared}))
+       |SELECT CAST($ANN_RECALL_K AS BIGINT) AS k,
+       |  CAST($NPROBE AS BIGINT) AS nprobe,
+       |  CAST($pqM AS BIGINT) AS m,
+       |  (SELECT COUNT(*) FROM i_cand) AS n_cand,
+       |  (SELECT COUNT(*) FROM i_ex JOIN i_ivfpq USING (vec_id)) AS hits_ivfpq,
+       |  (SELECT COUNT(*) FROM i_ex JOIN i_ivf USING (vec_id)) AS hits_ivf,
+       |  (SELECT COUNT(*) FROM i_ex JOIN i_pqleg USING (vec_id)) AS hits_pq,
+       |  ((SELECT COUNT(*) FROM i_ex JOIN i_ivfpq USING (vec_id)) * 1000000)
+       |    // $ANN_RECALL_K AS recall_ivfpq_micro,
+       |  ((SELECT COUNT(*) FROM i_ex JOIN i_ivf USING (vec_id)) * 1000000)
+       |    // $ANN_RECALL_K AS recall_ivf_micro,
+       |  ((SELECT COUNT(*) FROM i_ex JOIN i_pqleg USING (vec_id)) * 1000000)
+       |    // $ANN_RECALL_K AS recall_pq_micro""".stripMargin
   }
 
   /** DuckDB mirror of q46, generated from the same (tables, planes, dim)

@@ -804,6 +804,23 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"serve recall collapsed: ${r.getAs[Long]("mean_recall_micro")} (expected ~975000)")
   }
 
+  test("q249: IVFPQ scores only the probed cells and its accounting is internally consistent") {
+    // The composition's cost claim: ADC ran over n_cand candidates —
+    // the probed cells' population, a strict subset of the corpus
+    // (NPROBE=4 of NCELLS=16 cells) — while flat PQ (q109) scores
+    // everything. Recall numbers are honest fixture floors (random
+    // vectors quantize poorly: flat PQ measures 0.0 recall@10, the
+    // composition 0.2); the accounting identities are the pin.
+    val r = run("q249_ivfpq_ann").collect().head
+    val n = graft.Tables.load(spark, sfDir, "embeddings").count() - 1 // minus query
+    assert(r.getAs[Long]("n_cand") > 0L && r.getAs[Long]("n_cand") < n,
+      s"n_cand ${r.getAs[Long]("n_cand")} is not a strict subset of the $n corpus vectors")
+    for (leg <- Seq("ivfpq", "ivf", "pq")) {
+      assert(r.getAs[Long](s"recall_${leg}_micro") ===
+        r.getAs[Long](s"hits_$leg") * 1000000L / 10L, s"$leg accounting")
+    }
+  }
+
   test("q130: profile matches an independently computed ground truth on the fixture") {
     val li = graft.Tables.load(spark, sfDir, "lineitem")
     val rows = run("q130_column_profile").collect()

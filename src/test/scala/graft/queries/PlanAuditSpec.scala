@@ -82,6 +82,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 1-row live-diff counter; the diff itself is a keyed full-outer
     // join on the band columns.
     "q248_bands_compaction",
+    // q249 composes q55 (centroid broadcast) + q109 (kilobyte codebook
+    // broadcast) + q42 (query-vector broadcast) and cross-joins its
+    // four 1-row eval counters — the q138 accounting shape.
+    "q249_ivfpq_ann",
     // q148 cross-joins its ONE-row (n_chunks, avgdl) corpus stats —
     // q96's audited shape at chunk granularity.
     "q148_chunk_retrieval",

@@ -521,6 +521,10 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // keyed full-outer diff over the corpus-sized band frames; the fold
     // itself runs once at lifecycle build (warmed below); output 1 row
     "q248_bands_compaction",
+    // q249 (round 19): routing + encode are broadcast-codebook scans;
+    // ADC ships (vec_id, code) pairs for probed cells only; all three
+    // eval legs are already-audited operator shapes; output 1 row
+    "q249_ivfpq_ann",
     // q221 (round 16): three codegen regexp passes over the pre-warmed
     // crawl export read + one shard-keyed agg; output stays 16 rows
     "q221_export_pii_audit",
