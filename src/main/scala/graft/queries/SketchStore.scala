@@ -292,14 +292,7 @@ object SketchStore {
           // wipe the partial artifact and start clean, or the
           // already-folded layer would silently serve as the "base".
           s.sql(s"DROP TABLE IF EXISTS $tbl")
-          val rootDir = new java.io.File(artifactRoot(dir, tbl))
-          if (rootDir.exists()) {
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory) f.listFiles().foreach(rm)
-              f.delete(); ()
-            }
-            rm(rootDir)
-          }
+          deleteRecursively(new java.io.File(artifactRoot(dir, tbl)))
           val docs = Tables.load(s, dir, "documents")
           ensureTable(s, dir, "bandsc", Seq("band", "key")) {
             bandRowsOf(s, docs.filter(col("doc_id") % 13 =!= 7))
@@ -338,6 +331,53 @@ object SketchStore {
       }
     }
     (tbl, logDir)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Write-once GRAPH-COMPACTION lifecycle (q250) — the q248 fold
+    * applied to the graph family, closing the q246 delta loop: v1 of
+    * the `graphc` artifact is the standing OLD-cohort base graph; the
+    * q244 maintenance pass's absorbed edges (the exact frame the q246
+    * ingest loop accumulates as its delta) fold into a NEW immutable
+    * layer committed by the atomic pointer flip. The `_compacted`
+    * marker is the lifecycle's commit record — a pointer without it
+    * (mid-lifecycle crash) wipes the partial artifact and reruns. */
+  private[graft] def ensureCompactedGraph(s: SparkSession, dir: String): String = {
+    val dirKey = graft.BuildPaths.dirKey(dir)
+    val key = s"graphc_${dirKey}_${sourceFingerprint(dir)}"
+    val tbl = s"graft_sk_graphc_${dirKey}_${sourceFingerprint(dir)}"
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (!compactDone.contains(key)) {
+        val root = artifactRoot(dir, tbl)
+        val marker = new java.io.File(root, "_compacted")
+        if (marker.exists()) {
+          ensureTable(s, dir, "graphc", Seq("u")) {
+            throw new IllegalStateException(
+              s"graphc pointer missing but compaction marker present at $root")
+          }
+        } else {
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          deleteRecursively(new java.io.File(root))
+          ensureTable(s, dir, "graphc", Seq("u")) { nnGraphBase(s, dir) }
+          val newIds = Tables.load(s, dir, "embeddings")
+            .filter(col("vec_id") % PipelineRetrieval.NNDESC_NEW_MOD ===
+              PipelineRetrieval.NNDESC_NEW_REM)
+            .select(col("vec_id"))
+          val delta = PipelineRetrieval.graphMaintainEdges(s, dir, newIds)
+          refreshTable(s, dir, "graphc", Seq("u")) {
+            s.table(tbl).unionByName(delta)
+          }
+          java.nio.file.Files.write(marker.toPath, "1".getBytes("UTF-8"))
+        }
+        compactDone.add(key)
+      }
+    }
+    tbl
   }
 
   /** Empty a consumed delta in place (TRUNCATE is disallowed on

@@ -645,66 +645,7 @@ object PipelineRetrieval {
     // serve path's work per query is O(rounds * beam * degree) scores
     // regardless of corpus size. ----
     QueryDef("q245_graph_serve", graphServeOracle) { (s, dir) =>
-      val vecs = vecsWithNorms(s, dir)
-      val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
-      val h = (tag: String) => conv(substring(md5(concat(lit(tag),
-        col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
-      // 2Q parents in 'sv:' h60 order, paired consecutively -> Q
-      // midpoint queries (out-of-corpus by construction).
-      val wOrd = Window.orderBy(col("hq"), col("vec_id"))
-      val parents = vecs.withColumn("hq", h("sv:"))
-        .orderBy(col("hq"), col("vec_id")).limit(2 * SERVE_Q)
-        .withColumn("rn", row_number().over(wOrd))
-      val pa = parents.filter(col("rn") % 2 === 1)
-        .select(expr("(rn + 1) DIV 2").as("qid"), col("v").as("va"))
-      val pb = parents.filter(col("rn") % 2 === 0)
-        .select(expr("rn DIV 2").as("qid"), col("v").as("vb"))
-      val queries = pa.join(pb, "qid")
-        .select(col("qid"),
-          zip_with(col("va"), col("vb"), (x, y) => (x + y) / lit(2.0)).as("qv"))
-        .withColumn("qn", sqrt(fold(zip_with(col("qv"), col("qv"), (x, y) => x * y))))
-        .persist()
-      val entries = vecs.withColumn("he", h("en:"))
-        .orderBy(col("he"), col("vec_id")).limit(SERVE_ENTRIES)
-        .select(col("vec_id").as("w"))
-      def score(cand: DataFrame): DataFrame = cand // (qid, w)
-        .join(vecs.select(col("vec_id").as("w"), col("v").as("vw"),
-          col("nrm").as("nw")), "w")
-        .join(broadcast(queries), "qid")
-        .select(col("qid"), col("w"),
-          round(fold(zip_with(col("vw"), col("qv"), (x, y) => x * y)) /
-            (col("nw") * col("qn")), 6).as("cos_r"))
-      val wBeam = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("w"))
-      def cut(df: DataFrame, k: Int): DataFrame =
-        df.withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= k).drop("rn")
-      var beam = cut(score(queries.select(col("qid")).crossJoin(broadcast(entries))),
-        SERVE_BEAM).localCheckpoint()
-      for (_ <- 1 to SERVE_ROUNDS) {
-        // Re-scored beam rows produce identical (qid, w, cos_r) rows —
-        // distinct is the merge (the q239 rule).
-        beam = cut(score(serveExpand(s, dir, beam)).union(beam).distinct(),
-          SERVE_BEAM).localCheckpoint()
-      }
-      val picks = cut(beam, ANN_RECALL_K).select(col("qid"), col("w").as("vec_id"))
-      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
-      val truth = vecs.crossJoin(broadcast(queries))
-        .select(col("qid"), col("vec_id"),
-          round(fold(zip_with(col("v"), col("qv"), (x, y) => x * y)) /
-            (col("nrm") * col("qn")), 6).as("cos_r"))
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= ANN_RECALL_K)
-        .select(col("qid"), col("vec_id"))
-      val nq = queries.agg(count(lit(1)).as("n_queries"))
-      val hits = truth.join(picks, Seq("qid", "vec_id"))
-        .agg(count(lit(1)).as("sum_hits"))
-      nq.crossJoin(hits)
-        .select(lit(ANN_RECALL_K.toLong).as("k"),
-          lit(SERVE_BEAM.toLong).as("beam"),
-          lit(SERVE_ROUNDS.toLong).as("rounds"),
-          lit(SERVE_ENTRIES.toLong).as("n_entries"),
-          col("n_queries"), col("sum_hits"),
-          expr(s"(sum_hits * 1000000) DIV ($ANN_RECALL_K * n_queries)")
-            .as("mean_recall_micro"))
+      graphServeSummary(s, dir, SketchStore.nnGraph(s, dir))
     },
 
     // ---- q249 (round 19): IVF+PQ COMPOSITION — one index, the FAISS
@@ -795,6 +736,70 @@ object PipelineRetrieval {
           expr(s"(hits_ivfpq * 1000000) DIV $ANN_RECALL_K").as("recall_ivfpq_micro"),
           expr(s"(hits_ivf * 1000000) DIV $ANN_RECALL_K").as("recall_ivf_micro"),
           expr(s"(hits_pq * 1000000) DIV $ANN_RECALL_K").as("recall_pq_micro"))
+    },
+
+    // ---- q250 (round 19): GRAPH-DELTA COMPACTION — the q248 fold
+    // applied to the graph family, closing the q246 loop: the ingest
+    // loop accumulates absorbed edges as a graph DELTA next to the
+    // old-cohort base artifact; without a fold, every serve/eval pays a
+    // merge-on-read union forever. The lifecycle (SketchStore.
+    // ensureCompactedGraph, write-once per corpus) folds the delta into
+    // a NEW immutable layer of the `graphc` artifact committed by the
+    // atomic pointer flip (the q241 protocol — readers mid-probe keep
+    // the superseded base-only layer). The entry reconciles LIVE:
+    // edge-count ledger (base + delta = compacted — the u-sets are
+    // disjoint, old cohort vs new, so the union loses nothing), a
+    // full-outer diff of the compacted table vs base ∪ delta (0 rows),
+    // and PROBE EQUALITY across the fold — the q244 panel recall
+    // evaluated once over the merge-on-read union and once over the
+    // compacted layer alone, both hash-checked against ONE oracle
+    // recomputation from raw embeddings. 100 TB shape: the fold is one
+    // union + one bucketed write; probes are the q244 panel joins. ----
+    QueryDef("q250_graph_compaction", graphCompactionOracle) { (s, dir) =>
+      val tbl = SketchStore.ensureCompactedGraph(s, dir)
+      val isNew = (c: Column) => c % NNDESC_NEW_MOD === NNDESC_NEW_REM
+      val newIds = T(s, dir, "embeddings")
+        .filter(isNew(col("vec_id"))).select(col("vec_id"))
+      val base = SketchStore.nnGraphBase(s, dir)
+      val delta = graphMaintainEdges(s, dir, newIds).persist()
+      val merged = base.unionByName(delta)
+      val comp = s.table(tbl)
+      val probePre = graphMaintainStats(s, dir, merged)
+        .select(col("sum_hits").as("probe_pre"))
+      val probePost = graphMaintainStats(s, dir, comp)
+        .select(col("sum_hits").as("probe_post"))
+      val diff = comp.select(col("u"), col("w")).withColumn("in_c", lit(1))
+        .join(merged.select(col("u"), col("w")).withColumn("in_m", lit(1)),
+          Seq("u", "w"), "full_outer")
+        .filter(col("in_c").isNull || col("in_m").isNull)
+      base.agg(count(lit(1)).as("n_base"))
+        .crossJoin(delta.agg(count(lit(1)).as("n_delta")))
+        .crossJoin(comp.agg(count(lit(1)).as("n_compacted")))
+        .crossJoin(probePre)
+        .crossJoin(probePost)
+        .crossJoin(diff.agg(count(lit(1)).as("full_diff")))
+    },
+
+    // ---- q251 (round 19): MERGE-ON-READ GRAPH SERVE — the production
+    // composition of q245 and q246: a retrieval deployment keeps
+    // SERVING while the ingest loop's delta is outstanding, so the
+    // beam must walk base ∪ delta, not just the converged artifact.
+    // The harness is q245's, IDENTICAL by construction (one factored
+    // helper in code, one oracle text spliced for both), pointed at the
+    // old-cohort base graph unioned with the capped absorb's delta
+    // (q250's pre-fold state). The honest number next to q245's 0.975:
+    // out-of-corpus recall@10 over the un-compacted merge-on-read view
+    // — new-cohort nodes are reachable only through the delta's edges,
+    // so this grades exactly what a reader sees mid-ingest. 100 TB
+    // shape: identical to q245 plus one union against the (batch-sized)
+    // delta. ----
+    QueryDef("q251_graph_serve_merged", graphServeMergedOracle) { (s, dir) =>
+      val isNew = (c: Column) => c % NNDESC_NEW_MOD === NNDESC_NEW_REM
+      val newIds = T(s, dir, "embeddings")
+        .filter(isNew(col("vec_id"))).select(col("vec_id"))
+      graphServeSummary(s, dir,
+        SketchStore.nnGraphBase(s, dir)
+          .unionByName(graphMaintainEdges(s, dir, newIds)))
     },
   )
 
@@ -890,16 +895,89 @@ object PipelineRetrieval {
   private[queries] def graphMaintainOracleShared: String = graphMaintainOracle
 
   /** One q245 beam-expansion step — the beam's nodes pull their
-    * neighbors from the STORED graph artifact via a keyed equi join
-    * (the serve path's only corpus-sized-structure touch). Factored so
+    * neighbors from the graph frame via a keyed equi join (the serve
+    * path's only corpus-sized-structure touch). */
+  private def expandThrough(beam: DataFrame, graph: DataFrame): DataFrame =
+    beam.select(col("qid"), col("w"))
+      .join(graph.select(col("u"), col("w").as("gw")), col("w") === col("u"))
+      .select(col("qid"), col("gw").as("w")).distinct()
+
+  /** [[expandThrough]] over the STORED converged graph — exposed so
     * StorageLayoutSpec can pin the artifact scan: the registry entry
     * checkpoints each round, which hides the join from its final plan. */
   private[graft] def serveExpand(
       s: SparkSession, dir: String, beam: DataFrame): DataFrame =
-    beam.select(col("qid"), col("w"))
-      .join(SketchStore.nnGraph(s, dir).select(col("u"), col("w").as("gw")),
-        col("w") === col("u"))
-      .select(col("qid"), col("gw").as("w")).distinct()
+    expandThrough(beam, SketchStore.nnGraph(s, dir))
+
+  /** The q245 serve harness over an arbitrary graph frame (u, w,
+    * cos_r): synthesized out-of-corpus midpoint queries, fixed entry
+    * panel, SERVE_ROUNDS beam rounds, recall@K vs per-query exact
+    * truth — factored (round 19) so the converged-graph serve (q245)
+    * and the merge-on-read serve over base ∪ delta (q251) run the
+    * IDENTICAL harness. */
+  private def graphServeSummary(
+      s: SparkSession, dir: String, graph: DataFrame): DataFrame = {
+    val vecs = vecsWithNorms(s, dir)
+    val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+    val h = (tag: String) => conv(substring(md5(concat(lit(tag),
+      col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+    // 2Q parents in 'sv:' h60 order, paired consecutively -> Q
+    // midpoint queries (out-of-corpus by construction).
+    val wOrd = Window.orderBy(col("hq"), col("vec_id"))
+    val parents = vecs.withColumn("hq", h("sv:"))
+      .orderBy(col("hq"), col("vec_id")).limit(2 * SERVE_Q)
+      .withColumn("rn", row_number().over(wOrd))
+    val pa = parents.filter(col("rn") % 2 === 1)
+      .select(expr("(rn + 1) DIV 2").as("qid"), col("v").as("va"))
+    val pb = parents.filter(col("rn") % 2 === 0)
+      .select(expr("rn DIV 2").as("qid"), col("v").as("vb"))
+    val queries = pa.join(pb, "qid")
+      .select(col("qid"),
+        zip_with(col("va"), col("vb"), (x, y) => (x + y) / lit(2.0)).as("qv"))
+      .withColumn("qn", sqrt(fold(zip_with(col("qv"), col("qv"), (x, y) => x * y))))
+      .persist()
+    val entries = vecs.withColumn("he", h("en:"))
+      .orderBy(col("he"), col("vec_id")).limit(SERVE_ENTRIES)
+      .select(col("vec_id").as("w"))
+    def score(cand: DataFrame): DataFrame = cand // (qid, w)
+      .join(vecs.select(col("vec_id").as("w"), col("v").as("vw"),
+        col("nrm").as("nw")), "w")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("w"),
+        round(fold(zip_with(col("vw"), col("qv"), (x, y) => x * y)) /
+          (col("nw") * col("qn")), 6).as("cos_r"))
+    val wBeam = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("w"))
+    def cut(df: DataFrame, k: Int): DataFrame =
+      df.withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= k).drop("rn")
+    var beam = cut(score(queries.select(col("qid")).crossJoin(broadcast(entries))),
+      SERVE_BEAM).localCheckpoint()
+    for (_ <- 1 to SERVE_ROUNDS) {
+      // Re-scored beam rows produce identical (qid, w, cos_r) rows —
+      // distinct is the merge (the q239 rule).
+      beam = cut(score(expandThrough(beam, graph)).union(beam).distinct(),
+        SERVE_BEAM).localCheckpoint()
+    }
+    val picks = cut(beam, ANN_RECALL_K).select(col("qid"), col("w").as("vec_id"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
+    val truth = vecs.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        round(fold(zip_with(col("v"), col("qv"), (x, y) => x * y)) /
+          (col("nrm") * col("qn")), 6).as("cos_r"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= ANN_RECALL_K)
+      .select(col("qid"), col("vec_id"))
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    val hits = truth.join(picks, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("sum_hits"))
+    nq.crossJoin(hits)
+      .select(lit(ANN_RECALL_K.toLong).as("k"),
+        lit(SERVE_BEAM.toLong).as("beam"),
+        lit(SERVE_ROUNDS.toLong).as("rounds"),
+        lit(SERVE_ENTRIES.toLong).as("n_entries"),
+        col("n_queries"), col("sum_hits"),
+        expr(s"(sum_hits * 1000000) DIV ($ANN_RECALL_K * n_queries)")
+          .as("mean_recall_micro"))
+  }
 
   /** The incremental graph-maintenance kernel (round 19) shared by q244
     * (batch absorb) and the streaming absorb entry: for a frame of NEW
@@ -1102,10 +1180,16 @@ object PipelineRetrieval {
     * exact cosine, top-G), and the q243 panel grading over NEW nodes —
     * all recomputed from raw embeddings, so a stale base graph or a
     * drifted maintenance pass hash-fails. */
-  private def graphMaintainOracle: String = {
+  /** The q244 oracle's full CTE chain (old-cohort descent, capped
+    * maintenance pass ending in `gm`, the NEW-node panel, truth, picks)
+    * WITHOUT the leading `WITH ` or a final SELECT — shared by the
+    * q244/q246 oracle and the graph-compaction (q250) / merge-on-read
+    * serve oracles so the maintenance semantics exist in exactly one
+    * SQL text. */
+  private def graphMaintainCtes: String = {
     val oldPair = s" AND a.vec_id % $NNDESC_NEW_MOD <> $NNDESC_NEW_REM" +
       s" AND b.vec_id % $NNDESC_NEW_MOD <> $NNDESC_NEW_REM"
-    s"""WITH ${nnDescentCtes(oldPair)},
+    s"""${nnDescentCtes(oldPair)},
        |nq AS (SELECT vec_id FROM embeddings
        |  WHERE vec_id % $NNDESC_NEW_MOD = $NNDESC_NEW_REM),
        |bcap AS MATERIALIZED (
@@ -1159,7 +1243,11 @@ object PipelineRetrieval {
        |    SELECT g.u, g.w AS vec_id,
        |      row_number() OVER (PARTITION BY g.u ORDER BY g.cos_r DESC, g.w) AS rn
        |    FROM gm g JOIN panel ON g.u = panel.u)
-       |  WHERE rn <= $ANN_RECALL_K)
+       |  WHERE rn <= $ANN_RECALL_K)""".stripMargin
+  }
+
+  private def graphMaintainOracle: String =
+    s"""WITH $graphMaintainCtes
        |SELECT CAST($ANN_RECALL_K AS BIGINT) AS k,
        |  CAST($NNDESC_G AS BIGINT) AS degree,
        |  (SELECT COUNT(*) FROM nq) AS n_new,
@@ -1169,14 +1257,56 @@ object PipelineRetrieval {
        |  (SELECT COUNT(*) FROM truth JOIN picks USING (u, vec_id)) AS sum_hits,
        |  ((SELECT COUNT(*) FROM truth JOIN picks USING (u, vec_id)) * 1000000)
        |    // ($ANN_RECALL_K * (SELECT COUNT(*) FROM panel)) AS mean_recall_micro""".stripMargin
-  }
+
+  /** DuckDB mirror of q250: the shared maintenance chain (old-cohort
+    * descent + capped absorb + panel/truth) plus the merged graph and
+    * its panel picks — base/delta/compacted counts and BOTH probes
+    * recomputed from raw embeddings; pre and post probes are one
+    * expression because compacted == base ∪ delta is the fold's
+    * definition (the Spark side computes them from two different
+    * physical structures, and both must hash-match this one value). */
+  private def graphCompactionOracle: String =
+    s"""WITH $graphMaintainCtes,
+       |mergedg AS MATERIALIZED (
+       |  SELECT u, w, cos_r FROM g$NNDESC_ROUNDS
+       |  UNION SELECT u, w, cos_r FROM gm),
+       |picksm AS (
+       |  SELECT u, vec_id FROM (
+       |    SELECT g.u, g.w AS vec_id,
+       |      row_number() OVER (PARTITION BY g.u ORDER BY g.cos_r DESC, g.w) AS rn
+       |    FROM mergedg g JOIN panel ON g.u = panel.u)
+       |  WHERE rn <= $ANN_RECALL_K)
+       |SELECT
+       |  (SELECT COUNT(*) FROM g$NNDESC_ROUNDS) AS n_base,
+       |  (SELECT COUNT(*) FROM gm) AS n_delta,
+       |  (SELECT COUNT(*) FROM mergedg) AS n_compacted,
+       |  (SELECT COUNT(*) FROM truth JOIN picksm USING (u, vec_id)) AS probe_pre,
+       |  (SELECT COUNT(*) FROM truth JOIN picksm USING (u, vec_id)) AS probe_post,
+       |  CAST(0 AS BIGINT) AS full_diff""".stripMargin
 
   /** DuckDB mirror of q245: the shared descent chain rebuilds the graph
     * from raw embeddings (a stale stored graph hash-fails), the same
     * h60-paired midpoint queries, the same fixed entry panel, and the
     * beam rounds UNROLLED as materialized CTEs (the q194/q239
     * technique), graded by the q243 recall accounting. */
-  private def graphServeOracle: String = {
+  private def graphServeOracle: String =
+    graphServeOracleOver(nnDescentCtes(), s"g$NNDESC_ROUNDS")
+
+  /** DuckDB mirror of q251: the IDENTICAL serve harness walked over the
+    * merge-on-read union of the old-cohort base chain and the capped
+    * absorb's delta (the q250 `mergedg`) — one harness text for both
+    * serve oracles, so they cannot drift. */
+  private def graphServeMergedOracle: String =
+    graphServeOracleOver(
+      s"""$graphMaintainCtes,
+         |mergedg AS MATERIALIZED (
+         |  SELECT u, w, cos_r FROM g$NNDESC_ROUNDS
+         |  UNION SELECT u, w, cos_r FROM gm)""".stripMargin,
+      "mergedg")
+
+  /** The q245/q251 serve-harness oracle over an arbitrary prefix chain
+    * ending in `graphCte` = the graph frame the beam walks. */
+  private def graphServeOracleOver(chain: String, graphCte: String): String = {
     val h60 = (tag: String) =>
       s"('0x' || substr(md5('$tag' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
     val qdot = (e: String, q: String) =>
@@ -1190,7 +1320,7 @@ object PipelineRetrieval {
     val rounds = (1 to SERVE_ROUNDS).map { j =>
       s"""bn$j AS (
          |  SELECT DISTINCT b.qid, g.w FROM bm${j - 1} b
-         |  JOIN g$NNDESC_ROUNDS g ON b.w = g.u),
+         |  JOIN $graphCte g ON b.w = g.u),
          |bsc$j AS MATERIALIZED (
          |  SELECT c.qid, c.w,
          |    round((${qdot("e", "q")}) / (e.nrm * q.qn), 6) AS cos_r
@@ -1198,7 +1328,7 @@ object PipelineRetrieval {
          |bm$j AS MATERIALIZED (
          |  ${beamCut(s"SELECT qid, w, cos_r FROM bsc$j UNION SELECT qid, w, cos_r FROM bm${j - 1}")})""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${nnDescentCtes()},
+    s"""WITH $chain,
        |sp AS MATERIALIZED (
        |  SELECT vec_id, v, rn FROM (
        |    SELECT vec_id, v,

@@ -86,6 +86,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // broadcast) + q42 (query-vector broadcast) and cross-joins its
     // four 1-row eval counters — the q138 accounting shape.
     "q249_ivfpq_ann",
+    // q250 cross-joins its six 1-row reconciliation counters; the fold
+    // and probes are keyed joins over the graph artifacts. q251 is the
+    // q245 serve harness (same fixed-panel broadcasts) over base ∪
+    // delta.
+    "q250_graph_compaction", "q251_graph_serve_merged",
     // q148 cross-joins its ONE-row (n_chunks, avgdl) corpus stats —
     // q96's audited shape at chunk granularity.
     "q148_chunk_retrieval",

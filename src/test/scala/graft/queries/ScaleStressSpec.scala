@@ -525,6 +525,13 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ADC ships (vec_id, code) pairs for probed cells only; all three
     // eval legs are already-audited operator shapes; output 1 row
     "q249_ivfpq_ann",
+    // q250 (round 19): reads the pre-warmed compacted graph + recomputes
+    // the (capped, batch-sized) delta; probes are fixed-panel joins;
+    // output 1 row
+    "q250_graph_compaction",
+    // q251 (round 19): the q245 serve shape plus one union against the
+    // batch-sized delta; fixed panels, beam-sized joins; output 1 row
+    "q251_graph_serve_merged",
     // q221 (round 16): three codegen regexp passes over the pre-warmed
     // crawl export read + one shard-keyed agg; output stays 16 rows
     "q221_export_pii_audit",
@@ -678,6 +685,14 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (name == "q248_bands_compaction") {
         SketchStore.ensureCompactedBands(spark, base)
         SketchStore.ensureCompactedBands(spark, scaledDir)
+      }
+      if (name == "q250_graph_compaction") {
+        SketchStore.ensureCompactedGraph(spark, base)
+        SketchStore.ensureCompactedGraph(spark, scaledDir)
+      }
+      if (name == "q251_graph_serve_merged") {
+        SketchStore.nnGraphBase(spark, base)
+        SketchStore.nnGraphBase(spark, scaledDir)
       }
       if (name == "q247_sketch_delete_propagation") {
         // Warm all four standing artifacts the deletion pass probes.
