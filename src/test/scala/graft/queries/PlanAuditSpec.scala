@@ -556,6 +556,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         "cent", "df", // q55's NCELLS-row centroids, q56's DF dictionary
         "probe", // q99's 3-term query probe
         "qs", // q243's FIXED 32-row eval panel (constant at any corpus)
+        // q249's PQ codebook (PQ_M x PQ_K subvectors) and query LUT
+        // (PQ_M x PQ_K partial distances) — kilobytes by construction,
+        // the q109 shapes reused by the composition
+        "cb", "lut",
         // q245's FIXED 16-row synthesized query panel and 32-row entry
         // panel (both constant-size at any corpus — the serve path's
         // per-query state is O(beam), never corpus-sized)
