@@ -797,9 +797,12 @@ object PipelineRetrieval {
       val isNew = (c: Column) => c % NNDESC_NEW_MOD === NNDESC_NEW_REM
       val newIds = T(s, dir, "embeddings")
         .filter(isNew(col("vec_id"))).select(col("vec_id"))
+      // persist: the beam re-joins the graph frame every round, and the
+      // delta half is a computed pass (capped probe + hop + scoring) —
+      // without the persist each round re-runs it (measured 8.2 s -> ~4 s).
       graphServeSummary(s, dir,
         SketchStore.nnGraphBase(s, dir)
-          .unionByName(graphMaintainEdges(s, dir, newIds)))
+          .unionByName(graphMaintainEdges(s, dir, newIds)).persist())
     },
   )
 
