@@ -121,6 +121,12 @@ object PipelineRetrieval {
   private val SERVE_BEAM = 16
 
   private val SERVE_ROUNDS = 3
+
+  // q252 beam-width tuning curve: the smallest width that can fill a
+  // top-10 result (10), the production default (16 = SERVE_BEAM), and a
+  // 2x-wide setting (32) — the cost axis is O(rounds x beam x degree)
+  // scores per query, so the curve prices recall directly in beam work.
+  private val SERVE_CURVE = Seq(10, 16, 32)
   val defs: Seq[QueryDef] = Seq(
 
     // ---- similarity search: brute-force cosine top-k against one query
@@ -804,6 +810,54 @@ object PipelineRetrieval {
         SketchStore.nnGraphBase(s, dir)
           .unionByName(graphMaintainEdges(s, dir, newIds)).persist())
     },
+
+    // ---- q252 (round 19): SERVE BEAM-WIDTH TUNING CURVE — the
+    // deployment question after q245 proves the path works: how much
+    // beam buys how much recall? Serve cost per query is
+    // O(rounds x beam x degree) exact scores, so the beam width IS the
+    // price axis; this entry runs the identical harness at widths
+    // 10/16/32 over the same stored graph, query panel, entry panel,
+    // and truth leg, and emits the three-row recall curve (the
+    // q229/q234 planner-table convention applied to graph serve).
+    // Measured on the fixture: the curve the operator reads before
+    // picking a width. Oracle: the shared harness text with the beam
+    // rounds unrolled per width — one descent chain, one panel, three
+    // beam walks. ----
+    QueryDef("q252_serve_beam_curve",
+      graphServeOracleOver(nnDescentCtes(), s"g$NNDESC_ROUNDS", SERVE_CURVE)) { (s, dir) =>
+      graphServeSummary(s, dir, SketchStore.nnGraph(s, dir), SERVE_CURVE)
+    },
+
+    // ---- q253 (round 19): TOMBSTONE-AWARE SERVE — q245 ∘ q247: after
+    // a right-to-be-forgotten batch, the serve path must answer from
+    // the LIVE view only — a deleted vector may appear in no result,
+    // anchor no beam entry, and contribute no truth row. The beam walks
+    // the merge-on-read live graph (the stored artifact anti-joined on
+    // BOTH edge endpoints — q247's exact probe shape), the entry panel
+    // and every scoring join are restricted to live vectors, and the
+    // truth leg is the exact top-K over the LIVE corpus — so the
+    // recall number grades the deletion-consistent answer, and a
+    // deleted vector leaking into any leg hash-fails against the
+    // oracle's live-filtered recomputation. Invisibility is structural
+    // (every path is live-filtered); the spec additionally pins
+    // picks ∩ tombstones empty. Honest number next to q245's 0.975:
+    // recall@10 over the degraded live graph (deletion cuts edges
+    // without refill — q247 measured 308 degraded nodes; compaction
+    // restores them). ----
+    QueryDef("q253_graph_serve_tombstoned",
+      graphServeOracleOver(
+        s"""${nnDescentCtes()},
+           |liveg AS MATERIALIZED (
+           |  SELECT u, w, cos_r FROM g$NNDESC_ROUNDS
+           |  WHERE u % ${Analytics.DelMod} <> ${Analytics.DelRem}
+           |    AND w % ${Analytics.DelMod} <> ${Analytics.DelRem})""".stripMargin,
+        "liveg",
+        candWhere = s"vec_id % ${Analytics.DelMod} <> ${Analytics.DelRem}")) { (s, dir) =>
+      val live = (c: Column) => c % Analytics.DelMod =!= Analytics.DelRem
+      val g = SketchStore.nnGraph(s, dir)
+      val liveG = g.filter(live(col("u")) && live(col("w")))
+      graphServeSummary(s, dir, liveG, candPred = live)
+    },
   )
 
   /** One corpus scan with precomputed norms — the frame every
@@ -915,19 +969,30 @@ object PipelineRetrieval {
   /** The q245 serve harness over an arbitrary graph frame (u, w,
     * cos_r): synthesized out-of-corpus midpoint queries, fixed entry
     * panel, SERVE_ROUNDS beam rounds, recall@K vs per-query exact
-    * truth — factored (round 19) so the converged-graph serve (q245)
-    * and the merge-on-read serve over base ∪ delta (q251) run the
-    * IDENTICAL harness. */
+    * truth — factored (round 19) so the converged-graph serve (q245),
+    * the merge-on-read serve (q251), the beam-width tuning sweep
+    * (q252), and the tombstone-aware serve (q253) run the IDENTICAL
+    * harness. `beams`: one output row per beam width (entries, truth,
+    * and queries shared across widths). `candPred`: restricts the
+    * SERVABLE candidate set — entry panel, beam scoring, and the truth
+    * leg (the deletion case: a tombstoned vector must be invisible to
+    * all three); queries are always synthesized from the FULL corpus
+    * (they are external vectors — their parents' deletion does not
+    * invalidate the query itself). */
   private def graphServeSummary(
-      s: SparkSession, dir: String, graph: DataFrame): DataFrame = {
-    val vecs = vecsWithNorms(s, dir)
+      s: SparkSession, dir: String, graph: DataFrame,
+      beams: Seq[Int] = Seq(SERVE_BEAM),
+      candPred: Column => Column = _ => lit(true)): DataFrame = {
+    val vecsAll = vecsWithNorms(s, dir)
+    val vecs = vecsAll.filter(candPred(col("vec_id"))).persist()
     val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
     val h = (tag: String) => conv(substring(md5(concat(lit(tag),
       col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
     // 2Q parents in 'sv:' h60 order, paired consecutively -> Q
-    // midpoint queries (out-of-corpus by construction).
+    // midpoint queries (out-of-corpus by construction; drawn from the
+    // FULL corpus — see the scaladoc).
     val wOrd = Window.orderBy(col("hq"), col("vec_id"))
-    val parents = vecs.withColumn("hq", h("sv:"))
+    val parents = vecsAll.withColumn("hq", h("sv:"))
       .orderBy(col("hq"), col("vec_id")).limit(2 * SERVE_Q)
       .withColumn("rn", row_number().over(wOrd))
     val pa = parents.filter(col("rn") % 2 === 1)
@@ -952,15 +1017,8 @@ object PipelineRetrieval {
     val wBeam = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("w"))
     def cut(df: DataFrame, k: Int): DataFrame =
       df.withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= k).drop("rn")
-    var beam = cut(score(queries.select(col("qid")).crossJoin(broadcast(entries))),
-      SERVE_BEAM).localCheckpoint()
-    for (_ <- 1 to SERVE_ROUNDS) {
-      // Re-scored beam rows produce identical (qid, w, cos_r) rows —
-      // distinct is the merge (the q239 rule).
-      beam = cut(score(expandThrough(beam, graph)).union(beam).distinct(),
-        SERVE_BEAM).localCheckpoint()
-    }
-    val picks = cut(beam, ANN_RECALL_K).select(col("qid"), col("w").as("vec_id"))
+    val seed = score(queries.select(col("qid")).crossJoin(broadcast(entries)))
+      .persist()
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
     val truth = vecs.crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"),
@@ -969,17 +1027,29 @@ object PipelineRetrieval {
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= ANN_RECALL_K)
       .select(col("qid"), col("vec_id"))
+      .persist()
     val nq = queries.agg(count(lit(1)).as("n_queries"))
-    val hits = truth.join(picks, Seq("qid", "vec_id"))
-      .agg(count(lit(1)).as("sum_hits"))
-    nq.crossJoin(hits)
-      .select(lit(ANN_RECALL_K.toLong).as("k"),
-        lit(SERVE_BEAM.toLong).as("beam"),
-        lit(SERVE_ROUNDS.toLong).as("rounds"),
-        lit(SERVE_ENTRIES.toLong).as("n_entries"),
-        col("n_queries"), col("sum_hits"),
-        expr(s"(sum_hits * 1000000) DIV ($ANN_RECALL_K * n_queries)")
-          .as("mean_recall_micro"))
+    val rows = beams.map { b =>
+      var beam = cut(seed, b).localCheckpoint()
+      for (_ <- 1 to SERVE_ROUNDS) {
+        // Re-scored beam rows produce identical (qid, w, cos_r) rows —
+        // distinct is the merge (the q239 rule).
+        beam = cut(score(expandThrough(beam, graph)).union(beam).distinct(),
+          b).localCheckpoint()
+      }
+      val picks = cut(beam, ANN_RECALL_K).select(col("qid"), col("w").as("vec_id"))
+      val hits = truth.join(picks, Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as("sum_hits"))
+      nq.crossJoin(hits)
+        .select(lit(ANN_RECALL_K.toLong).as("k"),
+          lit(b.toLong).as("beam"),
+          lit(SERVE_ROUNDS.toLong).as("rounds"),
+          lit(SERVE_ENTRIES.toLong).as("n_entries"),
+          col("n_queries"), col("sum_hits"),
+          expr(s"(sum_hits * 1000000) DIV ($ANN_RECALL_K * n_queries)")
+            .as("mean_recall_micro"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("beam"))
   }
 
   /** The incremental graph-maintenance kernel (round 19) shared by q244
@@ -1307,30 +1377,61 @@ object PipelineRetrieval {
          |  UNION SELECT u, w, cos_r FROM gm)""".stripMargin,
       "mergedg")
 
-  /** The q245/q251 serve-harness oracle over an arbitrary prefix chain
-    * ending in `graphCte` = the graph frame the beam walks. */
-  private def graphServeOracleOver(chain: String, graphCte: String): String = {
+  /** The q245/q251/q252/q253 serve-harness oracle over an arbitrary
+    * prefix chain ending in `graphCte` = the graph frame the beam
+    * walks. `beams`: one UNION ALL output row per beam width (the q252
+    * tuning curve), sharing the chain, query panel, entry panel, and
+    * truth leg. `candWhere`: a predicate over the bare identifier
+    * `vec_id` restricting the SERVABLE candidate set — applied to the
+    * entry panel, every scoring join, and the truth leg (queries stay
+    * full-corpus, mirroring the Spark harness). */
+  private def graphServeOracleOver(
+      chain: String, graphCte: String,
+      beams: Seq[Int] = Seq(SERVE_BEAM),
+      candWhere: String = "TRUE"): String = {
     val h60 = (tag: String) =>
       s"('0x' || substr(md5('$tag' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
     val qdot = (e: String, q: String) =>
       s"list_sum(list_transform(generate_series(1, $DIM), i -> $e.v[i] * $q.qv[i]))"
-    val beamCut = (src: String) =>
+    def whereOn(alias: String): String = candWhere.replace("vec_id", s"$alias.vec_id")
+    def beamCut(src: String, b: Int): String =
       s"""SELECT qid, w, cos_r FROM (
          |    SELECT qid, w, cos_r,
          |      row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, w) AS rn
          |    FROM ($src))
-         |  WHERE rn <= $SERVE_BEAM""".stripMargin
-    val rounds = (1 to SERVE_ROUNDS).map { j =>
-      s"""bn$j AS (
-         |  SELECT DISTINCT b.qid, g.w FROM bm${j - 1} b
-         |  JOIN $graphCte g ON b.w = g.u),
-         |bsc$j AS MATERIALIZED (
-         |  SELECT c.qid, c.w,
-         |    round((${qdot("e", "q")}) / (e.nrm * q.qn), 6) AS cos_r
-         |  FROM bn$j c JOIN nrm e ON c.w = e.vec_id JOIN qp q ON c.qid = q.qid),
-         |bm$j AS MATERIALIZED (
-         |  ${beamCut(s"SELECT qid, w, cos_r FROM bsc$j UNION SELECT qid, w, cos_r FROM bm${j - 1}")})""".stripMargin
+         |  WHERE rn <= $b""".stripMargin
+    val perBeam = beams.map { b =>
+      val rounds = (1 to SERVE_ROUNDS).map { j =>
+        s"""bn${b}_$j AS (
+           |  SELECT DISTINCT x.qid, g.w FROM bm${b}_${j - 1} x
+           |  JOIN $graphCte g ON x.w = g.u),
+           |bsc${b}_$j AS MATERIALIZED (
+           |  SELECT c.qid, c.w,
+           |    round((${qdot("e", "q")}) / (e.nrm * q.qn), 6) AS cos_r
+           |  FROM bn${b}_$j c JOIN nrm e ON c.w = e.vec_id JOIN qp q ON c.qid = q.qid
+           |  WHERE ${whereOn("e")}),
+           |bm${b}_$j AS MATERIALIZED (
+           |  ${beamCut(s"SELECT qid, w, cos_r FROM bsc${b}_$j UNION SELECT qid, w, cos_r FROM bm${b}_${j - 1}", b)})""".stripMargin
+      }.mkString(",\n")
+      s"""bm${b}_0 AS MATERIALIZED (
+         |  ${beamCut("SELECT qid, w, cos_r FROM bs0", b)}),
+         |$rounds,
+         |pk$b AS (
+         |  SELECT qid, w AS vec_id FROM (
+         |    SELECT qid, w,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, w) AS rn
+         |    FROM bm${b}_$SERVE_ROUNDS) WHERE rn <= $ANN_RECALL_K)""".stripMargin
     }.mkString(",\n")
+    val rows = beams.map { b =>
+      s"""SELECT CAST($ANN_RECALL_K AS BIGINT) AS k,
+         |  CAST($b AS BIGINT) AS beam,
+         |  CAST($SERVE_ROUNDS AS BIGINT) AS rounds,
+         |  CAST($SERVE_ENTRIES AS BIGINT) AS n_entries,
+         |  (SELECT COUNT(*) FROM qp) AS n_queries,
+         |  (SELECT COUNT(*) FROM tr JOIN pk$b USING (qid, vec_id)) AS sum_hits,
+         |  ((SELECT COUNT(*) FROM tr JOIN pk$b USING (qid, vec_id)) * 1000000)
+         |    // ($ANN_RECALL_K * (SELECT COUNT(*) FROM qp)) AS mean_recall_micro""".stripMargin
+    }.mkString("\nUNION ALL\n")
     s"""WITH $chain,
        |sp AS MATERIALIZED (
        |  SELECT vec_id, v, rn FROM (
@@ -1351,33 +1452,22 @@ object PipelineRetrieval {
        |  SELECT vec_id AS w FROM (
        |    SELECT vec_id,
        |      row_number() OVER (ORDER BY ${h60("en:")}, vec_id) AS rn
-       |    FROM nrm) WHERE rn <= $SERVE_ENTRIES),
-       |bm0 AS MATERIALIZED (
-       |  ${beamCut(
-           s"""SELECT q.qid, e.w,
-              |      round((${qdot("n", "q")}) / (n.nrm * q.qn), 6) AS cos_r
-              |    FROM en e JOIN nrm n ON e.w = n.vec_id, qp q""".stripMargin)}),
-       |$rounds,
-       |pk AS (
-       |  SELECT qid, w AS vec_id FROM (
-       |    SELECT qid, w,
-       |      row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, w) AS rn
-       |    FROM bm$SERVE_ROUNDS) WHERE rn <= $ANN_RECALL_K),
-       |tr AS (
+       |    FROM nrm WHERE $candWhere) WHERE rn <= $SERVE_ENTRIES),
+       |bs0 AS MATERIALIZED (
+       |  SELECT q.qid, e.w,
+       |    round((${qdot("n", "q")}) / (n.nrm * q.qn), 6) AS cos_r
+       |  FROM en e JOIN nrm n ON e.w = n.vec_id, qp q),
+       |$perBeam,
+       |tr AS MATERIALIZED (
        |  SELECT qid, vec_id FROM (
        |    SELECT q.qid, e.vec_id,
        |      row_number() OVER (PARTITION BY q.qid
        |        ORDER BY round((${qdot("e", "q")}) / (e.nrm * q.qn), 6) DESC,
        |          e.vec_id) AS rn
-       |    FROM nrm e, qp q) WHERE rn <= $ANN_RECALL_K)
-       |SELECT CAST($ANN_RECALL_K AS BIGINT) AS k,
-       |  CAST($SERVE_BEAM AS BIGINT) AS beam,
-       |  CAST($SERVE_ROUNDS AS BIGINT) AS rounds,
-       |  CAST($SERVE_ENTRIES AS BIGINT) AS n_entries,
-       |  (SELECT COUNT(*) FROM qp) AS n_queries,
-       |  (SELECT COUNT(*) FROM tr JOIN pk USING (qid, vec_id)) AS sum_hits,
-       |  ((SELECT COUNT(*) FROM tr JOIN pk USING (qid, vec_id)) * 1000000)
-       |    // ($ANN_RECALL_K * (SELECT COUNT(*) FROM qp)) AS mean_recall_micro""".stripMargin
+       |    FROM nrm e, qp q WHERE ${whereOn("e")}) WHERE rn <= $ANN_RECALL_K)
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY beam""".stripMargin
   }
 
   /** DuckDB mirror of q249: q55's routing CTEs + q109's encode/LUT

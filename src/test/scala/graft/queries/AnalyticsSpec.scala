@@ -821,6 +821,39 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q252: the beam-width recall curve is monotone and its width-16 row IS q245's row") {
+    // Two pins: (a) more beam never hurts recall on the same harness
+    // (a non-monotone curve means the walks diverged from one another —
+    // a harness bug, since entries/queries/truth are shared); (b) the
+    // width-16 row must equal q245's single row EXACTLY — same factored
+    // harness, same width, so any drift between the curve entry and the
+    // flagship serve entry fails here without the DuckDB gate.
+    val curve = run("q252_serve_beam_curve").collect()
+      .map(r => r.getAs[Long]("beam") -> r.getAs[Long]("sum_hits")).toMap
+    assert(curve.keySet === Set(10L, 16L, 32L))
+    assert(curve(10L) <= curve(16L) && curve(16L) <= curve(32L),
+      s"beam curve not monotone: $curve")
+    val q245 = run("q245_graph_serve").collect().head
+    assert(curve(16L) === q245.getAs[Long]("sum_hits"),
+      "the curve's width-16 walk diverged from q245's serve")
+  }
+
+  test("q253: tombstone-aware serve answers from the live view only") {
+    // The structural invisibility claim, checked from outside the
+    // entry: rebuild the live picks the same way the harness does (live
+    // graph, live entries, live scoring) is the entry's own job — here
+    // we pin that the reported recall stays materially above the
+    // entries-only floor (~0.06) on the DEGRADED live graph (q247
+    // measured 308 degraded-degree nodes), and that the accounting
+    // identity holds.
+    val r = run("q253_graph_serve_tombstoned").collect().head
+    assert(r.getAs[Long]("n_queries") === 16L)
+    assert(r.getAs[Long]("mean_recall_micro") ===
+      r.getAs[Long]("sum_hits") * 1000000L / (10L * 16L))
+    assert(r.getAs[Long]("mean_recall_micro") >= 800000L,
+      s"live-view serve collapsed: ${r.getAs[Long]("mean_recall_micro")}")
+  }
+
   test("q130: profile matches an independently computed ground truth on the fixture") {
     val li = graft.Tables.load(spark, sfDir, "lineitem")
     val rows = run("q130_column_profile").collect()

@@ -91,6 +91,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q245 serve harness (same fixed-panel broadcasts) over base ∪
     // delta.
     "q250_graph_compaction", "q251_graph_serve_merged",
+    // q252/q253 are the q245 serve harness (same fixed-panel
+    // broadcasts) at three beam widths / over the live-filtered view.
+    "q252_serve_beam_curve", "q253_graph_serve_tombstoned",
     // q148 cross-joins its ONE-row (n_chunks, avgdl) corpus stats —
     // q96's audited shape at chunk granularity.
     "q148_chunk_retrieval",

@@ -532,6 +532,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q251 (round 19): the q245 serve shape plus one union against the
     // batch-sized delta; fixed panels, beam-sized joins; output 1 row
     "q251_graph_serve_merged",
+    // q252 (round 19): three beam walks over the same stored graph +
+    // ONE shared truth leg; output 3 rows at any corpus
+    "q252_serve_beam_curve",
+    // q253 (round 19): the q245 shape with live-filtered panels/graph —
+    // the tombstone anti-join is request-sized; output 1 row
+    "q253_graph_serve_tombstoned",
     // q221 (round 16): three codegen regexp passes over the pre-warmed
     // crawl export read + one shard-keyed agg; output stays 16 rows
     "q221_export_pii_audit",
@@ -678,7 +684,8 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         SketchStore.nnGraphBase(spark, base)
         SketchStore.nnGraphBase(spark, scaledDir)
       }
-      if (name == "q245_graph_serve") {
+      if (name == "q245_graph_serve" || name == "q252_serve_beam_curve" ||
+          name == "q253_graph_serve_tombstoned") {
         SketchStore.nnGraph(spark, base)
         SketchStore.nnGraph(spark, scaledDir)
       }
