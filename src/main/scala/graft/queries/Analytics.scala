@@ -3084,43 +3084,7 @@ object Analytics {
         .filter(col("doc_id") % DelMod === DelRem).select(col("doc_id")).persist()
       val tombsV = T(s, dir, "embeddings")
         .filter(col("vec_id") % DelMod === DelRem).select(col("vec_id")).persist()
-      val liveBands = SketchStore.bands(s, dir)
-        .join(tombsD, Seq("doc_id"), "left_anti")
-      val livePairs = SketchStore.mhPairs(s, dir)
-        .join(tombsD.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
-        .join(tombsD.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
-        .persist()
-      val naive = SketchStore.dupClusters(s, dir)
-        .join(tombsD, Seq("doc_id"), "left_anti").persist()
-      val folded = dupClusterPropagate(s,
-        livePairs.select(col("doc_a"), col("doc_b"))).persist()
-      val drift = naive.as("n").join(folded.as("f"), Seq("doc_id"), "full_outer")
-        .filter(!(col("n.cluster_id") <=> col("f.cluster_id")))
-      val g = SketchStore.nnGraph(s, dir)
-      val gLiveU = g.join(tombsV.select(col("vec_id").as("u")), Seq("u"), "left_anti")
-        .persist()
-      val liveG = gLiveU
-        .join(tombsV.select(col("vec_id").as("w")), Seq("w"), "left_anti")
-        .persist()
-      val degB = gLiveU.groupBy(col("u")).agg(count(lit(1)).as("db"))
-      val degA = liveG.groupBy(col("u")).agg(count(lit(1)).as("da"))
-      val degraded = degB.join(degA, Seq("u"), "left")
-        .filter(coalesce(col("da"), lit(0L)) < col("db"))
-      val leakN = naive.join(tombsD.select(col("doc_id").as("cluster_id")),
-        Seq("cluster_id"), "left_semi")
-      val leakF = folded.join(tombsD.select(col("doc_id").as("cluster_id")),
-        Seq("cluster_id"), "left_semi")
-      tombsD.agg(count(lit(1)).as("n_tombs_docs"))
-        .crossJoin(tombsV.agg(count(lit(1)).as("n_tombs_vecs")))
-        .crossJoin(liveBands.agg(count(lit(1)).as("n_bands_live")))
-        .crossJoin(livePairs.agg(count(lit(1)).as("n_pairs_live")))
-        .crossJoin(naive.agg(count(lit(1)).as("n_clusters_naive")))
-        .crossJoin(folded.agg(count(lit(1)).as("n_clusters_folded")))
-        .crossJoin(leakN.agg(count(lit(1)).as("n_label_leaks_naive")))
-        .crossJoin(leakF.agg(count(lit(1)).as("n_label_leaks_folded")))
-        .crossJoin(drift.agg(count(lit(1)).as("n_cluster_drift")))
-        .crossJoin(liveG.agg(count(lit(1)).as("n_edges_live")))
-        .crossJoin(degraded.agg(count(lit(1)).as("n_nodes_degraded")))
+      sketchDeleteStats(s, dir, tombsD, tombsV)
     },
 
     // ---- q248 (round 19): BANDS-DELTA COMPACTION (VERDICT r18 missing
@@ -3182,6 +3146,57 @@ object Analytics {
   // right-to-be-forgotten request batch.
   private[queries] final val DelMod = 17
   private[queries] final val DelRem = 5
+
+  /** q247's merge-on-read deletion reconciliation over arbitrary
+    * tombstone frames — factored (round 19) so the batch entry (q247,
+    * predicate-derived tombstones) and the at-ingest twin (q254,
+    * tombstones accumulated from bus events) compute the IDENTICAL row
+    * and share ONE oracle (the q209/q217/q246 twin convention). */
+  private[queries] def sketchDeleteStats(
+      s: SparkSession, dir: String,
+      tombsD: DataFrame, tombsV: DataFrame): DataFrame = {
+    val liveBands = SketchStore.bands(s, dir)
+      .join(tombsD, Seq("doc_id"), "left_anti")
+    val livePairs = SketchStore.mhPairs(s, dir)
+      .join(tombsD.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(tombsD.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      .persist()
+    val naive = SketchStore.dupClusters(s, dir)
+      .join(tombsD, Seq("doc_id"), "left_anti").persist()
+    val folded = dupClusterPropagate(s,
+      livePairs.select(col("doc_a"), col("doc_b"))).persist()
+    val drift = naive.as("n").join(folded.as("f"), Seq("doc_id"), "full_outer")
+      .filter(!(col("n.cluster_id") <=> col("f.cluster_id")))
+    val g = SketchStore.nnGraph(s, dir)
+    val gLiveU = g.join(tombsV.select(col("vec_id").as("u")), Seq("u"), "left_anti")
+      .persist()
+    val liveG = gLiveU
+      .join(tombsV.select(col("vec_id").as("w")), Seq("w"), "left_anti")
+      .persist()
+    val degB = gLiveU.groupBy(col("u")).agg(count(lit(1)).as("db"))
+    val degA = liveG.groupBy(col("u")).agg(count(lit(1)).as("da"))
+    val degraded = degB.join(degA, Seq("u"), "left")
+      .filter(coalesce(col("da"), lit(0L)) < col("db"))
+    val leakN = naive.join(tombsD.select(col("doc_id").as("cluster_id")),
+      Seq("cluster_id"), "left_semi")
+    val leakF = folded.join(tombsD.select(col("doc_id").as("cluster_id")),
+      Seq("cluster_id"), "left_semi")
+    tombsD.agg(count(lit(1)).as("n_tombs_docs"))
+      .crossJoin(tombsV.agg(count(lit(1)).as("n_tombs_vecs")))
+      .crossJoin(liveBands.agg(count(lit(1)).as("n_bands_live")))
+      .crossJoin(livePairs.agg(count(lit(1)).as("n_pairs_live")))
+      .crossJoin(naive.agg(count(lit(1)).as("n_clusters_naive")))
+      .crossJoin(folded.agg(count(lit(1)).as("n_clusters_folded")))
+      .crossJoin(leakN.agg(count(lit(1)).as("n_label_leaks_naive")))
+      .crossJoin(leakF.agg(count(lit(1)).as("n_label_leaks_folded")))
+      .crossJoin(drift.agg(count(lit(1)).as("n_cluster_drift")))
+      .crossJoin(liveG.agg(count(lit(1)).as("n_edges_live")))
+      .crossJoin(degraded.agg(count(lit(1)).as("n_nodes_degraded")))
+  }
+
+  /** q247's oracle, exposed for the at-ingest twin (q254) — shared
+    * verbatim, the twin convention. */
+  private[queries] def sketchDeleteOracleShared: String = sketchDeleteOracle
 
   /** DuckDB mirror of q247: the full-corpus recursive walk (naive leg),
     * a SECOND recursive walk over the live pair set (the fold), the

@@ -1949,6 +1949,74 @@ object Streaming {
       } finally q.stop()
       PipelineRetrieval.graphMaintainStats(s, dir,
         s.read.parquet(deltaLog).persist())
+    },
+
+    // ---- q254 (round 19): DELETION PROPAGATION AT INGEST — q247's
+    // right-to-be-forgotten semantics driven by the bus: deletion
+    // REQUESTS arrive as events (kind ∈ {doc, vec} + the id — the GDPR
+    // ticket-queue shape), each micro-batch appends them to a tombstone
+    // LOG, and the standing artifacts are reconciled merge-on-read
+    // against the accumulated log. Tombstone accumulation is a set
+    // union — arrival-order-free and idempotent by construction (the
+    // log is DISTINCT-ed at read) — so once the queue drains, the
+    // reconciliation row EQUALS q247's batch computation exactly and
+    // the entry shares q247's oracle verbatim (the q209/q217/q246 twin
+    // convention). 100 TB shape: per-batch cost is one tiny append; the
+    // anti-join probes are q247's, keyed on the artifacts' own bucket
+    // columns; the log is request-sized. ----
+    QueryDef.noBench("q254_delete_at_ingest_sketch",
+      Analytics.sketchDeleteOracleShared) { (s, dir) =>
+      val url = s"memory://q254-${UUID.randomUUID()}"
+      val tombLog = java.nio.file.Files.createTempDirectory("graft-tomb-log").toString
+      // The deletion cohort ships as (kind, id) int32 events through
+      // the strict codec; two publish rounds = two request batches.
+      val reqs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % Analytics.DelMod === Analytics.DelRem)
+        .select(lit("doc").as("kind"), col("doc_id").cast(IntegerType).as("id"))
+        .unionByName(Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") % Analytics.DelMod === Analytics.DelRem)
+          .select(lit("vec").as("kind"), col("vec_id").cast(IntegerType).as("id")))
+      val nReqs = reqs.count()
+      val feedSchema = StructType(Seq(
+        StructField("kind", StringType, nullable = false),
+        StructField("id", IntegerType, nullable = false)))
+      val q = s.readStream.format("nats").schema(feedSchema)
+        .option("url", url).option("subject", "delete_requests")
+        .option("batchSize", "32")
+        .option("flushTimeoutMs", "100")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          batch.select(col("kind"), col("id").cast(LongType).as("id"))
+            .write.mode("append").parquet(tombLog)
+        }
+        .start()
+      try {
+        NatsDemo.awaitSubscriber(url, "delete_requests")
+        def pub(half: DataFrame): Unit =
+          half.write.format("nats").mode("append")
+            .option("url", url).option("subject", "delete_requests").save()
+        // % 17 = 5 splits into the % 34 ∈ {5, 22} halves.
+        pub(reqs.filter(col("id") % 34 === 5))
+        q.processAllAvailable()
+        pub(reqs.filter(col("id") % 34 === 22))
+        def logged(): Long =
+          try s.read.parquet(tombLog).distinct().count()
+          catch { case _: Exception => 0L }
+        q.processAllAvailable()
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (logged() < nReqs && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          q.processAllAvailable()
+        }
+        require(logged() == nReqs,
+          s"q254 drain timed out: ${logged()} of $nReqs deletion requests logged")
+      } finally q.stop()
+      val log = s.read.parquet(tombLog).distinct().persist()
+      Analytics.sketchDeleteStats(s, dir,
+        log.filter(col("kind") === "doc").select(col("id").as("doc_id")),
+        log.filter(col("kind") === "vec").select(col("id").as("vec_id")))
     }
   )
 

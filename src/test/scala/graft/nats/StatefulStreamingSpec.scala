@@ -407,4 +407,18 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream === batch,
       s"stream absorb diverged from batch absorb:\n stream: $stream\n batch: $batch")
   }
+
+  test("q254 QueryDef: bus-accumulated tombstones reconcile EXACTLY like the q247 batch deletion") {
+    // The twin contract again (q246's convention applied to deletion):
+    // tombstone accumulation is a distinct-ed set union — order-free
+    // and idempotent — so the drained log must drive sketchDeleteStats
+    // to q247's row exactly, two publish batches notwithstanding.
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.queries.Registry.byName("q254_delete_at_ingest_sketch")
+      .build(spark, dir).collect().toSeq
+    val batch = graft.queries.Registry.byName("q247_sketch_delete_propagation")
+      .build(spark, dir).collect().toSeq
+    assert(stream === batch,
+      s"streamed deletion diverged from the batch pass:\n stream: $stream\n batch: $batch")
+  }
 }
