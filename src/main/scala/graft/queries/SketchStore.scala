@@ -338,6 +338,30 @@ object SketchStore {
     f.delete(); ()
   }
 
+  /** Garbage-collect SUPERSEDED layers of one artifact root (round 19,
+    * the ADVICE-r18 leak class): resolve the `_current` pointer, keep
+    * that layer (plus pointer + sidecar), delete every other `layer-*`
+    * directory; returns how many were removed. Deliberately a
+    * maintenance-window call, never automatic: a reader that resolved
+    * BEFORE a refresh may still be streaming a superseded layer's
+    * files (the q241 time-travel property) — production gates this on
+    * a snapshot-retention horizon, exactly like Iceberg's
+    * expire_snapshots. */
+  private[graft] def gcSupersededLayers(
+      s: SparkSession, dir: String, short: String): Int = {
+    val tbl = s"graft_sk_${short}_${graft.BuildPaths.dirKey(dir)}_${sourceFingerprint(dir)}"
+    val lock = locks.computeIfAbsent(tbl, _ => new Object)
+    lock.synchronized {
+      val root = artifactRoot(dir, tbl)
+      val current = Curation.resolveSnapshot(root)
+      val superseded = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("layer-")
+          && f.getName != current)
+      superseded.foreach(deleteRecursively)
+      superseded.length
+    }
+  }
+
   /** Write-once GRAPH-COMPACTION lifecycle (q250) — the q248 fold
     * applied to the graph family, closing the q246 delta loop: v1 of
     * the `graphc` artifact is the standing OLD-cohort base graph; the

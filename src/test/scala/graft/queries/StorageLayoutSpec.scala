@@ -506,6 +506,36 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loc.endsWith(layer2), s"catalog location $loc does not resolve the new layer $layer2")
   }
 
+  test("superseded-layer GC removes old layers, keeps the committed one, and reads survive") {
+    // The retention half of the pointer protocol (the ADVICE-r18 leak
+    // class): refreshes accumulate immutable layer-* dirs forever; the
+    // maintenance-window GC resolves the pointer and removes everything
+    // else. Pins: at least one superseded layer existed and was
+    // removed, exactly the committed layer remains, and the table's
+    // rows read back unchanged through the catalog.
+    import graft.Tables
+    val tbl = SketchStore.tableNames(sfDir)("bands")
+    SketchStore.bands(spark, sfDir)
+    val rows0 = spark.table(tbl).count()
+    // an identity refresh guarantees >= 2 layers on disk
+    SketchStore.refreshTable(spark, sfDir, "bands", Seq("band", "key")) {
+      SketchStore.bandRowsOf(spark, Tables.load(spark, sfDir, "documents"))
+    }
+    val root = graft.BuildPaths.scratch(
+      s"sketch_store/${graft.BuildPaths.dirKey(sfDir)}") + s"/$tbl"
+    def layers(): Seq[String] = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("layer-"))
+      .map(_.getName).toSeq
+    assert(layers().size >= 2, s"expected >= 2 layers before GC, saw ${layers()}")
+    val removed = SketchStore.gcSupersededLayers(spark, sfDir, "bands")
+    assert(removed >= 1, "GC removed nothing despite a superseded layer")
+    val current = Curation.resolveSnapshot(root)
+    assert(layers() === Seq(current),
+      s"GC left the wrong layers: ${layers()} (current: $current)")
+    assert(spark.table(tbl).count() === rows0,
+      "rows changed across GC — the committed layer was touched")
+  }
+
   test("cross-session re-registration reuses the sidecar DDL: schema, bucket spec, rows identical (ADVICE r18)") {
     // The fresh-session branch of ensureTable: the table vanishes from
     // the catalog (a new JVM, or here an explicit metadata drop — both
