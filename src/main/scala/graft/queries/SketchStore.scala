@@ -85,8 +85,13 @@ object SketchStore {
       val ls = leaves(f)
       require(ls.nonEmpty && ls.forall(_.length > 0),
         s"SketchStore: source table '$n' under '$dir' has no non-empty parquet leaves")
-      val meta = ls.map(l => s"${l.getName}:${l.length}:${l.lastModified}").mkString(",")
-      s"$n:$meta:${tailCrc(ls.last)}"
+      // EVERY leaf's tail is CRC'd (ADVICE r19: tail-of-last-only let a
+      // regeneration that rewrote a non-last leaf within the same byte
+      // length and mtime second fingerprint identically) — still cheap,
+      // 64 KiB per file.
+      val meta = ls.map(l =>
+        s"${l.getName}:${l.length}:${l.lastModified}:${tailCrc(l)}").mkString(",")
+      s"$n:$meta"
     }.mkString("|")
     Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
   }
@@ -127,11 +132,19 @@ object SketchStore {
     java.nio.file.Files.write(ddlPath, s.table(stageTbl).schema.toDDL.getBytes("UTF-8"))
     Curation.commitPointer(root, layer)
     if (stageTbl != tbl) {
-      // Stage-name write (a refresh): swap the catalog entry — both
-      // tables are EXTERNAL, so dropping touches metadata only.
+      // Stage-name write (a refresh): repoint the existing catalog
+      // entry at the new layer. ALTER TABLE SET LOCATION is one
+      // metadata mutation — a concurrent reader resolving the table
+      // name sees the old location or the new one, never a
+      // table-not-found window (ADVICE r19: the previous DROP +
+      // re-register swap had exactly that window, because readers
+      // never take the per-artifact lock). Schema and bucket layout
+      // are unchanged by construction (the sidecar DDL pins them).
       s.sql(s"DROP TABLE IF EXISTS $stageTbl")
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      registerAt(s, tbl, root, layer, bucketCols)
+      if (s.catalog.tableExists(tbl)) {
+        s.sql(s"ALTER TABLE $tbl SET LOCATION '$root/$layer'")
+        s.catalog.refreshTable(tbl) // drop cached plans/file listings
+      } else registerAt(s, tbl, root, layer, bucketCols)
     }
   }
 
@@ -353,12 +366,17 @@ object SketchStore {
     val lock = locks.computeIfAbsent(tbl, _ => new Object)
     lock.synchronized {
       val root = artifactRoot(dir, tbl)
-      val current = Curation.resolveSnapshot(root)
-      val superseded = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("layer-")
-          && f.getName != current)
-      superseded.foreach(deleteRecursively)
-      superseded.length
+      // Never-built artifact (no committed pointer): nothing to collect
+      // (ADVICE r19: resolveSnapshot would throw NoSuchFileException).
+      if (!new java.io.File(root, "_current").exists()) 0
+      else {
+        val current = Curation.resolveSnapshot(root)
+        val superseded = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("layer-")
+            && f.getName != current)
+        superseded.foreach(deleteRecursively)
+        superseded.length
+      }
     }
   }
 

@@ -1947,8 +1947,14 @@ object Streaming {
         require(indexed() == nNew,
           s"q246 drain timed out: ${indexed()} of $nNew vectors absorbed")
       } finally q.stop()
+      // distinct(): foreachBatch is at-least-once on task/batch retry —
+      // a replayed micro-batch appends duplicate (u, w, cos_r) rows that
+      // would consume row_number rank slots in the eval (ADVICE r19).
+      // Edges are unique per (u, w) by construction (the per-node top-G
+      // cut), so distinct is exactly the replay-idempotent read — the
+      // q254 tombstone-log convention.
       PipelineRetrieval.graphMaintainStats(s, dir,
-        s.read.parquet(deltaLog).persist())
+        s.read.parquet(deltaLog).distinct().persist())
     },
 
     // ---- q254 (round 19): DELETION PROPAGATION AT INGEST — q247's

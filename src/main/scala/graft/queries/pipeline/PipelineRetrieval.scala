@@ -1062,8 +1062,19 @@ object PipelineRetrieval {
     * exact shared cosine kernel and cut to the best G per node. Cost
     * tracks the BATCH: |batch| capped probes + a batch-sized hop. */
   private[queries] def graphMaintainEdges(
+      s: SparkSession, dir: String, newIds: DataFrame): DataFrame =
+    topGcut(scorePairs(vecsWithNorms(s, dir))(
+      graphMaintainCandidates(s, dir, newIds)))
+
+  /** The CANDIDATE frame (u, w) of the maintenance pass, before scoring
+    * — exposed (round 20, ADVICE r19) so ScaleStressSpec can gate the
+    * probe cap on a work-proportional signal (candidate volume per
+    * batch) instead of a host-contention-sensitive wall-clock ratio:
+    * capped, candidates per new vector are bounded by TABLES * CAP +
+    * TABLES * CAP * G at ANY corpus size, so the 10x-corpus /
+    * 10x-batch candidate ratio stays ~linear in the batch. */
+  private[graft] def graphMaintainCandidates(
       s: SparkSession, dir: String, newIds: DataFrame): DataFrame = {
-    val vecs = vecsWithNorms(s, dir)
     val base = SketchStore.nnGraphBase(s, dir)
     val buckets = SketchStore.lshBuckets(s, dir)
       .select(col("vec_id"), col("t"), col("bk"))
@@ -1086,7 +1097,7 @@ object PipelineRetrieval {
       .filter(col("bw") =!= col("u"))
       .select(col("u"), col("bw").as("w"))
       .distinct()
-    topGcut(scorePairs(vecs)(c1.union(c2).distinct()))
+    c1.union(c2).distinct()
   }
 
   /** The converged NN-Descent graph (u, w, cos_r) — the build behind
