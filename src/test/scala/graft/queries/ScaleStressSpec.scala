@@ -525,6 +525,17 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ADC ships (vec_id, code) pairs for probed cells only; all three
     // eval legs are already-audited operator shapes; output 1 row
     "q249_ivfpq_ann",
+    // q255 (round 20): the serve probe reads the PROBED CELLS' slice of
+    // the pre-warmed stored IVFPQ index (cell-keyed broadcast join) and
+    // ADC-scores via the kilobyte LUT; the comparison row re-runs
+    // q249's already-audited in-query shape; output 1 row at any corpus
+    "q255_ivfpq_stored_serve",
+    // q256 (round 20): fixed 32-query panel — probes/LUTs are
+    // corpus-independent kilobytes, candidates are probed-cell slices
+    // of the pre-warmed stored index (~NPROBE/NCELLS of the corpus),
+    // the raw-control encode touches candidates only, and the truth leg
+    // is the n x 32 eval harness; output 1 row at any corpus
+    "q256_ivfpq_panel_eval",
     // q250 (round 19): reads the pre-warmed compacted graph + recomputes
     // the (capped, batch-sized) delta; probes are fixed-panel joins;
     // output 1 row
@@ -692,6 +703,13 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (name == "q248_bands_compaction") {
         SketchStore.ensureCompactedBands(spark, base)
         SketchStore.ensureCompactedBands(spark, scaledDir)
+      }
+      if (name == "q255_ivfpq_stored_serve" || name == "q256_ivfpq_panel_eval") {
+        // The stored index is write-once: production cost is the probe;
+        // warm the artifact on BOTH corpora so the timed run measures
+        // serve scaling, not the one-time encode (the q239 rule).
+        SketchStore.ivfpqCodes(spark, base)
+        SketchStore.ivfpqCodes(spark, scaledDir)
       }
       if (name == "q250_graph_compaction") {
         SketchStore.ensureCompactedGraph(spark, base)

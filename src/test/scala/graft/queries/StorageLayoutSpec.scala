@@ -333,6 +333,16 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q244 does not scan the stored base-graph artifact")
     assert(plan("q244_graph_index_maintain").contains(names("lshbkt")),
       "q244 does not probe the stored LSH bucket artifact")
+    // Tier 5 — the stored IVF+PQ index (round 20, VERDICT r19 #1): the
+    // serve entry probes the residual-encoded (vec_id, cell, m, code)
+    // artifact — bucketed by cell, read cell-pruned through a broadcast
+    // join — instead of re-encoding the corpus in-query (that rebuild
+    // survives only as q249's comparison leg inside the same entry).
+    // The q255 oracle recomputes every code from raw embeddings, so a
+    // stale or drifted index is a hash FAIL — this is the plan-identity
+    // half.
+    assert(plan("q255_ivfpq_stored_serve").contains(names("ivfpq")),
+      "q255 does not probe the stored ivfpq artifact")
     // Tier 3 — the converged CLUSTER ASSIGNMENT (VERDICT r17 #8): the
     // q76 family (q76/q125/q215/q233) reads ONE stored (doc_id,
     // cluster_id) table; the propagation loop runs once at artifact
