@@ -2023,6 +2023,80 @@ object Streaming {
       Analytics.sketchDeleteStats(s, dir,
         log.filter(col("kind") === "doc").select(col("id").as("doc_id")),
         log.filter(col("kind") === "vec").select(col("id").as("vec_id")))
+    },
+
+    // ---- q257 (round 20): IVFPQ ENCODE AT INGEST — the q246 twin
+    // convention applied to the stored IVF+PQ index (VERDICT r19 next
+    // #4): new vectors arrive as bus events carrying their vec_id, and
+    // each micro-batch runs the SHARED encode kernel
+    // (PipelineRetrieval.ivfpqEncode — route to the argmax cell,
+    // subtract the centroid, argmin over the residual codebook) and
+    // appends (vec_id, cell, m, code) rows to the index delta log (the
+    // bandsdelta convention: same schema as the stored base artifact,
+    // foldable by the q248-style compaction). Arrival-order-free and
+    // batch-split-free by construction: encoding needs ONLY the two
+    // broadcast dictionaries (centroids + codebook) — no standing-index
+    // probe, no batch-peer interaction — so the union of per-batch
+    // encodes EQUALS the one-shot batch encode exactly, and the entry's
+    // output is the cohort's FULL code table graded row-for-row against
+    // the oracle's recomputation from raw embeddings. 100 TB shape:
+    // per-batch cost is |batch| x NCELLS routing dots + |batch| x PQ_M
+    // x PQ_K codebook distances, all scan-local against kilobyte
+    // broadcasts; the corpus is never rescanned. ----
+    QueryDef.noBench("q257_ivfpq_encode_at_ingest",
+      PipelineRetrieval.ivfpqIngestOracle) { (s, dir) =>
+      val url = s"memory://q257-${UUID.randomUUID()}"
+      val deltaLog = java.nio.file.Files.createTempDirectory("graft-ivfpq-delta").toString
+      val isNew = col("vec_id") % PipelineRetrieval.NNDESC_NEW_MOD ===
+        PipelineRetrieval.NNDESC_NEW_REM
+      val cohort = Tables.load(s, dir, "embeddings")
+        .filter(isNew).select(col("vec_id").cast(IntegerType).as("vec_id"))
+      val nNew = cohort.count()
+      val feedSchema = StructType(Seq(
+        StructField("vec_id", IntegerType, nullable = false)))
+      val q = s.readStream.format("nats").schema(feedSchema)
+        .option("url", url).option("subject", "crawl_vectors_pq")
+        .option("batchSize", "32")
+        .option("flushTimeoutMs", "100")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          val sess = batch.sparkSession
+          val vs = batch.select(col("vec_id").cast(LongType).as("vec_id")).distinct()
+            .join(Tables.load(sess, dir, "embeddings"), Seq("vec_id"))
+            .select(col("vec_id"), col("embedding"))
+          PipelineRetrieval.ivfpqEncode(sess, dir, vs)
+            .write.mode("append").parquet(deltaLog)
+        }
+        .start()
+      try {
+        NatsDemo.awaitSubscriber(url, "crawl_vectors_pq")
+        def pub(half: DataFrame): Unit =
+          half.write.format("nats").mode("append")
+            .option("url", url).option("subject", "crawl_vectors_pq").save()
+        // the % 10 = 3 cohort splits into the % 20 ∈ {3, 13} halves —
+        // two publish rounds prove multi-batch encode == batch encode
+        pub(cohort.filter(col("vec_id") % 20 === 3))
+        q.processAllAvailable()
+        pub(cohort.filter(col("vec_id") % 20 === 13))
+        def encoded(): Long =
+          try s.read.parquet(deltaLog).select(col("vec_id")).distinct().count()
+          catch { case _: Exception => 0L }
+        q.processAllAvailable()
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (encoded() < nNew && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          q.processAllAvailable()
+        }
+        require(encoded() == nNew,
+          s"q257 drain timed out: ${encoded()} of $nNew vectors encoded")
+      } finally q.stop()
+      // distinct(): at-least-once foreachBatch replay idempotency —
+      // code rows are unique per (vec_id, m) by construction.
+      s.read.parquet(deltaLog).distinct()
+        .select(col("vec_id"), col("cell"), col("m"), col("code"))
+        .orderBy(col("vec_id"), col("m"))
     }
   )
 

@@ -1398,7 +1398,7 @@ object PipelineRetrieval {
     * codebook (ties to the lowest code id). One scan-local pass per
     * vector against two broadcast dictionaries — the reason the
     * at-ingest twin is cheap: encoding needs NO standing-index probe. */
-  private[queries] def ivfpqEncode(
+  private[graft] def ivfpqEncode(
       s: SparkSession, dir: String, vs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cent = T(s, dir, "embeddings")
@@ -2130,6 +2130,16 @@ object PipelineRetrieval {
        |  ((SELECT COUNT(*) FROM j_truth JOIN j_pkivf USING (u, vec_id)) * 1000000)
        |    // ($ANN_RECALL_K * (SELECT COUNT(*) FROM j_panel)) AS recall_ivf_micro""".stripMargin
   }
+
+  /** DuckDB mirror of the at-ingest encode twin (q257, Streaming.defs):
+    * the shared stored-index chain restricted to the arriving cohort —
+    * the FULL code table row-for-row, so a dropped micro-batch, a
+    * double-encode, or a drifted kernel hash-fails, not just a count. */
+  private[queries] def ivfpqIngestOracle: String =
+    s"""WITH $ivfpqCoreCtes
+       |SELECT vec_id, cell, m, code FROM j_codes
+       |WHERE vec_id % $NNDESC_NEW_MOD = $NNDESC_NEW_REM
+       |ORDER BY vec_id, m""".stripMargin
 
   /** DuckDB mirror of q46, generated from the same (tables, planes, dim)
     * grid and md5 sign formula. */

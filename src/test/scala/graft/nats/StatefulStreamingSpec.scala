@@ -421,4 +421,23 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream === batch,
       s"streamed deletion diverged from the batch pass:\n stream: $stream\n batch: $batch")
   }
+
+  test("q257 QueryDef: stream-encoded IVFPQ codes EQUAL the one-shot batch encode, row for row") {
+    // The twin contract applied to the stored IVF+PQ index (round 20):
+    // encoding touches only the two broadcast dictionaries (centroids +
+    // residual codebook), so the union of per-batch encodes must equal
+    // the batch kernel on the whole cohort exactly — two publish rounds
+    // notwithstanding.
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.queries.Registry.byName("q257_ivfpq_encode_at_ingest")
+      .build(spark, dir).collect().toSeq
+    val isNew = col("vec_id") % 10 === 3
+    val batch = graft.queries.PipelineRetrieval.ivfpqEncode(spark, dir,
+        graft.Tables.load(spark, dir, "embeddings")
+          .filter(isNew).select(col("vec_id"), col("embedding")))
+      .orderBy(col("vec_id"), col("m")).collect().toSeq
+    assert(stream === batch,
+      s"streamed encode diverged from the batch kernel:\n stream: $stream\n batch: $batch")
+  }
 }
