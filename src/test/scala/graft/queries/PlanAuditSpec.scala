@@ -94,6 +94,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q252/q253 are the q245 serve harness (same fixed-panel
     // broadcasts) at three beam widths / over the live-filtered view.
     "q252_serve_beam_curve", "q253_graph_serve_tombstoned",
+    // q258 cross-joins its recorded 7-column ledger (1 row) with the
+    // three 1-row live counters; the fold re-derivation is keyed
+    // anti/equi joins against the request-sized tombstone frame and
+    // the graph's own bucket keys; the diff is a keyed full-outer join
+    // on (u, w). q259/q260 are the q245 serve harness (same fixed-panel
+    // broadcasts) over the folded layer / at three rounds settings.
+    "q258_graph_tombstone_fold", "q259_graph_serve_refilled",
+    "q260_serve_rounds_curve",
     // q255 broadcasts the query vector (1 row), the 16-row centroid
     // dictionary, the PQ_M x PQ_K residual codebook, and the
     // NPROBE x PQ_M x PQ_K LUT (all kilobytes at any corpus size), and

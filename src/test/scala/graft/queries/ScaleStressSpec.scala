@@ -549,6 +549,19 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q253 (round 19): the q245 shape with live-filtered panels/graph —
     // the tombstone anti-join is request-sized; output 1 row
     "q253_graph_serve_tombstoned",
+    // q258 (round 20): replays the pre-warmed fold ledger + the live
+    // re-derivation (anti-joins keyed on the graph's own bucket column,
+    // refill tracks the degraded set: capped probes + one keyed hop) +
+    // one keyed full-outer diff; output 1 row at any corpus
+    "q258_graph_tombstone_fold",
+    // q259 (round 20): the q245 serve shape over the pre-warmed FOLDED
+    // layer — no per-serve anti-joins left (the fold paid them once);
+    // fixed panels, beam-sized joins; output 1 row
+    "q259_graph_serve_refilled",
+    // q260 (round 20): three rounds-axis walks over the same stored
+    // graph + ONE shared truth leg (the q252 shape on the other knob);
+    // output 3 rows at any corpus
+    "q260_serve_rounds_curve",
     // q221 (round 16): three codegen regexp passes over the pre-warmed
     // crawl export read + one shard-keyed agg; output stays 16 rows
     "q221_export_pii_audit",
@@ -696,9 +709,18 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         SketchStore.nnGraphBase(spark, scaledDir)
       }
       if (name == "q245_graph_serve" || name == "q252_serve_beam_curve" ||
-          name == "q253_graph_serve_tombstoned") {
+          name == "q253_graph_serve_tombstoned" ||
+          name == "q260_serve_rounds_curve") {
         SketchStore.nnGraph(spark, base)
         SketchStore.nnGraph(spark, scaledDir)
+      }
+      if (name == "q258_graph_tombstone_fold" ||
+          name == "q259_graph_serve_refilled") {
+        // the fold lifecycle is write-once: production cost is the
+        // probe/serve; warm it on BOTH corpora so the timed run
+        // measures the replay/serve, not the one-time fold
+        SketchStore.ensureTombstoneFoldedGraph(spark, base)
+        SketchStore.ensureTombstoneFoldedGraph(spark, scaledDir)
       }
       if (name == "q248_bands_compaction") {
         SketchStore.ensureCompactedBands(spark, base)
