@@ -2097,6 +2097,116 @@ object Streaming {
       s.read.parquet(deltaLog).distinct()
         .select(col("vec_id"), col("cell"), col("m"), col("code"))
         .orderBy(col("vec_id"), col("m"))
+    },
+
+    // ---- q261 (round 20): SERVE AT INGEST — request/reply over the
+    // bus (VERDICT r19 #5): the index families were all MAINTAINED at
+    // ingest (bands q154, graph q246, tombstones q254, IVFPQ q257);
+    // nothing yet ANSWERED at ingest. Here retrieval REQUESTS arrive as
+    // bus events carrying their qid, each micro-batch re-derives the
+    // deterministic query panel for exactly the arrived qids, walks the
+    // q245 beam over the STORED graph artifact (the shared
+    // serveBeamPicks kernel — per-qid independent by construction:
+    // every window and join partitions on qid, so a subset walk yields
+    // the identical per-qid picks as the batch walk, regardless of how
+    // requests batch), and PUBLISHES the top-K answers to a reply
+    // subject through the NATS sink (the request/reply deployment
+    // shape). A second subscriber drains the reply subject into an
+    // answers log; once every request is answered, the drained picks
+    // are graded by the IDENTICAL truth/accounting as the batch serve
+    // and the entry shares q245's oracle VERBATIM (the q209/q217/q246
+    // twin convention: stream-served answers == batch serve,
+    // hash-proven). 100 TB shape: per-request cost is the q245 serve
+    // bound — O(rounds x beam x degree) exact scores against the
+    // stored graph, fixed entry panel; the corpus appears only in the
+    // grading truth leg, never the serve loop. ----
+    QueryDef.noBench("q261_serve_at_ingest",
+      PipelineRetrieval.graphServeOracleShared) { (s, dir) =>
+      val url = s"memory://q261-${UUID.randomUUID()}"
+      val ansLog = java.nio.file.Files.createTempDirectory("graft-serve-ans").toString
+      // Warm the standing artifact up front so the serve loop only
+      // probes — the q154/q246 convention.
+      graft.queries.SketchStore.nnGraph(s, dir)
+      val panel = PipelineRetrieval.serveQueryPanel(s, dir)
+      val reqs = panel.select(col("qid").cast(IntegerType).as("qid"))
+      val nQ = reqs.count()
+      val k = 10L // ANN_RECALL_K — each answered request ships exactly K picks
+      val reqSchema = StructType(Seq(
+        StructField("qid", IntegerType, nullable = false)))
+      val ansSchema = StructType(Seq(
+        StructField("qid", IntegerType, nullable = false),
+        StructField("vec_id", IntegerType, nullable = false)))
+      // Reply-side subscriber FIRST (fire-and-forget bus: replies
+      // published before it subscribes would be lost).
+      val sub = s.readStream.format("nats").schema(ansSchema)
+        .option("url", url).option("subject", "serve_replies")
+        .option("batchSize", "32")
+        .option("flushTimeoutMs", "100")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          batch.write.mode("append").parquet(ansLog)
+        }
+        .start()
+      // The SERVER: per micro-batch, beam-walk the arrived qids over
+      // the stored graph and publish the picks to the reply subject.
+      val srv = s.readStream.format("nats").schema(reqSchema)
+        .option("url", url).option("subject", "serve_requests")
+        .option("batchSize", "32")
+        .option("flushTimeoutMs", "100")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          val sess = batch.sparkSession
+          val got = batch.select(col("qid").cast(LongType).as("qid")).distinct()
+          val qp = PipelineRetrieval.serveQueryPanel(sess, dir)
+            .join(got, Seq("qid"))
+          val picks = PipelineRetrieval.serveBeamPicks(
+            PipelineRetrieval.vecsWithNorms(sess, dir), qp,
+            graft.queries.SketchStore.nnGraph(sess, dir),
+            PipelineRetrieval.SERVE_BEAM, PipelineRetrieval.SERVE_ROUNDS)
+          picks.select(col("qid").cast(IntegerType).as("qid"),
+              col("vec_id").cast(IntegerType).as("vec_id"))
+            .write.format("nats").mode("append")
+            .option("url", url).option("subject", "serve_replies").save()
+        }
+        .start()
+      try {
+        NatsDemo.awaitSubscriber(url, "serve_replies")
+        NatsDemo.awaitSubscriber(url, "serve_requests")
+        def pub(half: DataFrame): Unit =
+          half.write.format("nats").mode("append")
+            .option("url", url).option("subject", "serve_requests").save()
+        // two request batches prove batch-split independence
+        pub(reqs.filter(col("qid") % 2 === 1))
+        srv.processAllAvailable()
+        sub.processAllAvailable()
+        pub(reqs.filter(col("qid") % 2 === 0))
+        def answered(): Long =
+          try s.read.parquet(ansLog).distinct().count()
+          catch { case _: Exception => 0L }
+        srv.processAllAvailable()
+        sub.processAllAvailable()
+        // trailing partial batches surface only after flushTimeoutMs on
+        // BOTH hops (request and reply) — drain until every request has
+        // its K answers (the q160/q240 rule).
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (answered() < nQ * k && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          srv.processAllAvailable()
+          sub.processAllAvailable()
+        }
+        require(answered() == nQ * k,
+          s"q261 drain timed out: ${answered()} of ${nQ * k} answers logged")
+      } finally { srv.stop(); sub.stop() }
+      // distinct(): at-least-once foreachBatch replay idempotency on the
+      // answers log — picks are unique per (qid, vec_id) by construction.
+      val picks = s.read.parquet(ansLog).distinct()
+        .select(col("qid").cast(LongType).as("qid"),
+          col("vec_id").cast(LongType).as("vec_id"))
+      PipelineRetrieval.serveSummaryOverPicks(s, dir, picks)
     }
   )
 

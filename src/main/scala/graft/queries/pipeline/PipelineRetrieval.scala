@@ -118,9 +118,9 @@ object PipelineRetrieval {
 
   private val SERVE_ENTRIES = 32
 
-  private val SERVE_BEAM = 16
+  private[queries] val SERVE_BEAM = 16
 
-  private val SERVE_ROUNDS = 3
+  private[queries] val SERVE_ROUNDS = 3
 
   // q252 beam-width tuning curve: the smallest width that can fill a
   // top-10 result (10), the production default (16 = SERVE_BEAM), and a
@@ -1189,7 +1189,7 @@ object PipelineRetrieval {
   /** One corpus scan with precomputed norms — the frame every
     * graph-family scoring join reads (norms un-rounded, the q42 IEEE
     * sequence). */
-  private def vecsWithNorms(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def vecsWithNorms(s: SparkSession, dir: String): DataFrame = {
     val dbl = (c: Column) => transform(c, x => x.cast(DoubleType))
     val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
     T(s, dir, "embeddings")
@@ -1308,32 +1308,45 @@ object PipelineRetrieval {
     * all three); queries are always synthesized from the FULL corpus
     * (they are external vectors — their parents' deletion does not
     * invalidate the query itself). */
-  private def graphServeSummary(
-      s: SparkSession, dir: String, graph: DataFrame,
-      curve: Seq[(Int, Int)] = Seq((SERVE_BEAM, SERVE_ROUNDS)),
-      candPred: Column => Column = _ => lit(true)): DataFrame = {
-    val vecsAll = vecsWithNorms(s, dir)
-    val vecs = vecsAll.filter(candPred(col("vec_id"))).persist()
-    val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
-    val h = (tag: String) => conv(substring(md5(concat(lit(tag),
+  private def h60col(tag: String): Column =
+    conv(substring(md5(concat(lit(tag),
       col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
-    // 2Q parents in 'sv:' h60 order, paired consecutively -> Q
-    // midpoint queries (out-of-corpus by construction; drawn from the
-    // FULL corpus — see the scaladoc).
+
+  /** The serve harness's synthesized OUT-OF-CORPUS query panel (qid,
+    * qv, qn): 2Q parents in 'sv:' h60 order, paired consecutively into
+    * Q midpoint queries — deterministic from the corpus alone, so the
+    * at-ingest server (q261) re-derives the identical panel per
+    * micro-batch from just the arrived qids. Queries are always drawn
+    * from the FULL corpus (they are external vectors — their parents'
+    * deletion does not invalidate the query itself). */
+  private[queries] def serveQueryPanel(s: SparkSession, dir: String): DataFrame = {
+    val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
     val wOrd = Window.orderBy(col("hq"), col("vec_id"))
-    val parents = vecsAll.withColumn("hq", h("sv:"))
+    val parents = vecsWithNorms(s, dir).withColumn("hq", h60col("sv:"))
       .orderBy(col("hq"), col("vec_id")).limit(2 * SERVE_Q)
       .withColumn("rn", row_number().over(wOrd))
     val pa = parents.filter(col("rn") % 2 === 1)
       .select(expr("(rn + 1) DIV 2").as("qid"), col("v").as("va"))
     val pb = parents.filter(col("rn") % 2 === 0)
       .select(expr("rn DIV 2").as("qid"), col("v").as("vb"))
-    val queries = pa.join(pb, "qid")
+    pa.join(pb, "qid")
       .select(col("qid"),
         zip_with(col("va"), col("vb"), (x, y) => (x + y) / lit(2.0)).as("qv"))
       .withColumn("qn", sqrt(fold(zip_with(col("qv"), col("qv"), (x, y) => x * y))))
-      .persist()
-    val entries = vecs.withColumn("he", h("en:"))
+  }
+
+  /** ONE beam walk over `graph` for the given query panel — per-qid
+    * independent by construction (every window/join partitions on
+    * qid), so walking a SUBSET of the panel yields the identical
+    * per-qid picks as the full batch walk: the property that makes the
+    * at-ingest server (q261) hash-equal to the batch serve regardless
+    * of how requests batch. `vecs` = the (possibly live-filtered)
+    * servable candidate frame. Returns the top-K picks (qid, vec_id). */
+  private[queries] def serveBeamPicks(
+      vecs: DataFrame, queries: DataFrame, graph: DataFrame,
+      beam: Int, rounds: Int): DataFrame = {
+    val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+    val entries = vecs.withColumn("he", h60col("en:"))
       .orderBy(col("he"), col("vec_id")).limit(SERVE_ENTRIES)
       .select(col("vec_id").as("w"))
     def score(cand: DataFrame): DataFrame = cand // (qid, w)
@@ -1347,36 +1360,74 @@ object PipelineRetrieval {
     def cut(df: DataFrame, k: Int): DataFrame =
       df.withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= k).drop("rn")
     val seed = score(queries.select(col("qid")).crossJoin(broadcast(entries)))
-      .persist()
+    var beamDf = cut(seed, beam).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      // Re-scored beam rows produce identical (qid, w, cos_r) rows —
+      // distinct is the merge (the q239 rule).
+      beamDf = cut(score(expandThrough(beamDf, graph)).union(beamDf).distinct(),
+        beam).localCheckpoint()
+    }
+    cut(beamDf, ANN_RECALL_K).select(col("qid"), col("w").as("vec_id"))
+  }
+
+  /** The serve harness's per-query exact-truth leg (qid, vec_id) over
+    * the servable candidate frame — the corpus-linear EVAL half, never
+    * the serve path. */
+  private def serveTruth(vecs: DataFrame, queries: DataFrame): DataFrame = {
+    val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
-    val truth = vecs.crossJoin(broadcast(queries))
+    vecs.crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"),
         round(fold(zip_with(col("v"), col("qv"), (x, y) => x * y)) /
           (col("nrm") * col("qn")), 6).as("cos_r"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= ANN_RECALL_K)
       .select(col("qid"), col("vec_id"))
-      .persist()
+  }
+
+  /** The q245 accounting row (k, beam, rounds, n_entries, n_queries,
+    * sum_hits, mean_recall_micro) for an arbitrary picks frame — shared
+    * by the batch harness below and the at-ingest server's grading
+    * (q261), so the drained answers are graded by the IDENTICAL
+    * accounting and oracle as the batch serve. */
+  private[queries] def serveSummaryOf(
+      nq: DataFrame, truth: DataFrame, picks: DataFrame,
+      beam: Int, rounds: Int): DataFrame = {
+    val hits = truth.join(picks, Seq("qid", "vec_id"))
+      .agg(count(lit(1)).as("sum_hits"))
+    nq.crossJoin(hits)
+      .select(lit(ANN_RECALL_K.toLong).as("k"),
+        lit(beam.toLong).as("beam"),
+        lit(rounds.toLong).as("rounds"),
+        lit(SERVE_ENTRIES.toLong).as("n_entries"),
+        col("n_queries"), col("sum_hits"),
+        expr(s"(sum_hits * 1000000) DIV ($ANN_RECALL_K * n_queries)")
+          .as("mean_recall_micro"))
+  }
+
+  /** Grade an externally-produced picks frame (qid, vec_id) with the
+    * full-panel truth — the q261 at-ingest server's batch-side grading:
+    * identical queries, truth, and accounting as [[graphServeSummary]],
+    * so the drained answers share q245's oracle verbatim. */
+  private[queries] def serveSummaryOverPicks(
+      s: SparkSession, dir: String, picks: DataFrame): DataFrame = {
+    val vecs = vecsWithNorms(s, dir)
+    val queries = serveQueryPanel(s, dir).persist()
+    val truth = serveTruth(vecs, queries)
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    serveSummaryOf(nq, truth, picks, SERVE_BEAM, SERVE_ROUNDS)
+  }
+
+  private def graphServeSummary(
+      s: SparkSession, dir: String, graph: DataFrame,
+      curve: Seq[(Int, Int)] = Seq((SERVE_BEAM, SERVE_ROUNDS)),
+      candPred: Column => Column = _ => lit(true)): DataFrame = {
+    val vecs = vecsWithNorms(s, dir).filter(candPred(col("vec_id"))).persist()
+    val queries = serveQueryPanel(s, dir).persist()
+    val truth = serveTruth(vecs, queries).persist()
     val nq = queries.agg(count(lit(1)).as("n_queries"))
     val rows = curve.map { case (b, r) =>
-      var beam = cut(seed, b).localCheckpoint()
-      for (_ <- 1 to r) {
-        // Re-scored beam rows produce identical (qid, w, cos_r) rows —
-        // distinct is the merge (the q239 rule).
-        beam = cut(score(expandThrough(beam, graph)).union(beam).distinct(),
-          b).localCheckpoint()
-      }
-      val picks = cut(beam, ANN_RECALL_K).select(col("qid"), col("w").as("vec_id"))
-      val hits = truth.join(picks, Seq("qid", "vec_id"))
-        .agg(count(lit(1)).as("sum_hits"))
-      nq.crossJoin(hits)
-        .select(lit(ANN_RECALL_K.toLong).as("k"),
-          lit(b.toLong).as("beam"),
-          lit(r.toLong).as("rounds"),
-          lit(SERVE_ENTRIES.toLong).as("n_entries"),
-          col("n_queries"), col("sum_hits"),
-          expr(s"(sum_hits * 1000000) DIV ($ANN_RECALL_K * n_queries)")
-            .as("mean_recall_micro"))
+      serveSummaryOf(nq, truth, serveBeamPicks(vecs, queries, graph, b, r), b, r)
     }
     rows.reduce(_ unionByName _).orderBy(col("beam"), col("rounds"))
   }
@@ -1938,6 +1989,10 @@ object PipelineRetrieval {
     * technique), graded by the q243 recall accounting. */
   private def graphServeOracle: String =
     graphServeOracleOver(nnDescentCtes(), s"g$NNDESC_ROUNDS")
+
+  /** The q245 oracle, exposed for the at-ingest serve twin (q261) —
+    * shared verbatim, the q209/q217/q246 convention. */
+  private[queries] def graphServeOracleShared: String = graphServeOracle
 
   /** DuckDB mirror of q251: the IDENTICAL serve harness walked over the
     * merge-on-read union of the old-cohort base chain and the capped

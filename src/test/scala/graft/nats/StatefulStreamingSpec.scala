@@ -440,4 +440,21 @@ class StatefulStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream === batch,
       s"streamed encode diverged from the batch kernel:\n stream: $stream\n batch: $batch")
   }
+
+  test("q261 QueryDef: bus-served answers EQUAL the batch serve row (request/reply twin)") {
+    // The twin contract applied to SERVING (round 20): requests arrive
+    // in two publish batches, each micro-batch walks only ITS qids'
+    // beams over the stored graph and publishes the picks through the
+    // NATS sink — and because every window/join in the walk partitions
+    // on qid, a subset walk equals the batch walk per qid. The drained
+    // answers, graded by the shared truth/accounting, must reproduce
+    // q245's summary row exactly.
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.queries.Registry.byName("q261_serve_at_ingest")
+      .build(spark, dir).collect().toSeq
+    val batch = graft.queries.Registry.byName("q245_graph_serve")
+      .build(spark, dir).collect().toSeq
+    assert(stream === batch,
+      s"bus serve diverged from batch serve:\n stream: $stream\n batch: $batch")
+  }
 }

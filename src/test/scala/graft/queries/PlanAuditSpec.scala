@@ -214,7 +214,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q191_delete_at_ingest", "q207_drift_at_ingest",
     "q217_export_append_at_ingest", "q240_curation_at_ingest",
     "q246_graph_absorb_at_ingest", "q254_delete_at_ingest_sketch",
-    "q257_ivfpq_encode_at_ingest")
+    "q257_ivfpq_encode_at_ingest", "q261_serve_at_ingest")
   // (q179/q187/q190/q191/q207 run their own publisher+drain inside
   // build() — auditing them here would re-run the whole stream per
   // audit test; their standing folds are audited by the gate + their
