@@ -566,6 +566,87 @@ object SketchStore {
     (tbl, logDir)
   }
 
+  /** Write-once IVFPQ-DELTA COMPACTION lifecycle (round 20) — the
+    * q248/q250 fold applied to the stored IVF+PQ index, closing the
+    * q257 delta loop: the at-ingest encoder appends (vec_id, cell, m,
+    * code) rows to a delta log forever; without a fold, every serve
+    * pays a merge-on-read union. v1 of the `ivfpqc` artifact is the
+    * OLD-cohort encode (the index as it stood before the q257 batch);
+    * the cohort's codes land in a two-append delta via the SHARED
+    * encode kernel; the q255 serve probe (ADC hits vs exact top-K) is
+    * recorded over base ∪ delta, the delta FOLDS into a NEW immutable
+    * layer by pointer flip (+ the retention-guarded GC), the same probe
+    * re-records over the compacted layer alone, and the consumed delta
+    * is truncated. The ledger's _SUCCESS is the commit marker (the q248
+    * crash-recovery rule). */
+  private[graft] def ensureCompactedIvfpq(
+      s: SparkSession, dir: String): (String, String) = {
+    val dirKey = graft.BuildPaths.dirKey(dir)
+    val fp = sourceFingerprint(dir)
+    val key = s"ivfpqc_${dirKey}_$fp"
+    val tbl = s"graft_sk_ivfpqc_${dirKey}_$fp"
+    val scratchRoot = graft.BuildPaths.scratch(s"sketch_store/$dirKey")
+    val logDir = s"$scratchRoot/graft_sk_ivfpqfoldlog_${dirKey}_$fp"
+    val deltaDir = s"$scratchRoot/graft_sk_ivfpqdelta_${dirKey}_$fp"
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (!compactDone.contains(key)) {
+        if (new java.io.File(logDir, "_SUCCESS").exists()) {
+          ensureTable(s, dir, "ivfpqc", Seq("cell")) {
+            throw new IllegalStateException(
+              s"ivfpqc pointer missing but fold ledger present at $logDir")
+          }
+        } else {
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          deleteRecursively(new java.io.File(artifactRoot(dir, tbl)))
+          deleteRecursively(new java.io.File(deltaDir))
+          val nMod = PipelineRetrieval.NNDESC_NEW_MOD
+          val nRem = PipelineRetrieval.NNDESC_NEW_REM
+          val emb = Tables.load(s, dir, "embeddings")
+          // v1 = the index as it stood BEFORE the incremental cohort
+          ensureTable(s, dir, "ivfpqc", Seq("cell")) {
+            PipelineRetrieval.ivfpqEncode(s, dir,
+              emb.filter(col("vec_id") =!= 0 && col("vec_id") % nMod =!= nRem)
+                .select(col("vec_id"), col("embedding")))
+          }
+          // two appends = two simulated ingest micro-batches of the
+          // cohort's codes, through the SHARED encode kernel (% 10 = 3
+          // splits into the % 20 ∈ {3, 13} halves — the q257 shape)
+          def encodeHalf(rem: Int): Unit =
+            PipelineRetrieval.ivfpqEncode(s, dir,
+                emb.filter(col("vec_id") % (2 * nMod) === rem)
+                  .select(col("vec_id"), col("embedding")))
+              .write.mode("append").parquet(deltaDir)
+          encodeHalf(nRem)
+          encodeHalf(nMod + nRem)
+          // distinct(): at-least-once replay idempotency (the q257 rule)
+          val delta = s.read.parquet(deltaDir).distinct().persist()
+          val nBase = s.table(tbl).count()
+          val nDelta = delta.count()
+          // merge-on-read probe BEFORE the fold: base ∪ delta
+          val probePre = PipelineRetrieval.ivfpqProbeHits(s, dir,
+            s.table(tbl).unionByName(delta))
+          // THE FOLD: one union + one bucketed write + the pointer flip
+          refreshTable(s, dir, "ivfpqc", Seq("cell")) {
+            s.table(tbl).unionByName(delta)
+          }
+          val probePost = PipelineRetrieval.ivfpqProbeHits(s, dir, s.table(tbl))
+          val nComp = s.table(tbl).count()
+          // the fold consumed the delta — truncate it
+          s.table(tbl).limit(0).write.mode("overwrite").parquet(deltaDir)
+          val deltaAfter = s.read.parquet(deltaDir).count()
+          import s.implicits._
+          Seq((nBase, nDelta, nComp, probePre, probePost, deltaAfter))
+            .toDF("n_base", "n_delta", "n_compacted",
+              "probe_pre", "probe_post", "delta_after")
+            .coalesce(1).write.mode("overwrite").parquet(logDir)
+        }
+        compactDone.add(key)
+      }
+    }
+    (tbl, logDir)
+  }
+
   /** Empty a consumed delta in place (TRUNCATE is disallowed on
     * external tables): drop the catalog entry and recreate the same
     * bucketed layout, empty, at the same path. */

@@ -890,46 +890,7 @@ object PipelineRetrieval {
     // exchange on the stored side); encode cost lives at build/ingest
     // time, never per query. ----
     QueryDef("q255_ivfpq_stored_serve", ivfpqStoredOracle) { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val pqM = Analytics.PQ_M; val pqSub = Analytics.PQ_SUB
-      val codes = SketchStore.ivfpqCodes(s, dir)
-      val emb = T(s, dir, "embeddings")
-      val cent = emb.filter(col("vec_id").between(1, NCELLS))
-        .select(col("vec_id").as("c"), col("embedding").as("ce"))
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      val probe = cent.crossJoin(broadcast(q))
-        .select(col("c"), round(expr("cosine_similarity(ce, qe)"), 6).as("cos_q"))
-        .orderBy(col("cos_q").desc, col("c")).limit(NPROBE)
-        .select(col("c"))
-      // per-probed-cell residual LUT: the query's residual vs cell c is
-      // (q - centroid(c)), so each probed cell gets its own PQ_M x PQ_K
-      // distance table — NPROBE x PQ_M x PQ_K rows total, kilobytes.
-      val dbl = (c: Column) => transform(c, x => x.cast(DoubleType))
-      val centd = cent.select(col("c"), dbl(col("ce")).as("cv"))
-      val qd = q.select(dbl(col("qe")).as("qv"))
-      val rcb = ivfpqResidualCodebook(s, dir)
-      val qrs = probe.join(broadcast(centd), "c")
-        .crossJoin(broadcast(qd))
-        .select(col("c").as("cell"), explode(expr(
-          s"transform(sequence(0, ${pqM - 1}), m -> struct(m AS m, " +
-            s"zip_with(slice(qv, m * $pqSub + 1, $pqSub), " +
-            s"slice(cv, m * $pqSub + 1, $pqSub), (x, y) -> x - y) AS qrsub))")).as("ms"))
-        .select(col("cell"), col("ms.m").as("m"), col("ms.qrsub").as("qrsub"))
-      val lut = qrs.join(broadcast(rcb), "m")
-        .select(col("cell"), col("m"), col("k"),
-          round(Analytics.Kmeans.dist2(col("qrsub"), col("rcsub")) * lit(1e6), 0)
-            .cast(LongType).as("ld_micro"))
-      // the SERVE read: only the probed cells' stored rows
-      val cand = codes.join(broadcast(probe), codes("cell") === probe("c"))
-        .select(col("vec_id"), codes("cell"), col("m"), col("code"))
-        .persist()
-      val top = cand.as("cd").join(broadcast(lut).as("l"),
-          col("cd.cell") === col("l.cell") && col("cd.m") === col("l.m")
-            && col("cd.code") === col("l.k"))
-        .groupBy(col("cd.vec_id").as("vec_id"))
-        .agg(sum(col("ld_micro")).as("adc_micro"))
-        .orderBy(col("adc_micro"), col("vec_id")).limit(ANN_RECALL_K)
-        .select(col("vec_id")).persist()
+      val (cand, top) = ivfpqServeLegs(s, dir, SketchStore.ivfpqCodes(s, dir))
       val exact = Registry.byName("q42_topk_cosine").build(s, dir)
         .orderBy(col("cos_r").desc, col("vec_id")).limit(ANN_RECALL_K)
         .select(col("vec_id")).persist()
@@ -941,7 +902,7 @@ object PipelineRetrieval {
         .crossJoin(plain)
         .select(lit(ANN_RECALL_K.toLong).as("k"),
           lit(NPROBE.toLong).as("nprobe"),
-          lit(pqM.toLong).as("m"),
+          lit(Analytics.PQ_M.toLong).as("m"),
           col("n_cand"), col("hits_stored"),
           col("hits_ivfpq").as("hits_plain"), col("hits_ivf"), col("hits_pq"),
           expr(s"(hits_stored * 1000000) DIV $ANN_RECALL_K").as("recall_stored_micro"),
@@ -1183,6 +1144,94 @@ object PipelineRetrieval {
     QueryDef("q260_serve_rounds_curve",
       graphServeOracleOver(nnDescentCtes(), s"g$NNDESC_ROUNDS", ROUNDS_CURVE)) { (s, dir) =>
       graphServeSummary(s, dir, SketchStore.nnGraph(s, dir), ROUNDS_CURVE)
+    },
+
+    // ---- q262 (round 20): IVFPQ DELETION PROPAGATION — q247's
+    // right-to-be-forgotten semantics on the stored IVF+PQ index,
+    // completing the lifecycle symmetry with the graph family (build
+    // q255 / ingest q257 / delete HERE / compact q263). Codes are
+    // per-vector rows with no cross-row structure, so — unlike the
+    // graph, which needed q258's refill — the merge-on-read anti-join
+    // on vec_id EQUALS a full re-encode of the live corpus structurally
+    // (encoding touches only the frozen dictionaries, never peers).
+    // The honest residue this entry MEASURES instead of hiding:
+    // the centroid/codebook dictionaries are trained (seeded) from
+    // corpus vectors, and a tombstoned id can be among the seeds —
+    // n_dict_refs counts them (the q247 cluster-label-leak analog at
+    // the MODEL tier; deletion makes the vector unreturnable, while
+    // scrubbing its statistical trace from a trained quantizer is
+    // model unlearning, out of an index's scope and documented as
+    // such). The serve pin: the IDENTICAL q255 ADC walk over the live
+    // view, graded against the exact top-K over the LIVE corpus, with
+    // picks ∩ tombstones = 0 measured (and hash-checked) rather than
+    // assumed. 100 TB shape: the tombstone anti-join is request-sized
+    // against the cell-bucketed artifact; the serve stays cell-pruned.
+    // ----
+    QueryDef("q262_ivfpq_delete_propagation", ivfpqDeleteOracle) { (s, dir) =>
+      val dM = Analytics.DelMod; val dR = Analytics.DelRem
+      val tombs = T(s, dir, "embeddings")
+        .filter(col("vec_id") % dM === dR).select(col("vec_id")).persist()
+      val codes = SketchStore.ivfpqCodes(s, dir)
+      val live = codes.join(tombs, Seq("vec_id"), "left_anti").persist()
+      val (cand, top) = ivfpqServeLegs(s, dir, live)
+      val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+      val vecs = vecsWithNorms(s, dir)
+      val qv = vecs.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      val truth = vecs.filter(col("vec_id") =!= 0 && col("vec_id") % dM =!= dR)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(fold(zip_with(col("v"), col("qv"), (x, y) => x * y)) /
+            (col("nrm") * col("qn")), 6).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("vec_id")).limit(ANN_RECALL_K)
+        .select(col("vec_id"))
+      val dictMax = math.max(NCELLS, Analytics.PQ_K)
+      tombs.agg(count(lit(1)).as("n_tombs"))
+        .crossJoin(codes.agg(count(lit(1)).as("n_codes")))
+        .crossJoin(live.agg(count(lit(1)).as("n_codes_live")))
+        .crossJoin(tombs.filter(col("vec_id").between(1, dictMax))
+          .agg(count(lit(1)).as("n_dict_refs")))
+        .crossJoin(cand.agg(countDistinct(col("vec_id")).as("n_cand_live")))
+        .crossJoin(truth.join(top, "vec_id").agg(count(lit(1)).as("hits_live")))
+        .crossJoin(top.join(tombs, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("tomb_in_picks")))
+        .select(col("n_tombs"), col("n_codes"), col("n_codes_live"),
+          col("n_dict_refs"), col("n_cand_live"), col("hits_live"),
+          expr(s"(hits_live * 1000000) DIV $ANN_RECALL_K").as("recall_live_micro"),
+          col("tomb_in_picks"))
+    },
+
+    // ---- q263 (round 20): IVFPQ DELTA COMPACTION — the q248/q250 fold
+    // applied to the stored IVF+PQ index, closing the q257 loop: the
+    // at-ingest encoder accumulates a code delta next to the old-cohort
+    // base; without a fold every serve pays a merge-on-read union
+    // forever. The lifecycle (SketchStore.ensureCompactedIvfpq,
+    // write-once per corpus) builds the old-cohort base, appends the
+    // cohort's codes in two micro-batches via the SHARED encode kernel,
+    // records the q255 serve probe (ADC hits vs exact top-K) over
+    // base ∪ delta, folds into a NEW immutable cell-bucketed layer by
+    // the atomic pointer flip, re-records the same probe over the
+    // compacted layer alone, and truncates the consumed delta. The
+    // entry replays the ledger and LIVE-diffs the compacted table
+    // against the standing full `ivfpq` artifact (full outer on all
+    // four columns, 0 rows) — probe equality across the fold is
+    // hash-proven by the oracle's recomputation from raw embeddings.
+    // 100 TB shape: the fold is one union + one bucketed write; the
+    // probe stays cell-pruned; the pointer flip is one metadata rename.
+    // ----
+    QueryDef("q263_ivfpq_compaction", ivfpqCompactionOracle) { (s, dir) =>
+      val (tbl, logDir) = SketchStore.ensureCompactedIvfpq(s, dir)
+      val log = s.read.parquet(logDir)
+      val cols = Seq("vec_id", "cell", "m", "code").map(col)
+      val comp = s.table(tbl).select(cols: _*).withColumn("in_c", lit(1))
+      val full = SketchStore.ivfpqCodes(s, dir).select(cols: _*)
+        .withColumn("in_f", lit(1))
+      val diff = comp.join(full, Seq("vec_id", "cell", "m", "code"), "full_outer")
+        .filter(col("in_c").isNull || col("in_f").isNull)
+      log.crossJoin(diff.agg(count(lit(1)).as("full_diff")))
+        .select(col("n_base"), col("n_delta"), col("n_compacted"),
+          col("probe_pre"), col("probe_post"), col("delta_after"),
+          col("full_diff"))
     },
   )
 
@@ -1688,6 +1737,71 @@ object PipelineRetrieval {
   private[queries] def ivfpqEncodeAll(s: SparkSession, dir: String): DataFrame =
     ivfpqEncode(s, dir, T(s, dir, "embeddings")
       .filter(col("vec_id") =!= 0).select(col("vec_id"), col("embedding")))
+
+  /** The q255 single-query ADC SERVE over an arbitrary stored-codes
+    * frame — factored (round 20) so the full-index serve (q255), the
+    * tombstone-filtered live serve (q262), and the compaction probe
+    * (q263) walk the IDENTICAL path: route vec_id 0's embedding to its
+    * NPROBE nearest cells (broadcast centroids), build the
+    * per-(cell, m, code) residual LUT (kilobytes), read ONLY the probed
+    * cells' rows of `codes`, ADC-score via the broadcast LUT with the
+    * order-free integer-micro sum. Returns (cand, top): the probed
+    * candidate slice and the top-K picks (vec_id). */
+  private[queries] def ivfpqServeLegs(
+      s: SparkSession, dir: String, codes: DataFrame): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val pqM = Analytics.PQ_M; val pqSub = Analytics.PQ_SUB
+    val emb = T(s, dir, "embeddings")
+    val cent = emb.filter(col("vec_id").between(1, NCELLS))
+      .select(col("vec_id").as("c"), col("embedding").as("ce"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val probe = cent.crossJoin(broadcast(q))
+      .select(col("c"), round(expr("cosine_similarity(ce, qe)"), 6).as("cos_q"))
+      .orderBy(col("cos_q").desc, col("c")).limit(NPROBE)
+      .select(col("c"))
+    // per-probed-cell residual LUT: the query's residual vs cell c is
+    // (q - centroid(c)), so each probed cell gets its own PQ_M x PQ_K
+    // distance table — NPROBE x PQ_M x PQ_K rows total, kilobytes.
+    val dbl = (c: Column) => transform(c, x => x.cast(DoubleType))
+    val centd = cent.select(col("c"), dbl(col("ce")).as("cv"))
+    val qd = q.select(dbl(col("qe")).as("qv"))
+    val rcb = ivfpqResidualCodebook(s, dir)
+    val qrs = probe.join(broadcast(centd), "c")
+      .crossJoin(broadcast(qd))
+      .select(col("c").as("cell"), explode(expr(
+        s"transform(sequence(0, ${pqM - 1}), m -> struct(m AS m, " +
+          s"zip_with(slice(qv, m * $pqSub + 1, $pqSub), " +
+          s"slice(cv, m * $pqSub + 1, $pqSub), (x, y) -> x - y) AS qrsub))")).as("ms"))
+      .select(col("cell"), col("ms.m").as("m"), col("ms.qrsub").as("qrsub"))
+    val lut = qrs.join(broadcast(rcb), "m")
+      .select(col("cell"), col("m"), col("k"),
+        round(Analytics.Kmeans.dist2(col("qrsub"), col("rcsub")) * lit(1e6), 0)
+          .cast(LongType).as("ld_micro"))
+    // the SERVE read: only the probed cells' stored rows
+    val cand = codes.join(broadcast(probe), codes("cell") === probe("c"))
+      .select(col("vec_id"), codes("cell"), col("m"), col("code"))
+      .persist()
+    val top = cand.as("cd").join(broadcast(lut).as("l"),
+        col("cd.cell") === col("l.cell") && col("cd.m") === col("l.m")
+          && col("cd.code") === col("l.k"))
+      .groupBy(col("cd.vec_id").as("vec_id"))
+      .agg(sum(col("ld_micro")).as("adc_micro"))
+      .orderBy(col("adc_micro"), col("vec_id")).limit(ANN_RECALL_K)
+      .select(col("vec_id")).persist()
+    (cand, top)
+  }
+
+  /** The q255 probe as one number — serve hits vs the exact top-K —
+    * recorded by the IVFPQ compaction lifecycle (q263) before and after
+    * its fold, the q248 probe-equality convention. */
+  private[queries] def ivfpqProbeHits(
+      s: SparkSession, dir: String, codes: DataFrame): Long = {
+    val (_, top) = ivfpqServeLegs(s, dir, codes)
+    val exact = Registry.byName("q42_topk_cosine").build(s, dir)
+      .orderBy(col("cos_r").desc, col("vec_id")).limit(ANN_RECALL_K)
+      .select(col("vec_id"))
+    exact.join(top, "vec_id").count()
+  }
 
   /** The converged NN-Descent graph (u, w, cos_r) — the build behind
     * the stored SketchStore.nnGraph artifact, factored so q239 and
@@ -2250,10 +2364,15 @@ object PipelineRetrieval {
        |    FROM j_cd) WHERE rn = 1)""".stripMargin
   }
 
-  private def ivfpqStoredOracle: String = {
-    val pqM = Analytics.PQ_M; val pqSub = Analytics.PQ_SUB
-    s"""WITH $ivfpqCoreCtes,
-       |j_qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+  /** The q255 single-query probe chain (query→cells routing, the
+    * per-(cell, m, code) residual LUT, the probed candidate slice of
+    * `codesCte`, ADC scores, top-K `j_top`) — appended after
+    * [[ivfpqCoreCtes]] and shared by the stored-serve (q255), the
+    * tombstone-filtered live serve (q262), and the compaction probe
+    * (q263), so the serve semantics exist in ONE SQL text. */
+  private def ivfpqServeChain(codesCte: String = "j_codes"): String = {
+    val pqSub = Analytics.PQ_SUB
+    s"""j_qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |j_qp AS (
        |  SELECT j_cent.c, unnest(j_cent.ce)::DOUBLE AS x, unnest(j_qe.qe)::DOUBLE AS y
        |  FROM j_cent, j_qe),
@@ -2275,14 +2394,20 @@ object PipelineRetrieval {
        |  FROM j_probe p JOIN j_centd c ON p.c = c.c, j_qv q, j_rcb b),
        |j_cand AS MATERIALIZED (
        |  SELECT cd.vec_id, cd.cell, cd.m, cd.code
-       |  FROM j_codes cd JOIN j_probe p ON cd.cell = p.c),
+       |  FROM $codesCte cd JOIN j_probe p ON cd.cell = p.c),
        |j_adc AS (
        |  SELECT cd.vec_id, CAST(SUM(l.ld_micro) AS BIGINT) AS adc_micro
        |  FROM j_cand cd JOIN j_lut l
        |    ON cd.cell = l.cell AND cd.m = l.m AND cd.code = l.k
        |  GROUP BY cd.vec_id),
        |j_top AS MATERIALIZED (
-       |  SELECT vec_id FROM j_adc ORDER BY adc_micro, vec_id LIMIT $ANN_RECALL_K),
+       |  SELECT vec_id FROM j_adc ORDER BY adc_micro, vec_id LIMIT $ANN_RECALL_K)""".stripMargin
+  }
+
+  private def ivfpqStoredOracle: String = {
+    val pqM = Analytics.PQ_M
+    s"""WITH $ivfpqCoreCtes,
+       |${ivfpqServeChain()},
        |j_ex AS MATERIALIZED (
        |  SELECT vec_id FROM ($cosineTopkOracle)
        |  ORDER BY cos_r DESC, vec_id LIMIT $ANN_RECALL_K),
@@ -2301,6 +2426,70 @@ object PipelineRetrieval {
        |  ((SELECT hits_ivfpq FROM j_plain) * 1000000)
        |    // $ANN_RECALL_K AS recall_plain_micro""".stripMargin
   }
+
+  /** DuckDB mirror of q262: the shared stored-index chain, the live
+    * (tombstone-filtered) code view, the IDENTICAL serve chain walked
+    * over it, the exact truth over the LIVE corpus, and the dictionary
+    * residue census — the deletion semantics recomputed from raw. */
+  private def ivfpqDeleteOracle: String = {
+    val dM = Analytics.DelMod; val dR = Analytics.DelRem
+    val dictMax = math.max(NCELLS, Analytics.PQ_K)
+    s"""WITH $ivfpqCoreCtes,
+       |j_live AS MATERIALIZED (
+       |  SELECT vec_id, cell, m, code FROM j_codes WHERE vec_id % $dM <> $dR),
+       |${ivfpqServeChain("j_live")},
+       |l_nrm AS MATERIALIZED (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(generate_series(1, $DIM),
+       |      i -> v[i] * v[i]))) AS nrm
+       |  FROM j_ed WHERE vec_id % $dM <> $dR AND vec_id <> 0),
+       |l_qn AS (
+       |  SELECT qv,
+       |    sqrt(list_sum(list_transform(generate_series(1, $DIM),
+       |      i -> qv[i] * qv[i]))) AS qn
+       |  FROM j_qv),
+       |l_tr AS MATERIALIZED (
+       |  SELECT vec_id FROM (
+       |    SELECT e.vec_id,
+       |      round((list_sum(list_transform(generate_series(1, $DIM),
+       |        i -> e.v[i] * q.qv[i]))) / (e.nrm * q.qn), 6) AS cos_r
+       |    FROM l_nrm e, l_qn q)
+       |  ORDER BY cos_r DESC, vec_id LIMIT $ANN_RECALL_K)
+       |SELECT
+       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % $dM = $dR) AS n_tombs,
+       |  (SELECT COUNT(*) FROM j_codes) AS n_codes,
+       |  (SELECT COUNT(*) FROM j_live) AS n_codes_live,
+       |  (SELECT COUNT(*) FROM embeddings
+       |     WHERE vec_id % $dM = $dR AND vec_id BETWEEN 1 AND $dictMax)
+       |    AS n_dict_refs,
+       |  (SELECT COUNT(DISTINCT vec_id) FROM j_cand) AS n_cand_live,
+       |  (SELECT COUNT(*) FROM l_tr JOIN j_top USING (vec_id)) AS hits_live,
+       |  ((SELECT COUNT(*) FROM l_tr JOIN j_top USING (vec_id)) * 1000000)
+       |    // $ANN_RECALL_K AS recall_live_micro,
+       |  (SELECT COUNT(*) FROM j_top WHERE vec_id % $dM = $dR) AS tomb_in_picks""".stripMargin
+  }
+
+  /** DuckDB mirror of q263: base/delta/compacted code counts from the
+    * shared encode chain and BOTH probes as the q255 serve hits — pre
+    * and post are one expression because compacted == base ∪ delta is
+    * the fold's definition (the q248/q250 convention applied to the
+    * stored IVF+PQ index). */
+  private def ivfpqCompactionOracle: String =
+    s"""WITH $ivfpqCoreCtes,
+       |${ivfpqServeChain()},
+       |j_ex AS MATERIALIZED (
+       |  SELECT vec_id FROM ($cosineTopkOracle)
+       |  ORDER BY cos_r DESC, vec_id LIMIT $ANN_RECALL_K)
+       |SELECT
+       |  (SELECT COUNT(*) FROM j_codes
+       |     WHERE vec_id % $NNDESC_NEW_MOD <> $NNDESC_NEW_REM) AS n_base,
+       |  (SELECT COUNT(*) FROM j_codes
+       |     WHERE vec_id % $NNDESC_NEW_MOD = $NNDESC_NEW_REM) AS n_delta,
+       |  (SELECT COUNT(*) FROM j_codes) AS n_compacted,
+       |  (SELECT COUNT(*) FROM j_ex JOIN j_top USING (vec_id)) AS probe_pre,
+       |  (SELECT COUNT(*) FROM j_ex JOIN j_top USING (vec_id)) AS probe_post,
+       |  CAST(0 AS BIGINT) AS delta_after,
+       |  CAST(0 AS BIGINT) AS full_diff""".stripMargin
 
   /** DuckDB mirror of q256: the shared stored-index chain (cells,
     * residual codebook, every vector's residual codes — a stale

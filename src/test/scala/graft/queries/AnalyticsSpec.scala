@@ -893,6 +893,33 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       refilled.getAs[Long]("sum_hits") * 1000000L / (10L * 16L))
   }
 
+  test("q262: IVFPQ deletion makes tombstoned vectors unreturnable and the code ledger balances") {
+    val r = run("q262_ivfpq_delete_propagation").collect().head
+    // structural invisibility, MEASURED: no pick is a tombstone
+    assert(r.getAs[Long]("tomb_in_picks") === 0L)
+    // every indexed vector carries exactly PQ_M code rows, and every
+    // tombstoned vector is indexed (only vec_id 0 is not; 0 % 17 != 5),
+    // so the live view drops exactly n_tombs * PQ_M rows
+    assert(r.getAs[Long]("n_codes") - r.getAs[Long]("n_codes_live") ===
+      r.getAs[Long]("n_tombs") * Analytics.PQ_M,
+      "live code count does not balance the tombstone ledger")
+    // the honest model residue is MEASURED, not hidden: the fixture's
+    // cohort (id % 17 = 5) contains dictionary seed id 5
+    assert(r.getAs[Long]("n_dict_refs") >= 1L,
+      "expected the fixture's deletion cohort to include a dictionary seed")
+  }
+
+  test("q263: IVFPQ compaction preserves the serve probe across the fold and consumes the delta") {
+    val r = run("q263_ivfpq_compaction").collect().head
+    assert(r.getAs[Long]("n_base") + r.getAs[Long]("n_delta") ===
+      r.getAs[Long]("n_compacted"), "fold lost or duplicated code rows")
+    assert(r.getAs[Long]("probe_pre") === r.getAs[Long]("probe_post"),
+      "the serve probe changed across the fold — merge-on-read and compacted views diverged")
+    assert(r.getAs[Long]("delta_after") === 0L, "consumed delta not truncated")
+    assert(r.getAs[Long]("full_diff") === 0L,
+      "compacted layer diverged from the standing full ivfpq artifact")
+  }
+
   test("q260: the rounds-axis recall curve is monotone and its 3-round row IS q245's row") {
     // The q252 pins applied to the other knob: (a) more descent rounds
     // never hurt recall on the shared harness (each round's beam

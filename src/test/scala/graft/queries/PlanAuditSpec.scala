@@ -113,6 +113,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // are keyed on (cell, m, code); the truth leg is the q243 panel
     // cross.
     "q256_ivfpq_panel_eval",
+    // q262 is q255's audited serve shape over the tombstone-anti-joined
+    // live view (request-sized anti-join) + seven 1-row counters; the
+    // truth leg is the q42 broadcast-query scan over the live corpus.
+    // q263 cross-joins its recorded 6-column ledger (1 row) with the
+    // 1-row live-diff counter; the diff is a keyed full-outer join on
+    // the code columns; both probes are q255's audited serve.
+    "q262_ivfpq_delete_propagation", "q263_ivfpq_compaction",
     // q148 cross-joins its ONE-row (n_chunks, avgdl) corpus stats —
     // q96's audited shape at chunk granularity.
     "q148_chunk_retrieval",

@@ -562,6 +562,15 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // graph + ONE shared truth leg (the q252 shape on the other knob);
     // output 3 rows at any corpus
     "q260_serve_rounds_curve",
+    // q262 (round 20): q255's cell-pruned serve over the live view —
+    // the tombstone anti-join is request-sized against the cell-
+    // bucketed artifact; the truth leg is the q42 broadcast-query
+    // scan; output 1 row at any corpus
+    "q262_ivfpq_delete_propagation",
+    // q263 (round 20): replays the pre-warmed fold ledger + one keyed
+    // full-outer diff over the code frames; both probes are the
+    // cell-pruned q255 serve; output 1 row
+    "q263_ivfpq_compaction",
     // q221 (round 16): three codegen regexp passes over the pre-warmed
     // crawl export read + one shard-keyed agg; output stays 16 rows
     "q221_export_pii_audit",
@@ -726,7 +735,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
         SketchStore.ensureCompactedBands(spark, base)
         SketchStore.ensureCompactedBands(spark, scaledDir)
       }
-      if (name == "q255_ivfpq_stored_serve" || name == "q256_ivfpq_panel_eval") {
+      if (name == "q263_ivfpq_compaction") {
+        SketchStore.ensureCompactedIvfpq(spark, base)
+        SketchStore.ensureCompactedIvfpq(spark, scaledDir)
+      }
+      if (name == "q255_ivfpq_stored_serve" || name == "q256_ivfpq_panel_eval" ||
+          name == "q262_ivfpq_delete_propagation") {
         // The stored index is write-once: production cost is the probe;
         // warm the artifact on BOTH corpora so the timed run measures
         // serve scaling, not the one-time encode (the q239 rule).
