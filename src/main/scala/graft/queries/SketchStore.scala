@@ -277,6 +277,24 @@ object SketchStore {
     tbl
   }
 
+  /** Session-catalog guard for the memoized lifecycles: [[compactDone]]
+    * is per JVM, but the catalog is per SparkSession — a later suite or
+    * session (spark.stop() + getOrCreate) reaches a memoized lifecycle
+    * with a FRESH catalog, and the committed layer must re-register
+    * from its sidecar DDL (round 20: ScaleStress caught exactly this
+    * after StorageLayoutSpec's afterAll). ensureTable is a no-op when
+    * the table already exists; the throwing thunk never fires for a
+    * completed lifecycle (pointer + sidecar are on disk). */
+  private def reRegisterIfMissing(
+      s: SparkSession, dir: String, short: String,
+      bucketCols: Seq[String]): Unit = {
+    ensureTable(s, dir, short, bucketCols) {
+      throw new IllegalStateException(
+        s"$short lifecycle memoized but its committed artifact is missing on disk")
+    }
+    ()
+  }
+
   private val compactDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Test hook (StorageLayoutSpec chaos pins, VERDICT r19 #7): forget a
@@ -361,6 +379,7 @@ object SketchStore {
         }
         compactDone.add(key)
       }
+      reRegisterIfMissing(s, dir, "bandsc", Seq("band", "key"))
     }
     (tbl, logDir)
   }
@@ -463,6 +482,7 @@ object SketchStore {
         }
         compactDone.add(key)
       }
+      reRegisterIfMissing(s, dir, "graphc", Seq("u"))
     }
     tbl
   }
@@ -562,6 +582,7 @@ object SketchStore {
         }
         compactDone.add(key)
       }
+      reRegisterIfMissing(s, dir, "grapht", Seq("u"))
     }
     (tbl, logDir)
   }
@@ -643,6 +664,7 @@ object SketchStore {
         }
         compactDone.add(key)
       }
+      reRegisterIfMissing(s, dir, "ivfpqc", Seq("cell"))
     }
     (tbl, logDir)
   }

@@ -604,7 +604,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         // table, both integer-micro LUTs (NNDESC_EVAL_Q x PQ_M x PQ_K),
         // and the raw PQ_M x PQ_K codebook — all kilobytes by
         // construction (fixed panel, fixed code space)
-        "probes", "lutR", "cbRaw", "lutRaw"),
+        "probes", "lutR", "cbRaw", "lutRaw",
+        // q262's 1-row query vector with its norm (the q42 `q` shape
+        // with the precomputed norm attached — vec_id = 0 is a point
+        // lookup, 1 row at any corpus)
+        "qv"),
       "PipelineTokenizer.scala" -> Set(
         // models: merge arrays, kept-vocab arrays, 1-row totals
         "best", "ids", "keptArr", "mergesArr", "tot"),

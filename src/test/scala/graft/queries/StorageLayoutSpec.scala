@@ -343,6 +343,20 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     // half.
     assert(plan("q255_ivfpq_stored_serve").contains(names("ivfpq")),
       "q255 does not probe the stored ivfpq artifact")
+    // Tier 5b (round 20) — the lifecycle layers: the tombstone-fold
+    // reconciliation (q258) reads the committed grapht layer as a
+    // stored table (its ledger and diff legs scan it in place), the
+    // IVFPQ compaction (q263) reads the committed ivfpqc layer, and the
+    // IVFPQ deletion view (q262) anti-joins the STANDING ivfpq artifact
+    // — none of them re-derives its index from the corpus in-plan.
+    val (graphtTbl, _) = SketchStore.ensureTombstoneFoldedGraph(spark, sfDir)
+    assert(plan("q258_graph_tombstone_fold").contains(graphtTbl),
+      "q258 does not read the committed tombstone-folded graph layer")
+    val (ivfpqcTbl, _) = SketchStore.ensureCompactedIvfpq(spark, sfDir)
+    assert(plan("q263_ivfpq_compaction").contains(ivfpqcTbl),
+      "q263 does not read the committed compacted ivfpq layer")
+    assert(plan("q262_ivfpq_delete_propagation").contains(names("ivfpq")),
+      "q262 does not probe the standing ivfpq artifact")
     // Tier 3 — the converged CLUSTER ASSIGNMENT (VERDICT r17 #8): the
     // q76 family (q76/q125/q215/q233) reads ONE stored (doc_id,
     // cluster_id) table; the propagation loop runs once at artifact
