@@ -1390,10 +1390,14 @@ object PipelineRetrieval {
     * per-qid picks as the full batch walk: the property that makes the
     * at-ingest server (q261) hash-equal to the batch serve regardless
     * of how requests batch. `vecs` = the (possibly live-filtered)
-    * servable candidate frame. Returns the top-K picks (qid, vec_id). */
-  private[queries] def serveBeamPicks(
+    * servable candidate frame. `roundsWanted`: a rounds-j walk is a
+    * PREFIX of a rounds-(j+1) walk (the beam after round j is the same
+    * frame), so one walk to max(roundsWanted) serves every requested
+    * depth — the q260 rounds curve pays ONE walk, not one per row.
+    * Returns the top-K picks (qid, vec_id) at each requested depth. */
+  private[queries] def serveBeamPicksAt(
       vecs: DataFrame, queries: DataFrame, graph: DataFrame,
-      beam: Int, rounds: Int): DataFrame = {
+      beam: Int, roundsWanted: Seq[Int]): Map[Int, DataFrame] = {
     val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
     val entries = vecs.withColumn("he", h60col("en:"))
       .orderBy(col("he"), col("vec_id")).limit(SERVE_ENTRIES)
@@ -1410,14 +1414,25 @@ object PipelineRetrieval {
       df.withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= k).drop("rn")
     val seed = score(queries.select(col("qid")).crossJoin(broadcast(entries)))
     var beamDf = cut(seed, beam).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    val out = Map.newBuilder[Int, DataFrame]
+    def picksOf(b: DataFrame): DataFrame =
+      cut(b, ANN_RECALL_K).select(col("qid"), col("w").as("vec_id"))
+    for (j <- 1 to roundsWanted.max) {
       // Re-scored beam rows produce identical (qid, w, cos_r) rows —
       // distinct is the merge (the q239 rule).
       beamDf = cut(score(expandThrough(beamDf, graph)).union(beamDf).distinct(),
         beam).localCheckpoint()
+      if (roundsWanted.contains(j)) out += j -> picksOf(beamDf)
     }
-    cut(beamDf, ANN_RECALL_K).select(col("qid"), col("w").as("vec_id"))
+    out.result()
   }
+
+  /** Single-depth convenience over [[serveBeamPicksAt]] (the q261
+    * at-ingest server's shape). */
+  private[queries] def serveBeamPicks(
+      vecs: DataFrame, queries: DataFrame, graph: DataFrame,
+      beam: Int, rounds: Int): DataFrame =
+    serveBeamPicksAt(vecs, queries, graph, beam, Seq(rounds))(rounds)
 
   /** The serve harness's per-query exact-truth leg (qid, vec_id) over
     * the servable candidate frame — the corpus-linear EVAL half, never
@@ -1475,8 +1490,13 @@ object PipelineRetrieval {
     val queries = serveQueryPanel(s, dir).persist()
     val truth = serveTruth(vecs, queries).persist()
     val nq = queries.agg(count(lit(1)).as("n_queries"))
-    val rows = curve.map { case (b, r) =>
-      serveSummaryOf(nq, truth, serveBeamPicks(vecs, queries, graph, b, r), b, r)
+    // Configs sharing a beam width share ONE walk (a shallower depth is
+    // a prefix of a deeper one — serveBeamPicksAt): the q260 rounds
+    // curve costs one rounds-3 walk, not three walks.
+    val rows = curve.groupBy(_._1).toSeq.flatMap { case (b, cfgs) =>
+      val rs = cfgs.map(_._2)
+      val picksAt = serveBeamPicksAt(vecs, queries, graph, b, rs)
+      rs.map(r => serveSummaryOf(nq, truth, picksAt(r), b, r))
     }
     rows.reduce(_ unionByName _).orderBy(col("beam"), col("rounds"))
   }
@@ -2144,28 +2164,36 @@ object PipelineRetrieval {
          |      row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, w) AS rn
          |    FROM ($src))
          |  WHERE rn <= $b""".stripMargin
-    val perBeam = curve.map { case (b, r) =>
-      val tag = s"${b}x$r"
-      val rounds = (1 to r).map { j =>
-        s"""bn${tag}_$j AS (
-           |  SELECT DISTINCT x.qid, g.w FROM bm${tag}_${j - 1} x
+    // Configs sharing a beam width share ONE walk chain: the beam after
+    // round j is the identical frame whether the walk stops there or
+    // continues (a shallower depth is a prefix of a deeper one), so the
+    // chain runs once to max(rounds) and a pick cut lands at each
+    // requested depth — mirroring the Spark harness's shared walk.
+    val perBeam = curve.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, cfgs) =>
+      val rs = cfgs.map(_._2)
+      val rounds = (1 to rs.max).map { j =>
+        s"""bn${b}_$j AS (
+           |  SELECT DISTINCT x.qid, g.w FROM bm${b}_${j - 1} x
            |  JOIN $graphCte g ON x.w = g.u),
-           |bsc${tag}_$j AS MATERIALIZED (
+           |bsc${b}_$j AS MATERIALIZED (
            |  SELECT c.qid, c.w,
            |    round((${qdot("e", "q")}) / (e.nrm * q.qn), 6) AS cos_r
-           |  FROM bn${tag}_$j c JOIN nrm e ON c.w = e.vec_id JOIN qp q ON c.qid = q.qid
+           |  FROM bn${b}_$j c JOIN nrm e ON c.w = e.vec_id JOIN qp q ON c.qid = q.qid
            |  WHERE ${whereOn("e")}),
-           |bm${tag}_$j AS MATERIALIZED (
-           |  ${beamCut(s"SELECT qid, w, cos_r FROM bsc${tag}_$j UNION SELECT qid, w, cos_r FROM bm${tag}_${j - 1}", b)})""".stripMargin
+           |bm${b}_$j AS MATERIALIZED (
+           |  ${beamCut(s"SELECT qid, w, cos_r FROM bsc${b}_$j UNION SELECT qid, w, cos_r FROM bm${b}_${j - 1}", b)})""".stripMargin
       }.mkString(",\n")
-      s"""bm${tag}_0 AS MATERIALIZED (
+      val picks = rs.sorted.map { r =>
+        s"""pk${b}x$r AS (
+           |  SELECT qid, w AS vec_id FROM (
+           |    SELECT qid, w,
+           |      row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, w) AS rn
+           |    FROM bm${b}_$r) WHERE rn <= $ANN_RECALL_K)""".stripMargin
+      }.mkString(",\n")
+      s"""bm${b}_0 AS MATERIALIZED (
          |  ${beamCut("SELECT qid, w, cos_r FROM bs0", b)}),
          |$rounds,
-         |pk$tag AS (
-         |  SELECT qid, w AS vec_id FROM (
-         |    SELECT qid, w,
-         |      row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, w) AS rn
-         |    FROM bm${tag}_$r) WHERE rn <= $ANN_RECALL_K)""".stripMargin
+         |$picks""".stripMargin
     }.mkString(",\n")
     val rows = curve.map { case (b, r) =>
       val tag = s"${b}x$r"
