@@ -45,6 +45,9 @@ object SketchStore {
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  // (path, length, mtime) -> footer-tail CRC; see sourceFingerprint.
+  private val crcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private val layerSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Content fingerprint of the source tables the sketches derive from.
@@ -65,17 +68,25 @@ object SketchStore {
         f.listFiles().toSeq.sortBy(_.getName)
           .flatMap(leaves).filter(_.getName.endsWith(".parquet"))
       else Seq(f)
+    // CRCs are memoized per (path, length, mtime): the fingerprint sits
+    // on per-query and per-micro-batch artifact-resolution paths, and
+    // without the cache every call re-read 64 KiB per leaf (a steady
+    // I/O tax in ingest loops). A regeneration changes length or mtime
+    // and misses the cache, so the detection property is unchanged.
     def tailCrc(f: java.io.File): String = {
-      val crc = new java.util.zip.CRC32()
-      val raf = new java.io.RandomAccessFile(f, "r")
-      try {
-        val tail = math.min(f.length, 65536L)
-        raf.seek(f.length - tail)
-        val buf = new Array[Byte](tail.toInt)
-        raf.readFully(buf)
-        crc.update(buf)
-      } finally raf.close()
-      java.lang.Long.toHexString(crc.getValue)
+      val key = s"${f.getAbsolutePath}:${f.length}:${f.lastModified}"
+      crcCache.computeIfAbsent(key, _ => {
+        val crc = new java.util.zip.CRC32()
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          val tail = math.min(f.length, 65536L)
+          raf.seek(f.length - tail)
+          val buf = new Array[Byte](tail.toInt)
+          raf.readFully(buf)
+          crc.update(buf)
+        } finally raf.close()
+        java.lang.Long.toHexString(crc.getValue)
+      })
     }
     val sig = Seq("documents.parquet", "embeddings.parquet").map { n =>
       val f = new java.io.File(dir, n)
@@ -427,18 +438,26 @@ object SketchStore {
     * at 100 TB is hours, not the seconds a scan takes). */
   private[graft] val GcRetainSuperseded = 1
 
+  private def layerSeqOf(name: String): Long =
+    try name.stripPrefix("layer-").takeWhile(_ != '-').toLong
+    catch { case _: NumberFormatException => 0L }
+
   /** The automatic, retention-guarded half of [[gcSupersededLayers]],
     * called by [[refreshTable]] after every pointer flip: keep the
     * committed layer plus the newest [[GcRetainSuperseded]] superseded
-    * layers (by directory mtime — layer sequence numbers restart per
-    * JVM, mtimes do not), delete the rest. Runs under the artifact's
-    * per-key lock (the caller holds it). */
+    * layers, delete the rest. Recency = (mtime, layer sequence): mtime
+    * orders across JVM restarts (the sequence resets per JVM), and the
+    * sequence breaks mtime TIES — two same-JVM refreshes landing within
+    * the filesystem's mtime granularity would otherwise sort by name
+    * and could evict the newest superseded layer, exactly the layer a
+    * pre-refresh reader still holds. Runs under the artifact's per-key
+    * lock (the caller holds it). */
   private def gcWithRetention(root: String, current: String): Int = {
     val superseded = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("layer-")
         && f.getName != current)
-      .sortBy(f => (-f.lastModified, f.getName))
+      .sortBy(f => (-f.lastModified, -layerSeqOf(f.getName)))
     val victims = superseded.drop(GcRetainSuperseded)
     victims.foreach(deleteRecursively)
     victims.length

@@ -2103,9 +2103,11 @@ object Streaming {
     // bus (VERDICT r19 #5): the index families were all MAINTAINED at
     // ingest (bands q154, graph q246, tombstones q254, IVFPQ q257);
     // nothing yet ANSWERED at ingest. Here retrieval REQUESTS arrive as
-    // bus events carrying their qid, each micro-batch re-derives the
-    // deterministic query panel for exactly the arrived qids, walks the
-    // q245 beam over the STORED graph artifact (the shared
+    // bus events carrying their qid, each micro-batch selects the
+    // arrived qids' rows from the server's STARTUP query panel (all
+    // corpus-sized derivations — candidate frame, query panel, entry
+    // panel, graph handle — are computed once before serving), walks
+    // the q245 beam over the STORED graph artifact (the shared
     // serveBeamPicks kernel — per-qid independent by construction:
     // every window and join partitions on qid, so a subset walk yields
     // the identical per-qid picks as the batch walk, regardless of how
@@ -2124,13 +2126,23 @@ object Streaming {
       PipelineRetrieval.graphServeOracleShared) { (s, dir) =>
       val url = s"memory://q261-${UUID.randomUUID()}"
       val ansLog = java.nio.file.Files.createTempDirectory("graft-serve-ans").toString
-      // Warm the standing artifact up front so the serve loop only
-      // probes — the q154/q246 convention.
-      graft.queries.SketchStore.nnGraph(s, dir)
-      val panel = PipelineRetrieval.serveQueryPanel(s, dir)
+      // SERVER STARTUP STATE, derived once and captured by the loop
+      // (the q154/q246 warm convention, extended to every corpus-sized
+      // derivation): the stored graph handle, the servable candidate
+      // frame, the deterministic query panel, and the fixed entry
+      // panel. The per-micro-batch work is then the beam walk alone —
+      // O(rounds x beam x degree) keyed joins per request; no
+      // corpus-linear pass ever runs inside the serve loop.
+      val graphP = graft.queries.SketchStore.nnGraph(s, dir)
+      val vecsP = PipelineRetrieval.vecsWithNorms(s, dir)
+      val panel = PipelineRetrieval.serveQueryPanel(s, dir).persist()
+      val entriesP = PipelineRetrieval.serveEntryPanel(vecsP)
+        .persist()
+      entriesP.count() // materialize the startup panels before serving
       val reqs = panel.select(col("qid").cast(IntegerType).as("qid"))
       val nQ = reqs.count()
-      val k = 10L // ANN_RECALL_K — each answered request ships exactly K picks
+      // each answered request ships exactly K picks
+      val k = PipelineRetrieval.ANN_RECALL_K.toLong
       val reqSchema = StructType(Seq(
         StructField("qid", IntegerType, nullable = false)))
       val ansSchema = StructType(Seq(
@@ -2159,13 +2171,12 @@ object Streaming {
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                          _: Long) =>
-          val sess = batch.sparkSession
           val got = batch.select(col("qid").cast(LongType).as("qid")).distinct()
-          val qp = PipelineRetrieval.serveQueryPanel(sess, dir)
-            .join(got, Seq("qid"))
+          // arrived qids select their rows from the STARTUP panel — the
+          // corpus is never rescanned in the loop
+          val qp = panel.join(got, Seq("qid"))
           val picks = PipelineRetrieval.serveBeamPicks(
-            PipelineRetrieval.vecsWithNorms(sess, dir), qp,
-            graft.queries.SketchStore.nnGraph(sess, dir),
+            vecsP, qp, entriesP, graphP,
             PipelineRetrieval.SERVE_BEAM, PipelineRetrieval.SERVE_ROUNDS)
           picks.select(col("qid").cast(IntegerType).as("qid"),
               col("vec_id").cast(IntegerType).as("vec_id"))

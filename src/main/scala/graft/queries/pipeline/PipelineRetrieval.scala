@@ -67,7 +67,7 @@ object PipelineRetrieval {
   private val RRF_TOPK = 20
 
   // q138: recall@K cut of the ANN-vs-brute-force eval (q46 emits 10).
-  private val ANN_RECALL_K = 10
+  private[queries] val ANN_RECALL_K = 10
 
   // q143 matryoshka prefix width (leading dims used for cheap candidate
   // generation; the fixture stores 64-dim vectors).
@@ -572,8 +572,7 @@ object PipelineRetrieval {
         .select(col("vec_id"), dbl(col("embedding")).as("v"))
         .withColumn("nrm", sqrt(fold(zip_with(col("v"), col("v"), (x, y) => x * y))))
         .persist()
-      val hq = conv(substring(md5(concat(lit("gr:"),
-        col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+      val hq = h60col("gr:")
       val qs = vecs.withColumn("hq", hq)
         .orderBy(col("hq"), col("vec_id")).limit(NNDESC_EVAL_Q)
         .select(col("vec_id").as("u"), col("v").as("qv"), col("nrm").as("qn"))
@@ -943,8 +942,7 @@ object PipelineRetrieval {
         .select(col("vec_id").as("c"), col("embedding").as("ce"))
       val vecs = vecsWithNorms(s, dir)
       val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
-      val hq = conv(substring(md5(concat(lit("gr:"),
-        col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+      val hq = h60col("gr:")
       // panel: the q243 h60 rule — raw embedding for routing, doubles +
       // norm for the exact legs
       val qs = emb.join(vecs.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
@@ -1284,8 +1282,7 @@ object PipelineRetrieval {
       s: SparkSession, dir: String, newEdges: DataFrame): DataFrame = {
     val vecs = vecsWithNorms(s, dir)
     val isNew = (c: Column) => c % NNDESC_NEW_MOD === NNDESC_NEW_REM
-    val hq = conv(substring(md5(concat(lit("gr:"),
-      col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+    val hq = h60col("gr:")
     val qs = vecs.filter(isNew(col("vec_id"))).withColumn("hq", hq)
       .orderBy(col("hq"), col("vec_id")).limit(NNDESC_EVAL_Q)
       .select(col("vec_id").as("u"), col("v").as("qv"), col("nrm").as("qn"))
@@ -1357,7 +1354,7 @@ object PipelineRetrieval {
     * all three); queries are always synthesized from the FULL corpus
     * (they are external vectors — their parents' deletion does not
     * invalidate the query itself). */
-  private def h60col(tag: String): Column =
+  private[queries] def h60col(tag: String): Column =
     conv(substring(md5(concat(lit(tag),
       col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
 
@@ -1394,14 +1391,15 @@ object PipelineRetrieval {
     * PREFIX of a rounds-(j+1) walk (the beam after round j is the same
     * frame), so one walk to max(roundsWanted) serves every requested
     * depth — the q260 rounds curve pays ONE walk, not one per row.
+    * `entries` = the fixed navigating-node panel ([[serveEntryPanel]])
+    * — passed in, not derived here, so a standing server (q261) pays
+    * its corpus sort-limit ONCE at startup, never per micro-batch.
     * Returns the top-K picks (qid, vec_id) at each requested depth. */
   private[queries] def serveBeamPicksAt(
-      vecs: DataFrame, queries: DataFrame, graph: DataFrame,
-      beam: Int, roundsWanted: Seq[Int]): Map[Int, DataFrame] = {
+      vecs: DataFrame, queries: DataFrame, entries: DataFrame,
+      graph: DataFrame, beam: Int,
+      roundsWanted: Seq[Int]): Map[Int, DataFrame] = {
     val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
-    val entries = vecs.withColumn("he", h60col("en:"))
-      .orderBy(col("he"), col("vec_id")).limit(SERVE_ENTRIES)
-      .select(col("vec_id").as("w"))
     def score(cand: DataFrame): DataFrame = cand // (qid, w)
       .join(vecs.select(col("vec_id").as("w"), col("v").as("vw"),
         col("nrm").as("nw")), "w")
@@ -1427,12 +1425,22 @@ object PipelineRetrieval {
     out.result()
   }
 
+  /** The fixed SERVE_ENTRIES navigating-node panel over the servable
+    * candidate frame (the HNSW/NSG entry-point shape: h60-selected,
+    * corpus-independent size) — factored so the batch harness and the
+    * q261 standing server derive it identically, and the server derives
+    * it ONCE. */
+  private[queries] def serveEntryPanel(vecs: DataFrame): DataFrame =
+    vecs.withColumn("he", h60col("en:"))
+      .orderBy(col("he"), col("vec_id")).limit(SERVE_ENTRIES)
+      .select(col("vec_id").as("w"))
+
   /** Single-depth convenience over [[serveBeamPicksAt]] (the q261
     * at-ingest server's shape). */
   private[queries] def serveBeamPicks(
-      vecs: DataFrame, queries: DataFrame, graph: DataFrame,
-      beam: Int, rounds: Int): DataFrame =
-    serveBeamPicksAt(vecs, queries, graph, beam, Seq(rounds))(rounds)
+      vecs: DataFrame, queries: DataFrame, entries: DataFrame,
+      graph: DataFrame, beam: Int, rounds: Int): DataFrame =
+    serveBeamPicksAt(vecs, queries, entries, graph, beam, Seq(rounds))(rounds)
 
   /** The serve harness's per-query exact-truth leg (qid, vec_id) over
     * the servable candidate frame — the corpus-linear EVAL half, never
@@ -1493,9 +1501,10 @@ object PipelineRetrieval {
     // Configs sharing a beam width share ONE walk (a shallower depth is
     // a prefix of a deeper one — serveBeamPicksAt): the q260 rounds
     // curve costs one rounds-3 walk, not three walks.
+    val entries = serveEntryPanel(vecs)
     val rows = curve.groupBy(_._1).toSeq.flatMap { case (b, cfgs) =>
       val rs = cfgs.map(_._2)
-      val picksAt = serveBeamPicksAt(vecs, queries, graph, b, rs)
+      val picksAt = serveBeamPicksAt(vecs, queries, entries, graph, b, rs)
       rs.map(r => serveSummaryOf(nq, truth, picksAt(r), b, r))
     }
     rows.reduce(_ unionByName _).orderBy(col("beam"), col("rounds"))
@@ -1530,8 +1539,7 @@ object PipelineRetrieval {
     val wCap = Window.partitionBy(col("t"), col("bk"))
       .orderBy(col("hp"), col("vec_id"))
     val partners = buckets
-      .withColumn("hp", conv(substring(md5(concat(lit("gp:"),
-        col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType))
+      .withColumn("hp", h60col("gp:"))
       .withColumn("rn", row_number().over(wCap))
       .filter(col("rn") <= NNDESC_PROBE_CAP)
       .select(col("vec_id"), col("t"), col("bk"))
@@ -1592,8 +1600,7 @@ object PipelineRetrieval {
     val wCap = Window.partitionBy(col("t"), col("bk"))
       .orderBy(col("hp"), col("vec_id"))
     val partners = buckets
-      .withColumn("hp", conv(substring(md5(concat(lit("gp:"),
-        col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType))
+      .withColumn("hp", h60col("gp:"))
       .withColumn("rn", row_number().over(wCap))
       .filter(col("rn") <= NNDESC_PROBE_CAP)
       .select(col("vec_id"), col("t"), col("bk"))
