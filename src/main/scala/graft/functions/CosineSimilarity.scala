@@ -28,14 +28,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    def isFloatArray(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) => true
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
-    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+    if (ok(left.dataType) && ok(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_similarity expects (array<float>, array<float>), got " +
+      s"cosine_similarity expects array<float|double> inputs, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
@@ -45,6 +45,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   private def elementsNullable(dt: DataType): Boolean = dt match {
     case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  // Element accessor per input type (round 21): `array<double>` inputs —
+  // the serve/truth legs score double vectors (midpoint queries) — read
+  // elements directly; `array<float>` elements widen exactly, so both
+  // paths feed the identical double accumulation loop.
+  private def isDoubleArr(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
     case _ => false
   }
 
@@ -61,6 +70,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = x.numElements()
     if (n != y.numElements() || n == 0) Double.NaN
     else {
+      val lDouble = isDoubleArr(left.dataType)
+      val rDouble = isDoubleArr(right.dataType)
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
@@ -68,8 +79,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
         // (zip_with product of a null is null; the aggregate sum of a
         // null is null) — NOT silently read as 0.0.
         if (x.isNullAt(i) || y.isNullAt(i)) return null
-        val xv = x.getFloat(i).toDouble
-        val yv = y.getFloat(i).toDouble
+        val xv = if (lDouble) x.getDouble(i) else x.getFloat(i).toDouble
+        val yv = if (rDouble) y.getDouble(i) else y.getFloat(i).toDouble
         dot += xv * yv; na += xv * xv; nb += yv * yv
         i += 1
       }
@@ -92,6 +103,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
         if (nullable)
           s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
         else ""
+      def get(arr: String, idx: String, dbl: Boolean): String =
+        if (dbl) s"$arr.getDouble($idx)" else s"(double) $arr.getFloat($idx)"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements() || $n == 0) {
@@ -100,8 +113,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $nullElementCheck
-         |    double $xv = (double) $a.getFloat($i);
-         |    double $yv = (double) $b.getFloat($i);
+         |    double $xv = ${get(a, i, isDoubleArr(left.dataType))};
+         |    double $yv = ${get(b, i, isDoubleArr(right.dataType))};
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
          |  ${ev.value} = ${if (nullable) s"${ev.isNull} ? -1.0 : " else ""}$dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -111,6 +124,98 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native squared-L2 distance over two `array<double>` columns (round
+  * 21, optimization: guide §4.1 "prefer built-ins/codegen over
+  * interpreted paths"). Replaces the interpreted
+  * `aggregate(zip_with(v, c, (x,y) -> (x-y)*(x-y)), 0.0, +)` fold that
+  * the k-means assignment and every PQ encode/LUT leg evaluated per
+  * candidate row — a higher-order function runs the lambda per element
+  * with no codegen, and Probe measured it as the dominant stage of the
+  * graph/IVFPQ harness entries.
+  *
+  * Semantics are pinned to the fold form (SketchParitySpec): one
+  * left-to-right summation of (x-y)*(x-y) in double — the identical
+  * IEEE operation sequence, so results are bit-identical and every
+  * existing oracle pairing is unchanged. Edge cases match zip_with +
+  * aggregate exactly: two empty arrays fold to the 0.0 init; a length
+  * mismatch zips a null in (null product, null sum) → null; a null
+  * element null-propagates. */
+case class Dist2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dist2 expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dist2"
+
+  private def elementsNullable(dt: DataType): Boolean = dt match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  // Length mismatch returns null (zip_with pads with null), so the
+  // expression is nullable even over non-null inputs.
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val d = x.getDouble(i) - y.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val nullElementCheck =
+        if (elementsNullable(left.dataType) || elementsNullable(right.dataType))
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElementCheck
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Dist2 =
     copy(left = newLeft, right = newRight)
 }
 
@@ -127,6 +232,17 @@ object GraftFunctions {
     case Seq(a, b) => CosineSimilarity(a, b)
     case other => throw new IllegalArgumentException(
       s"cosine_similarity expects 2 arguments, got ${other.size}")
+  }
+
+  private val dist2Info = new ExpressionInfo(
+    classOf[Dist2].getName, null, "graft_dist2",
+    "_FUNC_(a, b) - squared L2 distance of two double vectors",
+    "", "", "", "", "", "", "built-in")
+
+  private[functions] val dist2Builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => Dist2(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_dist2 expects 2 arguments, got ${other.size}")
   }
 
   private def unary(name: String, make: Expression => Expression)
@@ -164,6 +280,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_dist2"), dist2Info, dist2Builder)
     sketchFns.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -183,6 +301,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("cosine_similarity"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_similarity"),
         GraftFunctions.cosineBuilder)) // arity-checked, same as register()
+    ext.injectFunction(
+      (FunctionIdentifier("graft_dist2"),
+        new ExpressionInfo(classOf[Dist2].getName, null, "graft_dist2"),
+        GraftFunctions.dist2Builder))
     GraftFunctions.injectables.foreach(ext.injectFunction)
   }
 }

@@ -464,11 +464,18 @@ object Analytics {
     */
   private[graft] object Kmeans {
     // Squared L2 between a row vector and one centroid: one sequential
-    // left-to-right fold per pair — the identical IEEE operation order
-    // in both engines (QueryDef determinism contract).
+    // left-to-right summation per pair — the identical IEEE operation
+    // order in both engines (QueryDef determinism contract). Round 21:
+    // the native codegen kernel (graft.functions.Dist2) replaces the
+    // interpreted aggregate(zip_with(...)) fold — bit-identical by
+    // construction (same left-to-right (x-y)*(x-y) accumulation,
+    // SketchParitySpec-pinned), but it runs inside whole-stage codegen
+    // instead of per-element lambda interpretation; Probe measured the
+    // fold as the dominant stage of every PQ encode/LUT leg. Callers
+    // must have GraftFunctions.register'd the session (all Kmeans/PQ
+    // entry points do).
     def dist2(v: Column, c: Column): Column =
-      aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, t) => acc + t)
+      call_function("graft_dist2", v, c)
 
     // Argmin over the broadcast centroid array; strict < keeps the
     // lowest cid on exact ties (cents is sorted by cid). The full
@@ -499,6 +506,9 @@ object Analytics {
       * a tested fact).
       */
     def twoRoundAssign(e: DataFrame, k: Int = 8): DataFrame = {
+      // dist2 resolves through the function registry — register here so
+      // every assignment caller is covered regardless of its own entry.
+      graft.functions.GraftFunctions.register(e.sparkSession)
       val c0 = centroidRow(e.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("v").as("ce")))
       val a1 = e.crossJoin(broadcast(c0))
@@ -1641,6 +1651,7 @@ object Analytics {
     },
 
     QueryDef("q109_pq_ann", pqAnnOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s) // Kmeans.dist2 → graft_dist2
       // (vec_id, label, m, sub): scan-local subvector slices. Fresh load
       // per use-site keeps self-join lineage unambiguous; the cb/query
       // scans prune to <= PQ_K+1 rows via the pushed vec_id filter.
@@ -1807,6 +1818,7 @@ object Analytics {
         |  CAST(clabel AS BIGINT) AS pred_label, COUNT(*) AS n_vecs
         |FROM pred GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s) // Kmeans.assign → graft_dist2
       val e = T(s, dir, "embeddings").select(
         col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))

@@ -45,8 +45,13 @@ object SketchStore {
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  // (path, length, mtime) -> footer-tail CRC; see sourceFingerprint.
-  private val crcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // path -> (length, mtime, footer-tail CRC); see sourceFingerprint.
+  // Keyed by PATH with the (length, mtime) stamp in the VALUE (round 21,
+  // ADVICE r20): a regeneration replaces the entry instead of leaking a
+  // new key per (length, mtime) generation, so a long-lived ingest JVM
+  // holds at most one entry per source leaf.
+  private val crcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, String)]()
 
   private val layerSeq = new java.util.concurrent.atomic.AtomicLong()
 
@@ -68,25 +73,38 @@ object SketchStore {
         f.listFiles().toSeq.sortBy(_.getName)
           .flatMap(leaves).filter(_.getName.endsWith(".parquet"))
       else Seq(f)
-    // CRCs are memoized per (path, length, mtime): the fingerprint sits
-    // on per-query and per-micro-batch artifact-resolution paths, and
-    // without the cache every call re-read 64 KiB per leaf (a steady
-    // I/O tax in ingest loops). A regeneration changes length or mtime
-    // and misses the cache, so the detection property is unchanged.
+    // CRCs are memoized per path, validated on (length, mtime): the
+    // fingerprint sits on per-query and per-micro-batch artifact-
+    // resolution paths, and without the memo every call re-read 64 KiB
+    // per leaf (a steady I/O tax in ingest loops). A regeneration
+    // changes length or mtime, invalidating (and REPLACING) the entry,
+    // so the detection property is unchanged — with ONE documented
+    // racy-stat window (ADVICE r20, git's classic index-race shape): an
+    // in-place rewrite that preserves byte length AND lands within the
+    // filesystem's mtime granularity of the memoized read serves the
+    // stale CRC. Spark never rewrites parquet in place (writes go to
+    // fresh part files under fresh directories), so the window is
+    // unreachable for fixture regenerations; a hand-doctored same-size
+    // same-second rewrite is accepted as out of scope, exactly like
+    // git's racy-stat documentation.
     def tailCrc(f: java.io.File): String = {
-      val key = s"${f.getAbsolutePath}:${f.length}:${f.lastModified}"
-      crcCache.computeIfAbsent(key, _ => {
+      val (len, mt) = (f.length, f.lastModified)
+      def compute(): String = {
         val crc = new java.util.zip.CRC32()
         val raf = new java.io.RandomAccessFile(f, "r")
         try {
-          val tail = math.min(f.length, 65536L)
-          raf.seek(f.length - tail)
+          val tail = math.min(len, 65536L)
+          raf.seek(len - tail)
           val buf = new Array[Byte](tail.toInt)
           raf.readFully(buf)
           crc.update(buf)
         } finally raf.close()
         java.lang.Long.toHexString(crc.getValue)
-      })
+      }
+      crcCache.compute(f.getAbsolutePath, (_, old) => old match {
+        case (`len`, `mt`, _) => old
+        case _ => (len, mt, compute())
+      })._3
     }
     val sig = Seq("documents.parquet", "embeddings.parquet").map { n =>
       val f = new java.io.File(dir, n)
@@ -132,7 +150,15 @@ object SketchStore {
   private def writeLayer(
       s: SparkSession, tbl: String, root: String, bucketCols: Seq[String],
       df: DataFrame, stageTbl: String): Unit = {
-    val layer = s"layer-${layerSeq.incrementAndGet()}-${java.lang.Long.toHexString(System.nanoTime())}"
+    // Layer name layout: layer-<perJvmSeq>-<epochMillis>-<nanoHex>. The
+    // wall-clock epoch is PERSISTED in the name (round 21, ADVICE r20)
+    // so gcWithRetention's recency order survives JVM restarts — the
+    // per-JVM sequence resets to 1 in a new JVM and, on an mtime tie, a
+    // pre-restart layer's high seq would have sorted as newer than a
+    // genuinely newer post-restart layer, evicting exactly the layer a
+    // pre-refresh reader still holds.
+    val layer = s"layer-${layerSeq.incrementAndGet()}-${System.currentTimeMillis()}-" +
+      java.lang.Long.toHexString(System.nanoTime())
     df.repartition(BucketN, bucketCols.map(col): _*)
       .write.mode("overwrite")
       .bucketBy(BucketN, bucketCols.head, bucketCols.tail: _*)
@@ -442,22 +468,33 @@ object SketchStore {
     try name.stripPrefix("layer-").takeWhile(_ != '-').toLong
     catch { case _: NumberFormatException => 0L }
 
+  /** Wall-clock epoch persisted in the layer name (the 3rd dash field;
+    * 0 for pre-round-21 two-field names, which then order by mtime). */
+  private def layerEpochOf(name: String): Long = {
+    val parts = name.split("-")
+    if (parts.length >= 4) try parts(2).toLong
+    catch { case _: NumberFormatException => 0L }
+    else 0L
+  }
+
   /** The automatic, retention-guarded half of [[gcSupersededLayers]],
     * called by [[refreshTable]] after every pointer flip: keep the
     * committed layer plus the newest [[GcRetainSuperseded]] superseded
-    * layers, delete the rest. Recency = (mtime, layer sequence): mtime
-    * orders across JVM restarts (the sequence resets per JVM), and the
-    * sequence breaks mtime TIES — two same-JVM refreshes landing within
-    * the filesystem's mtime granularity would otherwise sort by name
-    * and could evict the newest superseded layer, exactly the layer a
-    * pre-refresh reader still holds. Runs under the artifact's per-key
-    * lock (the caller holds it). */
+    * layers, delete the rest. Recency = (name-persisted epoch, mtime,
+    * layer sequence): the wall-clock epoch written into the layer NAME
+    * at creation orders across JVM restarts (round 21, ADVICE r20 — the
+    * per-JVM sequence resets, so on an mtime tie a pre-restart layer's
+    * high seq sorted as newer than a genuinely newer post-restart
+    * layer, evicting the newest superseded layer); mtime orders legacy
+    * two-field names; the sequence breaks remaining same-JVM ties
+    * within the clock's millisecond granularity. Runs under the
+    * artifact's per-key lock (the caller holds it). */
   private def gcWithRetention(root: String, current: String): Int = {
     val superseded = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("layer-")
         && f.getName != current)
-      .sortBy(f => (-f.lastModified, -layerSeqOf(f.getName)))
+      .sortBy(f => (-layerEpochOf(f.getName), -f.lastModified, -layerSeqOf(f.getName)))
     val victims = superseded.drop(GcRetainSuperseded)
     victims.foreach(deleteRecursively)
     victims.length

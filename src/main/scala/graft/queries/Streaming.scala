@@ -2141,8 +2141,6 @@ object Streaming {
       entriesP.count() // materialize the startup panels before serving
       val reqs = panel.select(col("qid").cast(IntegerType).as("qid"))
       val nQ = reqs.count()
-      // each answered request ships exactly K picks
-      val k = PipelineRetrieval.ANN_RECALL_K.toLong
       val reqSchema = StructType(Seq(
         StructField("qid", IntegerType, nullable = false)))
       val ansSchema = StructType(Seq(
@@ -2163,6 +2161,19 @@ object Streaming {
         .start()
       // The SERVER: per micro-batch, beam-walk the arrived qids over
       // the stored graph and publish the picks to the reply subject.
+      // `pubByBatch` records how many pick rows the server actually
+      // shipped per micro-batch (keyed by batchId, so an at-least-once
+      // replay OVERWRITES its own entry instead of double-counting) —
+      // the drain loop waits for exactly that total (round 21, ADVICE
+      // r20: the old nQ*k target silently assumed every qid's beam
+      // fills all K picks, true only while SERVE_BEAM >= ANN_RECALL_K
+      // and the corpus is large enough).
+      val pubByBatch = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      def published(): Long = {
+        var sum = 0L
+        pubByBatch.values().forEach(v => sum += v)
+        sum
+      }
       val srv = s.readStream.format("nats").schema(reqSchema)
         .option("url", url).option("subject", "serve_requests")
         .option("batchSize", "32")
@@ -2170,7 +2181,7 @@ object Streaming {
         .load()
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                         _: Long) =>
+                         bid: Long) =>
           val got = batch.select(col("qid").cast(LongType).as("qid")).distinct()
           // arrived qids select their rows from the STARTUP panel — the
           // corpus is never rescanned in the loop
@@ -2178,10 +2189,14 @@ object Streaming {
           val picks = PipelineRetrieval.serveBeamPicks(
             vecsP, qp, entriesP, graphP,
             PipelineRetrieval.SERVE_BEAM, PipelineRetrieval.SERVE_ROUNDS)
-          picks.select(col("qid").cast(IntegerType).as("qid"),
+            .select(col("qid").cast(IntegerType).as("qid"),
               col("vec_id").cast(IntegerType).as("vec_id"))
-            .write.format("nats").mode("append")
+            .persist()
+          pubByBatch.put(bid, picks.count())
+          picks.write.format("nats").mode("append")
             .option("url", url).option("subject", "serve_replies").save()
+          picks.unpersist()
+          ()
         }
         .start()
       try {
@@ -2195,22 +2210,35 @@ object Streaming {
         srv.processAllAvailable()
         sub.processAllAvailable()
         pub(reqs.filter(col("qid") % 2 === 0))
-        def answered(): Long =
-          try s.read.parquet(ansLog).distinct().count()
-          catch { case _: Exception => 0L }
+        def drained(): (Long, Long) =
+          try {
+            val a = s.read.parquet(ansLog).distinct()
+            (a.count(), a.select(col("qid")).distinct().count())
+          } catch { case _: Exception => (0L, 0L) }
         srv.processAllAvailable()
         sub.processAllAvailable()
         // trailing partial batches surface only after flushTimeoutMs on
         // BOTH hops (request and reply) — drain until every request has
-        // its K answers (the q160/q240 rule).
-        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-        while (answered() < nQ * k && System.nanoTime() < deadline) {
+        // replied AND every pick the server PUBLISHED is logged (round
+        // 21, ADVICE r20: the target is the server's own published
+        // count, not an assumed K per request; the deadline scales with
+        // the panel and is env-overridable for loaded hosts).
+        def complete(): Boolean = {
+          val (rows, qids) = drained()
+          qids == nQ && rows == published()
+        }
+        val drainMs = sys.env.get("GRAFT_Q261_DRAIN_MS").map(_.toLong)
+          .getOrElse(math.max(120000L, nQ * 4000L))
+        val deadline = System.nanoTime() + drainMs * 1000 * 1000
+        while (!complete() && System.nanoTime() < deadline) {
           Thread.sleep(50)
           srv.processAllAvailable()
           sub.processAllAvailable()
         }
-        require(answered() == nQ * k,
-          s"q261 drain timed out: ${answered()} of ${nQ * k} answers logged")
+        require(complete(),
+          s"q261 drain timed out after ${drainMs} ms: ${drained()._1} of " +
+            s"${published()} published answers logged, ${drained()._2} of " +
+            s"$nQ requests replied")
       } finally { srv.stop(); sub.stop() }
       // distinct(): at-least-once foreachBatch replay idempotency on the
       // answers log — picks are unique per (qid, vec_id) by construction.

@@ -566,12 +566,8 @@ object PipelineRetrieval {
     // is n×32 scan-local folds + per-query top-K heaps; the graph side
     // is a broadcast-semi-join lookup; output 1 row. ----
     QueryDef("q243_graph_recall_sampled", graphRecallOracle) { (s, dir) =>
-      val dbl = (c: Column) => transform(c, x => x.cast(DoubleType))
-      val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
-      val vecs = T(s, dir, "embeddings")
-        .select(col("vec_id"), dbl(col("embedding")).as("v"))
-        .withColumn("nrm", sqrt(fold(zip_with(col("v"), col("v"), (x, y) => x * y))))
-        .persist()
+      graft.functions.GraftFunctions.register(s)
+      val vecs = vecsWithNorms(s, dir)
       val hq = h60col("gr:")
       val qs = vecs.withColumn("hq", hq)
         .orderBy(col("hq"), col("vec_id")).limit(NNDESC_EVAL_Q)
@@ -579,11 +575,12 @@ object PipelineRetrieval {
         .persist()
       val wTop = Window.partitionBy(col("u"))
         .orderBy(col("cos_r").desc, col("vec_id"))
-      val truth = vecs.crossJoin(broadcast(qs.select(col("u"), col("qv"), col("qn"))))
+      // Native codegen cosine (round 21) — bit-identical to the fold
+      // form (see scorePairs); the truth leg is corpus x panel.
+      val truth = vecs.crossJoin(broadcast(qs.select(col("u"), col("qv"))))
         .filter(col("vec_id") =!= col("u"))
         .select(col("u"), col("vec_id"),
-          round(fold(zip_with(col("v"), col("qv"), (x, y) => x * y)) /
-            (col("nrm") * col("qn")), 6).as("cos_r"))
+          round(call_function("cosine_similarity", col("v"), col("qv")), 6).as("cos_r"))
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= ANN_RECALL_K)
         .select(col("u"), col("vec_id"))
@@ -1019,25 +1016,25 @@ object PipelineRetrieval {
             && col("cd.code") === col("l.k"))
         .groupBy(col("cd.u").as("u"), col("cd.vec_id").as("vec_id"))
         .agg(sum(col("ld_micro")).as("adc_micro"))).persist()
-      // IVF-exact ceiling: exact cosine over the same candidates
+      // IVF-exact ceiling: exact cosine over the same candidates —
+      // native codegen kernel (round 21), bit-identical to the fold
+      // form (see scorePairs).
       val wCos = Window.partitionBy(col("u")).orderBy(col("cos_r").desc, col("vec_id"))
       val picksIvf = candIds
-        .join(vecs.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
-        .join(broadcast(qs.select(col("u"), col("qv"), col("qn"))), "u")
+        .join(vecs.select(col("vec_id"), col("v")), "vec_id")
+        .join(broadcast(qs.select(col("u"), col("qv"))), "u")
         .select(col("u"), col("vec_id"),
-          round(fold(zip_with(col("v"), col("qv"), (x, y) => x * y)) /
-            (col("nrm") * col("qn")), 6).as("cos_r"))
+          round(call_function("cosine_similarity", col("v"), col("qv")), 6).as("cos_r"))
         .withColumn("rn", row_number().over(wCos))
         .filter(col("rn") <= ANN_RECALL_K)
         .select(col("u"), col("vec_id"))
         .persist()
       // truth: exact top-K per query over the INDEXED corpus (vec_id <> 0)
       val truth = vecs.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(qs.select(col("u"), col("qv"), col("qn"))))
+        .crossJoin(broadcast(qs.select(col("u"), col("qv"))))
         .filter(col("vec_id") =!= col("u"))
         .select(col("u"), col("vec_id"),
-          round(fold(zip_with(col("v"), col("qv"), (x, y) => x * y)) /
-            (col("nrm") * col("qn")), 6).as("cos_r"))
+          round(call_function("cosine_similarity", col("v"), col("qv")), 6).as("cos_r"))
         .withColumn("rn", row_number().over(wCos))
         .filter(col("rn") <= ANN_RECALL_K)
         .select(col("u"), col("vec_id"))
@@ -1172,15 +1169,15 @@ object PipelineRetrieval {
       val codes = SketchStore.ivfpqCodes(s, dir)
       val live = codes.join(tombs, Seq("vec_id"), "left_anti").persist()
       val (cand, top) = ivfpqServeLegs(s, dir, live)
-      val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
       val vecs = vecsWithNorms(s, dir)
       val qv = vecs.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"), col("nrm").as("qn"))
+        .select(col("v").as("qv"))
+      // Native codegen cosine (round 21) — bit-identical to the fold
+      // form (see scorePairs).
       val truth = vecs.filter(col("vec_id") =!= 0 && col("vec_id") % dM =!= dR)
         .crossJoin(broadcast(qv))
         .select(col("vec_id"),
-          round(fold(zip_with(col("v"), col("qv"), (x, y) => x * y)) /
-            (col("nrm") * col("qn")), 6).as("cos_r"))
+          round(call_function("cosine_similarity", col("v"), col("qv")), 6).as("cos_r"))
         .orderBy(col("cos_r").desc, col("vec_id")).limit(ANN_RECALL_K)
         .select(col("vec_id"))
       val dictMax = math.max(NCELLS, Analytics.PQ_K)
@@ -1247,15 +1244,22 @@ object PipelineRetrieval {
 
   /** Exact rounded cosine for a (u, w) candidate frame — the ONE scoring
     * kernel the descent build (q239/q243 artifact) and the incremental
-    * maintenance pass (q244) share. */
+    * maintenance pass (q244) share. Round 21 (guide §4.1 / Probe
+    * measurement): the interpreted aggregate(zip_with(...)) fold was the
+    * dominant stage of every graph-family entry (2-3 s of single-thread
+    * lambda interpretation per maintenance/fold leg at sf0.1); the
+    * native codegen cosine kernel computes the IDENTICAL left-to-right
+    * double sums and one division (dot / (sqrt(na)*sqrt(nb)) ==
+    * dot / (nu*nw) with nu,nw the same precomputed sqrt values — the
+    * q42/q53 shared-oracle pin), so cos_r is bit-identical and every
+    * oracle pairing and stored-artifact content is unchanged. */
   private def scorePairs(vecs: DataFrame)(cand: DataFrame): DataFrame = {
-    val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
     cand
-      .join(vecs.select(col("vec_id").as("u"), col("v").as("vu"), col("nrm").as("nu")), "u")
-      .join(vecs.select(col("vec_id").as("w"), col("v").as("vw"), col("nrm").as("nw")), "w")
+      .join(vecs.select(col("vec_id").as("u"), col("v").as("vu")), "u")
+      .join(vecs.select(col("vec_id").as("w"), col("v").as("vw")), "w")
       .select(col("u"), col("w"),
-        round(fold(zip_with(col("vu"), col("vw"), (x, y) => x * y)) /
-          (col("nu") * col("nw")), 6).as("cos_r"))
+        round(call_function("cosine_similarity", col("vu"), col("vw")), 6).as("cos_r"))
   }
 
   /** The per-node top-G degree cut (cos desc, neighbor-id ties). */
@@ -1280,6 +1284,7 @@ object PipelineRetrieval {
     * integer micros. */
   private[queries] def graphMaintainStats(
       s: SparkSession, dir: String, newEdges: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val vecs = vecsWithNorms(s, dir)
     val isNew = (c: Column) => c % NNDESC_NEW_MOD === NNDESC_NEW_REM
     val hq = h60col("gr:")
@@ -1287,14 +1292,14 @@ object PipelineRetrieval {
       .orderBy(col("hq"), col("vec_id")).limit(NNDESC_EVAL_Q)
       .select(col("vec_id").as("u"), col("v").as("qv"), col("nrm").as("qn"))
       .persist()
-    val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
     val wTop = Window.partitionBy(col("u"))
       .orderBy(col("cos_r").desc, col("vec_id"))
-    val truth = vecs.crossJoin(broadcast(qs.select(col("u"), col("qv"), col("qn"))))
+    // Native codegen cosine (round 21) — bit-identical to the fold form
+    // (see scorePairs); the truth leg is corpus x panel.
+    val truth = vecs.crossJoin(broadcast(qs.select(col("u"), col("qv"))))
       .filter(col("vec_id") =!= col("u"))
       .select(col("u"), col("vec_id"),
-        round(fold(zip_with(col("v"), col("qv"), (x, y) => x * y)) /
-          (col("nrm") * col("qn")), 6).as("cos_r"))
+        round(call_function("cosine_similarity", col("v"), col("qv")), 6).as("cos_r"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= ANN_RECALL_K)
       .select(col("u"), col("vec_id"))
@@ -1399,14 +1404,15 @@ object PipelineRetrieval {
       vecs: DataFrame, queries: DataFrame, entries: DataFrame,
       graph: DataFrame, beam: Int,
       roundsWanted: Seq[Int]): Map[Int, DataFrame] = {
-    val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    // Native codegen cosine (round 21) — bit-identical to the fold form
+    // it replaces (see scorePairs); the beam re-scores per round, so the
+    // interpreted lambda was paid rounds x beam x degree times per query.
     def score(cand: DataFrame): DataFrame = cand // (qid, w)
-      .join(vecs.select(col("vec_id").as("w"), col("v").as("vw"),
-        col("nrm").as("nw")), "w")
+      .join(vecs.select(col("vec_id").as("w"), col("v").as("vw")), "w")
       .join(broadcast(queries), "qid")
       .select(col("qid"), col("w"),
-        round(fold(zip_with(col("vw"), col("qv"), (x, y) => x * y)) /
-          (col("nw") * col("qn")), 6).as("cos_r"))
+        round(call_function("cosine_similarity", col("vw"), col("qv")), 6).as("cos_r"))
     val wBeam = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("w"))
     def cut(df: DataFrame, k: Int): DataFrame =
       df.withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= k).drop("rn")
@@ -1446,12 +1452,14 @@ object PipelineRetrieval {
     * the servable candidate frame — the corpus-linear EVAL half, never
     * the serve path. */
   private def serveTruth(vecs: DataFrame, queries: DataFrame): DataFrame = {
-    val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
+    // Native codegen cosine (round 21) — bit-identical to the fold form
+    // (see scorePairs); this corpus x panel leg was the widest
+    // interpreted-lambda stage of every serve entry.
     vecs.crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"),
-        round(fold(zip_with(col("v"), col("qv"), (x, y) => x * y)) /
-          (col("nrm") * col("qn")), 6).as("cos_r"))
+        round(call_function("cosine_similarity", col("v"), col("qv")), 6).as("cos_r"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= ANN_RECALL_K)
       .select(col("qid"), col("vec_id"))
@@ -1823,11 +1831,16 @@ object PipelineRetrieval {
     * its fold, the q248 probe-equality convention. */
   private[queries] def ivfpqProbeHits(
       s: SparkSession, dir: String, codes: DataFrame): Long = {
-    val (_, top) = ivfpqServeLegs(s, dir, codes)
+    val (cand, top) = ivfpqServeLegs(s, dir, codes)
     val exact = Registry.byName("q42_topk_cosine").build(s, dir)
       .orderBy(col("cos_r").desc, col("vec_id")).limit(ANN_RECALL_K)
       .select(col("vec_id"))
-    exact.join(top, "vec_id").count()
+    val hits = exact.join(top, "vec_id").count()
+    // This path consumes the legs completely (round 21, ADVICE r20):
+    // drop their persisted partitions, or each ensureCompactedIvfpq
+    // probe (two per lifecycle) leaks cached blocks across a suite run.
+    cand.unpersist(); top.unpersist()
+    hits
   }
 
   /** The converged NN-Descent graph (u, w, cos_r) — the build behind
