@@ -34,6 +34,27 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Round 21 (guide §2.2/§2.4, Probe-measured): persisted frames
+      // materialized with AQE disabled kept all `shuffle.partitions`
+      // post-shuffle partitions, so every downstream scan of a cached
+      // 25-row frame ran one near-empty task per partition — q153 alone
+      // spent ~3 s in ~12 such empty 32-task stages. Letting AQE
+      // re-optimize cached-plan materialization (partition coalescing
+      // included) collapses them; coalescing targets
+      // advisoryPartitionSizeInBytes instead of local parallelism
+      // (parallelismFirst=false, the Spark-docs-recommended production
+      // setting), which is scale-adaptive: tiny frames coalesce to one
+      // partition, 100 TB frames to ~64 MB splits. Both flags are
+      // dataset-size-driven, not tuned to this core count.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // Finer coalescing floor (default 1m): with parallelism-first
+      // coalescing the floor IS the target once bytes/parallelism drops
+      // under it, so the 1 MB default collapsed CPU-dense few-MB cached
+      // frames (vector scoring legs) to 1-3 partitions while the real
+      // win is only the kilobyte frames. 64k keeps mid-size frames at
+      // full parallelism and still folds empty partitions; at cluster
+      // scale bytes/parallelism >> both floors, so this changes nothing.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
