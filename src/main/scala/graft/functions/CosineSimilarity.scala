@@ -267,7 +267,16 @@ object GraftFunctions {
     unary("graft_nfc", NfcNormalize),
     unary("graft_html_text", HtmlText),
     unary("graft_minhash_agg", (c: Expression) => MinHashAgg(c)),
+    gramHashesFn,
     bottomKFn)
+
+  private lazy val gramHashesFn
+    : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, null, "graft_gram_hashes"),
+      { case Seq(t, k) => GramHashes(t, k)
+        case other => throw new IllegalArgumentException(
+          s"graft_gram_hashes expects 2 arguments, got ${other.size}") })
 
   private lazy val bottomKFn
     : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =

@@ -83,6 +83,37 @@ case class ShingleHashes(child: Expression) extends NullableArraySketch {
     copy(child = newChild)
 }
 
+/** Ordered k-token word-gram 60-bit hashes (array index = start token;
+  * duplicates kept; null under k tokens) — q180's span grams in one
+  * kernel pass (round 21), replacing the per-position sequence-explode +
+  * slice + array_join + md5 expression tree. `k` must fold to an int. */
+case class GramHashes(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, int literal), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gram_hashes"
+  override protected def nullSafeEval(text: Any, k: Any): Any =
+    Sketches.gramHashes(text.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k) => {
+      s"""
+         |${ev.value} = graft.functions.Sketches.gramHashes($t, $k);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GramHashes =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Strided rolling-window 60-bit span hashes over lower(text) (q102). */
 case class SpanHashes(child: Expression) extends NullableArraySketch {
   protected def expectedInput: DataType = StringType

@@ -100,6 +100,44 @@ object Sketches {
 
   /** 60-bit hash of the word-3-gram starting at token i (bytes of
     * `concat_ws(" ", w(i), w(i+1), w(i+2))`). */
+  /** 60-bit hash of the k-token gram at position i: the tokens joined
+    * with single spaces, md5-prefixed — the generalized [[shingleHash]]
+    * (round 21, backs q180's word-8-gram explode). Bit-compatible with
+    * `conv(substr(md5(array_join(slice(ws, i+1, k), ' ')), 1, 15), 16,
+    * 10)::BIGINT` (SketchParitySpec). */
+  private def gramHash(ws: Array[UTF8String], i: Int, k: Int): Long = {
+    var len = k - 1 // single-space separators
+    var j = i
+    while (j < i + k) { len += ws(j).getBytes.length; j += 1 }
+    val out = new Array[Byte](len)
+    var off = 0
+    j = i
+    while (j < i + k) {
+      val b = ws(j).getBytes
+      System.arraycopy(b, 0, out, off, b.length)
+      off += b.length
+      if (j < i + k - 1) { out(off) = ' '; off += 1 }
+      j += 1
+    }
+    md5Prefix60(out)
+  }
+
+  /** Ordered 60-bit hashes of ALL k-token grams (index j = gram starting
+    * at token j; duplicates kept), or null when the text has fewer than
+    * k tokens — one pass replacing q180's per-position
+    * sequence-explode + slice + array_join + md5 expression tree. */
+  def gramHashes(text: UTF8String, k: Int): ArrayData = {
+    val ws = tokens(text)
+    if (ws.length < k) return null
+    val out = new Array[Long](ws.length - (k - 1))
+    var i = 0
+    while (i <= ws.length - k) {
+      out(i) = gramHash(ws, i, k)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def shingleHash(ws: Array[UTF8String], i: Int): Long = {
     val a = ws(i).getBytes; val b = ws(i + 1).getBytes; val c = ws(i + 2).getBytes
     val out = new Array[Byte](a.length + b.length + c.length + 2)

@@ -2528,14 +2528,19 @@ object Analytics {
         |ORDER BY selfd.label""".stripMargin) { (s, dir) =>
       val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
       // Normalize scan-locally; v feeds the self-dot rollup AND the
-      // per-dimension sums: persist (one corpus scan).
+      // per-dimension sums: persist (one corpus scan). Round 21: the
+      // norm is hoisted OUT of the per-element transform lambda — the
+      // old form re-evaluated sqrt(Σx²) for every element (64 interpreted
+      // 64-element folds per row, ~41M lambda calls on the sf0.1 corpus);
+      // hoisting divides every element by the IDENTICAL double, so u is
+      // bit-identical and the oracle pairing is unchanged.
       val v = T(s, dir, "embeddings")
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast(DoubleType)).as("vd"))
+        .withColumn("nrm", sqrt(fold(zip_with(col("vd"), col("vd"), (a, b) => a * b))))
         .select(col("vec_id"), col("label"),
-          transform(col("vd"),
-            x => x / sqrt(fold(zip_with(col("vd"), col("vd"), (a, b) => a * b)))).as("u"))
+          transform(col("vd"), x => x / col("nrm")).as("u"))
         .persist()
       val selfd = v.groupBy(col("label"))
         .agg(count(lit(1)).as("n"),

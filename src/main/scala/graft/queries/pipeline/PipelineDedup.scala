@@ -377,21 +377,22 @@ object PipelineDedup {
     // coverage distinct and reassembly are doc-keyed; nothing is ever
     // all-pairs. ----
     QueryDef("q180_substring_dedup", substringDedupOracle) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val d = T(s, dir, "documents")
         .filter(col("text").isNotNull)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .select(col("doc_id"), col("text"), split(lower(col("text")), " ").as("ws"))
         .persist() // feeds gram explode + word spine + output spine
-      // Docs shorter than SpanK words have no grams in either engine
-      // (DuckDB's generate_series(1, n-7) is empty at n < 8; Spark's
-      // sequence would count DOWN — the filter keeps parity).
+      // Round 21 (guide §4.1): the word-8-gram hashes come from the
+      // one-pass graft_gram_hashes kernel (bit-compatible with the
+      // sequence-explode + slice + array_join + md5 tree it replaces —
+      // SketchParitySpec pins it), shedding the per-position slice/join
+      // string allocations and the hex round-trip. Null for docs under
+      // SpanK words — exactly the rows the old size(ws) >= SpanK filter
+      // kept out (DuckDB's generate_series(1, n-7) is empty at n < 8).
       val occ = d
-        .filter(size(col("ws")) >= SpanK)
-        .select(col("doc_id"), col("ws"),
-          explode(sequence(lit(1), size(col("ws")) - (SpanK - 1))).as("pos"))
-        .select(col("doc_id"), col("pos"),
-          conv(substring(
-              md5(array_join(slice(col("ws"), col("pos"), lit(SpanK)), " ")),
-              1, 15), 16, 10).cast(LongType).as("h"))
+        .select(col("doc_id"),
+          posexplode(expr(s"graft_gram_hashes(text, $SpanK)")).as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
         .persist() // feeds the dup groupBy AND the join back (q85 rule)
       val dup = occ.groupBy(col("h"))
         .agg(count(lit(1)).as("c"),

@@ -114,6 +114,78 @@ class SketchParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(newWay === oldWay)
   }
 
+  test("graft_gram_hashes(text, 8) equals the sequence-explode + slice + array_join + md5 tree (positional)") {
+    val K = 8
+    val oldWay = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= K)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ws")) - (K - 1))).as("pos"), col("ws"))
+      .select(col("doc_id"), col("pos").cast(LongType),
+        conv(substring(md5(array_join(slice(col("ws"), col("pos"), lit(K)), " ")),
+          1, 15), 16, 10).cast(LongType).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val newWay = docs
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_gram_hashes(text, $K)")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType), col("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(newWay === oldWay)
+  }
+
+  test("graft_dist2 equals the aggregate(zip_with(...)) squared-L2 fold bit-for-bit") {
+    val dbl = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => x.cast(DoubleType))
+    val pairs = emb.select(col("vec_id"), dbl(col("embedding")).as("a"))
+      .crossJoin(emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("w"), dbl(col("embedding")).as("b")))
+    val both = pairs.select(col("vec_id"), col("w"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t).as("fold"),
+        expr("graft_dist2(a, b)").as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+        s"dist2 drift at (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // edge cases: empty arrays fold to the 0.0 init; length mismatch
+    // zips a null in -> null; a null element null-propagates
+    val edge = spark.sql(
+      """SELECT graft_dist2(CAST(array() AS array<double>),
+        |                   CAST(array() AS array<double>)) AS e,
+        |  graft_dist2(array(1.0d), array(1.0d, 2.0d)) AS m,
+        |  graft_dist2(array(1.0d, NULL), array(1.0d, 2.0d)) AS nn""".stripMargin)
+      .collect()(0)
+    assert(edge.getDouble(0) === 0.0)
+    assert(edge.isNullAt(1) && edge.isNullAt(2))
+  }
+
+  test("cosine_similarity over array<double> equals the fold form with precomputed norms bit-for-bit") {
+    val dbl = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => x.cast(DoubleType))
+    val fold = (c: org.apache.spark.sql.Column) =>
+      aggregate(c, lit(0.0), (acc: org.apache.spark.sql.Column,
+        x: org.apache.spark.sql.Column) => acc + x)
+    val v = emb.select(col("vec_id"), dbl(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(fold(zip_with(col("v"), col("v"), (x, y) => x * y))))
+    val q = v.filter(col("vec_id") === 1)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val both = v.crossJoin(q)
+      .select(col("vec_id"),
+        (fold(zip_with(col("v"), col("qv"), (x, y) => x * y)) /
+          (col("nrm") * col("qn"))).as("foldcos"),
+        expr("cosine_similarity(v, qv)").as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"cosine drift at vec ${r.getLong(0)}")
+    }
+  }
+
   test("graft_line_hashes equals the explode + slice + md5 segment formulation (incl. partial tails)") {
     val W = Sketches.LINE_WORDS
     val oldWay = docs
