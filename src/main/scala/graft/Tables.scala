@@ -52,6 +52,61 @@ object Tables {
     } else df
   }
 
+  /** Total shuffle bytes above which [[loadSpread]] degrades to a plain
+    * [[load]]: a production input is many multi-row-group files whose
+    * natural scan parallelism already exceeds any core count, and
+    * re-spreading it would shuffle the whole corpus — the gate keeps the
+    * spread strictly a small-input fix. 256 MB ~ 2 default row groups:
+    * any input bigger than that splits on its own. */
+  private val SpreadMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_SPREAD_MAX_BYTES").map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
+
+  /** [[load]] plus a scan-parallelism floor for CPU-heavy consumers
+    * (round 21, optimization guide §2/§6). The driver fixtures are
+    * single-file SINGLE-ROW-GROUP parquet, and parquet cannot split a
+    * row group, so every scan is one task no matter what
+    * `files.maxPartitionBytes` / `minPartitionNum` say — all scan-local
+    * kernel work (trigram/gram hashing, normalization, regex) and every
+    * cache fill built on the scan serializes on one core of the
+    * `local[$SPARK_GRAFT_CPUS]` box. Callers whose dominant cost is
+    * per-row compute over the scan use this loader: when (and only
+    * when) the input file is small enough that redistributing it is
+    * noise ([[SpreadMaxBytes]]), rows are round-robin re-spread to the
+    * session's default parallelism — derived from the session, never a
+    * constant — so kernels and downstream caches parallelize. Above the
+    * gate the input's own file/row-group parallelism wins and this is
+    * exactly [[load]]: no corpus-sized shuffle exists at any real
+    * scale. Round-robin is retry-safe (Spark sorts before round-robin
+    * repartition — SPARK-23207); results stay partition-invariant by
+    * the repo's standing CPUS=2-vs-16 sweep. */
+  /** Per-table spread keys: the primary key hashes evenly and is
+    * deterministic under task retry (guide §2.5 — never rand-derived).
+    * Hash beats round-robin here because round-robin pays a full local
+    * sort of the (single) input partition first (SPARK-23207). */
+  private val spreadKeys: Map[String, Seq[String]] = Map(
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "events" -> Seq("user_id", "ts"),
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "customer" -> Seq("c_custkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"))
+
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val df = load(spark, dir, name)
+    val f = new java.io.File(s"$dir/$name.parquet")
+    if (f.isFile && f.length() > 0 && f.length() <= SpreadMaxBytes)
+      spreadKeys.get(name) match {
+        case Some(ks) => df.repartition(
+          spark.sparkContext.defaultParallelism, ks.map(col): _*)
+        case None => df.repartition(spark.sparkContext.defaultParallelism)
+      }
+    else df
+  }
+
   /** Register fixture tables as temp views so `spark.sql` queries
     * (grouping sets, correlated subqueries, …) resolve by name — the
     * Spark analog of the reference's `ctx.register_table`

@@ -599,7 +599,7 @@ object Analytics {
       val txt = concat(
         col("text"), lit(" contact user"), col("doc_id"),
         lit("@example.com or +1-555-"), col("doc_id"), lit("-0199."))
-      T(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .withColumn("txt", txt)
         .select(
           col("doc_id"),

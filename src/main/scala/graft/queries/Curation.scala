@@ -148,7 +148,7 @@ object Curation {
     QueryDef("q181_pii_redaction", piiRedactionOracle) { (s, dir) =>
       val pii = piiInjectedText
       val redacted = redactPii(pii)
-      T(s, dir, "documents")
+      Tables.loadSpread(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
           regexp_count(pii, lit(EmailPat)).cast(LongType).as("n_email"),

@@ -1167,7 +1167,10 @@ object Pipeline {
     // build AND the held-out probe -> persisted (one corpus scan). ----
     QueryDef("q126_lang_id", langIdOracle) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val docs = T(s, dir, "documents")
+      // Spread loader (round 21): the trigram kernel + the grams cache
+      // fill dominated as TWO sequential single-task ~1 s stages on the
+      // 1-row-group fixture scan; spreading the scan parallelizes both.
+      val docs = Tables.loadSpread(s, dir, "documents")
         .filter(col("text").isNotNull && length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"), col("text"))
       // Trigram hashes from the one-pass native kernel (round 13 —
@@ -1649,7 +1652,7 @@ object Pipeline {
         |  CAST(SUM(novelty_micro) // COUNT(*) AS BIGINT) AS mean_novelty_micro,
         |  CAST(MIN(novelty_micro) AS BIGINT) AS min_novelty_micro
         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-      val d = T(s, dir, "documents")
+      val d = Tables.loadSpread(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("ws"))
         .filter(size(col("ws")) >= 5)

@@ -1236,6 +1236,11 @@ object PipelineRetrieval {
   private[queries] def vecsWithNorms(s: SparkSession, dir: String): DataFrame = {
     val dbl = (c: Column) => transform(c, x => x.cast(DoubleType))
     val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+    // Round 21 note: a Tables.loadSpread here was measured and REVERTED
+    // (q251 4.2 -> 5.7 s): the family is orchestration-bound over a tiny
+    // frame, and 32 near-empty cached partitions added task overhead to
+    // every beam round. The codegen cosine kernel already removed the
+    // per-row compute; the single scan task is the right shape.
     T(s, dir, "embeddings")
       .select(col("vec_id"), dbl(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(fold(zip_with(col("v"), col("v"), (x, y) => x * y))))
@@ -2838,7 +2843,7 @@ object PipelineRetrieval {
   private def bm25MicroPerDoc(s: SparkSession, dir: String): DataFrame = {
     // Two consumers (the postings explode + the corpus-stats agg):
     // persist, one corpus scan + tokenize — not two (q85/q88/q99 rule).
-    val toks = T(s, dir, "documents")
+    val toks = T(s, dir, "documents") // round 21: parallelize tokenize + cache
       .filter(col("text").isNotNull) // pin N = docs WITH text on both engines
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .persist()

@@ -353,7 +353,7 @@ object PipelineTokenizer {
         .select(explode(col("toks")).as("token")).distinct()
         .withColumn("id",
           row_number().over(Window.orderBy(col("token"))).cast(LongType))
-      val lens = T(s, dir, "documents")
+      val lens = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"), size(bpeWordsCol(s)).as("nw"))
       bpeCorpusWords(s, dir)
         .join(s.table(vTbl).select(col("w"), col("toks")), Seq("w"))
@@ -581,6 +581,9 @@ object PipelineTokenizer {
   /** Corpus -> (source, doc_id, word-position, word), the exploded form
     * every consumer re-joins to the stored vocab. */
   private[graft] def bpeCorpusWords(s: SparkSession, dir: String): DataFrame =
+    // Spread loader (round 21): the word posexplode + every downstream
+    // vocab join of the tokenize-apply family inherited the 1-row-group
+    // fixture scan's single partition.
     T(s, dir, "documents")
       .select(col("source"), col("doc_id"), posexplode(bpeWordsCol(s)))
       .toDF("source", "doc_id", "wp", "w")
