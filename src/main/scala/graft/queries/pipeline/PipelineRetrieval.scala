@@ -1427,9 +1427,17 @@ object PipelineRetrieval {
     def picksOf(b: DataFrame): DataFrame =
       cut(b, ANN_RECALL_K).select(col("qid"), col("w").as("vec_id"))
     for (j <- 1 to roundsWanted.max) {
-      // Re-scored beam rows produce identical (qid, w, cos_r) rows —
-      // distinct is the merge (the q239 rule).
-      beamDf = cut(score(expandThrough(beamDf, graph)).union(beamDf).distinct(),
+      // Re-scored beam rows produce identical (qid, w, cos_r) rows, so
+      // the merge is a (qid, w) dedup; cos_r is a deterministic function
+      // of (qid, w), so max() keeps the identical value (the q239 rule).
+      // Round 21 (guide §2.4): ONE exchange per round instead of two —
+      // repartitioning by qid up front satisfies BOTH the dedup's
+      // ClusteredDistribution(qid, w) AND the beam cut's window
+      // partitionBy(qid), where the old distinct() hashed on all three
+      // columns and the window then re-shuffled on qid.
+      beamDf = cut(score(expandThrough(beamDf, graph)).union(beamDf)
+          .repartition(col("qid"))
+          .groupBy(col("qid"), col("w")).agg(max(col("cos_r")).as("cos_r")),
         beam).localCheckpoint()
       if (roundsWanted.contains(j)) out += j -> picksOf(beamDf)
     }
@@ -1515,10 +1523,33 @@ object PipelineRetrieval {
     // a prefix of a deeper one — serveBeamPicksAt): the q260 rounds
     // curve costs one rounds-3 walk, not three walks.
     val entries = serveEntryPanel(vecs)
-    val rows = curve.groupBy(_._1).toSeq.flatMap { case (b, cfgs) =>
+    // Round 21 (guide §2.6): distinct beam widths are INDEPENDENT walks
+    // (each is a deterministic function of (vecs, queries, entries,
+    // graph, b)), but each walk is a chain of tiny sequential rounds —
+    // driver-latency-bound, the executors near-idle. Submitting the
+    // walks from concurrent driver threads overlaps those chains; each
+    // walk's internal rounds stay sequential, and the final
+    // orderBy(beam, rounds) fixes output order regardless of completion
+    // order. The shared cached inputs (vecs, queries) are materialized
+    // ONCE up front so concurrent first-use cannot duplicate the fill.
+    val groups = curve.groupBy(_._1).toSeq.sortBy(_._1)
+    val rows = if (groups.size <= 1) groups.flatMap { case (b, cfgs) =>
       val rs = cfgs.map(_._2)
       val picksAt = serveBeamPicksAt(vecs, queries, entries, graph, b, rs)
       rs.map(r => serveSummaryOf(nq, truth, picksAt(r), b, r))
+    } else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      vecs.count(); queries.count() // fill both caches before forking
+      val walks = groups.map { case (b, cfgs) =>
+        val rs = cfgs.map(_._2)
+        (b, rs, Future(serveBeamPicksAt(vecs, queries, entries, graph, b, rs)))
+      }
+      walks.flatMap { case (b, rs, f) =>
+        val picksAt = Await.result(f, Duration.Inf)
+        rs.map(r => serveSummaryOf(nq, truth, picksAt(r), b, r))
+      }
     }
     rows.reduce(_ unionByName _).orderBy(col("beam"), col("rounds"))
   }
