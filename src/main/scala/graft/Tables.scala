@@ -89,7 +89,11 @@ object Tables {
     "embeddings" -> Seq("vec_id"),
     "events" -> Seq("user_id", "ts"),
     "orders" -> Seq("o_orderkey"),
-    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    // lineitem spreads on l_orderkey ALONE: the common join key, so an
+    // order-key equi-join can reuse the spread exchange outright
+    // (HashPartitioning(l_orderkey) satisfies the join's distribution;
+    // adding l_linenumber would force a second shuffle).
+    "lineitem" -> Seq("l_orderkey"),
     "customer" -> Seq("c_custkey"),
     "part" -> Seq("p_partkey"),
     "supplier" -> Seq("s_suppkey"))

@@ -127,7 +127,8 @@ object Relational {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name, n.n_name
         |ORDER BY r.r_name, n.n_name""".stripMargin) { (s, dir) =>
-      val l = T(s, dir, "lineitem"); val o = T(s, dir, "orders"); val c = T(s, dir, "customer")
+      val l = Tables.loadSpread(s, dir, "lineitem")
+      val o = T(s, dir, "orders"); val c = T(s, dir, "customer")
       val n = T(s, dir, "nation"); val r = T(s, dir, "region")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
