@@ -98,11 +98,27 @@ object Tables {
     "part" -> Seq("p_partkey"),
     "supplier" -> Seq("s_suppkey"))
 
+  /** Total bytes of data files under `f` (a single parquet file OR a
+    * Spark-written directory of part files). The round-21 gate tested
+    * `f.isFile` only, so a directory-shaped input of the same data was
+    * never spread and its plan diverged from the single-file fixture's
+    * (the 4 red ScaleStressSpec plan pins, VERDICT r21 item 1) — the
+    * gate must see the same total bytes for both shapes. */
+  private def leafBytes(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else if (f.isDirectory)
+      f.listFiles() match {
+        case null => 0L
+        case kids => kids.filter(k => !k.getName.startsWith(".") &&
+          !k.getName.startsWith("_")).map(leafBytes).sum
+      }
+    else 0L
+
   def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val df = load(spark, dir, name)
-    val f = new java.io.File(s"$dir/$name.parquet")
-    if (f.isFile && f.length() > 0 && f.length() <= SpreadMaxBytes)
+    val bytes = leafBytes(new java.io.File(s"$dir/$name.parquet"))
+    if (bytes > 0 && bytes <= SpreadMaxBytes)
       spreadKeys.get(name) match {
         case Some(ks) => df.repartition(
           spark.sparkContext.defaultParallelism, ks.map(col): _*)

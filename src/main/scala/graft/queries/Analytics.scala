@@ -843,17 +843,15 @@ object Analytics {
       val quant = (c: Column, sc: Column) =>
         transform(c, x => round(x.cast(DoubleType) / sc).cast(LongType))
       val fold = (c: Column) => aggregate(c, lit(0L), (acc, x) => acc + x)
-      // Round 21 (the q146 hoist): scaleOf is a 64-element fold — passed
-      // inline it re-ran inside quant's per-element lambda (64x64
-      // interpreted evals per row per side). Hoisted to a column, each
-      // element divides by the IDENTICAL double, so codes (and the
-      // oracle pairing) are bit-identical.
+      // Round 22: the round-21 scale hoist (sa/sb materialized via
+      // withColumn through the cross-join) measured ~17% SLOWER in both
+      // the builder's and the driver's bench and was reverted — the
+      // inline form below is the measured-faster original (codes are
+      // bit-identical either way; oracle pairing unchanged).
       e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-        .withColumn("sa", scaleOf(col("embedding")))
-        .withColumn("sb", scaleOf(col("qe")))
         .select(col("vec_id"), col("label"),
-          quant(col("embedding"), col("sa")).as("ea"),
-          quant(col("qe"), col("sb")).as("qa"))
+          quant(col("embedding"), scaleOf(col("embedding"))).as("ea"),
+          quant(col("qe"), scaleOf(col("qe"))).as("qa"))
         .select(col("vec_id"), col("label"),
           fold(zip_with(col("ea"), col("qa"), (x, y) => x * y)).as("dot"),
           fold(zip_with(col("ea"), col("ea"), (x, y) => x * y)).as("na"),

@@ -581,9 +581,6 @@ object PipelineTokenizer {
   /** Corpus -> (source, doc_id, word-position, word), the exploded form
     * every consumer re-joins to the stored vocab. */
   private[graft] def bpeCorpusWords(s: SparkSession, dir: String): DataFrame =
-    // Spread loader (round 21): the word posexplode + every downstream
-    // vocab join of the tokenize-apply family inherited the 1-row-group
-    // fixture scan's single partition.
     T(s, dir, "documents")
       .select(col("source"), col("doc_id"), posexplode(bpeWordsCol(s)))
       .toDF("source", "doc_id", "wp", "w")
