@@ -1670,14 +1670,19 @@ object Analytics {
         .select(col("vec_id"), col("label"), col("ms.m").as("m"), col("ms.sub").as("sub"))
       val cb = subv(T(s, dir, "embeddings").filter(col("vec_id").between(1, PQ_K)))
         .select(col("m"), col("vec_id").as("c"), col("sub").as("csub"))
-      val wEnc = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("c"))
+      // Round 22 (guide §2.3/§2.4): argmin as a min_by aggregate — the
+      // map-side partials collapse each (vector, m)'s PQ_K scored rows
+      // before the exchange (PQ_M rows per vector instead of
+      // PQ_M x PQ_K) and the per-key sort disappears. min_by on
+      // struct(d, c) picks the IDENTICAL row as row_number over
+      // (d ASC, c ASC): lexicographic struct order, c unique per group.
       val codes = subv(T(s, dir, "embeddings").filter(col("vec_id") =!= 0))
         .join(broadcast(cb), "m")
         .select(col("vec_id"), col("label"), col("m"), col("c"),
           Kmeans.dist2(col("sub"), col("csub")).as("d"))
-        .withColumn("rn", row_number().over(wEnc))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("m"), col("c").as("code"))
+        .groupBy(col("vec_id"), col("label"), col("m"))
+        .agg(min_by(col("c"), struct(col("d"), col("c"))).as("code"))
+        .select(col("vec_id"), col("label"), col("m"), col("code"))
       val lut = subv(T(s, dir, "embeddings").filter(col("vec_id") === 0))
         .join(broadcast(cb), "m")
         .select(col("m"), col("c"), Kmeans.dist2(col("sub"), col("csub")).as("ld"))

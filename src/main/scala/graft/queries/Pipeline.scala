@@ -117,13 +117,17 @@ object Pipeline {
         |  FROM events) t
         |WHERE rn = 1
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("user_id"), col("event_type"), col("value"))
-        .orderBy(col("event_id"))
+      // Round 22 (guide §2.3): the representative pick is min(event_id)
+      // per key group and every other output column IS the group key —
+      // a plain aggregate with map-side partials, so each map task
+      // ships one row per local key group and the per-key sort the
+      // row_number window paid disappears. Row-identical to the
+      // ROW_NUMBER()=1 pick (min event_id is rank 1 under ORDER BY
+      // event_id; event_id is unique).
       T(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"), col("value"))
+        .agg(min(col("event_id")).as("event_id"))
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn")
         .orderBy(col("event_id"))
     },
 

@@ -225,14 +225,20 @@ object PipelineRetrieval {
       val emb = T(s, dir, "embeddings")
       val cent = emb.filter(col("vec_id").between(1, NCELLS))
         .select(col("vec_id").as("c"), col("embedding").as("ce"))
-      val wArg = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c"))
+      // Round 22 (guide §2.3/§2.4): the argmax-cosine pick is a max_by
+      // aggregate, not a row_number window — the partial aggregation
+      // collapses each vector's NCELLS scored rows map-side, so the
+      // exchange ships one row per vector instead of NCELLS and the
+      // per-key sort disappears. max_by on struct(cos_c, -c) picks the
+      // IDENTICAL row as row_number over (cos_c DESC, c ASC): the
+      // struct orders by cos_c first, then -c (max of -c = min of c,
+      // the same tie-break), and (cos_c, c) is unique per vector.
       val cells = emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(cent))
         .select(col("vec_id"), col("c"),
           round(expr("cosine_similarity(embedding, ce)"), 6).as("cos_c"))
-        .withColumn("rk", row_number().over(wArg))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("c").as("cell"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c"), struct(col("cos_c"), -col("c"))).as("cell"))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       val probe = cent.crossJoin(broadcast(q))
         .select(col("c"), round(expr("cosine_similarity(ce, qe)"), 6).as("cos_q"))
@@ -680,14 +686,14 @@ object PipelineRetrieval {
       // coarse routing — q55's cells, verbatim
       val cent = emb.filter(col("vec_id").between(1, NCELLS))
         .select(col("vec_id").as("c"), col("embedding").as("ce"))
-      val wArg = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c"))
+      // argmax pick as a max_by aggregate (round 22) — identical row to
+      // the row_number window over (cos_c DESC, c ASC); see q55.
       val cells = emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(cent))
         .select(col("vec_id"), col("c"),
           round(expr("cosine_similarity(embedding, ce)"), 6).as("cos_c"))
-        .withColumn("rk", row_number().over(wArg))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("c").as("cell"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c"), struct(col("cos_c"), -col("c"))).as("cell"))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       val probe = cent.crossJoin(broadcast(q))
         .select(col("c"), round(expr("cosine_similarity(ce, qe)"), 6).as("cos_q"))
@@ -707,14 +713,16 @@ object PipelineRetrieval {
         .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
       val cb = subv(emb.filter(col("vec_id").between(1, pqK)))
         .select(col("m"), col("vec_id").as("c"), col("sub").as("csub"))
-      val wEnc = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("c"))
+      // argmin pick as a min_by aggregate (round 22): the partial agg
+      // collapses each (vector, m)'s PQ_K scored rows map-side — the
+      // exchange ships PQ_M rows per vector instead of PQ_M x PQ_K.
+      // min_by on struct(d, c) == row_number over (d ASC, c ASC).
       val codes = subv(emb.join(cand, "vec_id"))
         .join(broadcast(cb), "m")
         .select(col("vec_id"), col("m"), col("c"),
           Analytics.Kmeans.dist2(col("sub"), col("csub")).as("d"))
-        .withColumn("rn", row_number().over(wEnc))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("c").as("code"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("c"), struct(col("d"), col("c"))).as("code"))
       val lut = subv(emb.filter(col("vec_id") === 0))
         .join(broadcast(cb), "m")
         .select(col("m"), col("c"),
@@ -734,6 +742,12 @@ object PipelineRetrieval {
         .select(col("vec_id")).persist()
       def hitsOf(leg: DataFrame, n: String): DataFrame =
         exact.join(leg, "vec_id").agg(count(lit(1)).as(n))
+      // Round 22 (guide §2.6): the four persisted legs are independent
+      // driver-latency-bound chains — materialize them concurrently
+      // (cand first: the ivfpq encode reads its cache), then assemble
+      // the accounting row from the filled caches.
+      QueryDef.overlapLegs(cand, exact, ivf, pq)
+      QueryDef.overlapLegs(ivfpq)
       cand.agg(count(lit(1)).as("n_cand"))
         .crossJoin(hitsOf(ivfpq, "hits_ivfpq"))
         .crossJoin(hitsOf(ivf, "hits_ivf"))
@@ -886,15 +900,33 @@ object PipelineRetrieval {
     // exchange on the stored side); encode cost lives at build/ingest
     // time, never per query. ----
     QueryDef("q255_ivfpq_stored_serve", ivfpqStoredOracle) { (s, dir) =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
       val (cand, top) = ivfpqServeLegs(s, dir, SketchStore.ivfpqCodes(s, dir))
       val exact = Registry.byName("q42_topk_cosine").build(s, dir)
         .orderBy(col("cos_r").desc, col("vec_id")).limit(ANN_RECALL_K)
         .select(col("vec_id")).persist()
+      // Round 22 (guide §2.6): the exact leg is shared with q249's
+      // internal grading — materialize it before forking so the two
+      // chains cannot race its cache fill; then run the (long,
+      // orchestration-bound) q249 comparison row concurrently with the
+      // stored-serve legs. Values are unchanged — only WHEN each leg
+      // materializes moves.
+      QueryDef.overlapLegs(exact)
       // the comparison row: q249's composed/IVF/PQ legs, invoked verbatim
-      val plain = Registry.byName("q249_ivfpq_ann").build(s, dir)
-        .select(col("hits_ivfpq"), col("hits_ivf"), col("hits_pq"))
-      cand.select(countDistinct(col("vec_id")).as("n_cand"))
-        .crossJoin(exact.join(top, "vec_id").agg(count(lit(1)).as("hits_stored")))
+      val plainF = Future {
+        val p = Registry.byName("q249_ivfpq_ann").build(s, dir)
+          .select(col("hits_ivfpq"), col("hits_ivf"), col("hits_pq")).persist()
+        p.count(); p
+      }
+      val nCand = cand.select(countDistinct(col("vec_id")).as("n_cand")).persist()
+      val hitsStored = exact.join(top, "vec_id")
+        .agg(count(lit(1)).as("hits_stored")).persist()
+      QueryDef.overlapLegs(nCand, hitsStored)
+      val plain = Await.result(plainF, Duration.Inf)
+      nCand
+        .crossJoin(hitsStored)
         .crossJoin(plain)
         .select(lit(ANN_RECALL_K.toLong).as("k"),
           lit(NPROBE.toLong).as("nprobe"),
@@ -997,14 +1029,13 @@ object PipelineRetrieval {
         .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
       val cbRaw = rawSubv(emb.filter(col("vec_id").between(1, pqK)))
         .select(col("m"), col("vec_id").as("k"), col("sub").as("csub"))
-      val wEnc = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("k"))
+      // argmin as a min_by aggregate (round 22) — see q249's codes.
       val rawCodes = rawSubv(emb.join(candIds.select(col("vec_id")).distinct(), "vec_id"))
         .join(broadcast(cbRaw), "m")
         .select(col("vec_id"), col("m"), col("k"),
           Analytics.Kmeans.dist2(col("sub"), col("csub")).as("d"))
-        .withColumn("rn", row_number().over(wEnc))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("k").as("code"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("k"), struct(col("d"), col("k"))).as("code"))
       val lutRaw = rawSubv(qs.select(col("u").as("vec_id"), col("qemb").as("embedding")))
         .join(broadcast(cbRaw), "m")
         .select(col("vec_id").as("u"), col("m"), col("k"),
@@ -1533,15 +1564,23 @@ object PipelineRetrieval {
     // order. The shared cached inputs (vecs, queries) are materialized
     // ONCE up front so concurrent first-use cannot duplicate the fill.
     val groups = curve.groupBy(_._1).toSeq.sortBy(_._1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // Round 22 (guide §2.6): the truth leg (one corpus x panel scoring
+    // pass, pure executor compute) is independent of every beam walk (a
+    // chain of tiny sequential rounds, driver-latency-bound with the
+    // executors near-idle) — materialize it concurrently so its compute
+    // fills the walk's idle capacity. Shared cached inputs (vecs,
+    // queries) are materialized BEFORE forking so concurrent first-use
+    // cannot duplicate the fill (the r21 q252 rule).
+    vecs.count(); queries.count()
+    val truthF = Future(truth.count())
     val rows = if (groups.size <= 1) groups.flatMap { case (b, cfgs) =>
       val rs = cfgs.map(_._2)
       val picksAt = serveBeamPicksAt(vecs, queries, entries, graph, b, rs)
       rs.map(r => serveSummaryOf(nq, truth, picksAt(r), b, r))
     } else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      vecs.count(); queries.count() // fill both caches before forking
       val walks = groups.map { case (b, cfgs) =>
         val rs = cfgs.map(_._2)
         (b, rs, Future(serveBeamPicksAt(vecs, queries, entries, graph, b, rs)))
@@ -1551,6 +1590,7 @@ object PipelineRetrieval {
         rs.map(r => serveSummaryOf(nq, truth, picksAt(r), b, r))
       }
     }
+    Await.result(truthF, Duration.Inf)
     rows.reduce(_ unionByName _).orderBy(col("beam"), col("rounds"))
   }
 
@@ -1739,15 +1779,18 @@ object PipelineRetrieval {
   /** q55's argmax-cosine cell assignment over an arbitrary (vec_id,
     * embedding) frame — the coarse-routing kernel, factored so the
     * full-corpus build and the at-ingest encode assign identically. */
-  private def assignCells(vs: DataFrame, cent: DataFrame): DataFrame = {
-    val wArg = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c"))
+  private def assignCells(vs: DataFrame, cent: DataFrame): DataFrame =
+    // Round 22: argmax as a max_by aggregate — map-side partials ship
+    // one row per vector instead of NCELLS (see q55); the embedding
+    // rides inside the picked struct (identical across a group's rows).
     vs.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("c"),
         round(expr("cosine_similarity(embedding, ce)"), 6).as("cos_c"))
-      .withColumn("rk", row_number().over(wArg))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("c").as("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c"), col("embedding")),
+        struct(col("cos_c"), -col("c"))).as("pick"))
+      .select(col("vec_id"), col("pick.embedding").as("embedding"),
+        col("pick.c").as("cell"))
 
   /** RESIDUAL subvectors (vec_id, cell, m, rsub) of an assigned frame:
     * rsub = slice(v, m) - slice(centroid(cell), m), all in double —
@@ -1793,14 +1836,15 @@ object PipelineRetrieval {
       .filter(col("vec_id").between(1, NCELLS))
       .select(col("vec_id").as("c"), col("embedding").as("ce"))
     val rcb = ivfpqResidualCodebook(s, dir)
-    val wEnc = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("d"), col("k"))
+    // Round 22: argmin as a min_by aggregate — PQ_M rows per vector
+    // cross the exchange instead of PQ_M x PQ_K (see q249's codes).
     residualSubv(assignCells(vs, cent), cent)
       .join(broadcast(rcb), "m")
       .select(col("vec_id"), col("cell"), col("m"), col("k"),
         Analytics.Kmeans.dist2(col("rsub"), col("rcsub")).as("d"))
-      .withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"), col("m"), col("k").as("code"))
+      .groupBy(col("vec_id"), col("cell"), col("m"))
+      .agg(min_by(col("k"), struct(col("d"), col("k"))).as("code"))
+      .select(col("vec_id"), col("cell"), col("m"), col("code"))
   }
 
   /** The full-corpus encode behind the stored SketchStore.ivfpqCodes
