@@ -1331,7 +1331,10 @@ object PipelineRetrieval {
     val wTop = Window.partitionBy(col("u"))
       .orderBy(col("cos_r").desc, col("vec_id"))
     // Native codegen cosine (round 21) — bit-identical to the fold form
-    // (see scorePairs); the truth leg is corpus x panel.
+    // (see scorePairs); the truth leg is corpus x panel. Round 22:
+    // persisted — the panel and its truth are a function of (dir) only,
+    // so consumers that grade twice (q250's pre/post-fold probes) pay
+    // the corpus x panel pass ONCE per run instead of once per probe.
     val truth = vecs.crossJoin(broadcast(qs.select(col("u"), col("qv"))))
       .filter(col("vec_id") =!= col("u"))
       .select(col("u"), col("vec_id"),
@@ -1339,6 +1342,7 @@ object PipelineRetrieval {
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= ANN_RECALL_K)
       .select(col("u"), col("vec_id"))
+      .persist()
     val picks = newEdges
       .join(broadcast(qs.select(col("u"))), Seq("u"))
       .select(col("u"), col("w").as("vec_id"), col("cos_r"))
@@ -1638,7 +1642,13 @@ object PipelineRetrieval {
       .filter(col("bw") =!= col("u"))
       .select(col("u"), col("bw").as("w"))
       .distinct()
-    c1.union(c2).distinct()
+    // Round 22 (guide §2.4): hash the union on u ALONE before the
+    // dedup — HashPartitioning(u) satisfies the dedup's
+    // ClusteredDistribution(u, w) AND the downstream top-G window's
+    // partitionBy(u) (and the scoring joins between them broadcast, so
+    // the partitioning survives): one exchange where distinct-on-(u,w)
+    // followed by the window paid two.
+    c1.union(c2).repartition(col("u")).distinct()
   }
 
   /** The pieces of the TOMBSTONE FOLD (round 20, VERDICT r19 #2) — the
