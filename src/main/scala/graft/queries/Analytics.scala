@@ -2050,7 +2050,11 @@ object Analytics {
         countDistinct(col(c)).as(s"nd_$c"),
         min(col(c)).cast(DoubleType).as(s"mn_$c"),
         max(col(c)).cast(DoubleType).as(s"mx_$c")))
-      T(s, dir, "lineitem").select(cols.map(col): _*)
+      // Spread loader (round 22, guide §2/§6): the Expand (5x rows) +
+      // the (values, gid)-keyed partial aggregation is the per-row-CPU-
+      // dense pass of this profile, and the single-row-group fixture
+      // scan serialized all of it on one core.
+      graft.Tables.loadSpread(s, dir, "lineitem").select(cols.map(col): _*)
         .agg(exprs.head, exprs.tail: _*)
         .selectExpr("n", s"""stack(${cols.length},
             ${cols.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")})

@@ -735,6 +735,10 @@ object PipelineTokenizer {
       .select(explode(col("toks")).as("token")).distinct()
       .withColumn("id",
         row_number().over(Window.orderBy(col("token"))).cast(LongType))
+    // (Round 22 note: a .persist() of this two-consumer stream was
+    // A/B-measured NEGATIVE (1.41 -> 1.56 s at sf0.1) and reverted —
+    // AQE's exchange reuse already dedups the doubly-planned subtree at
+    // runtime, so the cache fill was pure overhead.)
     val toks = bpeCorpusWords(s, dir)
       .join(s.table(vTbl).select(col("w"), col("toks")), Seq("w"))
       .select(col("source"), col("doc_id"), col("wp"), posexplode(col("toks")))
