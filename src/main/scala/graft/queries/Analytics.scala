@@ -2654,10 +2654,19 @@ object Analytics {
       // The corpus-sized fact join runs ONCE; the 1-row total broadcasts
       // back over the edge-sized pair list (q133/q142's audited shape).
       val tot = pairs.agg(count(lit(1)).as("np"), sum(col("w")).as("sw"))
+      // Round 22 (guide §3.3): localCheckpoint instead of persist — the
+      // triangle probe references the oriented edges 3x and each
+      // reference embedded the whole fact-join subtree, so Catalyst
+      // re-optimized a multi-thousand-node tree (~1.7 s of the entry's
+      // wall was driver planning, Probe-measured). Checkpointing pins
+      // the <= #nations^2-row frame and restarts the plan from a leaf.
+      // (Local-mode-friendly: at cluster scale an executor loss drops
+      // localCheckpoint blocks — swap for checkpoint() on a real
+      // cluster, or accept recompute-from-scratch on loss.)
       val edges = pairs.crossJoin(broadcast(tot))
         .filter(col("w") * col("np") > col("sw"))
         .select(col("u"), col("v"))
-        .persist()
+        .localCheckpoint()
       val deg = edges.select(col("u").as("node"))
         .unionByName(edges.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -2671,7 +2680,7 @@ object Analytics {
           col("v") === col("vn"))
         .select(when(lower, col("u")).otherwise(col("v")).as("src"),
           when(lower, col("v")).otherwise(col("u")).as("dst"))
-        .persist()
+        .localCheckpoint()
       val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
       val e2 = oriented.select(col("src").as("a2"), col("dst").as("c"))
       val e3 = oriented.select(col("src").as("b3"), col("dst").as("c3"))
