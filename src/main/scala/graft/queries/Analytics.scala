@@ -1914,12 +1914,16 @@ object Analytics {
       val edges = tradeNationPairs(s, dir)
         .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"),
           col("w"))
-        // The corpus-heavy fact join runs ONCE: the aggregated edge list
-        // (<= #nations^2 rows) is what the out-degree build and all three
-        // power-iteration rounds re-read.
-        .persist()
+      // The corpus-heavy fact join runs ONCE — eagerly, at the
+      // localCheckpoint below. Round 22 (guide §3.3): the three chained
+      // power-iteration rounds each embedded the fact-join subtree in
+      // the final plan (~6 copies), so Catalyst re-optimized a huge
+      // tree per run; checkpointing the <= #nations^2-row weighted edge
+      // frame restarts the plan from a leaf (the q153 rule; same
+      // cluster note — swap for checkpoint() off local mode).
       val withOut = edges
         .join(edges.groupBy(col("src")).agg(sum(col("w")).as("outw")), "src")
+        .localCheckpoint()
       val nodes = T(s, dir, "nation")
         .select(col("n_nationkey").cast(LongType).as("node"), col("n_name"))
       def step(pr: DataFrame): DataFrame = {

@@ -313,15 +313,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q124's segment frame feeds the doc-frequency build, the per-source
     // rollup, and the removal probe; q125's member frame feeds the
     // representative pick and the cluster rollup; q126's trigram frame
-    // feeds the profile build and the held-out probe; q128's aggregated
-    // edge list feeds the out-degree build and all three power-iteration
-    // rounds (the corpus-heavy fact join must run exactly once).
+    // feeds the profile build and the held-out probe. (q128 left this
+    // list in round 22: its weighted edge frame is now an EAGER
+    // localCheckpoint leaf — the fact join runs exactly once by
+    // construction, and the final plan no longer contains cache reads
+    // to count; its own pin below asserts the leaf.)
     for ((q, minScans) <- Seq("q85_cms_heavy_hitters" -> 3, "q88_cohort_retention" -> 2,
         "q115_leakage_safe_split" -> 2, "q117_source_overlap" -> 3,
         "q103_bigram_lm" -> 4, "q122_perplexity_buckets" -> 4,
         "q123_contamination_score" -> 3, "q124_boilerplate_profile" -> 3,
         "q125_canonical_keep" -> 2, "q126_lang_id" -> 2,
-        "q128_pagerank" -> 4,
         // q141's segment frame feeds the dictionary build and the
         // rewrite anti join; its base frame adds the n_segs re-attach.
         "q141_clean_text" -> 3,
@@ -360,6 +361,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // child plan, so "Scan parquet" lines appear once per cache READ
       // in the plan string even though the file is read only at fill.)
     }
+  }
+
+  test("q128: the weighted edge frame is a checkpointed leaf — the fact join ran once, eagerly") {
+    // Round 22: the three power-iteration rounds re-read a <=
+    // #nations^2-row localCheckpoint leaf; the corpus-heavy fact join
+    // must NOT appear in the returned plan (it already ran, exactly
+    // once, when the checkpoint materialized at build).
+    val plan = Registry.byName("q128_pagerank").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"),
+      s"q128: expected the checkpointed edge leaf in the plan:\n$plan")
+    assert(!plan.contains("lineitem"),
+      s"q128: fact join leaked back into the per-run plan:\n$plan")
   }
 
   test("q89: rank<=k filter becomes a WindowGroupLimit below the exchange (map-side k-row heaps)") {
