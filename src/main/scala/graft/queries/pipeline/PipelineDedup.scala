@@ -378,6 +378,10 @@ object PipelineDedup {
     // all-pairs. ----
     QueryDef("q180_substring_dedup", substringDedupOracle) { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
+      // (Round 22 note: a Tables.loadSpread here was A/B-measured
+      // NEGATIVE (1.71 -> 1.85 s at sf0.1) and reverted — the spread's
+      // full-text shuffle costs more than the serial cache fill it
+      // parallelizes on this gram-hash path.)
       val d = T(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"), col("text"), split(lower(col("text")), " ").as("ws"))
