@@ -219,6 +219,96 @@ case class Dist2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native dot product over two `array<double>` columns (round 22,
+  * guide §4.1 "reduce per-row work in the hot loop"). The scoring legs
+  * of the graph/serve family all read [[java.lang.Math]] pairs off
+  * frames that ALREADY carry each vector's precomputed norm
+  * (vecsWithNorms / the query panels), yet `cosine_similarity`
+  * recomputes Σx² and Σy² per pair — two of its three multiply-adds
+  * per element are redundant there. `graft_dot(a, b) / (na * nb)` is
+  * bit-identical to `cosine_similarity(a, b)` when na/nb are the
+  * precomputed `sqrt(Σx²)` values: the kernel's per-pair
+  * `sqrt(na_recomputed)` is the same left-to-right IEEE fold as the
+  * stored norm (the established q42/q53 shared-oracle argument), and
+  * the division's operand order is unchanged.
+  *
+  * Edge semantics mirror [[CosineSimilarity]] exactly so the quotient
+  * matches in every case: empty or length-mismatched inputs yield NaN
+  * (NaN / anything = NaN, as cosine's 0/0); a null element
+  * null-propagates. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  private def elementsNullable(dt: DataType): Boolean = dt match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      elementsNullable(left.dataType) || elementsNullable(right.dataType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements() || n == 0) Double.NaN
+    else {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        dot += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      dot
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nullElementCheck =
+        if (nullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements() || $n == 0) {
+         |  ${ev.value} = Double.NaN;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElementCheck
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = ${if (nullable) s"${ev.isNull} ? -1.0 : " else ""}$dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: as a session extension (`.withExtensions(GraftExtensions)`)
   * or imperatively on a live session. */
 object GraftFunctions {
@@ -243,6 +333,17 @@ object GraftFunctions {
     case Seq(a, b) => Dist2(a, b)
     case other => throw new IllegalArgumentException(
       s"graft_dist2 expects 2 arguments, got ${other.size}")
+  }
+
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProduct].getName, null, "graft_dot",
+    "_FUNC_(a, b) - dot product of two double vectors",
+    "", "", "", "", "", "", "built-in")
+
+  private[functions] val dotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProduct(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_dot expects 2 arguments, got ${other.size}")
   }
 
   private def unary(name: String, make: Expression => Expression)
@@ -291,6 +392,8 @@ object GraftFunctions {
       FunctionIdentifier("cosine_similarity"), cosineInfo, cosineBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dist2"), dist2Info, dist2Builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_dot"), dotInfo, dotBuilder)
     sketchFns.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
@@ -314,6 +417,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("graft_dist2"),
         new ExpressionInfo(classOf[Dist2].getName, null, "graft_dist2"),
         GraftFunctions.dist2Builder))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, null, "graft_dot"),
+        GraftFunctions.dotBuilder))
     GraftFunctions.injectables.foreach(ext.injectFunction)
   }
 }

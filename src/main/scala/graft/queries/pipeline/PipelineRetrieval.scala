@@ -1291,11 +1291,21 @@ object PipelineRetrieval {
     * oracle pairing and stored-artifact content is unchanged. */
   private def scorePairs(vecs: DataFrame)(cand: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
+    // Round 22 (guide §4.1): graft_dot / (nu * nw) with the frame's
+    // precomputed norms — cosine_similarity recomputed Σx² and Σy² per
+    // pair (2 of its 3 multiply-adds per element are redundant when
+    // both norms ride the join). Bit-identical: the kernel's per-pair
+    // sqrt(Σx²) IS the stored nrm (same left-to-right IEEE fold, the
+    // q42/q53 shared-oracle argument), and the division's operand
+    // order (left norm * right norm) is unchanged.
     cand
-      .join(vecs.select(col("vec_id").as("u"), col("v").as("vu")), "u")
-      .join(vecs.select(col("vec_id").as("w"), col("v").as("vw")), "w")
+      .join(vecs.select(col("vec_id").as("u"), col("v").as("vu"),
+        col("nrm").as("nu")), "u")
+      .join(vecs.select(col("vec_id").as("w"), col("v").as("vw"),
+        col("nrm").as("nw")), "w")
       .select(col("u"), col("w"),
-        round(call_function("cosine_similarity", col("vu"), col("vw")), 6).as("cos_r"))
+        round(call_function("graft_dot", col("vu"), col("vw"))
+          / (col("nu") * col("nw")), 6).as("cos_r"))
   }
 
   /** The per-node top-G degree cut (cos desc, neighbor-id ties). */
@@ -1330,15 +1340,17 @@ object PipelineRetrieval {
       .persist()
     val wTop = Window.partitionBy(col("u"))
       .orderBy(col("cos_r").desc, col("vec_id"))
-    // Native codegen cosine (round 21) — bit-identical to the fold form
-    // (see scorePairs); the truth leg is corpus x panel. Round 22:
-    // persisted — the panel and its truth are a function of (dir) only,
-    // so consumers that grade twice (q250's pre/post-fold probes) pay
-    // the corpus x panel pass ONCE per run instead of once per probe.
-    val truth = vecs.crossJoin(broadcast(qs.select(col("u"), col("qv"))))
+    // graft_dot with the precomputed norms (round 22) — bit-identical
+    // to the cosine kernel (see scorePairs); the truth leg is corpus x
+    // panel. Round 22: persisted — the panel and its truth are a
+    // function of (dir) only, so consumers that grade twice (q250's
+    // pre/post-fold probes) pay the corpus x panel pass ONCE per run
+    // instead of once per probe.
+    val truth = vecs.crossJoin(broadcast(qs.select(col("u"), col("qv"), col("qn"))))
       .filter(col("vec_id") =!= col("u"))
       .select(col("u"), col("vec_id"),
-        round(call_function("cosine_similarity", col("v"), col("qv")), 6).as("cos_r"))
+        round(call_function("graft_dot", col("v"), col("qv"))
+          / (col("nrm") * col("qn")), 6).as("cos_r"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= ANN_RECALL_K)
       .select(col("u"), col("vec_id"))
@@ -1445,14 +1457,17 @@ object PipelineRetrieval {
       graph: DataFrame, beam: Int,
       roundsWanted: Seq[Int]): Map[Int, DataFrame] = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
-    // Native codegen cosine (round 21) — bit-identical to the fold form
-    // it replaces (see scorePairs); the beam re-scores per round, so the
-    // interpreted lambda was paid rounds x beam x degree times per query.
+    // graft_dot with the precomputed norms (round 22) — bit-identical
+    // to the cosine kernel (see scorePairs); the beam re-scores per
+    // round, so the saved multiply-adds are paid rounds x beam x
+    // degree times per query.
     def score(cand: DataFrame): DataFrame = cand // (qid, w)
-      .join(vecs.select(col("vec_id").as("w"), col("v").as("vw")), "w")
+      .join(vecs.select(col("vec_id").as("w"), col("v").as("vw"),
+        col("nrm").as("nw")), "w")
       .join(broadcast(queries), "qid")
       .select(col("qid"), col("w"),
-        round(call_function("cosine_similarity", col("vw"), col("qv")), 6).as("cos_r"))
+        round(call_function("graft_dot", col("vw"), col("qv"))
+          / (col("nw") * col("qn")), 6).as("cos_r"))
     val wBeam = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("w"))
     def cut(df: DataFrame, k: Int): DataFrame =
       df.withColumn("rn", row_number().over(wBeam)).filter(col("rn") <= k).drop("rn")
@@ -1502,12 +1517,14 @@ object PipelineRetrieval {
   private def serveTruth(vecs: DataFrame, queries: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
-    // Native codegen cosine (round 21) — bit-identical to the fold form
-    // (see scorePairs); this corpus x panel leg was the widest
-    // interpreted-lambda stage of every serve entry.
+    // graft_dot with the precomputed norms (round 22) — bit-identical
+    // to the cosine kernel, 1/3 of its per-element multiply-adds (see
+    // scorePairs); this corpus x panel leg is the widest stage of
+    // every serve entry.
     vecs.crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"),
-        round(call_function("cosine_similarity", col("v"), col("qv")), 6).as("cos_r"))
+        round(call_function("graft_dot", col("v"), col("qv"))
+          / (col("nrm") * col("qn")), 6).as("cos_r"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= ANN_RECALL_K)
       .select(col("qid"), col("vec_id"))

@@ -41,6 +41,41 @@ class CosineSimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graft_dot / (nu * nw) is bit-identical to cosine_similarity with precomputed norms (round 22)") {
+    // The scoring-leg rewrite's exact claim: with nu/nw the stored
+    // sqrt(left-to-right Σx²) folds, dot/(nu*nw) reproduces the cosine
+    // kernel bit-for-bit — same accumulation order, same division
+    // operand order.
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((Seq.fill(64)(rnd.nextFloat() - 0.5f), Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val dbl = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast(DoubleType))
+    val fold = (c: org.apache.spark.sql.Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+    val both = makeDf(rows)
+      .select(dbl(col("a")).as("ad"), dbl(col("b")).as("bd"))
+      .withColumn("na", sqrt(fold(zip_with(col("ad"), col("ad"), (x, y) => x * y))))
+      .withColumn("nb", sqrt(fold(zip_with(col("bd"), col("bd"), (x, y) => x * y))))
+      .select(
+        expr("cosine_similarity(ad, bd)").as("cosk"),
+        (expr("graft_dot(ad, bd)") / (col("na") * col("nb"))).as("dotn"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // edge semantics mirror the cosine kernel: empty -> NaN, null
+    // element -> null, length mismatch -> NaN
+    import spark.implicits._
+    val edge = Seq(
+      (Seq.empty[Double], Seq.empty[Double]),
+      (Seq(1.0, 2.0), Seq(3.0))).toDF("x", "y")
+      .select(expr("graft_dot(x, y)").as("d")).collect()
+    assert(edge.forall(r => r.getDouble(0).isNaN))
+    val nullElem = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](2.0, 3.0)))
+      .toDF("x", "y").select(expr("graft_dot(x, y)").as("d")).collect()
+    assert(nullElem(0).isNullAt(0))
+  }
+
   test("interpreted eval agrees with codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
