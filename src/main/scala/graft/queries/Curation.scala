@@ -263,6 +263,12 @@ object Curation {
     // span index is #blocks-sized (~n/20 per doc); reassembly is the
     // irreducible doc-keyed groupBy; output rows = #docs. ----
     QueryDef("q184_span_corruption", spanCorruptionOracle) { (s, dir) =>
+      // (Round 22 note: a Tables.loadSpread here — parallelizing the
+      // token explode + block-md5 pipeline and clustering the caches on
+      // doc_id — was A/B-measured NEGATIVE twice (1.89/1.95 -> 2.89/2.20
+      // s subset): the doc_id-hash shuffle of the full text costs more
+      // than the serial cache fill it parallelizes, the q180 result.
+      // Reverted; not worth retrying at this SF.)
       val d = T(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))

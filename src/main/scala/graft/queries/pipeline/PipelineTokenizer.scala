@@ -731,10 +731,20 @@ object PipelineTokenizer {
     * stream the checksums pin). */
   private[graft] def bpeTokenStream(s: SparkSession, dir: String): DataFrame = {
     val (_, vTbl) = ensureBpeModel(s, dir)
+    // Round 22 (guide §2.4): the dense token-id assignment was
+    // distinct + a GLOBAL-window row_number — two exchanges plus a
+    // single-partition WindowExec sort (the two serial ~0.4-0.55 s
+    // 1-task stages in the q173 probe). One aggregate yields the
+    // identical dictionary: collect_set dedups map-side, sort_array
+    // sorts with the same binary UTF-8 ordering the window's
+    // orderBy(token) used, and posexplode's 0-based pos + 1 IS
+    // row_number over that order. Dictionary-sized at any corpus
+    // (chars ∪ merge products), so the one-row array is kilobytes.
     val ids = s.table(vTbl)
-      .select(explode(col("toks")).as("token")).distinct()
-      .withColumn("id",
-        row_number().over(Window.orderBy(col("token"))).cast(LongType))
+      .select(explode(col("toks")).as("token"))
+      .agg(sort_array(collect_set(col("token"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("p0", "token")))
+      .select(col("token"), (col("p0") + 1).cast(LongType).as("id"))
     // (Round 22 note: a .persist() of this two-consumer stream was
     // A/B-measured NEGATIVE (1.41 -> 1.56 s at sf0.1) and reverted —
     // AQE's exchange reuse already dedups the doubly-planned subtree at
