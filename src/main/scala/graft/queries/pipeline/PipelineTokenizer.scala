@@ -349,10 +349,8 @@ object PipelineTokenizer {
     // doc-keyed agg; output #docs rows. ----
     QueryDef("q205_sft_mask", sftMaskOracle) { (s, dir) =>
       val (_, vTbl) = ensureBpeModel(s, dir)
-      val ids = s.table(vTbl)
-        .select(explode(col("toks")).as("token")).distinct()
-        .withColumn("id",
-          row_number().over(Window.orderBy(col("token"))).cast(LongType))
+      // One-aggregate id dictionary (round 22) — see bpeTokenIds.
+      val ids = bpeTokenIds(s, vTbl)
       val lens = Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"), size(bpeWordsCol(s)).as("nw"))
       bpeCorpusWords(s, dir)
@@ -720,6 +718,24 @@ object PipelineTokenizer {
       (mTbl, vTbl)
     }
 
+  /** The dense token-id dictionary over the stored vocab's distinct
+    * subword tokens (binary UTF-8 order), shared by q173's packed
+    * stream and q205's mask builder. Round 22 (guide §2.4): this was
+    * distinct + a GLOBAL-window row_number — two exchanges plus a
+    * single-partition WindowExec sort (the two serial ~0.4-0.55 s
+    * 1-task stages in the q173 probe). One aggregate yields the
+    * identical dictionary: collect_set dedups map-side, sort_array
+    * sorts with the same binary UTF-8 ordering the window's
+    * orderBy(token) used, and posexplode's 0-based pos + 1 IS
+    * row_number over that order. Dictionary-sized at any corpus
+    * (chars ∪ merge products), so the one-row array is kilobytes. */
+  private def bpeTokenIds(s: SparkSession, vTbl: String): DataFrame =
+    s.table(vTbl)
+      .select(explode(col("toks")).as("token"))
+      .agg(sort_array(collect_set(col("token"))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("p0", "token")))
+      .select(col("token"), (col("p0") + 1).cast(LongType).as("id"))
+
   /** Shared by q151/q156/q162: per-doc subword token counts by PROBING
     * the stored vocab (no training in the consumer plan — the model is
     * read in place; StorageLayoutSpec asserts the plan shape). One
@@ -731,20 +747,7 @@ object PipelineTokenizer {
     * stream the checksums pin). */
   private[graft] def bpeTokenStream(s: SparkSession, dir: String): DataFrame = {
     val (_, vTbl) = ensureBpeModel(s, dir)
-    // Round 22 (guide §2.4): the dense token-id assignment was
-    // distinct + a GLOBAL-window row_number — two exchanges plus a
-    // single-partition WindowExec sort (the two serial ~0.4-0.55 s
-    // 1-task stages in the q173 probe). One aggregate yields the
-    // identical dictionary: collect_set dedups map-side, sort_array
-    // sorts with the same binary UTF-8 ordering the window's
-    // orderBy(token) used, and posexplode's 0-based pos + 1 IS
-    // row_number over that order. Dictionary-sized at any corpus
-    // (chars ∪ merge products), so the one-row array is kilobytes.
-    val ids = s.table(vTbl)
-      .select(explode(col("toks")).as("token"))
-      .agg(sort_array(collect_set(col("token"))).as("arr"))
-      .select(posexplode(col("arr")).as(Seq("p0", "token")))
-      .select(col("token"), (col("p0") + 1).cast(LongType).as("id"))
+    val ids = bpeTokenIds(s, vTbl)
     // (Round 22 note: a .persist() of this two-consumer stream was
     // A/B-measured NEGATIVE (1.41 -> 1.56 s at sf0.1) and reverted —
     // AQE's exchange reuse already dedups the doubly-planned subtree at
