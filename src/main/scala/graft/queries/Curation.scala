@@ -268,7 +268,12 @@ object Curation {
       // doc_id — was A/B-measured NEGATIVE twice (1.89/1.95 -> 2.89/2.20
       // s subset): the doc_id-hash shuffle of the full text costs more
       // than the serial cache fill it parallelizes, the q180 result.
-      // Reverted; not worth retrying at this SF.)
+      // Reverted; not worth retrying at this SF. A per-doc offset ARRAY
+      // (one md5 per block instead of per token, element_at in the
+      // explode) also measured neutral over 4 cycles AND is worse
+      // asymptotically — explode copies the #blocks-sized array per
+      // token row, O(tokens x blocks) per doc. Keep the per-token md5:
+      // scan-local and scale-safe.)
       val d = T(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))

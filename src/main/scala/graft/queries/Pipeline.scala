@@ -1863,6 +1863,13 @@ object Pipeline {
     * shard files). Returns (doc_id, t, n_tok, n_chr). */
   private[graft] def crawlKeptDocs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // (Round 22 note: the q200 probe shows the funnel's map stage —
+    // HTML kernel + PII regex chains + gate — as one 0.8 s task on the
+    // single-row-group scan, so a Tables.loadSpread here looked like
+    // the q66/q181 case; it A/B-measured NEGATIVE twice (q200 1.33 ->
+    // 1.68/1.78, q202 1.39/1.45 -> 1.76/1.61): the full-text shuffle
+    // plus the extra AQE stage round-trips cost more than the
+    // parallelized kernels save at this SF. Reverted; not retried.)
     val extracted = T(s, dir, "documents")
       .filter(col("text").isNotNull)
       .withColumn("html", expr(htmlCaseSql))

@@ -1569,6 +1569,13 @@ object PipelineRetrieval {
   private[queries] def serveSummaryOf(
       nq: DataFrame, truth: DataFrame, picks: DataFrame,
       beam: Int, rounds: Int): DataFrame = {
+    // (Round 22 note: a broadcast(picks) hint here and in the q244/q256
+    // hits joins — both sides are panel x K rows but carry corpus-sized
+    // estimates, so the initial plan shows a SortMergeJoin — was
+    // A/B-measured NEGATIVE on all of q250/q252/q260 across 3 cycles
+    // (e.g. q252 2.97 -> 3.22, 3.30 -> 3.61): AQE already converts the
+    // tiny join at runtime, and the forced eager BroadcastExchange only
+    // serialized the legs. Reverted; don't re-hint AQE-handled joins.)
     val hits = truth.join(picks, Seq("qid", "vec_id"))
       .agg(count(lit(1)).as("sum_hits"))
     nq.crossJoin(hits)
