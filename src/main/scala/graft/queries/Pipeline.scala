@@ -84,6 +84,16 @@ object Pipeline {
     */
   private[queries] def bigramCePerDoc(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // (Round 22 note: the q122 probe shows the bg cache as ONE
+    // partition — serial fill plus serial map sides of the four
+    // downstream passes, ~4 x 0.35 s one-task stages — so a
+    // Tables.loadSpread here looked right; it A/B-measured strongly
+    // NEGATIVE twice across all three consumers (q103 1.06/1.17 ->
+    // 1.41/1.70, q122 1.11/1.20 -> 1.41/1.78, q140 1.16/1.24 ->
+    // 1.76/2.28): the text shuffle + extra AQE stage round-trips beat
+    // the parallelized passes at this SF, the q180/q184/q200 result.
+    // The r21 spreads that DID win (q66/q126/q166/q181/q205) all carry
+    // far heavier per-row kernels. Reverted; not retried.)
     val bg = T(s, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
